@@ -1,0 +1,200 @@
+package graft
+
+/** DuckDB oracle SQL for every oracle=Y query key (SURVEY.md §2).
+  *
+  * Each SQL string must produce byte-identical values to the Spark query on
+  * the same Parquet files, so both sides follow the shared determinism
+  * contract (SURVEY.md §7.3): explicit total-order ORDER BY, ROUND(x, 6) on
+  * every value, DECIMAL(38,6)-quantized sums (order-independent), identical
+  * entropy/stddev algebra, and the declared (count DESC, value ASC) histogram
+  * tie-break.
+  */
+object OracleSql {
+
+  /** Static column inventory of the `lineitem` testdata table
+    * (TESTDATA.md; types = Spark catalogString for the schema relation). */
+  object Lineitem {
+    val numeric: Seq[String] = Seq(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val text: Seq[String] = Seq("l_returnflag", "l_linestatus")
+    /** Profiled columns (timestamp l_shipdate is class Skipped). */
+    val profiled: Seq[String] = numeric ++ text
+    val types: Seq[(String, String)] = Seq(
+      "l_orderkey" -> "bigint", "l_partkey" -> "bigint", "l_suppkey" -> "bigint",
+      "l_linenumber" -> "int", "l_quantity" -> "double",
+      "l_extendedprice" -> "double", "l_discount" -> "double",
+      "l_tax" -> "double", "l_returnflag" -> "string",
+      "l_linestatus" -> "string", "l_shipdate" -> "timestamp")
+  }
+
+  private val T = "lineitem"
+
+  def wrap(inner: String): String =
+    s"SELECT * FROM ($inner) q ORDER BY instance, name"
+
+  private def union(selects: Seq[String]): String = selects.mkString(" UNION ALL ")
+
+  /** One `SELECT '<col>' AS instance, '<metric>' AS name, <expr> AS value`. */
+  private def sel(c: String, metric: String, valueExpr: String, from: String = T): String =
+    s"SELECT '$c' AS instance, '$metric' AS name, ROUND($valueExpr, 6) AS value FROM $from"
+
+  private def perCol(cols: Seq[String], metric: String)(expr: String => String): String =
+    union(cols.map(c => sel(c, metric, expr(c))))
+
+  /** DECIMAL(38,6)-quantized order-independent sum (matches
+    * ScanMetrics.decSum). */
+  private def decSum(c: String): String =
+    s"CAST(SUM(CAST($c AS DECIMAL(38,6))) AS DOUBLE)"
+
+  private def decSumSq(c: String): String =
+    s"CAST(SUM(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE)"
+
+  // ---- per-metric value expressions (must mirror ScanMetrics/FreqMetrics) ----
+
+  val sizeSelect: String =
+    s"SELECT '*' AS instance, 'Size' AS name, ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS value FROM $T"
+
+  def completenessExpr(c: String) = s"COUNT($c) * 1.0 / COUNT(*)"
+  def minimumExpr(c: String) = s"CAST(MIN($c) AS DOUBLE)"
+  def maximumExpr(c: String) = s"CAST(MAX($c) AS DOUBLE)"
+  def meanExpr(c: String) = s"${decSum(c)} / COUNT($c)"
+  def sumExpr(c: String) = decSum(c)
+  def stddevPopExpr(c: String) =
+    s"SQRT(GREATEST(${decSumSq(c)} / COUNT($c) - POW(${decSum(c)} / COUNT($c), 2), 0.0))"
+  def distinctnessExpr(c: String) = s"COUNT(DISTINCT $c) * 1.0 / COUNT($c)"
+  def maxLengthExpr(c: String) = s"CAST(MAX(LENGTH($c)) AS DOUBLE)"
+  def minLengthExpr(c: String) = s"CAST(MIN(LENGTH($c)) AS DOUBLE)"
+  def countDistinctExpr(c: String) = s"CAST(COUNT(DISTINCT $c) AS DOUBLE)"
+
+  /** Frequency-table subquery for a column. */
+  private def freq(c: String, from: String = T): String =
+    s"(SELECT COUNT(*) AS cnt FROM $from WHERE $c IS NOT NULL GROUP BY $c) f"
+
+  /** Entropy via the same algebraic form as FreqMetrics:
+    * H = ln(nn) − Σ cnt·ln(cnt) / nn. */
+  private def entropySel(c: String, from: String = T): String =
+    sel(c, "Entropy", "LN(SUM(cnt)) - SUM(cnt * LN(cnt)) / SUM(cnt)", freq(c, from))
+
+  private def uvrSel(c: String, from: String = T): String =
+    sel(c, "UniqueValueRatio",
+      "SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", freq(c, from))
+
+  private def uniquenessSel(c: String, from: String = T): String =
+    sel(c, "Uniqueness",
+      "SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1.0 / SUM(cnt)", freq(c, from))
+
+  private def countDistinctSel(c: String, from: String = T): String =
+    sel(c, "CountDistinct", "CAST(COUNT(*) AS DOUBLE)", freq(c, from))
+
+  /** Histogram bins + top-N abs/ratio rows for one column (null-inclusive
+    * stringified frequency; cap with (cnt DESC, v ASC) tie-break; ratio
+    * denominator = all rows n). */
+  private def histogramSelects(c: String, bins: Int, from: String = T): Seq[String] = {
+    val f = s"(SELECT COALESCE(CAST($c AS VARCHAR), 'NullValue') AS v, COUNT(*) AS cnt FROM $from GROUP BY 1)"
+    val top = s"(SELECT v, cnt FROM $f z ORDER BY cnt DESC, v ASC LIMIT $bins)"
+    Seq(
+      s"SELECT '$c' AS instance, 'Histogram.bins' AS name, ROUND(CAST((SELECT COUNT(*) FROM $f z) AS DOUBLE), 6) AS value",
+      s"SELECT '$c' AS instance, 'Histogram.abs.' || v AS name, ROUND(CAST(cnt AS DOUBLE), 6) AS value FROM $top t",
+      s"SELECT '$c' AS instance, 'Histogram.ratio.' || v AS name, ROUND(cnt * 1.0 / (SELECT COUNT(*) FROM $from), 6) AS value FROM $top t")
+  }
+
+  private def histogramSql(c: String, bins: Int, from: String = T): String =
+    union(histogramSelects(c, bins, from))
+
+  private def quantExactSelects(c: String, q: Int): Seq[String] =
+    (1 to q).map { i =>
+      val p = i.toDouble / q
+      sel(c, s"QuantilesExact-$p", s"CAST(QUANTILE_CONT($c, $p) AS DOUBLE)")
+    }
+
+  // ---- full per-query-key oracle statements ----
+
+  import Lineitem._
+
+  val size: String = wrap(sizeSelect)
+  val completeness: String = wrap(perCol(profiled, "Completeness")(completenessExpr))
+  val minimum: String = wrap(perCol(numeric, "Minimum")(minimumExpr))
+  val maximum: String = wrap(perCol(numeric, "Maximum")(maximumExpr))
+  val mean: String = wrap(perCol(numeric, "Mean")(meanExpr))
+  val sum: String = wrap(perCol(numeric, "Sum")(sumExpr))
+  val stddevPop: String = wrap(perCol(numeric, "StandardDeviation")(stddevPopExpr))
+  val distinctness: String = wrap(perCol(profiled, "Distinctness")(distinctnessExpr))
+  val maxLength: String = wrap(perCol(text, "MaxLength")(maxLengthExpr))
+  val minLength: String = wrap(perCol(text, "MinLength")(minLengthExpr))
+  val countDistinct: String = wrap(union(text.map(c => countDistinctSel(c))))
+  val entropy: String = wrap(union(text.map(c => entropySel(c))))
+  val uniqueValueRatio: String = wrap(union(text.map(c => uvrSel(c))))
+  val uniqueness: String = wrap(union(text.map(c => uniquenessSel(c))))
+  val histogram: String = wrap(union(text.map(c => histogramSql(c, 10))))
+  val quantilesExact: String = wrap(union(numeric.flatMap(c => quantExactSelects(c, 10))))
+
+  /** R5: SELECT DISTINCT two-column projection. */
+  val dedupColumnNames: String =
+    s"SELECT DISTINCT l_returnflag, l_linestatus FROM $T ORDER BY l_returnflag, l_linestatus"
+
+  /** VALUES list literal of the schema relation for join oracles. */
+  private val schemaValues: String =
+    types.map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+
+  /** R6: metrics ⟕ schema relation on instance (Dataset row → null type). */
+  val metricsTypeJoin: String = {
+    val m = union(Seq(sizeSelect, perCol(profiled, "Completeness")(completenessExpr)))
+    s"WITH m AS ($m), s(instance, type) AS (VALUES $schemaValues) " +
+      "SELECT m.instance, m.name, m.value, s.type FROM m LEFT JOIN s ON m.instance = s.instance " +
+      "ORDER BY m.instance, m.name"
+  }
+
+  /** R9: boolean + date columns derived from lineitem, cast to string, then
+    * profiled with the text battery subset (MinLength/MaxLength/Histogram).
+    * Spark's cast renders boolean as "true"/"false" and date as ISO yyyy-MM-dd,
+    * matching DuckDB's VARCHAR casts (SURVEY.md §1.4.7). */
+  val castUnsupported: String = {
+    val derived =
+      s"(SELECT CAST(l_quantity > 25.0 AS VARCHAR) AS flag, CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day FROM $T) d"
+    val cols = Seq("flag", "ship_day")
+    wrap(union(
+      cols.map(c => sel(c, "MinLength", s"CAST(MIN(LENGTH($c)) AS DOUBLE)", derived)) ++
+      cols.map(c => sel(c, "MaxLength", s"CAST(MAX(LENGTH($c)) AS DOUBLE)", derived)) ++
+      cols.map(c => histogramSql(c, 10, derived))))
+  }
+
+  /** The flagship deterministic full-profile pipeline (R15): every
+    * deterministic family over every applicable column, plus the schema join,
+    * with entity labels. */
+  val profileLineitem: String = {
+    def ent(entity: String)(s: String): String =
+      s.replaceFirst("^SELECT ", s"SELECT '$entity' AS entity, ")
+    val columnSelects: Seq[String] =
+      profiled.map(c => sel(c, "Completeness", completenessExpr(c))) ++
+        numeric.map(c => sel(c, "Minimum", minimumExpr(c))) ++
+        numeric.map(c => sel(c, "Maximum", maximumExpr(c))) ++
+        numeric.map(c => sel(c, "Mean", meanExpr(c))) ++
+        numeric.map(c => sel(c, "Sum", sumExpr(c))) ++
+        numeric.map(c => sel(c, "StandardDeviation", stddevPopExpr(c))) ++
+        profiled.map(c => sel(c, "Distinctness", distinctnessExpr(c))) ++
+        text.map(c => sel(c, "MaxLength", maxLengthExpr(c))) ++
+        text.map(c => sel(c, "MinLength", minLengthExpr(c))) ++
+        text.map(c => countDistinctSel(c)) ++
+        text.map(c => entropySel(c)) ++
+        text.map(c => uvrSel(c)) ++
+        text.map(c => uniquenessSel(c)) ++
+        text.flatMap(c => histogramSelects(c, 10))
+    val m = union(ent("Dataset")(sizeSelect) +: columnSelects.map(ent("Column")))
+    s"WITH m AS ($m), s(instance, type) AS (VALUES $schemaValues) " +
+      "SELECT m.entity, m.instance, m.name, m.value, s.type FROM m LEFT JOIN s ON m.instance = s.instance " +
+      "ORDER BY m.instance, m.name"
+  }
+
+  /** R11: global multi-key sort + limit over the flagship metrics. */
+  val sortedMetricsHead: String = {
+    val m = union(Seq(
+      sizeSelect,
+      perCol(profiled, "Completeness")(completenessExpr),
+      perCol(numeric, "Minimum")(minimumExpr),
+      perCol(numeric, "Maximum")(maximumExpr),
+      perCol(text, "MaxLength")(maxLengthExpr),
+      perCol(text, "MinLength")(minLengthExpr)))
+    s"SELECT * FROM ($m) q ORDER BY instance, name LIMIT 100"
+  }
+}

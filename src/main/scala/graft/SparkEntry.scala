@@ -1,13 +1,146 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.profiler.{Profiler, ProfilerConfig}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query returns a deterministic result: explicit total-order ORDER BY
+  * and ROUND(value, 6), mirrored exactly by the DuckDB SQL in [[oracleSql]]
+  * (SURVEY.md §7.3 determinism contract).
+  */
 object SparkEntry {
+
+  /** Expensive battery on for declared queries — the full capability surface. */
+  private val cfg = ProfilerConfig(compExp = true)
+
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  /** Metrics-relation-shaped query `(instance, name, value)` over lineitem. */
+  private def metricQuery(fams: Set[String]): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val rows = Profiler.metrics(lineitem(s, dir), cfg, fams)
+      Profiler.metricsDF(s, rows)
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Profiler.profile(
+      spark,
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      cfg)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.A scan-shareable battery (D1, N1-N9, T1-T5)
+    "size" -> metricQuery(Set("size")),
+    "completeness" -> metricQuery(Set("completeness")),
+    "minimum" -> metricQuery(Set("minimum")),
+    "maximum" -> metricQuery(Set("maximum")),
+    "mean" -> metricQuery(Set("mean")),
+    "sum" -> metricQuery(Set("sum")),
+    "stddev_pop" -> metricQuery(Set("stddev_pop")),
+    "distinctness" -> metricQuery(Set("distinctness")),
+    "max_length" -> metricQuery(Set("max_length")),
+    "min_length" -> metricQuery(Set("min_length")),
+    "approx_count_distinct" -> metricQuery(Set("approx_count_distinct")),
+    "approx_quantiles" -> metricQuery(Set("approx_quantiles")),
+    "quantiles_exact" -> metricQuery(Set("quantiles_exact")),
+    // §2.A frequency battery (F1-F5)
+    "count_distinct" -> metricQuery(Set("count_distinct")),
+    "entropy" -> metricQuery(Set("entropy")),
+    "unique_value_ratio" -> metricQuery(Set("unique_value_ratio")),
+    "uniqueness" -> metricQuery(Set("uniqueness")),
+    "histogram" -> metricQuery(Set("histogram")),
+    // §2.B relational pipeline operators
+    "dedup_column_names" -> ((s, dir) =>
+      lineitem(s, dir)
+        .select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")),
+    "metrics_type_join" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val rows = Profiler.metrics(li, cfg, Set("size", "completeness"))
+      Profiler.metricsDF(s, rows)
+        .join(broadcast(Profiler.schemaDF(s, li)), Seq("instance"), "left")
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"), col("type"))
+        .orderBy("instance", "name")
+    }),
+    "cast_unsupported" -> ((s, dir) => {
+      val derived = lineitem(s, dir).select(
+        (col("l_quantity") > 25.0).as("flag"),
+        col("l_shipdate").cast(DateType).as("ship_day"))
+      val rows = Profiler.metrics(
+        derived,
+        cfg.copy(profileUnsupportedTypes = true),
+        Set("min_length", "max_length", "histogram"))
+      Profiler.metricsDF(s, rows)
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")
+    }),
+    "sorted_metrics_head" -> ((s, dir) => {
+      val rows = Profiler.metrics(
+        lineitem(s, dir), cfg,
+        Set("size", "completeness", "minimum", "maximum", "max_length", "min_length"))
+      Profiler.metricsDF(s, rows)
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")
+        .limit(100)
+    }),
+    "metrics_split" -> ((s, dir) => {
+      val rows = Profiler.metrics(lineitem(s, dir), cfg, Set("size", "completeness"))
+      Profiler.metricsDF(s, rows)
+        .where(col("entity") === lit("Column"))
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")
+    }),
+    "schema_df" -> ((s, dir) =>
+      Profiler.schemaDF(s, lineitem(s, dir)).orderBy("instance")),
+    // §2.B R15 flagship pipelines
+    "profile_lineitem" -> ((s, dir) =>
+      Profiler.profile(s, lineitem(s, dir), cfg, Profiler.deterministicFamilies)
+        .select(
+          col("entity"), col("instance"), col("name"),
+          round(col("value"), 6).as("value"), col("type"))
+        .orderBy("instance", "name")),
+    "profile_lineitem_full" -> ((s, dir) =>
+      Profiler.profile(s, lineitem(s, dir), cfg)
+        .select(
+          col("entity"), col("instance"), col("name"),
+          round(col("value"), 6).as("value"), col("type"))
+        .orderBy("instance", "name"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (approx sketches, metadata-derived
+    * relations) get the driver's weaker rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "size" -> OracleSql.size,
+    "completeness" -> OracleSql.completeness,
+    "minimum" -> OracleSql.minimum,
+    "maximum" -> OracleSql.maximum,
+    "mean" -> OracleSql.mean,
+    "sum" -> OracleSql.sum,
+    "stddev_pop" -> OracleSql.stddevPop,
+    "distinctness" -> OracleSql.distinctness,
+    "max_length" -> OracleSql.maxLength,
+    "min_length" -> OracleSql.minLength,
+    "quantiles_exact" -> OracleSql.quantilesExact,
+    "count_distinct" -> OracleSql.countDistinct,
+    "entropy" -> OracleSql.entropy,
+    "unique_value_ratio" -> OracleSql.uniqueValueRatio,
+    "uniqueness" -> OracleSql.uniqueness,
+    "histogram" -> OracleSql.histogram,
+    "dedup_column_names" -> OracleSql.dedupColumnNames,
+    "metrics_type_join" -> OracleSql.metricsTypeJoin,
+    "cast_unsupported" -> OracleSql.castUnsupported,
+    "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
+    "profile_lineitem" -> OracleSql.profileLineitem
+  )
 }

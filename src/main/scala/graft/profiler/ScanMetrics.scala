@@ -1,0 +1,163 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Which aggregation pass a slot belongs to. Mixing DISTINCT aggregates
+  * (Catalyst's Expand rewrite) with TypedImperative sketch aggregates in one
+  * `agg(...)` defeats hash aggregation and measured ~10x slower at sf0.1, so
+  * distinct slots run as their own pass: pass 1 = plain + sketch aggregates
+  * (one ObjectHashAggregate scan), pass 2 = all `count_distinct`s (one
+  * Expand + two-phase HashAggregate, a single shuffle for every column). */
+sealed trait AggKind
+object AggKind {
+  case object Plain extends AggKind
+  case object Distinct extends AggKind
+}
+
+/** One slot of the shared single-pass aggregation: an aggregate `Column` plus
+  * an extractor turning its result cell into metric rows.
+  *
+  * All slots of a pass are evaluated in ONE `df.agg(...)` — the reference
+  * stack's one real multi-query optimization (Deequ scan-sharing,
+  * SURVEY.md §4.2). At 100 TB this is the difference between 1 scan of the
+  * data and ~20.
+  */
+final case class AggSlot(
+    expr: Column,
+    extract: Any => Seq[MetricRow],
+    kind: AggKind = AggKind.Plain)
+
+/** Builders for the scan-shareable metric family (SURVEY.md §2.A: D1, N1-N9,
+  * T1-T5) — everything computable in a single wide aggregation over the table.
+  *
+  * Determinism design (SURVEY.md §7.3/§7.4.3): double summation is not
+  * associative, so a 32-partition local run, a 1000-executor cluster run and
+  * the sequential DuckDB oracle would disagree in the last ulps. `Sum`, `Mean`
+  * and `StandardDeviation` therefore quantize each addend to DECIMAL(38,6)
+  * first — decimal aggregation is exact and order-independent, and the oracle
+  * SQL applies the identical quantization. Decimal aggregation stays inside
+  * whole-stage codegen, and DECIMAL(38,6) holds > 10^31, so 100 TB-scale sums
+  * cannot overflow.
+  *
+  * `Distinctness` uses `count_distinct` inside the same aggregation: Catalyst
+  * rewrites multi-column distinct aggregates into one Expand + two-phase
+  * HashAggregate — one shuffle total, versus Deequ's one groupBy job per
+  * column.
+  */
+object ScanMetrics {
+  import MetricNames._
+
+  private val Dec = DecimalType(38, 6)
+
+  private def num(a: Any): Option[Double] = a match {
+    case null => None
+    case n: java.lang.Number => Some(n.doubleValue)
+    case _ => None
+  }
+
+  private def colSlot(inst: String, name: String, expr: Column): AggSlot =
+    AggSlot(expr, a => num(a).map(v => MetricRow("Column", inst, name, v)).toSeq)
+
+  /** Order-independent exact sum of a numeric column (see class doc). */
+  private def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-independent sum of squares; squares are taken in double (exact,
+    * per-row, order-free) then quantized for the order-sensitive summation. */
+  private def decSumSq(c: Column): Column =
+    sum((c.cast(DoubleType) * c.cast(DoubleType)).cast(Dec)).cast(DoubleType)
+
+  /** Population standard deviation sqrt(E[x²] − E[x]²) (Deequ's
+    * StandardDeviation is population, not sample — SURVEY.md §2.A N6),
+    * clamped at 0 against floating-point cancellation on constant columns. */
+  private def stddevPop(c: Column): Column =
+    sqrt(greatest(
+      decSumSq(c) / count(c) - pow(decSum(c) / count(c), lit(2)),
+      lit(0.0)))
+
+  def quantilePs(q: Int): Seq[Double] = (1 to q).map(_.toDouble / q)
+
+  private def quantExtract(
+      inst: String, ps: Seq[Double], nameOf: Double => String): Any => Seq[MetricRow] = {
+    case s: scala.collection.Seq[_] =>
+      s.zip(ps).flatMap { case (v, p) =>
+        num(v).map(d => MetricRow("Column", inst, nameOf(p), d))
+      }.toSeq
+    case _ => Nil
+  }
+
+  /** Build the aggregation slots for every applicable (column, metric) pair.
+    *
+    * @param fams metric families to compute, keyed by query key
+    *             (SURVEY.md §2 "Query key" column).
+    */
+  def slots(schema: StructType, cfg: ProfilerConfig, fams: Set[String]): Seq[AggSlot] = {
+    val b = Seq.newBuilder[AggSlot]
+    if (fams("size"))
+      b += AggSlot(
+        count(lit(1)).cast(DoubleType),
+        a => num(a).map(v => MetricRow("Dataset", "*", Size, v)).toSeq)
+
+    def shared(i: String, c: Column): Unit = {
+      if (fams("completeness"))
+        b += colSlot(i, Completeness, count(c).cast(DoubleType) / count(lit(1)))
+      if (fams("approx_count_distinct"))
+        b += colSlot(i, ApproxCountDistinct, approx_count_distinct(c).cast(DoubleType))
+      if (fams("distinctness"))
+        b += AggSlot(
+          count_distinct(c).cast(DoubleType) / count(c),
+          a => num(a).map(v => MetricRow("Column", i, Distinctness, v)).toSeq,
+          AggKind.Distinct)
+    }
+
+    schema.fields.foreach { f =>
+      val c = col(f.name)
+      val i = f.name
+      ColumnClass.of(f.dataType) match {
+        case ColumnClass.Numeric =>
+          shared(i, c)
+          if (fams("minimum")) b += colSlot(i, Minimum, min(c).cast(DoubleType))
+          if (fams("maximum")) b += colSlot(i, Maximum, max(c).cast(DoubleType))
+          if (fams("mean")) b += colSlot(i, Mean, decSum(c) / count(c))
+          if (fams("sum")) b += colSlot(i, Sum, decSum(c))
+          if (fams("stddev_pop")) b += colSlot(i, StandardDeviation, stddevPop(c))
+          if (fams("approx_quantiles")) {
+            val ps = quantilePs(cfg.quantiles)
+            // accuracy 100 = 1 / Deequ's relativeError 0.01 (SURVEY.md §2.A N8)
+            b += AggSlot(
+              percentile_approx(c, array(ps.map(lit): _*), lit(100)),
+              quantExtract(i, ps, approxQuantile))
+          }
+          if (fams("quantiles_exact")) {
+            val ps = quantilePs(cfg.quantiles)
+            b += AggSlot(
+              percentile(c, array(ps.map(lit): _*)),
+              quantExtract(i, ps, exactQuantile))
+          }
+        case ColumnClass.Text =>
+          shared(i, c)
+          if (fams("max_length")) b += colSlot(i, MaxLength, max(length(c)).cast(DoubleType))
+          if (fams("min_length")) b += colSlot(i, MinLength, min(length(c)).cast(DoubleType))
+        case _ => () // Castable handled by Profiler.castUnsupported; Skipped: Size only
+      }
+    }
+    b.result()
+  }
+
+  /** Evaluate the slots, one `df.agg(...)` per [[AggKind]] pass (see AggKind
+    * doc), and extract the metric rows. The result rows are tiny by
+    * construction (one cell per metric), so collecting them to the driver is
+    * the correct move at any scale — the aggregation itself has already
+    * reduced the 100 TB. */
+  def compute(df: DataFrame, slots: Seq[AggSlot]): Seq[MetricRow] =
+    Seq(AggKind.Plain, AggKind.Distinct).flatMap { kind =>
+      val group = slots.filter(_.kind == kind)
+      if (group.isEmpty) Nil
+      else {
+        val aliased = group.zipWithIndex.map { case (s, i) => s.expr.alias(s"m$i") }
+        val row: Row = df.agg(aliased.head, aliased.tail: _*).head()
+        group.zipWithIndex.flatMap { case (s, i) => s.extract(row.get(i)) }
+      }
+    }
+}
