@@ -186,6 +186,121 @@ object OracleSql {
       "ORDER BY m.instance, m.name"
   }
 
+  // =====================================================================
+  // Training-data-pipeline extensions (documents / embeddings / events)
+  // =====================================================================
+
+  /** Exact dedup by SHA-256 content hash (same hash both engines). */
+  val dedupExact: String =
+    "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
+      "GROUP BY sha256(text) ORDER BY doc_id"
+
+  /** Word 3-gram shingle Jaccard pairs ≥ 0.5 (exact pairwise over shared
+    * shingles — the oracle twin of Dedup.ngramJaccard with no doc-freq
+    * cap). */
+  val dedupNgramJaccard: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+  FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b) q
+WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+
+  /** Left-fold double dot product — matches Spark `aggregate` (0.0 seed,
+    * left-to-right) bit-for-bit. */
+  private def listDot(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, v) -> acc + v)"
+
+  private def listNorm(a: String): String =
+    s"SQRT(list_reduce(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, v) -> acc + v))"
+
+  /** Brute-force cosine top-10 per query vector (query set = vec_id % 97 = 0),
+    * ranked on the 6-dp-rounded cosine with id tie-break. */
+  val annCosineTopK: String =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0)
+SELECT query_id, neighbor_id, cos FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    ROUND(${listDot("q.embedding", "e.embedding")} / (${listNorm("q.embedding")} * ${listNorm("e.embedding")}), 6) AS cos
+  FROM q CROSS JOIN embeddings e) t
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+ORDER BY query_id, neighbor_id"""
+
+  import graft.functions.TextFunctions.{BpeishPattern, PunctPattern, Stopwords}
+
+  private val wsToksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+  private val wsToksLowerSql = raw"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+  private def stopList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Whitespace + BPE-ish token counts per document. */
+  val tokenCount: String =
+    s"SELECT doc_id, CAST(len($wsToksSql) AS BIGINT) AS ws_tokens, " +
+      s"CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpe_tokens " +
+      "FROM documents ORDER BY doc_id"
+
+  /** Length / punctuation / stopword quality metrics + composite score
+    * (identical expression tree to TextFunctions.qualityScore). */
+  val textQuality: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""SELECT doc_id, n_chars, ws_tokens,
+  ROUND(punct * 1.0 / n_chars, 6) AS punct_ratio,
+  ROUND(stop_hits * 1.0 / ws_tokens, 6) AS stopword_ratio,
+  ROUND(0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens), 6) AS quality
+FROM (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents) q ORDER BY doc_id"""
+  }
+
+  /** Stopword-vote language ID; argmax with (score desc, lang asc)
+    * tie-break — lists shared with TextFunctions.Stopwords. */
+  val langId: String = {
+    val scores = Stopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS s_$l"
+    }.mkString(", ")
+    val cases = Stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val greatest = Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang FROM (
+  SELECT doc_id, ${Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")}, GREATEST($greatest) AS m FROM (
+    SELECT doc_id, $scores FROM (SELECT doc_id, $wsToksLowerSql AS toks FROM documents) a) b) c
+ORDER BY doc_id"""
+  }
+
+  /** Polynomial rolling hash h = fold((h*31 + codepoint) mod 2^31-1) — the
+    * oracle twin of the custom codegen RollingHash expression. */
+  val docFingerprint: String =
+    "SELECT doc_id, CAST(CASE WHEN LENGTH(text) = 0 THEN 0 ELSE " +
+      "list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)), " +
+      "(a, b) -> (a * 31 + b) % 2147483647) END AS BIGINT) AS fingerprint " +
+      "FROM documents ORDER BY doc_id"
+
+  /** Batch twin of the streaming tumbling-window profile (1h windows over
+    * events; exact count + DECIMAL-quantized sum). */
+  val streamingProfile: String =
+    "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, " +
+      "COUNT(*) AS n_events, ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+
+  /** Gap-and-islands twin of the stateful sessionization (30-minute gap,
+    * epoch-microsecond timestamps). */
+  val streamingSessions: String =
+    """WITH d AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
+SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""
+
+  /** Byte-level media features (payload = UTF-8 bytes of text). */
+  val multimodalFeatures: String =
+    "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
+      "substr(sha256(text), 1, 16) AS fingerprint FROM documents ORDER BY doc_id"
+
   /** R11: global multi-key sort + limit over the flagship metrics. */
   val sortedMetricsHead: String = {
     val m = union(Seq(

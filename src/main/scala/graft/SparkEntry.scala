@@ -4,7 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DateType
 
+import graft.functions.{RollingHash, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
 import graft.profiler.{Profiler, ProfilerConfig}
+import graft.streaming.{SessionEvent, StreamingProfile}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -114,8 +118,105 @@ object SparkEntry {
         .select(
           col("entity"), col("instance"), col("name"),
           round(col("value"), 6).as("value"), col("type"))
-        .orderBy("instance", "name"))
+        .orderBy("instance", "name")),
+    // ===== training-data-pipeline extensions =====
+    // deduplication (documents table)
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(documents(s, dir), "doc_id", Seq("text")).orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+    // similarity search (embeddings table)
+    "ann_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(
+        embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 97 === 0)
+        .orderBy("query_id", "neighbor_id")),
+    "ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(
+        embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 97 === 0)
+        .orderBy("query_id", "neighbor_id")),
+    // text analysis (documents table)
+    "token_count" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        round(
+          TextFunctions.punctCount(col("text")).cast("double") /
+            length(col("text")).cast("double"), 6).as("punct_ratio"),
+        round(
+          TextFunctions.stopwordCount(
+            TextFunctions.wsTokens(lower(col("text"))),
+            TextFunctions.Stopwords.collectFirst { case ("en", w) => w }.get)
+            .cast("double") /
+            TextFunctions.wsTokenCount(col("text")).cast("double"), 6)
+          .as("stopword_ratio"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+        .orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) => {
+      RollingHash.register(s)
+      documents(s, dir)
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // streaming (events table, driven through real streaming queries).
+    // The testdata carries TIMESTAMP(NANOS) parquet, which Spark's scan
+    // rejects; reading the raw int64 nanos and truncating to micros matches
+    // DuckDB's ns→µs handling exactly (both floor positive values).
+    "streaming_profile" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamingProfile.replayParquet(
+        s, s"$dir/events.parquet",
+        df => StreamingProfile.windowedProfileExact(
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        "complete")
+        .orderBy("window_start", "event_type")
+    }),
+    "streaming_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      StreamingProfile.replayParquet(
+        s, s"$dir/events.parquet",
+        df => {
+          val sp = df.sparkSession
+          import sp.implicits._
+          StreamingProfile.sessionize(
+            df.select(col("user_id"), expr("ts div 1000").as("ts_us"))
+              .as[SessionEvent],
+            gapMinutes = 30).toDF()
+        },
+        "append")
+        .orderBy("user_id", "session_start_us")
+    }),
+    // multimodal binary-column plumbing (documents text as opaque payload)
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.byteFeatures(Multimodal.asBinary(documents(s, dir)))
+        .orderBy("doc_id")),
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(Multimodal.asBinary(documents(s, dir)))
+        .toDF().orderBy("doc_id"))
   )
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys (approx sketches, metadata-derived
@@ -141,6 +242,16 @@ object SparkEntry {
     "metrics_type_join" -> OracleSql.metricsTypeJoin,
     "cast_unsupported" -> OracleSql.castUnsupported,
     "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
-    "profile_lineitem" -> OracleSql.profileLineitem
+    "profile_lineitem" -> OracleSql.profileLineitem,
+    "dedup_exact" -> OracleSql.dedupExact,
+    "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "ann_cosine_topk" -> OracleSql.annCosineTopK,
+    "token_count" -> OracleSql.tokenCount,
+    "text_quality" -> OracleSql.textQuality,
+    "lang_id" -> OracleSql.langId,
+    "doc_fingerprint" -> OracleSql.docFingerprint,
+    "streaming_profile" -> OracleSql.streamingProfile,
+    "streaming_sessions" -> OracleSql.streamingSessions,
+    "multimodal_features" -> OracleSql.multimodalFeatures
   )
 }

