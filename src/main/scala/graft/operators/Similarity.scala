@@ -92,8 +92,8 @@ object Similarity {
       vecCol: String,
       queryPred: Column,
       k: Int = 10,
-      planes: Int = 8): DataFrame = {
-    val dim = 64
+      planes: Int = 8,
+      dim: Int = 64): DataFrame = {
     val hp = hyperplanes(planes, dim)
     val bucketed = emb.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"),

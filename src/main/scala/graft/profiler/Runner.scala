@@ -1,0 +1,125 @@
+package graft.profiler
+
+import java.time.{OffsetDateTime, ZoneOffset}
+
+import org.apache.spark.sql.SparkSession
+
+/** The multi-table orchestration driver — the rebuild of the reference's
+  * `main` + per-table loops (Profiler.scala:76-253), minus AWS:
+  * enumerate the catalog, profile each table, publish each table's metrics
+  * to the partitioned parquet sink and the metadata sink.
+  *
+  * Differences from the reference, on purpose:
+  *   - compute→publish per table instead of compute-all-then-publish-all
+  *     (bounds driver memory on wide databases, SURVEY.md §3.1 note);
+  *   - immutable [[RunnerArgs]] threaded explicitly instead of mutable
+  *     object-level config vars (Profiler.scala:130-137);
+  *   - tables profile independently, so a malformed table logs and skips
+  *     rather than aborting the run.
+  */
+object Runner {
+
+  /** CLI surface mirroring the reference flags (CommandLineArgs.scala:21-30;
+    * defaults README.md:54-63). `dbName` is a parquet directory here;
+    * `outPrefix` replaces `s3BucketPrefix`; `region` has no meaning without
+    * AWS and is accepted-and-ignored for drop-in compatibility. */
+  final case class RunnerArgs(
+      dbName: String = "",
+      outPrefix: String = "",
+      compExp: Boolean = false,
+      statsPrefix: String = "DQP",
+      profileUnsupportedTypes: Boolean = false,
+      noOfBins: Int = 10,
+      quantiles: Int = 10) {
+    def cfg: ProfilerConfig = ProfilerConfig(
+      compExp, statsPrefix, profileUnsupportedTypes, noOfBins, quantiles)
+  }
+
+  /** Hand-rolled `--flag value` parser (no scopt in the environment). */
+  def parseArgs(args: Array[String]): Either[String, RunnerArgs] = {
+    def loop(rest: List[String], acc: RunnerArgs): Either[String, RunnerArgs] =
+      rest match {
+        case Nil =>
+          if (acc.dbName.isEmpty) Left("--dbName is required")
+          else if (acc.outPrefix.isEmpty) Left("--outPrefix is required")
+          else Right(acc)
+        case "--dbName" :: v :: t => loop(t, acc.copy(dbName = v))
+        case "--outPrefix" :: v :: t => loop(t, acc.copy(outPrefix = v))
+        case "--region" :: _ :: t => loop(t, acc) // accepted, ignored
+        case "--compExp" :: v :: t => loop(t, acc.copy(compExp = v.toBoolean))
+        case "--statsPrefix" :: v :: t => loop(t, acc.copy(statsPrefix = v))
+        case "--profileUnsupportedTypes" :: v :: t =>
+          loop(t, acc.copy(profileUnsupportedTypes = v.toBoolean))
+        case "--noOfBins" :: v :: t => loop(t, acc.copy(noOfBins = v.toInt))
+        case "--quantiles" :: v :: t => loop(t, acc.copy(quantiles = v.toInt))
+        case other :: _ => Left(s"unknown argument: $other")
+      }
+    loop(args.toList, RunnerArgs())
+  }
+
+  /** Profile every table of `catalog` and publish (one run timestamp for
+    * the whole run, like the reference's run_dt, Profiler.scala:74).
+    * Returns (table → metric row count) for observability. */
+  def run(
+      spark: SparkSession,
+      catalog: TableCatalog,
+      args: RunnerArgs,
+      runDt: OffsetDateTime = OffsetDateTime.now(ZoneOffset.UTC)): Map[String, Int] = {
+    val cfg = args.cfg
+    val parquetSink = new Sinks.MetricsParquetSink(args.outPrefix)
+    // sibling dir, not inside the parquet root — a stray non-parquet
+    // directory there breaks Hive-style partition discovery on read
+    val metaSink = new Sinks.JsonMetadataSink(s"${args.outPrefix}_metadata")
+    catalog.listTables.map { table =>
+      val n =
+        try {
+          val df = catalog.load(table)
+          val rows = Profiler.metrics(df, cfg, Profiler.allFamilies)
+          val metrics = Profiler
+            .metricsDF(spark, rows)
+            .join(
+              org.apache.spark.sql.functions.broadcast(Profiler.schemaDF(spark, df)),
+              Seq("instance"), "left")
+          parquetSink.write(
+            Sinks.enrich(metrics, catalog.name, table, runDt), catalog.name, table)
+          val (tableParams, columnParams) = Sinks.toParams(rows, cfg)
+          metaSink.upsert(table, cfg.statsPrefix + "__", tableParams, columnParams)
+          rows.size
+        } catch {
+          case e: Exception =>
+            System.err.println(s"[runner] table $table failed: ${e.getMessage}")
+            -1
+        }
+      table -> n
+    }.toMap
+  }
+
+  def main(argv: Array[String]): Unit =
+    parseArgs(argv) match {
+      case Left(err) =>
+        System.err.println(
+          s"error: $err\nusage: Runner --dbName <parquetDir> --outPrefix <outDir> " +
+            "[--compExp bool] [--statsPrefix s] [--profileUnsupportedTypes bool] " +
+            "[--noOfBins n] [--quantiles n]")
+        sys.exit(2)
+      case Right(args) =>
+        val spark = SparkSession.builder()
+          .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          // TIMESTAMP(NANOS) parquet (events table) is unreadable as a
+          // Spark timestamp; as a raw long the column profiles numerically.
+          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        try {
+          val results = Runner.run(spark, new ParquetDirCatalog(spark, args.dbName), args)
+          results.toSeq.sortBy(_._1).foreach { case (t, n) =>
+            println(s"$t: ${if (n < 0) "FAILED" else s"$n metrics"}")
+          }
+          if (results.valuesIterator.exists(_ < 0)) sys.exit(1)
+        } finally spark.stop()
+    }
+}

@@ -60,21 +60,57 @@ object ScanMetrics {
   private def colSlot(inst: String, name: String, expr: Column): AggSlot =
     AggSlot(expr, a => num(a).map(v => MetricRow("Column", inst, name, v)).toSeq)
 
-  /** Order-independent exact sum of a numeric column (see class doc). */
-  private def decSum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+  /** Null (→ no metric row) instead of an ANSI divide-by-zero on empty /
+    * all-null inputs. */
+  private def safeDiv(n: Column, d: Column): Column = when(d > 0, n / d)
 
-  /** Order-independent sum of squares; squares are taken in double (exact,
-    * per-row, order-free) then quantized for the order-sensitive summation. */
+  // Range guards for the exact-decimal path: |x| ≤ 1e19 keeps sums of 10^12
+  // rows inside DECIMAL(38,6); |x| ≤ 1e15 keeps squares inside it. Values
+  // beyond that (e.g. epoch-nanos columns) would overflow the decimal cast
+  // under ANSI mode, so those columns take the documented fallback below.
+  private val SumAbsBound = 1e19
+  private val SqAbsBound = 1e15
+
+  private def xd(c: Column): Column = c.cast(DoubleType)
+
+  private def inRange(c: Column, bound: Double): Column = abs(xd(c)) <= bound
+
+  /** Order-independent exact sum — null if any value is out of decimal
+    * range or the decimal total itself overflows (try_sum). */
+  private def decSum(c: Column): Column =
+    try_sum(when(inRange(c, SumAbsBound), c.cast(Dec))).cast(DoubleType)
+
   private def decSumSq(c: Column): Column =
-    sum((c.cast(DoubleType) * c.cast(DoubleType)).cast(Dec)).cast(DoubleType)
+    try_sum(when(inRange(c, SqAbsBound), (xd(c) * xd(c)).cast(Dec))).cast(DoubleType)
+
+  /** True iff every non-null value passed the range guard AND the decimal
+    * total did not overflow — i.e. the exact path is valid. */
+  private def exactOk(c: Column, bound: Double, total: Column): Column =
+    count(c) > 0 &&
+      count(when(inRange(c, bound), lit(1))) === count(c) &&
+      total.isNotNull
+
+  /** Exact decimal sum with graceful degradation: columns whose magnitude
+    * exceeds the decimal range fall back to the plain double sum (correct,
+    * order-dependent in the last ulps). */
+  private def sumMetric(c: Column): Column =
+    when(exactOk(c, SumAbsBound, decSum(c)), decSum(c)).otherwise(sum(xd(c)))
+
+  private def meanMetric(c: Column): Column =
+    when(exactOk(c, SumAbsBound, decSum(c)), decSum(c) / count(c)).otherwise(avg(xd(c)))
 
   /** Population standard deviation sqrt(E[x²] − E[x]²) (Deequ's
     * StandardDeviation is population, not sample — SURVEY.md §2.A N6),
-    * clamped at 0 against floating-point cancellation on constant columns. */
-  private def stddevPop(c: Column): Column =
-    sqrt(greatest(
-      decSumSq(c) / count(c) - pow(decSum(c) / count(c), lit(2)),
-      lit(0.0)))
+    * clamped at 0 against floating-point cancellation on constant columns.
+    * Exact-decimal moments when in range; Welford-style `stddev_pop`
+    * fallback outside it. */
+  private def stddevPopMetric(c: Column): Column =
+    when(
+      exactOk(c, SqAbsBound, decSumSq(c)) && decSum(c).isNotNull,
+      sqrt(greatest(
+        decSumSq(c) / count(c) - pow(decSum(c) / count(c), lit(2)),
+        lit(0.0))))
+      .otherwise(stddev_pop(xd(c)))
 
   def quantilePs(q: Int): Seq[Double] = (1 to q).map(_.toDouble / q)
 
@@ -101,12 +137,12 @@ object ScanMetrics {
 
     def shared(i: String, c: Column): Unit = {
       if (fams("completeness"))
-        b += colSlot(i, Completeness, count(c).cast(DoubleType) / count(lit(1)))
+        b += colSlot(i, Completeness, safeDiv(count(c).cast(DoubleType), count(lit(1))))
       if (fams("approx_count_distinct"))
         b += colSlot(i, ApproxCountDistinct, approx_count_distinct(c).cast(DoubleType))
       if (fams("distinctness"))
         b += AggSlot(
-          count_distinct(c).cast(DoubleType) / count(c),
+          safeDiv(count_distinct(c).cast(DoubleType), count(c)),
           a => num(a).map(v => MetricRow("Column", i, Distinctness, v)).toSeq,
           AggKind.Distinct)
     }
@@ -119,9 +155,9 @@ object ScanMetrics {
           shared(i, c)
           if (fams("minimum")) b += colSlot(i, Minimum, min(c).cast(DoubleType))
           if (fams("maximum")) b += colSlot(i, Maximum, max(c).cast(DoubleType))
-          if (fams("mean")) b += colSlot(i, Mean, decSum(c) / count(c))
-          if (fams("sum")) b += colSlot(i, Sum, decSum(c))
-          if (fams("stddev_pop")) b += colSlot(i, StandardDeviation, stddevPop(c))
+          if (fams("mean")) b += colSlot(i, Mean, meanMetric(c))
+          if (fams("sum")) b += colSlot(i, Sum, sumMetric(c))
+          if (fams("stddev_pop")) b += colSlot(i, StandardDeviation, stddevPopMetric(c))
           if (fams("approx_quantiles")) {
             val ps = quantilePs(cfg.quantiles)
             // accuracy 100 = 1 / Deequ's relativeError 0.01 (SURVEY.md §2.A N8)

