@@ -227,6 +227,23 @@ SELECT query_id, neighbor_id, cos FROM (
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
 ORDER BY query_id, neighbor_id"""
 
+  /** Top-50 closest embedding pairs — the near-dup review list (exact
+    * pairwise twin of Similarity.cosineNearDupPairs). */
+  val dedupEmbeddingCosine: String =
+    s"""SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(${listDot("a.embedding", "b.embedding")} / (${listNorm("a.embedding")} * ${listNorm("b.embedding")}), 6) AS cos
+  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id) t
+ORDER BY cos DESC, id_a, id_b LIMIT 50"""
+
+  /** JSON property extraction + grouped aggregate over the events stream
+    * table (props is a JSON string column). */
+  val eventsJson: String =
+    "SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, " +
+      "COUNT(*) AS n_events, " +
+      "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +
+      "FROM events GROUP BY 1 ORDER BY 1"
+
   import graft.functions.TextFunctions.{BpeishPattern, PunctPattern, Stopwords}
 
   private val wsToksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"

@@ -141,6 +141,19 @@ object SparkEntry {
       Similarity.lshTopK(
         embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    "dedup_embedding_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id", "embedding")),
+    "events_json" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+              .cast("double"), 6).as("sum_value"))
+        .orderBy("k")
+    }),
     // text analysis (documents table)
     "token_count" -> ((s, dir) =>
       documents(s, dir).select(
@@ -246,6 +259,8 @@ object SparkEntry {
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
+    "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
+    "events_json" -> OracleSql.eventsJson,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
     "lang_id" -> OracleSql.langId,

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the wide single-pass profile aggregation has >100 buffer fields;
+      // without this, whole-stage codegen silently falls back (~3x slower)
+      .config("spark.sql.codegen.maxFields", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

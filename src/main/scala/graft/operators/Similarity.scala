@@ -62,6 +62,28 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Embedding near-duplicate review list: the `top` closest pairs by
+    * cosine across the whole corpus (id_a < id_b), ranked on the rounded
+    * cosine with id tie-breaks. Exact O(n²) pairwise — correct baseline and
+    * fine for corpus samples; at 100 TB the same review list comes from
+    * [[lshTopK]] candidates instead of the full cross join. One side is
+    * broadcast: the pair generation never shuffles the corpus. */
+  def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      top: Int = 50): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(broadcast(b))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(top)
+  }
+
   /** Deterministic ±1 hyperplane matrix: sign from a splitmix64-style hash
     * of (plane, dim) — reproducible everywhere, no RNG state. */
   def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =

@@ -109,6 +109,7 @@ object Runner {
             sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
           .config("spark.sql.session.timeZone", "UTC")
           .config("spark.ui.enabled", "false")
+          .config("spark.sql.codegen.maxFields", "1000")
           // TIMESTAMP(NANOS) parquet (events table) is unreadable as a
           // Spark timestamp; as a raw long the column profiles numerically.
           .config("spark.sql.legacy.parquet.nanosAsLong", "true")

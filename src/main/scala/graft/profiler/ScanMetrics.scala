@@ -4,15 +4,19 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Which aggregation pass a slot belongs to. Mixing DISTINCT aggregates
-  * (Catalyst's Expand rewrite) with TypedImperative sketch aggregates in one
-  * `agg(...)` defeats hash aggregation and measured ~10x slower at sf0.1, so
-  * distinct slots run as their own pass: pass 1 = plain + sketch aggregates
-  * (one ObjectHashAggregate scan), pass 2 = all `count_distinct`s (one
-  * Expand + two-phase HashAggregate, a single shuffle for every column). */
+/** Which aggregation pass a slot belongs to. Mixing aggregate classes in
+  * one `agg(...)` forces the weakest execution strategy onto all of them
+  * (measured ~10x at sf0.1), so the scan battery runs as up to three passes:
+  *   - Plain: declarative aggregates + HLL — whole-stage-codegen'd
+  *     HashAggregate, the hot pass holding the decimal-exact sums;
+  *   - Sketch: percentile sketches (TypedImperativeAggregate) —
+  *     ObjectHashAggregate, no codegen, kept away from the Plain pass;
+  *   - Distinct: all `count_distinct`s — one Expand + two-phase
+  *     HashAggregate, a single shuffle covering every column. */
 sealed trait AggKind
 object AggKind {
   case object Plain extends AggKind
+  case object Sketch extends AggKind
   case object Distinct extends AggKind
 }
 
@@ -163,13 +167,15 @@ object ScanMetrics {
             // accuracy 100 = 1 / Deequ's relativeError 0.01 (SURVEY.md §2.A N8)
             b += AggSlot(
               percentile_approx(c, array(ps.map(lit): _*), lit(100)),
-              quantExtract(i, ps, approxQuantile))
+              quantExtract(i, ps, approxQuantile),
+              AggKind.Sketch)
           }
           if (fams("quantiles_exact")) {
             val ps = quantilePs(cfg.quantiles)
             b += AggSlot(
               percentile(c, array(ps.map(lit): _*)),
-              quantExtract(i, ps, exactQuantile))
+              quantExtract(i, ps, exactQuantile),
+              AggKind.Sketch)
           }
         case ColumnClass.Text =>
           shared(i, c)
@@ -187,7 +193,7 @@ object ScanMetrics {
     * the correct move at any scale — the aggregation itself has already
     * reduced the 100 TB. */
   def compute(df: DataFrame, slots: Seq[AggSlot]): Seq[MetricRow] =
-    Seq(AggKind.Plain, AggKind.Distinct).flatMap { kind =>
+    Seq(AggKind.Plain, AggKind.Sketch, AggKind.Distinct).flatMap { kind =>
       val group = slots.filter(_.kind == kind)
       if (group.isEmpty) Nil
       else {
