@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two float-array columns in double. */
+  /** Left-to-right dot product of two float-array columns in double —
+    * higher-order-function form (no session needed). The scoring loops use
+    * the bit-identical but faster codegen [[graft.functions.VectorDot]]. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -38,6 +40,10 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen dot/norm (bit-identical to the forms above). */
+  private def fdot(a: Column, b: Column): Column = graft.functions.VectorOps.vectorDot(a, b)
+  private def fnorm(a: Column): Column = sqrt(fdot(a, a))
+
   /** Exact brute-force cosine top-k: `queries` (selected by `queryPred`, a
     * small set) are broadcast against every corpus vector; per-query top-k
     * by (rounded cosine desc, id asc). Output
@@ -48,13 +54,17 @@ object Similarity {
       vecCol: String,
       queryPred: Column,
       k: Int = 10): DataFrame = {
-    val corpus = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("v"))
+    graft.functions.VectorOps.register(emb.sparkSession)
+    // norms are per-vector, not per-pair: compute them once before the join
+    // (3x fewer array folds in the O(|Q|·n) scoring loop, same values)
+    val corpus = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
     val queries = emb.where(queryPred)
-      .select(col(idCol).as("query_id"), col(vecCol).as("q"))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
     val scored = corpus.crossJoin(broadcast(queries))
       .select(
         col("query_id"), col("neighbor_id"),
-        round(cosine(col("q"), col("v")), 6).as("cos"))
+        round(fdot(col("q"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -73,13 +83,16 @@ object Similarity {
       idCol: String,
       vecCol: String,
       top: Int = 50): DataFrame = {
-    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val a = emb.select(
+      col(idCol).as("id_a"), col(vecCol).as("va"), fnorm(col(vecCol)).as("na"))
+    val b = emb.select(
+      col(idCol).as("id_b"), col(vecCol).as("vb"), fnorm(col(vecCol)).as("nb"))
     a.crossJoin(broadcast(b))
       .where(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
       .limit(top)
   }
@@ -117,15 +130,18 @@ object Similarity {
       planes: Int = 8,
       dim: Int = 64): DataFrame = {
     val hp = hyperplanes(planes, dim)
+    graft.functions.VectorOps.register(emb.sparkSession)
     val bucketed = emb.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("v"),
+      col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"),
       lshBucket(col(vecCol), hp).as("bucket"))
     val queries = bucketed.where(queryPred)
-      .select(col("neighbor_id").as("query_id"), col("v").as("q"), col("bucket"))
+      .select(
+        col("neighbor_id").as("query_id"), col("v").as("q"),
+        col("nv").as("nq"), col("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .select(
         col("query_id"), col("neighbor_id"),
-        round(cosine(col("q"), col("v")), 6).as("cos"))
+        round(fdot(col("q"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -32,6 +32,13 @@ object Profiler {
   val deterministicFamilies: Set[String] =
     scanFamilies ++ freqFamilies -- Set("approx_count_distinct", "approx_quantiles", "quantiles_exact")
 
+  /** The reference's full battery (Deequ surface): quantiles are the APPROX
+    * sketch only — `quantiles_exact` is this engine's oracle twin and runs
+    * as its own query, not inside every profile (the exact percentile is a
+    * per-column sort, the single most expensive analyzer). */
+  val referenceBattery: Set[String] =
+    scanFamilies ++ freqFamilies - "quantiles_exact"
+
   val allFamilies: Set[String] = scanFamilies ++ freqFamilies
 
   /** boolean/date → string pre-pass (reference
@@ -92,7 +99,7 @@ object Profiler {
       spark: SparkSession,
       df: DataFrame,
       cfg: ProfilerConfig,
-      fams: Set[String] = allFamilies): DataFrame = {
+      fams: Set[String] = referenceBattery): DataFrame = {
     val m = metricsDF(spark, metrics(df, cfg, fams))
     m.join(broadcast(schemaDF(spark, df)), Seq("instance"), "left")
       .select(col("entity"), col("instance"), col("name"), col("value"), col("type"))

@@ -74,7 +74,7 @@ object Runner {
       val n =
         try {
           val df = catalog.load(table)
-          val rows = Profiler.metrics(df, cfg, Profiler.allFamilies)
+          val rows = Profiler.metrics(df, cfg, Profiler.referenceBattery)
           val metrics = Profiler
             .metricsDF(spark, rows)
             .join(

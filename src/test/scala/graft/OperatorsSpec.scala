@@ -105,4 +105,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.hyperplanes(4, 8).toSeq.map(_.toSeq) ==
       Similarity.hyperplanes(4, 8).toSeq.map(_.toSeq))
   }
+
+  test("codegen VectorDot is bit-identical to the higher-order-function fold") {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    val rng = new scala.util.Random(7)
+    val df = (1 to 50).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextFloat() * 2 - 1), Array.fill(64)(rng.nextFloat() * 2 - 1)))
+      .toDF("id", "a", "b")
+    val rows = df.select(
+      Similarity.dot(col("a"), col("b")).as("hof"),
+      graft.functions.VectorOps.vectorDot(col("a"), col("b")).as("native"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
 }
