@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.profiler.{Profiler, ProfilerConfig}
+
+/** Physical-plan audits: the scale properties the engine is designed
+  * around, asserted against `.explain` output so a refactor that silently
+  * loses pushdown / broadcast / hash aggregation fails loudly
+  * (SURVEY.md §4.3, builder contract "is the filter pushed down?"). */
+class PlanAuditSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("frequency pass prunes the parquet scan to the profiled columns only") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val stacked = li
+      .select(stack(lit(2),
+        lit("l_returnflag"), col("l_returnflag"),
+        lit("l_linestatus"), col("l_linestatus")).as(Seq("instance", "v")))
+      .groupBy("instance", "v").agg(count(lit(1)))
+    val p = plan(stacked)
+    assert(p.contains("ReadSchema: struct<l_returnflag:string,l_linestatus:string>"),
+      s"expected pruned scan, got:\n$p")
+  }
+
+  test("scan battery runs as hash aggregation, never sort-based") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val slots = graft.profiler.ScanMetrics.slots(
+      li.schema, ProfilerConfig(), Set("size", "completeness", "minimum", "maximum", "mean", "sum", "stddev_pop"))
+    val aliased = slots.zipWithIndex.map { case (s, i) => s.expr.alias(s"m$i") }
+    val p = plan(li.agg(aliased.head, aliased.tail: _*))
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"), s"sort-based aggregation crept in:\n$p")
+  }
+
+  test("schema-relation join broadcasts the small side") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val m = Profiler.metricsDF(spark,
+      Profiler.metrics(li, ProfilerConfig(), Set("size", "completeness")))
+    val joined = m.join(broadcast(Profiler.schemaDF(spark, li)), Seq("instance"), "left")
+    assert(plan(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("similarity scoring broadcasts the query side (corpus never shuffles)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") % 97 === 0))
+    assert(p.contains("Broadcast"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
+  }
+
+  test("multi-column distinctness is one Expand pass, not per-column jobs") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val slots = graft.profiler.ScanMetrics.slots(
+      li.schema, ProfilerConfig(), Set("distinctness"))
+    val aliased = slots.zipWithIndex.map { case (s, i) => s.expr.alias(s"m$i") }
+    val p = plan(li.agg(aliased.head, aliased.tail: _*))
+    assert(p.contains("Expand"), s"expected Expand rewrite:\n$p")
+  }
+}
