@@ -318,6 +318,17 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROU
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +
       "substr(sha256(text), 1, 16) AS fingerprint FROM documents ORDER BY doc_id"
 
+  /** Whole-table twin of the merged incremental profile: the split-snapshot-
+    * merge pipeline must reproduce these exact values (decimal sums are
+    * order- and partition-independent). */
+  val incrementalProfile: String = wrap(union(
+    Seq(sizeSelect) ++
+      Lineitem.numeric.map(c => sel(c, "Completeness", completenessExpr(c))) ++
+      Lineitem.numeric.map(c => sel(c, "Mean", meanExpr(c))) ++
+      Lineitem.numeric.map(c => sel(c, "Sum", sumExpr(c))) ++
+      Lineitem.numeric.map(c => sel(c, "Minimum", minimumExpr(c))) ++
+      Lineitem.numeric.map(c => sel(c, "Maximum", maximumExpr(c)))))
+
   /** R11: global multi-key sort + limit over the flagship metrics. */
   val sortedMetricsHead: String = {
     val m = union(Seq(

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DateType
 import graft.functions.{RollingHash, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.operators.{Dedup, Similarity}
-import graft.profiler.{Profiler, ProfilerConfig}
+import graft.profiler.{IncrementalProfiler, Profiler, ProfilerConfig}
 import graft.streaming.{SessionEvent, StreamingProfile}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -113,6 +113,19 @@ object SparkEntry {
           col("entity"), col("instance"), col("name"),
           round(col("value"), 6).as("value"), col("type"))
         .orderBy("instance", "name")),
+    // mergeable incremental profiling: two disjoint halves profiled
+    // independently, states merged WITHOUT rescanning, exact metrics must
+    // equal the whole-table oracle
+    "incremental_profile" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val halves = Seq(
+        IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 0)),
+        IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 1)))
+      IncrementalProfiler.metrics(IncrementalProfiler.merge(halves))
+        .where(col("name") =!= lit("ApproxCountDistinct")) // sketch estimate: tested, not oracled
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")
+    }),
     "profile_lineitem_full" -> ((s, dir) =>
       Profiler.profile(s, lineitem(s, dir), cfg)
         .select(
@@ -256,6 +269,7 @@ object SparkEntry {
     "cast_unsupported" -> OracleSql.castUnsupported,
     "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
     "profile_lineitem" -> OracleSql.profileLineitem,
+    "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
