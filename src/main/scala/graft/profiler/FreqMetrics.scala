@@ -122,21 +122,24 @@ object FreqMetrics {
             coalesce(col("v").cast(StringType), lit(NullBucket)).as("v"),
             col("cnt"))
           .groupBy("instance", "v").agg(sum("cnt").as("cnt"))
-        hfreq.groupBy("instance").agg(count(lit(1)).as("bins")).collect().foreach { r =>
-          b += MetricRow("Column", r.getString(0), HistogramBins, r.getLong(1).toDouble)
-        }
-        val w = Window.partitionBy("instance").orderBy(col("cnt").desc, col("v").asc)
-        hfreq.withColumn("rn", row_number().over(w))
+        // one window job yields both the capped top-N and the pre-cap bin
+        // count (count over the unordered partition = all bins)
+        val byCol = Window.partitionBy("instance")
+        val rows = hfreq.select(
+          col("instance"), col("v"), col("cnt"),
+          row_number().over(byCol.orderBy(col("cnt").desc, col("v").asc)).as("rn"),
+          count(lit(1)).over(byCol).as("bins"))
           .where(col("rn") <= noOfBins)
-          .select("instance", "v", "cnt")
           .collect()
-          .foreach { r =>
-            val c = r.getString(0)
+        rows.groupBy(_.getString(0)).foreach { case (c, rs) =>
+          b += MetricRow("Column", c, HistogramBins, rs.head.getLong(4).toDouble)
+          rs.foreach { r =>
             val v = r.getString(1)
             val cnt = r.getLong(2)
             b += MetricRow("Column", c, histogramAbs(v), cnt.toDouble)
             b += MetricRow("Column", c, histogramRatio(v), cnt.toDouble / total)
           }
+        }
       }
       b.result()
     } finally { freq.unpersist(); () }
