@@ -329,6 +329,15 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROU
       Lineitem.numeric.map(c => sel(c, "Minimum", minimumExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Maximum", maximumExpr(c)))))
 
+  /** Frame-sampling twin: fixed 256-byte windows, up to 4 per document
+    * (ASCII text ⇒ byte windows == character windows in DuckDB). */
+  val multimodalFrames: String =
+    """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+  CAST(strlen(substr(text, CAST(i AS INT) * 256 + 1, 256)) AS BIGINT) AS frame_bytes,
+  substr(sha256(substr(text, CAST(i AS INT) * 256 + 1, 256)), 1, 16) AS frame_hash
+FROM documents, UNNEST(range(0, LEAST(4, CAST(ceil(strlen(text) / 256.0) AS BIGINT)))) t(i)
+ORDER BY doc_id, frame_idx"""
+
   /** R11: global multi-key sort + limit over the flagship metrics. */
   val sortedMetricsHead: String = {
     val m = union(Seq(

@@ -235,7 +235,10 @@ object SparkEntry {
         .orderBy("doc_id")),
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeFeatures(Multimodal.asBinary(documents(s, dir)))
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asBinary(documents(s, dir)))
+        .orderBy("doc_id", "frame_idx"))
   )
 
   private def documents(s: SparkSession, dir: String): DataFrame =
@@ -281,6 +284,7 @@ object SparkEntry {
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "streaming_profile" -> OracleSql.streamingProfile,
     "streaming_sessions" -> OracleSql.streamingSessions,
-    "multimodal_features" -> OracleSql.multimodalFeatures
+    "multimodal_features" -> OracleSql.multimodalFeatures,
+    "multimodal_frames" -> OracleSql.multimodalFrames
   )
 }

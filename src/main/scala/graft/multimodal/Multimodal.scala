@@ -56,6 +56,30 @@ object Multimodal {
       (width, height, checksum)
     }
 
+  /** Frame sampling — the explode-shaped media operation (one payload row
+    * in → up to `maxFrames` frame rows out): fixed-size byte windows at
+    * stride `frameSize`, each fingerprinted. A real video/audio pipeline
+    * replaces the byte window with container-aware frame extraction; the
+    * distributed shape (generator expression inside codegen, no shuffle,
+    * prunes to the payload column) is exactly this. */
+  def sampleFrames(
+      bin: DataFrame,
+      frameSize: Int = 256,
+      maxFrames: Int = 4): DataFrame = {
+    val nFrames = least(
+      lit(maxFrames),
+      ((length(col("payload")) + (frameSize - 1)) / frameSize).cast("int"))
+    val frames = transform(
+      sequence(lit(0), nFrames - 1),
+      i => col("payload").substr(i * frameSize + 1, lit(frameSize)))
+    bin.select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        substring(sha2(col("frame"), 256), 1, 16).as("frame_hash"))
+  }
+
   /** Partition-local batched decode: `(doc_id, payload)` → typed features.
     * `batchSize` chunks the iterator like an Arrow batch; the decoder runs
     * once per element but any per-batch setup (codec init, model load)
