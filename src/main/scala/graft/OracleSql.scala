@@ -259,13 +259,14 @@ ORDER BY cos DESC, id_a, id_b LIMIT 50"""
       "FROM documents ORDER BY doc_id"
 
   /** Length / punctuation / stopword quality metrics + composite score
-    * (identical expression tree to TextFunctions.qualityScore). */
+    * (identical expression tree to TextFunctions.qualityScore; the CASE
+    * guards mirror its null-on-empty division guards). */
   val textQuality: String = {
     val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
     s"""SELECT doc_id, n_chars, ws_tokens,
-  ROUND(punct * 1.0 / n_chars, 6) AS punct_ratio,
-  ROUND(stop_hits * 1.0 / ws_tokens, 6) AS stopword_ratio,
-  ROUND(0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens), 6) AS quality
+  ROUND(CASE WHEN n_chars > 0 THEN punct * 1.0 / n_chars END, 6) AS punct_ratio,
+  ROUND(CASE WHEN ws_tokens > 0 THEN stop_hits * 1.0 / ws_tokens END, 6) AS stopword_ratio,
+  ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS quality
 FROM (
   SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
     CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
@@ -326,6 +327,7 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROU
       Lineitem.numeric.map(c => sel(c, "Completeness", completenessExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Mean", meanExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Sum", sumExpr(c))) ++
+      Lineitem.numeric.map(c => sel(c, "StandardDeviation", stddevPopExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Minimum", minimumExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Maximum", maximumExpr(c)))))
 

@@ -180,14 +180,18 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars"),
         TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
         round(
-          TextFunctions.punctCount(col("text")).cast("double") /
-            length(col("text")).cast("double"), 6).as("punct_ratio"),
+          when(
+            length(col("text")) > 0,
+            TextFunctions.punctCount(col("text")).cast("double") /
+              length(col("text")).cast("double")), 6).as("punct_ratio"),
         round(
-          TextFunctions.stopwordCount(
-            TextFunctions.wsTokens(lower(col("text"))),
-            TextFunctions.Stopwords.collectFirst { case ("en", w) => w }.get)
-            .cast("double") /
-            TextFunctions.wsTokenCount(col("text")).cast("double"), 6)
+          when(
+            TextFunctions.wsTokenCount(col("text")) > 0,
+            TextFunctions.stopwordCount(
+              TextFunctions.wsTokens(lower(col("text"))),
+              TextFunctions.Stopwords.collectFirst { case ("en", w) => w }.get)
+              .cast("double") /
+              TextFunctions.wsTokenCount(col("text")).cast("double")), 6)
           .as("stopword_ratio"),
         round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")),

@@ -66,16 +66,23 @@ object TextFunctions {
   /** Composite quality score in [0, 1]:
     * 0.4·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
     * The weights and the exact operation order are part of the oracle
-    * contract — do not reassociate. */
+    * contract — do not reassociate.
+    *
+    * Both ratios are null-guarded (ANSI mode is on by default in Spark 4:
+    * an unguarded `x / 0` on an empty or whitespace-only document would
+    * throw DIVIDE_BY_ZERO and fail the whole query). A document with no
+    * characters or no tokens has an undefined quality — null, mirrored by
+    * the CASE guards in the DuckDB oracle. */
   def qualityScore(text: Column): Column = {
     val nChars = length(text).cast("double")
     val ws = wsTokenCount(text)
     val lenScore = least(ws.cast("double") / lit(100.0), lit(1.0))
-    val punctRatio = punctCount(text).cast("double") / nChars
-    val stopRatio =
+    val punctRatio = when(nChars > 0, punctCount(text).cast("double") / nChars)
+    val stopRatio = when(
+      ws > 0,
       stopwordCount(wsTokens(lower(text)), Stopwords.collectFirst {
         case ("en", w) => w
-      }.get).cast("double") / ws.cast("double")
+      }.get).cast("double") / ws.cast("double"))
     lit(0.4) * lenScore + lit(0.3) * (lit(1.0) - punctRatio) + lit(0.3) * stopRatio
   }
 }

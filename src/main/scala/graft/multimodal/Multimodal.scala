@@ -69,9 +69,15 @@ object Multimodal {
     val nFrames = least(
       lit(maxFrames),
       ((length(col("payload")) + (frameSize - 1)) / frameSize).cast("int"))
-    val frames = transform(
-      sequence(lit(0), nFrames - 1),
-      i => col("payload").substr(i * frameSize + 1, lit(frameSize)))
+    // Empty payloads: sequence(0, -1) would yield the DESCENDING [0, -1]
+    // (two spurious rows), so guard like Dedup.shingles does.
+    val frames = when(
+      nFrames > 0,
+      transform(
+        sequence(lit(0), nFrames - 1),
+        i => col("payload").substr(i * frameSize + 1, lit(frameSize))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BinaryType)))
     bin.select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
       .select(
         col("doc_id"),

@@ -22,11 +22,20 @@ object Dedup {
   /** Exact dedup via SHA-256 content hash: the shuffle key is 32 bytes
     * regardless of payload size, so at 100 TB the document text never
     * travels. Output: one row per distinct content with the smallest id as
-    * representative and the group size. */
-  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
-    df.groupBy(sha2(concat_ws("\u0000", keyCols.map(col): _*), 256).as("content_hash"))
+    * representative and the group size.
+    *
+    * Key encoding: each key column is hashed separately and NULL is mapped
+    * to a sentinel that cannot collide with a 64-char hex digest, so
+    * `("a", null)` / `(null, "a")` stay distinct and a NULL key never
+    * collides with the empty string (`concat_ws` alone silently drops
+    * NULLs). The grouping partition therefore equals grouping by the raw
+    * key tuple with NULL as its own group — exactly DuckDB's `GROUP BY`. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val enc = keyCols.map(c => coalesce(sha2(col(c).cast("string"), 256), lit("null")))
+    df.groupBy(sha2(concat_ws("|", enc: _*), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
       .select(idCol, "dup_count")
+  }
 
   /** Distinct word n-gram shingles per document: `(id, shingle)`.
     * Tokens are lowercased whitespace tokens; documents shorter than `n`
@@ -113,11 +122,34 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** Drop bucket keys shared by more than `cap` rows before a bucket
+    * self-join: the guard against quadratic blowup on one hot key (mirrors
+    * `maxDocFreq` in [[ngramJaccard]]). A boilerplate-heavy corpus where
+    * 10^5 near-identical docs share one band hash would otherwise generate
+    * 10^10 candidate pairs on a single key; with the cap, per-key work is
+    * bounded by cap² and the dropped pairs are exactly the ones exact
+    * verification would have to score anyway. */
+  private def capHotBuckets(
+      buckets: DataFrame, keys: Seq[String], cap: Option[Int]): DataFrame =
+    cap match {
+      case Some(c) =>
+        val ok = buckets.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("bf"))
+          .where(col("bf") <= c)
+          .select(keys.map(col): _*)
+        buckets.join(ok, keys)
+      case None => buckets
+    }
+
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `rowsPerBand` rows; docs colliding on any band's hash become candidate
     * pairs; candidates are verified with EXACT Jaccard so the threshold
     * filter has no false positives (false negatives follow the standard
-    * LSH S-curve). Returns `(id_a, id_b, jaccard)`. */
+    * LSH S-curve). Returns `(id_a, id_b, jaccard)`.
+    *
+    * `maxBandFreq` caps the number of docs per (band, hash) bucket — see
+    * [[capHotBuckets]]; the default bounds any key's join fan-out at 10^8
+    * pairs while being a no-op on non-degenerate corpora. */
   def minhashLsh(
       df: DataFrame,
       idCol: String,
@@ -125,7 +157,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sh = shingles(df, idCol, textCol, n).persist()
@@ -135,8 +168,10 @@ object Dedup {
         val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
         struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
       }
-      val buckets = sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val buckets = capHotBuckets(
+        sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
+        Seq("band", "bh"), maxBandFreq)
       val candidates = buckets.alias("x")
         .join(buckets.alias("y"), Seq("band", "bh"))
         .where(col("x.id") < col("y.id"))
@@ -170,21 +205,28 @@ object Dedup {
     * pair within the distance agrees on at least one block), pairs are
     * generated per colliding block, then filtered by exact
     * `bit_count(a XOR b)`. Returns `(id_a, id_b, hamming)`. */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBlockFreq: Option[Int] = Some(10000)): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
     val sig = simhash(df, idCol, textCol).persist()
     try {
-      val banded = sig.select(
-        col("id"), col("simhash"),
-        explode(array((0 until blocks).map { bi =>
-          struct(
-            lit(bi).as("block"),
-            when(lit(bi) === blocks - 1, shiftright(col("simhash"), bi * width))
-              .otherwise(shiftright(col("simhash"), bi * width)
-                .bitwiseAND((1L << width) - 1)).as("bv"))
-        }: _*)).as("b"))
-        .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.bv").as("bv"))
+      val banded = capHotBuckets(
+        sig.select(
+          col("id"), col("simhash"),
+          explode(array((0 until blocks).map { bi =>
+            struct(
+              lit(bi).as("block"),
+              when(lit(bi) === blocks - 1, shiftright(col("simhash"), bi * width))
+                .otherwise(shiftright(col("simhash"), bi * width)
+                  .bitwiseAND((1L << width) - 1)).as("bv"))
+          }: _*)).as("b"))
+          .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.bv").as("bv")),
+        Seq("block", "bv"), maxBlockFreq)
       banded.alias("x").join(banded.alias("y"), Seq("block", "bv"))
         .where(col("x.id") < col("y.id"))
         .select(

@@ -44,6 +44,13 @@ object Similarity {
   private def fdot(a: Column, b: Column): Column = graft.functions.VectorOps.vectorDot(a, b)
   private def fnorm(a: Column): Column = sqrt(fdot(a, a))
 
+  /** 6-dp cosine, null for zero-norm vectors: under default ANSI mode an
+    * unguarded `dot / 0` throws DIVIDE_BY_ZERO and fails the whole query;
+    * zero vectors have no defined direction, so their pairs are dropped by
+    * the callers' `isNotNull` filters (the oracle filters identically). */
+  private def safeCos(a: Column, b: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, round(fdot(a, b) / (na * nb), 6))
+
   /** Exact brute-force cosine top-k: `queries` (selected by `queryPred`, a
     * small set) are broadcast against every corpus vector; per-query top-k
     * by (rounded cosine desc, id asc). Output
@@ -64,7 +71,8 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .select(
         col("query_id"), col("neighbor_id"),
-        round(fdot(col("q"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
+        safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
+      .where(col("cos").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -92,7 +100,8 @@ object Similarity {
       .where(col("id_a") < col("id_b"))
       .select(
         col("id_a"), col("id_b"),
-        round(fdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        safeCos(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos").isNotNull)
       .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
       .limit(top)
   }
@@ -141,7 +150,8 @@ object Similarity {
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .select(
         col("query_id"), col("neighbor_id"),
-        round(fdot(col("q"), col("v")) / (col("nq") * col("nv")), 6).as("cos"))
+        safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
+      .where(col("cos").isNotNull)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -56,6 +56,38 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet.subsetOf(exact))
   }
 
+  test("exact dedup keeps NULL keys distinct from empty string and per position") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Option("a"), Option.empty[String]),
+      (2L, Option.empty[String], Option("a")), // ("a", null) != (null, "a")
+      (3L, Option.empty[String], Option.empty[String]),
+      (4L, Option(""), Option("")), // (null, null) != ("", "")
+      (5L, Option("a"), Option.empty[String]) // dup of 1
+    ).toDF("doc_id", "k1", "k2")
+    val out = Dedup.exact(rows, "doc_id", Seq("k1", "k2"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("hot-band cap bounds candidates on a corpus of identical docs") {
+    import spark.implicits._
+    val clones = (1L to 40L).map(i => (i, "a b c d e f g h")).toDF("doc_id", "text")
+    // every doc lands in the same bucket for every band: the cap drops the
+    // hot buckets, so the candidate join generates zero pairs instead of
+    // 40*39/2 per band — the guarded behavior at scale
+    val capped = Dedup.minhashLsh(
+      clones, "doc_id", "text", 3, threshold = 0.5, maxBandFreq = Some(10))
+    assert(capped.count() == 0L)
+    val cappedSim = Dedup.simhashPairs(
+      clones, "doc_id", "text", maxHamming = 3, maxBlockFreq = Some(10))
+    assert(cappedSim.count() == 0L)
+    // with the cap off the full quadratic pair set comes back
+    val uncapped = Dedup.minhashLsh(
+      clones, "doc_id", "text", 3, threshold = 0.5, maxBandFreq = None)
+    assert(uncapped.count() == 40L * 39 / 2)
+  }
+
   test("simhash: identical docs at hamming 0; near dups close") {
     val sig = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap

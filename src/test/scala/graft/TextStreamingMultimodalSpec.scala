@@ -39,6 +39,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(q1 > 0.0 && q1 <= 1.0)
   }
 
+  test("empty and whitespace-only documents yield null ratios, no ANSI crash") {
+    // ANSI mode is on by default in Spark 4: these would DIVIDE_BY_ZERO
+    // without the when() guards in qualityScore
+    assert(one(TextFunctions.qualityScore(col("text")), "") == null)
+    assert(one(TextFunctions.qualityScore(col("text")), "   ") == null)
+    val q = one(TextFunctions.qualityScore(col("text")), "the dog").asInstanceOf[Double]
+    assert(q > 0.0 && q <= 1.0)
+  }
+
   test("rolling hash: known folds and codegen/interpreted agreement") {
     RollingHash.register(spark)
     import spark.implicits._
@@ -109,5 +118,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec(3L).n_bytes == 3L)
     // checksum matches the rolling-hash fold over bytes
     assert(dec(3L).checksum == ((('a'.toInt * 31) + 'b') * 31 + 'c') % 2147483647L)
+  }
+
+  test("frame sampling emits zero rows for empty payloads (no descending-sequence ghosts)") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "x" * 300)).toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(Multimodal.asBinary(docs))
+      .orderBy("doc_id", "frame_idx").collect()
+    // doc 1 (empty) contributes nothing; doc 2 has ceil(300/256) = 2 frames
+    assert(frames.map(_.getLong(0)).toSeq == Seq(2L, 2L))
+    assert(frames.map(_.getLong(2)).toSeq == Seq(256L, 44L))
   }
 }
