@@ -81,12 +81,63 @@ object Similarity {
   }
 
   /** Embedding near-duplicate review list: the `top` closest pairs by
-    * cosine across the whole corpus (id_a < id_b), ranked on the rounded
-    * cosine with id tie-breaks. Exact O(n²) pairwise — correct baseline and
-    * fine for corpus samples; at 100 TB the same review list comes from
-    * [[lshTopK]] candidates instead of the full cross join. One side is
-    * broadcast: the pair generation never shuffles the corpus. */
+    * cosine across the corpus (id_a < id_b), ranked on the rounded cosine
+    * with id tie-breaks.
+    *
+    * Scale shape: candidate pairs come from an LSH OR-construction —
+    * `bands` independent bands of `bitsPerBand` hyperplane sign bits
+    * ([[graft.functions.VectorLshBands]], one codegen'd expression per
+    * vector), a pair is a candidate iff ANY band key collides — then only
+    * candidates are exactly rescored. The plan is explode → equi-join on
+    * the 64-bit band key → distinct → two id joins → top-k: every stage is
+    * a hash shuffle on compact keys, no CartesianProduct and no corpus-wide
+    * broadcast (asserted by PlanAuditSpec), so it survives a 100× corpus
+    * where the old cross join could not.
+    *
+    * Recall: a pair at cosine c collides in one band w.p.
+    * (1 − arccos(c)/π)^bitsPerBand; with the 512 × 8 default a pair at
+    * c = 0.40 is missed w.p. (1 − 0.632^8)^512 ≈ 2·10⁻⁶ — the review list
+    * matches the exact top-k with near certainty even on a uniform corpus
+    * with no planted near-dups (verified against the exact DuckDB oracle at
+    * sf0.01), and true near-dups (c ≥ 0.9) are effectively never missed.
+    * `maxBucketFreq` is deliberately absent: a hot bucket here is a real
+    * duplicate cluster whose pairs are the operator's whole point — cost
+    * is output-driven, and `top` caps the result. */
   def cosineNearDupPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      top: Int = 50,
+      bands: Int = 512,
+      bitsPerBand: Int = 8): DataFrame = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val base = emb.select(
+      col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val bucketed = emb.select(
+      col(idCol).as("id"),
+      explode(
+        graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
+        .as("bucket"))
+    val candidates = bucketed.alias("x").join(bucketed.alias("y"), Seq("bucket"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("nv").as("na")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("nv").as("nb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        safeCos(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .where(col("cos").isNotNull)
+      .orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .limit(top)
+  }
+
+  /** Exact O(n²) pairwise twin of [[cosineNearDupPairs]] — the test-only
+    * baseline the bucketed path is verified against (and the literal shape
+    * of the DuckDB oracle). Not for production corpora: broadcasting the
+    * full corpus and scoring every pair cannot survive scale. */
+  def cosineNearDupPairsBrute(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
@@ -107,15 +158,12 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane matrix: sign from a splitmix64-style hash
-    * of (plane, dim) — reproducible everywhere, no RNG state. */
+    * of (plane, dim) — reproducible everywhere, no RNG state. The sign
+    * source is shared with the codegen [[graft.functions.VectorLshBands]]
+    * ([[graft.functions.VectorOps.planeSign]]), so column-expression and
+    * native band keys agree bit-for-bit. */
   def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
-    Array.tabulate(planes, dim) { (p, d) =>
-      var z = p.toLong * 0x9E3779B97F4A7C15L + d.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
-      z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
-      z ^= z >>> 27; z *= 0x94D049BB133111EBL
-      z ^= z >>> 31
-      if ((z & 1L) == 0L) 1.0 else -1.0
-    }
+    Array.tabulate(planes, dim)((p, d) => graft.functions.VectorOps.planeSign(p, d))
 
   /** Sign-pattern bucket id of a vector under the hyperplane matrix. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =

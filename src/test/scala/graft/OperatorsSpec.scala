@@ -133,6 +133,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.exists(_._1 == 1L))
   }
 
+  test("bucketed near-dup pairs equal the exact brute-force review list") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val corpus = (1 to 120).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val brute = Similarity.cosineNearDupPairsBrute(corpus, "vec_id", "embedding", top = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val bucketed = Similarity.cosineNearDupPairs(corpus, "vec_id", "embedding", top = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(bucketed == brute)
+  }
+
+  test("native band keys agree with the column-expression lshBucket") {
+    import spark.implicits._
+    graft.functions.VectorOps.register(spark)
+    val df = Seq((1L, Array(0.3f, -0.7f, 0.2f, 0.9f))).toDF("id", "v")
+    val hp = Similarity.hyperplanes(8, 4)
+    val fromExpr = df.select(Similarity.lshBucket(col("v"), hp)).head().getLong(0)
+    // band 0 of a single-band call covers the same plane indices 0..7
+    val fromNative = df.select(
+      graft.functions.VectorOps.vectorLshBands(col("v"), 1, 8)).head()
+      .getSeq[Long](0).head
+    assert(fromNative == fromExpr) // band 0 tag is 0 << 8
+  }
+
   test("hyperplanes are deterministic") {
     assert(Similarity.hyperplanes(4, 8).toSeq.map(_.toSeq) ==
       Similarity.hyperplanes(4, 8).toSeq.map(_.toSeq))

@@ -55,6 +55,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
   }
 
+  test("embedding near-dup review list never plans an all-pairs join") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding"))
+    assert(!p.contains("CartesianProduct"), s"all-pairs cross product crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"corpus-wide nested-loop broadcast crept in:\n$p")
+    // candidate generation must be an equi-join on the band key
+    assert(p.contains("bucket"), s"expected LSH bucket join:\n$p")
+  }
+
   test("multi-column distinctness is one Expand pass, not per-column jobs") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val slots = graft.profiler.ScanMetrics.slots(
