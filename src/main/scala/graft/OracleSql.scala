@@ -340,6 +340,29 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROU
 FROM documents, UNNEST(range(0, LEAST(4, CAST(ceil(strlen(text) / 256.0) AS BIGINT)))) t(i)
 ORDER BY doc_id, frame_idx"""
 
+  /** R4: the Column-entity side of the entity split over a size +
+    * completeness profile — exactly the per-column Completeness rows (the
+    * Size row carries entity 'Dataset' and is filtered out). */
+  val metricsSplit: String = wrap(perCol(profiled, "Completeness")(completenessExpr))
+
+  /** R13 metadata-upsert round trip: the surviving seeded params are VALUES
+    * literals (table params merge, so the stale table-level DQP__ key
+    * survives — the reference's Glue.java:67-80 behavior; column-level
+    * DQP__ keys are reset), unioned with the freshly computed
+    * DQP__Size/DQP__Completeness parameter values from lineitem. */
+  val metadataUpsert: String = {
+    val seeded = Seq(
+      "('table', 'DQP__Stale', 999.0)", "('table', 'owner', 1.5)",
+      "('l_orderkey', 'note', 2.5)", "('ghost_col', 'keep', 3.5)").mkString(", ")
+    val computed =
+      s"SELECT 'table' AS scope, 'DQP__Size' AS key, CAST(COUNT(*) AS DOUBLE) AS value FROM $T" +:
+        profiled.map(c =>
+          s"SELECT '$c' AS scope, 'DQP__Completeness' AS key, CAST(${completenessExpr(c)} AS DOUBLE) AS value FROM $T")
+    s"WITH seeded(scope, key, value) AS (VALUES $seeded) " +
+      "SELECT scope, key, ROUND(CAST(value AS DOUBLE), 6) AS value FROM " +
+      s"(SELECT * FROM seeded UNION ALL ${union(computed)}) q ORDER BY scope, key"
+  }
+
   /** R11: global multi-key sort + limit over the flagship metrics. */
   val sortedMetricsHead: String = {
     val m = union(Seq(

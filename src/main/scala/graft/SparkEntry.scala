@@ -106,6 +106,37 @@ object SparkEntry {
     }),
     "schema_df" -> ((s, dir) =>
       Profiler.schemaDF(s, lineitem(s, dir)).orderBy("instance")),
+    // §2.B R13 metadata upsert (Glue Parameters semantics against the local
+    // JSON store): seed a store with pre-existing table/column params, run a
+    // real profile→params→upsert round trip, read the store back as rows.
+    // Exercises the full contract — table params MERGE (stale prefixed keys
+    // at table level survive, the reference's actual Glue.java:67-80
+    // behavior), column params RESET the stats prefix then add (stale
+    // DQP__* deleted, foreign keys survive, even on columns absent from the
+    // new profile).
+    "metadata_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_meta_").toString
+      val sink = new graft.profiler.Sinks.JsonMetadataSink(tmp)
+      // seed under a non-matching prefix so nothing is reset away
+      sink.upsert(
+        "lineitem", "SEED__",
+        Map("DQP__Stale" -> "999.0", "owner" -> "1.5"),
+        Map(
+          "l_orderkey" -> Map("DQP__Stale" -> "888.0", "note" -> "2.5"),
+          "ghost_col" -> Map("DQP__Old" -> "7.0", "keep" -> "3.5")))
+      val rows = Profiler.metrics(lineitem(s, dir), cfg, Set("size", "completeness"))
+      val (tableParams, columnParams) = graft.profiler.Sinks.toParams(rows, cfg)
+      sink.upsert("lineitem", cfg.statsPrefix + "__", tableParams, columnParams)
+      val meta = sink.read("lineitem")
+      val flat =
+        meta.tableParams.toSeq.map { case (k, v) => ("table", k, v.toDouble) } ++
+          meta.columnParams.toSeq.flatMap { case (c, m) =>
+            m.toSeq.map { case (k, v) => (c, k, v.toDouble) }
+          }
+      s.createDataFrame(flat).toDF("scope", "key", "value")
+        .select(col("scope"), col("key"), round(col("value"), 6).as("value"))
+        .orderBy("scope", "key")
+    }),
     // §2.B R15 flagship pipelines
     "profile_lineitem" -> ((s, dir) =>
       Profiler.profile(s, lineitem(s, dir), cfg, Profiler.deterministicFamilies)
@@ -272,6 +303,8 @@ object SparkEntry {
     "uniqueness" -> OracleSql.uniqueness,
     "histogram" -> OracleSql.histogram,
     "dedup_column_names" -> OracleSql.dedupColumnNames,
+    "metrics_split" -> OracleSql.metricsSplit,
+    "metadata_upsert" -> OracleSql.metadataUpsert,
     "metrics_type_join" -> OracleSql.metricsTypeJoin,
     "cast_unsupported" -> OracleSql.castUnsupported,
     "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
