@@ -331,6 +331,24 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROU
       Lineitem.numeric.map(c => sel(c, "Minimum", minimumExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Maximum", maximumExpr(c)))))
 
+  /** Decode twin: the synthetic media corpus is a pure function of
+    * doc_id/text (Multimodal.syntheticMedia), so the oracle recomputes what
+    * the real BMP/WAV header parsers must read back — dimensions from the
+    * constructed headers (width=id%200+1 etc.), empty bodies → checksum 0 —
+    * and the raw path's byte features (ASCII text ⇒ ord == byte). */
+  val multimodalDecode: String =
+    """SELECT doc_id,
+  CASE WHEN doc_id % 3 = 0 THEN 'bmp' WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'raw' END AS kind,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 54 WHEN doc_id % 3 = 1 THEN 44 ELSE strlen(text) END AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 200 + 1 WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000
+       WHEN strlen(text) = 0 THEN 0 ELSE ord(substr(text, 1, 1)) + 1 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 100 + 1 WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1
+       WHEN strlen(text) = 0 THEN 0 ELSE ord(substr(text, strlen(text), 1)) + 1 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 3 <= 1 THEN 0 WHEN strlen(text) = 0 THEN 0 ELSE
+       list_reduce(list_transform(string_split(text, ''), c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)
+       END AS BIGINT) AS checksum
+FROM documents ORDER BY doc_id"""
+
   /** Frame-sampling twin: fixed 256-byte windows, up to 4 per document
     * (ASCII text ⇒ byte windows == character windows in DuckDB). */
   val multimodalFrames: String =

@@ -268,8 +268,12 @@ object SparkEntry {
     "multimodal_features" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asBinary(documents(s, dir)))
         .orderBy("doc_id")),
+    // real container decode: every third doc is a constructed BMP / WAV
+    // header (built from column expressions), parsed back by the JVM
+    // decoders; the rest take the raw byte-feature path. Expected output is
+    // a pure function of doc_id/text, recomputed by the DuckDB oracle.
     "multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeFeatures(Multimodal.asBinary(documents(s, dir)))
+      Multimodal.decodeFeatures(Multimodal.syntheticMedia(documents(s, dir)))
         .toDF().orderBy("doc_id")),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asBinary(documents(s, dir)))
@@ -322,6 +326,7 @@ object SparkEntry {
     "streaming_profile" -> OracleSql.streamingProfile,
     "streaming_sessions" -> OracleSql.streamingSessions,
     "multimodal_features" -> OracleSql.multimodalFeatures,
+    "multimodal_decode" -> OracleSql.multimodalDecode,
     "multimodal_frames" -> OracleSql.multimodalFrames
   )
 }

@@ -1,24 +1,27 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deterministic fake features standing in for a real media decode. */
+/** Features extracted from one media payload: container `kind`
+  * (`bmp`/`wav`/`raw`), payload size, the container's primary dimensions
+  * (image width×height; for audio, sample rate × channels), and a rolling
+  * checksum of the post-header body bytes. */
 final case class DecodedFeatures(
-    doc_id: Long, n_bytes: Long, width: Int, height: Int, checksum: Long)
+    doc_id: Long, kind: String, n_bytes: Long, width: Int, height: Int, checksum: Long)
 
 /** Multimodal column plumbing: media as opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted via batched partition-local
   * execution.
   *
-  * The Spark-side mechanics are real — binary schema, batch iteration,
-  * typed output Encoders, partition parallelism; only the innermost decode
-  * is a STUB ([[decodeStub]]) because no image/audio codecs ship in this
-  * environment. A production decoder (JPEG/PNG/PCM) plugs into exactly
-  * that function without touching the distributed plumbing. Batching
-  * mirrors Arrow-batch UDF execution (e.g. mapInPandas): the decoder sees
-  * a chunk of payloads at a time, amortizing any per-batch model/codec
-  * setup.
+  * The decode is REAL for codec-free containers — [[decode]] parses BMP
+  * (BITMAPINFOHEADER) and canonical RIFF/WAVE headers with pure JVM byte
+  * arithmetic; payloads that are neither fall back to deterministic
+  * byte-level features (`raw`), the stand-in for codecs that don't ship in
+  * this environment (JPEG/PNG/H.264 would slot into the same dispatch).
+  * Batching mirrors Arrow-batch UDF execution (e.g. mapInPandas): the
+  * decoder sees a chunk of payloads at a time, amortizing any per-batch
+  * model/codec setup.
   */
 object Multimodal {
 
@@ -39,22 +42,112 @@ object Multimodal {
       length(col("payload")).cast("long").as("n_bytes"),
       substring(sha2(col("payload"), 256), 1, 16).as("fingerprint"))
 
-  /** STUB decoder — a real implementation would parse the media container
-    * here (dimensions from the header, frames/samples from the body). The
-    * fake is deterministic in the bytes so tests and reruns agree. */
-  def decodeStub(payload: Array[Byte]): (Int, Int, Long) =
-    if (payload.isEmpty) (0, 0, 0L)
-    else {
-      val width = (payload(0) & 0xFF) + 1
-      val height = (payload(payload.length - 1) & 0xFF) + 1
-      var checksum = 0L
-      var i = 0
-      while (i < payload.length) {
-        checksum = (checksum * 31 + (payload(i) & 0xFF)) % 2147483647L
-        i += 1
-      }
-      (width, height, checksum)
+  // ---- container header parsing (pure JVM byte arithmetic) ----
+
+  private def le16(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+
+  private def le32(p: Array[Byte], off: Int): Int =
+    (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+      ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+
+  /** Rolling checksum of `payload(from..)`: the same
+    * `(h·31 + byte) mod 2³¹−1` fold as [[graft.functions.RollingHash]]. */
+  def bodyChecksum(payload: Array[Byte], from: Int): Long = {
+    var checksum = 0L
+    var i = math.max(from, 0)
+    while (i < payload.length) {
+      checksum = (checksum * 31 + (payload(i) & 0xFF)) % 2147483647L
+      i += 1
     }
+    checksum
+  }
+
+  /** Container dispatch + header parse → (kind, width, height, checksum of
+    * the post-header body).
+    *
+    *   - BMP ("BM" magic, ≥ 54-byte BITMAPINFOHEADER): width/height are
+    *     the signed int32-LE fields at offsets 18/22; the body starts at
+    *     the pixel-array offset `bfOffBits` (int32-LE at offset 10).
+    *   - WAV (canonical "RIFF…WAVEfmt " layout, ≥ 44 bytes): width :=
+    *     sample rate (uint32-LE at 24), height := channels (uint16-LE at
+    *     22); body = samples from offset 44.
+    *   - anything else: `raw` byte features — width/height from the first/
+    *     last byte (+1), checksum over the whole payload; empty payloads
+    *     are all zero. Deterministic in the bytes, so tests/reruns agree.
+    */
+  def decode(payload: Array[Byte]): (String, Int, Int, Long) = {
+    def isBmp =
+      payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
+    def isWav =
+      payload.length >= 44 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 8, "US-ASCII") == "WAVEfmt "
+    if (isBmp)
+      ("bmp", le32(payload, 18), le32(payload, 22),
+        bodyChecksum(payload, le32(payload, 10)))
+    else if (isWav)
+      ("wav", le32(payload, 24), le16(payload, 22), bodyChecksum(payload, 44))
+    else if (payload.isEmpty) ("raw", 0, 0, 0L)
+    else
+      ("raw", (payload(0) & 0xFF) + 1, (payload(payload.length - 1) & 0xFF) + 1,
+        bodyChecksum(payload, 0))
+  }
+
+  // ---- synthetic media construction (pure column expressions) ----
+
+  /** Little-endian hex of `v` in `bytes` bytes (building block for binary
+    * container construction with `unhex`). */
+  private def leHex(v: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(255)), 2, "0")): _*)
+
+  /** Deterministic media corpus over a documents table: every third doc
+    * becomes a real 54-byte BMP header (width = id%200+1, height =
+    * id%100+1), every third a real 44-byte canonical WAV header
+    * (rate = 8000 + id%8·1000, channels = id%2+1), the rest keep their
+    * UTF-8 text bytes. Built entirely from column expressions
+    * (`unhex`/`concat`), so the payloads are constructed distributed and
+    * the expected decode output is a pure function of `doc_id` — which is
+    * what the DuckDB oracle recomputes. */
+  def syntheticMedia(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val w = id % 200 + 1
+    val h = id % 100 + 1
+    val channels = id % 2 + 1
+    val rate = id % 8 * 1000 + 8000
+    val bmp = unhex(concat(
+      lit("424D"), // "BM"
+      leHex(lit(54), 4), // file size (header only, no pixel array)
+      lit("00000000"), // reserved
+      leHex(lit(54), 4), // bfOffBits: pixel data starts after the header
+      leHex(lit(40), 4), // BITMAPINFOHEADER size
+      leHex(w, 4), leHex(h, 4),
+      leHex(lit(1), 2), // planes
+      leHex(lit(24), 2), // bits per pixel
+      lit("00" * 24))) // compression..clrImportant, all zero
+    val wav = unhex(concat(
+      lit("52494646"), // "RIFF"
+      leHex(lit(36), 4), // chunk size (44 − 8, no samples)
+      lit("57415645666D7420"), // "WAVEfmt "
+      leHex(lit(16), 4), // fmt chunk size
+      leHex(lit(1), 2), // PCM
+      leHex(channels, 2),
+      leHex(rate, 4),
+      leHex(rate * channels * 2, 4), // byte rate
+      leHex(channels * 2, 2), // block align
+      leHex(lit(16), 2), // bits per sample
+      lit("64617461"), // "data"
+      leHex(lit(0), 4))) // no samples
+    docs.select(
+      id,
+      when(id % 3 === 0, lit("image/bmp"))
+        .when(id % 3 === 1, lit("audio/wav"))
+        .otherwise(lit("text/plain")).as("media_type"),
+      when(id % 3 === 0, bmp)
+        .when(id % 3 === 1, wav)
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"))
+  }
 
   /** Frame sampling — the explode-shaped media operation (one payload row
     * in → up to `maxFrames` frame rows out): fixed-size byte windows at
@@ -86,10 +179,11 @@ object Multimodal {
         substring(sha2(col("frame"), 256), 1, 16).as("frame_hash"))
   }
 
-  /** Partition-local batched decode: `(doc_id, payload)` → typed features.
-    * `batchSize` chunks the iterator like an Arrow batch; the decoder runs
-    * once per element but any per-batch setup (codec init, model load)
-    * belongs at the `grouped` boundary. */
+  /** Partition-local batched decode: `(doc_id, payload)` → typed features
+    * via the real container parsers in [[decode]]. `batchSize` chunks the
+    * iterator like an Arrow batch; the decoder runs once per element but
+    * any per-batch setup (codec init, model load) belongs at the `grouped`
+    * boundary. */
   def decodeFeatures(
       bin: DataFrame,
       batchSize: Int = 64): Dataset[DecodedFeatures] = {
@@ -101,8 +195,8 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch decoder setup would happen here
           batch.iterator.map { case (id, payload) =>
-            val (w, h, c) = decodeStub(payload)
-            DecodedFeatures(id, payload.length.toLong, w, h, c)
+            val (kind, w, h, c) = decode(payload)
+            DecodedFeatures(id, kind, payload.length.toLong, w, h, c)
           }
         }
       }

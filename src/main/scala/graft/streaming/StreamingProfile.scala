@@ -49,7 +49,17 @@ object StreamingProfile {
     * consecutive gaps stay within `gapMinutes`. Stateful operator shape
     * (`groupByKey.flatMapGroupsWithState`); in a single-batch replay every
     * key sees all its events at once, so the output is exactly the batch
-    * gap-and-islands result (the DuckDB oracle). */
+    * gap-and-islands result (the DuckDB oracle).
+    *
+    * Memory bound: events stream through an interval-merge structure (a
+    * TreeMap of open sessions keyed by start time) instead of being
+    * buffered and sorted, so per-key state is O(sessions), not O(events) —
+    * the output size, which any gap sessionizer must hold. A bot key with
+    * 10⁷ dense events occupies ONE map entry; the old
+    * `toArray`-sort-and-scan would OOM the task. Gap clustering is
+    * order-independent (same connected components whatever the arrival
+    * order), so the result is identical to the sorted scan — asserted by
+    * StreamingSpec's shuffled-arrival test. */
   def sessionize(
       events: Dataset[SessionEvent],
       gapMinutes: Long): Dataset[UserSession] = {
@@ -59,19 +69,33 @@ object StreamingProfile {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[SessionEvent], _: GroupState[Long]) =>
-          val ts = it.map(_.ts_us).toArray
-          java.util.Arrays.sort(ts)
-          val sessions = Seq.newBuilder[UserSession]
-          var start = 0
-          var i = 1
-          while (i <= ts.length) {
-            if (i == ts.length || ts(i) - ts(i - 1) > gapUs) {
-              sessions += UserSession(uid, ts(start), (i - start).toLong)
-              start = i
+          // start -> (end, count); intervals stay gap-separated by invariant
+          val sessions = new java.util.TreeMap[Long, Array[Long]]()
+          it.foreach { e =>
+            val t = e.ts_us
+            var start = t
+            var end = t
+            var cnt = 1L
+            val before = sessions.floorEntry(t)
+            if (before != null && t - before.getValue()(0) <= gapUs) {
+              start = before.getKey
+              end = math.max(before.getValue()(0), t)
+              cnt += before.getValue()(1)
+              sessions.remove(before.getKey)
             }
-            i += 1
+            // chain-merge following sessions now within gap of the new end
+            var after = sessions.ceilingEntry(t)
+            while (after != null && after.getKey - end <= gapUs) {
+              end = math.max(end, after.getValue()(0))
+              cnt += after.getValue()(1)
+              sessions.remove(after.getKey)
+              after = sessions.ceilingEntry(t)
+            }
+            sessions.put(start, Array(end, cnt))
           }
-          sessions.result().iterator
+          val out = Seq.newBuilder[UserSession]
+          sessions.forEach((start, v) => out += UserSession(uid, start, v(1)))
+          out.result().iterator
       }
   }
 

@@ -77,6 +77,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 0L, 3L), (1L, 60 * min, 1L), (2L, 5 * min, 1L)))
   }
 
+  test("sessionize is arrival-order independent and holds O(sessions) state on hot keys") {
+    import spark.implicits._
+    val min = 60L * 1000000L
+    val rng = new scala.util.Random(3)
+    // hot key: 5000 dense events (all one session — one map entry while
+    // streaming through), plus scattered singleton sessions, delivered in
+    // shuffled order; interval-merge must equal the sorted gap scan
+    val dense = (0 until 5000).map(i => SessionEvent(9L, i * 1000L))
+    val sparse = (0 until 50).map(i => SessionEvent(9L, (1000 + i * 100) * min))
+    val events = rng.shuffle(dense ++ sparse)
+    val out = StreamingProfile.sessionize(events.toDS(), gapMinutes = 30)
+      .collect().map(s => (s.session_start_us, s.n_events)).sorted
+    val expected = ((0L, 5000L) +: (0 until 50).map(i => ((1000 + i * 100) * min, 1L))).sorted
+    assert(out.toSeq == expected)
+    // duplicate timestamps all count
+    val dup = StreamingProfile.sessionize(
+      Seq(SessionEvent(1L, 5L), SessionEvent(1L, 5L), SessionEvent(1L, 5L)).toDS(), 30)
+      .collect()
+    assert(dup.map(s => (s.session_start_us, s.n_events)).toSeq == Seq((5L, 3L)))
+  }
+
   test("streaming windowed profile equals the batch aggregation (stream/batch parity)") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = StreamingProfile.replayParquet(
@@ -118,6 +139,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(dec(3L).n_bytes == 3L)
     // checksum matches the rolling-hash fold over bytes
     assert(dec(3L).checksum == ((('a'.toInt * 31) + 'b') * 31 + 'c') % 2147483647L)
+  }
+
+  test("BMP and WAV header parsers read hand-built containers") {
+    // 54-byte BMP, width=640 (0x280), height=480 (0x1E0), body "xy"
+    val bmp = new Array[Byte](56)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLe32(p: Array[Byte], off: Int, v: Int): Unit =
+      (0 until 4).foreach(i => p(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    putLe32(bmp, 2, 56); putLe32(bmp, 10, 54); putLe32(bmp, 14, 40)
+    putLe32(bmp, 18, 640); putLe32(bmp, 22, 480)
+    bmp(54) = 'x'; bmp(55) = 'y'
+    val (bk, bw, bh, bc) = Multimodal.decode(bmp)
+    assert((bk, bw, bh) == ("bmp", 640, 480))
+    assert(bc == ('x'.toInt * 31 + 'y'.toInt) % 2147483647L)
+
+    // canonical 44-byte WAV, 44100 Hz stereo, no samples
+    val wav = new Array[Byte](44)
+    "RIFF".getBytes.copyToArray(wav, 0)
+    putLe32(wav, 4, 36)
+    "WAVEfmt ".getBytes.copyToArray(wav, 8)
+    putLe32(wav, 16, 16)
+    wav(20) = 1; wav(22) = 2
+    putLe32(wav, 24, 44100)
+    "data".getBytes.copyToArray(wav, 36)
+    assert(Multimodal.decode(wav) == ("wav", 44100, 2, 0L))
+
+    // neither magic -> raw byte features
+    assert(Multimodal.decode("Q".getBytes) == ("raw", 'Q'.toInt + 1, 'Q'.toInt + 1, 'Q'.toLong))
+    assert(Multimodal.decode(Array.emptyByteArray) == ("raw", 0, 0, 0L))
+  }
+
+  test("synthetic media corpus round-trips through the real decoders, distributed") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaa"), (1L, "bbb"), (2L, "ccc"), (3L, "ddd"), (601L, "e"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs))
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(0L).kind == "bmp" && out(0L).width == 1 && out(0L).height == 1)
+    assert(out(3L).kind == "bmp" && out(3L).width == 4 && out(3L).height == 4)
+    assert(out(3L).n_bytes == 54L && out(3L).checksum == 0L)
+    assert(out(1L).kind == "wav" && out(1L).width == 9000 && out(1L).height == 2)
+    assert(out(601L).kind == "wav" && out(601L).width == 8000 + 601 % 8 * 1000
+      && out(601L).height == 2)
+    assert(out(2L).kind == "raw" && out(2L).width == 'c'.toInt + 1)
   }
 
   test("frame sampling emits zero rows for empty payloads (no descending-sequence ghosts)") {
