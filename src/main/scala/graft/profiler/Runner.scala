@@ -22,7 +22,12 @@ object Runner {
   /** CLI surface mirroring the reference flags (CommandLineArgs.scala:21-30;
     * defaults README.md:54-63). `dbName` is a parquet directory here;
     * `outPrefix` replaces `s3BucketPrefix`; `region` has no meaning without
-    * AWS and is accepted-and-ignored for drop-in compatibility. */
+    * AWS and is accepted-and-ignored for drop-in compatibility.
+    * `tableParallelism` is new: the reference profiles strictly
+    * sequentially (Profiler.scala:172-175), which at a 500-table catalog is
+    * wall-clock × tables; >1 profiles that many tables concurrently
+    * (Spark schedules jobs from multiple driver threads fine). Default 1
+    * for reference parity. */
   final case class RunnerArgs(
       dbName: String = "",
       outPrefix: String = "",
@@ -30,7 +35,8 @@ object Runner {
       statsPrefix: String = "DQP",
       profileUnsupportedTypes: Boolean = false,
       noOfBins: Int = 10,
-      quantiles: Int = 10) {
+      quantiles: Int = 10,
+      tableParallelism: Int = 1) {
     def cfg: ProfilerConfig = ProfilerConfig(
       compExp, statsPrefix, profileUnsupportedTypes, noOfBins, quantiles)
   }
@@ -52,6 +58,8 @@ object Runner {
           loop(t, acc.copy(profileUnsupportedTypes = v.toBoolean))
         case "--noOfBins" :: v :: t => loop(t, acc.copy(noOfBins = v.toInt))
         case "--quantiles" :: v :: t => loop(t, acc.copy(quantiles = v.toInt))
+        case "--tableParallelism" :: v :: t =>
+          loop(t, acc.copy(tableParallelism = v.toInt))
         case other :: _ => Left(s"unknown argument: $other")
       }
     loop(args.toList, RunnerArgs())
@@ -70,7 +78,7 @@ object Runner {
     // sibling dir, not inside the parquet root — a stray non-parquet
     // directory there breaks Hive-style partition discovery on read
     val metaSink = new Sinks.JsonMetadataSink(s"${args.outPrefix}_metadata")
-    catalog.listTables.map { table =>
+    def profileOne(table: String): (String, Int) = {
       val n =
         try {
           val df = catalog.load(table)
@@ -91,7 +99,22 @@ object Runner {
             -1
         }
       table -> n
-    }.toMap
+    }
+    val tables = catalog.listTables
+    if (args.tableParallelism <= 1) tables.map(profileOne).toMap
+    else {
+      // bounded driver-side parallelism: each thread submits independent
+      // Spark jobs (per-table sinks touch disjoint paths, so no contention)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(args.tableParallelism)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.traverse(tables)(t =>
+            scala.concurrent.Future(profileOne(t))),
+          scala.concurrent.duration.Duration.Inf).toMap
+      finally { pool.shutdown(); () }
+    }
   }
 
   def main(argv: Array[String]): Unit =
@@ -100,7 +123,7 @@ object Runner {
         System.err.println(
           s"error: $err\nusage: Runner --dbName <parquetDir> --outPrefix <outDir> " +
             "[--compExp bool] [--statsPrefix s] [--profileUnsupportedTypes bool] " +
-            "[--noOfBins n] [--quantiles n]")
+            "[--noOfBins n] [--quantiles n] [--tableParallelism n]")
         sys.exit(2)
       case Right(args) =>
         val spark = SparkSession.builder()

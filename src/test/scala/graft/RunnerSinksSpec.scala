@@ -71,6 +71,26 @@ class RunnerSpec extends AnyFunSuite {
     assert(Runner.parseArgs(Array("--dbName", "/d", "--outPrefix", "/o", "--bogus", "1")).isLeft)
   }
 
+  test("parallel table loop produces the same results and sinks as sequential") {
+    val out = Files.createTempDirectory("graft-runner-par").toString
+    val catalog = new ParquetDirCatalog(spark, "/root/testdata/sf0.001")
+    val args = Runner.RunnerArgs(
+      dbName = "/root/testdata/sf0.001", outPrefix = out, tableParallelism = 4)
+    val runDt = OffsetDateTime.of(2026, 8, 12, 0, 0, 0, 0, ZoneOffset.UTC)
+    val par = Runner.run(spark, catalog, args, runDt)
+    val seqOut = Files.createTempDirectory("graft-runner-seq").toString
+    val seq = Runner.run(
+      spark, catalog, args.copy(outPrefix = seqOut, tableParallelism = 1), runDt)
+    assert(par == seq)
+    assert(par.values.forall(_ > 0), s"some tables failed: $par")
+    // both sinks produced the same metadata per table
+    catalog.listTables.foreach { t =>
+      val a = new Sinks.JsonMetadataSink(s"${out}_metadata").read(t)
+      val b = new Sinks.JsonMetadataSink(s"${seqOut}_metadata").read(t)
+      assert(a == b, s"metadata diverged for $t")
+    }
+  }
+
   test("end-to-end: profile a small catalog into partitioned parquet + metadata") {
     val out = Files.createTempDirectory("graft-runner").toString
     val catalog = new ParquetDirCatalog(spark, "/root/testdata/sf0.001")
