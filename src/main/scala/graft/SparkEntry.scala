@@ -153,7 +153,22 @@ object SparkEntry {
         IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 0)),
         IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 1)))
       IncrementalProfiler.metrics(IncrementalProfiler.merge(halves))
-        .where(col("name") =!= lit("ApproxCountDistinct")) // sketch estimate: tested, not oracled
+        // sketch estimates (HLL distinct, KLL quantiles): tested, not oracled
+        .where(col("name") =!= lit("ApproxCountDistinct") &&
+          !col("name").startsWith("ApproxQuantiles"))
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")
+    }),
+    // mergeable quantiles: KLL sketches built per split, merged without
+    // rescan, quantiles read from the merged sketch (error-bounded,
+    // randomized compaction -> rows-only check like the other sketches)
+    "incremental_quantiles" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val halves = Seq(
+        IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 0)),
+        IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 1)))
+      IncrementalProfiler.metrics(IncrementalProfiler.merge(halves))
+        .where(col("name").startsWith("ApproxQuantiles"))
         .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
         .orderBy("instance", "name")
     }),

@@ -10,10 +10,16 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * states without ever rescanning the data.
   *
   * State per numeric column:
-  * `(instance, n, nn, dec_sum, oor, dec_sum_sq, oor_sq, mn, mx, hll)` —
-  * every field merges associatively (sums, min/max, Apache DataSketches
-  * HLL union via `hll_union_agg`). A year of daily 300 GB snapshots merges
+  * `(instance, n, nn, dec_sum, oor, dec_sum_sq, oor_sq, mn, mx, hll, kll)`
+  * — every field merges associatively (sums, min/max, Apache DataSketches
+  * HLL union via `hll_union_agg`, KLL quantile-sketch merge via
+  * [[graft.functions.KllAggs]]). A year of daily 300 GB snapshots merges
   * in milliseconds; the reference (and Deequ 1.0.2) must rescan the table.
+  * The state covers the full mergeable half of the scan battery — Size,
+  * Completeness, Sum, Mean, StandardDeviation, Minimum, Maximum exactly,
+  * ApproxCountDistinct and ApproxQuantiles with bounded error; only the
+  * exact-frequency family (CountDistinct/Entropy/Histogram/Uniqueness),
+  * which provably needs the full value dictionary, requires a rescan.
   *
   * Metric parity: Size/Completeness/Sum/Mean/StandardDeviation/Minimum/
   * Maximum derived from a merged state are EXACTLY the whole-table values:
@@ -73,7 +79,10 @@ object IncrementalProfiler {
         max(col("v")).as("mx"),
         // DataSketches HLL takes int/long/string/binary only; the string
         // form of a double is injective, so distinct counts are preserved
-        hll_sketch_agg(col("v").cast("string")).as("hll"))
+        hll_sketch_agg(col("v").cast("string")).as("hll"),
+        // mergeable KLL quantile sketch — percentile_approx buffers cannot
+        // be persisted across batches; this can (see KllAggs)
+        graft.functions.KllAggs.kllSketchAgg(col("v")).as("kll"))
   }
 
   /** Combine any number of state relations — associative and commutative,
@@ -95,19 +104,22 @@ object IncrementalProfiler {
         sum(col("oor_sq")).as("oor_sq"),
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"),
-        hll_union_agg(col("hll")).as("hll"))
+        hll_union_agg(col("hll")).as("hll"),
+        graft.functions.KllAggs.kllMergeAgg(col("kll")).as("kll"))
       .select(
         col("instance"), col("n"), col("nn"),
         when(col("sum_bad") === 0, col("dec_sum_raw")).as("dec_sum"),
         col("oor"),
         when(col("sq_bad") === 0, col("dec_sum_sq_raw")).as("dec_sum_sq"),
         col("oor_sq"),
-        col("mn"), col("mx"), col("hll"))
+        col("mn"), col("mx"), col("hll"), col("kll"))
 
   /** Metrics relation from a (possibly merged) state — no data scan.
     * Sum/Mean/StandardDeviation appear only when the exact decimal path
-    * held end to end (no out-of-range addends, no overflow). */
-  def metrics(state: DataFrame): DataFrame = {
+    * held end to end (no out-of-range addends, no overflow);
+    * ApproxQuantiles come from the merged KLL sketch (error-bounded,
+    * declared approximate like ApproxCountDistinct). */
+  def metrics(state: DataFrame, quantiles: Int = 10): DataFrame = {
     val sumOk = col("nn") > 0 && col("oor") === 0 && col("dec_sum").isNotNull
     val sqOk = sumOk && col("oor_sq") === 0 && col("dec_sum_sq").isNotNull
     val sumD = col("dec_sum").cast(DoubleType)
@@ -133,6 +145,20 @@ object IncrementalProfiler {
       .where(col("value").isNotNull)
     val sizeRow = state.agg(max(col("n")).cast(DoubleType).as("value"))
       .select(lit("*").as("instance"), lit(MetricNames.Size).as("name"), col("value"))
-    unpivoted.unionByName(sizeRow)
+    val ps = ScanMetrics.quantilePs(quantiles)
+    // sketch decode runs on the metric-sized state relation (one row per
+    // column), never the data path — a udf is fine here
+    val qUdf = udf((bytes: Array[Byte]) =>
+      graft.functions.KllAggs.quantiles(bytes, ps).orNull)
+    val qNames = array(ps.map(p => lit(MetricNames.approxQuantile(p))): _*)
+    val quantRows = state
+      .select(col("instance"), qUdf(col("kll")).as("qs"))
+      .where(col("qs").isNotNull)
+      .select(col("instance"), qNames.as("names"), posexplode(col("qs")).as(Seq("i", "value")))
+      .select(
+        col("instance"),
+        element_at(col("names"), col("i") + 1).as("name"),
+        col("value"))
+    unpivoted.unionByName(sizeRow).unionByName(quantRows)
   }
 }

@@ -39,6 +39,20 @@ class SinksSpec extends AnyFunSuite {
     assert(!meta.columnParams("c").contains("DQP__Maximum"))
   }
 
+  test("documented divergence from Glue: partition-column params ARE stored locally") {
+    // The reference cannot attach parameters to partition columns — Glue
+    // rejects them and the failure is caught and logged (reference
+    // Glue.java:89-99); only its S3 parquet sink carries partition-column
+    // metrics. The local JSON store has no storage-column split, so column
+    // params persist for EVERY profiled column. A user migrating from the
+    // reference gains metadata on partition columns rather than losing any.
+    val sink = new Sinks.JsonMetadataSink(tmp().toString)
+    sink.upsert("t", "DQP__",
+      Map("DQP__Size" -> "1.0"),
+      Map("partition_day" -> Map("DQP__Completeness" -> "1.0")))
+    assert(sink.read("t").columnParams("partition_day")("DQP__Completeness") == "1.0")
+  }
+
   test("metadata upsert skips entirely when there are no table metrics") {
     val sink = new Sinks.JsonMetadataSink(tmp().toString)
     sink.upsert("t", "DQP__", Map.empty, Map("c" -> Map("DQP__X" -> "1")))
