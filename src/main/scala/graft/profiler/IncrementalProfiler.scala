@@ -114,51 +114,69 @@ object IncrementalProfiler {
         col("oor_sq"),
         col("mn"), col("mx"), col("hll"), col("kll"))
 
-  /** Metrics relation from a (possibly merged) state — no data scan.
+  /** Metrics relation from a (possibly merged) state.
     * Sum/Mean/StandardDeviation appear only when the exact decimal path
     * held end to end (no out-of-range addends, no overflow);
     * ApproxQuantiles come from the merged KLL sketch (error-bounded,
-    * declared approximate like ApproxCountDistinct). */
+    * declared approximate like ApproxCountDistinct).
+    *
+    * EAGER on purpose: the state is metadata-sized by construction (one
+    * row per profiled column), and deriving the metric relation lazily
+    * would make every downstream branch that references it re-execute the
+    * whole snapshot aggregation (Spark does not share subplans across
+    * union branches — measured as a 3× re-scan). Collecting once and
+    * emitting a LocalRelation is the same eager-materialization move the
+    * reference stack makes for its metrics (SURVEY.md §4.2), and it lets
+    * the sketch decoding run as plain JVM code instead of a UDF. The
+    * arithmetic (decimal→double cast, then IEEE double ops) is exactly the
+    * previous column-expression sequence, so oracle hashes are unchanged. */
   def metrics(state: DataFrame, quantiles: Int = 10): DataFrame = {
-    val sumOk = col("nn") > 0 && col("oor") === 0 && col("dec_sum").isNotNull
-    val sqOk = sumOk && col("oor_sq") === 0 && col("dec_sum_sq").isNotNull
-    val sumD = col("dec_sum").cast(DoubleType)
-    val sqD = col("dec_sum_sq").cast(DoubleType)
-    val perCol = state.select(
-      col("instance"),
-      when(col("n") > 0, col("nn").cast(DoubleType) / col("n")).as("Completeness"),
-      when(sumOk, sumD / col("nn")).as("Mean"),
-      when(sumOk, sumD).as("Sum"),
-      when(sqOk,
-        sqrt(greatest(sqD / col("nn") - pow(sumD / col("nn"), lit(2)), lit(0.0))))
-        .as("StandardDeviation"),
-      col("mn").as("Minimum"),
-      col("mx").as("Maximum"),
-      hll_sketch_estimate(col("hll")).cast(DoubleType).as("ApproxCountDistinct"))
-    val names = Seq(
-      "Completeness", "Mean", "Sum", "StandardDeviation",
-      "Minimum", "Maximum", "ApproxCountDistinct")
-    val unpivoted = perCol.select(
-      col("instance"),
-      explode(array(names.map(n => struct(lit(n).as("name"), col(n).as("value"))): _*)).as("m"))
-      .select(col("instance"), col("m.name").as("name"), col("m.value").as("value"))
-      .where(col("value").isNotNull)
-    val sizeRow = state.agg(max(col("n")).cast(DoubleType).as("value"))
-      .select(lit("*").as("instance"), lit(MetricNames.Size).as("name"), col("value"))
+    import org.apache.datasketches.hll.HllSketch
+    import org.apache.datasketches.memory.Memory
+    val spark = state.sparkSession
     val ps = ScanMetrics.quantilePs(quantiles)
-    // sketch decode runs on the metric-sized state relation (one row per
-    // column), never the data path — a udf is fine here
-    val qUdf = udf((bytes: Array[Byte]) =>
-      graft.functions.KllAggs.quantiles(bytes, ps).orNull)
-    val qNames = array(ps.map(p => lit(MetricNames.approxQuantile(p))): _*)
-    val quantRows = state
-      .select(col("instance"), qUdf(col("kll")).as("qs"))
-      .where(col("qs").isNotNull)
-      .select(col("instance"), qNames.as("names"), posexplode(col("qs")).as(Seq("i", "value")))
-      .select(
-        col("instance"),
-        element_at(col("names"), col("i") + 1).as("name"),
-        col("value"))
-    unpivoted.unionByName(sizeRow).unionByName(quantRows)
+    val collected = state.collect()
+    val rows = Seq.newBuilder[(String, String, Double)]
+    var maxN = 0L
+    collected.foreach { r =>
+      def nullable[T](name: String): Option[T] = {
+        val i = r.fieldIndex(name)
+        if (r.isNullAt(i)) None else Some(r.getAs[T](i))
+      }
+      val inst = r.getAs[String]("instance")
+      val n = r.getAs[Long]("n")
+      val nn = r.getAs[Long]("nn")
+      maxN = math.max(maxN, n)
+      if (n > 0) rows += ((inst, "Completeness", nn.toDouble / n))
+      val decSum = nullable[java.math.BigDecimal]("dec_sum")
+      val sumOk = nn > 0 && r.getAs[Long]("oor") == 0 && decSum.isDefined
+      if (sumOk) {
+        val sumD = decSum.get.doubleValue
+        rows += ((inst, "Mean", sumD / nn))
+        rows += ((inst, "Sum", sumD))
+        val decSumSq = nullable[java.math.BigDecimal]("dec_sum_sq")
+        if (r.getAs[Long]("oor_sq") == 0 && decSumSq.isDefined) {
+          val sqD = decSumSq.get.doubleValue
+          rows += ((inst, "StandardDeviation",
+            math.sqrt(math.max(sqD / nn - math.pow(sumD / nn, 2), 0.0))))
+        }
+      }
+      nullable[Double]("mn").foreach(v => rows += ((inst, "Minimum", v)))
+      nullable[Double]("mx").foreach(v => rows += ((inst, "Maximum", v)))
+      nullable[Array[Byte]]("hll").filter(_.nonEmpty).foreach { b =>
+        // same rounding as Spark's hll_sketch_estimate (bigint estimate)
+        rows += ((inst, MetricNames.ApproxCountDistinct,
+          Math.round(HllSketch.heapify(Memory.wrap(b)).getEstimate).toDouble))
+      }
+      nullable[Array[Byte]]("kll").foreach { b =>
+        graft.functions.KllAggs.quantiles(b, ps).foreach { qs =>
+          ps.zip(qs).foreach { case (p, q) =>
+            rows += ((inst, MetricNames.approxQuantile(p), q))
+          }
+        }
+      }
+    }
+    if (collected.nonEmpty) rows += (("*", MetricNames.Size, maxN.toDouble))
+    spark.createDataFrame(rows.result()).toDF("instance", "name", "value")
   }
 }
