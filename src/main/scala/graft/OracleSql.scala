@@ -244,6 +244,19 @@ ORDER BY cos DESC, id_a, id_b LIMIT 50"""
       "ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_value " +
       "FROM events GROUP BY 1 ORDER BY 1"
 
+  /** The deterministic sampling hash bucket — identical algebra to
+    * Sampling.hashBucket (first 8 hex chars of sha256(key ++ salt) as an
+    * unsigned int, mod 10000). */
+  private val sampleBucket: String =
+    "(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'graft'), 1, 8))::BIGINT % 10000)"
+
+  val sampleDeterministic: String =
+    s"SELECT doc_id FROM documents WHERE $sampleBucket < 1000 ORDER BY doc_id"
+
+  val datasetSplit: String =
+    s"""SELECT doc_id, CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split
+FROM (SELECT doc_id, $sampleBucket AS b FROM documents) q ORDER BY doc_id"""
+
   import graft.functions.TextFunctions.{BpeishPattern, PunctPattern, Stopwords}
 
   private val wsToksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"

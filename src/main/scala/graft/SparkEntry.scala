@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.DateType
 
 import graft.functions.{RollingHash, TextFunctions}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Sampling, Similarity}
 import graft.profiler.{IncrementalProfiler, Profiler, ProfilerConfig}
 import graft.streaming.{SessionEvent, StreamingProfile}
 
@@ -213,6 +213,16 @@ object SparkEntry {
               .cast("double"), 6).as("sum_value"))
         .orderBy("k")
     }),
+    // deterministic corpus curation (documents table): engine-portable
+    // hash-bucket sampling + stable train/valid/test splits
+    "sample_deterministic" -> ((s, dir) =>
+      Sampling.deterministicSample(documents(s, dir), "doc_id", rate = 0.1)
+        .select("doc_id").orderBy("doc_id")),
+    "dataset_split" -> ((s, dir) =>
+      Sampling.hashSplit(
+        documents(s, dir), "doc_id",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split").orderBy("doc_id")),
     // text analysis (documents table)
     "token_count" -> ((s, dir) =>
       documents(s, dir).select(
@@ -334,6 +344,8 @@ object SparkEntry {
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "events_json" -> OracleSql.eventsJson,
+    "sample_deterministic" -> OracleSql.sampleDeterministic,
+    "dataset_split" -> OracleSql.datasetSplit,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
     "lang_id" -> OracleSql.langId,

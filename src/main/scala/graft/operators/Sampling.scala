@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines.
+  *
+  * Spark's `df.sample` is seeded per-partition: the selected rows change
+  * with partitioning, cluster size and Spark version — useless for
+  * reproducible corpus curation. These operators instead derive a hash
+  * bucket in [0, 10000) from SHA-256 of (key ++ salt), so
+  *   - membership is a pure function of the row's key: stable across runs,
+  *     partitionings, engines (DuckDB computes the identical bucket —
+  *     oracle-verified), and resilient to data reordering;
+  *   - a sample is a strict subset of any larger-rate sample with the same
+  *     salt (nested samples for scaling-law runs);
+  *   - train/validation/test splits are disjoint by construction and stay
+  *     stable when the corpus grows (a document's split never changes).
+  *
+  * Scale shape: pure map-side scan + filter/projection — no shuffle, no
+  * state; the plan is a single WholeStageCodegen over the scan (asserted
+  * by PlanAuditSpec).
+  */
+object Sampling {
+
+  /** Bucket granularity: rates resolve to 0.01% steps. */
+  val Buckets = 10000
+
+  /** Hash bucket in [0, Buckets) — first 8 hex chars of
+    * `sha256(key ++ salt)` read as an unsigned int (identical in DuckDB:
+    * `('0x' || substr(sha256(k || salt), 1, 8))::BIGINT % 10000`). */
+  def hashBucket(key: Column, salt: String): Column =
+    conv(substring(sha2(concat(key.cast("string"), lit(salt)), 256), 1, 8), 16, 10)
+      .cast("long") % Buckets
+
+  /** Keep rows whose bucket falls below `rate` — a deterministic,
+    * reproducible `rate`-fraction sample keyed on `keyCol`. */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, rate: Double, salt: String = "graft"): DataFrame = {
+    require(rate >= 0 && rate <= 1, "rate must be in [0, 1]")
+    df.where(hashBucket(col(keyCol), salt) < math.round(rate * Buckets))
+  }
+
+  /** Assign each row a split label by consecutive bucket ranges, e.g.
+    * `Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)`. Fractions must
+    * sum to 1 (within bucket granularity); ranges are disjoint and
+    * exhaustive, so every row gets exactly one label. */
+  def hashSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    require(bounds.last == Buckets,
+      s"split fractions must sum to 1 (got upper bound ${bounds.last} of $Buckets)")
+    val b = hashBucket(col(keyCol), salt)
+    val label = splits.map(_._1).zip(bounds).init
+      .foldLeft(when(lit(false), lit(""))) { case (acc, (name, hi)) =>
+        acc.when(b < hi, lit(name))
+      }
+      .otherwise(lit(splits.last._1))
+    df.withColumn("split", label)
+  }
+}

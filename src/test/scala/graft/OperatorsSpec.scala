@@ -98,6 +98,51 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def corpus = {
+    import spark.implicits._
+    (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+  }
+
+  test("deterministic sample: stable, rate-accurate, nested across rates") {
+    import graft.operators.Sampling
+    val s5 = Sampling.deterministicSample(corpus, "doc_id", 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.deterministicSample(corpus, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // re-run is identical (pure function of the key)
+    val s5again = Sampling.deterministicSample(corpus, "doc_id", 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s5 == s5again)
+    // nested: a smaller rate is a strict subset of a larger one
+    assert(s5.subsetOf(s20))
+    // rate lands near the target (hash uniformity)
+    assert(math.abs(s5.size - 100) < 40, s"5% of 2000 gave ${s5.size}")
+    assert(math.abs(s20.size - 400) < 80, s"20% of 2000 gave ${s20.size}")
+  }
+
+  test("hash split: exhaustive, disjoint, and stable when the corpus grows") {
+    import graft.operators.Sampling
+    val splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    val all = Sampling.hashSplit(corpus, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all.size == 2000) // exactly one label per row
+    val frac = all.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(frac("train") - 1800) < 60, s"train ${frac("train")}")
+    // a document's split never changes when more data arrives
+    val half = Sampling.hashSplit(corpus.where(col("doc_id") <= 1000), "doc_id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    half.foreach { case (id, s) => assert(all(id) == s, s"doc $id moved split") }
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(corpus, "doc_id", Seq("a" -> 0.5))
+    }
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 

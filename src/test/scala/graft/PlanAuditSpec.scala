@@ -65,6 +65,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("bucket"), s"expected LSH bucket join:\n$p")
   }
 
+  test("deterministic sampling is a pure map-side scan (no shuffle, no state)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.1))
+    assert(!p.contains("Exchange"), s"sampling should never shuffle:\n$p")
+    // "*(1)" is the WholeStageCodegen stage marker in the compact plan form
+    assert(p.contains("*(1) Filter"), s"expected codegen scan+filter:\n$p")
+  }
+
   test("multi-column distinctness is one Expand pass, not per-column jobs") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val slots = graft.profiler.ScanMetrics.slots(
