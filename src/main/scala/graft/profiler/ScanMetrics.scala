@@ -205,15 +205,34 @@ object ScanMetrics {
     * doc), and extract the metric rows. The result rows are tiny by
     * construction (one cell per metric), so collecting them to the driver is
     * the correct move at any scale — the aggregation itself has already
-    * reduced the 100 TB. */
-  def compute(df: DataFrame, slots: Seq[AggSlot]): Seq[MetricRow] =
-    Seq(AggKind.Plain, AggKind.Sketch, AggKind.Distinct).flatMap { kind =>
+    * reduced the 100 TB.
+    *
+    * The passes are independent, so their jobs are SUBMITTED concurrently
+    * (driver threads; Spark schedules jobs from multiple threads fine):
+    * one pass's shuffle/sketch phase overlaps another's scan instead of
+    * serializing three cluster round trips. Results are assembled in the
+    * fixed Plain/Sketch/Distinct order, so output is identical to the
+    * sequential evaluation. */
+  def compute(df: DataFrame, slots: Seq[AggSlot]): Seq[MetricRow] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val jobs = Seq(AggKind.Plain, AggKind.Sketch, AggKind.Distinct).map { kind =>
       val group = slots.filter(_.kind == kind)
-      if (group.isEmpty) Nil
-      else {
-        val aliased = group.zipWithIndex.map { case (s, i) => s.expr.alias(s"m$i") }
-        val row: Row = df.agg(aliased.head, aliased.tail: _*).head()
-        group.zipWithIndex.flatMap { case (s, i) => s.extract(row.get(i)) }
+      val fut =
+        if (group.isEmpty) Future.successful(None)
+        else {
+          val aliased = group.zipWithIndex.map { case (s, i) => s.expr.alias(s"m$i") }
+          Future(Some(df.agg(aliased.head, aliased.tail: _*).head()))
+        }
+      (group, fut)
+    }
+    jobs.flatMap { case (group, fut) =>
+      Await.result(fut, Duration.Inf) match {
+        case None => Nil
+        case Some(row: Row) =>
+          group.zipWithIndex.flatMap { case (s, i) => s.extract(row.get(i)) }
       }
     }
+  }
 }
