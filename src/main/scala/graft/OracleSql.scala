@@ -288,6 +288,14 @@ FROM (
   FROM documents) q ORDER BY doc_id"""
   }
 
+  /** Corpus vocabulary top-100 by token frequency, (freq DESC, token ASC)
+    * tie-break — twin of TextFunctions.vocabTopK. */
+  val vocabTopK: String =
+    s"""SELECT token, freq FROM (
+  SELECT t.x AS token, COUNT(*) AS freq
+  FROM documents, UNNEST($wsToksLowerSql) t(x) GROUP BY 1) q
+ORDER BY freq DESC, token ASC LIMIT 100"""
+
   /** Stopword-vote language ID; argmax with (score desc, lang asc)
     * tie-break — lists shared with TextFunctions.Stopwords. */
   val langId: String = {

@@ -251,6 +251,8 @@ object SparkEntry {
           .as("stopword_ratio"),
         round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")),
+    "vocab_topk" -> ((s, dir) =>
+      TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
     "lang_id" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
@@ -348,6 +350,7 @@ object SparkEntry {
     "dataset_split" -> OracleSql.datasetSplit,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
+    "vocab_topk" -> OracleSql.vocabTopK,
     "lang_id" -> OracleSql.langId,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "streaming_profile" -> OracleSql.streamingProfile,

@@ -63,6 +63,20 @@ object TextFunctions {
       .otherwise(lit("und"))
   }
 
+  /** Global vocabulary top-k: lowercased whitespace tokens ranked by corpus
+    * frequency with the deterministic (freq DESC, token ASC) tie-break —
+    * the first step of tokenizer-vocabulary construction over a corpus.
+    *
+    * Scale shape: explode → hash aggregation with map-side partial combine
+    * (shuffle volume = distinct tokens per partition, not token
+    * occurrences) → `TakeOrderedAndProject` top-k (per-partition heaps, no
+    * global sort). */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(explode(wsTokens(lower(col(textCol)))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
   /** Composite quality score in [0, 1]:
     * 0.4·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
     * The weights and the exact operation order are part of the oracle

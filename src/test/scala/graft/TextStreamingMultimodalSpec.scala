@@ -48,6 +48,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(q > 0.0 && q <= 1.0)
   }
 
+  test("vocab top-k ranks by frequency with alphabetical tie-break, no global sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "b a a c B"), (2L, "a c d")).toDF("doc_id", "text")
+    val top = TextFunctions.vocabTopK(docs, "text", 3)
+    val rows = top.collect().map(r => (r.getString(0), r.getLong(1)))
+    // a:3, b:2 (lowercased), c:2, d:1 -> tie between b and c broken by name
+    assert(rows.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+    // top-k must plan as a heap (TakeOrdered), never a full sort
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k heap plan:\n$p")
+  }
+
   test("rolling hash: known folds and codegen/interpreted agreement") {
     RollingHash.register(spark)
     import spark.implicits._
