@@ -110,6 +110,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(dup.map(s => (s.session_start_us, s.n_events)).toSeq == Seq((5L, 3L)))
   }
 
+  test("property: interval-merge sessionize equals the sorted gap scan on random inputs") {
+    import spark.implicits._
+    // reference implementation: sort all timestamps, split on gaps
+    def reference(ts: Seq[Long], gapUs: Long): Seq[(Long, Long)] = {
+      val sorted = ts.sorted
+      val out = Seq.newBuilder[(Long, Long)]
+      var start = 0
+      for (i <- 1 to sorted.length)
+        if (i == sorted.length || sorted(i) - sorted(i - 1) > gapUs) {
+          out += ((sorted(start), (i - start).toLong))
+          start = i
+        }
+      out.result()
+    }
+    val rng = new scala.util.Random(17)
+    val gapUs = 30L * 60 * 1000000
+    for (_ <- 1 to 5) {
+      // clustered + uniform + duplicate timestamps across a few users
+      val events = (1L to 4L).flatMap { uid =>
+        val n = 1 + rng.nextInt(60)
+        (0 until n).map { _ =>
+          val base = rng.nextInt(5) * 10L * gapUs
+          SessionEvent(uid, base + (rng.nextLong() % (3 * gapUs)).abs)
+        }
+      }
+      val got = StreamingProfile.sessionize(rng.shuffle(events).toDS(), 30)
+        .collect().map(s => (s.user_id, s.session_start_us, s.n_events)).sorted.toSeq
+      val want = events.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+        reference(es.map(_.ts_us), gapUs).map { case (st, n) => (uid, st, n) }
+      }.sorted
+      assert(got == want)
+    }
+  }
+
   test("streaming windowed profile equals the batch aggregation (stream/batch parity)") {
     val path = "/root/testdata/sf0.001/events.parquet"
     val streamed = StreamingProfile.replayParquet(
