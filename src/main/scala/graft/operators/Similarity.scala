@@ -176,30 +176,35 @@ object Similarity {
     }.reduce(_ + _)
 
   /** Approximate cosine top-k: score only (query, vector) pairs that share
-    * an LSH bucket. Same output shape and ranking rule as [[cosineTopK]];
-    * recall < 1 by design. */
+    * at least one of `bands` LSH band keys (the same OR-construction as
+    * [[cosineNearDupPairs]] — recall rises with `bands`, candidate volume
+    * with `1/2^bitsPerBand` per band). Same output shape and ranking rule
+    * as [[cosineTopK]]; recall < 1 by design, tunable to the workload. */
   def lshTopK(
       emb: DataFrame,
       idCol: String,
       vecCol: String,
       queryPred: Column,
       k: Int = 10,
-      planes: Int = 8,
-      dim: Int = 64): DataFrame = {
-    val hp = hyperplanes(planes, dim)
+      bands: Int = 32,
+      bitsPerBand: Int = 8): DataFrame = {
     graft.functions.VectorOps.register(emb.sparkSession)
     val bucketed = emb.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"),
-      lshBucket(col(vecCol), hp).as("bucket"))
-    val queries = bucketed.where(queryPred)
-      .select(
-        col("neighbor_id").as("query_id"), col("v").as("q"),
-        col("nv").as("nq"), col("bucket"))
+      explode(
+        graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
+        .as("bucket"))
+    val queries = emb.where(queryPred).select(
+      col(idCol).as("query_id"), col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"),
+      explode(
+        graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
+        .as("bucket"))
     val scored = bucketed.join(broadcast(queries), Seq("bucket"))
       .select(
         col("query_id"), col("neighbor_id"),
         safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
       .where(col("cos").isNotNull)
+      .distinct() // a pair may collide in several bands; score once
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))

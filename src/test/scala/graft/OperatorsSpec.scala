@@ -170,7 +170,7 @@ class SimilaritySpec extends AnyFunSuite {
     val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", col("vec_id") === 1, k = 4)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
     val lsh = Similarity.lshTopK(
-      emb, "vec_id", "embedding", col("vec_id") === 1, k = 4, planes = 4, dim = 2)
+      emb, "vec_id", "embedding", col("vec_id") === 1, k = 4, bands = 8, bitsPerBand = 4)
       .collect().map(r => (r.getLong(1), r.getDouble(2)))
     assert(lsh.nonEmpty)
     lsh.foreach { case (id, c) => assert(brute(id) == c) }
