@@ -2,9 +2,13 @@ package graft.functions
 
 import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
-import org.apache.spark.sql.{Column, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{BinaryType, DataType}
 
 /** Mergeable quantile sketches for the incremental profiler, built on the
   * Apache DataSketches KLL implementation that ships with Spark 4
@@ -19,64 +23,108 @@ import org.apache.spark.sql.functions.udaf
   * at-a-time operating mode for quantiles exactly like the HLL column does
   * for distinct counts. The reference stack (Deequ 1.0.2) must rescan.
   *
+  * Implemented as native [[TypedImperativeAggregate]]s (the same plan
+  * shape as `hll_sketch_agg`/`percentile_approx`: ObjectHashAggregate with
+  * the live sketch as the buffer object, serialization only at shuffle/
+  * spill boundaries) rather than a `udaf(Aggregator)` wrapper, which pays
+  * an encoder round trip per input row.
+  *
   * Note: KLL compaction is randomized (per the KLL paper), so repeated
   * runs give slightly different — always error-bounded — estimates; these
   * metrics are declared approximate (no oracle), like ApproxCountDistinct.
   */
 object KllAggs {
 
-  private val K = 200 // sketch size parameter: ~1.65% rank error, ~3 KB
+  private[functions] val K = 200 // sketch size parameter: ~1.65% rank error, ~3 KB
 
-  /** `Double` values → serialized KLL sketch. Boxed input so SQL NULLs are
-    * skipped instead of silently becoming 0.0. */
-  private final class SketchAgg
-      extends Aggregator[java.lang.Double, KllDoublesSketch, Array[Byte]] {
-    override def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(K)
-    override def reduce(b: KllDoublesSketch, v: java.lang.Double): KllDoublesSketch = {
-      if (v != null) b.update(v.doubleValue())
+  private def sketchOf(bytes: Array[Byte]): KllDoublesSketch =
+    KllDoublesSketch.heapify(Memory.wrap(bytes))
+
+  /** Shared shape of both sketch aggregates. */
+  sealed trait KllAggBase
+      extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+    override def createAggregationBuffer(): KllDoublesSketch =
+      KllDoublesSketch.newHeapInstance(K)
+    override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
+      b.merge(o); b
+    }
+    override def eval(b: KllDoublesSketch): Any = b.toByteArray
+    override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
+    override def deserialize(storage: Array[Byte]): KllDoublesSketch = {
+      // heapified compact sketches are read-only; merge into a writable one
+      val fresh = KllDoublesSketch.newHeapInstance(K)
+      fresh.merge(sketchOf(storage))
+      fresh
+    }
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+  }
+
+  /** `double` values → serialized KLL sketch (NULL inputs skipped). */
+  case class KllSketchAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends KllAggBase {
+    override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null) b.update(v.asInstanceOf[Double])
       b
     }
-    override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-      a.merge(b); a
-    }
-    override def finish(b: KllDoublesSketch): Array[Byte] = b.toByteArray
-    override def bufferEncoder: Encoder[KllDoublesSketch] =
-      Encoders.kryo[KllDoublesSketch]
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def withNewMutableAggBufferOffset(n: Int): KllSketchAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): KllSketchAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): KllSketchAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_kll_sketch_agg"
   }
 
   /** Serialized sketches → merged serialized sketch (the state-merge side,
     * mirroring `hll_union_agg`). */
-  private final class MergeAgg
-      extends Aggregator[Array[Byte], KllDoublesSketch, Array[Byte]] {
-    override def zero: KllDoublesSketch = KllDoublesSketch.newHeapInstance(K)
-    override def reduce(b: KllDoublesSketch, bytes: Array[Byte]): KllDoublesSketch = {
-      if (bytes != null && bytes.nonEmpty)
-        b.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+  case class KllMergeAgg(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends KllAggBase {
+    override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
+      val v = child.eval(input)
+      if (v != null) {
+        val bytes = v.asInstanceOf[Array[Byte]]
+        if (bytes.nonEmpty) b.merge(sketchOf(bytes))
+      }
       b
     }
-    override def merge(a: KllDoublesSketch, b: KllDoublesSketch): KllDoublesSketch = {
-      a.merge(b); a
-    }
-    override def finish(b: KllDoublesSketch): Array[Byte] = b.toByteArray
-    override def bufferEncoder: Encoder[KllDoublesSketch] =
-      Encoders.kryo[KllDoublesSketch]
-    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    override def withNewMutableAggBufferOffset(n: Int): KllMergeAgg =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): KllMergeAgg =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): KllMergeAgg =
+      copy(child = newChild)
+    override def prettyName: String = "graft_kll_merge_agg"
   }
 
-  /** Aggregate a double column into a serialized KLL sketch. */
-  def kllSketchAgg(v: Column): Column = udaf(new SketchAgg, Encoders.DOUBLE).apply(v)
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_sketch_agg",
+      exprs => KllSketchAgg(exprs(0)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_merge_agg",
+      exprs => KllMergeAgg(exprs(0)).toAggregateExpression(), "built-in")
+  }
 
-  /** Merge a column of serialized KLL sketches. */
-  def kllMergeAgg(sketch: Column): Column = udaf(new MergeAgg, Encoders.BINARY).apply(sketch)
+  /** Aggregate a double column into a serialized KLL sketch (requires
+    * [[register]] on the session first). */
+  def kllSketchAgg(v: Column): Column = call_function("graft_kll_sketch_agg", v)
+
+  /** Merge a column of serialized KLL sketches (requires [[register]]). */
+  def kllMergeAgg(sketch: Column): Column = call_function("graft_kll_merge_agg", sketch)
 
   /** Quantile estimates at probabilities `ps` from a serialized sketch
-    * (inclusive rank semantics); null for an empty sketch. Runs on
+    * (inclusive rank semantics); None for an empty sketch. Runs on
     * metric-sized relations (one row per profiled column), never the data
     * path. */
   def quantiles(bytes: Array[Byte], ps: Seq[Double]): Option[Seq[Double]] = {
     if (bytes == null || bytes.isEmpty) return None
-    val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    val sk = sketchOf(bytes)
     if (sk.isEmpty) None else Some(ps.map(p => sk.getQuantile(p)))
   }
 }

@@ -53,6 +53,7 @@ object IncrementalProfiler {
     * the oracle's `CAST(c AS DECIMAL(38,6))`); `sq` matches ScanMetrics'
     * square form `CAST(double(c) * double(c) AS DECIMAL(38,6))`. */
   def snapshot(df: DataFrame): DataFrame = {
+    graft.functions.KllAggs.register(df.sparkSession)
     val cols = df.schema.fields
       .filter(f => ColumnClass.of(f.dataType) == ColumnClass.Numeric)
       .map(_.name).toSeq
@@ -90,7 +91,8 @@ object IncrementalProfiler {
     * A snapshot whose decimal total overflowed (`try_sum` → null with
     * nn > 0) poisons the merged total to null rather than being silently
     * skipped by `sum`'s null-ignoring semantics. */
-  def merge(states: Seq[DataFrame]): DataFrame =
+  def merge(states: Seq[DataFrame]): DataFrame = {
+    states.foreach(s => graft.functions.KllAggs.register(s.sparkSession))
     states.reduce(_ unionByName _)
       .groupBy("instance")
       .agg(
@@ -113,6 +115,7 @@ object IncrementalProfiler {
         when(col("sq_bad") === 0, col("dec_sum_sq_raw")).as("dec_sum_sq"),
         col("oor_sq"),
         col("mn"), col("mx"), col("hll"), col("kll"))
+  }
 
   /** Metrics relation from a (possibly merged) state.
     * Sum/Mean/StandardDeviation appear only when the exact decimal path
