@@ -25,7 +25,8 @@ object OracleSql {
       "l_linenumber" -> "int", "l_quantity" -> "double",
       "l_extendedprice" -> "double", "l_discount" -> "double",
       "l_tax" -> "double", "l_returnflag" -> "string",
-      "l_linestatus" -> "string", "l_shipdate" -> "timestamp")
+      // parquet stores isAdjustedToUTC=false -> Spark 4 reads TIMESTAMP_NTZ
+      "l_linestatus" -> "string", "l_shipdate" -> "timestamp_ntz")
   }
 
   private val T = "lineitem"
@@ -378,6 +379,13 @@ FROM documents ORDER BY doc_id"""
   substr(sha256(substr(text, CAST(i AS INT) * 256 + 1, 256)), 1, 16) AS frame_hash
 FROM documents, UNNEST(range(0, LEAST(4, CAST(ceil(strlen(text) / 256.0) AS BIGINT)))) t(i)
 ORDER BY doc_id, frame_idx"""
+
+  /** R7: the schema relation is metadata-derived (parquet footer), so its
+    * oracle is a golden VALUES literal of lineitem's declared (column,
+    * catalogString) pairs — pinning exactly what `Profiler.schemaDF` must
+    * read out of the footer. */
+  val schemaDf: String =
+    s"SELECT * FROM (VALUES $schemaValues) s(instance, type) ORDER BY instance"
 
   /** R4: the Column-entity side of the entity split over a size +
     * completeness profile — exactly the per-column Completeness rows (the

@@ -335,6 +335,7 @@ object SparkEntry {
     "histogram" -> OracleSql.histogram,
     "dedup_column_names" -> OracleSql.dedupColumnNames,
     "metrics_split" -> OracleSql.metricsSplit,
+    "schema_df" -> OracleSql.schemaDf,
     "metadata_upsert" -> OracleSql.metadataUpsert,
     "metrics_type_join" -> OracleSql.metricsTypeJoin,
     "cast_unsupported" -> OracleSql.castUnsupported,
