@@ -128,6 +128,11 @@ object SparkEntry {
       val (tableParams, columnParams) = graft.profiler.Sinks.toParams(rows, cfg)
       sink.upsert("lineitem", cfg.statsPrefix + "__", tableParams, columnParams)
       val meta = sink.read("lineitem")
+      // the store is fully materialized in `meta` — remove the temp dir so
+      // repeated Verify/Bench invocations don't accumulate orphans
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).sorted(
+        java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       val flat =
         meta.tableParams.toSeq.map { case (k, v) => ("table", k, v.toDouble) } ++
           meta.columnParams.toSeq.flatMap { case (c, m) =>

@@ -4,11 +4,12 @@ import org.apache.datasketches.kll.KllDoublesSketch
 import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
 
 /** Mergeable quantile sketches for the incremental profiler, built on the
   * Apache DataSketches KLL implementation that ships with Spark 4
@@ -40,9 +41,18 @@ object KllAggs {
   private def sketchOf(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))
 
-  /** Shared shape of both sketch aggregates. */
+  /** Shared shape of both sketch aggregates. Declares its input type so a
+    * mistyped column fails analysis (with a cast attempt) instead of a
+    * runtime ClassCastException mid-job. */
   sealed trait KllAggBase
       extends TypedImperativeAggregate[KllDoublesSketch] with UnaryLike[Expression] {
+    /** Declared input type of the aggregate (checked at analysis). */
+    protected def expectedInputType: DataType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == expectedInputType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires ${expectedInputType.catalogString} input, " +
+          s"got ${child.dataType.catalogString}")
     override def createAggregationBuffer(): KllDoublesSketch =
       KllDoublesSketch.newHeapInstance(K)
     override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
@@ -65,6 +75,7 @@ object KllAggs {
       child: Expression,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0) extends KllAggBase {
+    override protected def expectedInputType: DataType = DoubleType
     override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
       val v = child.eval(input)
       if (v != null) b.update(v.asInstanceOf[Double])
@@ -85,6 +96,7 @@ object KllAggs {
       child: Expression,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0) extends KllAggBase {
+    override protected def expectedInputType: DataType = BinaryType
     override def update(b: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
       val v = child.eval(input)
       if (v != null) {

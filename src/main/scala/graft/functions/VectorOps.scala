@@ -131,13 +131,19 @@ object VectorOps {
 
   // The ±1 plane matrix depends only on (planes, dim): computed once per
   // JVM and shared across rows/tasks (2 MB at 4096 planes × 64 dims) so the
-  // per-row work is a pure multiply-add loop, not hashing.
+  // per-row work is a pure multiply-add loop, not hashing. Bounded: an
+  // embedding corpus has one (or very few) vector dimensions — many
+  // distinct dims means ragged upstream data, and an unbounded cache would
+  // retain one matrix per dim forever on every executor.
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private val PlaneCacheMax = 8
 
-  private def planes(n: Int, dim: Int): Array[Array[Double]] =
+  private def planes(n: Int, dim: Int): Array[Array[Double]] = {
+    if (planeCache.size > PlaneCacheMax) planeCache.clear()
     planeCache.computeIfAbsent(
       (n, dim), _ => Array.tabulate(n, dim)((p, d) => planeSign(p, d)))
+  }
 
   /** Called from generated code: all `bands` LSH band keys of one vector. */
   def lshBands(v: ArrayData, vFloat: Boolean, bands: Int, bitsPerBand: Int): ArrayData = {

@@ -77,12 +77,18 @@ object Multimodal {
     *     are all zero. Deterministic in the bytes, so tests/reruns agree.
     */
   def decode(payload: Array[Byte]): (String, Int, Int, Long) = {
+    // Magic bytes alone are not enough: text CAN start with "BM"/"RIFF",
+    // so also validate a fixed-value header field whose encoding contains
+    // NUL bytes (biSize=40 / fmt-chunk-size=16) — impossible in text, so a
+    // text payload can never be misclassified as a container.
     def isBmp =
-      payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte
+      payload.length >= 54 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte &&
+        le32(payload, 14) == 40 && le32(payload, 10) >= 54
     def isWav =
       payload.length >= 44 &&
         new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
-        new String(payload, 8, 8, "US-ASCII") == "WAVEfmt "
+        new String(payload, 8, 8, "US-ASCII") == "WAVEfmt " &&
+        le32(payload, 16) == 16
     if (isBmp)
       ("bmp", le32(payload, 18), le32(payload, 22),
         bodyChecksum(payload, le32(payload, 10)))

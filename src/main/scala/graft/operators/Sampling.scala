@@ -52,11 +52,14 @@ object Sampling {
       splits: Seq[(String, Double)],
       salt: String = "graft"): DataFrame = {
     require(splits.nonEmpty, "at least one split required")
-    val bounds = splits.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + math.round(f * Buckets)
-    }.tail
-    require(bounds.last == Buckets,
-      s"split fractions must sum to 1 (got upper bound ${bounds.last} of $Buckets)")
+    require(splits.forall(_._2 >= 0), "split fractions must be non-negative")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1 (got ${splits.map(_._2).sum})")
+    // bounds from CUMULATIVE fractions: per-split rounding would reject
+    // legitimate sets (three 1/3s each round to 3333, summing to 9999)
+    val bounds = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(cum => math.round(cum * Buckets))
+    require(bounds.last == Buckets, s"internal: ${bounds.last}")
     val b = hashBucket(col(keyCol), salt)
     val label = splits.map(_._1).zip(bounds).init
       .foldLeft(when(lit(false), lit(""))) { case (acc, (name, hi)) =>

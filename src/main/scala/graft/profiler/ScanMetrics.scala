@@ -223,7 +223,11 @@ object ScanMetrics {
         if (group.isEmpty) Future.successful(None)
         else {
           val aliased = group.zipWithIndex.map { case (s, i) => s.expr.alias(s"m$i") }
-          Future(Some(df.agg(aliased.head, aliased.tail: _*).head()))
+          // blocking{}: head() parks the thread in a Spark wait — let the
+          // fork-join pool grow instead of starving under --tableParallelism
+          Future(Some(scala.concurrent.blocking {
+            df.agg(aliased.head, aliased.tail: _*).head()
+          }))
         }
       (group, fut)
     }

@@ -136,10 +136,20 @@ class SamplingSpec extends AnyFunSuite {
     val half = Sampling.hashSplit(corpus.where(col("doc_id") <= 1000), "doc_id", splits)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     half.foreach { case (id, s) => assert(all(id) == s, s"doc $id moved split") }
-    // fractions must sum to 1
+    // fractions must sum to 1 and be non-negative
     intercept[IllegalArgumentException] {
       Sampling.hashSplit(corpus, "doc_id", Seq("a" -> 0.5))
     }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(corpus, "doc_id", Seq("a" -> 1.1, "b" -> -0.1))
+    }
+    // equal thirds are legitimate: cumulative bounds avoid the per-split
+    // rounding trap (3333+3333+3333 != 10000)
+    val thirds = Sampling.hashSplit(
+      corpus, "doc_id", Seq("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thirds.keySet == Set("a", "b", "c"))
+    assert(thirds.values.sum == 2000L)
   }
 }
 

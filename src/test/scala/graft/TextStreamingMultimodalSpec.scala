@@ -214,6 +214,14 @@ class MultimodalSpec extends AnyFunSuite {
     // neither magic -> raw byte features
     assert(Multimodal.decode("Q".getBytes) == ("raw", 'Q'.toInt + 1, 'Q'.toInt + 1, 'Q'.toLong))
     assert(Multimodal.decode(Array.emptyByteArray) == ("raw", 0, 0, 0L))
+
+    // text starting with container magic must NOT be sniffed as a
+    // container: the validated fixed header fields contain NUL bytes,
+    // which text cannot — so these stay raw
+    val bmText = ("BM" + "W prices rose sharply this quarter, analysts said " * 3).getBytes
+    assert(Multimodal.decode(bmText)._1 == "raw")
+    val riffText = ("RIFFxxxxWAVEfmt and other strings that look like audio " * 2).getBytes
+    assert(Multimodal.decode(riffText)._1 == "raw")
   }
 
   test("synthetic media corpus round-trips through the real decoders, distributed") {
