@@ -209,6 +209,19 @@ SELECT id_a, id_b, jaccard FROM (
   FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b) q
 WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
 
+  /** Decontamination twin: distinct word-3-gram shingles per doc, train
+    * (doc_id % 50 != 0) joined to bench (doc_id % 50 = 0) on shared
+    * shingles, pairs with >= 3 shared shingles flagged. */
+  val contamination: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+pairs AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+  GROUP BY 1, 2)
+SELECT train_id, bench_id, shared FROM pairs WHERE shared >= 3 ORDER BY train_id, bench_id"""
+
   /** Left-fold double dot product — matches Spark `aggregate` (0.0 seed,
     * left-to-right) bit-for-bit. */
   private def listDot(a: String, b: String): String =

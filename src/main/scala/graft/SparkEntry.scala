@@ -196,6 +196,16 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
+    // benchmark decontamination: every 50th doc plays the eval set; train
+    // docs sharing >= 3 word-3-gram shingles with any eval doc are flagged
+    "contamination" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contamination(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3, minShared = 3)
+        .orderBy("train_id", "bench_id")
+    }),
     // similarity search (embeddings table)
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(
@@ -349,6 +359,7 @@ object SparkEntry {
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "contamination" -> OracleSql.contamination,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "events_json" -> OracleSql.eventsJson,

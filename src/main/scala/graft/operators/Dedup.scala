@@ -113,6 +113,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Benchmark decontamination: training documents sharing at least
+    * `minShared` word n-gram shingles with any benchmark/eval document —
+    * the standard contamination check run before training on scraped
+    * corpora (an eval question leaking into the training set inflates
+    * scores). Returns `(train_id, bench_id, shared)`.
+    *
+    * Scale shape mirrors [[ngramJaccard]]: the join key is the shingle
+    * (compact string), the benchmark side is tiny relative to the corpus
+    * (Catalyst broadcasts it), and `maxDocFreq` drops ubiquitous shingles
+    * ("the of the") from the train side before pairing — at 100 TB the
+    * pair count follows genuine overlap, not corpus size. */
+  def contamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minShared: Int = 2,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val trainShAll = shingles(corpus, idCol, textCol, n)
+    val trainSh = maxDocFreq match {
+      case Some(cap) =>
+        val rare = trainShAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("shingle")
+        trainShAll.join(rare, "shingle")
+      case None => trainShAll
+    }
+    val benchSh = shingles(bench, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("shingle"))
+    trainSh.select(col("id").as("train_id"), col("shingle"))
+      .join(benchSh, "shingle")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
   /** MinHash signatures: `numHashes` independent permutations simulated by
     * seeded xxhash64; one groupBy computes all minima — a single shuffle
     * keyed on document id. */

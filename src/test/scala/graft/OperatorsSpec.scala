@@ -56,6 +56,23 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSet.subsetOf(exact))
   }
 
+  test("contamination flags train docs overlapping the benchmark, not unrelated ones") {
+    import spark.implicits._
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // contains bench 1
+      (11L, "completely unrelated words about engines and turbines"),
+      (12L, "quick brown fox jumps high")) // 2 shared shingles with bench 1
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "quick brown fox jumps over")).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(train, bench, "doc_id", "text", n = 3, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.toSeq == Seq((10L, 1L, 3L)))
+    // lower threshold also surfaces the partial overlap
+    val loose = Dedup.contamination(train, bench, "doc_id", "text", n = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((10L, 1L), (12L, 1L)))
+  }
+
   test("exact dedup keeps NULL keys distinct from empty string and per position") {
     import spark.implicits._
     val rows = Seq(
