@@ -196,18 +196,35 @@ object OracleSql {
     "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
       "GROUP BY sha256(text) ORDER BY doc_id"
 
-  /** Word 3-gram shingle Jaccard pairs ≥ 0.5 (exact pairwise over shared
-    * shingles — the oracle twin of Dedup.ngramJaccard with no doc-freq
-    * cap). */
-  val dedupNgramJaccard: String =
-    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+  /** Shared CTE chain computing exact word-3-gram Jaccard pairs ≥ 0.5
+    * (`jpairs(id_a, id_b)`) — the oracle twin of Dedup.ngramJaccard with
+    * no doc-freq cap. */
+  private val jaccardCtes: String =
+    raw"""words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
-  FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b) q
-WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jpairs AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b) q
+  WHERE jaccard >= 0.5)"""
+
+  val dedupNgramJaccard: String =
+    s"WITH $jaccardCtes\nSELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
+
+  /** Connected components over the Jaccard pair graph: transitive closure
+    * via a recursive CTE, each node labeled with the smallest reachable
+    * doc id — the oracle twin of Clustering.dedupClusters (which computes
+    * the same fixpoint with the alternating-star algorithm). */
+  val dedupClusters: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+edges AS (SELECT id_a AS u, id_b AS v FROM jpairs UNION SELECT id_b, id_a FROM jpairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"""
 
   /** Decontamination twin: distinct word-3-gram shingles per doc, train
     * (doc_id % 50 != 0) joined to bench (doc_id % 50 = 0) on shared

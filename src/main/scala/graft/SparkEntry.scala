@@ -190,6 +190,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // cluster assignment: pair relation -> connected components with the
+    // smallest doc id as canonical representative (alternating-star CC)
+    "dedup_clusters" -> ((s, dir) =>
+      graft.operators.Clustering.dedupClusters(
+        Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5))
+        .orderBy("doc_id")),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
@@ -359,6 +365,7 @@ object SparkEntry {
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "dedup_clusters" -> OracleSql.dedupClusters,
     "contamination" -> OracleSql.contamination,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
