@@ -239,6 +239,23 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT train_id, bench_id, shared FROM pairs WHERE shared >= 3 ORDER BY train_id, bench_id"""
 
+  /** PII scan twin: identical rendered-text expression, identical regex
+    * patterns (shared constants — valid in both Java regex and RE2 with the
+    * same leftmost-first semantics), identical email→IP→phone replacement
+    * order. */
+  val piiScan: String = {
+    import graft.functions.PiiFunctions.{EmailPattern, Ipv4Pattern, PhonePattern}
+    s"""WITH r AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+  CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.8' ELSE '' END ||
+  CASE WHEN doc_id % 5 = 0 THEN ' tel 25-989-741-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_phones,
+  sha256(regexp_replace(regexp_replace(regexp_replace(t, '$EmailPattern', '[EMAIL]', 'g'), '$Ipv4Pattern', '[IP]', 'g'), '$PhonePattern', '[PHONE]', 'g')) AS redacted_sha
+FROM r ORDER BY doc_id"""
+  }
+
   /** Left-fold double dot product — matches Spark `aggregate` (0.0 seed,
     * left-to-right) bit-for-bit. */
   private def listDot(a: String, b: String): String =

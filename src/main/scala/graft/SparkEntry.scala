@@ -272,6 +272,30 @@ object SparkEntry {
           .as("stopword_ratio"),
         round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")),
+    // PII scrubbing: detection counts + masked-text digest over a
+    // deterministically rendered text column (the corpus text enriched with
+    // synthetic contact strings derived from doc_id — identical expression
+    // in the DuckDB oracle, so detection AND redaction are exact-checked)
+    "pii_scan" -> ((s, dir) => {
+      import graft.functions.PiiFunctions
+      val d = col("doc_id")
+      val rendered = concat(
+        col("text"),
+        lit(" contact user"), d.cast("string"), lit("@example.com"),
+        when(d % 3 === 0,
+          concat(lit(" ip 10."), (d % 256).cast("string"), lit("."),
+            ((d * 7) % 256).cast("string"), lit(".8"))).otherwise(lit("")),
+        when(d % 5 === 0,
+          concat(lit(" tel 25-989-741-"), lpad((d % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      documents(s, dir).select(
+        col("doc_id"),
+        PiiFunctions.emailCount(rendered).cast("long").as("n_emails"),
+        PiiFunctions.ipv4Count(rendered).cast("long").as("n_ipv4"),
+        PiiFunctions.phoneCount(rendered).cast("long").as("n_phones"),
+        sha2(PiiFunctions.redact(rendered), 256).as("redacted_sha"))
+        .orderBy("doc_id")
+    }),
     "vocab_topk" -> ((s, dir) =>
       TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
     "lang_id" -> ((s, dir) =>
@@ -374,6 +398,7 @@ object SparkEntry {
     "dataset_split" -> OracleSql.datasetSplit,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
+    "pii_scan" -> OracleSql.piiScan,
     "vocab_topk" -> OracleSql.vocabTopK,
     "lang_id" -> OracleSql.langId,
     "doc_fingerprint" -> OracleSql.docFingerprint,

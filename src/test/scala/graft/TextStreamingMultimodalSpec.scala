@@ -249,3 +249,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(2)).toSeq == Seq(256L, 44L))
   }
 }
+
+class PiiSpec extends AnyFunSuite {
+  import graft.functions.PiiFunctions
+  private lazy val spark = TestSpark.spark
+
+  private def scan(texts: String*): Seq[(Int, Int, Int, String)] = {
+    import spark.implicits._
+    texts.toSeq.toDF("t").select(
+      PiiFunctions.emailCount(col("t")),
+      PiiFunctions.ipv4Count(col("t")),
+      PiiFunctions.phoneCount(col("t")),
+      PiiFunctions.redact(col("t")))
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+  }
+
+  test("counts and masks emails, IPv4s, and dashed phones") {
+    val Seq(out) = scan("mail a.b+x@ex-1.org, host 10.0.0.1, call 25-989-741-2988 now")
+    assert(out == ((1, 1, 1, "mail [EMAIL], host [IP], call [PHONE] now")))
+  }
+
+  test("an IP-host mailbox counts as an IP, not an email") {
+    val Seq(out) = scan("root@10.0.0.1 logged in")
+    assert(out._1 == 0 && out._2 == 1)
+    assert(out._4 == "root@[IP] logged in")
+  }
+
+  test("clean text passes through untouched") {
+    val Seq(out) = scan("no personal data here 123.45 v1.2")
+    assert(out == ((0, 0, 0, "no personal data here 123.45 v1.2")))
+  }
+
+  test("multiple hits per row are all counted and replaced") {
+    val Seq(out) = scan("a@b.co c@d.io 1.2.3.4 5.6.7.8")
+    assert(out._1 == 2 && out._2 == 2)
+    assert(out._4 == "[EMAIL] [EMAIL] [IP] [IP]")
+  }
+}
