@@ -239,6 +239,24 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT train_id, bench_id, shared FROM pairs WHERE shared >= 3 ORDER BY train_id, bench_id"""
 
+  /** Repetition-metrics twin: same tokenization as the other text oracles,
+    * per-doc token/bigram frequency profiles computed list-wise, fractions
+    * CASE-guarded exactly like the Spark side. */
+  val repetitionMetrics: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tokc AS (SELECT doc_id, t, COUNT(*) AS c FROM (SELECT doc_id, unnest(w) AS t FROM words) GROUP BY 1, 2),
+toks AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS mx FROM tokc GROUP BY 1),
+bigc AS (SELECT doc_id, g, COUNT(*) AS c FROM (SELECT doc_id, w[i] || ' ' || w[i+1] AS g FROM words, UNNEST(range(1, len(w))) s(i)) GROUP BY 1, 2),
+bigs AS (SELECT doc_id, MAX(c) AS mb, CAST(SUM(c) AS BIGINT) AS nb FROM bigc GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_distinct, 0) AS n_distinct,
+  ROUND(CASE WHEN n_tokens > 0 THEN 1.0 - n_distinct * 1.0 / n_tokens END, 6) AS dup_token_frac,
+  COALESCE(mx, 0) AS max_token_freq,
+  ROUND(CASE WHEN nb > 0 THEN mb * 1.0 / nb END, 6) AS top_bigram_frac
+FROM documents d LEFT JOIN toks ON d.doc_id = toks.doc_id LEFT JOIN bigs ON d.doc_id = bigs.doc_id
+ORDER BY d.doc_id"""
+
   /** PII scan twin: identical rendered-text expression, identical regex
     * patterns (shared constants — valid in both Java regex and RE2 with the
     * same leftmost-first semantics), identical email→IP→phone replacement

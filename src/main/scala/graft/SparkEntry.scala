@@ -272,6 +272,12 @@ object SparkEntry {
           .as("stopword_ratio"),
         round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")),
+    // Gopher-style repetition filters: duplicate-token fraction and
+    // most-common-bigram share per document
+    "repetition_metrics" -> ((s, dir) =>
+      TextFunctions.repetitionMetrics(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // PII scrubbing: detection counts + masked-text digest over a
     // deterministically rendered text column (the corpus text enriched with
     // synthetic contact strings derived from doc_id — identical expression
@@ -398,6 +404,7 @@ object SparkEntry {
     "dataset_split" -> OracleSql.datasetSplit,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
+    "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
     "vocab_topk" -> OracleSql.vocabTopK,
     "lang_id" -> OracleSql.langId,

@@ -77,6 +77,60 @@ object TextFunctions {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Repetition metrics per document — the Gopher-style quality filters
+    * (Rae et al. 2021, §A1.1) that catch degenerate/boilerplate text exact
+    * dedup misses: duplicate-token fraction and the most-common-bigram
+    * share. Returns one row per input document:
+    * `(id, n_tokens, n_distinct, dup_token_frac, max_token_freq,
+    * top_bigram_frac)`; fractions are null when undefined (no tokens /
+    * no bigrams).
+    *
+    * Scale shape: token and bigram chains are each explode → two-level hash
+    * aggregation keyed on `(id, gram)` then `id` — map-side partial combine
+    * makes shuffle volume proportional to distinct grams per doc, and no
+    * per-doc array is ever buffered (a 10⁷-token document costs aggregate
+    * buffers, not memory). Bigrams are generated positionally inside the
+    * row (`transform` over the token array), so adjacency never needs a
+    * self-join. */
+  def repetitionMetrics(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"), wsTokens(lower(col(textCol))).as("w"))
+    val tokStats = toks.select(col("id"), explode(col("w")).as("t"))
+      .groupBy("id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("max_token_freq"))
+    val bigrams = toks.select(
+      col("id"),
+      explode(
+        when(size(col("w")) >= 2,
+          transform(
+            sequence(lit(1), size(col("w")) - 1),
+            i => concat(element_at(col("w"), i), lit(" "), element_at(col("w"), i + 1))))
+          .otherwise(array())).as("g"))
+    val biStats = bigrams.groupBy("id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").as("max_bigram_freq"), sum("c").as("n_bigrams"))
+    df.select(col(idCol).as("id"))
+      .join(tokStats, Seq("id"), "left")
+      .join(biStats, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(
+          when(col("n_tokens") > 0,
+            lit(1.0) - col("n_distinct").cast("double") / col("n_tokens").cast("double")),
+          6).as("dup_token_frac"),
+        coalesce(col("max_token_freq"), lit(0L)).as("max_token_freq"),
+        round(
+          when(col("n_bigrams") > 0,
+            col("max_bigram_freq").cast("double") / col("n_bigrams").cast("double")),
+          6).as("top_bigram_frac"))
+  }
+
   /** Composite quality score in [0, 1]:
     * 0.4·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
     * The weights and the exact operation order are part of the oracle

@@ -287,3 +287,37 @@ class PiiSpec extends AnyFunSuite {
     assert(out._4 == "[EMAIL] [EMAIL] [IP] [IP]")
   }
 }
+
+class RepetitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("repetition metrics: hand-computed fractions, null guards on degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 tokens, 3 distinct, "a b" bigram appears 2/5 times
+      (1L, "a b a b c c"),
+      (2L, "x"),          // single token: no bigrams -> null bigram frac
+      (3L, "unique words only here"),
+      (4L, " ")           // whitespace-only: no tokens at all
+    ).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions
+      .repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("id").collect()
+
+    val r1 = out(0)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(4)) == ((6L, 3L, 2L)))
+    assert(r1.getDouble(3) == 0.5)            // 1 - 3/6
+    assert(r1.getDouble(5) == 0.4)            // "a b" twice / 5 bigrams
+
+    val r2 = out(1)
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(4)) == ((1L, 1L, 1L)))
+    assert(r2.getDouble(3) == 0.0 && r2.isNullAt(5))
+
+    val r3 = out(2)
+    assert(r3.getDouble(3) == 0.0 && r3.getDouble(5) == 0.333333)
+
+    val r4 = out(3)
+    assert((r4.getLong(1), r4.getLong(2), r4.getLong(4)) == ((0L, 0L, 0L)))
+    assert(r4.isNullAt(3) && r4.isNullAt(5))
+  }
+}
