@@ -239,6 +239,28 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT train_id, bench_id, shared FROM pairs WHERE shared >= 3 ORDER BY train_id, bench_id"""
 
+  /** BM25 twin for the fixed query (spark, merge, vector), k1=1.2, b=0.75.
+    * Every fractional constant is CAST to DOUBLE (a bare 2.2 is DECIMAL in
+    * DuckDB — exact-decimal then one late rounding, which does NOT equal
+    * Java double arithmetic), and the three term scores are added in the
+    * same fixed left-associated order as the Spark expression tree, so the
+    * raw doubles match bit-for-bit. LN not LOG (DuckDB LOG is log10). */
+  val bm25TopK: String = {
+    def term(i: Int): String =
+      s"(CASE WHEN tf$i > 0 THEN LN((CAST(n_docs AS DOUBLE) - CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) / (CAST(df$i AS DOUBLE) + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * CAST(tf$i AS DOUBLE) * CAST(2.2 AS DOUBLE) / (CAST(tf$i AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE) + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) ELSE CAST(0.0 AS DOUBLE) END)"
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+  CAST(len(list_filter(w, x -> x = 'spark')) AS BIGINT) AS tf0,
+  CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf1,
+  CAST(len(list_filter(w, x -> x = 'vector')) AS BIGINT) AS tf2 FROM words),
+stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+  CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+  CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+  CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2 FROM base),
+scored AS (SELECT doc_id, ${term(0)} + ${term(1)} + ${term(2)} AS raw FROM base, stats)
+SELECT doc_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, doc_id LIMIT 20"""
+  }
+
   /** Repetition-metrics twin: same tokenization as the other text oracles,
     * per-doc token/bigram frequency profiles computed list-wise, fractions
     * CASE-guarded exactly like the Spark side. */

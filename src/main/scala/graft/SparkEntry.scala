@@ -302,6 +302,10 @@ object SparkEntry {
         sha2(PiiFunctions.redact(rendered), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    // BM25 keyword retrieval: rank the corpus for a fixed 3-term query
+    "bm25_topk" -> ((s, dir) =>
+      graft.operators.Search.bm25TopK(
+        documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
     "vocab_topk" -> ((s, dir) =>
       TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
     "lang_id" -> ((s, dir) =>
@@ -406,6 +410,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
+    "bm25_topk" -> OracleSql.bm25TopK,
     "vocab_topk" -> OracleSql.vocabTopK,
     "lang_id" -> OracleSql.langId,
     "doc_fingerprint" -> OracleSql.docFingerprint,

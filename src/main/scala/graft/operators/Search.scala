@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Keyword retrieval over a document corpus: BM25 ranking (Robertson et
+  * al.; the Lucene `(k1, b)` variant with the `ln(1 + (N-df+0.5)/(df+0.5))`
+  * IDF) — the standard relevance score used for corpus curation passes
+  * (e.g. selecting topical documents for a training mixture).
+  *
+  * Scale design: NOTHING here shuffles document payloads —
+  *  1. per-document term frequencies come from `size(filter(tokens, …))`
+  *     array expressions evaluated inside the scan projection (no explode,
+  *     no `(doc, term)` shuffle);
+  *  2. corpus statistics (N, Σdl, per-term document frequencies) reduce to
+  *     ONE single-row aggregate, broadcast back via a 1-row cross join;
+  *  3. ranking is `ORDER BY … LIMIT k` — Spark plans it as
+  *     `TakeOrderedAndProject` (per-partition heaps, no global sort).
+  * Two scans of the corpus total, both column-pruned to (id, text).
+  *
+  * Determinism: the per-document score sums the query terms in their given
+  * fixed order with plain left-associated double arithmetic, and every
+  * fractional constant is forced to DOUBLE in the oracle twin — bit-for-bit
+  * reproducible across engines.
+  */
+object Search {
+
+  /** BM25 top-k: `(idCol, score)` for the `k` highest-scoring documents,
+    * score descending, id ascending on ties. Documents matching no query
+    * term score 0 and only appear if fewer than `k` documents match. */
+  def bm25TopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: Seq[String],
+      k: Int = 20,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must have at least one term")
+    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    val tfCols = query.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
+    }
+    val base = df.select(
+      (col(idCol) +: size(toks).cast("long").as("dl") +: tfCols): _*)
+
+    // one single-row reduction: corpus size, total token count (exact,
+    // integral — no FP accumulation order to worry about), per-term df
+    val statAggs =
+      count(lit(1)).as("n_docs") +:
+        sum(col("dl")).as("sum_dl") +:
+        query.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / avgdl)
+    val termScores: Seq[Column] = query.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val dfq = col(s"df$i").cast("double")
+      val idf = log(
+        (col("n_docs").cast("double") - dfq + lit(0.5)) / (dfq + lit(0.5)) + lit(1.0))
+      when(col(s"tf$i") > 0, idf * tf * lit(k1 + 1.0) / (tf + norm)).otherwise(lit(0.0))
+    }
+    base.crossJoin(broadcast(stats))
+      .select(col(idCol), termScores.reduceLeft(_ + _).as("raw"))
+      .orderBy(col("raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("raw"), 6).as("score"))
+  }
+}

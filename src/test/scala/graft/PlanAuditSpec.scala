@@ -107,6 +107,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"CC must join on node keys only:\n$p")
   }
 
+  test("bm25 ranks via per-partition heaps with a broadcast 1-row stats join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Search.bm25TopK(
+      docs, "doc_id", "text", Seq("spark", "merge")))
+    assert(p.contains("TakeOrderedAndProject"), s"expected heap top-k, not global sort:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for the stats join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row should broadcast:\n$p")
+  }
+
   test("multi-column distinctness is one Expand pass, not per-column jobs") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val slots = graft.profiler.ScanMetrics.slots(
