@@ -345,6 +345,15 @@ ORDER BY cos DESC, id_a, id_b LIMIT 50"""
     s"""SELECT doc_id, CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split
 FROM (SELECT doc_id, $sampleBucket AS b FROM documents) q ORDER BY doc_id"""
 
+  /** Stratified-sample twin: strata by integer-divided char length, up to
+    * 10 docs per stratum in (hash bucket, doc_id) order — the same bucket
+    * algebra as [[sampleDeterministic]]. */
+  val stratifiedSample: String =
+    s"""SELECT doc_id, stratum FROM (
+  SELECT doc_id, LENGTH(text) // 100 AS stratum,
+    ROW_NUMBER() OVER (PARTITION BY LENGTH(text) // 100 ORDER BY $sampleBucket, doc_id) AS rn
+  FROM documents) q WHERE rn <= 10 ORDER BY doc_id"""
+
   import graft.functions.TextFunctions.{BpeishPattern, PunctPattern, Stopwords}
 
   private val wsToksSql = raw"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"

@@ -239,6 +239,14 @@ object SparkEntry {
     "sample_deterministic" -> ((s, dir) =>
       Sampling.deterministicSample(documents(s, dir), "doc_id", rate = 0.1)
         .select("doc_id").orderBy("doc_id")),
+    // mixture balancing: up to 10 docs per char-length stratum, picked in
+    // deterministic hash order
+    "stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(
+        documents(s, dir), "doc_id",
+        expr("length(text) div 100").cast("long"), perStratum = 10)
+        .select(col("doc_id"), col("stratum").cast("long").as("stratum"))
+        .orderBy("doc_id")),
     "dataset_split" -> ((s, dir) =>
       Sampling.hashSplit(
         documents(s, dir), "doc_id",
@@ -406,6 +414,7 @@ object SparkEntry {
     "events_json" -> OracleSql.eventsJson,
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "dataset_split" -> OracleSql.datasetSplit,
+    "stratified_sample" -> OracleSql.stratifiedSample,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
     "repetition_metrics" -> OracleSql.repetitionMetrics,

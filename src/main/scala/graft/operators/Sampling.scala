@@ -42,6 +42,40 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < math.round(rate * Buckets))
   }
 
+  /** Stratified sampling: keep up to `perStratum` rows per stratum, chosen
+    * in deterministic hash order (`(hashBucket, key)` — reproducible across
+    * runs/partitionings/engines, like [[deterministicSample]]) — the
+    * mixture-balancing step of corpus curation (equalize domains/languages
+    * before training).
+    *
+    * Scale shape: one shuffle keyed on the stratum + a per-stratum
+    * `row_number` window. A single stratum sorts within one task — fine up
+    * to ~10⁸ rows per stratum; for strata far beyond that, pre-trim
+    * map-side with `hashPrefilter = Some(bucketBound)` (keeps only rows
+    * with bucket < bound before the window — EXACT as long as every
+    * stratum retains ≥ perStratum rows, since the window order is the
+    * bucket itself: the kept prefix in hash order is unchanged). */
+  def stratifiedSample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: Column,
+      perStratum: Int,
+      salt: String = "graft",
+      hashPrefilter: Option[Int] = None): DataFrame = {
+    require(perStratum > 0, "perStratum must be positive")
+    val b = hashBucket(col(keyCol), salt)
+    val pre = hashPrefilter match {
+      case Some(bound) => df.where(b < bound)
+      case None => df
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(b.asc, col(keyCol).asc)
+    pre.withColumn("stratum", strataCol)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= perStratum)
+      .drop("rn")
+  }
+
   /** Assign each row a split label by consecutive bucket ranges, e.g.
     * `Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)`. Fractions must
     * sum to 1 (within bucket granularity); ranges are disjoint and

@@ -140,6 +140,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(s20.size - 400) < 80, s"20% of 2000 gave ${s20.size}")
   }
 
+
+  test("stratified sample caps each stratum, picks the same docs regardless of partitioning") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 200L).map(i => (i, "x" * (if (i % 2 == 0) 50 else 150))).toDF("doc_id", "text")
+    val strata = expr("length(text) div 100").cast("long")
+    val a = Sampling.stratifiedSample(docs, "doc_id", strata, perStratum = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs.repartition(7), "doc_id", strata, perStratum = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.size == 10)            // 5 from each of the two strata
+    assert(a.count(_ % 2 == 0) == 5 && a.count(_ % 2 == 1) == 5)
+  }
+
+  test("stratified hash prefilter is exact when every stratum keeps enough rows") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (0L until 500L).map(i => (i, "y" * (i % 3).toInt)).toDF("doc_id", "text")
+    val strata = expr("length(text)").cast("long")
+    val exact = Sampling.stratifiedSample(docs, "doc_id", strata, perStratum = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // bound 5000 keeps ~half of each ~167-row stratum - far more than 3
+    val pre = Sampling.stratifiedSample(docs, "doc_id", strata, perStratum = 3,
+      hashPrefilter = Some(5000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pre == exact)
+  }
+
   test("hash split: exhaustive, disjoint, and stable when the corpus grows") {
     import graft.operators.Sampling
     val splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
