@@ -363,6 +363,14 @@ FROM (SELECT doc_id, $sampleBucket AS b FROM documents) q ORDER BY doc_id"""
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Whitespace + BPE-ish token counts per document. */
+  /** Sequence-packing twin: the windowed prefix sum DuckDB can afford on
+    * oracle-scale data (the Spark side computes the same prefix sum
+    * distributedly — two-phase per-partition totals + offset seeding). */
+  val sequencePacking: String =
+    s"""WITH t AS (SELECT doc_id, CAST(len($wsToksSql) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
+SELECT doc_id, n_tokens, cum_before // 1000 AS pack_id, cum_before FROM c ORDER BY doc_id"""
+
   val tokenCount: String =
     s"SELECT doc_id, CAST(len($wsToksSql) AS BIGINT) AS ws_tokens, " +
       s"CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpe_tokens " +

@@ -252,6 +252,14 @@ object SparkEntry {
         documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split").orderBy("doc_id")),
+    // context-window packing: distributed prefix sum over token counts in
+    // doc_id order; pack = floor(tokens-before / 1000)
+    "sequence_packing" -> ((s, dir) =>
+      graft.operators.Packing.packSequences(
+        documents(s, dir).select(
+          col("doc_id"), TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 1000)
+        .orderBy("doc_id")),
     // text analysis (documents table)
     "token_count" -> ((s, dir) =>
       documents(s, dir).select(
@@ -415,6 +423,7 @@ object SparkEntry {
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,
+    "sequence_packing" -> OracleSql.sequencePacking,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
     "repetition_metrics" -> OracleSql.repetitionMetrics,

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents (in ascending id order) to fixed
+  * token-budget packs — the batch-construction step that concatenates a
+  * corpus into training context windows. A document belongs to the pack in
+  * which its first token lands: `pack_id = cum_tokens_before / budget`.
+  *
+  * The naive Spark expression — `sum(tokens).over(Window.orderBy(id))`
+  * with no partition key — collapses the whole corpus into ONE task (Spark
+  * even warns about it). This implementation is the textbook two-phase
+  * distributed prefix sum instead:
+  *   1. range-partition by id and sort within partitions (one shuffle of
+  *      compact `(id, tokens)` pairs);
+  *   2. job 1: per-partition token totals — P numbers to the driver;
+  *   3. prefix-exclusive offsets over those P totals, broadcast back;
+  *   4. job 2: per-partition running sum seeded with the partition's
+  *      offset (`mapPartitions` — genuine per-partition sequential logic,
+  *      the documented exception to expression-only style).
+  * Wall-clock is two linear passes at full parallelism; the result is a
+  * pure function of `(id, tokens, budget)`, independent of partitioning
+  * (range boundaries only decide WHERE the running sum is seeded).
+  */
+object Packing {
+
+  /** Returns `(idCol, n_tokens, pack_id, cum_before)` where `cum_before`
+    * is the exact number of tokens preceding the document in id order and
+    * `pack_id = cum_before / budget` (floor). */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val parts = numPartitions.getOrElse(
+      math.max(1, sp.sparkContext.defaultParallelism))
+    val parted = df
+      .select(col(idCol).cast("long").as("_1"), col(tokenCol).cast("long").as("_2"))
+      .as[(Long, Long)]
+      .repartitionByRange(parts, col("_1"))
+      .sortWithinPartitions(col("_1"))
+      .persist()
+    try {
+      val totals = parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach(s += _._2)
+        Iterator((pid, s))
+      }.collect()
+      val offsets = new Array[Long](parts)
+      totals.sortBy(_._1).foldLeft(0L) { case (acc, (pid, s)) =>
+        offsets(pid) = acc
+        acc + s
+      }
+      val bc = sp.sparkContext.broadcast(offsets)
+      parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var cum = bc.value(pid)
+        it.map { case (id, tok) =>
+          val before = cum
+          cum += tok
+          (id, tok, before / budget, before)
+        }
+      }.toDF(idCol, "n_tokens", "pack_id", "cum_before")
+    } finally {
+      // safe to release before the lazy result is evaluated: range
+      // boundaries re-derive deterministically from the same input
+      parted.unpersist()
+      ()
+    }
+  }
+}

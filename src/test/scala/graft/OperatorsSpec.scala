@@ -371,3 +371,35 @@ class SearchSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1L, 2L))
   }
 }
+
+class PackingSpec extends AnyFunSuite {
+  import graft.operators.Packing
+  private lazy val spark = TestSpark.spark
+
+  test("packing: exact prefix sums and pack boundaries on a hand example") {
+    import spark.implicits._
+    val df = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 900L), (5L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packSequences(df, "doc_id", "n_tokens", budget = 1000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // cum_before: 0, 400, 800, 1200, 2100 -> packs 0,0,0,1,2
+    assert(out.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 400L), (3L, 0L, 800L),
+      (4L, 1L, 1200L), (5L, 2L, 2100L)))
+  }
+
+  test("packing result is independent of the partition count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, 1L + rng.nextInt(300).toLong))
+      .toDF("doc_id", "n_tokens")
+    def run(p: Int) = Packing.packSequences(
+      df, "doc_id", "n_tokens", budget = 777, numPartitions = Some(p))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val one = run(1)
+    assert(run(7) == one && run(32) == one)
+    // exclusive prefix: last cum_before + its tokens = grand total
+    assert(one.last._2 >= 0)
+  }
+}
