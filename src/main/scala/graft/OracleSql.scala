@@ -371,6 +371,12 @@ FROM (SELECT doc_id, $sampleBucket AS b FROM documents) q ORDER BY doc_id"""
 c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before FROM t)
 SELECT doc_id, n_tokens, cum_before // 1000 AS pack_id, cum_before FROM c ORDER BY doc_id"""
 
+  /** Streaming-dedup twin: the final complete-mode state equals the batch
+    * group-by-content-hash dedup table. */
+  val streamingDedup: String =
+    "SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash, COUNT(*) AS dup_count " +
+      "FROM documents GROUP BY sha256(text) ORDER BY doc_id"
+
   val tokenCount: String =
     s"SELECT doc_id, CAST(len($wsToksSql) AS BIGINT) AS ws_tokens, " +
       s"CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpe_tokens " +

@@ -362,6 +362,13 @@ object SparkEntry {
         "append")
         .orderBy("user_id", "session_start_us")
     }),
+    "streaming_dedup" -> ((s, dir) =>
+      StreamingProfile.replayParquet(
+        s, s"$dir/documents.parquet",
+        df => StreamingProfile.streamingDedup(df, "doc_id", "text"),
+        "complete")
+        .select("doc_id", "content_hash", "dup_count")
+        .orderBy("doc_id")),
     // multimodal binary-column plumbing (documents text as opaque payload)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asBinary(documents(s, dir)))
@@ -433,6 +440,7 @@ object SparkEntry {
     "lang_id" -> OracleSql.langId,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "streaming_profile" -> OracleSql.streamingProfile,
+    "streaming_dedup" -> OracleSql.streamingDedup,
     "streaming_sessions" -> OracleSql.streamingSessions,
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "multimodal_decode" -> OracleSql.multimodalDecode,

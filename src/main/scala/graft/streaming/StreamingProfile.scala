@@ -99,6 +99,17 @@ object StreamingProfile {
       }
   }
 
+  /** Streaming exact dedup: a stateful aggregation keyed on the SHA-256
+    * content hash — the continuous-ingest counterpart of
+    * [[graft.operators.Dedup.exact]] (same 32-byte shuffle-key property:
+    * document payloads never travel, and state per distinct content is one
+    * hash + two longs). In complete mode the sink holds the current
+    * dedup table: smallest id seen per content + duplicate count. */
+  def streamingDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(sha2(col(textCol), 256).as("content_hash"))
+      .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("dup_count"))
+
   /** Drive a transformation over a parquet file through a REAL streaming
     * query (file source → memory sink), synchronously. `outputMode` must
     * match the transformation (complete for windowed aggs, append for

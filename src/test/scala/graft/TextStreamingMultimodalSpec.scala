@@ -321,3 +321,21 @@ class RepetitionSpec extends AnyFunSuite {
     assert(r4.isNullAt(3) && r4.isNullAt(5))
   }
 }
+
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming dedup state equals the batch dedup table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sdedup_").toString
+    Seq((1L, "aa"), (2L, "bb"), (3L, "aa"), (4L, "cc"), (5L, "bb"), (6L, "aa"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+    val out = graft.streaming.StreamingProfile.replayParquet(
+      spark, tmp + "/*.parquet", // glob form
+      df => graft.streaming.StreamingProfile.streamingDedup(df, "doc_id", "text"),
+      "complete")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_count")))
+    assert(out.toSeq == Seq((1L, 3L), (2L, 2L), (4L, 1L)))
+  }
+}
