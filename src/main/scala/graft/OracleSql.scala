@@ -261,6 +261,22 @@ scored AS (SELECT doc_id, ${term(0)} + ${term(1)} + ${term(2)} AS raw FROM base,
 SELECT doc_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, doc_id LIMIT 20"""
   }
 
+  /** Unigram-LM twin: same tokenization, per-token ln(c/total) as pure
+    * double math, addends quantized to DECIMAL(38,12) before the per-doc
+    * sum (order-independent — the engine's exact-sum contract). LN not LOG
+    * (DuckDB LOG is log10). */
+  val lmQuality: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab),
+lp AS (SELECT doc_id, CAST(ROUND(LN(CAST(c AS DOUBLE) / CAST(total AS DOUBLE)), 12) AS DECIMAL(38,12)) AS lp FROM tok JOIN vocab USING (t), tot),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lp) AS slp FROM lp GROUP BY 1)
+SELECT doc_id, n_tokens,
+  ROUND(CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob,
+  ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 6) AS perplexity
+FROM agg ORDER BY doc_id"""
+
   /** Repetition-metrics twin: same tokenization as the other text oracles,
     * per-doc token/bigram frequency profiles computed list-wise, fractions
     * CASE-guarded exactly like the Spark side. */

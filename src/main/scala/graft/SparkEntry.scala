@@ -288,6 +288,12 @@ object SparkEntry {
           .as("stopword_ratio"),
         round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
         .orderBy("doc_id")),
+    // CCNet-style LM quality filter: corpus-trained unigram model, per-doc
+    // mean token log-probability + perplexity
+    "lm_quality" -> ((s, dir) =>
+      graft.operators.LangModel.unigramScore(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Gopher-style repetition filters: duplicate-token fraction and
     // most-common-bigram share per document
     "repetition_metrics" -> ((s, dir) =>
@@ -433,6 +439,7 @@ object SparkEntry {
     "sequence_packing" -> OracleSql.sequencePacking,
     "token_count" -> OracleSql.tokenCount,
     "text_quality" -> OracleSql.textQuality,
+    "lm_quality" -> OracleSql.lmQuality,
     "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
     "bm25_topk" -> OracleSql.bm25TopK,
