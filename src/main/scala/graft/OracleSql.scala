@@ -163,6 +163,35 @@ object OracleSql {
   /** The flagship deterministic full-profile pipeline (R15): every
     * deterministic family over every applicable column, plus the schema join,
     * with entity labels. */
+  /** Constraint-suite twin: the same metric value expressions joined to a
+    * VALUES suite; status by the same CASE semantics (unknown when the
+    * metric is absent). */
+  val constraintCheck: String = {
+    val m = union(Seq(
+      sizeSelect,
+      sel("l_orderkey", "Completeness", completenessExpr("l_orderkey")),
+      sel("l_quantity", "Completeness", completenessExpr("l_quantity")),
+      sel("l_orderkey", "Distinctness", distinctnessExpr("l_orderkey")),
+      sel("l_quantity", "Minimum", minimumExpr("l_quantity")),
+      sel("l_returnflag", "MaxLength", maxLengthExpr("l_returnflag"))))
+    s"""WITH m AS ($m),
+s(check_name, instance, metric, op, threshold) AS (VALUES
+  ('c1_size_min', '*', 'Size', '>=', 1000.0),
+  ('c2_orderkey_complete', 'l_orderkey', 'Completeness', '>=', 1.0),
+  ('c3_quantity_complete', 'l_quantity', 'Completeness', '>=', 0.95),
+  ('c4_orderkey_distinctness', 'l_orderkey', 'Distinctness', '<=', 0.5),
+  ('c5_quantity_min', 'l_quantity', 'Minimum', '>=', 1.0),
+  ('c6_returnflag_len', 'l_returnflag', 'MaxLength', '<=', 1.0),
+  ('c7_ghost_metric', 'no_such_col', 'Completeness', '>=', 0.5))
+SELECT s.check_name, s.instance, s.metric, s.op, CAST(s.threshold AS DOUBLE) AS threshold,
+  ROUND(m.value, 6) AS value,
+  CASE WHEN m.value IS NULL THEN 'unknown'
+       WHEN (s.op = '>=' AND m.value >= s.threshold) OR (s.op = '<=' AND m.value <= s.threshold) THEN 'pass'
+       ELSE 'fail' END AS status
+FROM s LEFT JOIN m ON m.instance = s.instance AND m.name = s.metric
+ORDER BY s.check_name"""
+  }
+
   val profileLineitem: String = {
     def ent(entity: String)(s: String): String =
       s.replaceFirst("^SELECT ", s"SELECT '$entity' AS entity, ")

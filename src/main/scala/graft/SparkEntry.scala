@@ -142,6 +142,23 @@ object SparkEntry {
         .select(col("scope"), col("key"), round(col("value"), 6).as("value"))
         .orderBy("scope", "key")
     }),
+    // Deequ-style verification: a constraint suite evaluated against the
+    // metrics relation (no second data scan; unknown metrics surfaced)
+    "constraint_check" -> ((s, dir) => {
+      import graft.profiler.{Checks, Constraint}
+      val rows = Profiler.metrics(
+        lineitem(s, dir), cfg,
+        Set("size", "completeness", "distinctness", "minimum", "max_length"))
+      Checks.evaluate(s, Profiler.metricsDF(s, rows), Seq(
+        Constraint("c1_size_min", "*", "Size", ">=", 1000.0),
+        Constraint("c2_orderkey_complete", "l_orderkey", "Completeness", ">=", 1.0),
+        Constraint("c3_quantity_complete", "l_quantity", "Completeness", ">=", 0.95),
+        Constraint("c4_orderkey_distinctness", "l_orderkey", "Distinctness", "<=", 0.5),
+        Constraint("c5_quantity_min", "l_quantity", "Minimum", ">=", 1.0),
+        Constraint("c6_returnflag_len", "l_returnflag", "MaxLength", "<=", 1.0),
+        Constraint("c7_ghost_metric", "no_such_col", "Completeness", ">=", 0.5)))
+        .orderBy("check_name")
+    }),
     // §2.B R15 flagship pipelines
     "profile_lineitem" -> ((s, dir) =>
       Profiler.profile(s, lineitem(s, dir), cfg, Profiler.deterministicFamilies)
@@ -425,6 +442,7 @@ object SparkEntry {
     "cast_unsupported" -> OracleSql.castUnsupported,
     "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
     "profile_lineitem" -> OracleSql.profileLineitem,
+    "constraint_check" -> OracleSql.constraintCheck,
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
