@@ -192,6 +192,29 @@ FROM s LEFT JOIN m ON m.instance = s.instance AND m.name = s.metric
 ORDER BY s.check_name"""
   }
 
+  /** Drift twin: the same metric expressions computed over the even/odd
+    * orderkey halves, joined; 6-place quantization BEFORE the deltas
+    * (publication precision), same guarded CASE semantics. */
+  val profileDrift: String = {
+    def half(tag: String, parity: Int): String = {
+      val from = s"(SELECT * FROM lineitem WHERE l_orderkey % 2 = $parity) $tag"
+      union(
+        Seq(s"SELECT '*' AS instance, 'Size' AS name, ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS value FROM $from") ++
+          profiled.map(c => sel(c, "Completeness", completenessExpr(c), from)) ++
+          numeric.map(c => sel(c, "Mean", meanExpr(c), from)) ++
+          numeric.map(c => sel(c, "Sum", sumExpr(c), from)))
+    }
+    s"""WITH a AS (${half("h0", 0)}), b AS (${half("h1", 1)})
+SELECT a.instance, a.name, a.value AS value_a, b.value AS value_b,
+  ROUND(b.value - a.value, 6) AS delta,
+  ROUND(CASE WHEN ABS(a.value) > 0 THEN (b.value - a.value) / ABS(a.value) END, 6) AS rel_change,
+  CASE WHEN ABS(a.value) = 0 THEN 'incomparable'
+       WHEN ABS((b.value - a.value) / ABS(a.value)) > 0.05 THEN 'drift'
+       ELSE 'stable' END AS status
+FROM a JOIN b ON a.instance = b.instance AND a.name = b.name
+ORDER BY a.instance, a.name"""
+  }
+
   val profileLineitem: String = {
     def ent(entity: String)(s: String): String =
       s.replaceFirst("^SELECT ", s"SELECT '$entity' AS entity, ")

@@ -159,6 +159,18 @@ object SparkEntry {
         Constraint("c7_ghost_metric", "no_such_col", "Completeness", ">=", 0.5)))
         .orderBy("check_name")
     }),
+    // profile drift monitoring: metrics of the even-orderkey half vs the
+    // odd half, flagged at 5% relative change — a pure metrics-relation
+    // join, no data rescans
+    "profile_drift" -> ((s, dir) => {
+      import graft.profiler.Checks
+      val li = lineitem(s, dir)
+      val fams = Set("size", "completeness", "mean", "sum")
+      def half(m: Int): DataFrame = Profiler.metricsDF(
+        s, Profiler.metrics(li.where(col("l_orderkey") % 2 === m), cfg, fams))
+      Checks.drift(half(0), half(1), relTol = 0.05)
+        .orderBy("instance", "name")
+    }),
     // §2.B R15 flagship pipelines
     "profile_lineitem" -> ((s, dir) =>
       Profiler.profile(s, lineitem(s, dir), cfg, Profiler.deterministicFamilies)
@@ -443,6 +455,7 @@ object SparkEntry {
     "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
     "profile_lineitem" -> OracleSql.profileLineitem,
     "constraint_check" -> OracleSql.constraintCheck,
+    "profile_drift" -> OracleSql.profileDrift,
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,

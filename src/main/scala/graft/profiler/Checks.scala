@@ -28,6 +28,32 @@ final case class Constraint(
   * dropped. */
 object Checks {
 
+  /** Profile drift between two metrics relations (yesterday's profile vs
+    * today's, or one partition's vs another's): per shared metric the
+    * delta, relative change, and a status flag at `relTol`. Values are
+    * quantized to 6 places first (the relation's publication precision),
+    * so drift is computed on exactly what a monitoring sink would store.
+    * Like [[evaluate]], this never rescans the data — it joins two
+    * metadata-sized relations. */
+  def drift(
+      before: DataFrame,
+      after: DataFrame,
+      relTol: Double = 0.05): DataFrame = {
+    val a = before.select(
+      col("instance"), col("name"), round(col("value"), 6).as("value_a"))
+    val b = after.select(
+      col("instance"), col("name"), round(col("value"), 6).as("value_b"))
+    val rel = (col("value_b") - col("value_a")) / abs(col("value_a"))
+    a.join(b, Seq("instance", "name"))
+      .select(
+        col("instance"), col("name"), col("value_a"), col("value_b"),
+        round(col("value_b") - col("value_a"), 6).as("delta"),
+        round(when(abs(col("value_a")) > 0, rel), 6).as("rel_change"),
+        when(abs(col("value_a")) === 0, lit("incomparable"))
+          .when(abs(rel) > relTol, lit("drift"))
+          .otherwise(lit("stable")).as("status"))
+  }
+
   def evaluate(
       spark: SparkSession,
       metrics: DataFrame,

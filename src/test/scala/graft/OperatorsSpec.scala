@@ -467,3 +467,25 @@ class ChecksSpec extends AnyFunSuite {
     }
   }
 }
+
+class DriftSpec extends AnyFunSuite {
+  import graft.profiler.Checks
+  private lazy val spark = TestSpark.spark
+
+  test("drift: stable, drifting, and incomparable metrics") {
+    import spark.implicits._
+    val a = Seq(("x", "Mean", 10.0), ("x", "Sum", 0.0), ("y", "Mean", 100.0))
+      .toDF("instance", "name", "value")
+    val b = Seq(("x", "Mean", 10.2), ("x", "Sum", 5.0), ("y", "Mean", 101.0))
+      .toDF("instance", "name", "value")
+    val out = Checks.drift(a, b, relTol = 0.05)
+      .orderBy("instance", "name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(6)))
+    // x.Mean +2% stable, x.Sum baseline 0 incomparable, y.Mean +1% stable
+    assert(out.toSeq == Seq(
+      ("x", "Mean", "stable"), ("x", "Sum", "incomparable"), ("y", "Mean", "stable")))
+    val drifted = Checks.drift(a, b, relTol = 0.01)
+      .orderBy("instance", "name").collect().map(_.getString(6))
+    assert(drifted.toSeq == Seq("drift", "incomparable", "stable"))
+  }
+}
