@@ -117,6 +117,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"stats row should broadcast:\n$p")
   }
 
+  test("stratified sampling shuffles once, keyed on the stratum") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.stratifiedSample(
+      docs, "doc_id", expr("length(text) div 100").cast("long"), 10))
+    // exactly one exchange: the window's hashpartitioning on the stratum
+    assert("Exchange".r.findAllIn(p).length == 1, s"expected a single shuffle:\n$p")
+    assert(p.contains("hashpartitioning"), s"expected stratum-keyed partitioning:\n$p")
+  }
+
+  test("lm scoring: hash aggregation and token-keyed equi-join, no cartesian corpus join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.LangModel.unigramScore(docs, "doc_id", "text"))
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // the only nested-loop join is the broadcast of the 1-row total
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected 1-row stats broadcast:\n$p")
+  }
+
   test("multi-column distinctness is one Expand pass, not per-column jobs") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val slots = graft.profiler.ScanMetrics.slots(
