@@ -329,6 +329,20 @@ SELECT doc_id, n_tokens,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** TF-IDF keyword twin: same tokenization, tf·ln(N/df) with
+    * CAST-to-DOUBLE math, (score DESC, token ASC) rank tie-break. */
+  val tfidfKeywords: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (SELECT doc_id, t, CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS s
+  FROM tf JOIN dfreq USING (t), n),
+ranked AS (SELECT doc_id, t, s, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, t ASC) AS rank FROM scored)
+SELECT doc_id, t AS token, ROUND(s, 6) AS tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank"""
+
   /** Repetition-metrics twin: same tokenization as the other text oracles,
     * per-doc token/bigram frequency profiles computed list-wise, fractions
     * CASE-guarded exactly like the Spark side. */

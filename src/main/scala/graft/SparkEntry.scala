@@ -353,6 +353,11 @@ object SparkEntry {
         sha2(PiiFunctions.redact(rendered), 256).as("redacted_sha"))
         .orderBy("doc_id")
     }),
+    // topical tagging: top-3 TF-IDF terms per document
+    "tfidf_keywords" -> ((s, dir) =>
+      graft.operators.Search.tfidfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
     // BM25 keyword retrieval: rank the corpus for a fixed 3-term query
     "bm25_topk" -> ((s, dir) =>
       graft.operators.Search.bm25TopK(
@@ -474,6 +479,7 @@ object SparkEntry {
     "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
     "bm25_topk" -> OracleSql.bm25TopK,
+    "tfidf_keywords" -> OracleSql.tfidfKeywords,
     "vocab_topk" -> OracleSql.vocabTopK,
     "lang_id" -> OracleSql.langId,
     "doc_fingerprint" -> OracleSql.docFingerprint,

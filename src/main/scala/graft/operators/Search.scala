@@ -27,6 +27,41 @@ import graft.functions.TextFunctions
   */
 object Search {
 
+  /** TF-IDF keyword extraction: the `k` highest-weighted terms per document
+    * (`tfidf = tf · ln(N/df)`, ties broken by token ascending) — topical
+    * tagging for corpus curation (what is this document about?).
+    *
+    * Scale shape: three compactly-keyed shuffles — tf = hash agg on
+    * `(id, token)`, df = hash agg on `token` (derived from tf, so the
+    * corpus is read ONCE), score join on `token`, then a per-document
+    * `row_number` window keyed on the id. All map-side combined; no
+    * payloads travel. */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = df.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("t"))
+    val tf = tok.groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(dfreq, "t")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("id"), col("t"),
+        (col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double"))).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("s").desc, col("t").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("t").as("token"),
+        round(col("s"), 6).as("tfidf"), col("rank"))
+  }
+
   /** BM25 top-k: `(idCol, score)` for the `k` highest-scoring documents,
     * score descending, id ascending on ties. Documents matching no query
     * term score 0 and only appear if fewer than `k` documents match. */

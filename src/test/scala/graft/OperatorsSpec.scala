@@ -489,3 +489,23 @@ class DriftSpec extends AnyFunSuite {
     assert(drifted.toSeq == Seq("drift", "incomparable", "stable"))
   }
 }
+
+class TfidfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("tfidf keywords: corpus-wide terms weigh zero, rare terms rank first") {
+    import spark.implicits._
+    // "common" in all docs -> idf 0 -> never a keyword; "rare" only in doc 1
+    val docs = Seq(
+      (1L, "common rare rare other"),
+      (2L, "common other thing"),
+      (3L, "common thing thing stuff")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Search.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq == Seq("rare", "other"))
+    // doc 3: "thing" (tf=2, df=2) beats "stuff" (tf=1, df=1)? ln(3/1)=1.1 vs 2*ln(3/2)=0.81
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("stuff", "thing"))
+  }
+}
