@@ -406,6 +406,18 @@ ORDER BY query_id, neighbor_id"""
   FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id < b.vec_id) t
 ORDER BY cos DESC, id_a, id_b LIMIT 50"""
 
+  /** Nearest-centroid twin: same fold dot/norm, rank 1 per vector on
+    * (6-dp cosine DESC, centroid_id ASC). */
+  val knnAssign: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+s AS (SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0)
+SELECT vec_id, centroid_id, cos FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1
+ORDER BY vec_id"""
+
   /** JSON property extraction + grouped aggregate over the events stream
     * table (props is a JSON string column). */
   val eventsJson: String =

@@ -250,6 +250,12 @@ object SparkEntry {
       Similarity.lshTopK(
         embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    // embedding-space bucketing: nearest-centroid assignment (centroid set
+    // = vec_id % 83 == 0), max 6-dp cosine with smaller-id tie-break
+    "knn_assign" -> ((s, dir) =>
+      Similarity.nearestCentroid(
+        embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 83 === 0)
+        .orderBy("vec_id")),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id", "embedding")),
     "events_json" -> ((s, dir) => {
@@ -468,6 +474,7 @@ object SparkEntry {
     "contamination" -> OracleSql.contamination,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
+    "knn_assign" -> OracleSql.knnAssign,
     "events_json" -> OracleSql.eventsJson,
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "dataset_split" -> OracleSql.datasetSplit,

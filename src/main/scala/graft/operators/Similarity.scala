@@ -51,6 +51,47 @@ object Similarity {
   private def safeCos(a: Column, b: Column, na: Column, nb: Column): Column =
     when(na * nb > 0, round(fdot(a, b) / (na * nb), 6))
 
+  /** Nearest-centroid assignment: every corpus vector is assigned the
+    * centroid (the vectors selected by `centroidPred` — a small set,
+    * broadcast) with the highest 6-dp cosine, ties to the smaller centroid
+    * id — the vector-bucketing step of embedding-space clustering (IVF
+    * coarse quantizer assignment / one Lloyd half-step with fixed
+    * centroids; centroid RE-estimation is deliberately out of scope: a
+    * float mean is FP-order-dependent and would break the determinism
+    * contract).
+    *
+    * Scale shape: corpus never shuffles for the scoring (broadcast cross
+    * join, like [[cosineTopK]]); the per-vector argmax is a
+    * `min(struct(...))` hash aggregate — map-side combined to ONE row per
+    * vector per partition, so the only shuffle carries `(id, best)` pairs,
+    * not the N·k scored relation. Zero-norm vectors have no direction and
+    * are omitted (oracle filters identically). */
+  def nearestCentroid(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column): DataFrame = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val corpus = emb.select(
+      col(idCol).as("vec_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val cents = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c"), fnorm(col(vecCol)).as("nc"))
+    corpus.crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"), col("centroid_id"),
+        safeCos(col("v"), col("c"), col("nv"), col("nc")).as("cos"))
+      .where(col("cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(min(struct(
+        (-col("cos")).as("neg_cos"),
+        col("centroid_id"),
+        col("cos"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.centroid_id").as("centroid_id"),
+        col("best.cos").as("cos"))
+  }
+
   /** Exact brute-force cosine top-k: `queries` (selected by `queryPred`, a
     * small set) are broadcast against every corpus vector; per-query top-k
     * by (rounded cosine desc, id asc). Output

@@ -509,3 +509,24 @@ class TfidfSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 3L).map(_._2).toSeq == Seq("stuff", "thing"))
   }
 }
+
+class NearestCentroidSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("nearest centroid: assigns by max cosine with smaller-id tie-break; zero vectors dropped") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),   // centroid A (id 0)
+      (2L, Array(0f, 1f)),   // centroid B (id 2)
+      (5L, Array(2f, 0.1f)), // -> A
+      (6L, Array(0.1f, 3f)), // -> B
+      (7L, Array(1f, 1f)),   // equidistant -> tie-break to id 0
+      (8L, Array(0f, 0f))    // zero norm -> dropped
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.nearestCentroid(
+      vecs, "vec_id", "embedding", col("vec_id").isin(0L, 2L))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 0L), (2L, 2L), (5L, 0L), (6L, 2L), (7L, 0L)))
+  }
+}
