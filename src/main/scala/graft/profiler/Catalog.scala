@@ -14,22 +14,42 @@ trait TableCatalog {
   def load(table: String): DataFrame
 }
 
-/** A directory of `<table>.parquet` files as a database. */
+/** A directory of data files as a database: `<table>.parquet`,
+  * `<table>.csv` (header row, schema inferred) or `<table>.json`
+  * (JSON-lines, schema inferred) — the format dispatch the reference
+  * delegates to each Glue table's SerDe (Profiler.scala:263 profiles
+  * whatever `spark.table` yields; format never reaches the analyzer
+  * layer). When a table name exists in several formats, parquet wins
+  * (it carries exact types; the text formats infer). */
 final class ParquetDirCatalog(spark: SparkSession, dir: String) extends TableCatalog {
+
+  /** extension -> loader, in priority order. */
+  private val formats: Seq[(String, String => DataFrame)] = Seq(
+    ".parquet" -> (p => spark.read.parquet(p)),
+    ".csv" -> (p => spark.read.option("header", "true").option("inferSchema", "true").csv(p)),
+    ".json" -> (p => spark.read.json(p)))
+
   override def name: String =
     dir.split('/').filter(_.nonEmpty).lastOption.getOrElse(dir)
 
+  private def files: Seq[String] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .iterator.map(_.getName).toSeq
+
   override def listTables: Seq[String] = {
-    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-    files.iterator
-      .map(_.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(_.stripSuffix(".parquet"))
-      .toSeq.sorted
+    val fs = files
+    formats.flatMap { case (ext, _) =>
+      fs.filter(_.endsWith(ext)).map(_.stripSuffix(ext))
+    }.distinct.sorted
   }
 
-  override def load(table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+  override def load(table: String): DataFrame = {
+    val fs = files.toSet
+    formats.collectFirst {
+      case (ext, loader) if fs.contains(table + ext) => loader(s"$dir/$table$ext")
+    }.getOrElse(
+      throw new IllegalArgumentException(s"no data file for table '$table' in $dir"))
+  }
 }
 
 /** The session catalog as a database — the cluster-mode equivalent

@@ -123,3 +123,32 @@ class RunnerSpec extends AnyFunSuite {
     assert(meta.columnParams.nonEmpty)
   }
 }
+
+class CatalogFormatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("catalog profiles csv and json tables end-to-end; parquet wins on name clash") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    val df = Seq((1L, "x", 2.5), (2L, "y", 3.5), (3L, null.asInstanceOf[String], 4.5))
+      .toDF("id", "s", "v")
+    df.coalesce(1).write.option("header", "true").mode("overwrite").csv(s"$dir/t_csv.csv")
+    df.coalesce(1).write.mode("overwrite").json(s"$dir/t_json.json")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/both.parquet")
+    df.limit(1).coalesce(1).write.option("header", "true").mode("overwrite").csv(s"$dir/both.csv")
+    val cat = new graft.profiler.ParquetDirCatalog(spark, dir)
+    assert(cat.listTables == Seq("both", "t_csv", "t_json"))
+    // name clash: parquet (3 rows) beats csv (1 row)
+    assert(cat.load("both").count() == 3)
+    // the profile battery runs unchanged on inferred-schema sources
+    for (t <- Seq("t_csv", "t_json")) {
+      val rows = graft.profiler.Profiler.metrics(
+        cat.load(t), graft.profiler.ProfilerConfig(), Set("size", "completeness"))
+      val size = rows.find(_.name == "Size").get.value
+      assert(size == 3.0, s"$t size")
+      val comp = rows.filter(_.name == "Completeness").map(r => r.instance -> r.value).toMap
+      assert(comp("v") == 1.0 && comp("s") == 2.0 / 3.0, s"$t completeness")
+    }
+    intercept[IllegalArgumentException] { cat.load("missing") }
+  }
+}
