@@ -540,6 +540,19 @@ ORDER BY doc_id"""
 s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
 SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""
 
+  /** As-of twin: identical strictly-prior IGNORE-NULLS window (DuckDB's
+    * native ASOF JOIN would also work; the window form mirrors the Spark
+    * plan exactly). Same ns→µs floor as the other event oracles. */
+  val asofEnrich: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+w AS (SELECT *,
+    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER win AS last_view_value,
+    last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS) OVER win AS last_view_ts_us
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id, ts_us, value, last_view_value, last_view_ts_us,
+  ts_us - last_view_ts_us AS gap_us
+FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
+
   /** Byte-level media features (payload = UTF-8 bytes of text). */
   val multimodalFeatures: String =
     "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, " +

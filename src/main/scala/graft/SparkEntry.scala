@@ -269,6 +269,26 @@ object SparkEntry {
               .cast("double"), 6).as("sum_value"))
         .orderBy("k")
     }),
+    // as-of enrichment: each purchase annotated with the latest
+    // strictly-prior view of the same user (value, time, gap)
+    "asof_enrich" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(
+          col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      graft.operators.AsOf.lastPrior(
+        e, "user_id", "ts_us",
+        col("event_type") === "view",
+        Seq("value" -> "last_view_value", "ts_us" -> "last_view_ts_us"))
+        .where(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("last_view_value"), col("last_view_ts_us"),
+          (col("ts_us") - col("last_view_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
     // deterministic corpus curation (documents table): engine-portable
     // hash-bucket sampling + stable train/valid/test splits
     "sample_deterministic" -> ((s, dir) =>
@@ -476,6 +496,7 @@ object SparkEntry {
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,
     "events_json" -> OracleSql.eventsJson,
+    "asof_enrich" -> OracleSql.asofEnrich,
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,

@@ -530,3 +530,22 @@ class NearestCentroidSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 0L), (2L, 2L), (5L, 0L), (6L, 2L), (7L, 0L)))
   }
 }
+
+class AsOfSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("as-of: strictly-prior source value per key, null before the first source row") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 10L, "view", 1.0), (1L, 20L, "buy", 9.0), (1L, 30L, "view", 2.0),
+      (1L, 40L, "buy", 9.0), (1L, 30L + 0L, "noise", 0.0),
+      (2L, 5L, "buy", 9.0) // no prior view for user 2
+    ).toDF("user_id", "ts", "type", "value")
+    val out = graft.operators.AsOf.lastPrior(
+      e, "user_id", "ts", col("type") === "view", Seq("value" -> "lv"))
+      .where(col("type") === "buy")
+      .orderBy("user_id", "ts")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 1.0), (1L, 2.0), (2L, null)))
+  }
+}
