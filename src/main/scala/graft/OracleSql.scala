@@ -163,6 +163,36 @@ object OracleSql {
   /** The flagship deterministic full-profile pipeline (R15): every
     * deterministic family over every applicable column, plus the schema join,
     * with entity labels. */
+  /** Correlation twin: identical decimal-quantized moments and identical
+    * double assembly order; the variance-product guard precedes SQRT
+    * (DuckDB raises on sqrt of a negative). */
+  val columnCorr: String = {
+    val pairs = for {
+      i <- numeric.indices
+      j <- (i + 1) until numeric.size
+    } yield (numeric(i), numeric(j))
+    def m(a: String, b: String) = s"$a IS NOT NULL AND $b IS NOT NULL"
+    def dsum(a: String, b: String, e: String) =
+      s"CAST(SUM(CASE WHEN ${m(a, b)} THEN $e END) AS DOUBLE)"
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      Seq(
+        s"COUNT(CASE WHEN ${m(a, b)} THEN 1 END) AS n_$k",
+        s"${dsum(a, b, s"CAST($a AS DECIMAL(38,6))")} AS sx_$k",
+        s"${dsum(a, b, s"CAST($b AS DECIMAL(38,6))")} AS sy_$k",
+        s"${dsum(a, b, s"CAST(CAST($a AS DOUBLE) * CAST($a AS DOUBLE) AS DECIMAL(38,6))")} AS sxx_$k",
+        s"${dsum(a, b, s"CAST(CAST($b AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(38,6))")} AS syy_$k",
+        s"${dsum(a, b, s"CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(38,6))")} AS sxy_$k")
+    }
+    val selects = pairs.zipWithIndex.map { case ((a, b), k) =>
+      val nD = s"CAST(n_$k AS DOUBLE)"
+      val num = s"$nD * sxy_$k - sx_$k * sy_$k"
+      val g = s"($nD * sxx_$k - sx_$k * sx_$k) * ($nD * syy_$k - sy_$k * sy_$k)"
+      s"SELECT '$a' AS col_a, '$b' AS col_b, n_$k AS n, ROUND(CASE WHEN $g > 0 THEN ($num) / SQRT($g) END, 6) AS corr FROM a"
+    }
+    s"WITH a AS (SELECT ${aggs.mkString(", ")} FROM $T)\n" +
+      selects.mkString(" UNION ALL ") + "\nORDER BY col_a, col_b"
+  }
+
   /** Constraint-suite twin: the same metric value expressions joined to a
     * VALUES suite; status by the same CASE semantics (unknown when the
     * metric is absent). */

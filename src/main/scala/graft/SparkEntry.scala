@@ -142,6 +142,12 @@ object SparkEntry {
         .select(col("scope"), col("key"), round(col("value"), 6).as("value"))
         .orderBy("scope", "key")
     }),
+    // pairwise Pearson correlation across all numeric columns: one wide
+    // single-pass aggregation of decimal-quantized moments
+    "column_corr" -> ((s, dir) =>
+      graft.profiler.Correlation.matrix(
+        lineitem(s, dir), OracleSql.Lineitem.numeric)
+        .orderBy("col_a", "col_b")),
     // Deequ-style verification: a constraint suite evaluated against the
     // metrics relation (no second data scan; unknown metrics surfaced)
     "constraint_check" -> ((s, dir) => {
@@ -486,6 +492,7 @@ object SparkEntry {
     "sorted_metrics_head" -> OracleSql.sortedMetricsHead,
     "profile_lineitem" -> OracleSql.profileLineitem,
     "constraint_check" -> OracleSql.constraintCheck,
+    "column_corr" -> OracleSql.columnCorr,
     "profile_drift" -> OracleSql.profileDrift,
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
