@@ -193,6 +193,21 @@ object OracleSql {
       selects.mkString(" UNION ALL ") + "\nORDER BY col_a, col_b"
   }
 
+  /** Equi-width histogram twin: identical double bucket math, top edge
+    * closed into the last bucket, constant-column guard before the
+    * division. */
+  val numericHistogram: String =
+    s"""WITH s AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS mn, CAST(MAX(l_extendedprice) AS DOUBLE) AS mx FROM $T),
+b AS (SELECT CASE WHEN mx > mn
+        THEN LEAST(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mn) / ((mx - mn) / CAST(10 AS DOUBLE))) AS BIGINT), 9)
+        ELSE 0 END AS bucket, mn, mx
+      FROM $T, s WHERE l_extendedprice IS NOT NULL)
+SELECT bucket,
+  ROUND(mn + bucket * ((mx - mn) / CAST(10 AS DOUBLE)), 6) AS lo,
+  ROUND(mn + (bucket + 1) * ((mx - mn) / CAST(10 AS DOUBLE)), 6) AS hi,
+  COUNT(*) AS cnt
+FROM b GROUP BY bucket, mn, mx ORDER BY bucket"""
+
   /** Constraint-suite twin: the same metric value expressions joined to a
     * VALUES suite; status by the same CASE semantics (unknown when the
     * metric is absent). */

@@ -142,6 +142,10 @@ object SparkEntry {
         .select(col("scope"), col("key"), round(col("value"), 6).as("value"))
         .orderBy("scope", "key")
     }),
+    // equi-width numeric histogram (10 bins over l_extendedprice)
+    "numeric_histogram" -> ((s, dir) =>
+      graft.profiler.NumericHistogram.equiWidth(lineitem(s, dir), "l_extendedprice", 10)
+        .orderBy("bucket")),
     // pairwise Pearson correlation across all numeric columns: one wide
     // single-pass aggregation of decimal-quantized moments
     "column_corr" -> ((s, dir) =>
@@ -493,6 +497,7 @@ object SparkEntry {
     "profile_lineitem" -> OracleSql.profileLineitem,
     "constraint_check" -> OracleSql.constraintCheck,
     "column_corr" -> OracleSql.columnCorr,
+    "numeric_histogram" -> OracleSql.numericHistogram,
     "profile_drift" -> OracleSql.profileDrift,
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,

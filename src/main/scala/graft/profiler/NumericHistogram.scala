@@ -1,0 +1,42 @@
+package graft.profiler
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Equi-width numeric histogram — the numeric-binning complement of the
+  * battery's categorical Histogram (reference/Deequ Histogram buckets by
+  * distinct VALUE, useless for high-cardinality numerics). Two passes:
+  * a 1-row min/max aggregate broadcast back, then a map-side bucket
+  * assignment + hash aggregation on the bucket id — the classic
+  * two-scan OLAP histogram; no sort, no per-value state.
+  *
+  * Bucket math is pure double arithmetic shared verbatim with the oracle;
+  * the top edge closes into the last bucket (`least(…, bins-1)`), and a
+  * constant column (min = max) degenerates to a single bucket 0 via a
+  * guard that also dodges the ANSI divide-by-zero. Empty buckets emit no
+  * row (same on both engines). */
+object NumericHistogram {
+
+  def equiWidth(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val stats = df.agg(
+      min(col(c)).cast(DoubleType).as("mn"),
+      max(col(c)).cast(DoubleType).as("mx"))
+    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val bucket = when(
+      col("mx") > col("mn"),
+      least(floor((col(c).cast(DoubleType) - col("mn")) / w), lit((bins - 1).toLong)))
+      .otherwise(lit(0L))
+    df.where(col(c).isNotNull)
+      .crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"), col("mn"), col("mx"))
+      .groupBy("bucket", "mn", "mx")
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("bucket"),
+        round(col("mn") + col("bucket").cast(DoubleType) * w, 6).as("lo"),
+        round(col("mn") + (col("bucket") + 1).cast(DoubleType) * w, 6).as("hi"),
+        col("cnt"))
+  }
+}

@@ -584,3 +584,27 @@ class CorrelationSpec extends AnyFunSuite {
     assert(one == many)
   }
 }
+
+class NumericHistogramSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("equi-width: exact bucket counts, max closes into last bucket, nulls dropped") {
+    import spark.implicits._
+    val df = Seq(Some(0.0), Some(2.5), Some(5.0), Some(7.5), Some(10.0), None)
+      .toDF("v")
+    val out = graft.profiler.NumericHistogram.equiWidth(df, "v", 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // width 2.5: [0,2.5)->1, [2.5,5)->1, [5,7.5)->1, [7.5,10]->2 (10.0 closed in)
+    assert(out.toSeq == Seq(
+      (0L, 0.0, 2.5, 1L), (1L, 2.5, 5.0, 1L), (2L, 5.0, 7.5, 1L), (3L, 7.5, 10.0, 2L)))
+  }
+
+  test("constant column degenerates to one bucket, no ANSI division error") {
+    import spark.implicits._
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val out = graft.profiler.NumericHistogram.equiWidth(df, "v", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L)))
+  }
+}
