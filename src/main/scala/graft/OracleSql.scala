@@ -293,6 +293,12 @@ ORDER BY a.instance, a.name"""
     "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
       "GROUP BY sha256(text) ORDER BY doc_id"
 
+  /** Incremental-dedup twin: EXISTS semi-join on the content hash. */
+  val dedupIncremental: String =
+    """SELECT n.doc_id, EXISTS (
+  SELECT 1 FROM documents o WHERE o.doc_id < 400 AND sha256(o.text) = sha256(n.text)
+) AS dup FROM documents n WHERE n.doc_id >= 400 ORDER BY n.doc_id"""
+
   /** Shared CTE chain computing exact word-3-gram Jaccard pairs ≥ 0.5
     * (`jpairs(id_a, id_b)`) — the oracle twin of Dedup.ngramJaccard with
     * no doc-freq cap. */

@@ -229,6 +229,17 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // cross-snapshot dedup: the newest 20% of docs checked against the
+    // existing 80% by content hash — the daily-ingest dedup mode
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val cut = 400L // sf-independent ratio not needed: fixed id cut, both engines agree
+      Dedup.incrementalExact(
+        docs.where(col("doc_id") >= cut),
+        docs.where(col("doc_id") < cut),
+        "doc_id", Seq("text"))
+        .orderBy("doc_id")
+    }),
     // cluster assignment: pair relation -> connected components with the
     // smallest doc id as canonical representative (alternating-star CC)
     "dedup_clusters" -> ((s, dir) =>
@@ -503,6 +514,7 @@ object SparkEntry {
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
     "dedup_clusters" -> OracleSql.dedupClusters,
+    "dedup_incremental" -> OracleSql.dedupIncremental,
     "contamination" -> OracleSql.contamination,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,

@@ -37,6 +37,29 @@ object Dedup {
       .select(idCol, "dup_count")
   }
 
+  /** Cross-snapshot incremental dedup: split a new ingest batch into rows
+    * whose content already exists in the reference corpus (`dup` = true)
+    * and genuinely new rows — the daily-ingest mode of [[exact]], where
+    * the existing corpus never rescans its payloads: both sides reduce to
+    * 32-byte content hashes and meet in a semi-join (Spark plans the
+    * `dup` flag as one hash join on the hash key; the hash relation of
+    * the existing corpus would be a persisted artifact in production).
+    * Returns the batch's `(idCol, dup)`. */
+  def incrementalExact(
+      batch: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      keyCols: Seq[String]): DataFrame = {
+    def hash(df: DataFrame): Column = {
+      val enc = keyCols.map(c => coalesce(sha2(col(c).cast("string"), 256), lit("null")))
+      sha2(concat_ws("|", enc: _*), 256)
+    }
+    val seen = existing.select(hash(existing).as("h")).distinct()
+    batch.select(col(idCol), hash(batch).as("h"))
+      .join(seen.withColumn("dup", lit(true)), Seq("h"), "left")
+      .select(col(idCol), coalesce(col("dup"), lit(false)).as("dup"))
+  }
+
   /** Distinct word n-gram shingles per document: `(id, shingle)`.
     * Tokens are lowercased whitespace tokens; documents shorter than `n`
     * tokens contribute no shingles. */

@@ -25,6 +25,17 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+
+  test("incremental dedup flags batch rows whose content exists in the corpus") {
+    import spark.implicits._
+    val existing = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "text")
+    val batch = Seq((10L, "aa"), (11L, "cc"), (12L, "bb"), (13L, "dd"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalExact(batch, existing, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(out.toSeq == Seq((10L, true), (11L, false), (12L, true), (13L, false)))
+  }
+
   test("3-gram shingles") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
       .where(col("id") === 1).collect().map(_.getString(1)).toSet
