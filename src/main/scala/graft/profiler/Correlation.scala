@@ -1,28 +1,47 @@
 package graft.profiler
 
-import org.apache.spark.sql.DataFrame
+import java.math.{BigDecimal => JBigDecimal}
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types._
 
 /** Pairwise Pearson correlation across numeric columns — the Correlation
   * analyzer of the Deequ family the reference's battery stops short of
-  * (reference Profiler.scala:333-348 ends at StandardDeviation). One
-  * single-pass wide aggregation computes all five pairwise-complete
-  * moments (n, Σx, Σy, Σx², Σy², Σxy) for every column pair — 6·C(k,2)
-  * aggregate slots, one table scan, no shuffle beyond the scalar agg —
-  * then unpivots the 1-row result into `(col_a, col_b, n, corr)`.
+  * (reference Profiler.scala:333-348 ends at StandardDeviation).
+  * Pairwise-complete semantics: each pair's moments sum over exactly the
+  * rows where BOTH columns are present.
   *
-  * Determinism: moments use the engine's DECIMAL(38,6) quantized-addend
-  * sums (order-independent, cf. ScanMetrics.decSum), and the correlation
-  * is assembled from them in double with a fixed expression shape mirrored
-  * verbatim by the oracle. Degenerate pairs (zero variance, empty overlap)
+  * The naive formulation needs 6·C(k,2) quantized decimal sums — at 8
+  * columns that is 168 per-row double→decimal casts, and the cast is the
+  * engine's measured cost floor (~0.5µs each, ScanMetrics.decSum notes):
+  * 31s at sf0.1. Because DECIMAL arithmetic is EXACT, the moments can be
+  * reassociated without breaking the determinism contract (doubles could
+  * not be): per-COLUMN sums Σx, Σx² are computed ONCE (16 casts/row), the
+  * cross-products Σxy once per pair (28 casts/row), and the pairwise-
+  * complete per-column sums are recovered driver-side by exact BigDecimal
+  * subtraction of null-correction sums (Σ_{a,b complete} a = Σ_{a present}
+  * a − Σ_{a present, b null} a) whose casts only execute on rows that
+  * actually have nulls. Same exact decimals, ~4x less per-row work — and
+  * the oracle keeps the direct pairwise form, since the two computations
+  * are equal BY VALUE, not just approximately.
+  *
+  * Aggregation slots are split into ≤42-slot passes (a single huge
+  * aggregate exceeds the whole-stage-codegen method limit and falls back
+  * to interpreted evaluation, another ~3x) submitted concurrently from
+  * driver threads (the scan battery's pattern). The 1-row pass results
+  * are assembled into the C(k,2)-row output driver-side — post-aggregation
+  * only, never row data.
+  *
+  * The correlation itself is assembled in double with a fixed operation
+  * order mirrored verbatim by the oracle, including Spark's HALF_UP
+  * 6-place rounding. Degenerate pairs (zero variance, empty overlap)
   * yield null, guarded BEFORE the sqrt (DuckDB raises on sqrt of a
-  * negative; Spark would return NaN — the guard keeps both on the null
-  * path). Pairwise-complete masks make each moment sum over exactly the
-  * rows where BOTH columns are present. */
+  * negative). */
 object Correlation {
 
   private val Dec = DecimalType(38, 6)
+  private val SlotsPerPass = 42
 
   def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
@@ -31,26 +50,79 @@ object Correlation {
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     def xd(c: String) = col(c).cast(DoubleType)
-    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
-      val m = col(a).isNotNull && col(b).isNotNull
+
+    // slot name -> aggregate expression (order defines pass packing)
+    val perCol: Seq[(String, Column)] = cols.flatMap { c =>
       Seq(
-        count(when(m, lit(1))).as(s"n_$k"),
-        sum(when(m, col(a).cast(Dec))).cast(DoubleType).as(s"sx_$k"),
-        sum(when(m, col(b).cast(Dec))).cast(DoubleType).as(s"sy_$k"),
-        sum(when(m, (xd(a) * xd(a)).cast(Dec))).cast(DoubleType).as(s"sxx_$k"),
-        sum(when(m, (xd(b) * xd(b)).cast(Dec))).cast(DoubleType).as(s"syy_$k"),
-        sum(when(m, (xd(a) * xd(b)).cast(Dec))).cast(DoubleType).as(s"sxy_$k"))
+        s"S_$c" -> sum(col(c).cast(Dec)),
+        s"Q_$c" -> sum((xd(c) * xd(c)).cast(Dec)))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val perPair: Seq[(String, Column)] = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val m = col(a).isNotNull && col(b).isNotNull
+      def corrOf(v: String, partner: String, sq: Boolean) = {
+        val cond = col(v).isNotNull && col(partner).isNull
+        if (sq) sum(when(cond, (xd(v) * xd(v)).cast(Dec)))
+        else sum(when(cond, col(v).cast(Dec)))
+      }
+      Seq(
+        s"n_$k" -> count(when(m, lit(1))),
+        s"P_$k" -> sum(when(m, (xd(a) * xd(b)).cast(Dec))),
+        s"CVa_$k" -> corrOf(a, b, sq = false),
+        s"CQa_$k" -> corrOf(a, b, sq = true),
+        s"CVb_$k" -> corrOf(b, a, sq = false),
+        s"CQb_$k" -> corrOf(b, a, sq = true))
+    }
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val slots = (perCol ++ perPair).toIndexedSeq
+    val futures = slots.grouped(SlotsPerPass).toSeq.map { g =>
+      Future(scala.concurrent.blocking {
+        val row = df.agg(
+          g.head._2.alias(g.head._1),
+          g.tail.map { case (nm, e) => e.alias(nm) }: _*).head()
+        g.indices.map(i => g(i)._1 -> row.get(i)).toMap
+      })
+    }
+    val v: Map[String, Any] =
+      futures.map(f => Await.result(f, Duration.Inf)).reduce(_ ++ _)
+
+    def dec(name: String): Option[JBigDecimal] =
+      Option(v(name)).map(_.asInstanceOf[JBigDecimal])
+    def decOrZero(name: String): JBigDecimal =
+      dec(name).getOrElse(JBigDecimal.ZERO)
+    def round6(x: Double): Double =
+      JBigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
     val out = pairs.zipWithIndex.map { case ((a, b), k) =>
-      val nD = col(s"n_$k").cast(DoubleType)
-      val num = nD * col(s"sxy_$k") - col(s"sx_$k") * col(s"sy_$k")
-      val g = (nD * col(s"sxx_$k") - col(s"sx_$k") * col(s"sx_$k")) *
-        (nD * col(s"syy_$k") - col(s"sy_$k") * col(s"sy_$k"))
-      struct(
-        lit(a).as("col_a"), lit(b).as("col_b"), col(s"n_$k").as("n"),
-        round(when(g > 0, num / sqrt(g)), 6).as("corr"))
+      val n = v(s"n_$k").asInstanceOf[Long]
+      val moments = for {
+        sa <- dec(s"S_$a"); qa <- dec(s"Q_$a")
+        sb <- dec(s"S_$b"); qb <- dec(s"Q_$b")
+        p <- dec(s"P_$k")
+      } yield (
+        sa.subtract(decOrZero(s"CVa_$k")).doubleValue(),
+        qa.subtract(decOrZero(s"CQa_$k")).doubleValue(),
+        sb.subtract(decOrZero(s"CVb_$k")).doubleValue(),
+        qb.subtract(decOrZero(s"CQb_$k")).doubleValue(),
+        p.doubleValue())
+      val corr: Any = moments match {
+        case Some((sx, sxx, sy, syy, sxy)) if n > 0 =>
+          val nD = n.toDouble
+          val num = nD * sxy - sx * sy
+          val g = (nD * sxx - sx * sx) * (nD * syy - sy * sy)
+          if (g > 0) round6(num / math.sqrt(g)) else null
+        case _ => null
+      }
+      Row(a, b, n, corr)
     }
-    row.select(explode(array(out: _*)).as("p")).select("p.*")
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("corr", DoubleType, nullable = true))))
   }
 }
