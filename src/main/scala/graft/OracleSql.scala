@@ -566,6 +566,25 @@ ORDER BY freq DESC, token ASC LIMIT 100"""
 ORDER BY doc_id"""
   }
 
+  /** Mixture-composition twin: the split bucket algebra + the langId
+    * argmax + token counts, grouped per (split, lang) — every ingredient
+    * identical to its standalone oracle. */
+  val mixtureStats: String = {
+    val scores = Stopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS s_$l"
+    }.mkString(", ")
+    val cases = Stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val greatest = Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""WITH base AS (SELECT doc_id, $wsToksLowerSql AS toks, $sampleBucket AS b FROM documents),
+sc AS (SELECT doc_id, toks, b, $scores FROM base),
+pd AS (SELECT CAST(len(toks) AS BIGINT) AS ntok,
+    CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split,
+    CASE $cases ELSE 'und' END AS lang
+  FROM (SELECT *, GREATEST($greatest) AS m FROM sc) g)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS n_tokens
+FROM pd GROUP BY split, lang ORDER BY split, lang"""
+  }
+
   /** Polynomial rolling hash h = fold((h*31 + codepoint) mod 2^31-1) — the
     * oracle twin of the custom codegen RollingHash expression. */
   val docFingerprint: String =

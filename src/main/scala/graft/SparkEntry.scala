@@ -336,6 +336,19 @@ object SparkEntry {
           col("doc_id"), TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 1000)
         .orderBy("doc_id")),
+    // training-mixture composition report: docs + tokens per split x language
+    "mixture_stats" -> ((s, dir) => {
+      val d = Sampling.hashSplit(
+        documents(s, dir), "doc_id",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .select(
+          col("split"),
+          TextFunctions.langId(col("text")).as("lang"),
+          TextFunctions.wsTokenCount(col("text")).as("ntok"))
+      d.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        .orderBy("split", "lang")
+    }),
     // text analysis (documents table)
     "token_count" -> ((s, dir) =>
       documents(s, dir).select(
@@ -534,6 +547,7 @@ object SparkEntry {
     "tfidf_keywords" -> OracleSql.tfidfKeywords,
     "vocab_topk" -> OracleSql.vocabTopK,
     "lang_id" -> OracleSql.langId,
+    "mixture_stats" -> OracleSql.mixtureStats,
     "doc_fingerprint" -> OracleSql.docFingerprint,
     "streaming_profile" -> OracleSql.streamingProfile,
     "streaming_dedup" -> OracleSql.streamingDedup,
