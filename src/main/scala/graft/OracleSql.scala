@@ -522,6 +522,19 @@ SELECT doc_id, n_tokens, cum_before // 1000 AS pack_id, cum_before FROM c ORDER 
     "SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_hash, COUNT(*) AS dup_count " +
       "FROM documents GROUP BY sha256(text) ORDER BY doc_id"
 
+  /** Chunking twin: same start grid (stride 48), same slice clamping, same
+    * space-joined SHA-256 fingerprint over original-case tokens. */
+  val docChunks: String =
+    s"""WITH words AS (SELECT doc_id, $wsToksSql AS w FROM documents),
+c AS (SELECT doc_id, w, CAST(i AS BIGINT) AS chunk_idx
+  FROM words, UNNEST(range(0, CASE WHEN len(w) = 0 THEN 0
+    WHEN len(w) > 64 THEN CAST(CEIL((len(w) - 64) / 48.0) AS BIGINT) + 1
+    ELSE 1 END)) t(i))
+SELECT doc_id, chunk_idx, chunk_idx * 48 + 1 AS start_tok,
+  CAST(LEAST(64, len(w) - chunk_idx * 48) AS BIGINT) AS n_tokens,
+  sha256(array_to_string(list_slice(w, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_sha
+FROM c ORDER BY doc_id, chunk_idx"""
+
   val tokenCount: String =
     s"SELECT doc_id, CAST(len($wsToksSql) AS BIGINT) AS ws_tokens, " +
       s"CAST(len(regexp_extract_all(text, '$BpeishPattern')) AS BIGINT) AS bpe_tokens " +

@@ -349,6 +349,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
         .orderBy("split", "lang")
     }),
+    // context-window chunking: 64-token windows, 16-token overlap
+    "doc_chunks" -> ((s, dir) =>
+      TextFunctions.chunkDocuments(documents(s, dir), "doc_id", "text", 64, 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
     // text analysis (documents table)
     "token_count" -> ((s, dir) =>
       documents(s, dir).select(
@@ -539,6 +544,7 @@ object SparkEntry {
     "stratified_sample" -> OracleSql.stratifiedSample,
     "sequence_packing" -> OracleSql.sequencePacking,
     "token_count" -> OracleSql.tokenCount,
+    "doc_chunks" -> OracleSql.docChunks,
     "text_quality" -> OracleSql.textQuality,
     "lm_quality" -> OracleSql.lmQuality,
     "repetition_metrics" -> OracleSql.repetitionMetrics,

@@ -131,6 +131,43 @@ object TextFunctions {
           6).as("top_bigram_frac"))
   }
 
+  /** Document chunking: split each document into fixed-size token windows
+    * with overlap (stride = size − overlap) — the preprocessing step that
+    * feeds context-window training and retrieval indexing. Explode-shaped
+    * per-row transform: chunk starts are generated from the token count,
+    * windows sliced from the in-row token array — no shuffle, no state;
+    * output grows by the overlap factor only. Empty documents produce no
+    * chunks (guarded like the other explode generators). Returns
+    * `(id, chunk_idx, start_tok, n_tokens, chunk_sha)` with the chunk
+    * content fingerprinted (SHA-256 of the space-joined window) rather
+    * than materialized. */
+  def chunkDocuments(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val toks = wsTokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    // last start = ceil((n - size)/stride): the final chunk ends exactly at
+    // n; no redundant starts whose window the previous chunk already covers
+    val lastIdx = when(n > size, ceil((n - size) / lit(stride.toDouble)).cast("int"))
+      .otherwise(lit(0))
+    val idxs = when(n > 0, sequence(lit(0), lastIdx)).otherwise(array())
+    df.select(col(idCol).as("id"), toks.as("w"), explode(idxs).as("chunk_idx"))
+      .select(
+        col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride + 1).cast("long").as("start_tok"),
+        least(lit(size),
+          org.apache.spark.sql.functions.size(col("w")) - col("chunk_idx") * stride)
+          .cast("long").as("n_tokens"),
+        sha2(array_join(
+          slice(col("w"), col("chunk_idx") * stride + 1, lit(size)), " "), 256)
+          .as("chunk_sha"))
+  }
+
   /** Composite quality score in [0, 1]:
     * 0.4·min(tokens/100, 1) + 0.3·(1 − punct_ratio) + 0.3·stopword_ratio.
     * The weights and the exact operation order are part of the oracle

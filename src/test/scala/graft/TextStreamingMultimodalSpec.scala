@@ -339,3 +339,36 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 3L), (2L, 2L), (4L, 1L)))
   }
 }
+
+class ChunkingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("chunking: stride grid, short tail, single-chunk and empty docs") {
+    import spark.implicits._
+    val mk = (n: Int) => (1 to n).map("t" + _).mkString(" ")
+    val docs = Seq((1L, mk(10)), (2L, mk(4)), (3L, ""), (4L, mk(5)))
+      .toDF("doc_id", "text")
+    // size=4, overlap=1 -> stride 3; doc1 (10 toks): starts 1,4,7 — the
+    // last chunk ends exactly at n, no redundant covered tail start
+    val out = graft.functions.TextFunctions
+      .chunkDocuments(docs, "doc_id", "text", size = 4, overlap = 1)
+      .orderBy("id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 0L, 1L, 4L), (1L, 1L, 4L, 4L), (1L, 2L, 7L, 4L)))
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 1L, 4L)))
+    assert(!out.exists(_._1 == 3L)) // empty doc: no chunks
+    // 5 tokens: starts 1 and 4 (tail of 2)
+    assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 0L, 1L, 4L), (4L, 1L, 4L, 2L)))
+  }
+
+  test("chunk fingerprints: overlapping windows of identical docs agree") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions
+      .chunkDocuments(docs, "doc_id", "text", size = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(4)))
+    val byDoc = out.groupBy(_._1).map { case (k, v) => k -> v.map(x => (x._2, x._3)).toSet }
+    assert(byDoc(1L) == byDoc(2L))
+  }
+}
