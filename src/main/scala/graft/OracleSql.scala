@@ -687,6 +687,26 @@ ORDER BY doc_id, frame_idx"""
   val schemaDf: String =
     s"SELECT * FROM (VALUES $schemaValues) s(instance, type) ORDER BY instance"
 
+  /** Schema-drift twin: golden VALUES for both schema generations (the
+    * evolved side derives from the same static inventory: l_tax dropped,
+    * l_linenumber widened, l_flag added), full-outer-joined with the same
+    * CASE statuses. */
+  val schemaDrift: String = {
+    val after = types.filterNot(_._1 == "l_tax").map {
+      case ("l_linenumber", _) => ("l_linenumber", "bigint")
+      case other => other
+    } :+ ("l_flag", "boolean")
+    val afterValues = after.map { case (c, t) => s"('$c', '$t')" }.mkString(", ")
+    s"""WITH a(instance, type_a) AS (VALUES $schemaValues),
+b(instance, type_b) AS (VALUES $afterValues)
+SELECT COALESCE(a.instance, b.instance) AS instance, type_a, type_b,
+  CASE WHEN type_a IS NULL THEN 'added'
+       WHEN type_b IS NULL THEN 'removed'
+       WHEN type_a <> type_b THEN 'retyped'
+       ELSE 'same' END AS status
+FROM a FULL OUTER JOIN b ON a.instance = b.instance ORDER BY instance"""
+  }
+
   /** R4: the Column-entity side of the entity split over a size +
     * completeness profile — exactly the per-column Completeness rows (the
     * Size row carries entity 'Dataset' and is filtered out). */

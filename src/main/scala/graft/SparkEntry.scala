@@ -106,6 +106,17 @@ object SparkEntry {
     }),
     "schema_df" -> ((s, dir) =>
       Profiler.schemaDF(s, lineitem(s, dir)).orderBy("instance")),
+    // structural drift: baseline schema vs an evolved variant (dropped,
+    // retyped, and added columns)
+    "schema_drift" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val evolved = li.drop("l_tax")
+        .withColumn("l_linenumber", col("l_linenumber").cast("long"))
+        .withColumn("l_flag", col("l_quantity") > 25.0)
+      graft.profiler.Checks.schemaDrift(
+        Profiler.schemaDF(s, li), Profiler.schemaDF(s, evolved))
+        .orderBy("instance")
+    }),
     // §2.B R13 metadata upsert (Glue Parameters semantics against the local
     // JSON store): seed a store with pre-existing table/column params, run a
     // real profile→params→upsert round trip, read the store back as rows.
@@ -519,6 +530,7 @@ object SparkEntry {
     "dedup_column_names" -> OracleSql.dedupColumnNames,
     "metrics_split" -> OracleSql.metricsSplit,
     "schema_df" -> OracleSql.schemaDf,
+    "schema_drift" -> OracleSql.schemaDrift,
     "metadata_upsert" -> OracleSql.metadataUpsert,
     "metrics_type_join" -> OracleSql.metricsTypeJoin,
     "cast_unsupported" -> OracleSql.castUnsupported,

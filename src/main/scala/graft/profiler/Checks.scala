@@ -54,6 +54,24 @@ object Checks {
           .otherwise(lit("stable")).as("status"))
   }
 
+  /** Schema drift between two schema relations `(instance, type)` — the
+    * structural complement of [[drift]] (a column appearing, vanishing, or
+    * changing type is the failure mode parameter-store consumers hit
+    * first; reference Glue.java:89-99 documents exactly such a structural
+    * quirk). Full outer join on the column name; statuses `added` /
+    * `removed` / `retyped` / `same`. Metadata-sized on both sides. */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val a = before.select(col("instance"), col("type").as("type_a"))
+    val b = after.select(col("instance"), col("type").as("type_b"))
+    a.join(b, Seq("instance"), "full_outer")
+      .select(
+        col("instance"), col("type_a"), col("type_b"),
+        when(col("type_a").isNull, lit("added"))
+          .when(col("type_b").isNull, lit("removed"))
+          .when(col("type_a") =!= col("type_b"), lit("retyped"))
+          .otherwise(lit("same")).as("status"))
+  }
+
   def evaluate(
       spark: SparkSession,
       metrics: DataFrame,

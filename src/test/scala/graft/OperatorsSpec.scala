@@ -619,3 +619,18 @@ class NumericHistogramSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((0L, 3L)))
   }
 }
+
+class SchemaDriftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("schema drift: added, removed, retyped, same") {
+    import spark.implicits._
+    val a = Seq(("x", "int"), ("y", "string"), ("z", "double")).toDF("instance", "type")
+    val b = Seq(("x", "bigint"), ("y", "string"), ("w", "boolean")).toDF("instance", "type")
+    val out = graft.profiler.Checks.schemaDrift(a, b)
+      .orderBy("instance").collect()
+      .map(r => (r.getString(0), r.getString(3)))
+    assert(out.toSeq == Seq(
+      ("w", "added"), ("x", "retyped"), ("y", "same"), ("z", "removed")))
+  }
+}
