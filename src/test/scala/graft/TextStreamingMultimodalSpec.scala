@@ -372,3 +372,39 @@ class ChunkingSpec extends AnyFunSuite {
     assert(byDoc(1L) == byDoc(2L))
   }
 }
+
+class ChunkingPropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("property: chunks tile the token range — full coverage, exact overlap, last ends at n") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (_ <- 1 to 5) {
+      val size = 2 + rng.nextInt(20)
+      val overlap = rng.nextInt(size)
+      val stride = size - overlap
+      val docs = (1L to 20L).map(i => (i, (1 to rng.nextInt(80)).map("w" + _).mkString(" ")))
+        .toDF("doc_id", "text")
+      val nTokens = docs.collect().map(r =>
+        r.getLong(0) -> r.getString(1).split("\\s+").count(_.nonEmpty).toLong).toMap
+      val chunks = graft.functions.TextFunctions
+        .chunkDocuments(docs, "doc_id", "text", size, overlap)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1)
+      for ((id, n) <- nTokens) {
+        if (n == 0) assert(!chunks.contains(id))
+        else {
+          val cs = chunks(id).sortBy(_._2).map(c => (c._2, c._2 + c._3 - 1))
+          assert(cs.head._1 == 1L, s"size=$size overlap=$overlap n=$n")
+          assert(cs.last._2 == n, s"last chunk must end at n: $cs n=$n")
+          // starts advance by exactly stride; consecutive chunks overlap
+          cs.sliding(2).foreach {
+            case Array((s1, e1), (s2, _)) =>
+              assert(s2 - s1 == stride && s2 <= e1 + 1, s"gap: $cs")
+            case _ =>
+          }
+        }
+      }
+    }
+  }
+}
