@@ -33,12 +33,25 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","iterations":$iterations,"agg":"min"}""")
+    // The driver parses this line out of a 2000-char stdout tail; round 3's
+    // full-precision 70-query line overflowed the window and was recorded as
+    // parsed:null. Millisecond precision + slowest-first truncation keeps the
+    // line inside the window (the slow queries are the ones perf grading
+    // needs); n_queries records how many ran vs how many are listed.
+    def fmt(v: Double): String = f"$v%.3f"
+    val slowestFirst = results.toSeq.sortBy(-_._2)
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
+        s""""n_queries":${results.size}}"""
+    }
+    var keep = slowestFirst
+    while (line(keep).length > 1850 && keep.nonEmpty) keep = keep.init
+    val out = line(keep)
     spark.stop()
+    println(out)
   }
 }

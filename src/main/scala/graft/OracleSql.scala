@@ -171,23 +171,29 @@ object OracleSql {
       i <- numeric.indices
       j <- (i + 1) until numeric.size
     } yield (numeric(i), numeric(j))
-    def m(a: String, b: String) = s"$a IS NOT NULL AND $b IS NOT NULL"
+    // same |x| ≤ 1e15 decimal-range guard as the engine: out-of-range
+    // values are excluded from the guarded sums and null the pair's corr
+    def ok(c: String) = s"ABS(CAST($c AS DOUBLE)) <= 1e15"
+    def m(a: String, b: String) =
+      s"$a IS NOT NULL AND $b IS NOT NULL AND ${ok(a)} AND ${ok(b)}"
     def dsum(a: String, b: String, e: String) =
       s"CAST(SUM(CASE WHEN ${m(a, b)} THEN $e END) AS DOUBLE)"
+    val oorCols = numeric.map(c =>
+      s"COUNT(CASE WHEN $c IS NOT NULL AND NOT (${ok(c)}) THEN 1 END) AS oor_$c")
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
       Seq(
-        s"COUNT(CASE WHEN ${m(a, b)} THEN 1 END) AS n_$k",
+        s"COUNT(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END) AS n_$k",
         s"${dsum(a, b, s"CAST($a AS DECIMAL(38,6))")} AS sx_$k",
         s"${dsum(a, b, s"CAST($b AS DECIMAL(38,6))")} AS sy_$k",
         s"${dsum(a, b, s"CAST(CAST($a AS DOUBLE) * CAST($a AS DOUBLE) AS DECIMAL(38,6))")} AS sxx_$k",
         s"${dsum(a, b, s"CAST(CAST($b AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(38,6))")} AS syy_$k",
         s"${dsum(a, b, s"CAST(CAST($a AS DOUBLE) * CAST($b AS DOUBLE) AS DECIMAL(38,6))")} AS sxy_$k")
-    }
+    } ++ oorCols
     val selects = pairs.zipWithIndex.map { case ((a, b), k) =>
       val nD = s"CAST(n_$k AS DOUBLE)"
       val num = s"$nD * sxy_$k - sx_$k * sy_$k"
       val g = s"($nD * sxx_$k - sx_$k * sx_$k) * ($nD * syy_$k - sy_$k * sy_$k)"
-      s"SELECT '$a' AS col_a, '$b' AS col_b, n_$k AS n, ROUND(CASE WHEN $g > 0 THEN ($num) / SQRT($g) END, 6) AS corr FROM a"
+      s"SELECT '$a' AS col_a, '$b' AS col_b, n_$k AS n, ROUND(CASE WHEN oor_$a + oor_$b = 0 AND $g > 0 THEN ($num) / SQRT($g) END, 6) AS corr FROM a"
     }
     s"WITH a AS (SELECT ${aggs.mkString(", ")} FROM $T)\n" +
       selects.mkString(" UNION ALL ") + "\nORDER BY col_a, col_b"
@@ -631,7 +637,7 @@ SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROU
 w AS (SELECT *,
     last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER win AS last_view_value,
     last_value(CASE WHEN event_type = 'view' THEN ts_us END IGNORE NULLS) OVER win AS last_view_ts_us
-  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
 SELECT event_id, user_id, ts_us, value, last_view_value, last_view_ts_us,
   ts_us - last_view_ts_us AS gap_us
 FROM w WHERE event_type = 'purchase' ORDER BY event_id"""

@@ -313,7 +313,8 @@ object SparkEntry {
       graft.operators.AsOf.lastPrior(
         e, "user_id", "ts_us",
         col("event_type") === "view",
-        Seq("value" -> "last_view_value", "ts_us" -> "last_view_ts_us"))
+        Seq("value" -> "last_view_value", "ts_us" -> "last_view_ts_us"),
+        tieBreak = Seq("event_id"))
         .where(col("event_type") === "purchase")
         .select(
           col("event_id"), col("user_id"), col("ts_us"), col("value"),

@@ -18,16 +18,22 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** For each row: `outCols` = the as-of values of `valueCols` taken from
-    * the latest strictly-earlier row (by `orderCol`, which must be a total
-    * order within a key) satisfying `sourcePred`; null when no such row
-    * exists. */
+    * the latest strictly-earlier row (by `orderCol`) satisfying
+    * `sourcePred`; null when no such row exists.
+    *
+    * Determinism: if `(keyCol, orderCol)` alone is not a total order,
+    * `last(...)` over the ROWS frame picks a partition-dependent row among
+    * ties — pass the row's unique id as `tieBreak` to pin the order (the
+    * oracle twin appends the same column to its window ORDER BY). */
   def lastPrior(
       df: DataFrame,
       keyCol: String,
       orderCol: String,
       sourcePred: Column,
-      valueCols: Seq[(String, String)]): DataFrame = {
-    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      valueCols: Seq[(String, String)],
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy((orderCol +: tieBreak).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     valueCols.foldLeft(df) { case (acc, (v, out)) =>
       acc.withColumn(out, last(when(sourcePred, col(v)), ignoreNulls = true).over(w))

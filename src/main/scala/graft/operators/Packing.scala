@@ -59,7 +59,7 @@ object Packing {
         acc + s
       }
       val bc = sp.sparkContext.broadcast(offsets)
-      parted.mapPartitions { it =>
+      val result = parted.mapPartitions { it =>
         val pid = TaskContext.getPartitionId()
         var cum = bc.value(pid)
         it.map { case (id, tok) =>
@@ -68,9 +68,13 @@ object Packing {
           (id, tok, before / budget, before)
         }
       }.toDF(idCol, "n_tokens", "pack_id", "cum_before")
+      // Materialize while the cache still pins partition contents: the
+      // range exchange samples boundaries with an RDD-id-derived seed, so a
+      // re-execution after unpersist could place rows differently than the
+      // run that computed the broadcast offsets. localCheckpoint(eager)
+      // severs the lineage before the cache is released.
+      result.localCheckpoint(true)
     } finally {
-      // safe to release before the lazy result is evaluated: range
-      // boundaries re-derive deterministically from the same input
       parted.unpersist()
       ()
     }

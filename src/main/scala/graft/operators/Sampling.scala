@@ -79,7 +79,10 @@ object Sampling {
   /** Assign each row a split label by consecutive bucket ranges, e.g.
     * `Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)`. Fractions must
     * sum to 1 (within bucket granularity); ranges are disjoint and
-    * exhaustive, so every row gets exactly one label. */
+    * exhaustive, so every row with a non-null key gets exactly one label.
+    * NULL keys have no hash bucket, hence no membership: their label is
+    * null — consistent with [[deterministicSample]], which excludes them
+    * (membership is a pure function of the key, and NULL has none). */
   def hashSplit(
       df: DataFrame,
       keyCol: String,
@@ -100,6 +103,6 @@ object Sampling {
         acc.when(b < hi, lit(name))
       }
       .otherwise(lit(splits.last._1))
-    df.withColumn("split", label)
+    df.withColumn("split", when(col(keyCol).isNotNull, label))
   }
 }

@@ -43,6 +43,12 @@ object Correlation {
   private val Dec = DecimalType(38, 6)
   private val SlotsPerPass = 42
 
+  // |x| ≤ 1e15 keeps x, x² and cross-products a·b inside DECIMAL(38,6)
+  // (products ≤ 1e30 < 1e32) under ANSI mode — the ScanMetrics guard
+  // pattern. Values beyond the bound (or a try_sum overflow of the total)
+  // null out every pair involving that column rather than killing the job.
+  private val CorrAbsBound = 1e15
+
   def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val pairs = for {
@@ -50,23 +56,25 @@ object Correlation {
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     def xd(c: String) = col(c).cast(DoubleType)
+    def ok(c: String) = abs(xd(c)) <= CorrAbsBound
 
     // slot name -> aggregate expression (order defines pass packing)
     val perCol: Seq[(String, Column)] = cols.flatMap { c =>
       Seq(
-        s"S_$c" -> sum(col(c).cast(Dec)),
-        s"Q_$c" -> sum((xd(c) * xd(c)).cast(Dec)))
+        s"S_$c" -> try_sum(when(ok(c), col(c).cast(Dec))),
+        s"Q_$c" -> try_sum(when(ok(c), (xd(c) * xd(c)).cast(Dec))),
+        s"O_$c" -> count(when(col(c).isNotNull && !ok(c), lit(1))))
     }
     val perPair: Seq[(String, Column)] = pairs.zipWithIndex.flatMap { case ((a, b), k) =>
       val m = col(a).isNotNull && col(b).isNotNull
       def corrOf(v: String, partner: String, sq: Boolean) = {
-        val cond = col(v).isNotNull && col(partner).isNull
-        if (sq) sum(when(cond, (xd(v) * xd(v)).cast(Dec)))
-        else sum(when(cond, col(v).cast(Dec)))
+        val cond = col(v).isNotNull && col(partner).isNull && ok(v)
+        if (sq) try_sum(when(cond, (xd(v) * xd(v)).cast(Dec)))
+        else try_sum(when(cond, col(v).cast(Dec)))
       }
       Seq(
         s"n_$k" -> count(when(m, lit(1))),
-        s"P_$k" -> sum(when(m, (xd(a) * xd(b)).cast(Dec))),
+        s"P_$k" -> try_sum(when(m && ok(a) && ok(b), (xd(a) * xd(b)).cast(Dec))),
         s"CVa_$k" -> corrOf(a, b, sq = false),
         s"CQa_$k" -> corrOf(a, b, sq = true),
         s"CVb_$k" -> corrOf(b, a, sq = false),
@@ -97,7 +105,8 @@ object Correlation {
 
     val out = pairs.zipWithIndex.map { case ((a, b), k) =>
       val n = v(s"n_$k").asInstanceOf[Long]
-      val moments = for {
+      val oor = v(s"O_$a").asInstanceOf[Long] + v(s"O_$b").asInstanceOf[Long]
+      val moments = if (oor > 0) None else for {
         sa <- dec(s"S_$a"); qa <- dec(s"Q_$a")
         sb <- dec(s"S_$b"); qb <- dec(s"Q_$b")
         p <- dec(s"P_$k")

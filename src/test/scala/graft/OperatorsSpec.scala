@@ -207,6 +207,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(thirds.keySet == Set("a", "b", "c"))
     assert(thirds.values.sum == 2000L)
   }
+
+  test("NULL keys: null split label, excluded from samples (consistent, documented)") {
+    import graft.operators.Sampling
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val labeled = Sampling.hashSplit(df, "doc_id", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => (r.get(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(labeled.count(_._2 != null) == 2)
+    assert(labeled.find(_._1 == null).exists(_._2 == null)) // no silent 'test'
+    // deterministicSample drops NULL keys for the same reason
+    assert(Sampling.deterministicSample(df, "doc_id", 1.0).count() == 2)
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
@@ -559,6 +572,23 @@ class AsOfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
     assert(out.toSeq == Seq((1L, 1.0), (1L, 2.0), (2L, null)))
   }
+
+  test("as-of: tie-break column pins the order among equal timestamps") {
+    import spark.implicits._
+    // two views at the SAME timestamp: without a tie-break the window order
+    // among them is partition-dependent; with id tie-break the later id wins
+    val e = Seq(
+      (7L, 1L, 10L, "view", 1.0), (7L, 2L, 10L, "view", 2.0),
+      (7L, 3L, 20L, "buy", 9.0)
+    ).toDF("user_id", "id", "ts", "type", "value")
+    (1 to 3).foreach { p =>
+      val out = graft.operators.AsOf.lastPrior(
+        e.repartition(p), "user_id", "ts", col("type") === "view",
+        Seq("value" -> "lv"), tieBreak = Seq("id"))
+        .where(col("type") === "buy").head()
+      assert(out.getDouble(5) == 2.0, s"partitions=$p")
+    }
+  }
 }
 
 class CorrelationSpec extends AnyFunSuite {
@@ -581,6 +611,21 @@ class CorrelationSpec extends AnyFunSuite {
     // x vs opt over rows (1,1),(2,2),(4,0.5): corr computable and in [-1,1]
     val c = out(("x", "opt"))._2.asInstanceOf[Double]
     assert(c > -1.0 && c < 1.0)
+  }
+
+  test("correlation: out-of-range value nulls the affected pairs, not the job (ANSI guard)") {
+    import spark.implicits._
+    val df = Seq(
+      (1.0, 2.0, 3.0),
+      (2.0, 4.0, 1e18), // |z| beyond the 1e15 decimal guard
+      (3.0, 6.0, 5.0)
+    ).toDF("x", "y", "z")
+    val out = graft.profiler.Correlation.matrix(df, Seq("x", "y", "z"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out(("x", "y")) == 1.0)    // unaffected pair still exact
+    assert(out(("x", "z")) == null)   // pairs touching z degrade to null
+    assert(out(("y", "z")) == null)
   }
 
   test("correlation is partitioning-independent (decimal-quantized moments)") {
