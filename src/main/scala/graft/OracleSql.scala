@@ -747,4 +747,143 @@ FROM a FULL OUTER JOIN b ON a.instance = b.instance ORDER BY instance"""
       perCol(text, "MinLength")(minLengthExpr)))
     s"SELECT * FROM ($m) q ORDER BY instance, name LIMIT 100"
   }
+
+  /** Text-normalization twin: identical decomposed combining-sequence
+    * prefix (chr(769)=U+0301, chr(776)=U+0308, chr(9)=tab), then the same
+    * NFC → lower → collapse-whitespace → trim pipeline (`nfc_normalize`
+    * implements the same Unicode canonical composition as the engine's
+    * codegen NfcNormalize expression). */
+  val textNormalize: String =
+    raw"""WITH r AS (SELECT doc_id,
+    'Cafe' || chr(769) || '  NAI' || chr(776) || 'VE' || chr(9) || text AS raw
+  FROM documents),
+n AS (SELECT doc_id, raw,
+    trim(regexp_replace(lower(nfc_normalize(raw)), '\s+', ' ', 'g')) AS norm
+  FROM r)
+SELECT doc_id,
+  CAST(LENGTH(raw) AS BIGINT) AS n_chars_raw,
+  CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,
+  substr(sha256(norm), 1, 16) AS norm_fingerprint
+FROM n ORDER BY doc_id"""
+
+  /** IVF twin: the knn_assign cell structure (rank-1 centroid per vector),
+    * rank-≤2 probe list per query, exact cosine only inside probed cells,
+    * top-10 on (6-dp cosine DESC, id ASC) — deterministic approximation,
+    * reproduced exactly. */
+  val ivfTopK: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+p AS (SELECT query_id, centroid_id FROM (
+  SELECT q.query_id, c.centroid_id,
+    ROUND(${listDot("q.embedding", "c.embedding")} / (${listNorm("q.embedding")} * ${listNorm("c.embedding")}), 6) AS qcos
+  FROM q CROSS JOIN c
+  WHERE ${listNorm("q.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, centroid_id) <= 2),
+s AS (SELECT p.query_id, a.neighbor_id,
+    ROUND(${listDot("q.embedding", "e.embedding")} / (${listNorm("q.embedding")} * ${listNorm("e.embedding")}), 6) AS cos
+  FROM p JOIN a USING (centroid_id)
+  JOIN embeddings e ON e.vec_id = a.neighbor_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE ${listNorm("q.embedding")} * ${listNorm("e.embedding")} > 0)
+SELECT query_id, neighbor_id, cos FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+ORDER BY query_id, neighbor_id"""
+
+  /** Int8 scalar-quantization twin: same symmetric scale (max|x|/127),
+    * same explicit half-up code law sign(x)*floor(|x|/scale + 0.5), same
+    * left-fold residual MSE (list_reduce ≡ Spark aggregate from 0.0). */
+  val embeddingQuantize: String =
+    """WITH b AS (SELECT vec_id, embedding,
+    list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS amax,
+    len(embedding) AS nd
+  FROM embeddings),
+s AS (SELECT vec_id, embedding, nd, amax, amax / 127.0 AS scale FROM b),
+cd AS (SELECT vec_id, embedding, nd, amax, scale,
+    list_transform(embedding,
+      x -> CAST(SIGN(CAST(x AS DOUBLE)) * FLOOR(ABS(CAST(x AS DOUBLE)) / scale + 0.5) AS INTEGER)) AS codes
+  FROM s)
+SELECT vec_id,
+  CAST(nd AS INT) AS n_dims,
+  ROUND(CASE WHEN amax > 0 THEN scale END, 6) AS scale,
+  CASE WHEN amax > 0 THEN CAST(list_sum(codes) AS BIGINT) END AS code_sum,
+  CASE WHEN amax > 0 THEN list_min(codes) END AS code_min,
+  CASE WHEN amax > 0 THEN list_max(codes) END AS code_max,
+  ROUND(CASE WHEN amax > 0 THEN
+    list_reduce(list_transform(list_zip(embedding, codes),
+      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),
+      (acc, v) -> acc + v) / nd END, 6) AS mse
+FROM cd ORDER BY vec_id"""
+
+  /** Budget-selection twin: the text_quality composite (same CASE guards,
+    * 6-dp rounding pins the ranking across engines), ranked (score DESC,
+    * doc_id), inclusive running token sum capped at the budget. */
+  val budgetSelect: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH q AS (
+  SELECT doc_id, ws_tokens AS n_tokens,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) t),
+c AS (SELECT doc_id, score, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM q WHERE score IS NOT NULL)
+SELECT doc_id, score, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id"""
+  }
+
+  /** Corpus bigram top-50 — the vocabTopK ranking rule over the
+    * repetition-metrics positional bigram generator. */
+  val bigramTopK: String =
+    s"""SELECT bigram, freq FROM (
+  SELECT w[i] || ' ' || w[i + 1] AS bigram, COUNT(*) AS freq
+  FROM (SELECT $wsToksLowerSql AS w FROM documents), UNNEST(range(1, len(w))) s(i)
+  GROUP BY 1) q
+ORDER BY freq DESC, bigram ASC LIMIT 50"""
+
+  /** Filter-funnel twin: cumulative-conjunction survivor counts; every
+    * stage predicate reuses the standalone oracle's expression (length,
+    * token count, langId argmax, quality composite). */
+  val filterFunnel: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    val scores = Stopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS s_$l"
+    }.mkString(", ")
+    val cases = Stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val greatest = Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""WITH base AS (SELECT doc_id, text, $wsToksLowerSql AS toks,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+g AS (SELECT *, GREATEST($greatest) AS m FROM (SELECT *, $scores FROM base) sc),
+f AS (SELECT
+    n_chars > 0 AS p1,
+    ws_tokens >= 10 AS p2,
+    (CASE $cases ELSE 'und' END) <> 'und' AS p3,
+    (ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6)) >= 0.45 AS p4
+  FROM g)
+SELECT 0 AS stage, 'total' AS filter_name, COUNT(*) AS survivors FROM f
+UNION ALL SELECT 1, 'has_text', COUNT(CASE WHEN p1 THEN 1 END) FROM f
+UNION ALL SELECT 2, 'min_tokens_10', COUNT(CASE WHEN p1 AND p2 THEN 1 END) FROM f
+UNION ALL SELECT 3, 'lang_known', COUNT(CASE WHEN p1 AND p2 AND p3 THEN 1 END) FROM f
+UNION ALL SELECT 4, 'quality_045', COUNT(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 END) FROM f
+ORDER BY stage"""
+  }
+
+  /** Deterministic-shuffle twin: the sampling hash bucket mod 16 as the
+    * shard, position by ROW_NUMBER in (bucket, doc_id) order. */
+  val corpusShuffle: String =
+    s"""WITH b AS (SELECT doc_id, $sampleBucket AS bkt FROM documents)
+SELECT doc_id, CAST(bkt % 16 AS INT) AS shard,
+  CAST(ROW_NUMBER() OVER (PARTITION BY bkt % 16 ORDER BY bkt, doc_id) AS BIGINT) AS pos
+FROM b ORDER BY doc_id"""
 }

@@ -499,8 +499,65 @@ object SparkEntry {
         .toDF().orderBy("doc_id")),
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asBinary(documents(s, dir)))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+    // unicode canonicalization (custom codegen Expression): a combining-
+    // sequence prefix is prepended so NFC composition is actually exercised
+    // on the (ASCII) corpus; both engines build the identical input
+    "text_normalize" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      val input = concat(lit(NormPrefix), col("text"))
+      val norm = graft.functions.NfcNormalize.normalizeText(input)
+      documents(s, dir).select(
+        col("doc_id"),
+        length(input).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        substring(sha2(norm, 256), 1, 16).as("norm_fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // IVF ANN: deterministic coarse quantizer (centroids = vec_id % 83 == 0,
+    // the knn_assign cell structure), 2-probe search, exact rescoring within
+    // probed cells only — the scale path of similarity search
+    "ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        embeddings(s, dir), "vec_id", "embedding",
+        centroidPred = col("vec_id") % 83 === 0,
+        queryPred = col("vec_id") % 97 === 0)
+        .orderBy("query_id", "neighbor_id")),
+    // int8 scalar quantization report per embedding vector
+    "embedding_quantize" -> ((s, dir) =>
+      graft.operators.Quantize.int8Scalar(embeddings(s, dir), "vec_id", "embedding")
+        .orderBy("vec_id")),
+    // greedy token-budget curation: best-quality prefix within 20k tokens
+    "budget_select" -> ((s, dir) =>
+      graft.operators.Packing.selectUnderBudget(
+        documents(s, dir).select(
+          col("doc_id"),
+          TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("score")),
+        "doc_id", "n_tokens", "score", budget = 20000L)
+        .orderBy("doc_id")),
+    // corpus bigram frequencies (one BPE merge round's pair table)
+    "bigram_topk" -> ((s, dir) =>
+      TextFunctions.bigramTopK(documents(s, dir), "text", k = 50)),
+    // curation funnel: survivors per cumulative filter stage, one scan
+    "filter_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.filterFunnel(
+        documents(s, dir), Seq(
+          "has_text" -> (length(col("text")) > 0),
+          "min_tokens_10" -> (TextFunctions.wsTokenCount(col("text")) >= 10),
+          "lang_known" -> (TextFunctions.langId(col("text")) =!= "und"),
+          "quality_045" -> (round(TextFunctions.qualityScore(col("text")), 6) >= 0.45)))),
+    // deterministic training-order shuffle into 16 hash shards
+    "corpus_shuffle" -> ((s, dir) =>
+      Sampling.shuffleShards(documents(s, dir), "doc_id", nShards = 16)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id"))
   )
+
+  /** Combining-sequence prefix for text_normalize: "Cafe" + U+0301 and
+    * "NAI" + U+0308 compose under NFC ("Café NAÏVE") — shared with the
+    * oracle, which constructs the identical prefix via chr(). */
+  private val NormPrefix = "Café  NAÏVE\t"
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -573,6 +630,13 @@ object SparkEntry {
     "streaming_sessions" -> OracleSql.streamingSessions,
     "multimodal_features" -> OracleSql.multimodalFeatures,
     "multimodal_decode" -> OracleSql.multimodalDecode,
-    "multimodal_frames" -> OracleSql.multimodalFrames
+    "multimodal_frames" -> OracleSql.multimodalFrames,
+    "text_normalize" -> OracleSql.textNormalize,
+    "ivf_topk" -> OracleSql.ivfTopK,
+    "embedding_quantize" -> OracleSql.embeddingQuantize,
+    "budget_select" -> OracleSql.budgetSelect,
+    "bigram_topk" -> OracleSql.bigramTopK,
+    "filter_funnel" -> OracleSql.filterFunnel,
+    "corpus_shuffle" -> OracleSql.corpusShuffle
   )
 }

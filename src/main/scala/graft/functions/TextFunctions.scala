@@ -77,6 +77,26 @@ object TextFunctions {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(k)
 
+  /** Corpus bigram top-k — the pair-frequency table of one BPE-style merge
+    * round (the most frequent adjacent pair is the next merge candidate)
+    * and the n=2 slice of n-gram LM statistics. Bigrams are generated
+    * positionally in-row (the [[repetitionMetrics]] chain: no self-join, no
+    * per-doc buffering), then the same explode → map-side-combined hash agg
+    * → `TakeOrderedAndProject` shape as [[vocabTopK]]. */
+  def bigramTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = wsTokens(lower(col(textCol)))
+    df.select(
+      explode(
+        when(size(w) >= 2,
+          transform(
+            sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array())).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Repetition metrics per document — the Gopher-style quality filters
     * (Rae et al. 2021, §A1.1) that catch degenerate/boilerplate text exact
     * dedup misses: duplicate-token fraction and the most-common-bigram

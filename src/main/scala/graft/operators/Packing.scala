@@ -79,4 +79,69 @@ object Packing {
       ()
     }
   }
+
+  /** Greedy token-budget selection: rank documents by (`scoreCol` DESC,
+    * `idCol` ASC) and keep the best prefix whose cumulative token count
+    * stays within `budget` — the "spend my compute on the highest-quality
+    * tokens" curation step (quality-thresholding by value rather than by an
+    * arbitrary score cutoff). Rows with a null score carry no ranking
+    * signal and are excluded.
+    *
+    * Same two-phase distributed prefix sum as [[packSequences]] — the
+    * naive `sum().over(Window.orderBy(score))` would collapse the corpus
+    * into one task — but range-partitioned on the RANKING order
+    * (score DESC, id). `scoreCol` must be engine-portable (e.g. a 6-dp
+    * rounded quality score) for the oracle to reproduce the order.
+    *
+    * Returns `(idCol, score, n_tokens, cum_tokens)` for selected rows,
+    * where `cum_tokens` is the running total INCLUDING the row. */
+  def selectUnderBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      scoreCol: String,
+      budget: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val parts = numPartitions.getOrElse(
+      math.max(1, sp.sparkContext.defaultParallelism))
+    val parted = df
+      .where(col(scoreCol).isNotNull)
+      .select(
+        col(scoreCol).cast("double").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        col(tokenCol).cast("long").as("_3"))
+      .as[(Double, Long, Long)]
+      .repartitionByRange(parts, col("_1").desc, col("_2").asc)
+      .sortWithinPartitions(col("_1").desc, col("_2").asc)
+      .persist()
+    try {
+      val totals = parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach(s += _._3)
+        Iterator((pid, s))
+      }.collect()
+      val offsets = new Array[Long](parts)
+      totals.sortBy(_._1).foldLeft(0L) { case (acc, (pid, s)) =>
+        offsets(pid) = acc
+        acc + s
+      }
+      val bc = sp.sparkContext.broadcast(offsets)
+      val result = parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var cum = bc.value(pid)
+        it.flatMap { case (score, id, tok) =>
+          cum += tok
+          if (cum <= budget) Some((id, score, tok, cum)) else None
+        }
+      }.toDF(idCol, scoreCol, "n_tokens", "cum_tokens")
+      result.localCheckpoint(true) // same cache-lifetime rule as above
+    } finally {
+      parted.unpersist()
+      ()
+    }
+  }
 }

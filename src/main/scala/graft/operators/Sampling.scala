@@ -105,4 +105,26 @@ object Sampling {
       .otherwise(lit(splits.last._1))
     df.withColumn("split", when(col(keyCol).isNotNull, label))
   }
+
+  /** Deterministic corpus shuffle + sharding: assign every row a shard
+    * (`bucket mod nShards` — exactly balanced when `nShards` divides
+    * [[Buckets]]) and a position within the shard in (bucket, key) order.
+    * This is the "global shuffle" step before training-data serialization:
+    * hash order is statistically random with respect to any source
+    * ordering, yet a pure function of the key — re-runs, engine ports and
+    * incremental rebuilds produce the identical training order.
+    *
+    * Scale shape: one shuffle keyed on the shard; each shard sorts
+    * independently (a within-task sort at ~corpus/nShards rows — raise
+    * `nShards` with corpus size so shards stay task-sized). */
+  def shuffleShards(
+      df: DataFrame, keyCol: String, nShards: Int, salt: String = "graft"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val b = hashBucket(col(keyCol), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(b.asc, col(keyCol).asc)
+    df.where(col(keyCol).isNotNull)
+      .withColumn("shard", (b % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -174,6 +174,65 @@ object Similarity {
       .limit(top)
   }
 
+  /** IVF (inverted-file) approximate top-k — the scale path of ANN search:
+    * the corpus is bucketed into cells by nearest centroid (the
+    * [[nearestCentroid]] coarse quantizer), each query probes only its
+    * `nprobe` closest cells, and exact cosine runs on that ~nprobe/C
+    * fraction of the corpus instead of all of it.
+    *
+    * Unlike sampled-kmeans IVF, the centroid set here is a deterministic
+    * predicate over ids, so the whole operator is a pure function of the
+    * data — deterministic approximation, which is what makes an IVF result
+    * oracle-verifiable at all (DuckDB reproduces assignment, probe list and
+    * ranking exactly).
+    *
+    * Scale shape: centroids are broadcast twice (assignment + probe
+    * selection — both tiny); the candidate generation is an equi-join on
+    * `centroid_id` and the scoring join an equi-join on the vector id —
+    * hash shuffles of compact keys, no CartesianProduct over the corpus.
+    * Cost per query is output-driven: ~`nprobe/C` of the corpus. */
+  def ivfTopK(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      queryPred: Column,
+      nprobe: Int = 2,
+      k: Int = 10): DataFrame = {
+    graft.functions.VectorOps.register(emb.sparkSession)
+    val cents = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c"), fnorm(col(vecCol)).as("nc"))
+    // index build: every corpus vector lives in exactly one cell
+    val assign = nearestCentroid(emb, idCol, vecCol, centroidPred)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("centroid_id").asc)
+    val probes = queries.crossJoin(broadcast(cents))
+      .select(
+        col("query_id"), col("centroid_id"),
+        safeCos(col("q"), col("c"), col("nq"), col("nc")).as("qcos"))
+      .where(col("qcos").isNotNull)
+      .withColumn("rn", row_number().over(probeW))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "centroid_id")
+    val corpus = emb.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val scored = probes.join(assign, Seq("centroid_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(
+        col("query_id"), col("neighbor_id"),
+        safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
+      .where(col("cos").isNotNull)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Exact O(n²) pairwise twin of [[cosineNearDupPairs]] — the test-only
     * baseline the bucketed path is verified against (and the literal shape
     * of the DuckDB oracle). Not for production corpora: broadcasting the

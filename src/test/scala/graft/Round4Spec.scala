@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.{NfcNormalize, TextFunctions}
+import graft.operators.{Funnel, Packing, Quantize, Sampling, Similarity}
+
+class NormalizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("NFC composes combining sequences; pipeline collapses case and whitespace") {
+    import spark.implicits._
+    NfcNormalize.register(spark)
+    val df = Seq(
+      ("Café", "Café"),          // decomposed vs precomposed
+      ("NAÏVE", "NAÏVE"),
+      ("plain ascii", "plain ascii")
+    ).toDF("a", "b")
+    // NFC(a) == b (already-NFC strings pass through unchanged)
+    assert(df.where(NfcNormalize.nfc(col("a")) =!= col("b")).count() == 0)
+    // full pipeline: lowercase + single-space + trimmed
+    val out = Seq("  MiXeD\t\tCase  é ").toDF("t")
+      .select(NfcNormalize.normalizeText(col("t"))).head().getString(0)
+    assert(out == "mixed case é")
+    // idempotent
+    val again = Seq(out).toDF("t")
+      .select(NfcNormalize.normalizeText(col("t"))).head().getString(0)
+    assert(again == out)
+  }
+}
+
+class IvfQuantizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def emb = {
+    import spark.implicits._
+    // three tight clusters around orthogonal axes + ids; centroids = %5==0
+    val rng = new scala.util.Random(7)
+    (0L until 60L).map { i =>
+      val axis = (i % 3).toInt
+      val base = Array.fill(8)(0.0f)
+      base(axis) = 1.0f
+      val v = base.map(x => x + (rng.nextFloat() - 0.5f) * 0.1f)
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF results are true cosines and match exact top-k when every cell is probed") {
+    val queryPred = col("vec_id") % 20 === 0
+    val centroidPred = col("vec_id") % 5 === 0   // 12 cells
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", queryPred, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // nprobe = #cells => candidate set is the whole corpus => exact equality
+    val full = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", centroidPred, queryPred, nprobe = 12, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == exact)
+    // nprobe = 2: every returned pair carries the true exact cosine
+    val ivf = Similarity.ivfTopK(
+      emb, "vec_id", "embedding", centroidPred, queryPred, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (pair, cos) =>
+      assert(exact.get(pair).forall(_ == cos), s"$pair scored differently")
+    }
+  }
+
+  test("int8 quantization: codes bounded, reconstruction error bounded by scale/2") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),   // zero vector -> null scale/mse
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.int8Scalar(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) == 4)
+    assert(r1.getInt(4) >= -127 && r1.getInt(5) <= 127)
+    // max|x| maps to exactly ±127
+    assert(math.abs(r1.getInt(5)) == 127 || math.abs(r1.getInt(4)) == 127)
+    // quantization error per dim ≤ scale/2 => mse ≤ (scale/2)^2
+    val scale1 = r1.getDouble(2)
+    assert(r1.getDouble(6) <= (scale1 / 2) * (scale1 / 2) + 1e-9)
+    val r2 = out(1)
+    assert(r2.isNullAt(2) && r2.isNullAt(6))
+  }
+}
+
+class BudgetFunnelShuffleSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("budget selection keeps the best-score prefix within the token budget") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 100L, 0.9), (2L, 200L, 0.8), (3L, 300L, 0.7),
+      (4L, 100L, 0.95), (5L, 999L, 0.6), (6L, 50L, null.asInstanceOf[Any])
+    ).map { case (id, t, s) => (id, t, Option(s).map(_.asInstanceOf[Double])) }
+      .toDF("doc_id", "n_tokens", "score")
+    // score order: 4 (cum 100) -> 1 (cum 200) -> 2 (cum 400) -> 3 (cum 700,
+    // over budget) -> 5; null-score doc 6 excluded entirely
+    val out = Packing.selectUnderBudget(df, "doc_id", "n_tokens", "score", budget = 650L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 200L), (2L, 400L), (4L, 100L)))
+  }
+
+  test("budget selection is independent of the partition count") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (1L to 500L).map(i => (i, 10L + rng.nextInt(90), rng.nextInt(100) / 100.0))
+      .toDF("doc_id", "n_tokens", "score")
+    def run(p: Int) = Packing.selectUnderBudget(
+      df, "doc_id", "n_tokens", "score", budget = 5000L, numPartitions = Some(p))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val p1 = run(1)
+    assert(p1.nonEmpty && run(7) == p1 && run(32) == p1)
+  }
+
+  test("bigram top-k counts adjacent pairs with (freq DESC, bigram ASC) tie-break") {
+    import spark.implicits._
+    val df = Seq("a b a b c", "a b", "x").toDF("text")
+    val out = TextFunctions.bigramTopK(df, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("filter funnel: cumulative stages, monotone survivors, one row per stage") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "good doc with enough tokens"),
+      (2L, ""),
+      (3L, "short")
+    ).toDF("doc_id", "text")
+    val out = Funnel.filterFunnel(df, Seq(
+      "has_text" -> (length(col("text")) > 0),
+      "min_3_tokens" -> (TextFunctions.wsTokenCount(col("text")) >= 3)))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0, "total", 3L), (1, "has_text", 2L), (2, "min_3_tokens", 1L)))
+    // monotone non-increasing by construction
+    assert(out.map(_._3).sliding(2).forall(w => w(0) >= w(1)))
+  }
+
+  test("shuffle shards: dense 1..n positions per shard, stable across partitionings") {
+    import spark.implicits._
+    val df = (1L to 300L).toDF("doc_id")
+    val a = Sampling.shuffleShards(df, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    // positions within a shard are exactly 1..size
+    a.values.groupBy(_._1).foreach { case (_, rows) =>
+      val ps = rows.map(_._2).toSeq.sorted
+      assert(ps == (1L to ps.size))
+    }
+    // pure function of the key: repartitioned input, same assignment
+    val b = Sampling.shuffleShards(df.repartition(13), "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(a == b)
+  }
+}
