@@ -84,14 +84,19 @@ object TextFunctions {
     * per-doc buffering), then the same explode → map-side-combined hash agg
     * → `TakeOrderedAndProject` shape as [[vocabTopK]]. */
   def bigramTopK(df: org.apache.spark.sql.DataFrame, textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val w = wsTokens(lower(col(textCol)))
-    df.select(
-      explode(
-        when(size(w) >= 2,
-          transform(
-            sequence(lit(1), size(w) - 1),
-            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-          .otherwise(array())).as("bigram"))
+    // materialize the token array as a column FIRST: referencing the
+    // tokenizer expression from inside the transform lambda would re-split
+    // the text once per element_at (lambda bodies sit outside common-
+    // subexpression elimination), turning a linear pass quadratic
+    val w = col("w")
+    df.select(wsTokens(lower(col(textCol))).as("w"))
+      .select(
+        explode(
+          when(size(w) >= 2,
+            transform(
+              sequence(lit(1), size(w) - 1),
+              i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+            .otherwise(array())).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("bigram").asc)
       .limit(k)

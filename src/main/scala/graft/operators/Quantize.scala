@@ -26,26 +26,38 @@ object Quantize {
     * engine-portable output; zero/empty vectors yield null scale and mse
     * (no defined quantization). */
   def int8Scalar(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = col(vecCol)
-    val amax = aggregate(
-      transform(v, x => abs(xd(x))), lit(0.0), (acc, a) => greatest(acc, a))
-    val scale = amax / lit(127.0)
-    // codes as int: sign(x) * floor(|x|/scale + 0.5)
-    def codeOf(x: Column, s: Column): Column =
-      (signum(xd(x)) * floor(abs(xd(x)) / s + lit(0.5))).cast("int")
-    val codes = transform(v, x => codeOf(x, scale))
+    // scale and codes are MATERIALIZED as columns stage by stage: a lambda
+    // body referencing an outer array fold (e.g. `scale` inside the code
+    // transform) re-evaluates that fold per ELEMENT — lambda bodies sit
+    // outside common-subexpression elimination — turning the linear pass
+    // into O(d²) per row
+    val v = col("_v")
+    val scale = col("_scale")
+    val codes = col("_codes")
+    val staged = emb
+      .select(
+        col(idCol), col(vecCol).as("_v"),
+        (aggregate(
+          transform(col(vecCol), x => abs(xd(x))),
+          lit(0.0), (acc, a) => greatest(acc, a)) / lit(127.0)).as("_scale"))
+      // codes as int: sign(x) * floor(|x|/scale + 0.5); guarded — with
+      // scale = 0 the division would throw under ANSI mode
+      .withColumn("_codes",
+        when(scale > 0,
+          transform(v, x =>
+            (signum(xd(x)) * floor(abs(xd(x)) / scale + lit(0.5))).cast("int"))))
     val residSq = zip_with(v, codes, (x, c) => {
       val r = xd(x) - c.cast("double") * scale
       r * r
     })
     val mse = aggregate(residSq, lit(0.0), (acc, r) => acc + r) / size(v)
-    emb.select(
+    staged.select(
       col(idCol),
       size(v).as("n_dims"),
-      when(amax > 0, round(scale, 6)).as("scale"),
-      when(amax > 0, aggregate(codes, lit(0L), (acc, c) => acc + c)).as("code_sum"),
-      when(amax > 0, array_min(codes)).as("code_min"),
-      when(amax > 0, array_max(codes)).as("code_max"),
-      when(amax > 0, round(mse, 6)).as("mse"))
+      when(scale > 0, round(scale, 6)).as("scale"),
+      when(scale > 0, aggregate(codes, lit(0L), (acc, c) => acc + c)).as("code_sum"),
+      when(scale > 0, array_min(codes)).as("code_min"),
+      when(scale > 0, array_max(codes)).as("code_max"),
+      when(scale > 0, round(mse, 6)).as("mse"))
   }
 }
