@@ -64,14 +64,21 @@ object Dedup {
     * Tokens are lowercased whitespace tokens; documents shorter than `n`
     * tokens contribute no shingles. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    // tokenize into a materialized column FIRST: slicing the tokenizer
+    // EXPRESSION from inside the transform lambda would re-split the text
+    // once per shingle (lambda bodies sit outside common-subexpression
+    // elimination), turning the linear pass quadratic in document length
+    val toks = col("_toks")
     val grams = when(
       size(toks) >= n,
       transform(
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))
     ).otherwise(array())
-    df.select(col(idCol).as("id"), explode(grams).as("shingle")).distinct()
+    df.select(
+      col(idCol).as("id"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+      .select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
   /** Shingle-set sizes `(id, n_sh)`. */

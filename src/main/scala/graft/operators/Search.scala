@@ -74,12 +74,18 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
-    val toks = TextFunctions.wsTokens(lower(col(textCol)))
+    // stage the token array once: each per-term tf filter referencing the
+    // tokenizer expression directly would re-split the text per term
+    val toks = col("_toks")
     val tfCols = query.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
     }
-    val base = df.select(
-      (col(idCol) +: size(toks).cast("long").as("dl") +: tfCols): _*)
+    val base = df
+      .select(
+        col(idCol),
+        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+      .select(
+        (col(idCol) +: size(toks).cast("long").as("dl") +: tfCols): _*)
 
     // one single-row reduction: corpus size, total token count (exact,
     // integral — no FP accumulation order to worry about), per-term df
