@@ -886,4 +886,57 @@ ORDER BY stage"""
 SELECT doc_id, CAST(bkt % 16 AS INT) AS shard,
   CAST(ROW_NUMBER() OVER (PARTITION BY bkt % 16 ORDER BY bkt, doc_id) AS BIGINT) AS pos
 FROM b ORDER BY doc_id"""
+
+  /** Centroid-update twin: the knn_assign rank-1 assignment, per-(cell,
+    * dim) sums of DECIMAL(38,12)-quantized addends (the lm_quality
+    * contract: round the double to 12 places, then cast — identical in
+    * both engines), ONE double division at the end. */
+  val centroidUpdate: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id, centroid_id FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+x AS (SELECT a.centroid_id,
+    CAST(generate_subscripts(e.embedding, 1) - 1 AS INT) AS dim,
+    unnest(e.embedding) AS v
+  FROM embeddings e JOIN a ON e.vec_id = a.vec_id)
+SELECT centroid_id, dim,
+  ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY centroid_id, dim ORDER BY centroid_id, dim"""
+
+  /** Winnowing twin: the same packed `hash·2²⁰ + (2²⁰−1−pos)` keys (inner
+    * rolling hash = the doc_fingerprint fold over the k-gram's codepoints),
+    * window minima via list_min, DISTINCT selected pairs. */
+  val winnowFingerprint: String =
+    raw"""WITH kg AS (SELECT doc_id,
+  CASE WHEN LENGTH(text) >= 8 THEN
+    list_transform(range(1, LENGTH(text) - 8 + 2), i ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 2147483647) * 1048576 + (1048575 - i))
+  ELSE CAST([] AS BIGINT[]) END AS keys
+  FROM documents),
+sel AS (SELECT DISTINCT doc_id, enc FROM (
+  SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(keys) - 3, 1) + 1),
+    j -> list_min(keys[j : j + 3]))) AS enc
+  FROM kg WHERE len(keys) >= 1) t)
+SELECT doc_id, 1048575 - (enc % 1048576) AS pos, enc // 1048576 AS hash
+FROM sel ORDER BY doc_id, pos"""
+
+  /** Key-skew twin: frequency relation + single-row reduction; hottest key
+    * = MIN key among max-frequency keys (the struct-argmin rule). */
+  val keySkew: String =
+    """WITH c AS (SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
+m AS (SELECT MAX(cnt) AS mx FROM c)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  MIN(CASE WHEN cnt = mx THEN k END) AS hot_key, CAST(mx AS BIGINT) AS hot_freq,
+  CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS keys_f1,
+  CAST(COUNT(CASE WHEN cnt BETWEEN 2 AND 9 THEN 1 END) AS BIGINT) AS keys_f2_9,
+  CAST(COUNT(CASE WHEN cnt BETWEEN 10 AND 99 THEN 1 END) AS BIGINT) AS keys_f10_99,
+  CAST(COUNT(CASE WHEN cnt >= 100 THEN 1 END) AS BIGINT) AS keys_f100p
+FROM c, m GROUP BY mx"""
 }

@@ -551,7 +551,23 @@ object SparkEntry {
     "corpus_shuffle" -> ((s, dir) =>
       Sampling.shuffleShards(documents(s, dir), "doc_id", nShards = 16)
         .select("doc_id", "shard", "pos")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // one deterministic Lloyd half-step: per-cell per-dim DECIMAL-exact
+    // means of the nearest-centroid assignment (closes E35's re-estimation
+    // exclusion — decimal quantization makes the mean order-independent)
+    "centroid_update" -> ((s, dir) =>
+      Similarity.centroidUpdate(
+        embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 83 === 0)
+        .orderBy("centroid_id", "dim")),
+    // winnowing (k=8, w=4): selected (pos, hash) fingerprints per document
+    "winnow_fingerprint" -> ((s, dir) =>
+      Dedup.winnowFingerprints(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "pos")),
+    // join-key skew diagnostic on the orders→customer key
+    "key_skew" -> ((s, dir) =>
+      graft.profiler.Checks.keySkew(
+        s.read.parquet(s"$dir/orders.parquet"), "o_custkey"))
   )
 
   /** Combining-sequence prefix for text_normalize: "Cafe" + U+0301 and
@@ -637,6 +653,9 @@ object SparkEntry {
     "budget_select" -> OracleSql.budgetSelect,
     "bigram_topk" -> OracleSql.bigramTopK,
     "filter_funnel" -> OracleSql.filterFunnel,
-    "corpus_shuffle" -> OracleSql.corpusShuffle
+    "corpus_shuffle" -> OracleSql.corpusShuffle,
+    "centroid_update" -> OracleSql.centroidUpdate,
+    "winnow_fingerprint" -> OracleSql.winnowFingerprint,
+    "key_skew" -> OracleSql.keySkew
   )
 }

@@ -302,4 +302,57 @@ object Dedup {
         .where(col("hamming") <= maxHamming)
     } finally { sig.unpersist(); () }
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    * SIGMOD'03): hash every character `k`-gram, slide a window of `w`
+    * consecutive hashes, select each window's minimum (rightmost position
+    * on hash ties) — guaranteeing any shared substring of length ≥ k+w−1
+    * between two documents shares a selected fingerprint, at ~2/(w+1)
+    * storage density. The local-substring-matching complement of whole-doc
+    * ([[graft.functions.RollingHash]]) and set-based (MinHash) signatures.
+    *
+    * (hash, position) pairs are packed into one BIGINT — `hash·2²⁰ +
+    * (2²⁰−1−pos)` — so the select-min-with-rightmost-tie-break rule
+    * becomes a plain `array_min`, identical in DuckDB (`list_min`), with
+    * no struct-comparison semantics to align across engines. Documents are
+    * capped at 2²⁰−1 chars by the packing (beyond that, chunk first).
+    *
+    * Scale shape: pure per-row expression work (the k-gram hashes and the
+    * token array are staged columns — referencing an expression tree from
+    * inside a lambda re-evaluates it per element) + one explode of the
+    * DISTINCT selected fingerprints (≈ 2/(w+1) of positions); no shuffle,
+    * no state. Returns `(id, pos, hash)` rows. */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "need positive k and w")
+    graft.functions.RollingHash.register(df.sparkSession)
+    val PosBase = 1L << 20
+    val text = col("_t")
+    val keys = col("_keys")
+    df.select(col(idCol).as("id"), col(textCol).as("_t"))
+      .select(
+        col("id"),
+        when(length(text) >= k,
+          transform(
+            sequence(lit(1), length(text) - k + 1),
+            i => call_function("rolling_hash", substr(text, i, lit(k))) * lit(PosBase)
+              + (lit(PosBase - 1) - i)))
+          .otherwise(array().cast("array<bigint>")).as("_keys"))
+      .select(
+        col("id"),
+        explode(
+          when(size(keys) >= 1,
+            array_distinct(transform(
+              sequence(lit(1), greatest(size(keys) - w + 1, lit(1))),
+              j => array_min(slice(keys, j, lit(w))))))
+            .otherwise(array().cast("array<bigint>"))).as("enc"))
+      .select(
+        col("id"),
+        (lit(PosBase - 1) - pmod(col("enc"), lit(PosBase))).as("pos"),
+        expr(s"enc div $PosBase").as("hash"))
+  }
 }

@@ -174,6 +174,42 @@ object Similarity {
       .limit(top)
   }
 
+  /** One deterministic Lloyd half-step: per-cell per-dimension mean of the
+    * vectors assigned by [[nearestCentroid]] — the centroid RE-estimation
+    * that the assignment operator's contract deliberately excludes when
+    * done in floating point (an FP mean depends on accumulation order).
+    * Here each addend is quantized to DECIMAL(38,12) (the lm_quality
+    * contract: round the double to 12 places, then cast), so the per-cell
+    * sums are EXACT and order/partition-independent, and the resulting
+    * centroids are a pure function of the data — k-means iteration without
+    * giving up reproducibility.
+    *
+    * Scale shape: assignment is the broadcast coarse-quantizer pass; the
+    * dimension explode multiplies rows by `dim`, but the grouped aggregate
+    * map-side combines to (cells × dim) rows — the shuffle carries compact
+    * `(cell, dim, decimal-sum, count)` partials, never vectors. */
+  def centroidUpdate(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val assign = nearestCentroid(emb, idCol, vecCol, centroidPred)
+      .select(col("vec_id"), col("centroid_id"))
+    emb.select(col(idCol).as("vec_id"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .join(assign, Seq("vec_id"))
+      .groupBy("centroid_id", "dim")
+      .agg(
+        sum(round(col("x").cast("double"), 12).cast(Dec)).as("s"),
+        count(lit(1)).as("n"))
+      .select(
+        col("centroid_id"), col("dim"),
+        // exact decimal total -> ONE double division (the lm_quality
+        // assembly order, mirrored by the oracle)
+        round(col("s").cast("double") / col("n").cast("double"), 6).as("mean"),
+        col("n"))
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path of ANN search:
     * the corpus is bucketed into cells by nearest centroid (the
     * [[nearestCentroid]] coarse quantizer), each query probes only its

@@ -99,4 +99,32 @@ object Checks {
             lit("pass"))
           .otherwise(lit("fail")).as("status"))
   }
+
+  /** Join-key skew profile — the pre-join diagnostic that decides whether a
+    * key needs salting / AQE skew handling at scale: row and key counts,
+    * the hottest key (smallest key on frequency ties) with its frequency,
+    * and a coarse key-frequency histogram (1 / 2–9 / 10–99 / 100+).
+    *
+    * Scale shape: one map-side-combined count aggregate keyed on the join
+    * key, then ONE single-row reduction over the (n_keys-sized) frequency
+    * relation — the hottest key comes from a `min(struct(-cnt, key))`
+    * argmax in the same pass, no second scan and no global sort. */
+  def keySkew(df: org.apache.spark.sql.DataFrame, keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = df.groupBy(col(keyCol).cast("long").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    c.agg(
+      sum("cnt").as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      min(struct((-col("cnt")).as("nc"), col("k"))).as("best"),
+      count(when(col("cnt") === 1, lit(1))).as("keys_f1"),
+      count(when(col("cnt").between(2, 9), lit(1))).as("keys_f2_9"),
+      count(when(col("cnt").between(10, 99), lit(1))).as("keys_f10_99"),
+      count(when(col("cnt") >= 100, lit(1))).as("keys_f100p"))
+      .select(
+        col("n_rows"), col("n_keys"),
+        col("best.k").as("hot_key"),
+        (-col("best.nc")).as("hot_freq"),
+        col("keys_f1"), col("keys_f2_9"), col("keys_f10_99"), col("keys_f100p"))
+  }
 }

@@ -88,6 +88,68 @@ class IvfQuantizeSpec extends AnyFunSuite {
   }
 }
 
+class WinnowCentroidSkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("winnowing: shared substring of length >= k+w-1 shares a selected fingerprint") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over it"   // 33 chars >= 8+4-1
+    val df = Seq(
+      (1L, s"prefix one $common suffix alpha"),
+      (2L, s"totally different lead-in $common and tail"),
+      (3L, "no overlap with the others at all here")
+    ).toDF("doc_id", "text")
+    val fp = graft.operators.Dedup.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "guarantee violated: no shared fingerprint")
+    // density: ~2/(w+1) of positions, never more than all of them
+    assert(fp(1L).size < 45)
+  }
+
+  test("winnowing is a pure function of the text (partitioning-independent)") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, s"document number $i with some repeated text " * 3))
+      .toDF("doc_id", "text")
+    def run(p: Int) = graft.operators.Dedup.winnowFingerprints(
+      df.repartition(p), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7))
+  }
+
+  test("centroid update: exact decimal means, independent of partitioning") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)),
+      (10L, Seq(0.0f, 1.0f)), (11L, Seq(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    def run(p: Int) = graft.operators.Similarity.centroidUpdate(
+      df.repartition(p), "vec_id", "embedding", col("vec_id") % 10 === 0)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getDouble(2), r.getLong(3)))).toMap
+    val a = run(1)
+    // cell 0 holds {0,1,2}: dim-0 mean (1.0f+0.9f+0.8f)/3 rounded to 6 dp
+    assert(a((0L, 0))._2 == 3L)
+    assert(math.abs(a((0L, 0))._1 - 0.9) < 1e-6)
+    assert(a((10L, 1))._2 == 2L)
+    assert(run(13) == a) // decimal sums: order/partition-independent
+  }
+
+  test("key skew: counts, hottest key with min-key tie-break, frequency buckets") {
+    import spark.implicits._
+    val df = (Seq.fill(5)(100L) ++ Seq.fill(5)(7L) ++ Seq(1L, 2L, 3L) ++ Seq.fill(12)(9L))
+      .toDF("k")
+    val r = graft.profiler.Checks.keySkew(df, "k").head()
+    assert(r.getLong(0) == 25L)      // n_rows
+    assert(r.getLong(1) == 6L)       // n_keys
+    assert(r.getLong(2) == 9L)       // hot_key
+    assert(r.getLong(3) == 12L)      // hot_freq
+    assert(r.getLong(4) == 3L)       // freq-1 keys
+    assert(r.getLong(5) == 2L)       // 2-9
+    assert(r.getLong(6) == 1L)       // 10-99
+    assert(r.getLong(7) == 0L)       // 100+
+  }
+}
+
 class BudgetFunnelShuffleSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
