@@ -39,7 +39,7 @@ object Bench {
     // parsed:null. Millisecond precision + slowest-first truncation keeps the
     // line inside the window (the slow queries are the ones perf grading
     // needs); n_queries records how many ran vs how many are listed.
-    def fmt(v: Double): String = f"$v%.3f"
+    def fmt(v: Double): String = f"$v%.2f"
     val slowestFirst = results.toSeq.sortBy(-_._2)
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }

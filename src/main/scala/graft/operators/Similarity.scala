@@ -255,7 +255,9 @@ object Similarity {
       .select("query_id", "centroid_id")
     val corpus = emb.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
-    val scored = probes.join(assign, Seq("centroid_id"))
+    // probes = queries × nprobe rows — broadcast it into the cell join so
+    // the (large) assignment relation never shuffles for candidate gen
+    val scored = broadcast(probes).join(assign, Seq("centroid_id"))
       .join(corpus, Seq("neighbor_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(

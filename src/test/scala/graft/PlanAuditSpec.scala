@@ -143,4 +143,45 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan(li.agg(aliased.head, aliased.tail: _*))
     assert(p.contains("Expand"), s"expected Expand rewrite:\n$p")
   }
+
+  test("text normalization and int8 quantization are shuffle-free codegen scans") {
+    graft.functions.NfcNormalize.register(spark)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pNorm = plan(docs.select(
+      col("doc_id"), graft.functions.NfcNormalize.normalizeText(col("text"))))
+    assert(!pNorm.contains("Exchange"), s"normalize must not shuffle:\n$pNorm")
+    assert(pNorm.contains("*(1) Project"), s"expected codegen projection:\n$pNorm")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pQ = plan(graft.operators.Quantize.int8Scalar(emb, "vec_id", "embedding"))
+    assert(!pQ.contains("Exchange"), s"quantization must not shuffle:\n$pQ")
+  }
+
+  test("winnowing fingerprints never shuffle (per-row exprs + explode only)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text"))
+    assert(!p.contains("Exchange"), s"winnowing must not shuffle:\n$p")
+    assert(p.contains("Generate"), s"expected fingerprint explode:\n$p")
+  }
+
+  test("IVF search plans equi-joins only — no corpus-wide cross product") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.ivfTopK(
+      emb, "vec_id", "embedding",
+      col("vec_id") % 83 === 0, col("vec_id") % 97 === 0))
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // the tiny probe list broadcasts into the cell join; the remaining
+    // joins are id-keyed equi-joins (hash or sort-merge — both scale)
+    assert(p.contains("BroadcastHashJoin"), s"probe list should broadcast:\n$p")
+  }
+
+  test("corpus shuffle is one shard-keyed exchange; bigrams rank via heaps") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pS = plan(graft.operators.Sampling.shuffleShards(docs, "doc_id", 16))
+    assert("Exchange".r.findAllIn(pS).size == 1,
+      s"expected exactly one shuffle (shard window):\n$pS")
+    val pB = plan(graft.functions.TextFunctions.bigramTopK(docs, "text", 50))
+    assert(pB.contains("TakeOrderedAndProject"),
+      s"expected heap top-k, not global sort:\n$pB")
+    assert(pB.contains("HashAggregate") && !pB.contains("SortAggregate"), s"\n$pB")
+  }
 }
