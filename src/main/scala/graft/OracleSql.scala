@@ -939,4 +939,47 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
   CAST(COUNT(CASE WHEN cnt BETWEEN 10 AND 99 THEN 1 END) AS BIGINT) AS keys_f10_99,
   CAST(COUNT(CASE WHEN cnt >= 100 THEN 1 END) AS BIGINT) AS keys_f100p
 FROM c, m GROUP BY mx"""
+
+  /** URL-canonicalization twin: identical rendered messy URL, the literal
+    * same Java/RE2-portable patterns, same per-domain ROW_NUMBER cap. */
+  val urlNormalize: String = {
+    val dom = raw"regexp_extract(regexp_replace(host, ':[0-9]+$$', ''), '([^.]+\.[^.]+)$$', 1)"
+    raw"""WITH u AS (SELECT doc_id,
+    'HTTPS://WWW.' || UPPER(source) || '.CoM' || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END || '/Docs/' || CAST(doc_id AS VARCHAR) || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || CASE WHEN doc_id % 5 = 0 THEN '#Frag' ELSE '' END AS raw
+  FROM documents),
+n AS (SELECT doc_id, regexp_replace(raw, '#.*$$', '') AS nf FROM u),
+h AS (SELECT doc_id, nf,
+    regexp_replace(regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)), ':(443|80)$$', ''), '^www\.', '') AS host
+  FROM n)
+SELECT doc_id,
+  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || host || regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$$', 1), '/$$', '') AS url_norm,
+  $dom AS domain,
+  CAST(ROW_NUMBER() OVER (PARTITION BY $dom ORDER BY doc_id) AS BIGINT) AS domain_rank,
+  (ROW_NUMBER() OVER (PARTITION BY $dom ORDER BY doc_id)) <= 20 AS kept
+FROM h ORDER BY doc_id"""
+  }
+
+  /** Cluster-representative twin: the recursive-CTE transitive closure of
+    * the Jaccard pair graph + the text_quality composite, rank 1 per
+    * cluster on (quality DESC, doc_id). */
+  val dedupClusterBest: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH RECURSIVE $jaccardCtes,
+edges AS (SELECT id_a AS u, id_b AS v FROM jpairs UNION SELECT id_b, id_a FROM jpairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+q AS (SELECT doc_id,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS quality
+  FROM (SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) t)
+SELECT cl.doc_id, cl.cluster_id, q.quality,
+  (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) = 1) AS keep
+FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
+  }
 }

@@ -567,7 +567,38 @@ object SparkEntry {
     // join-key skew diagnostic on the orders→customer key
     "key_skew" -> ((s, dir) =>
       graft.profiler.Checks.keySkew(
-        s.read.parquet(s"$dir/orders.parquet"), "o_custkey"))
+        s.read.parquet(s"$dir/orders.parquet"), "o_custkey")),
+    // URL canonicalization + per-domain cap over rendered messy URLs (the
+    // pii_scan precedent: input constructed identically in both engines)
+    "url_normalize" -> ((s, dir) => {
+      val u = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".CoM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#Frag")).otherwise(lit("")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.UrlFunctions.normalizeUrl(u).as("url_norm"),
+        graft.functions.UrlFunctions.domain(u).as("domain"))
+        .withColumn("domain_rank", row_number().over(w).cast("long"))
+        .withColumn("kept", col("domain_rank") <= 20)
+        .orderBy("doc_id")
+    }),
+    // near-dup cluster representative by QUALITY (not min-id): keep the
+    // best copy, discard the worse ones
+    "dedup_cluster_best" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.operators.Clustering.bestRepresentative(
+        graft.operators.Clustering.dedupClusters(
+          Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)),
+        docs.select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("quality")))
+        .orderBy("doc_id")
+    })
   )
 
   /** Combining-sequence prefix for text_normalize: "Cafe" + U+0301 and
@@ -656,6 +687,8 @@ object SparkEntry {
     "corpus_shuffle" -> OracleSql.corpusShuffle,
     "centroid_update" -> OracleSql.centroidUpdate,
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
-    "key_skew" -> OracleSql.keySkew
+    "key_skew" -> OracleSql.keySkew,
+    "url_normalize" -> OracleSql.urlNormalize,
+    "dedup_cluster_best" -> OracleSql.dedupClusterBest
   )
 }

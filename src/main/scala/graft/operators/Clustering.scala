@@ -103,6 +103,31 @@ object Clustering {
     * cluster — the canonical "keep" document. Docs in no pair are implied
     * singletons (cluster_id = doc_id) and omitted, keeping the output
     * proportional to the duplicated subset, not the corpus. */
+  /** Representative selection by QUALITY: within each near-dup cluster
+    * keep the highest-scoring document (smallest id on ties) instead of
+    * the arbitrary min-id canonical — the curation policy that a dedup
+    * pass should discard the WORSE copies, not a random one.
+    *
+    * `clusters` is a `(doc_id, cluster_id)` relation (e.g.
+    * [[dedupClusters]]); `scores` maps `doc_id` to an engine-portable
+    * quality score (6-dp rounded for a deterministic cross-engine order).
+    * One id-keyed equi-join + one cluster-keyed window — both shuffles
+    * carry compact (id, cluster, score) triples. */
+  def bestRepresentative(
+      clusters: DataFrame,
+      scores: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "quality"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    clusters.join(scores, Seq(idCol))
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col(idCol), col("cluster_id"), col(scoreCol),
+        (col("rn") === 1).as("keep"))
+  }
+
   def dedupClusters(
       pairs: DataFrame,
       idA: String = "id_a",

@@ -134,6 +134,35 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(run(13) == a) // decimal sums: order/partition-independent
   }
 
+  test("url canonicalization: case, www, default ports, fragments, trailing slash") {
+    import spark.implicits._
+    import graft.functions.UrlFunctions
+    val cases = Seq(
+      ("HTTP://WWW.Example.COM:80/Page#frag", "http://example.com/Page", "example.com"),
+      ("https://sub.Site.ORG:443/a/b/", "https://sub.site.org/a/b", "site.org"),
+      ("https://plain.com/", "https://plain.com", "plain.com"),
+      ("ftp://Files.Net", "ftp://files.net", "files.net"),
+      ("https://www.x.io:8080/q", "https://x.io:8080/q", "x.io") // non-default port kept
+    ).toDF("raw", "want_url", "want_dom")
+    val bad = cases.where(
+      UrlFunctions.normalizeUrl(col("raw")) =!= col("want_url") ||
+        UrlFunctions.domain(col("raw")) =!= col("want_dom"))
+      .select(col("raw"), UrlFunctions.normalizeUrl(col("raw")), UrlFunctions.domain(col("raw")))
+      .collect()
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
+  test("cluster representative: best quality wins, min id on ties, one keeper per cluster") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1), (9L, 0.1))
+      .toDF("doc_id", "quality")
+    val out = graft.operators.Clustering.bestRepresentative(clusters, scores)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 7L -> true, 9L -> false))
+  }
+
   test("key skew: counts, hottest key with min-key tie-break, frequency buckets") {
     import spark.implicits._
     val df = (Seq.fill(5)(100L) ++ Seq.fill(5)(7L) ++ Seq(1L, 2L, 3L) ++ Seq.fill(12)(9L))
