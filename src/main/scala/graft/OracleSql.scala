@@ -959,6 +959,37 @@ SELECT doc_id,
 FROM h ORDER BY doc_id"""
   }
 
+  /** Metric-anomaly twin: per-snapshot metrics from the same grouped scan
+    * expressions, then the identical fixed-order double assembly — history
+    * mean (m0+m1+m2)/3.0, population stddev via (v−h)·(v−h) squares, z on
+    * the 6-dp rounding both engines share. */
+  val metricAnomaly: String = {
+    val ms = Seq(
+      "Mean_l_extendedprice" -> s"${decSum("l_extendedprice")} / COUNT(l_extendedprice)",
+      "Size" -> "CAST(COUNT(*) AS DOUBLE)",
+      "Sum_l_quantity" -> decSum("l_quantity"))
+    val sCols = ms.zipWithIndex.map { case ((_, e), i) => s"$e AS m$i" }.mkString(", ")
+    val pCols = ms.indices.flatMap(i =>
+      (0 to 3).map(b => s"MAX(CASE WHEN snapshot = $b THEN m$i END) AS m${i}_$b"))
+      .mkString(", ")
+    val tCols = ms.indices.map(i =>
+      s"(m${i}_0 + m${i}_1 + m${i}_2) / 3.0 AS h$i").mkString(", ")
+    val uCols = ms.indices.map(i =>
+      s"SQRT((((m${i}_0 - h$i) * (m${i}_0 - h$i)) + ((m${i}_1 - h$i) * (m${i}_1 - h$i)) + ((m${i}_2 - h$i) * (m${i}_2 - h$i))) / 3.0) AS sd$i")
+      .mkString(", ")
+    val sels = ms.zipWithIndex.map { case ((n, _), i) =>
+      s"SELECT '$n' AS name, ROUND(m${i}_3, 6) AS current, ROUND(h$i, 6) AS hist_mean, " +
+        s"ROUND(sd$i, 6) AS hist_stddev, " +
+        s"CASE WHEN sd$i > 0 THEN ROUND((m${i}_3 - h$i) / sd$i, 6) END AS z, " +
+        s"CASE WHEN sd$i > 0 THEN ABS(ROUND((m${i}_3 - h$i) / sd$i, 6)) > 3.0 ELSE FALSE END AS is_anomaly FROM u"
+    }
+    s"""WITH s AS (SELECT l_orderkey % 4 AS snapshot, $sCols FROM $T GROUP BY 1),
+p AS (SELECT $pCols FROM s),
+t AS (SELECT *, $tCols FROM p),
+u AS (SELECT *, $uCols FROM t)
+${sels.mkString(" UNION ALL ")} ORDER BY name"""
+  }
+
   /** Cluster-representative twin: the recursive-CTE transitive closure of
     * the Jaccard pair graph + the text_quality composite, rank 1 per
     * cluster on (quality DESC, doc_id). */

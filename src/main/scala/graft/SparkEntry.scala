@@ -587,6 +587,21 @@ object SparkEntry {
         .withColumn("kept", col("domain_rank") <= 20)
         .orderBy("doc_id")
     }),
+    // Deequ-family metric anomaly detection: z-score of the current
+    // snapshot's metrics against the 3 prior snapshots (one grouped scan)
+    "metric_anomaly" -> ((s, dir) => {
+      val Dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      graft.profiler.Checks.metricAnomaly(
+        lineitem(s, dir),
+        col("l_orderkey") % 4,
+        Seq(
+          "Size" -> count(lit(1)),
+          "Mean_l_extendedprice" ->
+            (sum(col("l_extendedprice").cast(Dec)).cast("double") /
+              count(col("l_extendedprice"))),
+          "Sum_l_quantity" -> sum(col("l_quantity").cast(Dec)).cast("double")))
+        .orderBy("name")
+    }),
     // near-dup cluster representative by QUALITY (not min-id): keep the
     // best copy, discard the worse ones
     "dedup_cluster_best" -> ((s, dir) => {
@@ -689,6 +704,7 @@ object SparkEntry {
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
     "key_skew" -> OracleSql.keySkew,
     "url_normalize" -> OracleSql.urlNormalize,
-    "dedup_cluster_best" -> OracleSql.dedupClusterBest
+    "dedup_cluster_best" -> OracleSql.dedupClusterBest,
+    "metric_anomaly" -> OracleSql.metricAnomaly
   )
 }

@@ -100,6 +100,59 @@ object Checks {
           .otherwise(lit("fail")).as("status"))
   }
 
+  /** Metric anomaly detection — the Deequ-family capability the reference's
+    * battery stops short of: score the CURRENT snapshot's metric against
+    * the history of prior snapshots (z-score against the historical mean
+    * and population stddev) and flag |z| above a threshold. This is how a
+    * production profiler turns "the metric moved" into "the metric moved
+    * ABNORMALLY" without hand-set per-metric thresholds.
+    *
+    * All snapshots' metrics come from ONE grouped scan (the snapshot key is
+    * a column expression); the z assembly runs driver-side on the
+    * snapshot-count-sized relation with a FIXED double operation order
+    * (left-fold sums, (v−h)·(v−h) squares) mirrored by the oracle. Metric
+    * columns must be engine-exact (decimal-quantized sums / counts). The
+    * LAST snapshot (highest key) is "current"; the rest are history. */
+  def metricAnomaly(
+      df: org.apache.spark.sql.DataFrame,
+      snapshotKey: org.apache.spark.sql.Column,
+      metrics: Seq[(String, org.apache.spark.sql.Column)],
+      zThreshold: Double = 3.0): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(metrics.nonEmpty, "at least one metric required")
+    val aliased = metrics.map { case (n, c) => c.cast("double").as(n) }
+    val rows = df.groupBy(snapshotKey.cast("long").as("snapshot"))
+      .agg(aliased.head, aliased.tail: _*)
+      .orderBy("snapshot")
+      .collect()
+    require(rows.length >= 2, "need at least two snapshots")
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = metrics.zipWithIndex.map { case ((name, _), i) =>
+      val vals = rows.map(_.getDouble(i + 1))
+      val hist = vals.init
+      val cur = vals.last
+      val h = hist.sum / hist.length
+      val sd = math.sqrt(hist.map(v => (v - h) * (v - h)).sum / hist.length)
+      val z: Any = if (sd > 0) round6((cur - h) / sd) else null
+      val anomaly = z != null && math.abs(z.asInstanceOf[Double]) > zThreshold
+      org.apache.spark.sql.Row(
+        name, round6(cur), round6(h), round6(sd), z, anomaly)
+    }
+    df.sparkSession.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("current", DoubleType, nullable = false),
+        StructField("hist_mean", DoubleType, nullable = false),
+        StructField("hist_stddev", DoubleType, nullable = false),
+        StructField("z", DoubleType, nullable = true),
+        StructField("is_anomaly", BooleanType, nullable = false))))
+  }
+
   /** Join-key skew profile — the pre-join diagnostic that decides whether a
     * key needs salting / AQE skew handling at scale: row and key counts,
     * the hottest key (smallest key on frequency ties) with its frequency,

@@ -134,6 +134,26 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(run(13) == a) // decimal sums: order/partition-independent
   }
 
+  test("metric anomaly: z-score vs history, last snapshot is current, flag over threshold") {
+    import spark.implicits._
+    // snapshots 0..3 of a value column; snapshot 3 jumps far outside history
+    val df = (Seq.fill(10)((0L, 10.0)) ++ Seq.fill(10)((1L, 11.0)) ++
+      Seq.fill(10)((2L, 12.0)) ++ Seq.fill(10)((3L, 500.0)))
+      .toDF("snap", "v")
+    val out = graft.profiler.Checks.metricAnomaly(
+      df, col("snap"),
+      Seq(
+        "Sum_v" -> sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 6))).cast("double"),
+        "Size" -> count(lit(1))))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), if (r.isNullAt(4)) null else r.getDouble(4), r.getBoolean(5))).toMap
+    // Size is constant across snapshots: sd = 0 -> null z, not anomalous
+    assert(out("Size")._2 == null && !out("Size")._3)
+    // Sum jumps from {100, 110, 120} to 5000: |z| >> 3 -> anomaly
+    assert(out("Sum_v")._1 == 5000.0)
+    assert(out("Sum_v")._3, s"expected anomaly, z = ${out("Sum_v")._2}")
+  }
+
   test("url canonicalization: case, www, default ports, fragments, trailing slash") {
     import spark.implicits._
     import graft.functions.UrlFunctions
