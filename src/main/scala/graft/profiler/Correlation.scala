@@ -49,8 +49,11 @@ object Correlation {
   // null out every pair involving that column rather than killing the job.
   private val CorrAbsBound = 1e15
 
-  def matrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def matrix(dfIn: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    // single-row-group sources serialize the partial phase — see
+    // ScanMetrics.spread; decimal moments are order-independent
+    val df = ScanMetrics.spread(dfIn)
     val pairs = for {
       i <- cols.indices
       j <- (i + 1) until cols.size

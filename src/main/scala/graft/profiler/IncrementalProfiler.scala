@@ -67,7 +67,10 @@ object IncrementalProfiler {
           when(abs(xd) <= SumAbsBound, col(c).cast(Dec)),
           when(abs(xd) <= SqAbsBound, (xd * xd).cast(Dec)))
       }
-    df.select(stack(stackArgs: _*).as(Seq("instance", "v", "vd", "sq")))
+    // single-row-group sources serialize the stack+partial phase — see
+    // ScanMetrics.spread; all state fields are order-independent
+    ScanMetrics.spread(df)
+      .select(stack(stackArgs: _*).as(Seq("instance", "v", "vd", "sq")))
       .groupBy("instance")
       .agg(
         count(lit(1)).as("n"),

@@ -213,10 +213,24 @@ object ScanMetrics {
     * serializing three cluster round trips. Results are assembled in the
     * fixed Plain/Sketch/Distinct order, so output is identical to the
     * sequential evaluation. */
+  /** Parquet splits at ROW-GROUP boundaries: a table written as one row
+    * group scans as ONE task no matter the split config, serializing the
+    * partial-aggregation phase (where nearly all of an aggregate battery's
+    * work is). When the source arrives with far fewer partitions than
+    * cores, spend one cheap shuffle to spread the partials; every metric
+    * built on this path is order-independent (decimal-exact sums, counts,
+    * min/max, mergeable sketches), so results are unchanged. At real scale
+    * inputs have many row groups and this guard never fires. */
+  def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < cores) df.repartition(cores) else df
+  }
+
   def compute(df: DataFrame, slots: Seq[AggSlot]): Seq[MetricRow] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    val src = spread(df)
     val jobs = Seq(AggKind.Plain, AggKind.Sketch, AggKind.Distinct).map { kind =>
       val group = slots.filter(_.kind == kind)
       val fut =
@@ -226,7 +240,7 @@ object ScanMetrics {
           // blocking{}: head() parks the thread in a Spark wait — let the
           // fork-join pool grow instead of starving under --tableParallelism
           Future(Some(scala.concurrent.blocking {
-            df.agg(aliased.head, aliased.tail: _*).head()
+            src.agg(aliased.head, aliased.tail: _*).head()
           }))
         }
       (group, fut)
