@@ -231,8 +231,17 @@ object ScanMetrics {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val src = spread(df)
-    val jobs = Seq(AggKind.Plain, AggKind.Sketch, AggKind.Distinct).map { kind =>
-      val group = slots.filter(_.kind == kind)
+    // Sketch slots (TypedImperativeAggregate buffers — exact percentile
+    // value maps, KLL) pay a single-threaded final-merge per pass;
+    // chunking them into a few concurrent jobs overlaps those merges
+    // (and their scans) instead of serializing them in one wide pass.
+    // Plain and Distinct stay one pass each — their codegen'd partials
+    // want ONE scan, not many.
+    val groups: Seq[Seq[AggSlot]] =
+      Seq(slots.filter(_.kind == AggKind.Plain)) ++
+        slots.filter(_.kind == AggKind.Sketch).grouped(4).toSeq ++
+        Seq(slots.filter(_.kind == AggKind.Distinct))
+    val jobs = groups.map { group =>
       val fut =
         if (group.isEmpty) Future.successful(None)
         else {
