@@ -72,6 +72,30 @@ object Sinks {
         .parquet(s"$rootDir/db_name=$dbName/table_name=$tableName")
   }
 
+  /** Bucketed-table sink — the co-located-join enabler at scale: two
+    * tables bucketed (and sorted) on the same key into the same bucket
+    * count join WITHOUT a shuffle or a sort on either side; at 100 TB the
+    * exchange this removes is usually the whole query cost. Bucketing only
+    * takes effect through the session catalog (`saveAsTable` — plain
+    * path-based parquet cannot carry bucket metadata), so callers pass a
+    * table name, with an optional explicit path for external tables.
+    * Asserted shuffle-free in PlanAuditSpec. */
+  object BucketedSink {
+    def write(
+        df: DataFrame,
+        table: String,
+        bucketCol: String,
+        buckets: Int,
+        path: Option[String] = None): Unit = {
+      require(buckets > 0, "buckets must be positive")
+      val w = df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+      path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+    }
+  }
+
   /** Key-value metadata upsert (reference R13, Glue.java:38-151). */
   trait MetadataSink {
     /** Reference semantics: skip entirely when there are no table metrics
