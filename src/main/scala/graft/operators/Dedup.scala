@@ -75,9 +75,12 @@ object Dedup {
         sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " "))
     ).otherwise(array())
-    df.select(
-      col(idCol).as("id"),
-      TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+    // spread: a single-row-group source would run the tokenize+explode
+    // phase (the expensive part) on one core — see ScanMetrics.spread
+    graft.profiler.ScanMetrics.spread(df)
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
       .select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
@@ -253,7 +256,8 @@ object Dedup {
     * token votes ±1 on every bit of its xxhash64; the signature's bit i is
     * 1 iff the vote sum is positive. One explode + one groupBy = one
     * shuffle on the id. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(dfIn: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val df = graft.profiler.ScanMetrics.spread(dfIn) // see shingles note
     val tok = df.select(
       col(idCol).as("id"),
       explode(TextFunctions.wsTokens(lower(col(textCol)))).as("t"))
@@ -333,7 +337,8 @@ object Dedup {
     val PosBase = 1L << 20
     val text = col("_t")
     val keys = col("_keys")
-    df.select(col(idCol).as("id"), col(textCol).as("_t"))
+    graft.profiler.ScanMetrics.spread(df) // see shingles note
+      .select(col(idCol).as("id"), col(textCol).as("_t"))
       .select(
         col("id"),
         when(length(text) >= k,
