@@ -67,11 +67,14 @@ object Similarity {
     * not the N·k scored relation. Zero-norm vectors have no direction and
     * are omitted (oracle filters identically). */
   def nearestCentroid(
-      emb: DataFrame,
+      embIn: DataFrame,
       idCol: String,
       vecCol: String,
       centroidPred: Column): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
     val corpus = emb.select(
       col(idCol).as("vec_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
     val cents = emb.where(centroidPred)
@@ -97,12 +100,15 @@ object Similarity {
     * by (rounded cosine desc, id asc). Output
     * `(query_id, neighbor_id, cos)`. */
   def cosineTopK(
-      emb: DataFrame,
+      embIn: DataFrame,
       idCol: String,
       vecCol: String,
       queryPred: Column,
       k: Int = 10): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
     // norms are per-vector, not per-pair: compute them once before the join
     // (3x fewer array folds in the O(|Q|·n) scoring loop, same values)
     val corpus = emb.select(
@@ -145,13 +151,16 @@ object Similarity {
     * duplicate cluster whose pairs are the operator's whole point — cost
     * is output-driven, and `top` caps the result. */
   def cosineNearDupPairs(
-      emb: DataFrame,
+      embIn: DataFrame,
       idCol: String,
       vecCol: String,
       top: Int = 50,
       bands: Int = 512,
       bitsPerBand: Int = 8): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
     val base = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
     val bucketed = emb.select(
@@ -228,14 +237,17 @@ object Similarity {
     * hash shuffles of compact keys, no CartesianProduct over the corpus.
     * Cost per query is output-driven: ~`nprobe/C` of the corpus. */
   def ivfTopK(
-      emb: DataFrame,
+      embIn: DataFrame,
       idCol: String,
       vecCol: String,
       centroidPred: Column,
       queryPred: Column,
       nprobe: Int = 2,
       k: Int = 10): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
     val cents = emb.where(centroidPred)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("c"), fnorm(col(vecCol)).as("nc"))
     // index build: every corpus vector lives in exactly one cell
@@ -276,11 +288,14 @@ object Similarity {
     * of the DuckDB oracle). Not for production corpora: broadcasting the
     * full corpus and scoring every pair cannot survive scale. */
   def cosineNearDupPairsBrute(
-      emb: DataFrame,
+      embIn: DataFrame,
       idCol: String,
       vecCol: String,
       top: Int = 50): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
     val a = emb.select(
       col(idCol).as("id_a"), col(vecCol).as("va"), fnorm(col(vecCol)).as("na"))
     val b = emb.select(
@@ -319,14 +334,17 @@ object Similarity {
     * with `1/2^bitsPerBand` per band). Same output shape and ranking rule
     * as [[cosineTopK]]; recall < 1 by design, tunable to the workload. */
   def lshTopK(
-      emb: DataFrame,
+      embIn: DataFrame,
       idCol: String,
       vecCol: String,
       queryPred: Column,
       k: Int = 10,
       bands: Int = 32,
       bitsPerBand: Int = 8): DataFrame = {
-    graft.functions.VectorOps.register(emb.sparkSession)
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
     val bucketed = emb.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"),
       explode(
