@@ -959,6 +959,25 @@ SELECT doc_id,
 FROM h ORDER BY doc_id"""
   }
 
+  /** Tokenizer-application twin: vocab id = rank in the vocabTopK order,
+    * OOV = 0, sequence fingerprint via ORDER BY pos string_agg (the
+    * array_sort(collect_list(struct)) order on the Spark side). */
+  val tokenizeIds: String =
+    s"""WITH words AS (SELECT doc_id, $wsToksLowerSql AS w FROM documents),
+tok AS (SELECT doc_id, i AS pos, w[i] AS t FROM words, UNNEST(range(1, len(w) + 1)) s(i)),
+vc AS (SELECT t.x AS token, COUNT(*) AS freq FROM documents, UNNEST($wsToksLowerSql) t(x) GROUP BY 1),
+vocab AS (SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS tok_id
+  FROM (SELECT token, freq FROM vc ORDER BY freq DESC, token ASC LIMIT 1000) v),
+j AS (SELECT doc_id, pos, COALESCE(tok_id, 0) AS tid FROM tok LEFT JOIN vocab ON t = token),
+g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(COUNT(CASE WHEN tid = 0 THEN 1 END) AS BIGINT) AS oov_count,
+    CAST(SUM(tid) AS BIGINT) AS ids_sum,
+    substr(sha256(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)), 1, 16) AS ids_sha
+  FROM j GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_tokens, 0) AS n_tokens, COALESCE(oov_count, 0) AS oov_count,
+  COALESCE(ids_sum, 0) AS ids_sum, COALESCE(ids_sha, substr(sha256(''), 1, 16)) AS ids_sha
+FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id ORDER BY d.doc_id"""
+
   /** Metric-anomaly twin: per-snapshot metrics from the same grouped scan
     * expressions, then the identical fixed-order double assembly — history
     * mean (m0+m1+m2)/3.0, population stddev via (v−h)·(v−h) squares, z on

@@ -587,6 +587,12 @@ object SparkEntry {
         .withColumn("kept", col("domain_rank") <= 20)
         .orderBy("doc_id")
     }),
+    // tokenizer application: dense vocab-rank ids (0 = OOV) per token,
+    // sequence re-assembled in position order and fingerprinted
+    "tokenize_ids" -> ((s, dir) =>
+      TextFunctions.tokenizeIds(documents(s, dir), "doc_id", "text", vocabSize = 1000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Deequ-family metric anomaly detection: z-score of the current
     // snapshot's metrics against the 3 prior snapshots (one grouped scan)
     "metric_anomaly" -> ((s, dir) => {
@@ -705,6 +711,7 @@ object SparkEntry {
     "key_skew" -> OracleSql.keySkew,
     "url_normalize" -> OracleSql.urlNormalize,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,
-    "metric_anomaly" -> OracleSql.metricAnomaly
+    "metric_anomaly" -> OracleSql.metricAnomaly,
+    "tokenize_ids" -> OracleSql.tokenizeIds
   )
 }

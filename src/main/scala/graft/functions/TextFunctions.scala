@@ -102,6 +102,59 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** Tokenizer application: map every token to its dense vocabulary id
+    * (1-based rank in the [[vocabTopK]] frequency order; 0 = OOV) and
+    * re-assemble the id sequence per document — the step between
+    * vocabulary induction and sequence packing in a training pipeline.
+    * Returns `(id, n_tokens, oov_count, ids_sum, ids_sha)` with the id
+    * sequence fingerprinted (SHA-256 of the comma-joined ids) rather than
+    * materialized.
+    *
+    * Scale shape: positional explode → BROADCAST join against the (tiny)
+    * vocab → one doc-keyed shuffle that re-assembles order via
+    * `array_sort(collect_list(struct(pos, id)))` — `collect_list` alone
+    * has no order guarantee across partitions; the struct sort restores
+    * the deterministic sequence. */
+  def tokenizeIds(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc)
+    val vocab = vocabTopK(df, textCol, vocabSize)
+      .withColumn("tok_id", row_number().over(w).cast("long"))
+      .select("token", "tok_id")
+    val toks = graft.profiler.ScanMetrics.spread(df).select(
+      col(idCol).as("id"),
+      posexplode(wsTokens(lower(col(textCol)))).as(Seq("pos", "t")))
+    val grouped = toks
+      .join(broadcast(vocab), toks("t") === vocab("token"), "left")
+      .select(col("id"), col("pos"), coalesce(col("tok_id"), lit(0L)).as("tid"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("tid") === 0, lit(1))).as("oov_count"),
+        sum(col("tid")).as("ids_sum"),
+        substring(
+          sha2(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos").as("p"), col("tid").as("v")))),
+                s => s.getField("v").cast("string")),
+              ","),
+            256), 1, 16).as("ids_sha"))
+    // empty documents produce no exploded rows — reinstate them
+    df.select(col(idCol).as("id"))
+      .join(grouped, Seq("id"), "left")
+      .select(
+        col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_count"), lit(0L)).as("oov_count"),
+        coalesce(col("ids_sum"), lit(0L)).as("ids_sum"),
+        coalesce(col("ids_sha"), substring(sha2(lit(""), 256), 1, 16)).as("ids_sha"))
+  }
+
   /** Repetition metrics per document — the Gopher-style quality filters
     * (Rae et al. 2021, §A1.1) that catch degenerate/boilerplate text exact
     * dedup misses: duplicate-token fraction and the most-common-bigram

@@ -267,6 +267,23 @@ class BudgetFunnelShuffleSpec extends AnyFunSuite {
     assert(p1.nonEmpty && run(7) == p1 && run(32) == p1)
   }
 
+  test("tokenize ids: vocab rank order, OOV = 0, order-stable fingerprint, empty docs") {
+    import spark.implicits._
+    // freq: a=4, b=3, c=1 -> ids a=1, b=2; vocabSize=2 makes c OOV
+    val df = Seq((1L, "a b a b"), (2L, "a a c b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.tokenizeIds(df, "doc_id", "text", vocabSize = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc1: ids 1,2,1,2 sum 6 oov 0; doc2: 1,1,0,2 sum 4 oov 1; doc3 empty
+    assert(out.toSeq == Seq((1L, 4L, 0L, 6L), (2L, 4L, 1L, 4L), (3L, 0L, 0L, 0L)))
+    // fingerprint is a pure function of the sequence (partitioning-independent)
+    val a = TextFunctions.tokenizeIds(df, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    val b = TextFunctions.tokenizeIds(df.repartition(7), "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(a == b)
+  }
+
   test("bigram top-k counts adjacent pairs with (freq DESC, bigram ASC) tie-break") {
     import spark.implicits._
     val df = Seq("a b a b c", "a b", "x").toDF("text")
