@@ -959,6 +959,26 @@ SELECT doc_id,
 FROM h ORDER BY doc_id"""
   }
 
+  /** Constraint-suggestion twin: identical 6-dp-rounded per-column
+    * metrics, identical rule set (bare SQL decimals CAST to DOUBLE — a
+    * DuckDB bare 1.0 is DECIMAL). */
+  val constraintSuggest: String = {
+    val rows = profiled.map { c =>
+      val mn =
+        if (numeric.contains(c)) s"ROUND(${minimumExpr(c)}, 6)"
+        else "CAST(NULL AS DOUBLE)"
+      s"SELECT '$c' AS instance, ROUND(CAST(${completenessExpr(c)} AS DOUBLE), 6) AS comp, " +
+        s"ROUND(CAST(${distinctnessExpr(c)} AS DOUBLE), 6) AS dist, $mn AS mn FROM $T"
+    }
+    s"""WITH m AS (${rows.mkString(" UNION ALL ")})
+SELECT instance, rule, threshold FROM (
+  SELECT instance, 'is_complete' AS rule, CAST(1.0 AS DOUBLE) AS threshold FROM m WHERE comp = 1.0
+  UNION ALL SELECT instance, 'has_completeness_ge', FLOOR(comp * 100) / 100 FROM m WHERE comp > 0.0 AND comp < 1.0
+  UNION ALL SELECT instance, 'is_unique', CAST(1.0 AS DOUBLE) FROM m WHERE dist = 1.0
+  UNION ALL SELECT instance, 'non_negative', CAST(0.0 AS DOUBLE) FROM m WHERE mn >= 0) q
+ORDER BY instance, rule"""
+  }
+
   /** Tokenizer-application twin: vocab id = rank in the vocabTopK order,
     * OOV = 0, sequence fingerprint via ORDER BY pos string_agg (the
     * array_sort(collect_list(struct)) order on the Spark side). */

@@ -587,6 +587,14 @@ object SparkEntry {
         .withColumn("kept", col("domain_rank") <= 20)
         .orderBy("doc_id")
     }),
+    // Deequ-style constraint SUGGESTION: the profile proposes the checks
+    // (metadata-sized rule pass over the metrics relation, no second scan)
+    "constraint_suggest" -> ((s, dir) => {
+      val rows = Profiler.metrics(
+        lineitem(s, dir), cfg, Set("completeness", "distinctness", "minimum"))
+      graft.profiler.Checks.suggestConstraints(Profiler.metricsDF(s, rows))
+        .orderBy("instance", "rule")
+    }),
     // tokenizer application: dense vocab-rank ids (0 = OOV) per token,
     // sequence re-assembled in position order and fingerprinted
     "tokenize_ids" -> ((s, dir) =>
@@ -712,6 +720,7 @@ object SparkEntry {
     "url_normalize" -> OracleSql.urlNormalize,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,
     "metric_anomaly" -> OracleSql.metricAnomaly,
-    "tokenize_ids" -> OracleSql.tokenizeIds
+    "tokenize_ids" -> OracleSql.tokenizeIds,
+    "constraint_suggest" -> OracleSql.constraintSuggest
   )
 }

@@ -100,6 +100,38 @@ object Checks {
           .otherwise(lit("fail")).as("status"))
   }
 
+  /** Constraint suggestion — Deequ's signature "profile first, then let
+    * the profile propose the checks" workflow: derive candidate
+    * constraints from the metrics relation (never from a second data
+    * scan). Rules: full completeness → `is_complete`; partial →
+    * `has_completeness_ge` floored to 2 dp (a threshold the CURRENT data
+    * already clears); distinctness 1 → `is_unique`; non-negative minimum →
+    * `non_negative`. Deterministic: every rule runs on 6-dp-rounded
+    * metric values, so suggestions are reproducible across engines. */
+  def suggestConstraints(metrics: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val p = metrics.groupBy("instance").agg(
+      round(max(when(col("name") === MetricNames.Completeness, col("value"))), 6).as("comp"),
+      round(max(when(col("name") === MetricNames.Distinctness, col("value"))), 6).as("dist"),
+      round(max(when(col("name") === MetricNames.Minimum, col("value"))), 6).as("mn"))
+    val sugg = array(
+      when(col("comp") === 1.0,
+        struct(lit("is_complete").as("rule"), lit(1.0).as("threshold"))),
+      when(col("comp") > 0.0 && col("comp") < 1.0,
+        struct(lit("has_completeness_ge").as("rule"),
+          (floor(col("comp") * 100) / 100).as("threshold"))),
+      when(col("dist") === 1.0,
+        struct(lit("is_unique").as("rule"), lit(1.0).as("threshold"))),
+      when(col("mn") >= 0.0,
+        struct(lit("non_negative").as("rule"), lit(0.0).as("threshold"))))
+    p.select(
+      col("instance"),
+      explode(filter(sugg, s => s.isNotNull)).as("s"))
+      .select(
+        col("instance"), col("s.rule").as("rule"),
+        round(col("s.threshold"), 6).as("threshold"))
+  }
+
   /** Metric anomaly detection — the Deequ-family capability the reference's
     * battery stops short of: score the CURRENT snapshot's metric against
     * the history of prior snapshots (z-score against the historical mean

@@ -172,6 +172,28 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(run(13) == a) // decimal sums: order/partition-independent
   }
 
+  test("constraint suggestion: rules fire from metrics, partial-completeness floor") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1), Some("a")), (Some(2), Some("b")), (Some(3), None),
+      (Some(4), Some("b")), (None, Some("c"))
+    ).toDF("k", "s")
+    val rows = graft.profiler.Profiler.metrics(
+      df, graft.profiler.ProfilerConfig(),
+      Set("completeness", "distinctness", "minimum"))
+    val out = graft.profiler.Checks.suggestConstraints(
+      graft.profiler.Profiler.metricsDF(spark, rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // k: 4/5 complete -> floored 0.8 threshold; distinct -> unique; min 1 >= 0
+    assert(out(("k", "has_completeness_ge")) == 0.8)
+    assert(out(("k", "is_unique")) == 1.0)
+    assert(out(("k", "non_negative")) == 0.0)
+    assert(!out.contains(("k", "is_complete")))
+    // s: 4/5 complete, 'b' repeats -> no uniqueness suggestion
+    assert(out(("s", "has_completeness_ge")) == 0.8)
+    assert(!out.contains(("s", "is_unique")))
+  }
+
   test("metric anomaly: z-score vs history, last snapshot is current, flag over threshold") {
     import spark.implicits._
     // snapshots 0..3 of a value column; snapshot 3 jumps far outside history
