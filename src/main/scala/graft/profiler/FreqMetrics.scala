@@ -89,7 +89,9 @@ object FreqMetrics {
     if (cols.isEmpty || fams.isEmpty) return Nil
     val stackArgs: Seq[Column] =
       lit(cols.size) +: cols.flatMap(c => Seq(lit(c), col(c)))
-    val freq = df
+    // single-row-group sources serialize the stack+partial phase — see
+    // ScanMetrics.spread; grouped counts are partitioning-independent
+    val freq = ScanMetrics.spread(df)
       .select(stack(stackArgs: _*).as(Seq("instance", "v")))
       .groupBy("instance", "v").agg(count(lit(1)).as("cnt"))
       .persist()
