@@ -959,6 +959,63 @@ SELECT doc_id,
 FROM h ORDER BY doc_id"""
   }
 
+  /** PSI histogram-drift twin: identical combined-range bucket math
+    * (numericHistogram formula), eps-clamped shares, per-bin term rounded
+    * to 12 places and summed as DECIMAL(38,12). */
+  val histogramDrift: String = {
+    val sides = numeric.map(c =>
+      s"SELECT '$c' AS instance, CAST($c AS DOUBLE) AS v, l_orderkey % 2 AS snap FROM $T WHERE $c IS NOT NULL")
+    s"""WITH st AS (${sides.mkString(" UNION ALL ")}),
+mm AS (SELECT instance, MIN(v) AS mn, MAX(v) AS mx FROM st GROUP BY 1),
+bk AS (SELECT instance, snap,
+    CASE WHEN mx > mn
+      THEN LEAST(CAST(FLOOR((v - mn) / ((mx - mn) / CAST(10 AS DOUBLE))) AS BIGINT), 9)
+      ELSE 0 END AS bucket
+  FROM st JOIN mm USING (instance)),
+cnts AS (SELECT instance, snap, bucket, COUNT(*) AS cnt FROM bk GROUP BY 1, 2, 3),
+tots AS (SELECT instance,
+    COUNT(CASE WHEN snap = 0 THEN 1 END) AS tot_a,
+    COUNT(CASE WHEN snap = 1 THEN 1 END) AS tot_b
+  FROM bk GROUP BY 1),
+grid AS (SELECT instance, i AS bucket FROM mm, UNNEST(range(0, 10)) s(i)),
+sh AS (SELECT g.instance,
+    GREATEST(CAST(COALESCE(ca.cnt, 0) AS DOUBLE) / CAST(t.tot_a AS DOUBLE), CAST(1e-6 AS DOUBLE)) AS pa,
+    GREATEST(CAST(COALESCE(cb.cnt, 0) AS DOUBLE) / CAST(t.tot_b AS DOUBLE), CAST(1e-6 AS DOUBLE)) AS pb
+  FROM grid g
+  LEFT JOIN cnts ca ON ca.instance = g.instance AND ca.bucket = g.bucket AND ca.snap = 0
+  LEFT JOIN cnts cb ON cb.instance = g.instance AND cb.bucket = g.bucket AND cb.snap = 1
+  JOIN tots t ON t.instance = g.instance)
+SELECT instance,
+  ROUND(CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi,
+  ROUND(CAST(SUM(CAST(ROUND((pa - pb) * LN(pa / pb), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) > CAST(0.2 AS DOUBLE) AS drifted
+FROM sh GROUP BY instance ORDER BY instance"""
+  }
+
+  /** Embedding-corpus QA twin: same norm fold, same round-then-cast
+    * DECIMAL(38,12) mean contract. */
+  val embeddingStats: String =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(MIN(nd) AS INT) AS dims_min, CAST(MAX(nd) AS INT) AS dims_max,
+  CAST(COUNT(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT) AS zero_norm_count,
+  ROUND(MIN(nrm), 6) AS norm_min, ROUND(MAX(nrm), 6) AS norm_max,
+  ROUND(CAST(SUM(CAST(ROUND(nrm, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS norm_mean
+FROM (SELECT len(embedding) AS nd, ${listNorm("embedding")} AS nrm FROM embeddings) t"""
+
+  /** Sequence-length-histogram twin: the numericHistogram bucket math over
+    * the per-doc whitespace token count. */
+  val seqLengthHistogram: String =
+    s"""WITH v AS (SELECT CAST(len($wsToksSql) AS BIGINT) AS x FROM documents),
+s AS (SELECT CAST(MIN(x) AS DOUBLE) AS mn, CAST(MAX(x) AS DOUBLE) AS mx FROM v),
+b AS (SELECT CASE WHEN mx > mn
+        THEN LEAST(CAST(FLOOR((CAST(x AS DOUBLE) - mn) / ((mx - mn) / CAST(10 AS DOUBLE))) AS BIGINT), 9)
+        ELSE 0 END AS bucket, mn, mx
+      FROM v, s WHERE x IS NOT NULL)
+SELECT bucket,
+  ROUND(mn + bucket * ((mx - mn) / CAST(10 AS DOUBLE)), 6) AS lo,
+  ROUND(mn + (bucket + 1) * ((mx - mn) / CAST(10 AS DOUBLE)), 6) AS hi,
+  COUNT(*) AS cnt
+FROM b GROUP BY bucket, mn, mx ORDER BY bucket"""
+
   /** Constraint-suggestion twin: identical 6-dp-rounded per-column
     * metrics, identical rule set (bare SQL decimals CAST to DOUBLE — a
     * DuckDB bare 1.0 is DECIMAL). */

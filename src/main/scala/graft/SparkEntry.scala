@@ -587,6 +587,25 @@ object SparkEntry {
         .withColumn("kept", col("domain_rank") <= 20)
         .orderBy("doc_id")
     }),
+    // histogram drift (PSI) between the even/odd-orderkey snapshots of
+    // every numeric column — the binned complement of metric_anomaly
+    "histogram_drift" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.histogramDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")
+    }),
+    // embedding-corpus QA: dims consistency, zero-norm count, norm stats
+    "embedding_stats" -> ((s, dir) =>
+      Similarity.corpusStats(embeddings(s, dir), "embedding")),
+    // context-length planning: equi-width histogram over per-doc token counts
+    "seq_length_histogram" -> ((s, dir) =>
+      graft.profiler.NumericHistogram.equiWidth(
+        documents(s, dir).select(TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
+        "n_tokens", 10)
+        .orderBy("bucket")),
     // Deequ-style constraint SUGGESTION: the profile proposes the checks
     // (metadata-sized rule pass over the metrics relation, no second scan)
     "constraint_suggest" -> ((s, dir) => {
@@ -721,6 +740,9 @@ object SparkEntry {
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,
     "metric_anomaly" -> OracleSql.metricAnomaly,
     "tokenize_ids" -> OracleSql.tokenizeIds,
-    "constraint_suggest" -> OracleSql.constraintSuggest
+    "constraint_suggest" -> OracleSql.constraintSuggest,
+    "embedding_stats" -> OracleSql.embeddingStats,
+    "seq_length_histogram" -> OracleSql.seqLengthHistogram,
+    "histogram_drift" -> OracleSql.histogramDrift
   )
 }

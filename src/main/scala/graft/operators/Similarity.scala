@@ -183,6 +183,31 @@ object Similarity {
       .limit(top)
   }
 
+  /** Embedding-corpus QA summary — the sanity pass before any vector
+    * workload: corpus size, dimension consistency (ragged embeddings break
+    * every downstream dot product), zero-norm count (no direction — they
+    * silently drop out of cosine ops), and the norm distribution
+    * (min/mean/max; un-normalized corpora need an explicit normalize
+    * step). One single-row reduction; the norm mean quantizes addends to
+    * DECIMAL(38,12) (round-then-cast) so it is order/partition-independent
+    * like every other exact mean in the engine. */
+  def corpusStats(embIn: DataFrame, vecCol: String): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val staged = emb.select(size(col(vecCol)).as("nd"), fnorm(col(vecCol)).as("nrm"))
+    staged.agg(
+      count(lit(1)).as("n_vecs"),
+      min(col("nd")).as("dims_min"),
+      max(col("nd")).as("dims_max"),
+      count(when(col("nrm") === 0.0, lit(1))).as("zero_norm_count"),
+      round(min(col("nrm")), 6).as("norm_min"),
+      round(max(col("nrm")), 6).as("norm_max"),
+      round(
+        sum(round(col("nrm"), 12).cast(Dec)).cast("double") / count(lit(1)),
+        6).as("norm_mean"))
+  }
+
   /** One deterministic Lloyd half-step: per-cell per-dimension mean of the
     * vectors assigned by [[nearestCentroid]] — the centroid RE-estimation
     * that the assignment operator's contract deliberately excludes when

@@ -100,6 +100,82 @@ object Checks {
           .otherwise(lit("fail")).as("status"))
   }
 
+  /** Histogram drift via the Population Stability Index — the standard
+    * ML-monitoring complement of [[metricAnomaly]]'s scalar z-scores: for
+    * each column, bin BOTH snapshots on the combined equi-width grid (the
+    * [[NumericHistogram]] bucket math) and score the bin-share shift
+    * `PSI = Σ (p_a − p_b)·ln(p_a / p_b)` with the conventional
+    * interpretation thresholds (> 0.2 ≈ significant shift). Zero shares
+    * clamp to `eps` so empty bins don't blow up the log.
+    *
+    * Determinism: the per-bin PSI terms are double math with a fixed
+    * formula, then quantized to DECIMAL(38,12) BEFORE the per-column sum —
+    * 10 doubles summed in shuffle order would differ in the last ulps
+    * across partitionings; the decimal sum is exact and order-free.
+    *
+    * Scale shape: one stacked scan per snapshot → combined min/max (one
+    * grouped agg, broadcast back) → bucket counts (map-side combined) —
+    * everything past the scans is bins×columns-sized. */
+  def histogramDrift(
+      baseline: org.apache.spark.sql.DataFrame,
+      current: org.apache.spark.sql.DataFrame,
+      cols: Seq[String],
+      bins: Int = 10,
+      eps: Double = 1e-6,
+      psiThreshold: Double = 0.2): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty && bins > 0, "need columns and positive bins")
+    val Dec = DecimalType(38, 12)
+    def side(df: org.apache.spark.sql.DataFrame, tag: String) = {
+      val stackArgs = lit(cols.size) +:
+        cols.flatMap(c => Seq(lit(c), col(c).cast(DoubleType)))
+      ScanMetrics.spread(df)
+        .select(stack(stackArgs: _*).as(Seq("instance", "v")))
+        .where(col("v").isNotNull)
+        .withColumn("snap", lit(tag))
+    }
+    val st = side(baseline, "a").unionByName(side(current, "b"))
+    val mm = st.groupBy("instance").agg(min("v").as("mn"), max("v").as("mx"))
+    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
+    val bucketed = st.join(broadcast(mm), Seq("instance"))
+      .select(
+        col("instance"), col("snap"),
+        when(col("mx") > col("mn"),
+          least(floor((col("v") - col("mn")) / w), lit((bins - 1).toLong)))
+          .otherwise(lit(0L)).as("bucket"))
+    val counts = bucketed.groupBy("instance", "snap", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+    val tots = bucketed.groupBy("instance").agg(
+      count(when(col("snap") === "a", lit(1))).as("tot_a"),
+      count(when(col("snap") === "b", lit(1))).as("tot_b"))
+    val spark = baseline.sparkSession
+    val grid = mm.select("instance")
+      .crossJoin(broadcast(spark.range(bins).toDF("bucket")))
+    def cc(tag: String) = counts.where(col("snap") === tag)
+      .select(col("instance"), col("bucket"), col("cnt").as(s"cnt_$tag"))
+    val shares = grid
+      .join(cc("a"), Seq("instance", "bucket"), "left")
+      .join(cc("b"), Seq("instance", "bucket"), "left")
+      .join(broadcast(tots), Seq("instance"))
+      .select(
+        col("instance"),
+        greatest(
+          coalesce(col("cnt_a"), lit(0L)).cast(DoubleType) / col("tot_a").cast(DoubleType),
+          lit(eps)).as("pa"),
+        greatest(
+          coalesce(col("cnt_b"), lit(0L)).cast(DoubleType) / col("tot_b").cast(DoubleType),
+          lit(eps)).as("pb"))
+    shares
+      .select(
+        col("instance"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 12)
+          .cast(Dec).as("term"))
+      .groupBy("instance")
+      .agg(round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+      .select(col("instance"), col("psi"), (col("psi") > psiThreshold).as("drifted"))
+  }
+
   /** Constraint suggestion — Deequ's signature "profile first, then let
     * the profile propose the checks" workflow: derive candidate
     * constraints from the metrics relation (never from a second data

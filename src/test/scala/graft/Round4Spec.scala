@@ -172,6 +172,21 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(run(13) == a) // decimal sums: order/partition-independent
   }
 
+  test("histogram drift: PSI near zero for identical snapshots, large for a shift") {
+    import spark.implicits._
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
+    val same = graft.profiler.Checks.histogramDrift(base, base, Seq("x")).head()
+    assert(math.abs(same.getDouble(1)) < 1e-9 && !same.getBoolean(2))
+    // current snapshot shifted into the top of the combined range
+    val shifted = (1 to 1000).map(i => 100.0 + (i % 100)).toDF("x")
+    val drift = graft.profiler.Checks.histogramDrift(base, shifted, Seq("x")).head()
+    assert(drift.getDouble(1) > 0.2 && drift.getBoolean(2), s"psi = ${drift.getDouble(1)}")
+    // decimal-quantized term sum: partitioning-independent
+    val a = graft.profiler.Checks.histogramDrift(
+      base.repartition(13), shifted.repartition(7), Seq("x")).head().getDouble(1)
+    assert(a == drift.getDouble(1))
+  }
+
   test("constraint suggestion: rules fire from metrics, partial-completeness floor") {
     import spark.implicits._
     val df = Seq(
