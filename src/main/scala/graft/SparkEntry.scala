@@ -587,6 +587,16 @@ object SparkEntry {
         .withColumn("kept", col("domain_rank") <= 20)
         .orderBy("doc_id")
     }),
+    // continuous profiling: a real streaming query delivers lineitem in
+    // micro-batches; foreachBatch reduces each to mergeable state; the
+    // merged EXACT metrics must equal the whole-table profile
+    "streaming_incremental_profile" -> ((s, dir) =>
+      StreamingProfile.continuousIncrementalProfile(
+        s, s"$dir/lineitem.parquet", "l_orderkey", nBatches = 4)
+        .where(col("name") =!= lit("ApproxCountDistinct") &&
+          !col("name").startsWith("ApproxQuantiles"))
+        .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+        .orderBy("instance", "name")),
     // histogram drift (PSI) between the even/odd-orderkey snapshots of
     // every numeric column — the binned complement of metric_anomaly
     "histogram_drift" -> ((s, dir) => {
@@ -743,6 +753,9 @@ object SparkEntry {
     "constraint_suggest" -> OracleSql.constraintSuggest,
     "embedding_stats" -> OracleSql.embeddingStats,
     "seq_length_histogram" -> OracleSql.seqLengthHistogram,
-    "histogram_drift" -> OracleSql.histogramDrift
+    "histogram_drift" -> OracleSql.histogramDrift,
+    // same whole-table twin as incremental_profile: the streaming merge
+    // must reproduce the exact whole-table metrics
+    "streaming_incremental_profile" -> OracleSql.incrementalProfile
   )
 }

@@ -141,4 +141,48 @@ object StreamingProfile {
       ()
     }
   }
+
+  /** Continuous profiling — the streaming face of the incremental
+    * profiler and the engine's 100 TB operating mode end-to-end: a file
+    * stream delivers the table one micro-batch at a time
+    * (`maxFilesPerTrigger = 1`), `foreachBatch` reduces each batch to its
+    * metadata-sized mergeable state (materialized before the batch
+    * expires), and the associative merge yields EXACT metrics identical
+    * to a whole-table profile — the data itself is never rescanned and
+    * never held. The replay stages the source into `nBatches` files so
+    * the multi-batch path is genuinely exercised. */
+  def continuousIncrementalProfile(
+      spark: SparkSession,
+      sourcePath: String,
+      splitKey: String,
+      nBatches: Int): DataFrame = {
+    require(nBatches > 1, "need multiple batches to exercise the merge")
+    val src = spark.read.parquet(sourcePath)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont_").toString
+    src.repartition(nBatches, pmod(col(splitKey), lit(nBatches)))
+      .write.mode("overwrite").parquet(tmp)
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(tmp)
+    val states = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
+    var batches = 0
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches += 1
+        states += graft.profiler.IncrementalProfiler.snapshot(batch.toDF())
+          .localCheckpoint(true)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally { q.stop(); () }
+    require(batches > 1, s"expected multiple micro-batches, got $batches")
+    val out = graft.profiler.IncrementalProfiler.metrics(
+      graft.profiler.IncrementalProfiler.merge(states.toSeq))
+    // states are checkpointed and metrics() is eager — the staging dir can go
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).sorted(
+      java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    out
+  }
 }

@@ -172,6 +172,20 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(run(13) == a) // decimal sums: order/partition-independent
   }
 
+  test("continuous profiling: streamed micro-batch merge equals the direct profile") {
+    val li = "/root/testdata/sf0.001/lineitem.parquet"
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("name") =!= "ApproxCountDistinct" &&
+        !col("name").startsWith("ApproxQuantiles"))
+      .select(col("instance"), col("name"), round(col("value"), 6))
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = rows(graft.streaming.StreamingProfile
+      .continuousIncrementalProfile(spark, li, "l_orderkey", nBatches = 3))
+    val direct = rows(graft.profiler.IncrementalProfiler.metrics(
+      graft.profiler.IncrementalProfiler.snapshot(spark.read.parquet(li))))
+    assert(streamed.nonEmpty && streamed == direct)
+  }
+
   test("histogram drift: PSI near zero for identical snapshots, large for a shift") {
     import spark.implicits._
     val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("x")
