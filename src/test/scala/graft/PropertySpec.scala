@@ -80,4 +80,26 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("winnowing guarantee: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    // Schleimer et al.'s core theorem, over seeded random corpora: every
+    // match of length at least k + w - 1 is caught by at least one shared
+    // selected fingerprint (k = 8, w = 4 -> threshold 11 chars).
+    val rng = new Random(271)
+    def randStr(n: Int): String =
+      Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    import spark.implicits._
+    for (round <- 1 to 5) {
+      val shared = randStr(11 + rng.nextInt(30))
+      val docs = Seq(
+        (1L, randStr(rng.nextInt(40)) + shared + randStr(rng.nextInt(40))),
+        (2L, randStr(rng.nextInt(40)) + shared + randStr(rng.nextInt(40))))
+        .toDF("doc_id", "text")
+      val fp = graft.operators.Dedup.winnowFingerprints(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      assert((fp(1L) & fp(2L)).nonEmpty,
+        s"round $round: shared '$shared' produced no common fingerprint")
+    }
+  }
 }
