@@ -959,6 +959,31 @@ SELECT doc_id,
 FROM h ORDER BY doc_id"""
   }
 
+  /** Strict-order funnel twin: each stage's anchor is the earliest
+    * qualifying event strictly after the previous stage's anchor. Same
+    * ns→µs floor as the other event oracles. */
+  val eventFunnel: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts_us > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY e.user_id)
+SELECT 1 AS stage, 'signup' AS event_type, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+ORDER BY stage"""
+
+  /** Cohort-retention twin: epoch-day cohorts via integer division of the
+    * microsecond timestamp, distinct (user, cohort, offset) triples. */
+  val cohortRetention: String =
+    """WITH ev AS (SELECT user_id AS u, epoch_us(ts) // 86400000000 AS day FROM events),
+c AS (SELECT u, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+t AS (SELECT DISTINCT ev.u, c.cohort_day, ev.day - c.cohort_day AS day_offset
+  FROM ev JOIN c USING (u) WHERE ev.day - c.cohort_day <= 7)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM t GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""
+
   /** PSI histogram-drift twin: identical combined-range bucket math
     * (numericHistogram formula), eps-clamped shares, per-bin term rounded
     * to 12 places and summed as DECIMAL(38,12). */

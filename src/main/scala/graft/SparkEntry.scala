@@ -587,6 +587,23 @@ object SparkEntry {
         .withColumn("kept", col("domain_rank") <= 20)
         .orderBy("doc_id")
     }),
+    // strict-order conversion funnel over the event stream table
+    "event_funnel" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      graft.operators.Events.funnel(
+        e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+        .orderBy("stage")
+    }),
+    // daily cohort retention matrix (first-active-day cohorts, 7-day window)
+    "cohort_retention" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      graft.operators.Events.cohortRetention(e, "user_id", "ts_us", maxOffset = 7)
+        .orderBy("cohort_day", "day_offset")
+    }),
     // continuous profiling: a real streaming query delivers lineitem in
     // micro-batches; foreachBatch reduces each to mergeable state; the
     // merged EXACT metrics must equal the whole-table profile
@@ -756,6 +773,8 @@ object SparkEntry {
     "histogram_drift" -> OracleSql.histogramDrift,
     // same whole-table twin as incremental_profile: the streaming merge
     // must reproduce the exact whole-table metrics
-    "streaming_incremental_profile" -> OracleSql.incrementalProfile
+    "streaming_incremental_profile" -> OracleSql.incrementalProfile,
+    "event_funnel" -> OracleSql.eventFunnel,
+    "cohort_retention" -> OracleSql.cohortRetention
   )
 }

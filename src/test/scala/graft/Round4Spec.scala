@@ -172,6 +172,34 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(run(13) == a) // decimal sums: order/partition-independent
   }
 
+  test("event funnel: strict ordering — out-of-order conversions don't count") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "buy"),   // full path
+      (2L, 10L, "signup"), (2L, 30L, "buy"), (2L, 40L, "view"),   // buy BEFORE view
+      (3L, 10L, "view"), (3L, 20L, "signup"),                     // view before signup
+      (4L, 10L, "buy")                                            // no signup at all
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = graft.operators.Events.funnel(
+      e, "user_id", "ts_us", "event_type", Seq("signup", "view", "buy"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    // signups: users 1,2,3; strict views after signup: 1,2; buys after that view: 1
+    assert(out.toSeq == Seq((1, 3L), (2, 2L), (3, 1L)))
+  }
+
+  test("cohort retention: offsets measured from each user's first active day") {
+    import spark.implicits._
+    val day = 86400000000L
+    val e = Seq(
+      (1L, 0L), (1L, 2 * day),          // cohort day 0, back on day 2
+      (2L, 0L), (2L, day), (2L, day),   // cohort day 0, day 1 twice (distinct)
+      (3L, day)                         // cohort day 1
+    ).toDF("user_id", "ts_us")
+    val out = graft.operators.Events.cohortRetention(e, "user_id", "ts_us", 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map((0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("continuous profiling: streamed micro-batch merge equals the direct profile") {
     val li = "/root/testdata/sf0.001/lineitem.parquet"
     def rows(df: org.apache.spark.sql.DataFrame) = df
