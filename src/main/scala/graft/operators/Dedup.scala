@@ -198,7 +198,7 @@ object Dedup {
     * 10^10 candidate pairs on a single key; with the cap, per-key work is
     * bounded by cap² and the dropped pairs are exactly the ones exact
     * verification would have to score anyway. */
-  private def capHotBuckets(
+  private[operators] def capHotBuckets(
       buckets: DataFrame, keys: Seq[String], cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
@@ -318,8 +318,11 @@ object Dedup {
     * (hash, position) pairs are packed into one BIGINT — `hash·2²⁰ +
     * (2²⁰−1−pos)` — so the select-min-with-rightmost-tie-break rule
     * becomes a plain `array_min`, identical in DuckDB (`list_min`), with
-    * no struct-comparison semantics to align across engines. Documents are
-    * capped at 2²⁰−1 chars by the packing (beyond that, chunk first).
+    * no struct-comparison semantics to align across engines. The packing
+    * caps documents at 2²⁰−1 chars, and the cap is ENFORCED: an oversize
+    * document raises an error naming the offending id instead of silently
+    * corrupting the packed key (position bleeding into hash bits) — chunk
+    * long documents first ([[graft.functions.TextFunctions.chunkDocuments]]).
     *
     * Scale shape: pure per-row expression work (the k-gram hashes and the
     * token array are staged columns — referencing an expression tree from
@@ -338,7 +341,16 @@ object Dedup {
     val text = col("_t")
     val keys = col("_keys")
     graft.profiler.ScanMetrics.spread(df) // see shingles note
-      .select(col(idCol).as("id"), col(textCol).as("_t"))
+      .select(
+        col(idCol).as("id"),
+        // enforce the packing cap: beyond 2^20-1 chars the position term
+        // would go negative and bleed into the hash bits — fail loudly
+        when(length(col(textCol)) < lit(PosBase), col(textCol))
+          .otherwise(raise_error(concat(
+            lit("winnowFingerprints: document "), col(idCol).cast("string"),
+            lit(" has length "), length(col(textCol)).cast("string"),
+            lit(s" >= 2^20 (packing cap); chunk long documents first"))))
+          .as("_t"))
       .select(
         col("id"),
         when(length(text) >= k,

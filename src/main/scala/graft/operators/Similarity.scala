@@ -147,27 +147,40 @@ object Similarity {
     * matches the exact top-k with near certainty even on a uniform corpus
     * with no planted near-dups (verified against the exact DuckDB oracle at
     * sf0.01), and true near-dups (c ≥ 0.9) are effectively never missed.
-    * `maxBucketFreq` is deliberately absent: a hot bucket here is a real
-    * duplicate cluster whose pairs are the operator's whole point — cost
-    * is output-driven, and `top` caps the result. */
+    *
+    * `maxBucketFreq` caps the docs per band bucket before the self-join
+    * ([[Dedup.capHotBuckets]]): `top` bounds only the OUTPUT, not the
+    * candidate materialization — a boilerplate cluster of m near-identical
+    * embeddings collides in essentially every band, and without the cap
+    * the join+distinct materializes C(m,2) rows on a handful of keys
+    * (~5·10¹¹ at m = 10⁶, routine in web corpora). The 10k default bounds
+    * any key's fan-out at 10⁸ while being a no-op on non-degenerate
+    * corpora. Capped mega-clusters are not lost review work: pairwise
+    * enumeration is the wrong tool for them by definition — route them
+    * through [[Clustering.dedupClusters]] + [[Clustering.bestRepresentative]]
+    * (E24/E54), which handle a duplicate CLUSTER as one unit instead of
+    * m²/2 pairs. */
   def cosineNearDupPairs(
       embIn: DataFrame,
       idCol: String,
       vecCol: String,
       top: Int = 50,
       bands: Int = 512,
-      bitsPerBand: Int = 8): DataFrame = {
+      bitsPerBand: Int = 8,
+      maxBucketFreq: Option[Int] = Some(10000)): DataFrame = {
     graft.functions.VectorOps.register(embIn.sparkSession)
     // single-row-group sources run the (heavy) per-vector projection work
     // on one core — see ScanMetrics.spread; results are unchanged
     val emb = graft.profiler.ScanMetrics.spread(embIn)
     val base = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
-    val bucketed = emb.select(
-      col(idCol).as("id"),
-      explode(
-        graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
-        .as("bucket"))
+    val bucketed = Dedup.capHotBuckets(
+      emb.select(
+        col(idCol).as("id"),
+        explode(
+          graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
+          .as("bucket")),
+      Seq("bucket"), maxBucketFreq)
     val candidates = bucketed.alias("x").join(bucketed.alias("y"), Seq("bucket"))
       .where(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))

@@ -270,6 +270,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(bucketed == brute)
   }
 
+  test("hot-bucket cap bounds candidate generation on a degenerate duplicate cluster") {
+    import spark.implicits._
+    val corpus = (1 to 20).map(i => (i.toLong, Array(0.6f, -0.2f, 0.8f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    // uncapped: the identical vectors collide in every band -> all C(20,2) pairs
+    val uncapped = Similarity.cosineNearDupPairs(
+      corpus, "vec_id", "embedding", top = 500, maxBucketFreq = None).count()
+    assert(uncapped == 190)
+    // capped below the cluster size: every band bucket holds all 20 docs and is
+    // dropped BEFORE the self-join, so no candidates materialize — the cluster
+    // is dedupClusters/bestRepresentative work, not pairwise enumeration
+    val capped = Similarity.cosineNearDupPairs(
+      corpus, "vec_id", "embedding", top = 500, maxBucketFreq = Some(5)).count()
+    assert(capped == 0)
+  }
+
   test("native band keys agree with the column-expression lshBucket") {
     import spark.implicits._
     graft.functions.VectorOps.register(spark)

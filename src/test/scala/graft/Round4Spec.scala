@@ -145,6 +145,21 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     assert(fp(1L).size < 45)
   }
 
+  test("winnowing enforces the 2^20-char packing cap with a loud error") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "x" * 100),
+      (2L, "ab" * (1 << 19)) // 2^20 chars: one past the packable maximum
+    ).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.operators.Dedup.winnowFingerprints(df, "doc_id", "text").count()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("winnowFingerprints")),
+      s"expected the packing-cap error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("winnowing is a pure function of the text (partitioning-independent)") {
     import spark.implicits._
     val df = (1L to 50L).map(i => (i, s"document number $i with some repeated text " * 3))
