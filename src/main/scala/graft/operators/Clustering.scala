@@ -84,7 +84,12 @@ object Clustering {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // TWO (large, small) rounds per materialization: the checkpoint and
+      // fingerprint jobs are the fixed per-iteration overhead (the star
+      // rounds themselves are lazy), so batching halves that overhead at
+      // the cost of at most one redundant double-round after the fixpoint
+      // (star rounds are no-ops on a converged star forest)
+      val next = smallStar(largeStar(smallStar(largeStar(cur)))).localCheckpoint(true)
       val nextSig = fingerprint(next)
       converged = nextSig == sig
       cur = next

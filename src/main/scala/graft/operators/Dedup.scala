@@ -210,6 +210,22 @@ object Dedup {
       case None => buckets
     }
 
+  /** Observability companion to [[capHotBuckets]]: one row summarizing what
+    * the cap WOULD drop — `(hot_buckets, hot_rows, max_bucket)`. Capping is
+    * silent by design (the capped relation cannot carry a side channel), so
+    * degenerate corpora (a mega-cluster swallowing whole buckets) are
+    * detectable from this relation instead of only by reading scaladoc.
+    * One aggregation over the bucket relation — same cost shape as the cap
+    * itself. */
+  private[graft] def hotBucketStats(
+      buckets: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    buckets.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bf"))
+      .agg(
+        coalesce(sum(when(col("bf") > cap, 1L)), lit(0L)).as("hot_buckets"),
+        coalesce(sum(when(col("bf") > cap, col("bf"))), lit(0L)).as("hot_rows"),
+        coalesce(max(col("bf")), lit(0L)).as("max_bucket"))
+
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `rowsPerBand` rows; docs colliding on any band's hash become candidate
     * pairs; candidates are verified with EXACT Jaccard so the threshold
@@ -344,8 +360,11 @@ object Dedup {
       .select(
         col(idCol).as("id"),
         // enforce the packing cap: beyond 2^20-1 chars the position term
-        // would go negative and bleed into the hash bits — fail loudly
-        when(length(col(textCol)) < lit(PosBase), col(textCol))
+        // would go negative and bleed into the hash bits — fail loudly.
+        // coalesce: length(NULL) is NULL, which would otherwise make the
+        // condition NULL and mis-route null text into raise_error — null
+        // text must keep flowing to the empty-fingerprint branch below
+        when(coalesce(length(col(textCol)), lit(0)) < lit(PosBase), col(textCol))
           .otherwise(raise_error(concat(
             lit("winnowFingerprints: document "), col(idCol).cast("string"),
             lit(" has length "), length(col(textCol)).cast("string"),

@@ -11,46 +11,78 @@ import org.apache.spark.sql.types._
   * event — a plain per-type distinct count would overcount wildly) and
   * cohort retention matrices.
   *
-  * Scale shape: both reduce the event table to per-user scalars before
-  * anything joins — the funnel frontier is one `(user, min_ts)` row per
-  * surviving user per stage, the retention matrix distinct-counts
-  * compact `(user, cohort, offset)` triples. Events themselves are
-  * never self-joined. The per-user side is NOT force-broadcast: with
-  * billions of users it would not fit an executor, so the frontier is
-  * materialized (localCheckpoint → exact size stats) and AQE picks
-  * broadcast when it is genuinely small, shuffle-hash otherwise.
+  * Scale shape: both reduce the event table to per-user scalars in ONE
+  * shuffle of the events table — the funnel groups each user's
+  * stage-typed events and walks them in-task ([[funnelReached]]), the
+  * retention matrix distinct-counts compact `(user, cohort, offset)`
+  * triples. Events are never self-joined and never rescanned per stage.
   */
 object Events {
 
-  /** Strict-order funnel: stage 1 = users with a `stages(0)` event;
-    * stage k = users with a `stages(k-1)` event strictly after their
-    * stage-(k−1) time (earliest qualifying event becomes the new
-    * anchor). Returns `(stage, event_type, n_users)`. */
-  def funnel(
+  /** Deepest funnel stage each user reaches under STRICT time ordering:
+    * stage 1 = any `stages(0)` event; stage k = a `stages(k-1)` event
+    * strictly after the stage-(k−1) anchor, where each stage's anchor is
+    * its earliest qualifying event. Returns `(u, reached)` for users
+    * reaching at least stage 1.
+    *
+    * ONE shuffle of the events table: events matching any stage type are
+    * grouped per user, time-sorted in-task, and walked once — the greedy
+    * earliest-anchor walk is exactly the iterated per-stage
+    * `min(ts) where ts > prev_anchor` (taking the earliest valid anchor at
+    * each stage never excludes a later stage the iterated form would
+    * reach). Replaces the k-scan driver loop that read the events table
+    * once per stage. The per-user event array holds only events whose type
+    * is a funnel stage — bounded by a user's own funnel activity, not the
+    * corpus. */
+  def funnelReached(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
       stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "at least one stage required")
-    val counts = Seq.newBuilder[Row]
-    var frontier: DataFrame = null
-    stages.zipWithIndex.foreach { case (st, i) =>
-      val matching = events.where(col(typeCol) === st)
-      val qualified =
-        if (i == 0) matching
-        else matching
-          .join(frontier, Seq(userCol)) // AQE: broadcast iff frontier small
-          .where(col(tsCol) > col("_t"))
-      frontier = qualified
-        .groupBy(userCol)
-        .agg(min(col(tsCol)).as("_t"))
-        .localCheckpoint(true) // per-user scalars; pin before the count
-      counts += Row(i + 1, st, frontier.count())
+    val stagesArr = array(stages.map(lit): _*)
+    val perUser = events
+      .where(col(typeCol).isin(stages: _*))
+      .select(
+        col(userCol).as("u"),
+        struct(col(tsCol).cast("long").as("t"), col(typeCol).as("ty")).as("e"))
+      .groupBy("u")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+    perUser.select(
+      col("u"),
+      aggregate(
+        col("evs"),
+        struct(lit(0).as("s"), lit(Long.MinValue).as("t")),
+        // `get` (0-based) is null past the last stage, so a completed
+        // funnel's condition goes null → event ignored — no ANSI OOB error
+        (acc, e) => when(
+          get(stagesArr, acc("s")) === e("ty") && e("t") > acc("t"),
+          struct((acc("s") + 1).as("s"), e("t").as("t"))).otherwise(acc),
+        acc => acc("s")).as("reached"))
+      .where(col("reached") >= 1)
+  }
+
+  /** Strict-order funnel counts: stage k's `n_users` = users reaching at
+    * least stage k ([[funnelReached]] — one events-table shuffle; this
+    * wrapper reduces the per-user relation to ≤ |stages| rows and builds
+    * the report driver-side). Returns `(stage, event_type, n_users)`. */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    val byDepth = funnelReached(events, userCol, tsCol, typeCol, stages)
+      .groupBy("reached").agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = stages.zipWithIndex.map { case (st, i) =>
+      Row(i + 1, st, (i + 1 to stages.size).map(j => byDepth.getOrElse(j, 0L)).sum)
     }
     events.sparkSession.createDataFrame(
       new java.util.ArrayList[Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(counts.result()).asJava),
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       StructType(Seq(
         StructField("stage", IntegerType, nullable = false),
         StructField("event_type", StringType, nullable = false),

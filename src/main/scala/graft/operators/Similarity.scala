@@ -196,6 +196,33 @@ object Similarity {
       .limit(top)
   }
 
+  /** Diagnostic twin of [[cosineNearDupPairs]]'s hot-bucket cap: one row
+    * `(hot_buckets, hot_rows, max_bucket)` over the same banded bucket
+    * relation ([[Dedup.hotBucketStats]]). `hot_buckets > 0` means the cap
+    * fired and the corpus holds at least one near-identical mega-cluster
+    * whose pairs were excluded from the review list — the signal to run
+    * [[Clustering.dedupClusters]] + [[Clustering.bestRepresentative]] on it
+    * instead of pairwise review. Callers that need to know whether capping
+    * changed their output run this alongside the pair query; it costs one
+    * aggregation over the bucket relation (no self-join). */
+  def cosineNearDupDiagnostics(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bands: Int = 512,
+      bitsPerBand: Int = 8,
+      maxBucketFreq: Int = 10000): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+    Dedup.hotBucketStats(
+      emb.select(
+        col(idCol).as("id"),
+        explode(
+          graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
+          .as("bucket")),
+      Seq("bucket"), maxBucketFreq)
+  }
+
   /** Embedding-corpus QA summary — the sanity pass before any vector
     * workload: corpus size, dimension consistency (ragged embeddings break
     * every downstream dot product), zero-norm count (no direction — they

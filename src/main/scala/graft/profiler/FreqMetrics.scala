@@ -89,9 +89,12 @@ object FreqMetrics {
     if (cols.isEmpty || fams.isEmpty) return Nil
     val stackArgs: Seq[Column] =
       lit(cols.size) +: cols.flatMap(c => Seq(lit(c), col(c)))
-    // single-row-group sources serialize the stack+partial phase — see
-    // ScanMetrics.spread; grouped counts are partitioning-independent
-    val freq = ScanMetrics.spread(df)
+    // no spread() here: the groupBy's own exchange redistributes the same
+    // (instance, v) payload the spread would, so pre-spreading doubles the
+    // shuffle volume to parallelize a map phase that is just stack+hash —
+    // measured slower at every scale point (r3 0.39 s → r4 1.95 s for
+    // single-family uniqueness at sf0.1)
+    val freq = df
       .select(stack(stackArgs: _*).as(Seq("instance", "v")))
       .groupBy("instance", "v").agg(count(lit(1)).as("cnt"))
       .persist()

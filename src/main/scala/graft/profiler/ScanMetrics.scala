@@ -28,10 +28,15 @@ object AggKind {
   * SURVEY.md §4.2). At 100 TB this is the difference between 1 scan of the
   * data and ~20.
   */
+/** `heavy` marks slots whose PER-ROW update cost dominates the pass (the
+  * decimal-quantized exact sums: a Double.toString round trip per value) —
+  * the signal that parallelizing the partial phase is worth one exchange
+  * on a single-row-group source (see [[ScanMetrics.spread]]). */
 final case class AggSlot(
     expr: Column,
     extract: Any => Seq[MetricRow],
-    kind: AggKind = AggKind.Plain)
+    kind: AggKind = AggKind.Plain,
+    heavy: Boolean = false)
 
 /** Builders for the scan-shareable metric family (SURVEY.md §2.A: D1, N1-N9,
   * T1-T5) — everything computable in a single wide aggregation over the table.
@@ -61,8 +66,11 @@ object ScanMetrics {
     case _ => None
   }
 
-  private def colSlot(inst: String, name: String, expr: Column): AggSlot =
-    AggSlot(expr, a => num(a).map(v => MetricRow("Column", inst, name, v)).toSeq)
+  private def colSlot(
+      inst: String, name: String, expr: Column, heavy: Boolean = false): AggSlot =
+    AggSlot(
+      expr, a => num(a).map(v => MetricRow("Column", inst, name, v)).toSeq,
+      heavy = heavy)
 
   /** Null (→ no metric row) instead of an ANSI divide-by-zero on empty /
     * all-null inputs. */
@@ -173,9 +181,10 @@ object ScanMetrics {
           shared(i, c)
           if (fams("minimum")) b += colSlot(i, Minimum, min(c).cast(DoubleType))
           if (fams("maximum")) b += colSlot(i, Maximum, max(c).cast(DoubleType))
-          if (fams("mean")) b += colSlot(i, Mean, meanMetric(c))
-          if (fams("sum")) b += colSlot(i, Sum, sumMetric(c))
-          if (fams("stddev_pop")) b += colSlot(i, StandardDeviation, stddevPopMetric(c))
+          if (fams("mean")) b += colSlot(i, Mean, meanMetric(c), heavy = true)
+          if (fams("sum")) b += colSlot(i, Sum, sumMetric(c), heavy = true)
+          if (fams("stddev_pop"))
+            b += colSlot(i, StandardDeviation, stddevPopMetric(c), heavy = true)
           if (fams("approx_quantiles")) {
             val ps = quantilePs(cfg.quantiles)
             // accuracy 100 = 1 / Deequ's relativeError 0.01 (SURVEY.md §2.A N8)
@@ -230,7 +239,12 @@ object ScanMetrics {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val src = spread(df)
+    // spread() is one full-data exchange — worth it only when the pass has
+    // per-row work to parallelize (sketches, distinct's Expand, decimal
+    // sums). A cheap codegen'd Plain-only battery (count/min/max) finishes
+    // the serial partial phase faster than the shuffle it would buy.
+    val needSpread = slots.exists(s => s.kind != AggKind.Plain || s.heavy)
+    val src = if (needSpread) spread(df) else df
     // Sketch slots (TypedImperativeAggregate buffers — exact percentile
     // value maps, KLL) pay a single-threaded final-merge per pass;
     // chunking them into a few concurrent jobs overlaps those merges

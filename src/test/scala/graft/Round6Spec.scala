@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Events, Similarity}
+
+class Round6Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("winnowing: null text flows to the empty-fingerprint branch, not the cap error") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, None: Option[String]),
+      (3L, Some("short"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.winnowFingerprints(df, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // doc 1 fingerprints; null doc 2 and sub-k doc 3 silently contribute none
+    assert(out == Set(1L))
+  }
+
+  test("hot-bucket diagnostics: mega-cluster visible, clean corpus reports zero") {
+    import spark.implicits._
+    // 20 identical vectors = one mega-cluster colliding in every band
+    val clones = (1L to 20L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val spreadOut = (21L to 30L).map { i =>
+      val v = Array.fill(4)(0.0f); v(((i % 4)).toInt) = i.toFloat
+      (i, v.toSeq)
+    }
+    val df = (clones ++ spreadOut).toDF("vec_id", "embedding")
+    val hot = Similarity.cosineNearDupDiagnostics(
+      df, "vec_id", "embedding", bands = 8, bitsPerBand = 4, maxBucketFreq = 10)
+      .head()
+    assert(hot.getLong(0) > 0, "mega-cluster must surface as hot buckets")
+    assert(hot.getLong(2) >= 20L, "max bucket holds the whole clone cluster")
+    // the clones alone, capped generously: nothing hot
+    val clean = Similarity.cosineNearDupDiagnostics(
+      spreadOut.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", bands = 8, bitsPerBand = 4, maxBucketFreq = 10)
+      .head()
+    assert(clean.getLong(0) == 0L && clean.getLong(1) == 0L)
+  }
+
+  test("capped cosineNearDupPairs bounds candidates on a clone-heavy corpus") {
+    import spark.implicits._
+    val clones = (1L to 50L).map(i => (i, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+    val df = clones.toDF("vec_id", "embedding")
+    // cap below the cluster size: every band bucket is hot, zero candidates
+    val out = Similarity.cosineNearDupPairs(
+      df, "vec_id", "embedding", top = 1000, bands = 8, bitsPerBand = 4,
+      maxBucketFreq = Some(10))
+    assert(out.count() == 0L)
+    // and the diagnostic explains why (the route-to-clustering signal)
+    val diag = Similarity.cosineNearDupDiagnostics(
+      df, "vec_id", "embedding", bands = 8, bitsPerBand = 4, maxBucketFreq = 10)
+      .head()
+    assert(diag.getLong(0) > 0)
+  }
+
+  test("funnel computes from ONE exchange of the events table") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 10L, "signup"), (1L, 20L, "view"), (1L, 30L, "buy"),
+      (2L, 10L, "signup"), (2L, 30L, "buy"), (2L, 40L, "view"),
+      (3L, 10L, "view"), (3L, 20L, "signup")
+    ).toDF("user_id", "ts_us", "event_type")
+    val reached = Events.funnelReached(
+      e, "user_id", "ts_us", "event_type", Seq("signup", "view", "buy"))
+    reached.collect() // materialize so AQE finalizes the plan
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // audit only the final plan
+    val plan = reached.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one Exchange:\n$plan")
+    // per-user depth matches the iterated per-stage min-anchor semantics
+    val depths = reached.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 3, 2L -> 2, 3L -> 1))
+  }
+
+  test("funnel: repeated stage types and completed funnels walk correctly") {
+    import spark.implicits._
+    // stages (view, view): needs two strictly-ordered views
+    val e = Seq(
+      (1L, 10L, "view"), (1L, 20L, "view"),  // reaches 2
+      (2L, 10L, "view"),                     // reaches 1
+      (3L, 10L, "view"), (3L, 10L, "view")   // same-ts double view: strict > fails
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = Events.funnel(e, "user_id", "ts_us", "event_type", Seq("view", "view"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 3L), (2, 1L)))
+  }
+}
