@@ -1134,4 +1134,37 @@ SELECT cl.doc_id, cl.cluster_id, q.quality,
   (ROW_NUMBER() OVER (PARTITION BY cl.cluster_id ORDER BY q.quality DESC, cl.doc_id) = 1) AS keep
 FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   }
+
+  /** Static column inventory of EVERY testdata table (TESTDATA.md schemas):
+    * the Text+Numeric columns the profiler's battery covers. `events.ts`
+    * (TIMESTAMP_NANOS) profiles as a long under nanosAsLong on the Spark
+    * side; Completeness (COUNT(c)/COUNT(*)) is type-agnostic, so the twin
+    * needs no epoch conversion. Skipped classes (embeddings' float array,
+    * lineitem/orders' ms timestamps) are absent from both sides. */
+  private val allTablesProfiled: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "label"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "lineitem" -> Lineitem.profiled,
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "region" -> Seq("r_regionkey", "r_name"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+  /** Flagship multi-table twin: per-table Size + per-column Completeness,
+    * UNION ALL across the whole catalog — the reference main loop's output
+    * reproduced table-by-table in SQL. */
+  val profileAllTables: String = {
+    val selects = allTablesProfiled.flatMap { case (t, cols) =>
+      s"""SELECT '$t' AS table_name, 'Dataset' AS entity, '*' AS instance,
+  'Size' AS name, ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS value FROM $t""" +:
+        cols.map(c =>
+          s"""SELECT '$t', 'Column', '$c', 'Completeness',
+  ROUND(COUNT($c) * 1.0 / COUNT(*), 6) FROM $t""")
+    }
+    s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) q " +
+      "ORDER BY table_name, entity, instance, name"
+  }
 }

@@ -673,6 +673,20 @@ object SparkEntry {
           col("doc_id"),
           round(TextFunctions.qualityScore(col("text")), 6).as("quality")))
         .orderBy("doc_id")
+    }),
+    // flagship multi-table run: the reference's main loop as one relation —
+    // enumerate the catalog (R2), profile every table (R1+R15), union with
+    // table identity. Size+Completeness: exact and type-agnostic, so the
+    // oracle covers every table including events' nanos timestamp.
+    "profile_all_tables" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.profiler.Runner.profileAllTables(
+        s, new graft.profiler.ParquetDirCatalog(s, dir), cfg,
+        Set("size", "completeness"))
+        .select(
+          col("table_name"), col("entity"), col("instance"), col("name"),
+          round(col("value"), 6).as("value"))
+        .orderBy("table_name", "entity", "instance", "name")
     })
   )
 
@@ -775,6 +789,7 @@ object SparkEntry {
     // must reproduce the exact whole-table metrics
     "streaming_incremental_profile" -> OracleSql.incrementalProfile,
     "event_funnel" -> OracleSql.eventFunnel,
-    "cohort_retention" -> OracleSql.cohortRetention
+    "cohort_retention" -> OracleSql.cohortRetention,
+    "profile_all_tables" -> OracleSql.profileAllTables
   )
 }

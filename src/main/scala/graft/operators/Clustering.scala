@@ -84,12 +84,11 @@ object Clustering {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      // TWO (large, small) rounds per materialization: the checkpoint and
-      // fingerprint jobs are the fixed per-iteration overhead (the star
-      // rounds themselves are lazy), so batching halves that overhead at
-      // the cost of at most one redundant double-round after the fixpoint
-      // (star rounds are no-ops on a converged star forest)
-      val next = smallStar(largeStar(smallStar(largeStar(cur)))).localCheckpoint(true)
+      // ONE (large, small) round per materialization. Batching two rounds
+      // per checkpoint was tried (r6) and measured SLOWER on fast-converging
+      // pair graphs: each extra composite is ~4 shuffle stages, more than
+      // the one checkpoint+fingerprint pair it saves.
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
       val nextSig = fingerprint(next)
       converged = nextSig == sig
       cur = next

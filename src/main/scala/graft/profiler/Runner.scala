@@ -65,6 +65,29 @@ object Runner {
     loop(args.toList, RunnerArgs())
   }
 
+  /** The reference's main loop as ONE relation (Profiler.scala:166-253,
+    * minus the sinks): enumerate the catalog, profile every table with the
+    * given metric families, and union the per-table metric relations with
+    * `(db_name, table_name)` identity columns — the queryable flagship
+    * complement of [[run]]'s publish path. Per-table batteries each reduce
+    * their table before the union, so the result stays metadata-sized no
+    * matter the catalog's data volume; tables profile as independent jobs
+    * exactly like [[run]]'s loop. */
+  def profileAllTables(
+      spark: SparkSession,
+      catalog: TableCatalog,
+      cfg: ProfilerConfig,
+      fams: Set[String]): org.apache.spark.sql.DataFrame = {
+    val per = catalog.listTables.map { t =>
+      val rows = Profiler.metrics(catalog.load(t), cfg, fams)
+      Profiler.metricsDF(spark, rows)
+        .withColumn("db_name", org.apache.spark.sql.functions.lit(catalog.name))
+        .withColumn("table_name", org.apache.spark.sql.functions.lit(t))
+    }
+    require(per.nonEmpty, s"catalog ${catalog.name} has no tables")
+    per.reduce(_.unionByName(_))
+  }
+
   /** Profile every table of `catalog` and publish (one run timestamp for
     * the whole run, like the reference's run_dt, Profiler.scala:74).
     * Returns (table → metric row count) for observability. */

@@ -102,12 +102,21 @@ object Sinks {
       * (Glue.java:46-49); MERGE new table params over existing ones
       * (Glue.java:67-80); per column, DELETE every existing param starting
       * with the stats prefix, then add the new ones — other params survive
-      * (Glue.java:101-139). */
+      * (Glue.java:101-139).
+      *
+      * `partitionCols`: Glue cannot carry parameters on partition columns
+      * (InvalidInputException, documented Glue.java:89-93), so the
+      * reference iterates only the storage-descriptor columns and a metric
+      * for a partition column falls to the "Column Not Found" skip
+      * (Glue.java:102-137) — its params reach ONLY the parquet sink.
+      * Mirrored here: incoming params for a partition column are dropped
+      * and any existing entry for it is left untouched (no prefix reset). */
     def upsert(
         table: String,
         prefix: String,
         tableParams: Map[String, String],
-        columnParams: Map[String, Map[String, String]]): Unit
+        columnParams: Map[String, Map[String, String]],
+        partitionCols: Set[String] = Set.empty): Unit
   }
 
   /** JSON-file-per-table implementation of the Glue upsert for the
@@ -122,15 +131,22 @@ object Sinks {
         table: String,
         prefix: String,
         tableParams: Map[String, String],
-        columnParams: Map[String, Map[String, String]]): Unit = {
+        columnParams: Map[String, Map[String, String]],
+        partitionCols: Set[String]): Unit = {
       if (tableParams.isEmpty) return // Glue.java:46-49
       val existing = read(table)
       val mergedTable = existing.tableParams ++ tableParams // Glue.java:67-80
-      val allColumns = existing.columnParams.keySet ++ columnParams.keySet
+      // partition columns are not storage-descriptor columns: their params
+      // are skipped and existing entries untouched (Glue.java:89-93, 102-137)
+      val writable = columnParams -- partitionCols
+      val allColumns = existing.columnParams.keySet ++ writable.keySet
       val mergedColumns = allColumns.map { c =>
-        val kept = existing.columnParams.getOrElse(c, Map.empty)
-          .filterNot { case (k, _) => k.startsWith(prefix) } // Glue.java:101-120
-        c -> (kept ++ columnParams.getOrElse(c, Map.empty))
+        if (partitionCols(c)) c -> existing.columnParams.getOrElse(c, Map.empty)
+        else {
+          val kept = existing.columnParams.getOrElse(c, Map.empty)
+            .filterNot { case (k, _) => k.startsWith(prefix) } // Glue.java:101-120
+          c -> (kept ++ writable.getOrElse(c, Map.empty))
+        }
       }.toMap
       write(table, TableMeta(mergedTable, mergedColumns))
     }

@@ -80,6 +80,24 @@ class Round6Spec extends AnyFunSuite {
     assert(depths == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("profile_all_tables: every catalog table contributes Size + Completeness") {
+    val out = SparkEntry.queries("profile_all_tables")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val tables = out.map(_.getString(0)).toSet
+    assert(tables == Set(
+      "customer", "documents", "embeddings", "events", "lineitem",
+      "nation", "orders", "part", "region", "supplier"))
+    // one Size row per table; Completeness only for Text/Numeric columns
+    // (embeddings' float array and the ms-timestamp columns are skipped)
+    val sizes = out.filter(_.getString(3) == "Size")
+    assert(sizes.length == 10 && sizes.forall(_.getDouble(4) > 0))
+    val perTableCols = out.filter(_.getString(3) == "Completeness")
+      .groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    assert(perTableCols("lineitem") == 10) // 8 numeric + 2 text, shipdate skipped
+    assert(perTableCols("embeddings") == 2) // vec_id + label, array skipped
+    assert(perTableCols("events") == 6) // ts profiles as long under nanosAsLong
+  }
+
   test("funnel: repeated stage types and completed funnels walk correctly") {
     import spark.implicits._
     // stages (view, view): needs two strictly-ordered views

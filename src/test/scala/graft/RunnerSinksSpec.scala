@@ -41,16 +41,42 @@ class SinksSpec extends AnyFunSuite {
 
   test("documented divergence from Glue: partition-column params ARE stored locally") {
     // The reference cannot attach parameters to partition columns — Glue
-    // rejects them and the failure is caught and logged (reference
-    // Glue.java:89-99); only its S3 parquet sink carries partition-column
-    // metrics. The local JSON store has no storage-column split, so column
-    // params persist for EVERY profiled column. A user migrating from the
-    // reference gains metadata on partition columns rather than losing any.
+    // rejects them (InvalidInputException, Glue.java:89-93) and a metric
+    // for one falls to the storage-descriptor "Column Not Found" skip
+    // (Glue.java:102-137); only its S3 parquet sink carries
+    // partition-column metrics. The local JSON store has no storage-column
+    // split, so BY DEFAULT column params persist for every profiled
+    // column — a migrating user gains metadata rather than losing any.
     val sink = new Sinks.JsonMetadataSink(tmp().toString)
     sink.upsert("t", "DQP__",
       Map("DQP__Size" -> "1.0"),
       Map("partition_day" -> Map("DQP__Completeness" -> "1.0")))
     assert(sink.read("t").columnParams("partition_day")("DQP__Completeness") == "1.0")
+  }
+
+  test("Glue parity mode: declared partition columns are skipped, untouched") {
+    // With partitionCols declared, the sink reproduces Glue exactly:
+    // incoming params for a partition column are dropped (never written)
+    // and an existing entry survives verbatim — no prefix reset, since the
+    // reference's reset only runs for found storage-descriptor columns.
+    val sink = new Sinks.JsonMetadataSink(tmp().toString)
+    // pre-partition-era entry for the column that later becomes a partition
+    sink.upsert("t", "DQP__",
+      Map("DQP__Size" -> "1.0"),
+      Map("day" -> Map("DQP__Completeness" -> "0.9", "comment" -> "keep")))
+    sink.upsert("t", "DQP__",
+      Map("DQP__Size" -> "2.0"),
+      Map(
+        "day" -> Map("DQP__Completeness" -> "1.0"),
+        "c" -> Map("DQP__Maximum" -> "3.0")),
+      partitionCols = Set("day"))
+    val meta = sink.read("t")
+    assert(meta.tableParams("DQP__Size") == "2.0")
+    // partition column: new params dropped, old entry intact (no reset)
+    assert(meta.columnParams("day") ==
+      Map("DQP__Completeness" -> "0.9", "comment" -> "keep"))
+    // ordinary column: written as usual
+    assert(meta.columnParams("c") == Map("DQP__Maximum" -> "3.0"))
   }
 
   test("metadata upsert skips entirely when there are no table metrics") {
