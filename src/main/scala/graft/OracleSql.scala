@@ -1153,6 +1153,19 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     "region" -> Seq("r_regionkey", "r_name"),
     "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
 
+  /** Golden twin of the approx-sketch accuracy audit: the Spark side emits
+    * deterministic booleans (HLL within 3x rsd of exact, percentile_approx
+    * inside the exact envelope at p ± 2/accuracy), so the oracle pins them
+    * as an all-true VALUES list — any sketch regression hash-fails. */
+  val approxErrorBounds: String = {
+    val rows = Lineitem.numeric.flatMap { c =>
+      s"('$c', 'ApproxCountDistinct', true)" +:
+        (1 to 10).map(i => s"('$c', 'ApproxQuantiles-${i / 10.0}', true)")
+    }
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(instance, name, within_bound) " +
+      "ORDER BY instance, name"
+  }
+
   /** Flagship multi-table twin: per-table Size + per-column Completeness,
     * UNION ALL across the whole catalog — the reference main loop's output
     * reproduced table-by-table in SQL. */

@@ -674,6 +674,47 @@ object SparkEntry {
           round(TextFunctions.qualityScore(col("text")), 6).as("quality")))
         .orderBy("doc_id")
     }),
+    // driver-visible accuracy audit of the approximate sketches: HLL
+    // count-distinct within 3x its published rsd (0.05) of the exact count,
+    // and each percentile_approx value inside the exact-quantile envelope
+    // at p +/- 2*(1/accuracy) — double the published rank-error guarantee,
+    // absorbing exact-interpolation convention differences. The output is
+    // deterministic all-true booleans, so the oracle is a golden VALUES
+    // list (the schema_df precedent): a sketch accuracy regression flips a
+    // row to false and hash-fails the round.
+    "approx_error_bounds" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val cols = OracleSql.Lineitem.numeric
+      val ps = graft.profiler.ScanMetrics.quantilePs(10)
+      val eps = 2.0 / 100 // 2 * (1/accuracy)
+      val lo = ps.map(p => math.max(0.0, p - eps))
+      val hi = ps.map(p => math.min(1.0, p + eps))
+      val src = graft.profiler.ScanMetrics.spread(li)
+      val sketchAggs = cols.flatMap { c =>
+        Seq(
+          approx_count_distinct(col(c)).as(s"acd_$c"),
+          percentile_approx(col(c), array(ps.map(lit): _*), lit(100))
+            .cast("array<double>").as(s"aq_$c"),
+          expr(s"percentile($c, array(${lo.mkString(",")}))").as(s"plo_$c"),
+          expr(s"percentile($c, array(${hi.mkString(",")}))").as(s"phi_$c"))
+      }
+      val r1 = src.agg(sketchAggs.head, sketchAggs.tail: _*).head()
+      val exactAggs = cols.map(c => count_distinct(col(c)).as(s"cd_$c"))
+      val r2 = src.agg(exactAggs.head, exactAggs.tail: _*).head()
+      val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
+        val acd = r1.getLong(ci * 4).toDouble
+        val cd = r2.getLong(ci).toDouble
+        val aq = r1.getSeq[Double](ci * 4 + 1)
+        val plo = r1.getSeq[Double](ci * 4 + 2)
+        val phi = r1.getSeq[Double](ci * 4 + 3)
+        (c, "ApproxCountDistinct", math.abs(acd - cd) <= 0.15 * cd) +:
+          ps.indices.map(i =>
+            (c, s"ApproxQuantiles-${ps(i)}", aq(i) >= plo(i) && aq(i) <= phi(i)))
+      }
+      import s.implicits._
+      rows.toDF("instance", "name", "within_bound")
+        .orderBy("instance", "name")
+    }),
     // flagship multi-table run: the reference's main loop as one relation —
     // enumerate the catalog (R2), profile every table (R1+R15), union with
     // table identity. Size+Completeness: exact and type-agnostic, so the
@@ -790,6 +831,7 @@ object SparkEntry {
     "streaming_incremental_profile" -> OracleSql.incrementalProfile,
     "event_funnel" -> OracleSql.eventFunnel,
     "cohort_retention" -> OracleSql.cohortRetention,
-    "profile_all_tables" -> OracleSql.profileAllTables
+    "profile_all_tables" -> OracleSql.profileAllTables,
+    "approx_error_bounds" -> OracleSql.approxErrorBounds
   )
 }
