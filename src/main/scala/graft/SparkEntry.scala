@@ -676,40 +676,64 @@ object SparkEntry {
     }),
     // driver-visible accuracy audit of the approximate sketches: HLL
     // count-distinct within 3x its published rsd (0.05) of the exact count,
-    // and each percentile_approx value inside the exact-quantile envelope
-    // at p +/- 2*(1/accuracy) — double the published rank-error guarantee,
-    // absorbing exact-interpolation convention differences. The output is
+    // and each percentile_approx value's RANK interval within
+    // 2*(1/accuracy) of the target rank — the sketch's actual published
+    // guarantee, verified with codegen'd conditional counts (rank of v =
+    // count(< v)+1 .. count(<= v)) instead of exact-percentile value-map
+    // buffers, which cost 16 ObjectHashAggregate sketches for the same
+    // answer (measured 9.9 s vs ~4 s at sf0.1). The output is
     // deterministic all-true booleans, so the oracle is a golden VALUES
     // list (the schema_df precedent): a sketch accuracy regression flips a
     // row to false and hash-fails the round.
     "approx_error_bounds" -> ((s, dir) => {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
       val li = lineitem(s, dir)
       val cols = OracleSql.Lineitem.numeric
       val ps = graft.profiler.ScanMetrics.quantilePs(10)
-      val eps = 2.0 / 100 // 2 * (1/accuracy)
-      val lo = ps.map(p => math.max(0.0, p - eps))
-      val hi = ps.map(p => math.min(1.0, p + eps))
-      val src = graft.profiler.ScanMetrics.spread(li)
-      val sketchAggs = cols.flatMap { c =>
-        Seq(
-          approx_count_distinct(col(c)).as(s"acd_$c"),
-          percentile_approx(col(c), array(ps.map(lit): _*), lit(100))
-            .cast("array<double>").as(s"aq_$c"),
-          expr(s"percentile($c, array(${lo.mkString(",")}))").as(s"plo_$c"),
-          expr(s"percentile($c, array(${hi.mkString(",")}))").as(s"phi_$c"))
+      val eps = 2.0 / 100 // 2 * (1/accuracy) rank slack
+      // pass 1 (sketches) and pass 2 (exact distinct) are independent —
+      // submit concurrently like ScanMetrics.compute's pass families
+      val f1 = Future(scala.concurrent.blocking {
+        val src = graft.profiler.ScanMetrics.spread(li)
+        val aggs = cols.flatMap { c =>
+          Seq(
+            approx_count_distinct(col(c)).as(s"acd_$c"),
+            percentile_approx(col(c), array(ps.map(lit): _*), lit(100))
+              .cast("array<double>").as(s"aq_$c"))
+        }
+        src.agg(aggs.head, aggs.tail: _*).head()
+      })
+      val f2 = Future(scala.concurrent.blocking {
+        val src = graft.profiler.ScanMetrics.spread(li)
+        val aggs = cols.map(c => count_distinct(col(c)).as(s"cd_$c"))
+        src.agg(aggs.head, aggs.tail: _*).head()
+      })
+      val r1 = Await.result(f1, Duration.Inf)
+      val r2 = Await.result(f2, Duration.Inf)
+      // pass 3: rank intervals of the returned values — plain counts,
+      // whole-stage codegen, no spread needed
+      val rankAggs = cols.zipWithIndex.flatMap { case (c, ci) =>
+        val aq = r1.getSeq[Double](ci * 2 + 1)
+        count(col(c)).as(s"nn_$c") +: ps.indices.flatMap(i => Seq(
+          count(when(col(c) < lit(aq(i)), lit(1))).as(s"lt_${c}_$i"),
+          count(when(col(c) <= lit(aq(i)), lit(1))).as(s"le_${c}_$i")))
       }
-      val r1 = src.agg(sketchAggs.head, sketchAggs.tail: _*).head()
-      val exactAggs = cols.map(c => count_distinct(col(c)).as(s"cd_$c"))
-      val r2 = src.agg(exactAggs.head, exactAggs.tail: _*).head()
+      val r3 = li.agg(rankAggs.head, rankAggs.tail: _*).head()
+      val w = 2 * ps.size + 1 // fields per column in r3
       val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
-        val acd = r1.getLong(ci * 4).toDouble
+        val acd = r1.getLong(ci * 2).toDouble
         val cd = r2.getLong(ci).toDouble
-        val aq = r1.getSeq[Double](ci * 4 + 1)
-        val plo = r1.getSeq[Double](ci * 4 + 2)
-        val phi = r1.getSeq[Double](ci * 4 + 3)
+        val nn = r3.getLong(ci * w).toDouble
         (c, "ApproxCountDistinct", math.abs(acd - cd) <= 0.15 * cd) +:
-          ps.indices.map(i =>
-            (c, s"ApproxQuantiles-${ps(i)}", aq(i) >= plo(i) && aq(i) <= phi(i)))
+          ps.indices.map { i =>
+            val loRank = r3.getLong(ci * w + 1 + 2 * i) + 1 // count(<v) + 1
+            val hiRank = r3.getLong(ci * w + 2 + 2 * i) // count(<=v)
+            val lb = (ps(i) - eps) * nn
+            val ub = (ps(i) + eps) * nn
+            (c, s"ApproxQuantiles-${ps(i)}", hiRank >= lb && loRank <= ub)
+          }
       }
       import s.implicits._
       rows.toDF("instance", "name", "within_bound")
