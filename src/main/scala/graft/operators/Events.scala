@@ -33,22 +33,32 @@ object Events {
     * reach). Replaces the k-scan driver loop that read the events table
     * once per stage. The per-user event array holds only events whose type
     * is a funnel stage — bounded by a user's own funnel activity, not the
-    * corpus. */
+    * corpus.
+    *
+    * `maxEventsPerUser` is the skew guard for adversarial users (bots with
+    * 10⁸ stage-typed events would otherwise build a 10⁸-element in-task
+    * array): when set, only each user's EARLIEST n stage events enter the
+    * walk. Depths are exact for every user within the cap; a capped user's
+    * depth is a lower bound (anchors never move earlier by dropping late
+    * events). Off by default for oracle parity. */
   def funnelReached(
       events: DataFrame,
       userCol: String,
       tsCol: String,
       typeCol: String,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "at least one stage required")
     val stagesArr = array(stages.map(lit): _*)
+    val sorted = sort_array(collect_list(col("e")))
+    val evs = maxEventsPerUser.fold(sorted)(n => slice(sorted, 1, n))
     val perUser = events
       .where(col(typeCol).isin(stages: _*))
       .select(
         col(userCol).as("u"),
         struct(col(tsCol).cast("long").as("t"), col(typeCol).as("ty")).as("e"))
       .groupBy("u")
-      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .agg(evs.as("evs"))
     perUser.select(
       col("u"),
       aggregate(

@@ -77,14 +77,31 @@ object Runner {
       spark: SparkSession,
       catalog: TableCatalog,
       cfg: ProfilerConfig,
-      fams: Set[String]): org.apache.spark.sql.DataFrame = {
-    val per = catalog.listTables.map { t =>
-      val rows = Profiler.metrics(catalog.load(t), cfg, fams)
-      Profiler.metricsDF(spark, rows)
-        .withColumn("db_name", org.apache.spark.sql.functions.lit(catalog.name))
-        .withColumn("table_name", org.apache.spark.sql.functions.lit(t))
-    }
-    require(per.nonEmpty, s"catalog ${catalog.name} has no tables")
+      fams: Set[String],
+      tableParallelism: Int = 4): org.apache.spark.sql.DataFrame = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val tables = catalog.listTables
+    require(tables.nonEmpty, s"catalog ${catalog.name} has no tables")
+    // per-table batteries are independent Spark jobs — submit a few
+    // concurrently (the run() loop's tableParallelism pattern); results
+    // are assembled in listTables order so the union is deterministic
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(tableParallelism, tables.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val per =
+      try Await.result(
+        Future.traverse(tables) { t =>
+          Future {
+            val rows = Profiler.metrics(catalog.load(t), cfg, fams)
+            Profiler.metricsDF(spark, rows)
+              .withColumn("db_name", org.apache.spark.sql.functions.lit(catalog.name))
+              .withColumn("table_name", org.apache.spark.sql.functions.lit(t))
+          }
+        },
+        Duration.Inf)
+      finally { pool.shutdown(); () }
     per.reduce(_.unionByName(_))
   }
 
