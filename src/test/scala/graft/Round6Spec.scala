@@ -80,6 +80,20 @@ class Round6Spec extends AnyFunSuite {
     assert(depths == Map(1L -> 3, 2L -> 2, 3L -> 1))
   }
 
+  test("spread gating: cheap Plain-only batteries skip the repartition exchange") {
+    import graft.profiler.{AggKind, ScanMetrics}
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // count/min/max/completeness slots: no Sketch/Distinct, nothing heavy
+    val cheap = ScanMetrics.slots(
+      li.schema, graft.profiler.ProfilerConfig(),
+      Set("size", "completeness", "minimum", "maximum"))
+    assert(cheap.forall(s => s.kind == AggKind.Plain && !s.heavy))
+    // decimal-sum battery is flagged heavy -> spread() fires for it
+    val heavy = ScanMetrics.slots(
+      li.schema, graft.profiler.ProfilerConfig(), Set("sum", "mean", "stddev_pop"))
+    assert(heavy.nonEmpty && heavy.forall(_.heavy))
+  }
+
   test("profile_all_tables: every catalog table contributes Size + Completeness") {
     val out = SparkEntry.queries("profile_all_tables")(spark, "/root/testdata/sf0.001")
       .collect()
