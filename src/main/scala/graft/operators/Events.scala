@@ -56,7 +56,14 @@ object Events {
       .where(col(typeCol).isin(stages: _*))
       .select(
         col(userCol).as("u"),
-        struct(col(tsCol).cast("long").as("t"), col(typeCol).as("ty")).as("e"))
+        // null ts → Long.MaxValue: sorts last, can still take an anchor
+        // (SQL's per-stage form counts a null-MIN group at its stage) but
+        // blocks every later stage (nothing is strictly after it) —
+        // matching the iterated `min(ts) where ts > prev` semantics where
+        // a null anchor makes the next stage's comparison null/false
+        struct(
+          coalesce(col(tsCol).cast("long"), lit(Long.MaxValue)).as("t"),
+          col(typeCol).as("ty")).as("e"))
       .groupBy("u")
       .agg(evs.as("evs"))
     perUser.select(

@@ -112,6 +112,20 @@ class Round6Spec extends AnyFunSuite {
     assert(perTableCols("events") == 6) // ts profiles as long under nanosAsLong
   }
 
+  test("funnel: null timestamps count at their stage but block later stages") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Some(10L), "signup"), (1L, Some(20L), "view"),  // normal: reaches 2
+      (2L, None: Option[Long], "signup"), (2L, Some(99L), "view"), // null anchor blocks
+      (3L, None: Option[Long], "signup"), (3L, Some(5L), "signup") // real signup wins
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = Events.funnel(e, "user_id", "ts_us", "event_type", Seq("signup", "view"))
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
+    // stage 1: users 1,2,3 (a null-MIN group still counts, per the SQL
+    // per-stage form); stage 2: only user 1 (user 2's anchor is null/+inf)
+    assert(out.toSeq == Seq((1, 3L), (2, 1L)))
+  }
+
   test("funnel: repeated stage types and completed funnels walk correctly") {
     import spark.implicits._
     // stages (view, view): needs two strictly-ordered views
