@@ -88,25 +88,6 @@ object Dedup {
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
-  /** Exact Jaccard from a pair-candidate relation `(id_a, id_b)` and the
-    * shingle relation: |A∩B| via a shingle join restricted to candidates,
-    * then J = c / (|A| + |B| − c). */
-  private def verifiedJaccard(
-      sh: DataFrame, sizes: DataFrame, pairs: DataFrame): DataFrame = {
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val bSide = sh.select(col("id").as("id_b"), col("shingle"))
-    val inter = pairs
-      .join(a, "id_a")
-      .join(bSide, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
-      .select(
-        col("id_a"), col("id_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
-  }
-
   /** Exact n-gram Jaccard near-dup pairs: join documents on shared shingles,
     * count the intersection, compute J exactly, keep pairs ≥ threshold.
     *
@@ -182,9 +163,33 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** Per-document DISTINCT shingle ARRAYS `(id, sh)` — the map-only twin
+    * of [[shingles]]: no explode, no distinct shuffle; empty-shingle docs
+    * dropped. The array stays co-located with its id, so signatures and
+    * set sizes derive as pure per-row expressions. */
+  private def shingleArrays(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = col("_toks")
+    graft.profiler.ScanMetrics.spread(df)
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+      .select(
+        col("id"),
+        array_distinct(
+          when(
+            size(toks) >= n,
+            transform(
+              sequence(lit(0), size(toks) - n),
+              i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+            .otherwise(array().cast("array<string>"))).as("sh"))
+      .where(size(col("sh")) > 0)
+  }
+
   /** MinHash signatures: `numHashes` independent permutations simulated by
     * seeded xxhash64; one groupBy computes all minima — a single shuffle
-    * keyed on document id. */
+    * keyed on document id (partial aggregation collapses each doc's
+    * shingles map-side, so the exchange carries ~one row per doc). */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
@@ -232,6 +237,17 @@ object Dedup {
     * filter has no false positives (false negatives follow the standard
     * LSH S-curve). Returns `(id_a, id_b, jaccard)`.
     *
+    * Scale shape (round 6 rewrite): everything up to the band-bucket join
+    * is MAP-ONLY — per-doc distinct shingle arrays ([[shingleArrays]]),
+    * signatures as `numHashes` per-row `array_min` transforms (a min over
+    * a multiset equals the min over its set, so no distinct shuffle is
+    * needed), band hashes from the signature columns. The only exchanges
+    * carry the compact `(id, band, bh)` bucket relation and the candidate
+    * pairs; exact verification joins the (few, capped) candidates back to
+    * the persisted arrays and intersects per row — the previous
+    * formulation paid a full corpus-wide distinct shuffle of every
+    * `(id, shingle)` pair before anything else.
+    *
     * `maxBandFreq` caps the number of docs per (band, hash) bucket — see
     * [[capHotBuckets]]; the default bounds any key's join fan-out at 10^8
     * pairs while being a no-op on non-degenerate corpora. */
@@ -246,9 +262,11 @@ object Dedup {
       maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, n).persist()
+    val docs = shingleArrays(df, idCol, textCol, n).persist()
     try {
-      val sig = minhashSignatures(sh, numHashes)
+      val sigCols = (0 until numHashes).map(i =>
+        array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
+      val sig = docs.select(col("id") +: sigCols: _*)
       val bandStructs = (0 until bands).map { bi =>
         val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
         struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
@@ -262,10 +280,22 @@ object Dedup {
         .where(col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
-      verifiedJaccard(sh, shingleSizes(sh), candidates)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      val sets = docs.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+      candidates
+        .join(
+          sets.select(col("id").as("id_a"), col("sh").as("sha"), col("nsh").as("na")),
+          "id_a")
+        .join(
+          sets.select(col("id").as("id_b"), col("sh").as("shb"), col("nsh").as("nb")),
+          "id_b")
+        .select(
+          col("id_a"), col("id_b"),
+          round(
+            size(array_intersect(col("sha"), col("shb"))).cast("double") /
+              (col("na") + col("nb") - size(array_intersect(col("sha"), col("shb")))),
+            6).as("jaccard"))
         .where(col("jaccard") >= threshold)
-    } finally { sh.unpersist(); () }
+    } finally { docs.unpersist(); () }
   }
 
   /** 64-bit SimHash per document over lowercased whitespace tokens: each
