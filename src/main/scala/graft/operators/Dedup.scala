@@ -62,27 +62,13 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: `(id, shingle)`.
     * Tokens are lowercased whitespace tokens; documents shorter than `n`
-    * tokens contribute no shingles. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // tokenize into a materialized column FIRST: slicing the tokenizer
-    // EXPRESSION from inside the transform lambda would re-split the text
-    // once per shingle (lambda bodies sit outside common-subexpression
-    // elimination), turning the linear pass quadratic in document length
-    val toks = col("_toks")
-    val grams = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
-    ).otherwise(array())
-    // spread: a single-row-group source would run the tokenize+explode
-    // phase (the expensive part) on one core — see ScanMetrics.spread
-    graft.profiler.ScanMetrics.spread(df)
-      .select(
-        col(idCol).as("id"),
-        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
-      .select(col("id"), explode(grams).as("shingle")).distinct()
-  }
+    * tokens contribute no shingles. Distinctness is PER DOCUMENT, so it
+    * runs as a map-side `array_distinct` before the explode
+    * ([[shingleArrays]]) — no global distinct() shuffle; the relation is
+    * identical. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleArrays(df, idCol, textCol, n)
+      .select(col("id"), explode(col("sh")).as("shingle"))
 
   /** Shingle-set sizes `(id, n_sh)`. */
   private def shingleSizes(sh: DataFrame): DataFrame =
