@@ -24,8 +24,12 @@ object Bench {
     // Two iterations per query, report the min: iteration 1 pays one-time
     // codegen (janino) compilation for each unique plan; the min reflects
     // steady-state engine throughput and damps host noise.
-    val iterations = 2
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val iterations = sys.env.get("SPARK_GRAFT_ITER").map(_.toInt).getOrElse(2)
+    // local-iteration aid (driver never sets it): run only these queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -65,14 +65,16 @@ object Dedup {
     * tokens contribute no shingles. Distinctness is PER DOCUMENT, so it
     * runs as a map-side `array_distinct` before the explode
     * ([[shingleArrays]]) — no global distinct() shuffle; the relation is
-    * identical. */
+    * identical.
+    *
+    * SINGLE-REFERENCE use only: a plan referencing this relation from
+    * several branches (self-joins, size joins) re-runs the tokenize
+    * pipeline per branch — there is no exchange for Spark to reuse.
+    * Multi-branch operators materialize [[shingleArrays]] once
+    * (`localCheckpoint`) and derive the exploded form from the blocks. */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     shingleArrays(df, idCol, textCol, n)
       .select(col("id"), explode(col("sh")).as("shingle"))
-
-  /** Shingle-set sizes `(id, n_sh)`. */
-  private def shingleSizes(sh: DataFrame): DataFrame =
-    sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
   /** Exact n-gram Jaccard near-dup pairs: join documents on shared shingles,
     * count the intersection, compute J exactly, keep pairs ≥ threshold.
@@ -90,8 +92,15 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, n)
-    val sizes = shingleSizes(shAll)
+    // materialize the arrays ONCE: this relation feeds both self-join
+    // sides and the size lookup — without the checkpoint each branch
+    // re-runs the tokenize pipeline (measured 4x at sf0.1, r6). On a
+    // cluster a reliable checkpoint serves the same purpose; the footprint
+    // equals the shuffle files the old distinct()-based form wrote anyway.
+    val arrays = shingleArrays(df, idCol, textCol, n).localCheckpoint(true)
+    val shAll = arrays.select(col("id"), explode(col("sh")).as("shingle"))
+    // set sizes straight off the arrays — map-only, no groupBy exchange
+    val sizes = arrays.select(col("id"), size(col("sh")).as("n_sh"))
     val sh = maxDocFreq match {
       case Some(cap) =>
         val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -132,18 +141,26 @@ object Dedup {
       n: Int = 3,
       minShared: Int = 2,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    val trainShAll = shingles(corpus, idCol, textCol, n)
     val trainSh = maxDocFreq match {
       case Some(cap) =>
-        val rare = trainShAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+        // materialized once: the doc-frequency filter and the bench join
+        // both reference the relation (see ngramJaccard note)
+        val all = shingleArrays(corpus, idCol, textCol, n)
+          .localCheckpoint(true)
+          .select(col("id"), explode(col("sh")).as("shingle"))
+        val rare = all.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") <= cap).select("shingle")
-        trainShAll.join(rare, "shingle")
-      case None => trainShAll
+        all.join(rare, "shingle")
+      case None => shingles(corpus, idCol, textCol, n)
     }
+    // the eval set is tiny by definition — broadcast EXPLICITLY: with the
+    // map-only shingle pipeline there is no pre-join shuffle stage whose
+    // runtime stats would let AQE discover that, and a static planner
+    // estimate keeps the corpus side out of a sort-merge shuffle
     val benchSh = shingles(bench, idCol, textCol, n)
       .select(col("id").as("bench_id"), col("shingle"))
     trainSh.select(col("id").as("train_id"), col("shingle"))
-      .join(benchSh, "shingle")
+      .join(broadcast(benchSh), "shingle")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
@@ -248,40 +265,43 @@ object Dedup {
       maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val docs = shingleArrays(df, idCol, textCol, n).persist()
-    try {
-      val sigCols = (0 until numHashes).map(i =>
-        array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
-      val sig = docs.select(col("id") +: sigCols: _*)
-      val bandStructs = (0 until bands).map { bi =>
-        val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
-        struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
-      }
-      val buckets = capHotBuckets(
-        sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
-        Seq("band", "bh"), maxBandFreq)
-      val candidates = buckets.alias("x")
-        .join(buckets.alias("y"), Seq("band", "bh"))
-        .where(col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        .distinct()
-      val sets = docs.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
-      candidates
-        .join(
-          sets.select(col("id").as("id_a"), col("sh").as("sha"), col("nsh").as("na")),
-          "id_a")
-        .join(
-          sets.select(col("id").as("id_b"), col("sh").as("shb"), col("nsh").as("nb")),
-          "id_b")
-        .select(
-          col("id_a"), col("id_b"),
-          round(
-            size(array_intersect(col("sha"), col("shb"))).cast("double") /
-              (col("na") + col("nb") - size(array_intersect(col("sha"), col("shb")))),
-            6).as("jaccard"))
-        .where(col("jaccard") >= threshold)
-    } finally { docs.unpersist(); () }
+    // materialized once (NOT persist + finally-unpersist: the returned
+    // DataFrame is lazy, so an unpersist on the way out would drop the
+    // cache before the caller ever executes it and every branch — the
+    // signature path and both verification sides — would re-run the
+    // tokenize pipeline)
+    val docs = shingleArrays(df, idCol, textCol, n).localCheckpoint(true)
+    val sigCols = (0 until numHashes).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
+    val sig = docs.select(col("id") +: sigCols: _*)
+    val bandStructs = (0 until bands).map { bi =>
+      val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = capHotBuckets(
+      sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
+      Seq("band", "bh"), maxBandFreq)
+    val candidates = buckets.alias("x")
+      .join(buckets.alias("y"), Seq("band", "bh"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sets = docs.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
+    candidates
+      .join(
+        sets.select(col("id").as("id_a"), col("sh").as("sha"), col("nsh").as("na")),
+        "id_a")
+      .join(
+        sets.select(col("id").as("id_b"), col("sh").as("shb"), col("nsh").as("nb")),
+        "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        round(
+          size(array_intersect(col("sha"), col("shb"))).cast("double") /
+            (col("na") + col("nb") - size(array_intersect(col("sha"), col("shb")))),
+          6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document over lowercased whitespace tokens: each
