@@ -714,25 +714,32 @@ object SparkEntry {
       val r2 = Await.result(f2, Duration.Inf)
       // pass 3: rank intervals of the returned values — plain counts,
       // whole-stage codegen, no spread needed
+      // all-null column: percentile_approx returns null — no ranks to
+      // check, its quantile rows are vacuously within bound
+      val aqs = cols.indices.map(ci =>
+        Option(r1.getSeq[Double](ci * 2 + 1)).getOrElse(Seq.empty))
       val rankAggs = cols.zipWithIndex.flatMap { case (c, ci) =>
-        val aq = r1.getSeq[Double](ci * 2 + 1)
-        count(col(c)).as(s"nn_$c") +: ps.indices.flatMap(i => Seq(
-          count(when(col(c) < lit(aq(i)), lit(1))).as(s"lt_${c}_$i"),
-          count(when(col(c) <= lit(aq(i)), lit(1))).as(s"le_${c}_$i")))
+        count(col(c)).as(s"nn_$c") +: aqs(ci).indices.flatMap(i => Seq(
+          count(when(col(c) < lit(aqs(ci)(i)), lit(1))).as(s"lt_${c}_$i"),
+          count(when(col(c) <= lit(aqs(ci)(i)), lit(1))).as(s"le_${c}_$i")))
       }
       val r3 = li.agg(rankAggs.head, rankAggs.tail: _*).head()
-      val w = 2 * ps.size + 1 // fields per column in r3
+      // per-column field offsets in r3 (widths vary if a column had no data)
+      val offsets = aqs.map(1 + 2 * _.size).scanLeft(0)(_ + _)
       val rows = cols.zipWithIndex.flatMap { case (c, ci) =>
         val acd = r1.getLong(ci * 2).toDouble
         val cd = r2.getLong(ci).toDouble
-        val nn = r3.getLong(ci * w).toDouble
+        val nn = r3.getLong(offsets(ci)).toDouble
         (c, "ApproxCountDistinct", math.abs(acd - cd) <= 0.15 * cd) +:
           ps.indices.map { i =>
-            val loRank = r3.getLong(ci * w + 1 + 2 * i) + 1 // count(<v) + 1
-            val hiRank = r3.getLong(ci * w + 2 + 2 * i) // count(<=v)
-            val lb = (ps(i) - eps) * nn
-            val ub = (ps(i) + eps) * nn
-            (c, s"ApproxQuantiles-${ps(i)}", hiRank >= lb && loRank <= ub)
+            if (aqs(ci).isEmpty) (c, s"ApproxQuantiles-${ps(i)}", true)
+            else {
+              val loRank = r3.getLong(offsets(ci) + 1 + 2 * i) + 1 // count(<v) + 1
+              val hiRank = r3.getLong(offsets(ci) + 2 + 2 * i) // count(<=v)
+              val lb = (ps(i) - eps) * nn
+              val ub = (ps(i) + eps) * nn
+              (c, s"ApproxQuantiles-${ps(i)}", hiRank >= lb && loRank <= ub)
+            }
           }
       }
       import s.implicits._
