@@ -24,7 +24,8 @@ object Bench {
     // Two iterations per query, report the min: iteration 1 pays one-time
     // codegen (janino) compilation for each unique plan; the min reflects
     // steady-state engine throughput and damps host noise.
-    val iterations = sys.env.get("SPARK_GRAFT_ITER").map(_.toInt).getOrElse(2)
+    val iterations = sys.env.get("SPARK_GRAFT_ITER")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(2)
     // local-iteration aid (driver never sets it): run only these queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries

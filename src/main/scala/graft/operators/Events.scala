@@ -37,10 +37,13 @@ object Events {
     *
     * `maxEventsPerUser` is the skew guard for adversarial users (bots with
     * 10⁸ stage-typed events would otherwise build a 10⁸-element in-task
-    * array): when set, only each user's EARLIEST n stage events enter the
-    * walk. Depths are exact for every user within the cap; a capped user's
-    * depth is a lower bound (anchors never move earlier by dropping late
-    * events). Off by default for oracle parity. */
+    * array): when set, a windowed rank keeps only each user's EARLIEST n
+    * stage events BEFORE the per-user aggregation buffer is built (a
+    * post-hoc slice would not bound the collect_list buffer itself — the
+    * window sort spills, the buffer cannot). Costs one extra exchange,
+    * which is why it is off by default (also oracle parity). Depths are
+    * exact for every user within the cap; a capped user's depth is a
+    * lower bound (anchors never move earlier by dropping late events). */
   def funnelReached(
       events: DataFrame,
       userCol: String,
@@ -50,22 +53,35 @@ object Events {
       maxEventsPerUser: Option[Int] = None): DataFrame = {
     require(stages.nonEmpty, "at least one stage required")
     val stagesArr = array(stages.map(lit): _*)
-    val sorted = sort_array(collect_list(col("e")))
-    val evs = maxEventsPerUser.fold(sorted)(n => slice(sorted, 1, n))
-    val perUser = events
+    val NullTs = Long.MaxValue
+    // order-preserving long view of the event time: timestamps keep
+    // microsecond precision (a plain long cast would truncate to seconds
+    // and break strict ordering inside one second); numerics/longs pass
+    // through unchanged
+    val tsLong = events.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _: TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _ => col(tsCol).cast("long")
+    }
+    val typed = events
       .where(col(typeCol).isin(stages: _*))
       .select(
         col(userCol).as("u"),
-        // null ts → Long.MaxValue: sorts last, can still take an anchor
-        // (SQL's per-stage form counts a null-MIN group at its stage) but
-        // blocks every later stage (nothing is strictly after it) —
-        // matching the iterated `min(ts) where ts > prev` semantics where
-        // a null anchor makes the next stage's comparison null/false
-        struct(
-          coalesce(col(tsCol).cast("long"), lit(Long.MaxValue)).as("t"),
-          col(typeCol).as("ty")).as("e"))
+        // null ts → Long.MaxValue: sorts last, may take a STAGE-1 anchor
+        // (the SQL per-stage form counts a null-MIN group at stage 1) and
+        // blocks every later stage — at stages ≥ 2 the SQL form's
+        // `ts > prev` is NULL for a null ts, so the walk must never
+        // consume the sentinel past stage 1 (enforced in the lambda)
+        struct(coalesce(tsLong, lit(NullTs)).as("t"), col(typeCol).as("ty")).as("e"))
+    val capped = maxEventsPerUser.fold(typed) { n =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("e.t").asc, col("e.ty").asc)
+      typed.withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= n).drop("_rn")
+    }
+    val perUser = capped
       .groupBy("u")
-      .agg(evs.as("evs"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
     perUser.select(
       col("u"),
       aggregate(
@@ -74,7 +90,8 @@ object Events {
         // `get` (0-based) is null past the last stage, so a completed
         // funnel's condition goes null → event ignored — no ANSI OOB error
         (acc, e) => when(
-          get(stagesArr, acc("s")) === e("ty") && e("t") > acc("t"),
+          get(stagesArr, acc("s")) === e("ty") && e("t") > acc("t") &&
+            (acc("s") === 0 || e("t") =!= lit(NullTs)),
           struct((acc("s") + 1).as("s"), e("t").as("t"))).otherwise(acc),
         acc => acc("s")).as("reached"))
       .where(col("reached") >= 1)

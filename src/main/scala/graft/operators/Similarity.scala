@@ -160,26 +160,43 @@ object Similarity {
     * through [[Clustering.dedupClusters]] + [[Clustering.bestRepresentative]]
     * (E24/E54), which handle a duplicate CLUSTER as one unit instead of
     * m²/2 pairs. */
+  /** Defaults shared by [[cosineNearDupPairs]] and its diagnostic twin —
+    * the diagnostic is only meaningful over the SAME bucket relation the
+    * cap acted on, so both build it through [[nearDupBuckets]]. */
+  val NearDupBands = 512
+  val NearDupBitsPerBand = 8
+  val NearDupMaxBucketFreq = 10000
+
+  /** The banded LSH bucket relation `(id, bucket)` both the pair query and
+    * the diagnostic derive from — ONE definition so they cannot drift. */
+  private def nearDupBuckets(
+      embIn: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bitsPerBand: Int): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    // single-row-group sources run the (heavy) per-vector projection work
+    // on one core — see ScanMetrics.spread; results are unchanged
+    graft.profiler.ScanMetrics.spread(embIn)
+      .select(
+        col(idCol).as("id"),
+        explode(
+          graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
+          .as("bucket"))
+  }
+
   def cosineNearDupPairs(
       embIn: DataFrame,
       idCol: String,
       vecCol: String,
       top: Int = 50,
-      bands: Int = 512,
-      bitsPerBand: Int = 8,
-      maxBucketFreq: Option[Int] = Some(10000)): DataFrame = {
+      bands: Int = NearDupBands,
+      bitsPerBand: Int = NearDupBitsPerBand,
+      maxBucketFreq: Option[Int] = Some(NearDupMaxBucketFreq)): DataFrame = {
     graft.functions.VectorOps.register(embIn.sparkSession)
-    // single-row-group sources run the (heavy) per-vector projection work
-    // on one core — see ScanMetrics.spread; results are unchanged
     val emb = graft.profiler.ScanMetrics.spread(embIn)
     val base = emb.select(
       col(idCol).as("id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
     val bucketed = Dedup.capHotBuckets(
-      emb.select(
-        col(idCol).as("id"),
-        explode(
-          graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
-          .as("bucket")),
+      nearDupBuckets(embIn, idCol, vecCol, bands, bitsPerBand),
       Seq("bucket"), maxBucketFreq)
     val candidates = bucketed.alias("x").join(bucketed.alias("y"), Seq("bucket"))
       .where(col("x.id") < col("y.id"))
@@ -209,19 +226,12 @@ object Similarity {
       embIn: DataFrame,
       idCol: String,
       vecCol: String,
-      bands: Int = 512,
-      bitsPerBand: Int = 8,
-      maxBucketFreq: Int = 10000): DataFrame = {
-    graft.functions.VectorOps.register(embIn.sparkSession)
-    val emb = graft.profiler.ScanMetrics.spread(embIn)
+      bands: Int = NearDupBands,
+      bitsPerBand: Int = NearDupBitsPerBand,
+      maxBucketFreq: Int = NearDupMaxBucketFreq): DataFrame =
     Dedup.hotBucketStats(
-      emb.select(
-        col(idCol).as("id"),
-        explode(
-          graft.functions.VectorOps.vectorLshBands(col(vecCol), bands, bitsPerBand))
-          .as("bucket")),
+      nearDupBuckets(embIn, idCol, vecCol, bands, bitsPerBand),
       Seq("bucket"), maxBucketFreq)
-  }
 
   /** Embedding-corpus QA summary — the sanity pass before any vector
     * workload: corpus size, dimension consistency (ragged embeddings break

@@ -165,8 +165,14 @@ object StreamingProfile {
       nBatches: Int): DataFrame = {
     require(nBatches > 1, "need multiple batches to exercise the merge")
     val src = spark.read.parquet(sourcePath)
+    // drop a cached entry whose dir vanished (OS tmp cleanup) before reuse
+    val key = (sourcePath, splitKey, nBatches)
+    Option(stagedReplays.get(key)).foreach { d =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+        stagedReplays.remove(key, d)
+    }
     val tmp = stagedReplays.computeIfAbsent(
-      (sourcePath, splitKey, nBatches),
+      key,
       _ => {
         val dir = java.nio.file.Files.createTempDirectory("graft_cont_").toString
         src.repartition(nBatches, pmod(col(splitKey), lit(nBatches)))

@@ -126,6 +126,49 @@ class Round6Spec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 3L), (2, 1L)))
   }
 
+  test("funnel: a null-ts event never satisfies a stage past the first") {
+    import spark.implicits._
+    // the SQL per-stage form's `ts > prev` is NULL for a null ts — the
+    // user must NOT advance to stage 2 on the null view
+    val e = Seq(
+      (1L, Some(10L), "signup"), (1L, None: Option[Long], "view"),
+      (2L, Some(10L), "signup"), (2L, Some(20L), "view")
+    ).toDF("user_id", "ts_us", "event_type")
+    val depths = Events.funnelReached(e, "user_id", "ts_us", "event_type",
+      Seq("signup", "view"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(depths == Map(1L -> 1, 2L -> 2))
+  }
+
+  test("funnel: timestamp-typed columns keep sub-second ordering") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.1"), "signup"),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.6"), "view"), // +0.5s, same second
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.6"), "signup"),
+      (2L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.6"), "view") // same instant: strict > fails
+    ).toDF("user_id", "ts", "event_type")
+    val depths = Events.funnelReached(e, "user_id", "ts", "event_type",
+      Seq("signup", "view"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // a plain cast("long") would truncate both to the same second and
+    // wrongly block user 1's conversion
+    assert(depths == Map(1L -> 2, 2L -> 1))
+  }
+
+  test("funnel: maxEventsPerUser caps pre-aggregation, depths are lower bounds") {
+    import spark.implicits._
+    val e = ((1 to 50).map(i => (1L, i.toLong, "signup")) ++
+      Seq((1L, 100L, "view")) ++
+      Seq((2L, 1L, "signup"), (2L, 2L, "view"))
+    ).toDF("user_id", "ts_us", "event_type")
+    val depths = Events.funnelReached(e, "user_id", "ts_us", "event_type",
+      Seq("signup", "view"), maxEventsPerUser = Some(10))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // user 1's view (51st event by time) is dropped by the cap -> depth 1
+    assert(depths == Map(1L -> 1, 2L -> 2))
+  }
+
   test("funnel: repeated stage types and completed funnels walk correctly") {
     import spark.implicits._
     // stages (view, view): needs two strictly-ordered views
