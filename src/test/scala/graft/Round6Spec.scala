@@ -169,6 +169,37 @@ class Round6Spec extends AnyFunSuite {
     assert(depths == Map(1L -> 1, 2L -> 2))
   }
 
+  test("funnel: random event sets match the iterated min-anchor reference") {
+    import spark.implicits._
+    val stages = Seq("a", "b", "c")
+    val rng = new scala.util.Random(1234)
+    val events = (1 to 2000).map { _ =>
+      (rng.nextInt(120).toLong, rng.nextInt(40).toLong,
+        Seq("a", "b", "c", "x")(rng.nextInt(4)))
+    }
+    // driver-side reference: per stage, min(ts) strictly after the
+    // previous stage's anchor (the oracle SQL's iterated form)
+    val byUser = events.filter(e => stages.contains(e._3)).groupBy(_._1)
+    val expected = byUser.flatMap { case (u, evs) =>
+      var anchor = Long.MinValue
+      var depth = 0
+      var done = false
+      stages.foreach { st =>
+        if (!done) {
+          val qual = evs.filter(e => e._3 == st && e._2 > anchor)
+          if (qual.isEmpty) done = true
+          else { anchor = qual.map(_._2).min; depth += 1 }
+        }
+      }
+      if (depth >= 1) Some(u -> depth) else None
+    }
+    val actual = Events.funnelReached(
+      events.toDF("user_id", "ts_us", "event_type"),
+      "user_id", "ts_us", "event_type", stages)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(actual == expected)
+  }
+
   test("funnel: repeated stage types and completed funnels walk correctly") {
     import spark.implicits._
     // stages (view, view): needs two strictly-ordered views
