@@ -882,9 +882,10 @@ ORDER BY stage"""
   /** Deterministic-shuffle twin: the sampling hash bucket mod 16 as the
     * shard, position by ROW_NUMBER in (bucket, doc_id) order. */
   val corpusShuffle: String =
-    s"""WITH b AS (SELECT doc_id, $sampleBucket AS bkt FROM documents)
+    s"""WITH b AS (SELECT doc_id, $sampleBucket AS bkt,
+    sha256(CAST(doc_id AS VARCHAR) || 'graft') AS hx FROM documents)
 SELECT doc_id, CAST(bkt % 16 AS INT) AS shard,
-  CAST(ROW_NUMBER() OVER (PARTITION BY bkt % 16 ORDER BY bkt, doc_id) AS BIGINT) AS pos
+  CAST(ROW_NUMBER() OVER (PARTITION BY bkt % 16 ORDER BY hx, doc_id) AS BIGINT) AS pos
 FROM b ORDER BY doc_id"""
 
   /** Centroid-update twin: the knn_assign rank-1 assignment, per-(cell,
@@ -933,7 +934,7 @@ FROM sel ORDER BY doc_id, pos"""
     """WITH c AS (SELECT CAST(o_custkey AS BIGINT) AS k, COUNT(*) AS cnt FROM orders GROUP BY 1),
 m AS (SELECT MAX(cnt) AS mx FROM c)
 SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
-  MIN(CASE WHEN cnt = mx THEN k END) AS hot_key, CAST(mx AS BIGINT) AS hot_freq,
+  CAST(MIN(CASE WHEN cnt = mx THEN k END) AS VARCHAR) AS hot_key, CAST(mx AS BIGINT) AS hot_freq,
   CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS BIGINT) AS keys_f1,
   CAST(COUNT(CASE WHEN cnt BETWEEN 2 AND 9 THEN 1 END) AS BIGINT) AS keys_f2_9,
   CAST(COUNT(CASE WHEN cnt BETWEEN 10 AND 99 THEN 1 END) AS BIGINT) AS keys_f10_99,

@@ -108,11 +108,19 @@ object Sampling {
 
   /** Deterministic corpus shuffle + sharding: assign every row a shard
     * (`bucket mod nShards` — exactly balanced when `nShards` divides
-    * [[Buckets]]) and a position within the shard in (bucket, key) order.
-    * This is the "global shuffle" step before training-data serialization:
-    * hash order is statistically random with respect to any source
-    * ordering, yet a pure function of the key — re-runs, engine ports and
-    * incremental rebuilds produce the identical training order.
+    * [[Buckets]]) and a position within the shard in FULL-hash order
+    * (`sha256(key ++ salt)` hex, key tie-break). This is the "global
+    * shuffle" step before training-data serialization: hash order is
+    * statistically random with respect to any source ordering, yet a pure
+    * function of the key — re-runs, engine ports and incremental rebuilds
+    * produce the identical training order.
+    *
+    * The sort key must be the FULL digest, not the 10⁴-value bucket: with
+    * only 10000 order values, a billion-row shard would contain ~10⁵-row
+    * runs ordered by `keyCol` — i.e. long stretches of SOURCE order
+    * (chronological ids, single-crawl runs), exactly what a training
+    * shuffle exists to destroy. The hex digest string orders identically
+    * in DuckDB, keeping the oracle exact.
     *
     * Scale shape: one shuffle keyed on the shard; each shard sorts
     * independently (a within-task sort at ~corpus/nShards rows — raise
@@ -121,8 +129,9 @@ object Sampling {
       df: DataFrame, keyCol: String, nShards: Int, salt: String = "graft"): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val b = hashBucket(col(keyCol), salt)
+    val hx = sha2(concat(col(keyCol).cast("string"), lit(salt)), 256)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(b.asc, col(keyCol).asc)
+      .partitionBy(col("shard")).orderBy(hx.asc, col(keyCol).asc)
     df.where(col(keyCol).isNotNull)
       .withColumn("shard", (b % nShards).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))

@@ -132,18 +132,16 @@ object Checks {
         cols.flatMap(c => Seq(lit(c), col(c).cast(DoubleType)))
       ScanMetrics.spread(df)
         .select(stack(stackArgs: _*).as(Seq("instance", "v")))
-        .where(col("v").isNotNull)
+        .where(NumericHistogram.finite(col("v"))) // NaN would poison max/width
         .withColumn("snap", lit(tag))
     }
     val st = side(baseline, "a").unionByName(side(current, "b"))
     val mm = st.groupBy("instance").agg(min("v").as("mn"), max("v").as("mx"))
-    val w = (col("mx") - col("mn")) / lit(bins.toDouble)
     val bucketed = st.join(broadcast(mm), Seq("instance"))
       .select(
         col("instance"), col("snap"),
-        when(col("mx") > col("mn"),
-          least(floor((col("v") - col("mn")) / w), lit((bins - 1).toLong)))
-          .otherwise(lit(0L)).as("bucket"))
+        // same bucket math as equiWidth — shared builder, cannot drift
+        NumericHistogram.bucketExpr(col("v"), col("mn"), col("mx"), bins).as("bucket"))
     val counts = bucketed.groupBy("instance", "snap", "bucket")
       .agg(count(lit(1)).as("cnt"))
     val tots = bucketed.groupBy("instance").agg(
@@ -160,11 +158,19 @@ object Checks {
       .join(broadcast(tots), Seq("instance"))
       .select(
         col("instance"),
+        // tot can be 0 when a column has values in only ONE snapshot (the
+        // instance enters the grid via the populated side) — a bare
+        // division would be an ANSI DIVIDE_BY_ZERO; an empty side's share
+        // is 0, which the eps clamp then floors like any empty bin
         greatest(
-          coalesce(col("cnt_a"), lit(0L)).cast(DoubleType) / col("tot_a").cast(DoubleType),
+          when(col("tot_a") > 0,
+            coalesce(col("cnt_a"), lit(0L)).cast(DoubleType) / col("tot_a").cast(DoubleType))
+            .otherwise(lit(0.0)),
           lit(eps)).as("pa"),
         greatest(
-          coalesce(col("cnt_b"), lit(0L)).cast(DoubleType) / col("tot_b").cast(DoubleType),
+          when(col("tot_b") > 0,
+            coalesce(col("cnt_b"), lit(0L)).cast(DoubleType) / col("tot_b").cast(DoubleType))
+            .otherwise(lit(0.0)),
           lit(eps)).as("pb"))
     shares
       .select(
@@ -239,24 +245,37 @@ object Checks {
       java.math.BigDecimal.valueOf(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     val out = metrics.zipWithIndex.map { case ((name, _), i) =>
-      val vals = rows.map(_.getDouble(i + 1))
-      val hist = vals.init
+      // a metric can be null for a snapshot (e.g. an aggregate over an
+      // all-null column) — getDouble would NPE on the primitive unbox, so
+      // holes become None: missing history values are skipped, a missing
+      // current value yields null z / not-anomalous instead of crashing
+      // every other metric
+      val vals = rows.map(r =>
+        if (r.isNullAt(i + 1)) None else Some(r.getDouble(i + 1)))
+      val hist = vals.init.flatten
       val cur = vals.last
-      val h = hist.sum / hist.length
-      val sd = math.sqrt(hist.map(v => (v - h) * (v - h)).sum / hist.length)
-      val z: Any = if (sd > 0) round6((cur - h) / sd) else null
+      val h = if (hist.nonEmpty) Some(hist.sum / hist.length) else None
+      val sd = h.map(m => math.sqrt(hist.map(v => (v - m) * (v - m)).sum / hist.length))
+      val z: Any = (cur, h, sd) match {
+        case (Some(c), Some(m), Some(s)) if s > 0 => round6((c - m) / s)
+        case _ => null
+      }
       val anomaly = z != null && math.abs(z.asInstanceOf[Double]) > zThreshold
       org.apache.spark.sql.Row(
-        name, round6(cur), round6(h), round6(sd), z, anomaly)
+        name,
+        cur.map(round6).orNull,
+        h.map(round6).orNull,
+        sd.map(round6).orNull,
+        z, anomaly)
     }
     df.sparkSession.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
       StructType(Seq(
         StructField("name", StringType, nullable = false),
-        StructField("current", DoubleType, nullable = false),
-        StructField("hist_mean", DoubleType, nullable = false),
-        StructField("hist_stddev", DoubleType, nullable = false),
+        StructField("current", DoubleType, nullable = true),
+        StructField("hist_mean", DoubleType, nullable = true),
+        StructField("hist_stddev", DoubleType, nullable = true),
         StructField("z", DoubleType, nullable = true),
         StructField("is_anomaly", BooleanType, nullable = false))))
   }
@@ -272,7 +291,12 @@ object Checks {
     * argmax in the same pass, no second scan and no global sort. */
   def keySkew(df: org.apache.spark.sql.DataFrame, keyCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val c = df.groupBy(col(keyCol).cast("long").as("k"))
+    // group on the RAW key: a cast("long") would throw under ANSI for
+    // string/uuid keys (the common join-key case) and silently merge
+    // distinct fractional keys (7.2 and 7.9 -> 7). Frequency ties break on
+    // the key's native ordering; hot_key reports as string for a
+    // key-type-independent output schema.
+    val c = df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("cnt"))
     c.agg(
       sum("cnt").as("n_rows"),
@@ -284,7 +308,7 @@ object Checks {
       count(when(col("cnt") >= 100, lit(1))).as("keys_f100p"))
       .select(
         col("n_rows"), col("n_keys"),
-        col("best.k").as("hot_key"),
+        col("best.k").cast("string").as("hot_key"),
         (-col("best.nc")).as("hot_freq"),
         col("keys_f1"), col("keys_f2_9"), col("keys_f10_99"), col("keys_f100p"))
   }

@@ -1,6 +1,6 @@
 package graft.profiler
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -15,22 +15,36 @@ import org.apache.spark.sql.types.DoubleType
   * the top edge closes into the last bucket (`least(…, bins-1)`), and a
   * constant column (min = max) degenerates to a single bucket 0 via a
   * guard that also dodges the ANSI divide-by-zero. Empty buckets emit no
-  * row (same on both engines). */
+  * row (same on both engines). NaN values are excluded up front: a single
+  * NaN sorts above every double in Spark, so it would otherwise become
+  * `max` and poison the width and every bucket edge. */
 object NumericHistogram {
+
+  /** The equi-width bucket id for value `v` given broadcast `mn`/`mx`
+    * columns — ONE definition shared by [[equiWidth]] and the PSI drift
+    * scorer (Checks.histogramDrift), so the two cannot disagree on
+    * identical data. */
+  private[profiler] def bucketExpr(v: Column, mn: Column, mx: Column, bins: Int): Column =
+    when(
+      mx > mn,
+      least(floor((v.cast(DoubleType) - mn) / ((mx - mn) / lit(bins.toDouble))),
+        lit((bins - 1).toLong)))
+      .otherwise(lit(0L))
+
+  /** Drop NULLs and NaNs before any min/max or bucketing. */
+  private[profiler] def finite(v: Column): Column =
+    v.isNotNull && !isnan(v.cast(DoubleType))
 
   def equiWidth(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
-    val stats = df.agg(
+    val clean = df.where(finite(col(c)))
+    val stats = clean.agg(
       min(col(c)).cast(DoubleType).as("mn"),
       max(col(c)).cast(DoubleType).as("mx"))
     val w = (col("mx") - col("mn")) / lit(bins.toDouble)
-    val bucket = when(
-      col("mx") > col("mn"),
-      least(floor((col(c).cast(DoubleType) - col("mn")) / w), lit((bins - 1).toLong)))
-      .otherwise(lit(0L))
-    df.where(col(c).isNotNull)
+    clean
       .crossJoin(broadcast(stats))
-      .select(bucket.as("bucket"), col("mn"), col("mx"))
+      .select(bucketExpr(col(c), col("mn"), col("mx"), bins).as("bucket"), col("mn"), col("mx"))
       .groupBy("bucket", "mn", "mx")
       .agg(count(lit(1)).as("cnt"))
       .select(

@@ -91,17 +91,25 @@ object Profiler {
       df.schema.fields.toIndexedSeq.map(f => (f.name, f.dataType.catalogString)))
       .toDF("instance", "type")
 
-  /** Full profile of one table: metrics relation left-joined with the schema
-    * relation on `instance` (R6, reference Profiler.scala:299-303). The
-    * schema side is a handful of rows — broadcast explicitly. The Dataset
-    * row (`*`) gets a null type, as in the reference. */
+  /** The metrics ⟕ schema relation from ALREADY-COMPUTED metric rows — the
+    * one join shape (R6, reference Profiler.scala:299-303) shared by
+    * [[profile]] and Runner's publish loop, so the sink and the query
+    * surface cannot drift. The schema side is a handful of rows —
+    * broadcast explicitly. The Dataset row (`*`) gets a null type, as in
+    * the reference. */
+  def profileRelation(
+      spark: SparkSession,
+      rows: Seq[MetricRow],
+      df: DataFrame): DataFrame =
+    metricsDF(spark, rows)
+      .join(broadcast(schemaDF(spark, df)), Seq("instance"), "left")
+      .select(col("entity"), col("instance"), col("name"), col("value"), col("type"))
+
+  /** Full profile of one table: compute the battery, then [[profileRelation]]. */
   def profile(
       spark: SparkSession,
       df: DataFrame,
       cfg: ProfilerConfig,
-      fams: Set[String] = referenceBattery): DataFrame = {
-    val m = metricsDF(spark, metrics(df, cfg, fams))
-    m.join(broadcast(schemaDF(spark, df)), Seq("instance"), "left")
-      .select(col("entity"), col("instance"), col("name"), col("value"), col("type"))
-  }
+      fams: Set[String] = referenceBattery): DataFrame =
+    profileRelation(spark, metrics(df, cfg, fams), df)
 }

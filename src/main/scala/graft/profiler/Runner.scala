@@ -123,11 +123,7 @@ object Runner {
         try {
           val df = catalog.load(table)
           val rows = Profiler.metrics(df, cfg, Profiler.referenceBattery)
-          val metrics = Profiler
-            .metricsDF(spark, rows)
-            .join(
-              org.apache.spark.sql.functions.broadcast(Profiler.schemaDF(spark, df)),
-              Seq("instance"), "left")
+          val metrics = Profiler.profileRelation(spark, rows, df)
           parquetSink.write(
             Sinks.enrich(metrics, catalog.name, table, runDt), catalog.name, table)
           val (tableParams, columnParams) = Sinks.toParams(rows, cfg)

@@ -322,7 +322,7 @@ class WinnowCentroidSkewSpec extends AnyFunSuite {
     val r = graft.profiler.Checks.keySkew(df, "k").head()
     assert(r.getLong(0) == 25L)      // n_rows
     assert(r.getLong(1) == 6L)       // n_keys
-    assert(r.getLong(2) == 9L)       // hot_key
+    assert(r.getString(2) == "9")    // hot_key (string: key-type-independent)
     assert(r.getLong(3) == 12L)      // hot_freq
     assert(r.getLong(4) == 3L)       // freq-1 keys
     assert(r.getLong(5) == 2L)       // 2-9
