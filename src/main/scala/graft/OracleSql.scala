@@ -950,10 +950,10 @@ FROM c, m GROUP BY mx"""
   FROM documents),
 n AS (SELECT doc_id, regexp_replace(raw, '#.*$$', '') AS nf FROM u),
 h AS (SELECT doc_id, nf,
-    regexp_replace(regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)), ':(443|80)$$', ''), '^www\.', '') AS host
+    regexp_replace(regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':(443|80)$$', ''), '^www\.', '') AS host
   FROM n)
 SELECT doc_id,
-  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || host || regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$$', 1), '/$$', '') AS url_norm,
+  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) || '://' || host || regexp_replace(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?].*)?$$', 1), '/$$', '') AS url_norm,
   $dom AS domain,
   CAST(ROW_NUMBER() OVER (PARTITION BY $dom ORDER BY doc_id) AS BIGINT) AS domain_rank,
   (ROW_NUMBER() OVER (PARTITION BY $dom ORDER BY doc_id)) <= 20 AS kept
@@ -1021,10 +1021,11 @@ FROM sh GROUP BY instance ORDER BY instance"""
     * DECIMAL(38,12) mean contract. */
   val embeddingStats: String =
     s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(COUNT(*) - COUNT(nrm) AS BIGINT) AS null_vec_count,
   CAST(MIN(nd) AS INT) AS dims_min, CAST(MAX(nd) AS INT) AS dims_max,
   CAST(COUNT(CASE WHEN nrm = 0 THEN 1 END) AS BIGINT) AS zero_norm_count,
   ROUND(MIN(nrm), 6) AS norm_min, ROUND(MAX(nrm), 6) AS norm_max,
-  ROUND(CAST(SUM(CAST(ROUND(nrm, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS norm_mean
+  ROUND(CAST(SUM(CAST(ROUND(nrm, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(nrm) AS DOUBLE), 6) AS norm_mean
 FROM (SELECT len(embedding) AS nd, ${listNorm("embedding")} AS nrm FROM embeddings) t"""
 
   /** Sequence-length-histogram twin: the numericHistogram bucket math over

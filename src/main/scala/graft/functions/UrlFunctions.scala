@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
 object UrlFunctions {
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
-  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)"
-  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$"
+  // host ends at '/', '?' OR '#': a path-less query URL
+  // (http://h?q=...) must not absorb the query into the lowercased host
+  private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  // path+query component starts at the first '/' or '?' (case preserved)
+  private val PathRe = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([/?].*)?$"
 
   /** Lowercased, de-`www.`ed host with default ports stripped. */
   def host(url: Column): Column = {

@@ -201,8 +201,14 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch decoder setup would happen here
           batch.iterator.map { case (id, payload) =>
-            val (kind, w, h, c) = decode(payload)
-            DecodedFeatures(id, kind, payload.length.toLong, w, h, c)
+            // null payload (e.g. encoded from a null text) carries nothing
+            // to decode — same sentinel shape as an empty raw payload
+            // instead of NPE-ing the task on payload.length
+            if (payload == null) DecodedFeatures(id, "raw", 0L, 0, 0, 0L)
+            else {
+              val (kind, w, h, c) = decode(payload)
+              DecodedFeatures(id, kind, payload.length.toLong, w, h, c)
+            }
           }
         }
       }

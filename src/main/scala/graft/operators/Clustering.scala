@@ -125,7 +125,10 @@ object Clustering {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("cluster_id")
       .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    clusters.join(scores, Seq(idCol))
+    // LEFT join: a cluster member with no score row must still compete
+    // (ranked last by desc_nulls_last) — an inner join would silently drop
+    // it from the output, losing the doc from the keep/discard decision
+    clusters.join(scores, Seq(idCol), "left")
       .withColumn("rn", row_number().over(w))
       .select(
         col(idCol), col("cluster_id"), col(scoreCol),

@@ -74,10 +74,13 @@ object Search {
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
     require(query.nonEmpty, "query must have at least one term")
+    // document tokens are lowercased, so query terms must be too — a
+    // mixed-case term would otherwise match nothing and silently score 0
+    val terms = query.map(_.toLowerCase)
     // stage the token array once: each per-term tf filter referencing the
     // tokenizer expression directly would re-split the text per term
     val toks = col("_toks")
-    val tfCols = query.zipWithIndex.map { case (t, i) =>
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).cast("long").as(s"tf$i")
     }
     val base = df

@@ -248,13 +248,18 @@ object Similarity {
     val staged = emb.select(size(col(vecCol)).as("nd"), fnorm(col(vecCol)).as("nrm"))
     staged.agg(
       count(lit(1)).as("n_vecs"),
+      // null embeddings are a malformed-corpus signal of their own: count
+      // them explicitly, and average norms over the VECTORS THAT HAVE ONE
+      // (count(*) in the denominator would bias the mean low and hide
+      // exactly the breakage this QA pass exists to surface)
+      (count(lit(1)) - count(col("nrm"))).as("null_vec_count"),
       min(col("nd")).as("dims_min"),
       max(col("nd")).as("dims_max"),
       count(when(col("nrm") === 0.0, lit(1))).as("zero_norm_count"),
       round(min(col("nrm")), 6).as("norm_min"),
       round(max(col("nrm")), 6).as("norm_max"),
       round(
-        sum(round(col("nrm"), 12).cast(Dec)).cast("double") / count(lit(1)),
+        sum(round(col("nrm"), 12).cast(Dec)).cast("double") / count(col("nrm")),
         6).as("norm_mean"))
   }
 
@@ -393,8 +398,12 @@ object Similarity {
   def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim)((p, d) => graft.functions.VectorOps.planeSign(p, d))
 
-  /** Sign-pattern bucket id of a vector under the hyperplane matrix. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  /** Sign-pattern bucket id of a vector under the hyperplane matrix.
+    * At most 64 planes: bit i lives in a Long, and `1L << 65` silently
+    * wraps to `1L << 1`, aliasing distinct sign patterns. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 64,
+      s"lshBucket packs sign bits into a Long: at most 64 planes, got ${planes.length}")
     planes.zipWithIndex.map { case (plane, i) =>
       val proj = aggregate(
         zip_with(vec, array(plane.map(lit).toIndexedSeq: _*), (x, s) => x.cast("double") * s),
@@ -402,6 +411,7 @@ object Similarity {
         (acc, v) => acc + v)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Approximate cosine top-k: score only (query, vector) pairs that share
     * at least one of `bands` LSH band keys (the same OR-construction as

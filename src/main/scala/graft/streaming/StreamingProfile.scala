@@ -47,9 +47,18 @@ object StreamingProfile {
 
   /** Gap-based sessionization: a user's events belong to one session while
     * consecutive gaps stay within `gapMinutes`. Stateful operator shape
-    * (`groupByKey.flatMapGroupsWithState`); in a single-batch replay every
-    * key sees all its events at once, so the output is exactly the batch
-    * gap-and-islands result (the DuckDB oracle).
+    * (`groupByKey.flatMapGroupsWithState`), and the state genuinely
+    * carries across micro-batches: each batch merges its events into the
+    * key's persisted interval set and emits the key's COMPLETE current
+    * session list — a per-key changelog where the LATEST emission
+    * supersedes earlier ones (a later batch can extend or merge earlier
+    * sessions, so per-session deltas could not be keyed stably). In a
+    * single-batch replay every key sees all its events at once, so the
+    * single emission is exactly the batch gap-and-islands result (the
+    * DuckDB oracle); on a live multi-batch stream, take each user's last
+    * emission. Production hardening beyond this contract would add an
+    * event-time watermark + state timeout to retire keys idle past the
+    * gap (state here is per-key-lifetime, O(sessions)).
     *
     * Memory bound: events stream through an interval-merge structure (a
     * TreeMap of open sessions keyed by start time) instead of being
@@ -59,7 +68,7 @@ object StreamingProfile {
     * `toArray`-sort-and-scan would OOM the task. Gap clustering is
     * order-independent (same connected components whatever the arrival
     * order), so the result is identical to the sorted scan — asserted by
-    * StreamingSpec's shuffled-arrival test. */
+    * StreamingSpec's shuffled-arrival and multi-batch tests. */
   def sessionize(
       events: Dataset[SessionEvent],
       gapMinutes: Long): Dataset[UserSession] = {
@@ -68,9 +77,11 @@ object StreamingProfile {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[SessionEvent], _: GroupState[Long]) =>
+        (uid: Long, it: Iterator[SessionEvent], state: GroupState[Seq[(Long, Long, Long)]]) =>
           // start -> (end, count); intervals stay gap-separated by invariant
           val sessions = new java.util.TreeMap[Long, Array[Long]]()
+          if (state.exists)
+            state.get.foreach { case (s, e, c) => sessions.put(s, Array(e, c)) }
           it.foreach { e =>
             val t = e.ts_us
             var start = t
@@ -93,8 +104,13 @@ object StreamingProfile {
             }
             sessions.put(start, Array(end, cnt))
           }
+          val persisted = Seq.newBuilder[(Long, Long, Long)]
           val out = Seq.newBuilder[UserSession]
-          sessions.forEach((start, v) => out += UserSession(uid, start, v(1)))
+          sessions.forEach { (start, v) =>
+            persisted += ((start, v(0), v(1)))
+            out += UserSession(uid, start, v(1))
+          }
+          state.update(persisted.result())
           out.result().iterator
       }
   }
@@ -121,8 +137,16 @@ object StreamingProfile {
       outputMode: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
     // The file stream source wants a directory; point it at the parent with
-    // a glob filter so a single-file path works too.
-    val (dir, file) = path.splitAt(path.lastIndexOf('/') + 1)
+    // a glob filter so both a single-file path and an intentional glob
+    // (dir/*.parquet) work. java.io.File handles relative paths without
+    // '/' (parent = "."). A LITERAL file whose name contains glob
+    // metacharacters would be misread as a pattern and match nothing —
+    // reject that case loudly instead of silently streaming zero files.
+    val f = new java.io.File(path)
+    val dir = Option(f.getParent).getOrElse(".")
+    val file = f.getName
+    require(!(f.isFile && file.exists("*?[]{}".contains(_))),
+      s"replayParquet: literal file name '$file' contains glob metacharacters")
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", file).parquet(dir)
     val name = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -165,8 +189,16 @@ object StreamingProfile {
       nBatches: Int): DataFrame = {
     require(nBatches > 1, "need multiple batches to exercise the merge")
     val src = spark.read.parquet(sourcePath)
-    // drop a cached entry whose dir vanished (OS tmp cleanup) before reuse
-    val key = (sourcePath, splitKey, nBatches)
+    // the cache key carries a fingerprint of the SOURCE (total size + max
+    // mtime of its files): a rewritten source at the same path must not
+    // replay the stale staging. Also drop an entry whose dir vanished
+    // (OS tmp cleanup) before reuse.
+    val fp = {
+      val p = new java.io.File(sourcePath)
+      val files = if (p.isDirectory) Option(p.listFiles()).getOrElse(Array(p)) else Array(p)
+      files.map(f => f.length() ^ f.lastModified()).foldLeft(0L)(_ ^ _) ^ files.length
+    }
+    val key = (s"$sourcePath#$fp", splitKey, nBatches)
     Option(stagedReplays.get(key)).foreach { d =>
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
         stagedReplays.remove(key, d)

@@ -94,6 +94,30 @@ class Round6Spec extends AnyFunSuite {
     assert(heavy.nonEmpty && heavy.forall(_.heavy))
   }
 
+  test("sessionize carries state across micro-batches (no fragmented sessions)") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, StreamingProfile}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+    val name = "r6_sessions_mb"
+    val q = StreamingProfile.sessionize(input.toDS(), gapMinutes = 1)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(SessionEvent(1L, 0L), SessionEvent(1L, 30000000L)) // 0s, 30s
+      q.processAllAvailable()
+      val b1 = spark.table(name).as[(Long, Long, Long)].collect().toSeq
+      assert(b1 == Seq((1L, 0L, 2L)))
+      // 60s: within the 1-minute gap of the 30s event — a stateless batch
+      // would emit a FRESH session (1, 60s, 1); the stateful merge must
+      // extend the existing one
+      input.addData(SessionEvent(1L, 60000000L))
+      q.processAllAvailable()
+      val b2 = spark.table(name).as[(Long, Long, Long)].collect().toSeq.drop(b1.size)
+      assert(b2 == Seq((1L, 0L, 3L)),
+        s"expected the extended session as the superseding emission, got $b2")
+    } finally { q.stop() }
+  }
+
   test("profile_all_tables: every catalog table contributes Size + Completeness") {
     val out = SparkEntry.queries("profile_all_tables")(spark, "/root/testdata/sf0.001")
       .collect()
