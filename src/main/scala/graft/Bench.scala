@@ -28,8 +28,12 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(2)
     // local-iteration aid (driver never sets it): run only these queries
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // `*_audit` keys verify operator invariants (they re-run other
+    // operators plus brute-force twins), so they'd double-count engine
+    // work in a throughput line; Verify still runs them all.
     val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.map(_.contains(name)).getOrElse(!name.endsWith("_audit")) }
       .map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()

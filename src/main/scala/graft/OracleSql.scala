@@ -1182,4 +1182,38 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     s"SELECT * FROM (${selects.mkString(" UNION ALL ")}) q " +
       "ORDER BY table_name, entity, instance, name"
   }
+
+  /** All-true golden twin shared by the round-6 invariant audits: each
+    * audit emits deterministic booleans pinning a guaranteed property of
+    * an operator whose raw output SQL cannot reproduce (LSH banding,
+    * randomized sketch compaction, plan shapes, sink side effects); a
+    * regression flips a row to false and hash-fails. */
+  private def allTrue(properties: Seq[String]): String =
+    s"SELECT * FROM (VALUES ${properties.sorted.map(p => s"('$p', true)").mkString(", ")}) " +
+      "AS t(property, ok) ORDER BY property"
+
+  val minhashAudit: String =
+    allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
+
+  val simhashAudit: String = allTrue(Seq("pairs_equal_bruteforce"))
+
+  val annLshAudit: String =
+    allTrue(Seq("cos_exact_recompute", "rank_dominance", "ranks_in_bruteforce"))
+
+  /** KLL rank-interval audit rows mirror approxErrorBounds' shape: one
+    * boolean per (numeric column, quantile). */
+  val kllRankAudit: String = {
+    val rows = Lineitem.numeric.flatMap(c =>
+      (1 to 10).map(i => s"('$c', 'ApproxQuantiles-${i / 10.0}', true)"))
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) AS t(instance, name, within_bound) " +
+      "ORDER BY instance, name"
+  }
+
+  val sinkRoundtripAudit: String =
+    allTrue(Seq("partition_values", "row_count", "rows_roundtrip"))
+
+  val bucketJoinAudit: String =
+    allTrue(Seq("equals_plain_join", "no_exchange_in_plan"))
+
+  val saltedJoinAudit: String = allTrue(Seq("equals_plain_join"))
 }

@@ -759,8 +759,204 @@ object SparkEntry {
           col("table_name"), col("entity"), col("instance"), col("name"),
           round(col("value"), 6).as("value"))
         .orderBy("table_name", "entity", "instance", "name")
+    }),
+    // ===== driver-visible invariant audits =====
+    // Each audit emits deterministic booleans pinning a GUARANTEED
+    // invariant of an operator whose raw output the SQL oracle cannot
+    // reproduce (LSH banding, randomized sketch compaction, physical plan
+    // shapes, sink side effects); the oracle pins them as an all-true
+    // VALUES list (the approx_error_bounds precedent), so a regression
+    // flips a row to false and hash-fails the round. Audits re-run other
+    // operators plus brute-force twins, so Bench excludes `*_audit` keys
+    // from the throughput line (they'd double-count engine work).
+    //
+    // E3: LSH candidates are exact-rescored, so every emitted pair must
+    // appear in the exact n-gram Jaccard relation with the identical
+    // 6-dp jaccard, above threshold, id_a < id_b.
+    "minhash_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val mh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .persist()
+      try {
+        val ex = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        val extra = mh.join(ex, Seq("id_a", "id_b", "jaccard"), "left_anti").count()
+        val bad = mh.where(col("jaccard") < 0.5 || col("id_a") >= col("id_b")).count()
+        Seq(
+          ("pairs_subset_of_exact", extra == 0L),
+          ("threshold_and_ordering", bad == 0L))
+          .toDF("property", "ok").orderBy("property")
+      } finally { mh.unpersist(); () }
+    }),
+    // E4: the pigeonhole banding is exact over signatures — blocks =
+    // maxHamming+1 guarantees recall 1 AND the exact hamming filter
+    // guarantees precision 1, so banded pairs must EQUAL the brute-force
+    // all-pairs relation over the same signatures.
+    "simhash_audit" -> ((s, dir) => {
+      import s.implicits._
+      val sig = Dedup.simhash(documents(s, dir), "doc_id", "text").persist()
+      try {
+        sig.count() // materialize once; both derivations below reuse the cache
+        val pairs = Dedup.simhashPairsFromSignatures(sig, maxHamming = 3)
+          .select("id_a", "id_b", "hamming")
+        val brute = sig.alias("x").crossJoin(sig.alias("y"))
+          .where(col("x.id") < col("y.id"))
+          .select(
+            col("x.id").as("id_a"), col("y.id").as("id_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+          .where(col("hamming") <= 3)
+        val diff = pairs.exceptAll(brute).count() + brute.exceptAll(pairs).count()
+        Seq(("pairs_equal_bruteforce", diff == 0L)).toDF("property", "ok")
+      } finally { sig.unpersist(); () }
+    }),
+    // E7: recall < 1 by design, but three invariants are exact: the i-th
+    // best LSH cosine can never exceed the i-th best brute-force cosine
+    // (a sorted subset is pointwise dominated), every LSH rank must exist
+    // in the brute-force ranking, and every emitted cosine must equal the
+    // exact 6-dp cosine recomputed from the raw vectors.
+    "ann_lsh_audit" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val emb = embeddings(s, dir)
+      val pred = col("vec_id") % 97 === 0
+      val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", pred).persist()
+      try {
+        val brute = Similarity.cosineTopK(emb, "vec_id", "embedding", pred)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)
+        val lr = lsh.withColumn("rn", row_number().over(w))
+        val br = brute.withColumn("rn", row_number().over(w))
+        val dominated = lr.alias("l")
+          .join(br.alias("b"), Seq("query_id", "rn"))
+          .where(col("l.cos") > col("b.cos")).count() == 0L
+        val allRanked = lr.join(br, Seq("query_id", "rn"), "left_anti").count() == 0L
+        val qv = emb.where(pred)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q"))
+        val nv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+        val cosExact = lsh.join(qv, "query_id").join(nv, "neighbor_id")
+          .where(col("cos") =!= round(Similarity.cosine(col("q"), col("v")), 6))
+          .count() == 0L
+        Seq(
+          ("cos_exact_recompute", cosExact),
+          ("rank_dominance", dominated),
+          ("ranks_in_bruteforce", allRanked))
+          .toDF("property", "ok").orderBy("property")
+      } finally { lsh.unpersist(); () }
+    }),
+    // E19: the merged KLL sketch's published guarantee — each estimate's
+    // exact-rank interval [count(<v)+1, count(<=v)] intersects
+    // p ± 3·eps(k=200) of the column's non-null count. Same rank-count
+    // verification as approx_error_bounds (value-space comparison would
+    // need exact percentiles, 16 ObjectHashAggregate sketches).
+    "kll_rank_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir)
+      val halves = Seq(
+        IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 0)),
+        IncrementalProfiler.snapshot(li.where(col("l_orderkey") % 2 === 1)))
+      val est = IncrementalProfiler.metrics(IncrementalProfiler.merge(halves))
+        .where(col("name").startsWith("ApproxQuantiles"))
+        .select("instance", "name", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2))
+      val eps = 3 * 0.0165 // 3x the k=200 KLL normalized rank error
+      val aggs = est.zipWithIndex.flatMap { case ((c, _, v), i) =>
+        Seq(
+          count(when(col(c) < lit(v), lit(1))).as(s"lt_$i"),
+          count(when(col(c) <= lit(v), lit(1))).as(s"le_$i"))
+      } ++ est.map(_._1).distinct.map(c => count(col(c)).as(s"nn_$c"))
+      val r = li.agg(aggs.head, aggs.tail: _*).head()
+      val rows = est.zipWithIndex.map { case ((c, name, _), i) =>
+        val p = name.stripPrefix("ApproxQuantiles-").toDouble
+        val nn = r.getLong(r.fieldIndex(s"nn_$c")).toDouble
+        val loRank = r.getLong(2 * i) + 1
+        val hiRank = r.getLong(2 * i + 1)
+        (c, name, hiRank >= (p - eps) * nn && loRank <= (p + eps) * nn)
+      }
+      rows.toSeq.toDF("instance", "name", "within_bound")
+        .orderBy("instance", "name")
+    }),
+    // R12: the partitioned parquet sink round-trips — partition values
+    // come back from the path, row count and payload survive exactly.
+    "sink_roundtrip_audit" -> ((s, dir) => {
+      import s.implicits._
+      val nation = s.read.parquet(s"$dir/nation.parquet")
+      val enriched = graft.profiler.Sinks.enrich(
+        Profiler.profile(s, nation, cfg), "graftdb", "nation",
+        java.time.OffsetDateTime.parse("2026-01-02T03:04:05Z")).persist()
+      try {
+        val n = enriched.count()
+        val root = java.nio.file.Files.createTempDirectory("graft_sink_audit_")
+        try {
+          new graft.profiler.Sinks.MetricsParquetSink(root.toString)
+            .write(enriched, "graftdb", "nation")
+          val back = s.read.parquet(root.toString)
+          val parts = back.select("db_name", "table_name").distinct().collect()
+            .map(r => (r.getString(0), r.getString(1))).toSeq
+          val payload = enriched.columns.filterNot(Set("db_name", "table_name"))
+          val diff = back.selectExpr(payload: _*)
+            .exceptAll(enriched.selectExpr(payload: _*)).count()
+          Seq(
+            ("partition_values", parts == Seq(("graftdb", "nation"))),
+            ("row_count", back.count() == n),
+            ("rows_roundtrip", diff == 0L))
+            .toDF("property", "ok").orderBy("property")
+        } finally { deleteRecursively(root) }
+      } finally { enriched.unpersist(); () }
+    }),
+    // E56: two relations bucketed on the join key through the catalog join
+    // with NO exchange in the physical plan and the result equals the
+    // plain shuffled join.
+    "bucket_join_audit" -> ((s, dir) => {
+      import s.implicits._
+      val sup = s.read.parquet(s"$dir/supplier.parquet")
+        .select("s_suppkey", "s_nationkey", "s_acctbal")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey").as("s_nationkey"), col("n_name"))
+      val root = java.nio.file.Files.createTempDirectory("graft_bkt_audit_")
+      val (ta, tb) = ("graft_audit_bkt_a", "graft_audit_bkt_b")
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        graft.profiler.Sinks.BucketedSink.write(sup, ta, "s_nationkey", 8, Some(s"$root/a"))
+        graft.profiler.Sinks.BucketedSink.write(nat, tb, "s_nationkey", 8, Some(s"$root/b"))
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = s.table(ta).join(s.table(tb), "s_nationkey")
+        val noExchange = !joined.queryExecution.executedPlan.toString.contains("Exchange")
+        val plain = sup.join(nat, "s_nationkey")
+        val diff = joined.exceptAll(plain).count() + plain.exceptAll(joined).count()
+        Seq(
+          ("equals_plain_join", diff == 0L),
+          ("no_exchange_in_plan", noExchange))
+          .toDF("property", "ok").orderBy("property")
+      } finally {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        s.sql(s"DROP TABLE IF EXISTS $ta")
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        deleteRecursively(root)
+      }
+    }),
+    // E57: the salt-split join is result-identical to the plain join
+    // (each skewed row matches exactly the replicated copy carrying its
+    // salt).
+    "salted_join_audit" -> ((s, dir) => {
+      import s.implicits._
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      val plain = orders.join(cust, "o_custkey")
+      val salted = graft.operators.Skew.saltedJoin(
+        orders, cust, "o_custkey", "o_orderkey", salts = 8)
+      val diff = salted.exceptAll(plain).count() + plain.exceptAll(salted).count()
+      Seq(("equals_plain_join", diff == 0L)).toDF("property", "ok")
     })
   )
+
+  private def deleteRecursively(root: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
 
   /** Combining-sequence prefix for text_normalize: "Cafe" + U+0301 and
     * "NAI" + U+0308 compose under NFC ("Café NAÏVE") — shared with the
@@ -863,6 +1059,13 @@ object SparkEntry {
     "event_funnel" -> OracleSql.eventFunnel,
     "cohort_retention" -> OracleSql.cohortRetention,
     "profile_all_tables" -> OracleSql.profileAllTables,
-    "approx_error_bounds" -> OracleSql.approxErrorBounds
+    "approx_error_bounds" -> OracleSql.approxErrorBounds,
+    "minhash_audit" -> OracleSql.minhashAudit,
+    "simhash_audit" -> OracleSql.simhashAudit,
+    "ann_lsh_audit" -> OracleSql.annLshAudit,
+    "kll_rank_audit" -> OracleSql.kllRankAudit,
+    "sink_roundtrip_audit" -> OracleSql.sinkRoundtripAudit,
+    "bucket_join_audit" -> OracleSql.bucketJoinAudit,
+    "salted_join_audit" -> OracleSql.saltedJoinAudit
   )
 }

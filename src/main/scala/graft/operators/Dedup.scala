@@ -308,10 +308,20 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBlockFreq: Option[Int] = Some(10000)): DataFrame =
+    simhashPairsFromSignatures(simhash(df, idCol, textCol), maxHamming, maxBlockFreq)
+
+  /** Pair generation half of [[simhashPairs]] over a precomputed
+    * `(id, simhash)` relation — lets a caller that already holds the
+    * signatures (or needs them for something else, e.g. the
+    * `simhash_audit` brute-force twin) skip the token shuffle. */
+  def simhashPairsFromSignatures(
+      sigIn: DataFrame,
+      maxHamming: Int = 3,
       maxBlockFreq: Option[Int] = Some(10000)): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val sig = simhash(df, idCol, textCol).persist()
+    val sig = sigIn.persist()
     try {
       val banded = capHotBuckets(
         sig.select(
