@@ -492,6 +492,23 @@ ORDER BY vec_id"""
   val sampleDeterministic: String =
     s"SELECT doc_id FROM documents WHERE $sampleBucket < 1000 ORDER BY doc_id"
 
+  /** Temperature-mixture twin (Sampling.mixtureResample, alpha = 0.5,
+    * target = corpus size): per-language share smoothed by POW(·, 0.5)
+    * (= correctly-rounded sqrt in both engines), quantized to
+    * DECIMAL(38,6) before the exact normalizer sum — the engine's standard
+    * cross-engine FP contract — then the same round(rate·10⁴) bucket bound
+    * over the same sha256 bucket. */
+  val mixtureResample: String =
+    s"""WITH counts AS (SELECT lang AS stratum, COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT SUM(n) AS nn FROM counts),
+sm AS (SELECT stratum, n, CAST(POW(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.5) AS DECIMAL(38,6)) AS sd FROM counts, tot),
+norm AS (SELECT SUM(sd) AS s FROM sm),
+bounds AS (SELECT stratum,
+  CAST(ROUND(LEAST(1.0, CAST(sd AS DOUBLE) / CAST(s AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM tot) / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS bound
+  FROM sm, norm)
+SELECT d.doc_id, d.lang FROM documents d JOIN bounds b ON d.lang = b.stratum
+WHERE $sampleBucket < b.bound ORDER BY d.doc_id"""
+
   val datasetSplit: String =
     s"""SELECT doc_id, CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split
 FROM (SELECT doc_id, $sampleBucket AS b FROM documents) q ORDER BY doc_id"""

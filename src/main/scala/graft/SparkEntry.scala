@@ -340,6 +340,13 @@ object SparkEntry {
         documents(s, dir), "doc_id",
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split").orderBy("doc_id")),
+    // temperature-weighted mixture rebalance: languages resampled at
+    // p ∝ share^0.5 keeping the corpus size constant in expectation —
+    // dominant en downsampled, low-resource langs kept (rates cap at 1)
+    "mixture_resample" -> ((s, dir) =>
+      Sampling.mixtureResample(
+        documents(s, dir), "doc_id", col("lang"), alpha = 0.5)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // context-window packing: distributed prefix sum over token counts in
     // doc_id order; pack = floor(tokens-before / 1000)
     "sequence_packing" -> ((s, dir) =>
@@ -1014,6 +1021,7 @@ object SparkEntry {
     "events_json" -> OracleSql.eventsJson,
     "asof_enrich" -> OracleSql.asofEnrich,
     "sample_deterministic" -> OracleSql.sampleDeterministic,
+    "mixture_resample" -> OracleSql.mixtureResample,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,
     "sequence_packing" -> OracleSql.sequencePacking,

@@ -136,4 +136,82 @@ object Sampling {
       .withColumn("shard", (b % nShards).cast("int"))
       .withColumn("pos", row_number().over(w).cast("long"))
   }
+
+  /** Temperature-weighted mixture resampling (the multilingual/domain
+    * rebalancing step of corpus curation — XLM-R §3.1 / mBERT exponential
+    * smoothing): each stratum (language, source domain) is re-sampled at
+    * `p_i ∝ q_i^alpha` where `q_i` is its corpus share, normalized so the
+    * EXPECTED kept size is `targetRows` (`None` = the corpus size — pure
+    * rebalance). `alpha < 1` flattens the mixture: dominant strata are
+    * downsampled, low-resource strata keep (up to) everything — per-stratum
+    * rates cap at 1, so this operator never upsamples (duplicate-free by
+    * construction; repeat-to-upsample belongs to the training loader).
+    *
+    * Membership reuses [[hashBucket]]: a pure function of the row's key, so
+    * the kept set is stable across runs/partitionings/engines and NESTED
+    * across alphas for a fixed stratum profile (a lower rate keeps a strict
+    * subset). Rows with a NULL key or NULL stratum have no bucket/rate and
+    * are dropped.
+    *
+    * Determinism contract (the engine-portability edge that makes this
+    * oracle-exact): shares and the normalizer avoid any FP whose value
+    * could differ across engines — `q_i^alpha` is computed in double
+    * (IEEE-correctly-rounded for the sqrt case `alpha = 0.5`; document your
+    * own alpha's portability before relying on cross-engine hashes),
+    * QUANTIZED to DECIMAL(38,6) (the engine's established cross-engine
+    * contract), and summed exactly as decimal, so the final
+    * `round(rate · 10⁴)` bucket bound is bit-identical in DuckDB.
+    *
+    * Scale shape: one tiny stratum-count aggregation (map-side combined),
+    * two single-row cross joins on metadata-sized relations, then ONE
+    * broadcast join + codegen'd filter over the corpus — no corpus shuffle,
+    * no state. */
+  def mixtureResample(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: Column,
+      alpha: Double,
+      targetRows: Option[Long] = None,
+      salt: String = "graft"): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+    // stratum profile: metadata-sized (one row per language/domain) — the
+    // bound arithmetic runs driver-side on the collected counts, the
+    // Correlation precedent. Every step is cross-engine exact: double
+    // division and pow (correctly rounded for alpha = 0.5) on identical
+    // inputs, quantization via setScale(6, HALF_UP) == Spark's
+    // double→DECIMAL(38,6) cast, exact decimal sum for the normalizer.
+    val counts = df.where(strataCol.isNotNull)
+      .groupBy(strataCol.as("_stratum")).agg(count(lit(1)).as("_n"))
+      .collect()
+      .map(r => (r.get(0), r.getLong(1)))
+    require(counts.nonEmpty, "no non-null strata")
+    val total = counts.map(_._2).sum
+    val smoothed = counts.map { case (stratum, n) =>
+      val sd = JBigDecimal.valueOf(math.pow(n.toDouble / total.toDouble, alpha))
+        .setScale(6, RoundingMode.HALF_UP)
+      (stratum, n, sd)
+    }
+    val normalizer = smoothed.map(_._3).reduce(_.add(_))
+    val target = targetRows.map(_.toDouble).getOrElse(total.toDouble)
+    val bounds = smoothed.map { case (stratum, n, sd) =>
+      val rate = math.min(
+        1.0, sd.doubleValue() / normalizer.doubleValue() * target / n.toDouble)
+      val bound = JBigDecimal.valueOf(rate * Buckets)
+        .setScale(0, RoundingMode.HALF_UP).longValueExact()
+      (stratum, bound)
+    }
+    val spark = df.sparkSession
+    val strataType = df.select(strataCol.as("_stratum")).schema.head.dataType
+    val boundsDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        bounds.map(b => org.apache.spark.sql.Row(b._1, b._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_stratum", strataType),
+        org.apache.spark.sql.types.StructField(
+          "_bound", org.apache.spark.sql.types.LongType, nullable = false))))
+    df.join(broadcast(boundsDf), strataCol === col("_stratum"))
+      .where(hashBucket(col(keyCol), salt) < col("_bound"))
+      .drop("_stratum", "_bound")
+  }
 }

@@ -236,4 +236,61 @@ class Round6Spec extends AnyFunSuite {
       .orderBy("stage").collect().map(r => (r.getInt(0), r.getLong(2)))
     assert(out.toSeq == Seq((1, 3L), (2, 1L)))
   }
+
+  // deterministic skewed corpus for the mixture tests: 400 "en", 50 "de",
+  // 50 "fr" keyed rows
+  private def mixtureCorpus = {
+    import spark.implicits._
+    ((1L to 400L).map(i => (i, "en")) ++
+      (401L to 450L).map(i => (i, "de")) ++
+      (451L to 500L).map(i => (i, "fr")))
+      .toDF("doc_id", "lang")
+  }
+
+  test("mixtureResample: alpha=1 with the default target is the identity") {
+    // p_i = q_i at alpha 1, so rate_i = q_i * N / n_i = 1 for every stratum
+    val df = mixtureCorpus
+    val out = graft.operators.Sampling.mixtureResample(
+      df, "doc_id", org.apache.spark.sql.functions.col("lang"), alpha = 1.0)
+    assert(out.count() == 500L)
+  }
+
+  test("mixtureResample: alpha<1 downsamples the dominant stratum, keeps low-resource") {
+    import spark.implicits._
+    val out = graft.operators.Sampling.mixtureResample(
+      mixtureCorpus, "doc_id", org.apache.spark.sql.functions.col("lang"), alpha = 0.5)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // q_en=0.8 -> sqrt=0.894427; de/fr sqrt(0.1)=0.316228; S=1.526883
+    // rate_en = 0.894427/1.526883 * 500/400 = 0.732225 -> bound 7322
+    // rate_de/fr = 0.316228/1.526883 * 500/50 = 2.07 -> capped at 1
+    assert(out("de") == 50L && out("fr") == 50L, s"low-resource must keep all: $out")
+    assert(out("en") < 400L && out("en") > 200L, s"dominant must downsample: $out")
+  }
+
+  test("mixtureResample: kept dominant-stratum set is nested across alphas") {
+    import spark.implicits._
+    val col = org.apache.spark.sql.functions.col _
+    def kept(alpha: Double): Set[Long] = graft.operators.Sampling.mixtureResample(
+      mixtureCorpus, "doc_id", col("lang"), alpha)
+      .where(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val flat = kept(0.25) // flatter mixture -> lower dominant rate
+    val mid = kept(0.5)
+    assert(flat.subsetOf(mid), "lower-rate sample must be a strict subset")
+    assert(flat.size < mid.size)
+  }
+
+  test("mixtureResample: null stratum and null key rows are dropped") {
+    import spark.implicits._
+    val df = (Seq((1L, Option("en")), (2L, Option.empty[String])) ++
+      (3L to 30L).map(i => (i, Option("en"))))
+      .toDF("doc_id", "lang")
+      .union(Seq((Option.empty[Long], Option("en"))).toDF("doc_id", "lang"))
+    val out = graft.operators.Sampling.mixtureResample(
+      df, "doc_id", org.apache.spark.sql.functions.col("lang"), alpha = 1.0)
+      .collect()
+    assert(out.forall(r => !r.isNullAt(0) && r.getString(1) == "en"))
+    assert(out.length == 29) // 29 non-null-keyed en rows; null lang + null key gone
+  }
 }
