@@ -501,7 +501,7 @@ ORDER BY vec_id"""
   val mixtureResample: String =
     s"""WITH counts AS (SELECT lang AS stratum, COUNT(*) AS n FROM documents WHERE lang IS NOT NULL GROUP BY lang),
 tot AS (SELECT SUM(n) AS nn FROM counts),
-sm AS (SELECT stratum, n, CAST(POW(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.5) AS DECIMAL(38,6)) AS sd FROM counts, tot),
+sm AS (SELECT stratum, n, GREATEST(CAST(POW(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE), 0.5) AS DECIMAL(38,6)), CAST(0.000001 AS DECIMAL(38,6))) AS sd FROM counts, tot),
 norm AS (SELECT SUM(sd) AS s FROM sm),
 bounds AS (SELECT stratum,
   CAST(ROUND(LEAST(1.0, CAST(sd AS DOUBLE) / CAST(s AS DOUBLE) * (SELECT CAST(nn AS DOUBLE) FROM tot) / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS bound
@@ -1176,7 +1176,7 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     * deterministic booleans (HLL within 3x rsd of exact, percentile_approx
     * inside the exact envelope at p ± 2/accuracy), so the oracle pins them
     * as an all-true VALUES list — any sketch regression hash-fails. */
-  val approxErrorBounds: String = {
+  val approxErrorAudit: String = {
     val rows = Lineitem.numeric.flatMap { c =>
       s"('$c', 'ApproxCountDistinct', true)" +:
         (1 to 10).map(i => s"('$c', 'ApproxQuantiles-${i / 10.0}', true)")
@@ -1217,7 +1217,7 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val annLshAudit: String =
     allTrue(Seq("cos_exact_recompute", "rank_dominance", "ranks_in_bruteforce"))
 
-  /** KLL rank-interval audit rows mirror approxErrorBounds' shape: one
+  /** KLL rank-interval audit rows mirror approxErrorAudit' shape: one
     * boolean per (numeric column, quantile). */
   val kllRankAudit: String = {
     val rows = Lineitem.numeric.flatMap(c =>

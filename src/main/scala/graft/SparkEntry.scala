@@ -141,9 +141,7 @@ object SparkEntry {
       val meta = sink.read("lineitem")
       // the store is fully materialized in `meta` — remove the temp dir so
       // repeated Verify/Bench invocations don't accumulate orphans
-      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).sorted(
-        java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      deleteRecursively(java.nio.file.Paths.get(tmp))
       val flat =
         meta.tableParams.toSeq.map { case (k, v) => ("table", k, v.toDouble) } ++
           meta.columnParams.toSeq.flatMap { case (c, m) =>
@@ -692,7 +690,7 @@ object SparkEntry {
     // deterministic all-true booleans, so the oracle is a golden VALUES
     // list (the schema_df precedent): a sketch accuracy regression flips a
     // row to false and hash-fails the round.
-    "approx_error_bounds" -> ((s, dir) => {
+    "approx_error_audit" -> ((s, dir) => {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
@@ -772,7 +770,7 @@ object SparkEntry {
     // invariant of an operator whose raw output the SQL oracle cannot
     // reproduce (LSH banding, randomized sketch compaction, physical plan
     // shapes, sink side effects); the oracle pins them as an all-true
-    // VALUES list (the approx_error_bounds precedent), so a regression
+    // VALUES list (the approx_error_audit precedent), so a regression
     // flips a row to false and hash-fails the round. Audits re-run other
     // operators plus brute-force twins, so Bench excludes `*_audit` keys
     // from the throughput line (they'd double-count engine work).
@@ -853,7 +851,7 @@ object SparkEntry {
     // E19: the merged KLL sketch's published guarantee — each estimate's
     // exact-rank interval [count(<v)+1, count(<=v)] intersects
     // p ± 3·eps(k=200) of the column's non-null count. Same rank-count
-    // verification as approx_error_bounds (value-space comparison would
+    // verification as approx_error_audit (value-space comparison would
     // need exact percentiles, 16 ObjectHashAggregate sketches).
     "kll_rank_audit" -> ((s, dir) => {
       import s.implicits._
@@ -960,9 +958,10 @@ object SparkEntry {
   )
 
   private def deleteRecursively(root: java.nio.file.Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    val walk = java.nio.file.Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
   }
 
   /** Combining-sequence prefix for text_normalize: "Cafe" + U+0301 and
@@ -1067,7 +1066,7 @@ object SparkEntry {
     "event_funnel" -> OracleSql.eventFunnel,
     "cohort_retention" -> OracleSql.cohortRetention,
     "profile_all_tables" -> OracleSql.profileAllTables,
-    "approx_error_bounds" -> OracleSql.approxErrorBounds,
+    "approx_error_audit" -> OracleSql.approxErrorAudit,
     "minhash_audit" -> OracleSql.minhashAudit,
     "simhash_audit" -> OracleSql.simhashAudit,
     "ann_lsh_audit" -> OracleSql.annLshAudit,

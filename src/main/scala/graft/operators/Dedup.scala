@@ -314,35 +314,36 @@ object Dedup {
   /** Pair generation half of [[simhashPairs]] over a precomputed
     * `(id, simhash)` relation — lets a caller that already holds the
     * signatures (or needs them for something else, e.g. the
-    * `simhash_audit` brute-force twin) skip the token shuffle. */
+    * `simhash_audit` brute-force twin) skip the token shuffle. The
+    * signature relation is referenced twice (the band self-join), so a
+    * caller reusing `sigIn` should persist + materialize it FIRST — a
+    * persist here could not protect the lazy result and would evict the
+    * caller's warmed cache at plan-construction time. */
   def simhashPairsFromSignatures(
-      sigIn: DataFrame,
+      sig: DataFrame,
       maxHamming: Int = 3,
       maxBlockFreq: Option[Int] = Some(10000)): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val sig = sigIn.persist()
-    try {
-      val banded = capHotBuckets(
-        sig.select(
-          col("id"), col("simhash"),
-          explode(array((0 until blocks).map { bi =>
-            struct(
-              lit(bi).as("block"),
-              when(lit(bi) === blocks - 1, shiftright(col("simhash"), bi * width))
-                .otherwise(shiftright(col("simhash"), bi * width)
-                  .bitwiseAND((1L << width) - 1)).as("bv"))
-          }: _*)).as("b"))
-          .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.bv").as("bv")),
-        Seq("block", "bv"), maxBlockFreq)
-      banded.alias("x").join(banded.alias("y"), Seq("block", "bv"))
-        .where(col("x.id") < col("y.id"))
-        .select(
-          col("x.id").as("id_a"), col("y.id").as("id_b"),
-          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-        .distinct()
-        .where(col("hamming") <= maxHamming)
-    } finally { sig.unpersist(); () }
+    val banded = capHotBuckets(
+      sig.select(
+        col("id"), col("simhash"),
+        explode(array((0 until blocks).map { bi =>
+          struct(
+            lit(bi).as("block"),
+            when(lit(bi) === blocks - 1, shiftright(col("simhash"), bi * width))
+              .otherwise(shiftright(col("simhash"), bi * width)
+                .bitwiseAND((1L << width) - 1)).as("bv"))
+        }: _*)).as("b"))
+        .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.bv").as("bv")),
+      Seq("block", "bv"), maxBlockFreq)
+    banded.alias("x").join(banded.alias("y"), Seq("block", "bv"))
+      .where(col("x.id") < col("y.id"))
+      .select(
+        col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,

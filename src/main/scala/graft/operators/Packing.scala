@@ -27,16 +27,20 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Validated long view of an id/token column: a null id or a null or
-    * negative token count has no meaningful position in a prefix sum
-    * (a negative count would let the running total DECREASE, silently
-    * re-admitting rows after the budget was crossed), so both fail loudly
+  /** Validated long view of an id/token column: a null id, a null or
+    * negative token count, or a value that does not cast to long (string
+    * ids, overflow) has no meaningful position in a prefix sum (a
+    * negative count would let the running total DECREASE, silently
+    * re-admitting rows after the budget was crossed), so all fail loudly
     * with the offending column named instead of dying later in the tuple
-    * encoder with an anonymous non-nullable-field error. */
+    * encoder with an anonymous non-nullable-field error. `try_cast`
+    * first: under ANSI mode a plain cast of an uncastable value would
+    * throw its own anonymous error before this guard could name it. */
   private def checkedLong(c: Column, what: String, allowNegative: Boolean): Column = {
-    val ok = if (allowNegative) c.isNotNull else c.isNotNull && c >= 0
-    when(ok, c.cast("long")).otherwise(raise_error(concat(
-      lit(s"Packing: $what must be ${if (allowNegative) "non-null" else "a non-negative number"}, got "),
+    val casted = c.try_cast("long")
+    val ok = if (allowNegative) casted.isNotNull else casted.isNotNull && casted >= 0
+    when(ok, casted).otherwise(raise_error(concat(
+      lit(s"Packing: $what must be ${if (allowNegative) "a non-null long" else "a non-negative long"}, got "),
       coalesce(c.cast("string"), lit("null")))))
   }
 

@@ -187,9 +187,17 @@ object Sampling {
       .map(r => (r.get(0), r.getLong(1)))
     require(counts.nonEmpty, "no non-null strata")
     val total = counts.map(_._2).sum
+    // quantization floor: a stratum whose smoothed share rounds to
+    // 0.000000 at scale 6 (share < ~1e-12 at alpha=0.5 — routine among
+    // long-tail domains of a 10^9-row corpus) must not silently drop to
+    // rate 0; it is exactly the low-resource stratum the operator
+    // promises to keep. Clamp to one quantum (1e-6): the stratum's rate
+    // then caps at 1 as intended, the normalizer stays nonzero (no NaN
+    // rate), and the oracle mirrors with GREATEST.
+    val floorQ = new JBigDecimal("0.000001")
     val smoothed = counts.map { case (stratum, n) =>
       val sd = JBigDecimal.valueOf(math.pow(n.toDouble / total.toDouble, alpha))
-        .setScale(6, RoundingMode.HALF_UP)
+        .setScale(6, RoundingMode.HALF_UP).max(floorQ)
       (stratum, n, sd)
     }
     val normalizer = smoothed.map(_._3).reduce(_.add(_))

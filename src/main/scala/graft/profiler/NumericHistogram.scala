@@ -31,9 +31,14 @@ object NumericHistogram {
         lit((bins - 1).toLong)))
       .otherwise(lit(0L))
 
-  /** Drop NULLs and NaNs before any min/max or bucketing. */
-  private[profiler] def finite(v: Column): Column =
-    v.isNotNull && !isnan(v.cast(DoubleType))
+  /** Drop NULLs, NaNs and ±Infinity before any min/max or bucketing — an
+    * infinite value as mn/mx would make the bucket width infinite and
+    * collapse every finite row into bucket 0 (masking real drift in
+    * histogramDrift), the same poisoning as NaN. */
+  private[profiler] def finite(v: Column): Column = {
+    val d = v.cast(DoubleType)
+    v.isNotNull && !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+  }
 
   def equiWidth(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")

