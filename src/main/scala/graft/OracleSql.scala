@@ -335,6 +335,24 @@ reach(u, v) AS (
   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
 SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id"""
 
+  /** Leakage-safe split twin: the dedupClusters recursive-CTE component
+    * labels, split key = COALESCE(cluster canonical id, own doc_id),
+    * bucketed by the shared sha256 hash into the same 90/5/5 ranges as
+    * datasetSplit. */
+  val leakageSafeSplit: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+edges AS (SELECT id_a AS u, id_b AS v FROM jpairs UNION SELECT id_b, id_a FROM jpairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+clusters AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+keyed AS (
+  SELECT d.doc_id, ('0x' || substr(sha256(CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR) || 'graft'), 1, 8))::BIGINT % 10000 AS b
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+SELECT doc_id, CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split
+FROM keyed ORDER BY doc_id"""
+
   /** Decontamination twin: distinct word-3-gram shingles per doc, train
     * (doc_id % 50 != 0) joined to bench (doc_id % 50 = 0) on shared
     * shingles, pairs with >= 3 shared shingles flagged. */

@@ -345,6 +345,17 @@ object SparkEntry {
       Sampling.mixtureResample(
         documents(s, dir), "doc_id", col("lang"), alpha = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // leakage-safe split: near-dup cluster members share one split label
+    // (split key = canonical cluster id, singletons split by own id)
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val clusters = graft.operators.Clustering.dedupClusters(
+        Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5))
+      Sampling.leakageSafeSplit(
+        docs, "doc_id", clusters,
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
     // context-window packing: distributed prefix sum over token counts in
     // doc_id order; pack = floor(tokens-before / 1000)
     "sequence_packing" -> ((s, dir) =>
@@ -1021,6 +1032,7 @@ object SparkEntry {
     "asof_enrich" -> OracleSql.asofEnrich,
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "mixture_resample" -> OracleSql.mixtureResample,
+    "leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,
     "sequence_packing" -> OracleSql.sequencePacking,

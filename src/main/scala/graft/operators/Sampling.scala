@@ -137,6 +137,37 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
   }
 
+  /** Leakage-safe dataset split: every member of a near-dup CLUSTER gets
+    * the SAME split label — the guard against eval leakage that a plain
+    * per-document [[hashSplit]] cannot give (near-identical documents A
+    * and A' landing in train and test silently inflate eval scores; the
+    * standard decontamination failure). The split key is the cluster's
+    * canonical id for clustered documents ([[Clustering.dedupClusters]]
+    * output) and the document's own key for singletons, then bucketed by
+    * the engine-portable [[hashBucket]] — so splits stay disjoint,
+    * deterministic, and stable as the corpus grows, and a whole duplicate
+    * cluster moves between splits as one atom.
+    *
+    * `clusters` is a `(doc_id, cluster_id)` relation covering only
+    * clustered docs (dedupClusters' shape — singletons absent). Scale
+    * shape: one left equi-join on the id (clusters is proportional to the
+    * duplicated subset, typically ≪ corpus; Catalyst broadcasts when
+    * small) + the map-side bucket filter — no extra shuffle of the
+    * corpus. NULL keys get a null label, like [[hashSplit]]. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      keyCol: String,
+      clusters: DataFrame,
+      splits: Seq[(String, Double)],
+      salt: String = "graft"): DataFrame = {
+    val keyed = df.join(
+      clusters.select(col("doc_id").as(keyCol), col("cluster_id")),
+      Seq(keyCol), "left")
+      .withColumn("_split_key", coalesce(col("cluster_id"), col(keyCol)))
+    hashSplit(keyed, "_split_key", splits, salt)
+      .drop("_split_key", "cluster_id")
+  }
+
   /** Temperature-weighted mixture resampling (the multilingual/domain
     * rebalancing step of corpus curation — XLM-R §3.1 / mBERT exponential
     * smoothing): each stratum (language, source domain) is re-sampled at

@@ -65,6 +65,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("bucket"), s"expected LSH bucket join:\n$p")
   }
 
+  test("mixture resample plans a broadcast bounds join over a shuffle-free corpus scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.mixtureResample(
+      docs, "doc_id", col("lang"), alpha = 0.5))
+    assert(p.contains("BroadcastHashJoin"), s"bounds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
+  }
+
   test("deterministic sampling is a pure map-side scan (no shuffle, no state)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Sampling.deterministicSample(docs, "doc_id", 0.1))

@@ -308,6 +308,31 @@ class Round6Spec extends AnyFunSuite {
     assert(out.count() <= 1L) // and the floor path must not crash or overcount
   }
 
+  test("leakageSafeSplit: cluster members share one label keyed by the canonical id") {
+    import spark.implicits._
+    val fns = org.apache.spark.sql.functions
+    val docs = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // cluster {1,2,3} via pairs (1,2),(2,3); {7,8} via (7,8); rest singletons
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_id")
+    val splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    val out = graft.operators.Sampling.leakageSafeSplit(
+      docs, "doc_id", clusters, splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 10)
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "cluster {1,2,3} must share a label")
+    assert(out(7L) == out(8L), "cluster {7,8} must share a label")
+    // the shared label is the hashSplit label of the CANONICAL id, and
+    // singletons keep their plain hashSplit label
+    val plain = graft.operators.Sampling.hashSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) == plain(1L), "cluster label must be the canonical id's label")
+    assert(out(8L) == plain(7L))
+    Seq(4L, 5L, 6L, 9L, 10L).foreach(i => assert(out(i) == plain(i)))
+  }
+
   test("mixtureResample: null stratum and null key rows are dropped") {
     import spark.implicits._
     val df = (Seq((1L, Option("en")), (2L, Option.empty[String])) ++
