@@ -249,11 +249,13 @@ object ScanMetrics {
     // value maps, KLL) pay a single-threaded final-merge per pass;
     // chunking them into a few concurrent jobs overlaps those merges
     // (and their scans) instead of serializing them in one wide pass.
-    // Plain and Distinct stay one pass each — their codegen'd partials
-    // want ONE scan, not many.
+    // Chunk of 2 measured best at sf0.1/local[32] (8 cols: 2.5 s vs
+    // 3.2 s at 4, 3.8 s at 1 — per-slot jobs thrash the scan). Plain and
+    // Distinct stay one pass each — their codegen'd partials want ONE
+    // scan, not many.
     val groups: Seq[Seq[AggSlot]] =
       Seq(slots.filter(_.kind == AggKind.Plain)) ++
-        slots.filter(_.kind == AggKind.Sketch).grouped(4).toSeq ++
+        slots.filter(_.kind == AggKind.Sketch).grouped(2).toSeq ++
         Seq(slots.filter(_.kind == AggKind.Distinct))
     val jobs = groups.map { group =>
       val fut =
