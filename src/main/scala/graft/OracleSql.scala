@@ -299,6 +299,39 @@ ORDER BY a.instance, a.name"""
     "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
       "GROUP BY sha256(text) ORDER BY doc_id"
 
+  /** E68 paragraph/span-dedup twin: identical fixed-window segmentation
+    * (5-word chunks of the single-space tokenization, zipped
+    * unnest/generate_subscripts), global span frequency, drop spans with
+    * count >= 2, reassemble survivors in span order with single spaces.
+    * COALESCE('') mirrors Spark's concat_ws over an empty array. */
+  val paragraphDedup: String =
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents WHERE text IS NOT NULL
+), z AS (
+  SELECT doc_id, unnest(arr) AS w, generate_subscripts(arr, 1) AS i FROM toks
+), spans AS (
+  SELECT doc_id, (i - 1) // 5 AS span_idx, string_agg(w, ' ' ORDER BY i) AS span
+  FROM z GROUP BY doc_id, (i - 1) // 5
+), freq AS (
+  SELECT span, COUNT(*) AS c FROM spans GROUP BY span
+), kept AS (
+  SELECT s.doc_id, s.span_idx, s.span
+  FROM spans s JOIN freq f USING (span) WHERE f.c < 2
+), agg AS (
+  SELECT doc_id, string_agg(span, ' ' ORDER BY span_idx) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+  CAST(COALESCE(t.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(t.n_spans, 0) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id"""
+
   /** Incremental-dedup twin: EXISTS semi-join on the content hash. */
   val dedupIncremental: String =
     """SELECT n.doc_id, EXISTS (

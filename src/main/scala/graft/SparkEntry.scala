@@ -238,6 +238,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // paragraph-level dedup: strip 5-word spans repeating >= 2 times
+    // corpus-wide, reassemble survivors in order (map-only after the
+    // one span-frequency shuffle)
+    "paragraph_dedup" -> ((s, dir) =>
+      graft.operators.SpanDedup.dropHotSpans(
+        documents(s, dir), "doc_id", "text", spanWords = 5, minFreqToDrop = 2)
+        .orderBy("doc_id")),
     // cross-snapshot dedup: the newest 20% of docs checked against the
     // existing 80% by content hash — the daily-ingest dedup mode
     "dedup_incremental" -> ((s, dir) => {
@@ -1022,6 +1029,7 @@ object SparkEntry {
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "paragraph_dedup" -> OracleSql.paragraphDedup,
     "dedup_clusters" -> OracleSql.dedupClusters,
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "contamination" -> OracleSql.contamination,

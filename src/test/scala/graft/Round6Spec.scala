@@ -345,4 +345,67 @@ class Round6Spec extends AnyFunSuite {
     assert(out.forall(r => !r.isNullAt(0) && r.getString(1) == "en"))
     assert(out.length == 29) // 29 non-null-keyed en rows; null lang + null key gone
   }
+
+  test("spanDedup: corpus-repeated spans stripped, survivors reassembled in order") {
+    import spark.implicits._
+    // span window 2: docs 1 and 2 share span "a b"; "x y" is unique to doc 1
+    val df = Seq(
+      (1L, "a b x y"),
+      (2L, "a b q r"),
+      (3L, "solo words only here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup
+      .dropHotSpans(df, "doc_id", "text", spanWords = 2, minFreqToDrop = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("x y", 2L, 1L)))
+    assert(out(2L) == (("q r", 2L, 1L)))
+    assert(out(3L) == (("solo words only here", 2L, 0L)))
+  }
+
+  test("spanDedup: null text yields empty clean_text and zero counts; odd tail span kept") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a b c")),   // spans: "a b", "c" (short tail)
+      (2L, Option.empty[String]),
+      (3L, Option("a b"))      // makes "a b" hot at minFreq 2
+    ).toDF("doc_id", "text")
+    val out = graft.operators.SpanDedup
+      .dropHotSpans(df, "doc_id", "text", spanWords = 2, minFreqToDrop = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("c", 2L, 1L)))
+    assert(out(2L) == (("", 0L, 0L)))
+    assert(out(3L) == (("", 1L, 1L)))
+  }
+
+  test("spanDedup: broadcast and join reassembly agree on a seeded corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (1L to 60L).map { i =>
+      i -> (1 to (3 + rnd.nextInt(12))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toDF("doc_id", "text")
+    val a = graft.operators.SpanDedup
+      .dropHotSpans(docs, "doc_id", "text", spanWords = 3, minFreqToDrop = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val b = graft.operators.SpanDedup
+      .dropHotSpansViaJoin(docs, "doc_id", "text", spanWords = 3, minFreqToDrop = 2)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // with a 4-word vocab and 3-word spans, dedup must actually fire
+    assert(a.exists(r => r(3).asInstanceOf[Long] > 0))
+  }
+
+  test("spanDedup: hot-span relation above maxHotSpans fails fast") {
+    import spark.implicits._
+    val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
+      .toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.operators.SpanDedup
+        .dropHotSpans(df, "doc_id", "text", spanWords = 2, minFreqToDrop = 2,
+          maxHotSpans = 1)
+        .collect()
+    }
+    assert(ex.getMessage.contains("maxHotSpans"),
+      s"expected the cap guard, got: ${ex.getMessage}")
+  }
 }
