@@ -299,6 +299,20 @@ ORDER BY a.instance, a.name"""
     "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
       "GROUP BY sha256(text) ORDER BY doc_id"
 
+  /** E69 blocklist-filter twin: the operator's Bloom prefilter is a pure
+    * routing optimization (no false negatives; false positives resolved by
+    * the exact anti-join), so the oracle is the plain anti-join over the
+    * identically-derived blocklist (same sha256 bucket math as the
+    * sampling oracles). */
+  val blocklistFilter: String =
+    """WITH bl AS (
+  SELECT DISTINCT source FROM documents
+  WHERE ('0x' || substr(sha256(source || 'blocklist'), 1, 8))::BIGINT % 10000 < 3000
+)
+SELECT d.doc_id, d.source FROM documents d
+WHERE d.source IS NULL OR NOT EXISTS (SELECT 1 FROM bl WHERE bl.source = d.source)
+ORDER BY d.doc_id"""
+
   /** E68 paragraph/span-dedup twin: identical fixed-window segmentation
     * (5-word chunks of the single-space tokenization, zipped
     * unnest/generate_subscripts), global span frequency, drop spans with

@@ -238,6 +238,15 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // blocklist removal: sources whose hash bucket < 3000 are "blocked";
+    // Bloom prefilter routes the clean bulk around the exact anti-join
+    "blocklist_filter" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val bl = docs.select(col("source")).distinct()
+        .where(Sampling.hashBucket(col("source"), "blocklist") < 3000)
+      graft.operators.Blocklist.filterOut(docs, "source", bl, "source")
+        .select("doc_id", "source").orderBy("doc_id")
+    }),
     // paragraph-level dedup: strip 5-word spans repeating >= 2 times
     // corpus-wide, reassemble survivors in order (map-only after the
     // one span-frequency shuffle)
@@ -1030,6 +1039,7 @@ object SparkEntry {
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
     "paragraph_dedup" -> OracleSql.paragraphDedup,
+    "blocklist_filter" -> OracleSql.blocklistFilter,
     "dedup_clusters" -> OracleSql.dedupClusters,
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "contamination" -> OracleSql.contamination,

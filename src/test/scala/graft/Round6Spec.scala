@@ -395,6 +395,20 @@ class Round6Spec extends AnyFunSuite {
     assert(a.exists(r => r(3).asInstanceOf[Long] > 0))
   }
 
+  test("blocklist: exact under forced false positives; null keys never blocked") {
+    import spark.implicits._
+    val corpus = ((1L to 200L).map(i => (i, Option(s"host$i"))) :+
+      ((201L, Option.empty[String]))).toDF("doc_id", "source")
+    val bl = (1L to 50L).map(i => s"host${i * 3}").toDF("src") // host3, host6, ...
+    // deliberately undersized/high-fpp Bloom: false positives all but certain,
+    // yet the confirm join must keep the result exact
+    val out = graft.operators.Blocklist
+      .filterOut(corpus, "source", bl, "src", expectedItems = 10L, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = ((1L to 200L).filter(i => !(i % 3 == 0 && i <= 150)) :+ 201L).toSet
+    assert(out == expected)
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
