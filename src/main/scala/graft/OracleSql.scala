@@ -299,6 +299,32 @@ ORDER BY a.instance, a.name"""
     "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
       "GROUP BY sha256(text) ORDER BY doc_id"
 
+  /** E70 winsorized-stats twin: exact QUANTILE_CONT bounds (matching
+    * Spark's interpolating `percentile`), explicit null-preserving
+    * LEAST/GREATEST clip, decSum-quantized clipped moments. */
+  private def winsorSelects(c: String, pLo: String, pHi: String): Seq[String] = {
+    val b = s"(SELECT CAST(QUANTILE_CONT(CAST($c AS DOUBLE), $pLo) AS DOUBLE) AS lo, " +
+      s"CAST(QUANTILE_CONT(CAST($c AS DOUBLE), $pHi) AS DOUBLE) AS hi FROM $T) b"
+    val clip = s"CASE WHEN $c IS NULL THEN NULL " +
+      s"ELSE LEAST(GREATEST(CAST($c AS DOUBLE), b.lo), b.hi) END"
+    val sumClip = s"CAST(SUM(CAST(($clip) AS DECIMAL(38,6))) AS DOUBLE)"
+    val sumSqClip = s"CAST(SUM(CAST(($clip) * ($clip) AS DECIMAL(38,6))) AS DOUBLE)"
+    val n = s"COUNT($c)"
+    Seq(
+      s"SELECT '$c' AS instance, 'WinsorizedLow-$pLo' AS name, ROUND(b.lo, 6) AS value FROM $b",
+      s"SELECT '$c' AS instance, 'WinsorizedHigh-$pHi' AS name, ROUND(b.hi, 6) AS value FROM $b",
+      s"SELECT '$c' AS instance, 'WinsorizedMean-$pLo-$pHi' AS name, " +
+        s"ROUND($sumClip / $n, 6) AS value FROM $T, $b",
+      s"SELECT '$c' AS instance, 'WinsorizedStdDev-$pLo-$pHi' AS name, " +
+        s"ROUND(SQRT(GREATEST($sumSqClip / $n - POW($sumClip / $n, 2), 0.0)), 6) AS value FROM $T, $b",
+      s"SELECT '$c' AS instance, 'WinsorizedClipped-$pLo-$pHi' AS name, " +
+        s"ROUND(CAST(COUNT(CASE WHEN CAST($c AS DOUBLE) < b.lo OR CAST($c AS DOUBLE) > b.hi " +
+        s"THEN 1 END) AS DOUBLE), 6) AS value FROM $T, $b")
+  }
+
+  val winsorizedStats: String =
+    wrap(union(Lineitem.numeric.flatMap(c => winsorSelects(c, "0.01", "0.99"))))
+
   /** E69 blocklist-filter twin: the operator's Bloom prefilter is a pure
     * routing optimization (no false negatives; false positives resolved by
     * the exact anti-join), so the oracle is the plain anti-join over the

@@ -56,6 +56,13 @@ object SparkEntry {
     "approx_count_distinct" -> metricQuery(Set("approx_count_distinct")),
     "approx_quantiles" -> metricQuery(Set("approx_quantiles")),
     "quantiles_exact" -> metricQuery(Set("quantiles_exact")),
+    // winsorized robust moments: exact [p01, p99] clip envelope per
+    // numeric column, decimal-quantized clipped mean/stddev + clip count
+    "winsorized_stats" -> ((s, dir) =>
+      graft.profiler.RobustStats.winsorizedStats(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance", "name")),
     // §2.A frequency battery (F1-F5)
     "count_distinct" -> metricQuery(Set("count_distinct")),
     "entropy" -> metricQuery(Set("entropy")),
@@ -1017,6 +1024,7 @@ object SparkEntry {
     "max_length" -> OracleSql.maxLength,
     "min_length" -> OracleSql.minLength,
     "quantiles_exact" -> OracleSql.quantilesExact,
+    "winsorized_stats" -> OracleSql.winsorizedStats,
     "count_distinct" -> OracleSql.countDistinct,
     "entropy" -> OracleSql.entropy,
     "unique_value_ratio" -> OracleSql.uniqueValueRatio,

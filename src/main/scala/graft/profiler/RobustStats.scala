@@ -1,0 +1,90 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DoubleType}
+
+/** Winsorized (quantile-clipped) robust statistics (E70).
+  *
+  * Web-scale numeric metadata (token counts, byte sizes, scores) is
+  * heavy-tailed enough that a handful of outliers dominate plain
+  * mean/stddev; curation thresholds derived from them drift run to run.
+  * The standard robust alternative clips every value into the exact
+  * [p_lo, p_hi] quantile envelope before the moments — bounds, clipped
+  * mean, clipped population stddev, and how many values were clipped.
+  *
+  * Two global aggregation passes, no shuffle beyond their map-side
+  * partials: (1) one wide exact-percentile pass for all columns' bounds
+  * (the 2·C doubles come to the driver — metadata-sized, R14 policy);
+  * (2) one wide clipped-moment pass with the bounds inlined as literals.
+  * Moments use the decSum contract (addends quantized to DECIMAL(38,6))
+  * so the result is partition-order independent and hash-matches the
+  * DuckDB twin built from the same QUANTILE_CONT + LEAST/GREATEST
+  * algebra.
+  */
+object RobustStats {
+
+  private val Dec = DataTypes.createDecimalType(38, 6)
+
+  private def decSum(c: Column): Column =
+    sum(c.cast(Dec)).cast(DoubleType)
+
+  /** (instance, name, value) triples per numeric column:
+    * WinsorizedLow-p, WinsorizedHigh-p, WinsorizedMean-lo-hi,
+    * WinsorizedStdDev-lo-hi, WinsorizedClipped-lo-hi. Columns whose
+    * percentile is null (all-null column) contribute no rows. */
+  def winsorizedStats(
+      df: DataFrame, cols: Seq[String],
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(cols.nonEmpty, "winsorizedStats needs at least one column")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val boundAggs = cols.map(c =>
+      percentile(col(c).cast(DoubleType), array(lit(pLo), lit(pHi))).as(c))
+    val bRow = df.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val bounds: Seq[(String, (Double, Double))] = cols.zipWithIndex.flatMap {
+      case (c, i) =>
+        if (bRow.isNullAt(i)) None
+        else { val a = bRow.getSeq[Double](i); Some(c -> (a(0), a(1))) }
+    }
+
+    val momentAggs: Seq[Column] = bounds.flatMap { case (c, (lo, hi)) =>
+      val x = col(c).cast(DoubleType)
+      // explicit null branch: Spark's greatest/least SKIP null arguments,
+      // so greatest(null, lo) would silently turn null values into lo
+      val clip = when(x.isNull, lit(null).cast(DoubleType))
+        .otherwise(least(greatest(x, lit(lo)), lit(hi)))
+      Seq(
+        decSum(clip).as(s"${c}__sum"),
+        decSum(clip * clip).as(s"${c}__sumsq"),
+        count(x).as(s"${c}__n"),
+        count(when(x < lit(lo) || x > lit(hi), lit(1))).as(s"${c}__clipped"))
+    }
+    val m = df.agg(momentAggs.head, momentAggs.tail: _*).head()
+
+    val lof = pLo.toString
+    val hif = pHi.toString
+    val rows = bounds.flatMap { case (c, (lo, hi)) =>
+      val sumV = m.getAs[Double](s"${c}__sum")
+      val sumSq = m.getAs[Double](s"${c}__sumsq")
+      val n = m.getAs[Long](s"${c}__n")
+      val clipped = m.getAs[Long](s"${c}__clipped")
+      if (n == 0) Nil
+      else {
+        val mean = sumV / n
+        val variance = math.max(sumSq / n - mean * mean, 0.0)
+        Seq(
+          (c, s"WinsorizedLow-$lof", lo),
+          (c, s"WinsorizedHigh-$hif", hi),
+          (c, s"WinsorizedMean-$lof-$hif", mean),
+          (c, s"WinsorizedStdDev-$lof-$hif", math.sqrt(variance)),
+          (c, s"WinsorizedClipped-$lof-$hif", clipped.toDouble))
+      }
+    }
+    rows.toDF("instance", "name", "value")
+      .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+  }
+}

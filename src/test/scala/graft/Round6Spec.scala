@@ -395,6 +395,26 @@ class Round6Spec extends AnyFunSuite {
     assert(a.exists(r => r(3).asInstanceOf[Long] > 0))
   }
 
+  test("winsorizedStats: hand case, null values stay null, constant column degenerate") {
+    import spark.implicits._
+    // 1..10 with a wild outlier and a null; p0.0-1.0 => no clipping, p fixed
+    val df = ((1 to 10).map(i => (Option(i.toDouble), Option(5.0))) :+
+      ((Option(1000.0), Option(5.0))) :+ ((Option.empty[Double], Option(5.0))))
+      .toDF("x", "k")
+    val out = graft.profiler.RobustStats
+      .winsorizedStats(df, Seq("x", "k"), pLo = 0.0, pHi = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // median of (1..10, 1000) = 6.0 => clip envelope [1, 6]
+    assert(out(("x", "WinsorizedHigh-0.5")) == 6.0)
+    assert(out(("x", "WinsorizedLow-0.0")) == 1.0)
+    // clipped values: 1,2,3,4,5,6,6,6,6,6,6 (null excluded, NOT turned into lo)
+    assert(math.abs(out(("x", "WinsorizedMean-0.0-0.5")) - 51.0 / 11) < 1e-6)
+    assert(out(("x", "WinsorizedClipped-0.0-0.5")) == 5.0)
+    // constant column: envelope collapses, stddev exactly 0
+    assert(out(("k", "WinsorizedStdDev-0.0-0.5")) == 0.0)
+    assert(out(("k", "WinsorizedClipped-0.0-0.5")) == 0.0)
+  }
+
   test("blocklist: exact under forced false positives; null keys never blocked") {
     import spark.implicits._
     val corpus = ((1L to 200L).map(i => (i, Option(s"host$i"))) :+
