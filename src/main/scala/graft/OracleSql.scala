@@ -299,6 +299,29 @@ ORDER BY a.instance, a.name"""
     "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count FROM documents " +
       "GROUP BY sha256(text) ORDER BY doc_id"
 
+  /** E71 vocab-growth twin: identical bucket algebra
+    * `(id * B) // (max_id + 1)`, token first-appearance attribution, and
+    * cumulative window over the B-row grid. */
+  val vocabGrowth: String =
+    """WITH mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents WHERE text IS NOT NULL),
+fdoc AS (SELECT w, MIN(doc_id) AS fd FROM tk GROUP BY w),
+vb AS (SELECT (fd * 10) // m AS bucket, COUNT(*) AS nv FROM fdoc, mx GROUP BY 1),
+tb AS (SELECT (doc_id * 10) // m AS bucket, COUNT(*) AS nt FROM tk, mx GROUP BY 1),
+db AS (SELECT (doc_id * 10) // m AS bucket, COUNT(*) AS nd FROM documents, mx GROUP BY 1),
+g AS (SELECT range AS bucket FROM range(10)),
+j AS (SELECT g.bucket, COALESCE(db.nd, 0) AS nd, COALESCE(tb.nt, 0) AS nt,
+             COALESCE(vb.nv, 0) AS nv
+      FROM g LEFT JOIN db ON g.bucket = db.bucket
+             LEFT JOIN tb ON g.bucket = tb.bucket
+             LEFT JOIN vb ON g.bucket = vb.bucket)
+SELECT bucket,
+  CAST(SUM(nd) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS docs,
+  CAST(SUM(nt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens,
+  CAST(SUM(nv) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+FROM j ORDER BY bucket"""
+
   /** E70 winsorized-stats twin: exact QUANTILE_CONT bounds (matching
     * Spark's interpolating `percentile`), explicit null-preserving
     * LEAST/GREATEST clip, decSum-quantized clipped moments. */

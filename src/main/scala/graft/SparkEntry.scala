@@ -480,6 +480,11 @@ object SparkEntry {
         documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
     "vocab_topk" -> ((s, dir) =>
       TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
+    // Heaps-law curve: cumulative docs/tokens/distinct-vocab per id-decile
+    "vocab_growth" -> ((s, dir) =>
+      graft.operators.CorpusStats.vocabGrowth(
+        documents(s, dir), "doc_id", "text", buckets = 10)
+        .orderBy("bucket")),
     "lang_id" -> ((s, dir) =>
       documents(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
@@ -1071,6 +1076,7 @@ object SparkEntry {
     "bm25_topk" -> OracleSql.bm25TopK,
     "tfidf_keywords" -> OracleSql.tfidfKeywords,
     "vocab_topk" -> OracleSql.vocabTopK,
+    "vocab_growth" -> OracleSql.vocabGrowth,
     "lang_id" -> OracleSql.langId,
     "mixture_stats" -> OracleSql.mixtureStats,
     "doc_fingerprint" -> OracleSql.docFingerprint,

@@ -395,6 +395,24 @@ class Round6Spec extends AnyFunSuite {
     assert(a.exists(r => r(3).asInstanceOf[Long] > 0))
   }
 
+  test("vocabGrowth: first-appearance attribution, cumulative and monotone, null text") {
+    import spark.implicits._
+    // ids 0..9, 2 buckets => bucket 0 = ids 0..4, bucket 1 = ids 5..9
+    val df = Seq(
+      (0L, Option("a b")), (1L, Option("b c")), (2L, Option("a")),
+      (3L, Option.empty[String]), (4L, Option("c")),
+      (5L, Option("d")), (6L, Option("a d")), (7L, Option("e")),
+      (8L, Option("e")), (9L, Option("a"))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.vocabGrowth(df, "doc_id", "text", buckets = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // bucket 0: 5 docs, tokens 2+2+1+0+1 = 6, vocab {a,b,c} = 3
+    assert(out(0) == ((0L, 5L, 6L, 3L)))
+    // bucket 1: +5 docs, +6 tokens, vocab + {d,e} = 5
+    assert(out(1) == ((1L, 10L, 12L, 5L)))
+  }
+
   test("winsorizedStats: hand case, null values stay null, constant column degenerate") {
     import spark.implicits._
     // 1..10 with a wild outlier and a null; p0.0-1.0 => no clipping, p fixed
