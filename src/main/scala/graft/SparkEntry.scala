@@ -412,6 +412,20 @@ object SparkEntry {
         TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
         TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
+    // DEFLATE density quality proxy (codegen expression; ordinal contract,
+    // invariant-tested — no cross-engine oracle, SURVEY §2.E E72)
+    "compression_ratio" -> ((s, dir) => {
+      graft.functions.Compress.register(s)
+      documents(s, dir).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        expr("deflate_len(text)").cast("long").as("deflate_bytes"),
+        round(
+          when(octet_length(col("text")) > 0,
+            expr("deflate_len(text)").cast("double") / octet_length(col("text")))
+            .otherwise(lit(null)), 6).as("ratio"))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, dir) =>
       documents(s, dir).select(
         col("doc_id"),

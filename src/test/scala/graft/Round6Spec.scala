@@ -395,6 +395,29 @@ class Round6Spec extends AnyFunSuite {
     assert(a.exists(r => r(3).asInstanceOf[Long] > 0))
   }
 
+  test("deflate_len: deterministic, bounded, repetitive text far denser than noise") {
+    import spark.implicits._
+    graft.functions.Compress.register(spark)
+    val rnd = new scala.util.Random(7)
+    val noise = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val repet = "spam keyword " * 154 // ~2000 chars of pure repetition
+    val df = Seq(
+      (1L, Option(repet)), (2L, Option(noise)), (3L, Option("")),
+      (4L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), expr("deflate_len(text)").as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+    assert(out(4L) == -1, "null text -> null length")
+    assert(out(3L) >= 0 && out(3L) <= 8, "empty text compresses to the deflate epilogue")
+    assert(out(1L) > 0 && out(2L) > 0)
+    // repetition compresses an order of magnitude below random text
+    assert(out(1L) * 5 < out(2L), s"repetitive ${out(1L)} !<< noise ${out(2L)}")
+    // deterministic across evaluations (and across codegen/eval paths)
+    val again = df.select(expr("deflate_len(text)")).collect()
+    val again2 = df.select(expr("deflate_len(text)")).collect()
+    assert(again.map(_.toSeq.headOption).sameElements(again2.map(_.toSeq.headOption)))
+  }
+
   test("vocabGrowth: first-appearance attribution, cumulative and monotone, null text") {
     import spark.implicits._
     // ids 0..9, 2 buckets => bucket 0 = ids 0..4, bucket 1 = ids 5..9
