@@ -1059,6 +1059,34 @@ sel AS (SELECT DISTINCT doc_id, enc FROM (
 SELECT doc_id, 1048575 - (enc % 1048576) AS pos, enc // 1048576 AS hash
 FROM sel ORDER BY doc_id, pos"""
 
+  /** Winnow-near-dup twin (E73): the same fingerprint CTE collapsed to
+    * DISTINCT (doc, hash), stop-fingerprints (doc-freq > 5000) removed
+    * from both sides, exact Jaccard over the surviving sets via one
+    * shared-hash self-join. */
+  val winnowNearDup: String =
+    raw"""WITH kg AS (SELECT doc_id,
+  CASE WHEN LENGTH(text) >= 8 THEN
+    list_transform(range(1, LENGTH(text) - 8 + 2), i ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 2147483647) * 1048576 + (1048575 - i))
+  ELSE CAST([] AS BIGINT[]) END AS keys
+  FROM documents),
+fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS hash FROM (
+  SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(keys) - 3, 1) + 1),
+    j -> list_min(keys[j : j + 3]))) AS enc
+  FROM kg WHERE len(keys) >= 1) t),
+ok AS (SELECT hash FROM fp GROUP BY hash HAVING COUNT(*) <= 5000),
+kept AS (SELECT f.doc_id, f.hash FROM fp f JOIN ok USING (hash)),
+sz AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id),
+p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c
+  FROM kept x JOIN kept y USING (hash) WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, j AS jaccard FROM (
+  SELECT id_a, id_b,
+    ROUND(CAST(c AS DOUBLE) / (sa.nf + sb.nf - c), 6) AS j
+  FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) q
+WHERE j >= 0.5 ORDER BY id_a, id_b"""
+
   /** Key-skew twin: frequency relation + single-row reduction; hottest key
     * = MIN key among max-frequency keys (the struct-argmin rule). */
   val keySkew: String =

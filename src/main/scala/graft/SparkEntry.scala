@@ -622,6 +622,11 @@ object SparkEntry {
       Dedup.winnowFingerprints(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "pos")),
+    // MOSS-style near-dup pairs over shared winnowing fingerprints (E73):
+    // local-match detector complementing MinHash's global resemblance
+    "winnow_near_dup" -> ((s, dir) =>
+      Dedup.winnowNearDup(documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     // join-key skew diagnostic on the orders→customer key
     "key_skew" -> ((s, dir) =>
       graft.profiler.Checks.keySkew(
@@ -1109,6 +1114,7 @@ object SparkEntry {
     "corpus_shuffle" -> OracleSql.corpusShuffle,
     "centroid_update" -> OracleSql.centroidUpdate,
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
+    "winnow_near_dup" -> OracleSql.winnowNearDup,
     "key_skew" -> OracleSql.keySkew,
     "url_normalize" -> OracleSql.urlNormalize,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,

@@ -414,4 +414,54 @@ object Dedup {
         (lit(PosBase - 1) - pmod(col("enc"), lit(PosBase))).as("pos"),
         expr(s"enc div $PosBase").as("hash"))
   }
+
+  /** Near-duplicate pairs by shared winnowing fingerprints (E73) — the
+    * MOSS-style complement to MinHash (E3): where MinHash estimates
+    * whole-document set resemblance, winnowing fingerprints are LOCAL
+    * (every ≥w+k−1-char match is guaranteed a shared fingerprint), so this
+    * catches documents sharing long verbatim passages even when their
+    * overall shingle Jaccard is low — contracts with swapped clauses,
+    * code files sharing a license header plus real logic.
+    *
+    * Similarity contract: fingerprints whose document frequency exceeds
+    * `maxHashFreq` are dropped from BOTH sides of the measure first
+    * (stop-fingerprint removal — ubiquitous boilerplate k-grams carry no
+    * resemblance signal, and they are exactly the keys whose pair fan-out
+    * is quadratic at 100 TB). Over the surviving per-document distinct
+    * fingerprint sets: exact Jaccard c/(nₐ+n_b−c), threshold-filtered.
+    *
+    * Scale shape: the pair join carries (hash, id) longs only — text and
+    * positions never shuffle; the hash-frequency cap bounds any key's
+    * fan-out (the same [[capHotBuckets]] machinery as E3/E4); per-pair
+    * intersection counts come from one grouped aggregation of the join,
+    * not per-pair set materialization.
+    *
+    * Cites reference scope: dedup is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def winnowNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      threshold: Double = 0.5,
+      maxHashFreq: Option[Int] = Some(5000)): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("hash")).distinct()
+    val kept = capHotBuckets(fp, Seq("hash"), maxHashFreq)
+    val sizes = kept.groupBy("id").agg(count(lit(1)).as("nf"))
+    val pairs = kept.select(col("id").as("id_a"), col("hash"))
+      .join(kept.select(col("id").as("id_b"), col("hash")), Seq("hash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("nf").as("na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("nf").as("nb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
 }

@@ -21,6 +21,30 @@ class Round6Spec extends AnyFunSuite {
     assert(out == Set(1L))
   }
 
+  test("winnowNearDup: verbatim-overlap pair found, unrelated pair absent, stop-fingerprints drop") {
+    import spark.implicits._
+    val passage = "a long shared boilerplate passage that both documents quote verbatim in full"
+    val df = Seq(
+      (1L, Some(s"$passage with a tiny suffix one")),
+      (2L, Some(s"$passage with a tiny suffix two")),
+      (3L, Some("completely different content about winnowing local fingerprints")),
+      (4L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDup(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "verbatim-overlap pair must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc pairs nothing")
+    // stop-fingerprint removal: with maxHashFreq=0 every hash is ubiquitous,
+    // no fingerprints survive, no pairs (and no crash)
+    assert(Dedup.winnowNearDup(df, "doc_id", "text",
+      threshold = 0.0, maxHashFreq = Some(0)).count() == 0L)
+    // local guarantee: any >= w+k-1-char verbatim match shares a fingerprint,
+    // so the pair's intersection count is positive even at threshold 0
+    val c = Dedup.winnowNearDup(df, "doc_id", "text", threshold = 0.0)
+      .where(col("id_a") === 1L && col("id_b") === 2L).count()
+    assert(c == 1L)
+  }
+
   test("hot-bucket diagnostics: mega-cluster visible, clean corpus reports zero") {
     import spark.implicits._
     // 20 identical vectors = one mega-cluster colliding in every band
