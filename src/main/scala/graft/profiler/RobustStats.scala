@@ -1,6 +1,6 @@
 package graft.profiler
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataTypes, DoubleType}
 
@@ -13,10 +13,13 @@ import org.apache.spark.sql.types.{DataTypes, DoubleType}
   * [p_lo, p_hi] quantile envelope before the moments — bounds, clipped
   * mean, clipped population stddev, and how many values were clipped.
   *
-  * Two global aggregation passes, no shuffle beyond their map-side
-  * partials: (1) one wide exact-percentile pass for all columns' bounds
-  * (the 2·C doubles come to the driver — metadata-sized, R14 policy);
-  * (2) one wide clipped-moment pass with the bounds inlined as literals.
+  * Two global aggregation passes over one shared spread() exchange
+  * (computed once, reused as a skipped stage): (1) the exact-percentile
+  * bounds pass, column-chunked into concurrent jobs so the sketch
+  * aggregates' single-threaded final merges overlap (the ScanMetrics
+  * Sketch-pass recipe; the 2·C doubles come to the driver —
+  * metadata-sized, R14 policy); (2) one wide clipped-moment pass with
+  * the bounds inlined as literals.
   * Moments use the decSum contract (addends quantized to DECIMAL(38,6))
   * so the result is partition-order independent and hash-matches the
   * DuckDB twin built from the same QUANTILE_CONT + LEAST/GREATEST
@@ -42,13 +45,34 @@ object RobustStats {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val boundAggs = cols.map(c =>
-      percentile(col(c).cast(DoubleType), array(lit(pLo), lit(pHi))).as(c))
-    val bRow = df.agg(boundAggs.head, boundAggs.tail: _*).head()
-    val bounds: Seq[(String, (Double, Double))] = cols.zipWithIndex.flatMap {
-      case (c, i) =>
-        if (bRow.isNullAt(i)) None
-        else { val a = bRow.getSeq[Double](i); Some(c -> (a(0), a(1))) }
+    // The exact-percentile aggregates are TypedImperativeAggregate value
+    // maps: spread() buys the partial phase row-group parallelism (the
+    // ScanMetrics Sketch-pass lesson), and chunking the columns into a few
+    // concurrent jobs overlaps their single-threaded final merges — the
+    // spread exchange is computed once and reused as a skipped stage by
+    // the later jobs (including the moment pass below).
+    val src = ScanMetrics.spread(df)
+    val bRows: Seq[(String, Row)] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val jobs = cols.grouped(2).toSeq.map { group =>
+        val aggs = group.map(c =>
+          percentile(col(c).cast(DoubleType), array(lit(pLo), lit(pHi))).as(c))
+        group -> Future(scala.concurrent.blocking {
+          src.agg(aggs.head, aggs.tail: _*).head()
+        })
+      }
+      jobs.flatMap { case (group, fut) =>
+        val row = Await.result(fut, Duration.Inf)
+        group.map(c => c -> row)
+      }
+    }
+    val bounds: Seq[(String, (Double, Double))] = bRows.flatMap {
+      case (c, row) =>
+        val i = row.fieldIndex(c)
+        if (row.isNullAt(i)) None
+        else { val a = row.getSeq[Double](i); Some(c -> (a(0), a(1))) }
     }
 
     val momentAggs: Seq[Column] = bounds.flatMap { case (c, (lo, hi)) =>
@@ -63,7 +87,7 @@ object RobustStats {
         count(x).as(s"${c}__n"),
         count(when(x < lit(lo) || x > lit(hi), lit(1))).as(s"${c}__clipped"))
     }
-    val m = df.agg(momentAggs.head, momentAggs.tail: _*).head()
+    val m = src.agg(momentAggs.head, momentAggs.tail: _*).head()
 
     val lof = pLo.toString
     val hif = pHi.toString
