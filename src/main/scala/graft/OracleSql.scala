@@ -694,6 +694,85 @@ FROM (
   FROM documents) q ORDER BY doc_id"""
   }
 
+  /** Domain report-card twin (E74): the textQuality inner relation plus
+    * sentinel-coalesced content hash; dup counts via (hash, domain)
+    * partials joined to corpus hash frequencies; decimal-quantized mean
+    * quality (the decSum contract). */
+  val domainStats: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT domain, lang, h, nt,
+    CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END AS q
+  FROM (
+    SELECT source AS domain, lang,
+      COALESCE(sha256(text), '__null__') AS h,
+      CAST(COALESCE(len($wsToksSql), 0) AS BIGINT) AS nt,
+      CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) i),
+hd AS (SELECT h, domain, COUNT(*) AS c FROM b GROUP BY 1, 2),
+hf AS (SELECT h, SUM(c) AS f FROM hd GROUP BY 1),
+dup AS (SELECT domain, CAST(COALESCE(SUM(CASE WHEN f > 1 THEN c END), 0) AS BIGINT) AS dup_docs
+  FROM hd JOIN hf USING (h) GROUP BY 1),
+agg AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    ROUND(CAST(SUM(CAST(ROUND(q, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(q), 6) AS mean_quality
+  FROM b GROUP BY 1)
+SELECT agg.domain, n_docs, n_tokens, n_langs, mean_quality,
+  CAST(COALESCE(dup_docs, 0) AS BIGINT) AS dup_docs
+FROM agg LEFT JOIN dup USING (domain) ORDER BY domain"""
+  }
+
+  /** Split-divergence twin (E75): the datasetSplit bucket CASE, one
+    * token pivot, guarded shares, identical JSD term algebra with
+    * ROUND(·,12) → DECIMAL(38,12) sums (the PSI contract). */
+  val splitDivergence: String = {
+    val names = Seq("train", "valid", "test")
+    val caseSplit =
+      "CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END"
+    val cCols = names.map(n =>
+      s"COUNT(CASE WHEN split = '$n' THEN 1 END) AS c_$n").mkString(",\n    ")
+    val tCols = names.flatMap(n => Seq(
+      s"CAST(COALESCE(SUM(c_$n), 0) AS BIGINT) AS t_$n",
+      s"CAST(COUNT(CASE WHEN c_$n > 0 THEN 1 END) AS BIGINT) AS v_$n"))
+      .mkString(",\n    ")
+    val pCols = names.map(n =>
+      s"CASE WHEN t_$n > 0 THEN c_$n * 1.0 / t_$n ELSE 0.0 END AS p_$n")
+      .mkString(",\n    ")
+    val pairs = for { i <- names.indices; j <- names.indices if i < j }
+      yield (names(i), names(j))
+    val dCols = pairs.flatMap { case (a, b) =>
+      val m = s"((p_$a + p_$b) / 2.0)"
+      Seq(
+        s"ROUND(CAST(COALESCE(SUM(CAST(ROUND(0.5 * (CASE WHEN c_$a > 0 THEN p_$a * LN(p_$a / $m) ELSE 0.0 END) + 0.5 * (CASE WHEN c_$b > 0 THEN p_$b * LN(p_$b / $m) ELSE 0.0 END), 12) AS DECIMAL(38,12))), 0) AS DOUBLE), 6) AS jsd_${a}_$b",
+        s"CAST(COUNT(CASE WHEN c_$a > 0 AND c_$b > 0 THEN 1 END) AS BIGINT) AS shared_${a}_$b")
+    }.mkString(",\n    ")
+    val rows = pairs.map { case (a, b) =>
+      s"SELECT '$a' AS split_a, '$b' AS split_b, t_$a AS tokens_a, t_$b AS tokens_b, v_$a AS vocab_a, v_$b AS vocab_b, shared_${a}_$b AS vocab_shared, jsd_${a}_$b AS jsd FROM t, d"
+    }.mkString("\nUNION ALL ")
+    s"""WITH s AS (
+  SELECT text, $caseSplit AS split
+  FROM (SELECT doc_id, text, $sampleBucket AS b FROM documents) q0),
+tok AS (SELECT split, t.x AS token
+  FROM s, UNNEST($wsToksLowerSql) t(x) WHERE text IS NOT NULL),
+c AS (SELECT token,
+    $cCols
+  FROM tok GROUP BY 1),
+t AS (SELECT
+    $tCols
+  FROM c),
+pt AS (SELECT c.*,
+    $pCols
+  FROM c CROSS JOIN t),
+d AS (SELECT
+    $dCols
+  FROM pt)
+SELECT * FROM ($rows) u ORDER BY split_a, split_b"""
+  }
+
   /** Corpus vocabulary top-100 by token frequency, (freq DESC, token ASC)
     * tie-break — twin of TextFunctions.vocabTopK. */
   val vocabTopK: String =

@@ -503,6 +503,18 @@ object SparkEntry {
       documents(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
         .orderBy("doc_id")),
+    // per-source curation report card: volume, language spread, mean
+    // quality, exact-dup exposure (E74)
+    "domain_stats" -> ((s, dir) =>
+      graft.operators.CorpusStats.domainReport(
+        documents(s, dir), "source", "lang", "text")
+        .orderBy("domain")),
+    // token-distribution JSD between the E21 hash splits (E75)
+    "split_divergence" -> ((s, dir) =>
+      graft.operators.CorpusStats.splitDivergence(
+        documents(s, dir), "doc_id", "text",
+        Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .orderBy("split_a", "split_b")),
     "doc_fingerprint" -> ((s, dir) => {
       RollingHash.register(s)
       documents(s, dir)
@@ -1115,6 +1127,8 @@ object SparkEntry {
     "centroid_update" -> OracleSql.centroidUpdate,
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
     "winnow_near_dup" -> OracleSql.winnowNearDup,
+    "domain_stats" -> OracleSql.domainStats,
+    "split_divergence" -> OracleSql.splitDivergence,
     "key_skew" -> OracleSql.keySkew,
     "url_normalize" -> OracleSql.urlNormalize,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,

@@ -68,4 +68,123 @@ object CorpusStats {
         sum(coalesce(col("nt"), lit(0L))).over(w).as("tokens"),
         sum(coalesce(col("nv"), lit(0L))).over(w).as("vocab"))
   }
+
+  private val Dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+
+  /** Per-domain curation report card (E74) — the RefinedWeb-style "which
+    * sources earn their place" table: per domain, document and token
+    * volume, language spread, mean composite quality (E9's score), and
+    * how many of its documents are exact duplicates of ANY corpus
+    * document (cross-domain mirrors included — the usual culprit).
+    *
+    * Scale shape: the duplicate side never shuffles text — documents
+    * collapse map-side to (content-hash, domain) counts, one hash-keyed
+    * shuffle of that distinct relation computes corpus frequencies, and
+    * the per-domain dup counts come back domain-keyed (metadata-sized);
+    * the volume/quality side is ONE map-side-combined groupBy(domain).
+    * Mean quality follows the decSum contract (per-row terms rounded to
+    * 12 dp, DECIMAL(38,12) sum) so it is partition-order independent.
+    *
+    * Null text hashes to a sentinel (null-text docs deduplicate with each
+    * other, not with empty-text docs) and contributes zero tokens and a
+    * null quality (excluded from the mean, like the oracle's CASE). */
+  def domainReport(
+      df: DataFrame, domainCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val text = col(textCol)
+    val base = df.select(
+      col(domainCol).as("domain"),
+      col(langCol).as("lang"),
+      when(text.isNull, lit("__null__")).otherwise(sha2(text, 256)).as("h"),
+      when(text.isNull, lit(0L))
+        .otherwise(graft.functions.TextFunctions.wsTokenCount(text)).as("nt"),
+      graft.functions.TextFunctions.qualityScore(text).as("q"))
+    val hd = base.groupBy("h", "domain").agg(count(lit(1)).as("c"))
+    val hf = hd.groupBy("h").agg(sum(col("c")).as("f"))
+    val dup = hd.join(hf, Seq("h"))
+      .groupBy("domain")
+      .agg(coalesce(sum(when(col("f") > 1, col("c"))), lit(0L)).as("dup_docs"))
+    base.groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(
+          sum(round(col("q"), 12).cast(Dec12)).cast("double") / count(col("q")),
+          6).as("mean_quality"))
+      .join(dup, Seq("domain"), "left")
+      .select(
+        col("domain"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("mean_quality"), coalesce(col("dup_docs"), lit(0L)).as("dup_docs"))
+  }
+
+  /** Token-distribution divergence between dataset splits (E75) — the
+    * "did my split skew the data" diagnostic run after E21/E67: for each
+    * split pair, Jensen-Shannon divergence between their unigram
+    * distributions (symmetric, bounded by ln 2, defined without epsilon
+    * hacks because absent tokens contribute exactly 0 to their own side)
+    * plus vocabulary overlap counts. A training/validation JSD spike
+    * means the validation loss measures a different distribution.
+    *
+    * Scale shape: ONE exploded-token shuffle collapsing to the per-token
+    * split-count pivot (map-side combined; vocab-sized, never the
+    * corpus); the totals row and each pair's divergence are single-row
+    * reductions over that relation — the pivot's shuffle stage is reused
+    * (skipped) by the later jobs. Per-token JSD terms are rounded to
+    * 12 dp and summed as DECIMAL(38,12) (the E60 PSI contract) so the
+    * result is partition-order independent and oracle-exact. */
+  def splitDivergence(
+      df: DataFrame, idCol: String, textCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits to compare")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = splits.map(_._1)
+    val tok = Sampling.hashSplit(df, idCol, splits, salt)
+      .where(col(textCol).isNotNull)
+      .select(col("split"),
+        explode(graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+          .as("token"))
+    val cntAggs = names.map(n =>
+      count(when(col("split") === n, lit(1))).as(s"c_$n"))
+    val cnt = tok.groupBy("token").agg(cntAggs.head, cntAggs.tail: _*)
+    val totAggs = names.flatMap(n => Seq(
+      coalesce(sum(col(s"c_$n")), lit(0L)).as(s"t_$n"),
+      count(when(col(s"c_$n") > 0, lit(1))).as(s"v_$n")))
+    val tot = cnt.agg(totAggs.head, totAggs.tail: _*).head()
+
+    val pairs = for {
+      i <- names.indices; j <- names.indices if i < j
+    } yield (names(i), names(j))
+    // all pair divergences in ONE aggregation over the pivot relation
+    val pairAggs: Seq[Column] = pairs.flatMap { case (a, b) =>
+      val ta = tot.getAs[Long](s"t_$a")
+      val tb = tot.getAs[Long](s"t_$b")
+      // guarded shares: a token absent from a split contributes 0 to that
+      // split's side; an EMPTY split would otherwise make 0/0 = NaN terms
+      val p = when(lit(ta) > 0, col(s"c_$a") * lit(1.0) / lit(ta.toDouble))
+        .otherwise(lit(0.0))
+      val q = when(lit(tb) > 0, col(s"c_$b") * lit(1.0) / lit(tb.toDouble))
+        .otherwise(lit(0.0))
+      val m = (p + q) / lit(2.0)
+      val term =
+        lit(0.5) * when(col(s"c_$a") > 0, p * log(p / m)).otherwise(lit(0.0)) +
+          lit(0.5) * when(col(s"c_$b") > 0, q * log(q / m)).otherwise(lit(0.0))
+      Seq(
+        // coalesce: an empty pivot (no tokens at all) sums to null
+        round(coalesce(sum(round(term, 12).cast(Dec12)).cast("double"),
+          lit(0.0)), 6).as(s"jsd_${a}_$b"),
+        count(when(col(s"c_$a") > 0 && col(s"c_$b") > 0, lit(1)))
+          .as(s"shared_${a}_$b"))
+    }
+    val pr = cnt.agg(pairAggs.head, pairAggs.tail: _*).head()
+
+    pairs.map { case (a, b) =>
+      (a, b,
+        tot.getAs[Long](s"t_$a"), tot.getAs[Long](s"t_$b"),
+        tot.getAs[Long](s"v_$a"), tot.getAs[Long](s"v_$b"),
+        pr.getAs[Long](s"shared_${a}_$b"), pr.getAs[Double](s"jsd_${a}_$b"))
+    }.toDF("split_a", "split_b", "tokens_a", "tokens_b",
+      "vocab_a", "vocab_b", "vocab_shared", "jsd")
+  }
 }

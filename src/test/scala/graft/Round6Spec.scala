@@ -45,6 +45,54 @@ class Round6Spec extends AnyFunSuite {
     assert(c == 1L)
   }
 
+  test("domainReport: cross-domain dup exposure, null text excluded from mean, sentinel hash") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a.com", "en", Some("the quick brown fox and the dog")),
+      (2L, "b.com", "en", Some("the quick brown fox and the dog")), // mirror of 1
+      (3L, "a.com", "de", Some("unique text only here today now")),
+      (4L, "a.com", "en", None: Option[String]),
+      (5L, "a.com", "en", None: Option[String]) // null-text dup of 4
+    ).toDF("doc_id", "source", "lang", "text")
+    val out = graft.operators.CorpusStats.domainReport(df, "source", "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a.com"); val b = out("b.com")
+    assert(a.getLong(1) == 4L && b.getLong(1) == 1L) // n_docs
+    assert(a.getLong(3) == 2L) // n_langs (en, de)
+    // doc1 dups doc2 cross-domain; docs 4,5 dup each other via sentinel
+    assert(a.getLong(5) == 3L, s"a.com dup_docs = ${a.getLong(5)}")
+    assert(b.getLong(5) == 1L)
+    // null-text docs excluded from mean_quality (not pulled toward 0)
+    assert(!a.isNullAt(4) && a.getDouble(4) > 0.0)
+  }
+
+  test("splitDivergence: identical dists -> 0, disjoint vocab -> ln 2, empty split safe") {
+    import spark.implicits._
+    // many docs so both splits of the 50/50 hash split are non-empty
+    val same = (1L to 40L).map(i => (i, "alpha beta gamma"))
+    val d1 = same.toDF("doc_id", "text")
+    val r1 = graft.operators.CorpusStats.splitDivergence(
+      d1, "doc_id", "text", Seq("x" -> 0.5, "y" -> 0.5)).head()
+    assert(r1.getAs[Double]("jsd") == 0.0, s"identical dists: ${r1}")
+    assert(r1.getAs[Long]("vocab_shared") == 3L)
+    // disjoint vocabularies: JSD = ln 2 exactly (text chosen per actual label)
+    val labels = graft.operators.Sampling.hashSplit(
+      (1L to 40L).toDF("doc_id"), "doc_id", Seq("x" -> 0.5, "y" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(labels.values.toSet == Set("x", "y"), "need both splits populated")
+    val d2 = (1L to 40L).map(i =>
+      (i, if (labels(i) == "x") "foo" else "bar")).toDF("doc_id", "text")
+    val r2 = graft.operators.CorpusStats.splitDivergence(
+      d2, "doc_id", "text", Seq("x" -> 0.5, "y" -> 0.5)).head()
+    assert(r2.getAs[Double]("jsd") == 0.693147, s"disjoint: $r2")
+    assert(r2.getAs[Long]("vocab_shared") == 0L)
+    // all-null text: zero tokens everywhere, no NaN terms, jsd 0
+    val d3 = (1L to 40L).map(i => (i, null: String)).toDF("doc_id", "text")
+    val r3 = graft.operators.CorpusStats.splitDivergence(
+      d3, "doc_id", "text", Seq("x" -> 0.5, "y" -> 0.5)).head()
+    assert(r3.getAs[Double]("jsd") == 0.0 && r3.getAs[Long]("tokens_a") == 0L)
+  }
+
   test("hot-bucket diagnostics: mega-cluster visible, clean corpus reports zero") {
     import spark.implicits._
     // 20 identical vectors = one mega-cluster colliding in every band
