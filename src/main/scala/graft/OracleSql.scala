@@ -773,6 +773,30 @@ d AS (SELECT
 SELECT * FROM ($rows) u ORDER BY split_a, split_b"""
   }
 
+  /** Zipf-fit twin (E76): identical top-k (freq DESC, token ASC), ranks
+    * from a window over those k rows, OLS moments via ROUND(·,12) →
+    * DECIMAL(38,12) sums, the same closed-form slope/intercept/r2. */
+  val zipfFit: String = {
+    def dsum(e: String, name: String) =
+      s"CAST(SUM(CAST(ROUND($e, 12) AS DECIMAL(38,12))) AS DOUBLE) AS $name"
+    s"""WITH f AS (SELECT t.x AS token, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM documents, UNNEST($wsToksLowerSql) t(x) GROUP BY 1
+  ORDER BY freq DESC, token ASC LIMIT 1000),
+r AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS BIGINT) AS rank, freq FROM f),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    ${dsum("LN(rank)", "sx")},
+    ${dsum("LN(freq)", "sy")},
+    ${dsum("LN(rank) * LN(freq)", "sxy")},
+    ${dsum("LN(rank) * LN(rank)", "sxx")},
+    ${dsum("LN(freq) * LN(freq)", "syy")}
+  FROM r)
+SELECT n,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+  ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m"""
+  }
+
   /** Corpus vocabulary top-100 by token frequency, (freq DESC, token ASC)
     * tie-break — twin of TextFunctions.vocabTopK. */
   val vocabTopK: String =

@@ -494,6 +494,9 @@ object SparkEntry {
         documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
     "vocab_topk" -> ((s, dir) =>
       TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
+    // Zipf rank-frequency OLS fit over the top-1000 vocabulary (E76)
+    "zipf_fit" -> ((s, dir) =>
+      graft.operators.CorpusStats.zipfFit(documents(s, dir), "text", 1000)),
     // Heaps-law curve: cumulative docs/tokens/distinct-vocab per id-decile
     "vocab_growth" -> ((s, dir) =>
       graft.operators.CorpusStats.vocabGrowth(
@@ -1108,6 +1111,7 @@ object SparkEntry {
     "tfidf_keywords" -> OracleSql.tfidfKeywords,
     "vocab_topk" -> OracleSql.vocabTopK,
     "vocab_growth" -> OracleSql.vocabGrowth,
+    "zipf_fit" -> OracleSql.zipfFit,
     "lang_id" -> OracleSql.langId,
     "mixture_stats" -> OracleSql.mixtureStats,
     "doc_fingerprint" -> OracleSql.docFingerprint,

@@ -187,4 +187,53 @@ object CorpusStats {
     }.toDF("split_a", "split_b", "tokens_a", "tokens_b",
       "vocab_a", "vocab_b", "vocab_shared", "jsd")
   }
+
+  /** Zipf rank-frequency fit (E76) — the companion to E71's Heaps curve:
+    * OLS fit of ln(freq) against ln(rank) over the top-`topK` vocabulary.
+    * Natural text sits near slope −1; a much flatter slope flags
+    * template/machine-generated corpora, a much steeper one a degenerate
+    * vocabulary — a single-row corpus health check.
+    *
+    * Scale shape: token frequencies are the one map-side-combined
+    * shuffle; the top-k cut is `TakeOrderedAndProject` (distributed, no
+    * global sort), ranks come from a window over just those k rows, and
+    * the OLS moments follow the decSum contract (per-row terms rounded
+    * to 12 dp, DECIMAL(38,12) sums) — order-independent and
+    * oracle-exact. Rank ties break (freq DESC, token ASC), the E22 rule. */
+  def zipfFit(
+      df: DataFrame, textCol: String, topK: Int = 1000): DataFrame = {
+    require(topK >= 2, s"need at least 2 ranks to fit, got $topK")
+    val freqs = df
+      .select(explode(
+        graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topK)
+    val ranked = freqs.select(
+      row_number().over(
+        Window.orderBy(col("freq").desc, col("token").asc)).as("rank"),
+      col("freq"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    def dsum(c: Column, name: String): Column =
+      sum(round(c, 12).cast(Dec12)).cast("double").as(name)
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(x, "sx"), dsum(y, "sy"), dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"), dsum(y * y, "syy"))
+      .select(
+        col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 6).as("intercept"),
+        round(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+            ((col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
 }

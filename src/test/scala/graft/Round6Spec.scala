@@ -93,6 +93,22 @@ class Round6Spec extends AnyFunSuite {
     assert(r3.getAs[Double]("jsd") == 0.0 && r3.getAs[Long]("tokens_a") == 0L)
   }
 
+  test("zipfFit: constructed 1/r corpus fits slope ~ -1 with high r2; empty corpus safe") {
+    import spark.implicits._
+    // token t_r appears floor(1000/r) times, r = 1..50 -> ln f = ln 1000 - ln r
+    val words = (1 to 50).flatMap(r => Seq.fill(1000 / r)(f"t$r%03d"))
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = graft.operators.CorpusStats.zipfFit(df, "text", 1000).head()
+    assert(row.getAs[Long]("n") == 50L)
+    val slope = row.getAs[Double]("slope")
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope")
+    assert(row.getAs[Double]("r2") > 0.999)
+    // all-null corpus: one row, n = 0, no crash
+    val empty = Seq((1L, null: String)).toDF("doc_id", "text")
+    val e = graft.operators.CorpusStats.zipfFit(empty, "text").head()
+    assert(e.getAs[Long]("n") == 0L)
+  }
+
   test("hot-bucket diagnostics: mega-cluster visible, clean corpus reports zero") {
     import spark.implicits._
     // 20 identical vectors = one mega-cluster colliding in every band
