@@ -423,12 +423,18 @@ object Dedup {
     * overall shingle Jaccard is low — contracts with swapped clauses,
     * code files sharing a license header plus real logic.
     *
-    * Similarity contract: fingerprints whose document frequency exceeds
-    * `maxHashFreq` are dropped from BOTH sides of the measure first
-    * (stop-fingerprint removal — ubiquitous boilerplate k-grams carry no
-    * resemblance signal, and they are exactly the keys whose pair fan-out
-    * is quadratic at 100 TB). Over the surviving per-document distinct
-    * fingerprint sets: exact Jaccard c/(nₐ+n_b−c), threshold-filtered.
+    * Similarity contract: STOP-FINGERPRINTS are dropped from BOTH sides
+    * of the measure first — any fingerprint whose document frequency
+    * exceeds `maxHashFreq` (or, by default, `docFreqFraction` of the
+    * corpus document count — the IDF rationale: a k-gram window present
+    * in >2% of all documents is corpus boilerplate, not resemblance
+    * signal). The cap is also the scale guard: candidate pairs are
+    * Σ df², so phrase-level boilerplate with df in the thousands is
+    * exactly what makes a shared-fingerprint join quadratic at 100 TB;
+    * a corpus-RELATIVE cap keeps the bound meaningful at any corpus
+    * size where a fixed absolute cap cannot. Over the surviving
+    * per-document distinct fingerprint sets: exact Jaccard
+    * c/(nₐ+n_b−c), threshold-filtered.
     *
     * Scale shape: the pair join carries (hash, id) longs only — text and
     * positions never shuffle; the hash-frequency cap bounds any key's
@@ -446,10 +452,17 @@ object Dedup {
       k: Int = 8,
       w: Int = 4,
       threshold: Double = 0.5,
-      maxHashFreq: Option[Int] = Some(5000)): DataFrame = {
+      maxHashFreq: Option[Int] = None,
+      docFreqFraction: Double = 0.02): DataFrame = {
+    // relative cap: one metadata-cheap count; mirror the oracle's
+    // CEIL(COUNT(*) * fraction) double algebra exactly
+    val cap = maxHashFreq.getOrElse {
+      val nDocs = df.count()
+      math.max(2L, math.ceil(nDocs * docFreqFraction).toLong).toInt
+    }
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("hash")).distinct()
-    val kept = capHotBuckets(fp, Seq("hash"), maxHashFreq)
+    val kept = capHotBuckets(fp, Seq("hash"), Some(cap))
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("nf"))
     val pairs = kept.select(col("id").as("id_a"), col("hash"))
       .join(kept.select(col("id").as("id_b"), col("hash")), Seq("hash"))
