@@ -196,4 +196,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected heap top-k, not global sort:\n$pB")
     assert(pB.contains("HashAggregate") && !pB.contains("SortAggregate"), s"\n$pB")
   }
+
+  test("winnow near-dup: hash-keyed equi-joins only, never a cartesian pair join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.winnowNearDup(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay hash-keyed:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+  }
+
+  test("domain report: text never joins — dup side reduces to hash counts first") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.CorpusStats.domainReport(
+      docs, "source", "lang", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"\n$p")
+    // both join inputs are aggregated relations: every join row carries the
+    // 64-hex hash or the domain, never the document text
+    assert(p.contains("HashAggregate"), s"\n$p")
+  }
+
+  test("zipf fit: heap top-k cut, no global sort of the vocabulary") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.CorpusStats.zipfFit(docs, "text"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected heap top-k, not global sort:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+  }
 }
