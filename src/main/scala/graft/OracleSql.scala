@@ -1192,6 +1192,52 @@ SELECT id_a, id_b, j AS jaccard FROM (
   FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) q
 WHERE j >= 0.5 ORDER BY id_a, id_b"""
 
+  /** Referential-integrity twin: per-key child counts, NOT EXISTS
+    * orphans, the same containment division + ROUND(·,6). */
+  val referentialIntegrity: String = {
+    def rel(child: String, ck: String, parent: String, pk: String) = {
+      val name = s"$child.$ck->$parent.$pk"
+      s"""SELECT '$name' AS relation, n_rows, n_null, n_keys, n_orphan_keys, n_orphan_rows,
+  CASE WHEN n_rows > n_null THEN ROUND((n_rows - n_null - n_orphan_rows) * 1.0 / (n_rows - n_null), 6) END AS containment
+FROM (
+  SELECT CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_rows,
+    CAST(COALESCE(SUM(CASE WHEN k IS NULL THEN cnt END), 0) AS BIGINT) AS n_null,
+    CAST(COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT) AS n_keys
+  FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) kc) tot,
+(
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphan_keys,
+    CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS n_orphan_rows
+  FROM (SELECT $ck AS k, COUNT(*) AS cnt FROM $child GROUP BY 1) kc
+  WHERE k IS NOT NULL AND NOT EXISTS (
+    SELECT 1 FROM $parent p WHERE p.$pk = kc.k)) orph"""
+    }
+    s"""SELECT * FROM (
+${rel("lineitem", "l_orderkey", "orders", "o_orderkey")}
+UNION ALL
+${rel("orders", "o_custkey", "customer", "c_custkey")}) u ORDER BY relation"""
+  }
+
+  /** Candidate-key twin: per-combo DISTINCT counts over fully-non-null
+    * tuples (the multi-arg count_distinct semantics), same distinctness
+    * division + ROUND(·,6), same is_key rule. */
+  val candidateKeys: String = {
+    def combo(cols: Seq[String]) = {
+      val nn = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+      val anyN = cols.map(c => s"$c IS NULL").mkString(" OR ")
+      val list = cols.mkString(", ")
+      s"""SELECT '${cols.mkString(",")}' AS key_cols,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT $list FROM orders WHERE $nn) x) AS n_distinct,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE $anyN) AS n_with_null"""
+    }
+    val combos = Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
+      Seq("o_custkey", "o_orderdate"))
+    s"""SELECT key_cols, n_rows, n_distinct, n_with_null,
+  CASE WHEN n_rows > 0 THEN ROUND(n_distinct * 1.0 / n_rows, 6) END AS distinctness,
+  (n_with_null = 0 AND n_distinct = n_rows AND n_rows > 0) AS is_key
+FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
+  }
+
   /** Key-skew twin: frequency relation + single-row reduction; hottest key
     * = MIN key among max-frequency keys (the struct-argmin rule). */
   val keySkew: String =

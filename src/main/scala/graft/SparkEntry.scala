@@ -642,6 +642,27 @@ object SparkEntry {
     "winnow_near_dup" -> ((s, dir) =>
       Dedup.winnowNearDup(documents(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // cross-table referential-integrity profile over the star schema's
+    // two fact edges (key relations only — payloads never shuffle)
+    "referential_integrity" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      graft.profiler.Integrity
+        .referential(li, "l_orderkey", ord, "o_orderkey",
+          "lineitem.l_orderkey->orders.o_orderkey")
+        .unionByName(graft.profiler.Integrity
+          .referential(ord, "o_custkey", cust, "c_custkey",
+            "orders.o_custkey->customer.c_custkey"))
+        .orderBy("relation")
+    }),
+    // exact candidate-key screen over orders column combos (one Expand pass)
+    "candidate_keys" -> ((s, dir) =>
+      graft.profiler.Integrity.candidateKeys(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
+          Seq("o_custkey", "o_orderdate")))
+        .orderBy("key_cols")),
     // join-key skew diagnostic on the orders→customer key
     "key_skew" -> ((s, dir) =>
       graft.profiler.Checks.keySkew(
@@ -1132,6 +1153,8 @@ object SparkEntry {
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
     "winnow_near_dup" -> OracleSql.winnowNearDup,
     "domain_stats" -> OracleSql.domainStats,
+    "referential_integrity" -> OracleSql.referentialIntegrity,
+    "candidate_keys" -> OracleSql.candidateKeys,
     "split_divergence" -> OracleSql.splitDivergence,
     "key_skew" -> OracleSql.keySkew,
     "url_normalize" -> OracleSql.urlNormalize,

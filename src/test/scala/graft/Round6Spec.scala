@@ -109,6 +109,46 @@ class Round6Spec extends AnyFunSuite {
     assert(e.getAs[Long]("n") == 0L)
   }
 
+  test("referential: orphans, null keys excluded from containment, perfect edge = 1.0") {
+    import spark.implicits._
+    val child = Seq(
+      (Some(1L), "a"), (Some(1L), "b"), (Some(2L), "c"),
+      (Some(9L), "orphan1"), (Some(9L), "orphan2"), (None: Option[Long], "nullkey")
+    ).toDF("fk", "payload")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val r = graft.profiler.Integrity
+      .referential(child, "fk", parent, "pk", "t").head()
+    assert(r.getAs[Long]("n_rows") == 6L && r.getAs[Long]("n_null") == 1L)
+    assert(r.getAs[Long]("n_keys") == 3L)
+    assert(r.getAs[Long]("n_orphan_keys") == 1L && r.getAs[Long]("n_orphan_rows") == 2L)
+    // containment over non-null rows: (5 - 2) / 5
+    assert(r.getAs[Double]("containment") == 0.6)
+    // all-null child: containment null, zero orphans
+    val nullChild = Seq((None: Option[Long], "x")).toDF("fk", "payload")
+    val rn = graft.profiler.Integrity
+      .referential(nullChild, "fk", parent, "pk", "t").head()
+    assert(rn.isNullAt(rn.fieldIndex("containment")))
+    assert(rn.getAs[Long]("n_orphan_rows") == 0L)
+  }
+
+  test("candidateKeys: unique non-null combo is a key; nulls disqualify; combo widens") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(2L), Some("x")),
+      (Some(3L), None: Option[String]), (Some(3L), Some("y"))
+    ).toDF("a", "b")
+    val out = graft.profiler.Integrity
+      .candidateKeys(df, Seq(Seq("a"), Seq("b"), Seq("a", "b")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out("a").getAs[Boolean]("is_key"), "a repeats (3,3)")
+    assert(!out("b").getAs[Boolean]("is_key"), "b has a null")
+    assert(out("b").getAs[Long]("n_with_null") == 1L)
+    // (a,b) tuples among fully-non-null rows are unique, but a null row
+    // exists -> not total -> not a key; distinct counts still reported
+    val ab = out("a,b")
+    assert(ab.getAs[Long]("n_distinct") == 3L && !ab.getAs[Boolean]("is_key"))
+  }
+
   test("hot-bucket diagnostics: mega-cluster visible, clean corpus reports zero") {
     import spark.implicits._
     // 20 identical vectors = one mega-cluster colliding in every band
