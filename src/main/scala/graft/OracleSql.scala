@@ -1507,6 +1507,9 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
 
   val simhashAudit: String = allTrue(Seq("pairs_equal_bruteforce"))
 
+  val deflateAudit: String =
+    allTrue(Seq("bounds_hold", "deterministic", "doubling_compresses"))
+
   val annLshAudit: String =
     allTrue(Seq("cos_exact_recompute", "rank_dominance", "ranks_in_bruteforce"))
 

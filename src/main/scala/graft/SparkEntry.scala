@@ -908,6 +908,33 @@ object SparkEntry {
         Seq(("pairs_equal_bruteforce", diff == 0L)).toDF("property", "ok")
       } finally { sig.unpersist(); () }
     }),
+    // E72: zlib output lengths are implementation-defined (hence no value
+    // oracle), but three invariants are guaranteed: lengths stay within
+    // the deflate worst-case bound, re-evaluating is bit-identical, and
+    // doubling a text adds at most a back-reference's worth of bytes
+    // (the LZ77 window property the quality signal rests on).
+    "deflate_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.Compress.register(s)
+      val docs = documents(s, dir).where(col("text").isNotNull)
+      val d1 = docs.select(
+        col("doc_id"), expr("deflate_len(text)").as("a"),
+        octet_length(col("text")).cast("long").as("n"))
+      val d2 = docs.select(col("doc_id"), expr("deflate_len(text)").as("b"))
+      val boundsBad = d1.where(
+        col("a") < 1 || col("a") > col("n") + col("n") / 100 + 64).count()
+      val detBad = d1.join(d2, Seq("doc_id"))
+        .where(col("a") =!= col("b")).count()
+      val lzBad = docs.where(octet_length(col("text")).between(1, 32768))
+        .select(expr("deflate_len(text)").as("single"),
+          expr("deflate_len(concat(text, text))").as("doubled"))
+        .where(col("doubled") > col("single") + 64).count()
+      Seq(
+        ("bounds_hold", boundsBad == 0L),
+        ("deterministic", detBad == 0L),
+        ("doubling_compresses", lzBad == 0L))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // E7: recall < 1 by design, but three invariants are exact: the i-th
     // best LSH cosine can never exceed the i-th best brute-force cosine
     // (a sorted subset is pointwise dominated), every LSH rank must exist
@@ -1174,6 +1201,7 @@ object SparkEntry {
     "approx_error_audit" -> OracleSql.approxErrorAudit,
     "minhash_audit" -> OracleSql.minhashAudit,
     "simhash_audit" -> OracleSql.simhashAudit,
+    "deflate_audit" -> OracleSql.deflateAudit,
     "ann_lsh_audit" -> OracleSql.annLshAudit,
     "kll_rank_audit" -> OracleSql.kllRankAudit,
     "sink_roundtrip_audit" -> OracleSql.sinkRoundtripAudit,
