@@ -1238,6 +1238,80 @@ ${rel("orders", "o_custkey", "customer", "c_custkey")}) u ORDER BY relation"""
 FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
   }
 
+  /** Mutual-information twin (E80): per pair, joint-count CTE over
+    * complete rows, marginals as windows over the joint relation, the
+    * (c/n)·ln((n·c)/(cx·cy)) term in all-double algebra, ROUND(·,12) →
+    * DECIMAL(38,12) sums, final ROUND(·,6) — Spark's exact order. */
+  def mutualInfo(pairs: Seq[(String, String)], from: String = T): String = {
+    val selects = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(SUM(c) AS BIGINT) AS n_joint,
+  ROUND(CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LN((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS mi
+FROM (
+  SELECT c, SUM(c) OVER (PARTITION BY x) AS cx, SUM(c) OVER (PARTITION BY y) AS cy, SUM(c) OVER () AS n
+  FROM (SELECT CAST($a AS VARCHAR) AS x, CAST($b AS VARCHAR) AS y, COUNT(*) AS c
+        FROM $from WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) j) m"""
+    }
+    selects.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+  }
+
+  /** Inferred-type histogram twin (E81): the same derived string columns,
+    * anchored-RE2 classification CASE slots in one grouped CTE, per-column
+    * UNION ALL unpivot with the identical promotion rule. */
+  val inferredTypes: String = {
+    val cols = Seq("id_str", "bal_str", "pos_str", "seg_null", "mixed")
+    val b = "^(true|false)$"
+    val i = "^[-+]?[0-9]+$"
+    val f = "^[-+]?([0-9]*\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$"
+    def cnt(c: String, cond: String, as: String) =
+      s"CAST(COUNT(CASE WHEN $cond THEN 1 END) AS BIGINT) AS $as"
+    val slots = cols.flatMap { c =>
+      Seq(
+        cnt(c, s"regexp_matches($c, '$b')", s"b_$c"),
+        cnt(c, s"regexp_matches($c, '$i')", s"i_$c"),
+        cnt(c, s"regexp_matches($c, '$f')", s"f_$c"),
+        cnt(c, s"$c IS NOT NULL AND NOT regexp_matches($c, '$b') AND NOT " +
+          s"regexp_matches($c, '$i') AND NOT regexp_matches($c, '$f')",
+          s"s_$c"),
+        cnt(c, s"$c IS NULL", s"u_$c"))
+    }
+    val rows = cols.map { c =>
+      val nn = s"(b_$c + i_$c + f_$c + s_$c)"
+      s"""SELECT '$c' AS instance,
+  CASE WHEN $nn = 0 THEN 'Unknown'
+       WHEN b_$c = $nn THEN 'Boolean'
+       WHEN i_$c = $nn THEN 'Integral'
+       WHEN i_$c + f_$c = $nn THEN 'Fractional'
+       ELSE 'String' END AS inferred_type,
+  n_rows, b_$c AS n_boolean, i_$c AS n_integral, f_$c AS n_fractional,
+  s_$c AS n_string, u_$c AS n_null FROM g"""
+    }
+    s"""WITH src AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS id_str,
+         CAST(c_acctbal AS VARCHAR) AS bal_str,
+         CAST(c_acctbal > 0 AS VARCHAR) AS pos_str,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN NULL ELSE c_mktsegment END AS seg_null,
+         CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey AS VARCHAR) ELSE c_mktsegment END AS mixed
+  FROM customer),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, ${slots.mkString(", ")} FROM src)
+SELECT * FROM (
+${rows.mkString("\nUNION ALL\n")}) u ORDER BY instance"""
+  }
+
+  /** Segmented-completeness twin (E79): one grouped CTE of per-column
+    * non-null counts, unpivoted per column, same ROUND(·,6) division. */
+  val segmentedCompleteness: String = {
+    val cols = Seq("event_id", "ts", "user_id", "value", "props")
+    val nn = cols.map(c => s"CAST(COUNT($c) AS BIGINT) AS nn_$c").mkString(", ")
+    val rows = cols.map(c =>
+      s"SELECT segment, '$c' AS instance, n_rows, n_rows - nn_$c AS n_null, " +
+        s"ROUND(nn_$c * 1.0 / n_rows, 6) AS completeness FROM g")
+      .mkString("\nUNION ALL\n")
+    s"""WITH g AS (
+  SELECT CAST(event_type AS VARCHAR) AS segment, CAST(COUNT(*) AS BIGINT) AS n_rows, $nn
+  FROM events GROUP BY 1)
+SELECT * FROM ($rows) u ORDER BY segment, instance"""
+  }
+
   /** Key-skew twin: frequency relation + single-row reduction; hottest key
     * = MIN key among max-frequency keys (the struct-argmin rule). */
   val keySkew: String =

@@ -663,6 +663,35 @@ object SparkEntry {
         Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
           Seq("o_custkey", "o_orderdate")))
         .orderBy("key_cols")),
+    // inferred-type histogram over string-typed landing-zone columns (E81)
+    "inferred_types" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet").select(
+        col("c_custkey").cast("string").as("id_str"),
+        col("c_acctbal").cast("string").as("bal_str"),
+        (col("c_acctbal") > lit(0)).cast("string").as("pos_str"),
+        when(col("c_mktsegment") === "BUILDING", lit(null))
+          .otherwise(col("c_mktsegment")).as("seg_null"),
+        when(col("c_custkey") % 3 === 0, col("c_custkey").cast("string"))
+          .otherwise(col("c_mktsegment")).as("mixed"))
+      graft.profiler.TypeInference.inferredTypes(
+        c, Seq("id_str", "bal_str", "pos_str", "seg_null", "mixed"))
+        .orderBy("instance")
+    }),
+    // pairwise mutual information over the categorical columns (E80)
+    "mutual_info" -> ((s, dir) =>
+      graft.profiler.MutualInfo.pairs(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
+        .orderBy("col_a", "col_b")),
+    // per-segment completeness: the null profile whole-table averages hide
+    "segmented_completeness" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.profiler.Checks.segmentedCompleteness(
+        s.read.parquet(s"$dir/events.parquet"), "event_type",
+        Seq("event_id", "ts", "user_id", "value", "props"))
+        .orderBy("segment", "instance")
+    }),
     // join-key skew diagnostic on the orders→customer key
     "key_skew" -> ((s, dir) =>
       graft.profiler.Checks.keySkew(
@@ -1181,6 +1210,12 @@ object SparkEntry {
     "winnow_near_dup" -> OracleSql.winnowNearDup,
     "domain_stats" -> OracleSql.domainStats,
     "referential_integrity" -> OracleSql.referentialIntegrity,
+    "segmented_completeness" -> OracleSql.segmentedCompleteness,
+    "inferred_types" -> OracleSql.inferredTypes,
+    "mutual_info" -> OracleSql.mutualInfo(
+      Seq(("o_orderstatus", "o_orderpriority"),
+        ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")),
+      from = "orders"),
     "candidate_keys" -> OracleSql.candidateKeys,
     "split_divergence" -> OracleSql.splitDivergence,
     "key_skew" -> OracleSql.keySkew,

@@ -312,4 +312,37 @@ object Checks {
         (-col("best.nc")).as("hot_freq"),
         col("keys_f1"), col("keys_f2_9"), col("keys_f10_99"), col("keys_f100p"))
   }
+
+  /** Segmented completeness (E79) — Deequ's whole-table Completeness
+    * (N1) broken out per segment: a column that is 99.9% complete
+    * overall but 0% complete for one `event_type` / region / tenant is
+    * the classic upstream-pipeline breakage whole-table profiling
+    * averages away.
+    *
+    * ONE map-side-combined groupBy(segment) computes every column's
+    * non-null count (codegen'd conditional-count slots, the E48 funnel
+    * shape — no per-column scans); the unpivot to
+    * (segment, instance, n_rows, n_null, completeness) runs over the
+    * segment-sized aggregate, not the data. Null segment values form
+    * their own segment (both engines' GROUP BY semantics). */
+  def segmentedCompleteness(
+      df: org.apache.spark.sql.DataFrame, segCol: String,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.map(c => count(col(c)).as(s"nn_$c"))
+    val g = df.groupBy(col(segCol).cast("string").as("segment"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = lit(cols.size) +:
+      cols.flatMap(c => Seq(lit(c), col(s"nn_$c")))
+    g.select(col("segment"), col("n_rows"),
+        stack(stackArgs: _*).as(Seq("instance", "nn")))
+      .select(
+        col("segment"), col("instance"), col("n_rows"),
+        (col("n_rows") - col("nn")).as("n_null"),
+        round(col("nn").cast(DoubleType) * lit(1.0) /
+          col("n_rows").cast(DoubleType), 6).as("completeness"))
+  }
 }

@@ -1,0 +1,72 @@
+package graft.profiler
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataTypes, DoubleType, LongType}
+
+/** Pairwise mutual information across categorical columns — the
+  * MutualInformation analyzer of the Deequ family the reference's battery
+  * stops short of (reference Profiler.scala:333-348 ends at
+  * StandardDeviation), and the natural next step after [[Correlation]]:
+  * Pearson sees only linear numeric association, MI catches ANY
+  * dependence between discrete columns (ship mode ↔ ship instruction,
+  * status ↔ priority), in nats.
+  *
+  * Semantics: pairwise-complete (a pair's table counts exactly the rows
+  * where BOTH columns are non-null), MI(X,Y) = Σ_{x,y} p(x,y) ·
+  * ln(p(x,y) / (p(x)·p(y))) computed from counts as
+  * (c_xy/n) · ln((n·c_xy)/(c_x·c_y)).
+  *
+  * Scale shape: ONE explode of a |pairs|-sized struct array collapses
+  * map-side (partial_count) to the joint-frequency relation — the only
+  * shuffle touching row data, keyed (pair, x, y), output bounded by joint
+  * cardinality, not row count. Marginals and totals are windows OVER THAT
+  * relation (metadata-sized); per-term products run in double from the
+  * start (n·c and c_x·c_y as double·double), so no 64-bit overflow at any
+  * row count. Each term is rounded to 12 dp and summed as DECIMAL(38,12)
+  * (the engine-wide decSum contract) — partition-order independent, and
+  * mirrored verbatim by the DuckDB oracle. Empty pairs (no complete rows)
+  * surface as a row with null n/mi, exactly like the oracle's aggregate
+  * over an empty set. */
+object MutualInfo {
+
+  private val Dec12 = DataTypes.createDecimalType(38, 12)
+
+  def pairs(dfIn: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column pair")
+    val spark = dfIn.sparkSession
+    import spark.implicits._
+    // single-row-group sources would serialize the partial phase of the
+    // joint-count shuffle — the ScanMetrics.spread Expand-pass rationale
+    val df = ScanMetrics.spread(dfIn)
+    val entries = cols.zipWithIndex.map { case ((a, b), i) =>
+      when(col(a).isNotNull && col(b).isNotNull,
+        struct(lit(i).as("pid"),
+          col(a).cast("string").as("x"), col(b).cast("string").as("y")))
+    }
+    val joint = df
+      .select(explode(array(entries: _*)).as("e"))
+      .where(col("e").isNotNull)
+      .groupBy(col("e.pid").as("pid"), col("e.x").as("x"), col("e.y").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val byPid = Window.partitionBy("pid")
+    val m = joint
+      .withColumn("cx", sum("c").over(Window.partitionBy("pid", "x")))
+      .withColumn("cy", sum("c").over(Window.partitionBy("pid", "y")))
+      .withColumn("n", sum("c").over(byPid))
+    // counts → double up front: identical double algebra on the oracle
+    // side, and no 64-bit product overflow however large n grows
+    val term = (col("c").cast(DoubleType) / col("n").cast(DoubleType)) *
+      log((col("n").cast(DoubleType) * col("c").cast(DoubleType)) /
+        (col("cx").cast(DoubleType) * col("cy").cast(DoubleType)))
+    val agg = m.groupBy("pid").agg(
+      sum("c").cast(LongType).as("n_joint"),
+      round(sum(round(term, 12).cast(Dec12)).cast(DoubleType), 6).as("mi"))
+    val lookup = cols.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("pid", "col_a", "col_b")
+    broadcast(lookup).join(agg, Seq("pid"), "left")
+      .select(col("col_a"), col("col_b"), col("n_joint"), col("mi"))
+  }
+}

@@ -598,6 +598,81 @@ class Round6Spec extends AnyFunSuite {
     assert(out == expected)
   }
 
+  test("segmentedCompleteness: per-segment nulls surface; null segment is its own group") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1), Option("x")),
+      (Option("a"), Option(2), Option.empty[String]),
+      (Option("b"), Option.empty[Int], Option("y")),
+      (Option.empty[String], Option(3), Option("z"))
+    ).toDF("seg", "v", "t")
+    val out = graft.profiler.Checks
+      .segmentedCompleteness(df, "seg", Seq("v", "t"))
+      .collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // segment a: 2 rows, v complete, t half-null
+    assert(out((Some("a"), "v")) == ((2L, 0L, 1.0)))
+    assert(out((Some("a"), "t")) == ((2L, 1L, 0.5)))
+    // segment b: v fully null — the breakage whole-table averages hide
+    assert(out((Some("b"), "v")) == ((1L, 1L, 0.0)))
+    // null segment forms its own group
+    assert(out((None, "v")) == ((1L, 0L, 1.0)))
+    assert(out.size == 6)
+  }
+
+  test("mutualInfo: dependence ln2, independence 0, nulls excluded, empty pair null row") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1), Option.empty[String]),
+      (Option("a"), Option(1), Option.empty[String]),
+      (Option("b"), Option(2), Option.empty[String]),
+      (Option("b"), Option(2), Option.empty[String]),
+      (Option.empty[String], Option(9), Option.empty[String]),
+      (Option("a"), Option.empty[Int], Option.empty[String])
+    ).toDF("x", "y", "z")
+    val out = graft.profiler.MutualInfo
+      .pairs(df, Seq(("x", "y"), ("x", "z")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((Option(r.get(2)), Option(r.get(3))))).toMap
+    // x fully determines y over the 4 complete rows: MI = ln 2
+    val (nxy, mixy) = out(("x", "y"))
+    assert(nxy.contains(4L))
+    assert(math.abs(mixy.get.asInstanceOf[Double] - 0.693147) < 1e-6)
+    // z is all-null: empty pair surfaces with null n and null mi
+    assert(out(("x", "z")) == ((None, None)))
+  }
+
+  test("mutualInfo: independent columns give exactly 0") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val mi = graft.profiler.MutualInfo.pairs(df, Seq(("x", "y")))
+      .collect()(0).getDouble(3)
+    assert(mi == 0.0)
+  }
+
+  test("inferredTypes: promotion rule over all five classes") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("true"), Option("1"), Option("1.5"), Option("x"), Option.empty[String]),
+      (Option("false"), Option("-2"), Option("2."), Option("1"), Option.empty[String]),
+      (Option("true"), Option("+3"), Option("3"), Option("y"), Option.empty[String]),
+      (Option.empty[String], Option("4"), Option("-0.25e2"), Option("z"), Option.empty[String])
+    ).toDF("b", "i", "f", "s", "u")
+    val out = graft.profiler.TypeInference
+      .inferredTypes(df, Seq("b", "i", "f", "s", "u"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("b").getString(1) == "Boolean" && out("b").getLong(7) == 1L)
+    assert(out("i").getString(1) == "Integral")
+    // mixed integral+fractional promotes to Fractional ("1e3" without a
+    // dot would NOT match the fractional pattern — "-0.25e2" does)
+    assert(out("f").getString(1) == "Fractional" && out("f").getLong(4) == 1L)
+    assert(out("s").getString(1) == "String")
+    assert(out("u").getString(1) == "Unknown" && out("u").getLong(7) == 4L)
+    assert(out.values.forall(_.getLong(2) == 4L))
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
