@@ -500,6 +500,25 @@ SELECT doc_id, n_tokens,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_tokens AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** Bigram-LM twin (E83): same tokenization, positions via
+    * generate_subscripts, adjacent-position self-join to form bigrams,
+    * Laplace counts in integer algebra, the LN at the same double
+    * division, ROUND(·,12) → DECIMAL(38,12) per-doc sums. */
+  val bigramLm: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM words),
+big AS (SELECT a.doc_id, a.t AS w1, b.t AS w2 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(cb) AS cw FROM bc GROUP BY 1),
+voc AS (SELECT COUNT(DISTINCT t) AS v FROM tok),
+lp AS (SELECT doc_id, CAST(ROUND(LN(CAST(cb + 1 AS DOUBLE) / CAST(cw + v AS DOUBLE)), 12) AS DECIMAL(38,12)) AS lp
+       FROM big JOIN bc USING (w1, w2) JOIN ctx USING (w1), voc),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, SUM(lp) AS slp FROM lp GROUP BY 1)
+SELECT doc_id, n_bigrams,
+  ROUND(CAST(slp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob,
+  ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
+FROM agg ORDER BY doc_id"""
+
   /** TF-IDF keyword twin: same tokenization, tf·ln(N/df) with
     * CAST-to-DOUBLE math, (score DESC, token ASC) rank tie-break. */
   val tfidfKeywords: String =
@@ -1236,6 +1255,19 @@ ${rel("orders", "o_custkey", "customer", "c_custkey")}) u ORDER BY relation"""
   CASE WHEN n_rows > 0 THEN ROUND(n_distinct * 1.0 / n_rows, 6) END AS distinctness,
   (n_with_null = 0 AND n_distinct = n_rows AND n_rows > 0) AS is_key
 FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
+  }
+
+  /** Per-group exact-quantile twin (E82): one GROUP BY with
+    * QUANTILE_CONT per percentile — the interpolation contract already
+    * hash-proven whole-table by `quantiles_exact`. */
+  def groupedQuantiles(
+      groupCol: String, valueCol: String, ps: Seq[Double],
+      from: String): String = {
+    val qs = ps.map(p =>
+      s"ROUND(QUANTILE_CONT($valueCol, $p), 6) AS p${(p * 100).round}")
+      .mkString(", ")
+    s"SELECT $groupCol, CAST(COUNT($valueCol) AS BIGINT) AS n, $qs " +
+      s"FROM $from GROUP BY $groupCol ORDER BY $groupCol"
   }
 
   /** Mutual-information twin (E80): per pair, joint-count CTE over

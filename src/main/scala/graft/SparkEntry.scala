@@ -453,6 +453,11 @@ object SparkEntry {
       graft.operators.LangModel.unigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // add-1 bigram LM: word-salad scores badly even when unigrams look fine
+    "bigram_lm" -> ((s, dir) =>
+      graft.operators.LangModel.bigramScore(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Gopher-style repetition filters: duplicate-token fraction and
     // most-common-bigram share per document
     "repetition_metrics" -> ((s, dir) =>
@@ -663,6 +668,12 @@ object SparkEntry {
         Seq(Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
           Seq("o_custkey", "o_orderdate")))
         .orderBy("key_cols")),
+    // per-domain doc-length percentile table (E82)
+    "grouped_quantiles" -> ((s, dir) =>
+      graft.profiler.RobustStats.groupedQuantiles(
+        documents(s, dir), "source", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("source")),
     // inferred-type histogram over string-typed landing-zone columns (E81)
     "inferred_types" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(
@@ -1182,6 +1193,7 @@ object SparkEntry {
     "doc_chunks" -> OracleSql.docChunks,
     "text_quality" -> OracleSql.textQuality,
     "lm_quality" -> OracleSql.lmQuality,
+    "bigram_lm" -> OracleSql.bigramLm,
     "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
     "bm25_topk" -> OracleSql.bm25TopK,
@@ -1212,6 +1224,9 @@ object SparkEntry {
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,
     "inferred_types" -> OracleSql.inferredTypes,
+    "grouped_quantiles" -> OracleSql.groupedQuantiles(
+      "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+      from = "documents"),
     "mutual_info" -> OracleSql.mutualInfo(
       Seq(("o_orderstatus", "o_orderpriority"),
         ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")),

@@ -50,4 +50,58 @@ object LangModel {
         round(exp(-(col("slp").cast("double") / col("n_tokens").cast("double"))), 6)
           .as("perplexity"))
   }
+
+  /** Bigram-LM quality scoring (E83): per-document mean bigram
+    * log-probability and perplexity under a Laplace-smoothed (add-1)
+    * bigram model trained on the corpus itself — one order up from
+    * [[unigramScore]], so word-salad documents whose unigram profile
+    * looks fluent (common words, wrong order) finally score badly:
+    * P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}·) + V), with V
+    * the full corpus vocabulary.
+    *
+    * Scale shape: bigram construction is MAP-SIDE (per-row transform over
+    * the token array — no self-join, no window, no shuffle to form
+    * pairs); model counts are two map-side-combined hash aggs (shuffle ∝
+    * distinct bigrams, then distinct contexts); V is a 1-row aggregate
+    * broadcast via cross join; scoring joins the exploded bigram stream
+    * to the count relations on equi-keys (no payloads). Smoothed
+    * numerator/denominator stay in exact integer arithmetic until the
+    * final double division; per-bigram addends quantize to
+    * DECIMAL(38,12) (decSum contract) so the per-doc reduction is
+    * partition-order independent. Documents with fewer than two tokens
+    * have no transitions and are omitted, like [[unigramScore]]'s
+    * empty-token rule. */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(
+      col(idCol).as("id"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("w"))
+    val bigrams = words
+      .where(size(col("w")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val contextCounts = bigramCounts.groupBy("w1").agg(sum("cb").as("cw"))
+    val vocabSize = words
+      .select(explode(col("w")).as("t")).agg(countDistinct("t").as("v"))
+    val logp = round(
+      log((col("cb") + lit(1)).cast("double") /
+        (col("cw") + col("v")).cast("double")), 12)
+      .cast(DecimalType(38, 12))
+    bigrams
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(contextCounts, Seq("w1"))
+      .crossJoin(broadcast(vocabSize))
+      .select(col("id"), logp.as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .select(
+        col("id"),
+        col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams").cast("double"), 6)
+          .as("avg_logprob"),
+        round(exp(-(col("slp").cast("double") / col("n_bigrams").cast("double"))), 6)
+          .as("perplexity"))
+  }
 }

@@ -111,4 +111,32 @@ object RobustStats {
     rows.toDF("instance", "name", "value")
       .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
   }
+
+  /** Per-group exact quantiles (E82) — the per-domain length/quality
+    * percentile table (p50/p95 doc length per source, score quartiles per
+    * language) that whole-table quantiles (N8) and per-domain MEANS (E74)
+    * both miss: curation cutoffs are set per source, and a domain whose
+    * p99 length is 100× its p50 needs different chunking than a uniform
+    * one.
+    *
+    * ONE groupBy(group) pass: Spark's exact `percentile` aggregate
+    * (interpolating, the N8-twin contract already hash-proven against
+    * DuckDB's QUANTILE_CONT) carries a per-group value buffer, so memory
+    * is bounded by per-group DISTINCT values — right for metadata-sized
+    * value domains (lengths, scores). At 100 TB with adversarial group
+    * counts the documented scale path is the same battery over KLL
+    * sketches (graft_kll_merge_agg, E19) — approximate per-group
+    * quantiles, this exact pass as the spot-verifier. Null group values
+    * form their own group; null values are ignored by both engines'
+    * quantile aggregates. */
+  def groupedQuantiles(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles must be in [0, 1]")
+    val aggs = count(col(valueCol)).as("n") +: ps.map(p =>
+      round(percentile(col(valueCol), lit(p)), 6)
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -673,6 +673,42 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("bigramScore: hand-computed Laplace model; sub-2-token docs omitted") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
+    val out = graft.operators.LangModel.bigramScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // V=3 (a,b,x); cb(a,b)=2, cb(b,a)=2; cw(a)=cw(b)=2 — every transition
+    // scores ln((2+1)/(2+3)) = ln(0.6)
+    val lp = math.rint(math.log(0.6) * 1e6) / 1e6
+    assert(out(1L)._1 == 3L && math.abs(out(1L)._2 - lp) < 1e-9)
+    assert(math.abs(out(1L)._3 - 1.666667) < 1e-6)
+    assert(out(2L)._1 == 1L)
+    // "x" has no transitions: omitted entirely
+    assert(!out.contains(3L))
+  }
+
+  test("groupedQuantiles: interpolation, null values ignored, null group kept") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), Option(1.0)), (Option("a"), Option(2.0)),
+      (Option("a"), Option(3.0)), (Option("a"), Option(4.0)),
+      (Option("a"), Option.empty[Double]),
+      (Option("b"), Option(10.0)),
+      (Option.empty[String], Option(7.0))
+    ).toDF("g", "v")
+    val out = graft.profiler.RobustStats
+      .groupedQuantiles(df, "g", "v", Seq(0.5, 0.9))
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // group a: values 1..4 (null ignored), p50 interpolates to 2.5,
+    // p90 to 1 + 0.9*3 = 3.7
+    assert(out(Some("a")) == ((4L, 2.5, 3.7)))
+    assert(out(Some("b")) == ((1L, 10.0, 10.0)))
+    assert(out(None) == ((1L, 7.0, 7.0)))
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
