@@ -223,4 +223,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected heap top-k, not global sort:\n$p")
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
   }
+
+  test("mutual information: joint counts hash-aggregate; pair lookup broadcasts") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val p = plan(graft.profiler.MutualInfo.pairs(
+      orders, Seq(("o_orderstatus", "o_orderpriority"))))
+    // the only row-data reduction is the map-side-combined joint count
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+    // the (pid, col_a, col_b) lookup must never shuffle the metrics side
+    assert(p.contains("BroadcastHashJoin"), s"pair lookup must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"\n$p")
+  }
+
+  test("inferred types: one global agg, pruned scan, no row-data shuffle") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_name").as("a"), col("c_mktsegment").as("b"))
+    val df = graft.profiler.TypeInference.inferredTypes(cust, Seq("a", "b"))
+    val p = plan(df)
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+    // the only Exchange is the single-partition gather of partial agg rows
+    assert(p.contains("SinglePartition"), s"\n$p")
+    assert(p.contains("ReadSchema: struct<c_name:string,c_mktsegment:string>"),
+      s"expected pruned scan:\n$p")
+  }
+
+  test("bigram LM: map-side pair construction — no self-join or window before counting") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.LangModel.bigramScore(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("Window"), s"bigrams must come from the token array, not a window:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+  }
 }
