@@ -519,6 +519,20 @@ SELECT doc_id, n_bigrams,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** Vocabulary-coverage twin (E84): same tokenization, top-k vocab under
+    * the (freq DESC, token ASC) total order, LEFT JOIN membership test,
+    * per-doc OOV counts and ROUND(·,6) rate. */
+  def vocabCoverage(k: Int): String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t FROM words),
+vocab AS (SELECT t FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1 ORDER BY c DESC, t ASC LIMIT $k)),
+per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(CASE WHEN v.t IS NULL THEN 1 END) AS BIGINT) AS n_oov
+        FROM tok LEFT JOIN vocab v ON tok.t = v.t GROUP BY 1)
+SELECT doc_id, n_tokens, n_oov,
+  ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+FROM per ORDER BY doc_id"""
+
   /** TF-IDF keyword twin: same tokenization, tf·ln(N/df) with
     * CAST-to-DOUBLE math, (score DESC, token ASC) rank tie-break. */
   val tfidfKeywords: String =
@@ -1268,6 +1282,27 @@ FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
       .mkString(", ")
     s"SELECT $groupCol, CAST(COUNT($valueCol) AS BIGINT) AS n, $qs " +
       s"FROM $from GROUP BY $groupCol ORDER BY $groupCol"
+  }
+
+  /** Pattern-match compliance twin (E85): same unanchored regexp_matches
+    * search, per-spec COUNT CASE slots in one CTE, UNION ALL unpivot. */
+  def patternMatch(
+      specs: Seq[(String, String, String)], from: String): String = {
+    val slots = specs.zipWithIndex.flatMap { case ((_, c, re), i) =>
+      Seq(
+        s"CAST(COUNT($c) AS BIGINT) AS nv_$i",
+        s"CAST(COUNT(CASE WHEN regexp_matches($c, '${re.replace("'", "''")}') THEN 1 END) AS BIGINT) AS nm_$i")
+    }
+    val rows = specs.zipWithIndex.map { case ((name, c, re), i) =>
+      s"SELECT '$name' AS check_name, '$c' AS instance, " +
+        s"'${re.replace("'", "''")}' AS pattern, nv_$i AS n_values, " +
+        s"nm_$i AS n_matched, CASE WHEN nv_$i = 0 THEN NULL ELSE " +
+        s"ROUND(CAST(nm_$i AS DOUBLE) / CAST(nv_$i AS DOUBLE), 6) END " +
+        s"AS match_ratio FROM g"
+    }
+    s"WITH g AS (SELECT ${slots.mkString(", ")} FROM $from)\n" +
+      s"SELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}) u " +
+      "ORDER BY check_name, instance"
   }
 
   /** Mutual-information twin (E80): per pair, joint-count CTE over

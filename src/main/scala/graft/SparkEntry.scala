@@ -21,6 +21,14 @@ object SparkEntry {
   /** Expensive battery on for declared queries — the full capability surface. */
   private val cfg = ProfilerConfig(compExp = true)
 
+  /** Shared by the `pattern_match` query and its oracle: (check, column,
+    * regex) — one full-match format check, one partial (search) check,
+    * one expected-to-pass-everywhere check. */
+  private val patternSpecs = Seq(
+    ("name_format", "c_name", "^Customer#[0-9]{9}$"),
+    ("name_even_id", "c_name", "[02468]$"),
+    ("segment_upper", "c_mktsegment", "^[A-Z]+$"))
+
   private def lineitem(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/lineitem.parquet")
 
@@ -453,6 +461,12 @@ object SparkEntry {
       graft.operators.LangModel.unigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // tokenizer-coverage gate: OOV rate vs the corpus top-100 vocabulary
+    "vocab_coverage" -> ((s, dir) =>
+      graft.operators.CorpusStats.vocabCoverage(
+        documents(s, dir), "doc_id", "text", k = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // add-1 bigram LM: word-salad scores badly even when unigrams look fine
     "bigram_lm" -> ((s, dir) =>
       graft.operators.LangModel.bigramScore(documents(s, dir), "doc_id", "text")
@@ -695,6 +709,11 @@ object SparkEntry {
         Seq(("o_orderstatus", "o_orderpriority"),
           ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
         .orderBy("col_a", "col_b")),
+    // format-validation compliance (E85): expected-regex match ratios
+    "pattern_match" -> ((s, dir) =>
+      graft.profiler.Checks.patternMatch(
+        s.read.parquet(s"$dir/customer.parquet"), patternSpecs)
+        .orderBy("check_name", "instance")),
     // per-segment completeness: the null profile whole-table averages hide
     "segmented_completeness" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1194,6 +1213,7 @@ object SparkEntry {
     "text_quality" -> OracleSql.textQuality,
     "lm_quality" -> OracleSql.lmQuality,
     "bigram_lm" -> OracleSql.bigramLm,
+    "vocab_coverage" -> OracleSql.vocabCoverage(100),
     "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
     "bm25_topk" -> OracleSql.bm25TopK,
@@ -1223,6 +1243,7 @@ object SparkEntry {
     "domain_stats" -> OracleSql.domainStats,
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,
+    "pattern_match" -> OracleSql.patternMatch(patternSpecs, from = "customer"),
     "inferred_types" -> OracleSql.inferredTypes,
     "grouped_quantiles" -> OracleSql.groupedQuantiles(
       "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),

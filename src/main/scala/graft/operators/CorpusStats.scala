@@ -236,4 +236,40 @@ object CorpusStats {
             ((col("n") * col("sxx") - col("sx") * col("sx")) *
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
+
+  /** Per-document vocabulary coverage (E84) — the tokenizer-coverage
+    * curation metric: against the corpus top-k vocabulary (the fixed
+    * vocab a tokenizer or embedding table would ship), each document's
+    * token count, out-of-vocabulary count, and OOV rate. High-OOV
+    * documents are the boilerplate/code/wrong-language rows a text
+    * pipeline wants flagged before tokenization spends budget on them.
+    *
+    * Scale shape: the vocabulary is ONE map-side-combined frequency agg
+    * cut by `TakeOrderedAndProject` under the (freq DESC, token ASC)
+    * total order (the vocabTopK tie-break — deterministic at any
+    * parallelism); k rows then BROADCAST to a left join against the
+    * exploded token stream, so the corpus-sized side never shuffles for
+    * the membership test; the per-doc reduction is one keyed agg.
+    * Zero-token documents are omitted (nothing to cover), like the LM
+    * scorers. */
+  def vocabCoverage(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "vocabulary size must be positive")
+    import graft.functions.TextFunctions
+    val tok = df.select(
+      col(idCol).as("id"),
+      explode(TextFunctions.wsTokens(lower(col(textCol)))).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("t").asc).limit(k)
+      .select(col("t"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .select(
+        col("id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("oov_rate"))
+  }
 }

@@ -313,6 +313,45 @@ object Checks {
         col("keys_f1"), col("keys_f2_9"), col("keys_f10_99"), col("keys_f100p"))
   }
 
+  /** Pattern-match compliance (E85) — the Deequ PatternMatch analyzer
+    * (the format-validation workhorse: id/phone/code columns checked
+    * against an expected regex). For each named spec (check, column,
+    * regex): the column's non-null count, how many values match
+    * (unanchored search, both engines' regex-search semantics — anchor
+    * with ^$ for full-match), and the compliance ratio over non-null
+    * values.
+    *
+    * ONE map-side-combined global aggregation carrying two codegen'd
+    * conditional-count slots per spec (the E81 shape — any number of
+    * checks costs one scan, no shuffle of row data); the unpivot to one
+    * row per spec runs over the single aggregate row. An all-null column
+    * yields a null ratio rather than NaN. */
+  def patternMatch(
+      df: org.apache.spark.sql.DataFrame,
+      specs: Seq[(String, String, String)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    require(specs.nonEmpty, "need at least one pattern spec")
+    val slots = specs.zipWithIndex.flatMap { case ((_, c, re), i) =>
+      Seq(
+        count(col(c)).as(s"nv_$i"),
+        count(when(col(c).rlike(re), 1)).as(s"nm_$i"))
+    }
+    val g = df.agg(slots.head, slots.tail: _*)
+    val stackArgs = lit(specs.size) +: specs.zipWithIndex.flatMap {
+      case ((name, c, re), i) =>
+        Seq(lit(name), lit(c), lit(re), col(s"nv_$i"), col(s"nm_$i"))
+    }
+    g.select(stack(stackArgs: _*)
+        .as(Seq("check_name", "instance", "pattern", "n_values", "n_matched")))
+      .select(
+        col("check_name"), col("instance"), col("pattern"),
+        col("n_values"), col("n_matched"),
+        when(col("n_values") === 0, lit(null).cast(DoubleType))
+          .otherwise(round(col("n_matched").cast(DoubleType) /
+            col("n_values").cast(DoubleType), 6)).as("match_ratio"))
+  }
+
   /** Segmented completeness (E79) — Deequ's whole-table Completeness
     * (N1) broken out per segment: a column that is 99.9% complete
     * overall but 0% complete for one `event_type` / region / tenant is

@@ -673,6 +673,39 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("patternMatch: anchored vs search semantics, null ratio for all-null column") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("AB-12"), Option.empty[String]),
+      (Option("XY-9"), Option.empty[String]),
+      (Option("bad"), Option.empty[String]),
+      (Option.empty[String], Option.empty[String])
+    ).toDF("code", "empty")
+    val out = graft.profiler.Checks.patternMatch(df, Seq(
+      ("full", "code", "^[A-Z]{2}-[0-9]+$"),
+      ("search", "code", "[0-9]"),
+      ("nullcol", "empty", ".*")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(3), r.getLong(4), Option(r.get(5))))).toMap
+    assert(out("full") == ((3L, 2L, Some(0.666667))))
+    // unanchored: substring search, "bad" has no digit
+    assert(out("search") == ((3L, 2L, Some(0.666667))))
+    assert(out("nullcol") == ((0L, 0L, None)))
+  }
+
+  test("vocabCoverage: top-k tie-break, OOV counting, empty doc omitted") {
+    import spark.implicits._
+    // freqs: a=3, b=2, c=2, d=1 — k=2 vocab is {a, b} (c loses the
+    // freq-tie to b on the token ASC tie-break)
+    val df = Seq((1L, "a a b c"), (2L, "a b c d"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats.vocabCoverage(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 2L, 0.5)))
+    assert(!out.contains(3L))
+  }
+
   test("bigramScore: hand-computed Laplace model; sub-2-token docs omitted") {
     import spark.implicits._
     val df = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x")).toDF("doc_id", "text")
