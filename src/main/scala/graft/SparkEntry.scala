@@ -709,6 +709,21 @@ object SparkEntry {
         Seq(("o_orderstatus", "o_orderpriority"),
           ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
         .orderBy("col_a", "col_b")),
+    // source-format roundtrips (R1/R12 breadth): stage out through the
+    // format's writer, read back with the parquet schema, must equal the
+    // original cell-for-cell
+    "csv_roundtrip" -> ((s, dir) =>
+      graft.sources.FormatRoundtrip
+        .roundtrip(s, s"$dir/documents.parquet", "csv")
+        .orderBy("doc_id")),
+    "json_roundtrip" -> ((s, dir) =>
+      graft.sources.FormatRoundtrip
+        .roundtrip(s, s"$dir/part.parquet", "json")
+        .orderBy("p_partkey")),
+    "orc_roundtrip" -> ((s, dir) =>
+      graft.sources.FormatRoundtrip
+        .roundtrip(s, s"$dir/customer.parquet", "orc")
+        .orderBy("c_custkey")),
     // format-validation compliance (E85): expected-regex match ratios
     "pattern_match" -> ((s, dir) =>
       graft.profiler.Checks.patternMatch(
@@ -1244,6 +1259,12 @@ object SparkEntry {
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,
     "pattern_match" -> OracleSql.patternMatch(patternSpecs, from = "customer"),
+    "csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "json_roundtrip" ->
+      "SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice FROM part ORDER BY p_partkey",
+    "orc_roundtrip" ->
+      "SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer ORDER BY c_custkey",
     "inferred_types" -> OracleSql.inferredTypes,
     "grouped_quantiles" -> OracleSql.groupedQuantiles(
       "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),

@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source-format breadth, driver-visible (R1/R12 family): the reference
+  * profiles whatever each Glue table's SerDe yields — parquet, CSV, JSON
+  * or ORC on S3 (reference Profiler.scala:263 calls `spark.table`, format
+  * never reaches the analyzer layer; ParquetDirCatalog mirrors the same
+  * dispatch). These roundtrips prove each non-parquet format end-to-end:
+  * stage the parquet table out through the format's writer, read it back
+  * through the format's reader, and the result must equal the parquet
+  * original cell-for-cell (the DuckDB oracle is a plain SELECT of the
+  * source table — any encode/decode asymmetry breaks the hash).
+  *
+  * Staging writes to /tmp exist only to SIMULATE an external landing
+  * zone (a real deployment reads files that already exist), so one JVM
+  * stages each (source, format) once and reuses the layout — the
+  * StreamingProfile replay-dir pattern. CSV is the adversarial case:
+  * document text with commas, quotes and newlines must survive
+  * quote/escape on the way out and `multiLine` parsing on the way back.
+  * Readers get the parquet schema EXPLICITLY — text formats carry no
+  * types, and schema inference (int64 vs int32, double vs decimal) is
+  * exactly the asymmetry this check exists to keep out of the engine. */
+object FormatRoundtrip {
+
+  private val staged = new ConcurrentHashMap[(String, String), String]()
+
+  def roundtrip(
+      spark: SparkSession, sourcePath: String, format: String): DataFrame = {
+    val src = spark.read.parquet(sourcePath)
+    val dir = staged.computeIfAbsent((sourcePath, format), _ => {
+      val out = s"/tmp/graft_fmt_stage/${format}_" +
+        java.lang.Integer.toHexString(sourcePath.hashCode)
+      val w = src.coalesce(1).write.mode("overwrite")
+      format match {
+        case "csv" => w.option("header", "true").option("escape", "\"").csv(out)
+        case "json" => w.json(out)
+        case "orc" => w.orc(out)
+        case other => throw new IllegalArgumentException(
+          s"unsupported roundtrip format: $other")
+      }
+      out
+    })
+    format match {
+      case "csv" => spark.read
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .schema(src.schema).csv(dir)
+      case "json" => spark.read.schema(src.schema).json(dir)
+      case "orc" => spark.read.schema(src.schema).orc(dir)
+    }
+  }
+}

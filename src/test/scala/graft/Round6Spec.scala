@@ -673,6 +673,25 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("csv roundtrip survives commas, quotes, newlines and nulls in text") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_rt").toString + "/t.parquet"
+    val df = Seq(
+      (1L, Option("plain")),
+      (2L, Option("comma, quote \" and\nnewline")),
+      (3L, Option("")),
+      (4L, Option.empty[String])
+    ).toDF("id", "text")
+    df.write.parquet(src)
+    val back = graft.sources.FormatRoundtrip.roundtrip(spark, src, "csv")
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    // CSV cannot distinguish empty string from null: both land as null —
+    // the one documented lossy edge (parquet/json/orc keep the distinction)
+    assert(back.toSeq == Seq(
+      (1L, Some("plain")), (2L, Some("comma, quote \" and\nnewline")),
+      (3L, None), (4L, None)))
+  }
+
   test("patternMatch: anchored vs search semantics, null ratio for all-null column") {
     import spark.implicits._
     val df = Seq(
