@@ -1305,6 +1305,25 @@ FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
       "ORDER BY check_name, instance"
   }
 
+  /** Snapshot-diff twin (E87): same deterministic before/after variants,
+    * FULL OUTER JOIN on the key, IS DISTINCT FROM value comparison (the
+    * Spark side compares SHA-256 digests of the same cast-to-string
+    * values — equal by injectivity of the double/string rendering). */
+  val snapshotDiff: String =
+    """WITH b AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 10 <> 3),
+a AS (SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1 ELSE o_totalprice END AS p,
+             o_orderstatus AS s
+  FROM orders WHERE o_orderkey % 10 <> 7)
+SELECT COALESCE(b.k, a.k) AS o_orderkey,
+  CASE WHEN b.k IS NULL THEN 'added'
+       WHEN a.k IS NULL THEN 'removed'
+       WHEN b.p IS DISTINCT FROM a.p OR b.s IS DISTINCT FROM a.s THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM b FULL OUTER JOIN a ON b.k = a.k
+ORDER BY o_orderkey"""
+
   /** Mutual-information twin (E80): per pair, joint-count CTE over
     * complete rows, marginals as windows over the joint relation, the
     * (c/n)·ln((n·c)/(cx·cy)) term in all-double algebra, ROUND(·,12) →

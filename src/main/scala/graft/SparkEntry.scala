@@ -709,6 +709,19 @@ object SparkEntry {
         Seq(("o_orderstatus", "o_orderpriority"),
           ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
         .orderBy("col_a", "col_b")),
+    // CDC-style snapshot reconciliation (E87): deterministic before/after
+    // variants of orders — keys ending 3 appear, 7 vanish, 5 change price
+    "snapshot_diff" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val before = o.where(col("o_orderkey") % 10 =!= 3)
+      val after = o.where(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 5, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.profiler.SnapshotDiff.diff(before, after,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
     // source-format roundtrips (R1/R12 breadth): stage out through the
     // format's writer, read back with the parquet schema, must equal the
     // original cell-for-cell
@@ -1259,6 +1272,7 @@ object SparkEntry {
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,
     "pattern_match" -> OracleSql.patternMatch(patternSpecs, from = "customer"),
+    "snapshot_diff" -> OracleSql.snapshotDiff,
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "json_roundtrip" ->

@@ -673,6 +673,30 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("snapshotDiff: all five statuses, null-vs-empty distinct, dup_key guard") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Option("x"), Option("a")),
+      (2L, Option("y"), Option("b")),
+      (3L, Option("z"), Option.empty[String]),
+      (5L, Option("d"), Option("d")),
+      (5L, Option("d2"), Option("d")),
+      (6L, Option("n"), Option.empty[String])
+    ).toDF("k", "v1", "v2")
+    val after = Seq(
+      (1L, Option("x"), Option("a")),       // unchanged
+      (2L, Option("y"), Option("CHANGED")), // changed
+      (4L, Option("new"), Option("r")),     // added (3 removed)
+      (5L, Option("d"), Option("d")),       // dup_key on the before side
+      (6L, Option("n"), Option(""))         // null -> empty IS a change
+    ).toDF("k", "v1", "v2")
+    val out = graft.profiler.SnapshotDiff
+      .diff(before, after, Seq("k"), Seq("v1", "v2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "dup_key", 6L -> "changed"))
+  }
+
   test("csv roundtrip survives commas, quotes, newlines and nulls in text") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_rt").toString + "/t.parquet"
