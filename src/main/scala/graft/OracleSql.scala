@@ -1305,6 +1305,46 @@ FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
       "ORDER BY check_name, instance"
   }
 
+  /** Quantile-bucket twin (E88): the n−1 boundaries as one CTE row,
+    * ROUND(·,6) quantized on BOTH engines before the comparison chain. */
+  def quantileBuckets(valueCol: String, nBuckets: Int, from: String): String = {
+    val qs = (1 until nBuckets).map(i =>
+      s"ROUND(QUANTILE_CONT($valueCol, ${i.toDouble / nBuckets}), 6) AS q$i")
+      .mkString(", ")
+    val chain = (1 until nBuckets)
+      .map(i => s"(CASE WHEN $valueCol > q$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH q AS (SELECT $qs FROM $from)
+SELECT doc_id, $valueCol,
+  CASE WHEN $valueCol IS NULL THEN NULL ELSE CAST($chain AS INT) END AS bucket
+FROM $from, q ORDER BY doc_id"""
+  }
+
+  /** Effective-tokens twin (E89): GROUP BY the text itself (nulls group
+    * together = the sentinel-hash cluster), COALESCE null token counts
+    * to 0, single-row reduction with the same guarded ratio. */
+  val effectiveTokens: String =
+    raw"""WITH t AS (SELECT text, COALESCE(len($wsToksSql), 0) AS nt FROM documents),
+cl AS (SELECT CAST(COUNT(*) AS BIGINT) AS c, MIN(nt) AS nt FROM t GROUP BY text),
+g AS (SELECT CAST(SUM(c) AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_unique_docs,
+             CAST(SUM(nt * c) AS BIGINT) AS raw_tokens, CAST(SUM(nt) AS BIGINT) AS effective_tokens FROM cl)
+SELECT n_docs, n_unique_docs, raw_tokens, effective_tokens,
+  CASE WHEN raw_tokens = 0 THEN NULL
+       ELSE ROUND(1.0 - CAST(effective_tokens AS DOUBLE) / CAST(raw_tokens AS DOUBLE), 6) END AS dup_token_ratio
+FROM g"""
+
+  /** Corpus-cube twin (E90): GROUP BY CUBE with GROUPING() flags; the
+    * ORDER BY (flags first) never compares a subtotal null against a
+    * real value, so both engines' null-ordering conventions agree. */
+  val corpusCube: String =
+    raw"""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+  CAST(GROUPING(source) AS BIGINT) AS g_source
+FROM (SELECT lang, source, COALESCE(len($wsToksSql), 0) AS nt FROM documents) t
+GROUP BY CUBE (lang, source)
+ORDER BY g_lang, g_source, lang, source"""
+
   /** Snapshot-diff twin (E87): same deterministic before/after variants,
     * FULL OUTER JOIN on the key, IS DISTINCT FROM value comparison (the
     * Spark side compares SHA-256 digests of the same cast-to-string

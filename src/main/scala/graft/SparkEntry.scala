@@ -709,6 +709,20 @@ object SparkEntry {
         Seq(("o_orderstatus", "o_orderpriority"),
           ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
         .orderBy("col_a", "col_b")),
+    // exact-decile curriculum bucketing (E88)
+    "quantile_buckets" -> ((s, dir) =>
+      graft.operators.Sampling.quantileBuckets(
+        documents(s, dir), "doc_id", "n_chars", nBuckets = 10)
+        .orderBy("doc_id")),
+    // dedup-weighted effective corpus size (E89)
+    "effective_tokens" -> ((s, dir) =>
+      graft.operators.CorpusStats.effectiveTokens(
+        documents(s, dir), "doc_id", "text")),
+    // one-pass CUBE rollup with grouping flags (E90)
+    "corpus_cube" -> ((s, dir) =>
+      graft.operators.CorpusStats.corpusCube(
+        documents(s, dir), "lang", "source", "text")
+        .orderBy("g_lang", "g_source", "lang", "source")),
     // CDC-style snapshot reconciliation (E87): deterministic before/after
     // variants of orders — keys ending 3 appear, 7 vanish, 5 change price
     "snapshot_diff" -> ((s, dir) => {
@@ -1273,6 +1287,9 @@ object SparkEntry {
     "segmented_completeness" -> OracleSql.segmentedCompleteness,
     "pattern_match" -> OracleSql.patternMatch(patternSpecs, from = "customer"),
     "snapshot_diff" -> OracleSql.snapshotDiff,
+    "quantile_buckets" -> OracleSql.quantileBuckets("n_chars", 10, "documents"),
+    "effective_tokens" -> OracleSql.effectiveTokens,
+    "corpus_cube" -> OracleSql.corpusCube,
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "json_roundtrip" ->

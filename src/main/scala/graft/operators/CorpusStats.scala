@@ -237,6 +237,67 @@ object CorpusStats {
               (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
   }
 
+  /** Dedup-weighted effective corpus size (E89) — the "how much data do
+    * I actually have" number: raw token volume, the token volume after
+    * exact-duplicate collapse (equivalently: each document weighted by
+    * 1/cluster-size), and the duplicated-token share. The single scalar
+    * that says whether a 100 TB crawl is 90 TB of data or 9 TB of data
+    * mirrored ten times.
+    *
+    * Scale shape: documents collapse MAP-SIDE to (content-hash, token
+    * count) partial counts — the E74 no-text-shuffle trick; one
+    * hash-keyed shuffle of that compact relation, then a single-row
+    * reduction. Null text takes a sentinel hash (its own cluster) and
+    * zero tokens, the E74 contract. */
+  def effectiveTokens(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val text = col(textCol)
+    val base = df.select(
+      when(text.isNull, lit("__null__")).otherwise(sha2(text, 256)).as("h"),
+      when(text.isNull, lit(0L))
+        .otherwise(TextFunctions.wsTokenCount(text)).as("nt"))
+    val clusters = base.groupBy("h")
+      .agg(count(lit(1)).as("c"), min("nt").as("nt"))
+    clusters.agg(
+      sum("c").cast("long").as("n_docs"),
+      count(lit(1)).as("n_unique_docs"),
+      sum(col("nt") * col("c")).cast("long").as("raw_tokens"),
+      sum("nt").cast("long").as("effective_tokens"))
+      .select(
+        col("n_docs"), col("n_unique_docs"), col("raw_tokens"),
+        col("effective_tokens"),
+        when(col("raw_tokens") === 0, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) -
+            col("effective_tokens").cast("double") /
+              col("raw_tokens").cast("double"), 6)).as("dup_token_ratio"))
+  }
+
+  /** Two-dimensional corpus rollup (E90) — counts and token volume by
+    * (dimA, dimB) with ALL subtotal combinations in one pass: Spark's
+    * CUBE runs as a single Expand + map-side-combined hash aggregation
+    * (4 grouping sets from one scan — per-(lang,source), per-lang,
+    * per-source, grand total), the multi-report answer that would
+    * otherwise cost four separate jobs. `grouping()` flags disambiguate
+    * a REAL null dimension value from a subtotal row — the classic
+    * rollup-reading bug, pinned here as output columns. */
+  def corpusCube(
+      df: DataFrame, dimA: String, dimB: String,
+      textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val text = col(textCol)
+    df.select(
+        col(dimA), col(dimB),
+        when(text.isNull, lit(0L))
+          .otherwise(TextFunctions.wsTokenCount(text)).as("nt"))
+      .cube(col(dimA), col(dimB))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("nt").cast("long").as("n_tokens"),
+        grouping(col(dimA)).cast("long").as(s"g_$dimA"),
+        grouping(col(dimB)).cast("long").as(s"g_$dimB"))
+  }
+
   /** Per-document vocabulary coverage (E84) — the tokenizer-coverage
     * curation metric: against the corpus top-k vocabulary (the fixed
     * vocab a tokenizer or embedding table would ship), each document's

@@ -253,4 +253,34 @@ object Sampling {
       .where(hashBucket(col(keyCol), salt) < col("_bound"))
       .drop("_stratum", "_bound")
   }
+
+  /** Exact-quantile bucket assignment (E88) — curriculum/stratification
+    * prep: each row labeled with which of `nBuckets` equal-population
+    * value buckets it falls in (deciles for nBuckets=10), using EXACT
+    * interpolated percentile boundaries, not hash pseudo-strata.
+    *
+    * Scale shape: the n−1 boundaries are ONE aggregation row (the exact
+    * percentile aggregate, the N8-twin contract) broadcast back over the
+    * corpus scan; assignment is a codegen'd comparison chain — no second
+    * shuffle, no sort. Boundaries are quantized to 6 dp BEFORE the
+    * comparison on BOTH engines, so a last-ulp interpolation difference
+    * between implementations cannot flip a value across a bucket edge.
+    * Null values get a null bucket. */
+  def quantileBuckets(
+      df: DataFrame, idCol: String, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, "need at least two buckets")
+    val v = col(valueCol)
+    val boundAggs = (1 until nBuckets).map(i =>
+      round(percentile(v, lit(i.toDouble / nBuckets)), 6).as(s"_q$i"))
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val bucket = (1 until nBuckets)
+      .map(i => when(v > col(s"_q$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(col(idCol), v)
+      .crossJoin(broadcast(bounds))
+      .select(col(idCol), v,
+        when(v.isNull, lit(null).cast("int"))
+          .otherwise(bucket).as("bucket"))
+  }
 }

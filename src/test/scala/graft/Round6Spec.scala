@@ -673,6 +673,49 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("quantileBuckets: equal-population quartiles, null value gets null bucket") {
+    import spark.implicits._
+    val df = ((1 to 8).map(i => (i.toLong, Option(i.toDouble))) :+
+      ((9L, Option.empty[Double]))).toDF("doc_id", "v")
+    val out = graft.operators.Sampling.quantileBuckets(df, "doc_id", "v", 4)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    // bounds (p25/p50/p75 of 1..8): 2.75, 4.5, 6.25
+    assert(out(1L) == Some(0) && out(2L) == Some(0))
+    assert(out(3L) == Some(1) && out(4L) == Some(1))
+    assert(out(5L) == Some(2) && out(6L) == Some(2))
+    assert(out(7L) == Some(3) && out(8L) == Some(3))
+    assert(out(9L).isEmpty)
+  }
+
+  test("effectiveTokens: dup-weighted volume; null text is its own zero-token cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("a b c")), (2L, Option("a b c")), (3L, Option("a b c")),
+      (4L, Option("x y")), (5L, Option.empty[String])
+    ).toDF("doc_id", "text")
+    val r = graft.operators.CorpusStats.effectiveTokens(df, "doc_id", "text")
+      .collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 3L)
+    // raw 3*3 + 2 + 0 = 11; effective 3 + 2 + 0 = 5
+    assert(r.getLong(2) == 11L && r.getLong(3) == 5L)
+    assert(math.abs(r.getDouble(4) - (1.0 - 5.0 / 11)) < 1e-6)
+  }
+
+  test("corpusCube: four grouping sets in one pass, flags disambiguate subtotals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "en", "s1", "a b"), (2L, "en", "s2", "c"), (3L, "fr", "s1", "d e f")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = graft.operators.CorpusStats.corpusCube(df, "lang", "source", "text")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 8) // 3 detail + 2 per-lang + 2 per-source + 1 grand
+    assert(out((Some("en"), Some("s1"))) == ((1L, 2L, 0L, 0L)))
+    assert(out((Some("en"), None)) == ((2L, 3L, 0L, 1L)))
+    assert(out((None, Some("s1"))) == ((2L, 5L, 1L, 0L)))
+    assert(out((None, None)) == ((3L, 6L, 1L, 1L)))
+  }
+
   test("snapshotDiff: all five statuses, null-vs-empty distinct, dup_key guard") {
     import spark.implicits._
     val before = Seq(
