@@ -30,9 +30,32 @@ object FormatRoundtrip {
   def roundtrip(
       spark: SparkSession, sourcePath: String, format: String): DataFrame = {
     val src = spark.read.parquet(sourcePath)
-    val dir = staged.computeIfAbsent((sourcePath, format), _ => {
+    // cache key carries a fingerprint of the source (xor of file
+    // length/mtime + count, through the path's own FileSystem) — a
+    // rewritten source at the same path must not reuse stale staging,
+    // and an entry whose dir was tmp-cleaned is dropped before reuse
+    // (the StreamingProfile replay-cache contract).
+    val fp = {
+      val hPath = new org.apache.hadoop.fs.Path(sourcePath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hPath, true)
+      var acc = 0L
+      var nFiles = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        acc ^= st.getLen ^ st.getModificationTime
+        nFiles += 1
+      }
+      acc ^ nFiles
+    }
+    val key = (s"$sourcePath#$fp", format)
+    Option(staged.get(key)).foreach { d =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+        staged.remove(key, d)
+    }
+    val dir = staged.computeIfAbsent(key, _ => {
       val out = s"/tmp/graft_fmt_stage/${format}_" +
-        java.lang.Integer.toHexString(sourcePath.hashCode)
+        java.lang.Long.toHexString(sourcePath.hashCode.toLong ^ fp)
       val w = src.coalesce(1).write.mode("overwrite")
       format match {
         case "csv" => w.option("header", "true").option("escape", "\"").csv(out)

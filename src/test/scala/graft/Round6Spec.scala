@@ -759,6 +759,21 @@ class Round6Spec extends AnyFunSuite {
       (3L, None), (4L, None)))
   }
 
+  test("format roundtrip re-stages when the source is rewritten at the same path") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_rt2").toString + "/t.parquet"
+    Seq((1L, "one")).toDF("id", "text").write.parquet(src)
+    val first = graft.sources.FormatRoundtrip.roundtrip(spark, src, "json")
+      .collect().map(_.getString(1)).toSet
+    assert(first == Set("one"))
+    Thread.sleep(5) // ensure a distinct mtime for the fingerprint
+    Seq((1L, "two"), (2L, "three")).toDF("id", "text")
+      .write.mode("overwrite").parquet(src)
+    val second = graft.sources.FormatRoundtrip.roundtrip(spark, src, "json")
+      .collect().map(_.getString(1)).toSet
+    assert(second == Set("two", "three"), "stale staging was reused")
+  }
+
   test("patternMatch: anchored vs search semantics, null ratio for all-null column") {
     import spark.implicits._
     val df = Seq(
