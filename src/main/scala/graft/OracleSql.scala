@@ -1705,6 +1705,13 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
 
+  /** Misra-Gries guarantees (E91) as an all-true golden oracle — the
+    * estimates themselves are partitioning-dependent (no hash oracle,
+    * like ApproxCountDistinct), the guarantees are exact. */
+  val heavyHittersAudit: String =
+    allTrue(Seq("est_subset_of_vocab", "est_never_over",
+      "no_missed_heavy_hitter", "undercount_bounded", "total_mass_bounded"))
+
   val simhashAudit: String = allTrue(Seq("pairs_equal_bruteforce"))
 
   val deflateAudit: String =

@@ -973,6 +973,36 @@ object SparkEntry {
     // E3: LSH candidates are exact-rescored, so every emitted pair must
     // appear in the exact n-gram Jaccard relation with the identical
     // 6-dp jaccard, above threshold, id_a < id_b.
+    // E91: MG estimates are partitioning-dependent near the threshold, but
+    // the three Misra-Gries guarantees are exact — pinned here vs the
+    // exact frequency table, with integer algebra (c·(k+1) vs n) so the
+    // bound check itself has no FP edge.
+    "heavy_hitters_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.HeavyHitters.register(s)
+      val k = 100
+      val tok = documents(s, dir).select(
+        explode(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("t"))
+      val est = graft.functions.HeavyHitters.topK(tok, col("t"), k)
+        .withColumnRenamed("token", "t").localCheckpoint()
+      val exact = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val n = tok.count()
+      val j = est.join(exact, Seq("t"))
+      val subset = est.join(exact, Seq("t"), "left_anti").count() == 0L
+      val never_over = j.where(col("est") > col("c")).count() == 0L
+      val bounded = j.where((col("c") - col("est")) * (k + 1) > n).count() == 0L
+      val noMissed = exact.where(col("c") * (k + 1) > n)
+        .join(est, Seq("t"), "left_anti").count() == 0L
+      val mass = est.agg(coalesce(sum("est"), lit(0L)).as("s"))
+        .head().getLong(0) <= n
+      Seq(
+        ("est_subset_of_vocab", subset),
+        ("est_never_over", never_over),
+        ("no_missed_heavy_hitter", noMissed),
+        ("undercount_bounded", bounded),
+        ("total_mass_bounded", mass))
+        .toDF("property", "ok").orderBy("property")
+    }),
     "minhash_audit" -> ((s, dir) => {
       import s.implicits._
       val docs = documents(s, dir)
@@ -1323,6 +1353,7 @@ object SparkEntry {
     "profile_all_tables" -> OracleSql.profileAllTables,
     "approx_error_audit" -> OracleSql.approxErrorAudit,
     "minhash_audit" -> OracleSql.minhashAudit,
+    "heavy_hitters_audit" -> OracleSql.heavyHittersAudit,
     "simhash_audit" -> OracleSql.simhashAudit,
     "deflate_audit" -> OracleSql.deflateAudit,
     "ann_lsh_audit" -> OracleSql.annLshAudit,

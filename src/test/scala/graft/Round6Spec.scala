@@ -673,6 +673,43 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("misraGries: guarantees hold on a skewed stream across partitionings") {
+    import spark.implicits._
+    graft.functions.HeavyHitters.register(spark)
+    // skewed: "hot" 400x, "warm" 120x, 480 singletons; n = 1000
+    val tokens = Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (1 to 480).map(i => s"rare$i")
+    val k = 8
+    for (parts <- Seq(1, 7)) {
+      val df = spark.sparkContext.parallelize(tokens, parts).toDF("t")
+      val est = graft.functions.HeavyHitters.topK(df, col("t"), k)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val exact = tokens.groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      val n = 1000L
+      assert(est.size <= k)
+      est.foreach { case (t, (e, nn)) =>
+        assert(nn == n)
+        assert(e <= exact(t), s"overcount for $t at $parts parts")
+        assert(exact(t) - e <= n / (k + 1), s"undercount bound broken for $t")
+      }
+      // every true heavy hitter (freq > n/(k+1) ≈ 111) must be present
+      exact.filter(_._2 * (k + 1) > n).keys.foreach(t =>
+        assert(est.contains(t), s"missed heavy hitter $t at $parts parts"))
+    }
+  }
+
+  test("misraGries: null tokens skipped; fewer distinct than k is exact") {
+    import spark.implicits._
+    graft.functions.HeavyHitters.register(spark)
+    val df = Seq(Option("a"), Option("a"), Option("b"), Option.empty[String])
+      .toDF("t")
+    val est = graft.functions.HeavyHitters.topK(df, col("t"), 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // under capacity: MG degenerates to exact counting; null not processed
+    assert(est == Map("a" -> ((2L, 3L)), "b" -> ((1L, 3L))))
+  }
+
   test("quantileBuckets: equal-population quartiles, null value gets null bucket") {
     import spark.implicits._
     val df = ((1 to 8).map(i => (i.toLong, Option(i.toDouble))) :+
