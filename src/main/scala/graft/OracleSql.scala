@@ -1305,6 +1305,15 @@ FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
       "ORDER BY check_name, instance"
   }
 
+  /** Partitioned-profile twin (E92): the staged layout re-derives the
+    * partition column as doc_id % 4, so the oracle groups the SOURCE by
+    * the same expression. */
+  val partitionedProfile: String =
+    raw"""SELECT doc_id % 4 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(COUNT(text) AS BIGINT) AS n_with_text,
+  CAST(SUM(COALESCE(len($wsToksSql), 0)) AS BIGINT) AS n_tokens
+FROM documents GROUP BY 1 ORDER BY bucket"""
+
   /** Quantile-bucket twin (E88): the n−1 boundaries as one CTE row,
     * ROUND(·,6) quantized on BOTH engines before the comparison chain. */
   def quantileBuckets(valueCol: String, nBuckets: Int, from: String): String = {

@@ -709,6 +709,22 @@ object SparkEntry {
         Seq(("o_orderstatus", "o_orderpriority"),
           ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
         .orderBy("col_a", "col_b")),
+    // per-partition file profiling over a Hive-partitioned layout (E92):
+    // the partition column comes from directory names; a filter on it
+    // prunes whole directories (PartitionFilters — plan-audited)
+    "partitioned_profile" -> ((s, dir) => {
+      val staged = graft.sources.FormatRoundtrip.stagePartitioned(
+        s, s"$dir/documents.parquet", "bucket", col("doc_id") % 4)
+      s.read.parquet(staged)
+        .groupBy(col("bucket").cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("text")).as("n_with_text"),
+          sum(coalesce(
+            graft.functions.TextFunctions.wsTokenCount(col("text")), lit(0L)))
+            .cast("long").as("n_tokens"))
+        .orderBy("bucket")
+    }),
     // exact-decile curriculum bucketing (E88)
     "quantile_buckets" -> ((s, dir) =>
       graft.operators.Sampling.quantileBuckets(
@@ -1318,6 +1334,7 @@ object SparkEntry {
     "pattern_match" -> OracleSql.patternMatch(patternSpecs, from = "customer"),
     "snapshot_diff" -> OracleSql.snapshotDiff,
     "quantile_buckets" -> OracleSql.quantileBuckets("n_chars", 10, "documents"),
+    "partitioned_profile" -> OracleSql.partitionedProfile,
     "effective_tokens" -> OracleSql.effectiveTokens,
     "corpus_cube" -> OracleSql.corpusCube,
     "csv_roundtrip" ->

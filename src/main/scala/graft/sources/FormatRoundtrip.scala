@@ -75,4 +75,44 @@ object FormatRoundtrip {
       case "orc" => spark.read.schema(src.schema).orc(dir)
     }
   }
+
+  /** Hive-partitioned staging of a parquet table (E92 support): writes
+    * `sourcePath` re-laid-out as `partitionBy(partCol)` where `partCol` is
+    * a derived long column (the caller's expression), returning the
+    * staged directory. Same fingerprint-keyed one-per-JVM cache as
+    * [[roundtrip]]. The point of the layout: the partition column lives
+    * in directory names, so a filter on it PRUNES whole directories at
+    * planning time (PartitionFilters, pinned by PlanAuditSpec) — the
+    * dominant scan-avoidance lever for a date/bucket-partitioned 100 TB
+    * lake. */
+  def stagePartitioned(
+      spark: SparkSession, sourcePath: String, partCol: String,
+      partExpr: org.apache.spark.sql.Column): String = {
+    val src = spark.read.parquet(sourcePath)
+    val fp = {
+      val hPath = new org.apache.hadoop.fs.Path(sourcePath)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(hPath, true)
+      var acc = 0L
+      var nFiles = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        acc ^= st.getLen ^ st.getModificationTime
+        nFiles += 1
+      }
+      acc ^ nFiles
+    }
+    val key = (s"$sourcePath#$fp#$partCol", "partitioned")
+    Option(staged.get(key)).foreach { d =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+        staged.remove(key, d)
+    }
+    staged.computeIfAbsent(key, _ => {
+      val out = s"/tmp/graft_fmt_stage/part_" +
+        java.lang.Long.toHexString(sourcePath.hashCode.toLong ^ fp)
+      src.withColumn(partCol, partExpr)
+        .write.mode("overwrite").partitionBy(partCol).parquet(out)
+      out
+    })
+  }
 }

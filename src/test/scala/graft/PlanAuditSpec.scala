@@ -248,6 +248,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected pruned scan:\n$p")
   }
 
+  test("partitioned layout: a filter on the partition column prunes at plan time") {
+    val staged = graft.sources.FormatRoundtrip.stagePartitioned(
+      spark, s"$dir/documents.parquet", "bucket", col("doc_id") % 4)
+    val p = plan(spark.read.parquet(staged).where(col("bucket") === 2)
+      .groupBy("bucket").count())
+    // pruning shows up as a PartitionFilters entry on the scan — the
+    // filter never reaches the data, it eliminates directories
+    assert(p.contains("PartitionFilters") && p.contains("bucket"),
+      s"expected directory-level pruning on the partition column:\n$p")
+  }
+
   test("bigram LM: map-side pair construction — no self-join or window before counting") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.LangModel.bigramScore(docs, "doc_id", "text"))
