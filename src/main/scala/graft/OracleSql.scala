@@ -462,6 +462,18 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT train_id, bench_id, shared FROM pairs WHERE shared >= 3 ORDER BY train_id, bench_id"""
 
+  /** Contamination-ratio twin (E93): same trigram CTE, train side as a
+    * DISTINCT shingle set, LEFT JOIN membership, per-eval-doc counts. */
+  val contaminationRatio: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+train AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 <> 0),
+per AS (SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams, CAST(COUNT(t.s) AS BIGINT) AS n_contaminated
+        FROM sh b LEFT JOIN train t ON b.s = t.s WHERE b.doc_id % 50 = 0 GROUP BY 1)
+SELECT doc_id, n_ngrams, n_contaminated,
+  ROUND(CAST(n_contaminated AS DOUBLE) / CAST(n_ngrams AS DOUBLE), 6) AS contaminated_ratio
+FROM per ORDER BY doc_id"""
+
   /** BM25 twin for the fixed query (spark, merge, vector), k1=1.2, b=0.75.
     * Every fractional constant is CAST to DOUBLE (a bare 2.2 is DECIMAL in
     * DuckDB — exact-decimal then one late rounding, which does NOT equal

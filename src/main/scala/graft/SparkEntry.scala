@@ -302,6 +302,17 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 3)
         .orderBy("train_id", "bench_id")
     }),
+    // per-eval-doc dirty-fraction report (E93): what share of each eval
+    // item's n-grams exists anywhere in train
+    "contamination_ratio" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.contaminationRatio(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // similarity search (embeddings table)
     "ann_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(
@@ -1285,6 +1296,7 @@ object SparkEntry {
     "dedup_clusters" -> OracleSql.dedupClusters,
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "contamination" -> OracleSql.contamination,
+    "contamination_ratio" -> OracleSql.contaminationRatio,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,

@@ -194,6 +194,39 @@ object Dedup {
       .where(col("shared") >= minShared)
   }
 
+  /** Per-eval-document soft contamination (E93) — the GPT-3-style
+    * decontamination REPORT that complements [[contamination]]'s pair
+    * list: for each benchmark/eval document, what fraction of its
+    * distinct word n-grams appears ANYWHERE in the training corpus. The
+    * pair view answers "which train docs leaked"; this answers "how dirty
+    * is each eval item" — the number eval-set filtering thresholds on.
+    *
+    * Scale shape: the train side collapses to a DISTINCT shingle relation
+    * (compact strings, one map-side-combined distinct — no doc ids, no
+    * payloads); the eval side is tiny relative to the corpus, so the
+    * membership left join broadcasts it and streams the train relation
+    * past it. Eval documents with fewer than n tokens have no n-grams and
+    * are omitted (the LM scorers' empty-input rule). */
+  def contaminationRatio(
+      corpus: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val trainSh = shingles(corpus, idCol, textCol, n)
+      .select("shingle").distinct()
+    val benchSh = shingles(bench, idCol, textCol, n)
+    benchSh.join(trainSh.withColumn("hit", lit(1)), Seq("shingle"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count(col("hit")).as("n_contaminated"))
+      .select(
+        col("id"), col("n_ngrams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") /
+          col("n_ngrams").cast("double"), 6).as("contaminated_ratio"))
+  }
+
   /** MinHash signatures: `numHashes` independent permutations simulated by
     * seeded xxhash64; one groupBy computes all minima — a single shuffle
     * keyed on document id. */

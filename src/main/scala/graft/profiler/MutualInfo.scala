@@ -21,8 +21,12 @@ import org.apache.spark.sql.types.{DataTypes, DoubleType, LongType}
   * Scale shape: ONE explode of a |pairs|-sized struct array collapses
   * map-side (partial_count) to the joint-frequency relation — the only
   * shuffle touching row data, keyed (pair, x, y), output bounded by joint
-  * cardinality, not row count. Marginals and totals are windows OVER THAT
-  * relation (metadata-sized); per-term products run in double from the
+  * cardinality. For genuinely categorical pairs that is metadata-sized;
+  * for a degenerate ID-like column (the `o_custkey` pair in the declared
+  * query exercises this) it approaches row count — still three compact
+  * columns, never payloads, and the marginal windows shuffle that same
+  * relation keyed (pair, x)/(pair, y), so the worst case is two more
+  * compact-key exchanges, not a blowup. Per-term products run in double from the
   * start (n·c and c_x·c_y as double·double), so no 64-bit overflow at any
   * row count. Each term is rounded to 12 dp and summed as DECIMAL(38,12)
   * (the engine-wide decSum contract) — partition-order independent, and

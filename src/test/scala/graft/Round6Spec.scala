@@ -673,6 +673,28 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("contaminationRatio: hand case — full, partial, zero overlap; short doc omitted") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),          // trigrams: abc, bcd
+      (2L, "epsilon zeta eta")                 // one trigram
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "alpha beta gamma"),               // 1 trigram, contaminated
+      (11L, "alpha beta gamma theta iota"),    // 3 trigrams, 1 contaminated
+      (12L, "mu nu xi"),                       // 1 trigram, clean
+      (13L, "too short")                       // < 3 tokens: omitted
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .contaminationRatio(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(10L) == ((1L, 1L, 1.0)))
+    assert(out(11L) == ((3L, 1L, 0.333333)))
+    assert(out(12L) == ((1L, 0L, 0.0)))
+    assert(!out.contains(13L))
+  }
+
   test("misraGries: guarantees hold on a skewed stream across partitionings") {
     import spark.implicits._
     graft.functions.HeavyHitters.register(spark)
