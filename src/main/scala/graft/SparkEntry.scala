@@ -302,6 +302,25 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 3)
         .orderBy("train_id", "bench_id")
     }),
+    // bounded-state streaming dedup (E94): dropDuplicatesWithinWatermark
+    // over a replayed stream carrying deterministic duplicates — state
+    // follows the watermark horizon, not corpus size; single-batch replay
+    // here so the dedup is exact (the eviction trade is sbt-tested)
+    "streaming_dedup_watermark" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val staged = s"/tmp/graft_wm_stage/${new java.io.File(dir).getName}"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(staged, "_SUCCESS")))
+        ev.unionAll(ev.where(col("event_id") % 10 === 0))
+          .coalesce(1).write.mode("overwrite").parquet(staged)
+      graft.streaming.StreamingProfile.replayParquet(
+        s, s"$staged/*.parquet",
+        stream => graft.streaming.StreamingProfile.dedupWithinWatermark(
+          stream.withColumn("_evt", timestamp_micros(expr("ts DIV 1000"))),
+          Seq("event_id"), "_evt", "1 hour")
+          .select("event_id", "user_id", "value"),
+        "append").orderBy("event_id")
+    }),
     // per-eval-doc dirty-fraction report (E93): what share of each eval
     // item's n-grams exists anywhere in train
     "contamination_ratio" -> ((s, dir) => {
@@ -1297,6 +1316,8 @@ object SparkEntry {
     "dedup_incremental" -> OracleSql.dedupIncremental,
     "contamination" -> OracleSql.contamination,
     "contamination_ratio" -> OracleSql.contaminationRatio,
+    "streaming_dedup_watermark" ->
+      "SELECT event_id, user_id, value FROM events ORDER BY event_id",
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,

@@ -126,6 +126,32 @@ object StreamingProfile {
       .groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Bounded-state streaming dedup (E94):
+    * `dropDuplicatesWithinWatermark` keyed on the id columns — the 100 TB
+    * STREAMING dedup mode. [[streamingDedup]]'s stateful aggregation keeps
+    * one state row per distinct content FOREVER (state grows with the
+    * corpus); this variant keeps state only inside the event-time
+    * watermark horizon, so state size follows the duplicate-arrival
+    * window, not corpus size. The documented trade (sbt-tested, both
+    * directions): a duplicate whose key is still in state is dropped; a
+    * duplicate with a fresh event time arriving after the key's state was
+    * evicted (expiry = first-seen event time + delay, cleanup at batch
+    * end) is re-emitted, and one with a stale event time below the
+    * watermark is discarded as late data — bounded memory buys exactly
+    * that.
+    *
+    * The input must be a STREAMING DataFrame; `tsCol` is an event-time
+    * timestamp column. Output is append-mode rows (first arrival of each
+    * key inside the horizon). */
+  def dedupWithinWatermark(
+      stream: DataFrame, idCols: Seq[String], tsCol: String,
+      delay: String): DataFrame = {
+    require(idCols.nonEmpty, "need at least one id column")
+    stream
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+  }
+
   /** Drive a transformation over a parquet file through a REAL streaming
     * query (file source → memory sink), synchronously. `outputMode` must
     * match the transformation (complete for windowed aggs, append for
@@ -134,7 +160,8 @@ object StreamingProfile {
       spark: SparkSession,
       path: String,
       transform: DataFrame => DataFrame,
-      outputMode: String): DataFrame = {
+      outputMode: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(path).schema
     // The file stream source wants a directory; point it at the parent with
     // a glob filter so both a single-file path and an intentional glob
@@ -147,8 +174,11 @@ object StreamingProfile {
     val file = f.getName
     require(!(f.isFile && file.exists("*?[]{}".contains(_))),
       s"replayParquet: literal file name '$file' contains glob metacharacters")
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", file).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+      .option("pathGlobFilter", file)
+    maxFilesPerTrigger.foreach(m =>
+      reader.option("maxFilesPerTrigger", m.toString))
+    val stream = reader.parquet(dir)
     val name = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = transform(stream).writeStream
       .outputMode(outputMode)

@@ -673,6 +673,41 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("dedupWithinWatermark: dup inside horizon dropped; evicted key re-emits") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("graft_wm").toString
+    def stage(n: Int, rows: Seq[(Long, java.sql.Timestamp)]): Unit = {
+      val tmp = s"$dir/_w$n"
+      rows.toDF("event_id", "evt").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      Files.move(part, Paths.get(s"$dir/$n.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(10) // distinct mtimes: the file source replays in order
+    }
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:00")
+    // batch1: A@10:00 (state expiry 11:00), B@10:05 -> watermark 9:05
+    stage(1, Seq((1L, ts(0)), (2L, ts(5))))
+    // batch2: dup A @10:30 (key still in state -> dropped), C@12:30 ->
+    // watermark 11:30, strictly past A's 11:00 expiry -> A evicted
+    stage(2, Seq((1L, ts(30)), (3L, ts(150))))
+    // batch3: advances nothing new; state cleanup runs at batch END, so
+    // A's eviction (11:00 expiry < 11:30 watermark) lands here
+    stage(3, Seq((4L, ts(155))))
+    // batch4: dup A @12:40 (not late, state evicted) -> RE-EMITTED — the
+    // bounded-state trade this operator buys its memory bound with
+    stage(4, Seq((1L, ts(160))))
+    val out = graft.streaming.StreamingProfile.replayParquet(
+      spark, s"$dir/*.parquet",
+      stream => graft.streaming.StreamingProfile.dedupWithinWatermark(
+        stream, Seq("event_id"), "evt", "1 hour").select("event_id"),
+      "append", maxFilesPerTrigger = Some(1))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(1L, 1L, 2L, 3L, 4L),
+      s"expected one in-horizon drop and one post-eviction re-emit, got $out")
+  }
+
   test("contaminationRatio: hand case — full, partial, zero overlap; short doc omitted") {
     import spark.implicits._
     val train = Seq(
