@@ -302,6 +302,15 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 3)
         .orderBy("train_id", "bench_id")
     }),
+    // per-UTC-day monitoring profile (E95)
+    "daily_profile" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.operators.Events.dailyProfile(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("ts DIV 1000")),
+        "ts_us", "user_id", "value")
+        .orderBy("day")
+    }),
     // bounded-state streaming dedup (E94): dropDuplicatesWithinWatermark
     // over a replayed stream carrying deterministic duplicates — state
     // follows the watermark horizon, not corpus size; single-batch replay
@@ -1318,6 +1327,12 @@ object SparkEntry {
     "contamination_ratio" -> OracleSql.contaminationRatio,
     "streaming_dedup_watermark" ->
       "SELECT event_id, user_id, value FROM events ORDER BY event_id",
+    "daily_profile" ->
+      """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(value) AS BIGINT) AS n_value,
+  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS mean_value
+FROM events GROUP BY 1 ORDER BY day""",
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,

@@ -146,4 +146,31 @@ object Events {
       .groupBy("cohort_day", "day_offset")
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Per-day event profile (E95) — the monitoring table a pipeline owner
+    * watches: for each UTC day, event volume, exact distinct active
+    * users, value completeness and the decimal-exact mean. This is the
+    * batch time-bucketed face of the profiling battery (the streaming
+    * face is E12's windowed profile): ONE map-side-combined
+    * groupBy(day) — the distinct-user slot rewrites to the standard
+    * two-phase Expand aggregation, still a single logical pass, no
+    * per-day jobs. Mean follows the decSum contract (DECIMAL(38,6)
+    * addends — partition-order independent); a day with no non-null
+    * values yields a null mean, not NaN. */
+  def dailyProfile(
+      events: DataFrame, tsUsCol: String, userCol: String,
+      valueCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    // day as 'yyyy-MM-dd' STRING: a DATE column round-trips differently
+    // through arrow/pandas on the two engines (date32 vs datetime64),
+    // and the string form is what a monitoring sink keys on anyway
+    events
+      .groupBy(date_format(timestamp_micros(col(tsUsCol)), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"),
+        count(col(valueCol)).as("n_value"),
+        round(sum(col(valueCol).cast(dec)).cast("double") /
+          count(col(valueCol)), 6).as("mean_value"))
+  }
 }

@@ -673,6 +673,23 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("dailyProfile: UTC day bucketing, distinct users, null-value day gives null mean") {
+    import spark.implicits._
+    val us = 1_000_000L
+    val day = 86400L * us
+    val df = Seq(
+      (day * 100 + 10 * us, Option(1L), Option(2.0)),
+      (day * 100 + 20 * us, Option(1L), Option(4.0)),
+      (day * 100 + 30 * us, Option(2L), Option.empty[Double]),
+      (day * 101 + 40 * us, Option(3L), Option.empty[Double])
+    ).toDF("ts_us", "user_id", "value")
+    val out = graft.operators.Events.dailyProfile(df, "ts_us", "user_id", "value")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), Option(r.get(4))))).toMap
+    assert(out("1970-04-11") == ((3L, 2L, 2L, Some(3.0))))
+    assert(out("1970-04-12") == ((1L, 1L, 0L, None)))
+  }
+
   test("dedupWithinWatermark: dup inside horizon dropped; evicted key re-emits") {
     import spark.implicits._
     import java.nio.file.{Files, Paths, StandardCopyOption}
