@@ -348,6 +348,41 @@ FROM j ORDER BY bucket"""
   val winsorizedStats: String =
     wrap(union(Lineitem.numeric.flatMap(c => winsorSelects(c, "0.01", "0.99"))))
 
+  /** Benford twin (E97): first significant digit from the DECIMAL(38,6)
+    * string rendering (never log10/floor — last-ulp coin-flip on powers
+    * of ten), 1-9 spine LEFT JOIN, LN-based expected shares, chi-square
+    * terms ROUND(·,12) → DECIMAL(38,12) window-summed. */
+  val benfordDigits: String =
+    raw"""WITH d AS (SELECT regexp_extract(CAST(CAST(l_extendedprice AS DECIMAL(38,6)) AS VARCHAR), '[1-9]') AS ds FROM lineitem),
+c AS (SELECT CAST(ds AS INT) AS digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d WHERE ds IS NOT NULL AND ds <> '' GROUP BY 1),
+s AS (SELECT t.digit, COALESCE(c.n_obs, 0) AS n_obs FROM (SELECT UNNEST(range(1, 10)) AS digit) t LEFT JOIN c ON t.digit = c.digit),
+w AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n, LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) / LN(CAST(10.0 AS DOUBLE)) AS exp_share FROM s),
+f AS (SELECT digit, n_obs,
+        CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share, exp_share,
+        (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - exp_share) * (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) - exp_share) / exp_share * CAST(n AS DOUBLE) AS term
+      FROM w)
+SELECT digit, n_obs, ROUND(obs_share, 6) AS obs_share, ROUND(exp_share, 6) AS exp_share,
+  ROUND(CAST(SUM(CAST(ROUND(term, 12) AS DECIMAL(38,12))) OVER () AS DOUBLE), 6) AS chi2
+FROM f ORDER BY digit"""
+
+  /** IQR-outlier twin (E96): raw QUANTILE_CONT quartiles (the proven E70
+    * bit-parity), fence arithmetic in the same fixed double order,
+    * conditional counts against the RAW fences, ROUND for display only. */
+  val iqrOutliers: String = {
+    val rows = Lineitem.numeric.map { c =>
+      val q = s"(SELECT CAST(QUANTILE_CONT(CAST($c AS DOUBLE), 0.25) AS DOUBLE) AS q1, " +
+        s"CAST(QUANTILE_CONT(CAST($c AS DOUBLE), 0.75) AS DOUBLE) AS q3 FROM $T) q"
+      val f = s"(SELECT q1, q3, q1 - CAST(1.5 AS DOUBLE) * (q3 - q1) AS lo, " +
+        s"q3 + CAST(1.5 AS DOUBLE) * (q3 - q1) AS hi FROM $q) f"
+      s"""SELECT '$c' AS instance, ROUND(f.q1, 6) AS q1, ROUND(f.q3, 6) AS q3,
+  ROUND(f.lo, 6) AS fence_lo, ROUND(f.hi, 6) AS fence_hi,
+  CAST(COUNT(CASE WHEN CAST($c AS DOUBLE) < f.lo THEN 1 END) AS BIGINT) AS n_below,
+  CAST(COUNT(CASE WHEN CAST($c AS DOUBLE) > f.hi THEN 1 END) AS BIGINT) AS n_above
+FROM $T, $f GROUP BY 1, 2, 3, 4, 5"""
+    }
+    s"SELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}) u ORDER BY instance"
+  }
+
   /** E69 blocklist-filter twin: the operator's Bloom prefilter is a pure
     * routing optimization (no false negatives; false positives resolved by
     * the exact anti-join), so the oracle is the plain anti-join over the

@@ -71,6 +71,17 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance", "name")),
+    // Benford first-digit screen on the price column (E97)
+    "benford_digits" -> ((s, dir) =>
+      graft.profiler.RobustStats.benfordTest(
+        lineitem(s, dir), "l_extendedprice")
+        .orderBy("digit")),
+    // Tukey-fence outlier tail sizes per numeric column (E96)
+    "iqr_outliers" -> ((s, dir) =>
+      graft.profiler.RobustStats.iqrOutliers(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
     // §2.A frequency battery (F1-F5)
     "count_distinct" -> metricQuery(Set("count_distinct")),
     "entropy" -> metricQuery(Set("entropy")),
@@ -1298,6 +1309,8 @@ object SparkEntry {
     "min_length" -> OracleSql.minLength,
     "quantiles_exact" -> OracleSql.quantilesExact,
     "winsorized_stats" -> OracleSql.winsorizedStats,
+    "iqr_outliers" -> OracleSql.iqrOutliers,
+    "benford_digits" -> OracleSql.benfordDigits,
     "count_distinct" -> OracleSql.countDistinct,
     "entropy" -> OracleSql.entropy,
     "unique_value_ratio" -> OracleSql.uniqueValueRatio,

@@ -2,7 +2,7 @@ package graft.profiler
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataTypes, DoubleType}
+import org.apache.spark.sql.types.{DataTypes, DoubleType, StringType}
 
 /** Winsorized (quantile-clipped) robust statistics (E70).
   *
@@ -28,6 +28,7 @@ import org.apache.spark.sql.types.{DataTypes, DoubleType}
 object RobustStats {
 
   private val Dec = DataTypes.createDecimalType(38, 6)
+  private val Dec12 = DataTypes.createDecimalType(38, 12)
 
   private def decSum(c: Column): Column =
     sum(c.cast(Dec)).cast(DoubleType)
@@ -110,6 +111,130 @@ object RobustStats {
     }
     rows.toDF("instance", "name", "value")
       .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+  }
+
+  /** IQR outlier counts (E96) — Tukey's fences, the standard
+    * box-plot outlier rule data-quality suites threshold on: per numeric
+    * column, the exact 6-dp-quantized quartiles, the
+    * `[q1 − 1.5·IQR, q3 + 1.5·IQR]` envelope and how many non-null
+    * values fall below / above it. Complements E70: winsorizing asks
+    * "what do the stats look like without the tail"; this asks "how big
+    * IS the tail".
+    *
+    * Same two-pass shape as [[winsorizedStats]]: one exact-quartile pass
+    * (shared spread() exchange, column-chunked concurrent jobs), then ONE
+    * wide conditional-count pass with the fences inlined as literals.
+    * Fence arithmetic is fixed-order double (`q1 − 1.5·(q3 − q1)`),
+    * mirrored verbatim by the oracle; all-null columns yield null fences
+    * and zero counts. */
+  def iqrOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "iqrOutliers needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = ScanMetrics.spread(df)
+    val bRows: Seq[(String, Row)] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val jobs = cols.grouped(2).toSeq.map { group =>
+        val aggs = group.map(c =>
+          percentile(col(c).cast(DoubleType), array(lit(0.25), lit(0.75)))
+            .as(c))
+        group -> Future(scala.concurrent.blocking {
+          src.agg(aggs.head, aggs.tail: _*).head()
+        })
+      }
+      jobs.flatMap { case (group, fut) =>
+        val row = Await.result(fut, Duration.Inf)
+        group.map(c => c -> row)
+      }
+    }
+    // raw (unrounded) quartiles: Spark percentile and DuckDB QUANTILE_CONT
+    // produce bit-identical doubles (the proven E70 contract), so the
+    // fence comparisons run on exact twins; rounding is display-only
+    val fences: Seq[(String, Option[(Double, Double, Double, Double)])] =
+      bRows.map { case (c, row) =>
+        val i = row.fieldIndex(c)
+        if (row.isNullAt(i)) c -> None
+        else {
+          val a = row.getSeq[Double](i)
+          val (q1, q3) = (a(0), a(1))
+          c -> Some((q1, q3, q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)))
+        }
+      }
+    val countAggs = fences.flatMap {
+      case (c, Some((_, _, lo, hi))) => Seq(
+        count(when(col(c) < lo, 1)).as(s"b_$c"),
+        count(when(col(c) > hi, 1)).as(s"a_$c"))
+      case (c, None) => Seq(
+        lit(0L).as(s"b_$c"), lit(0L).as(s"a_$c"))
+    }
+    val counts = src.agg(countAggs.head, countAggs.tail: _*).head()
+    fences.map {
+      case (c, Some((q1, q3, lo, hi))) =>
+        (c, Option(q1), Option(q3), Option(lo), Option(hi),
+          counts.getAs[Long](s"b_$c"), counts.getAs[Long](s"a_$c"))
+      case (c, None) =>
+        (c, Option.empty[Double], Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], 0L, 0L)
+    }.toDF("instance", "q1", "q3", "fence_lo", "fence_hi",
+      "n_below", "n_above")
+      .select(col("instance"),
+        round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+        round(col("fence_lo"), 6).as("fence_lo"),
+        round(col("fence_hi"), 6).as("fence_hi"),
+        col("n_below"), col("n_above"))
+  }
+
+  /** Benford first-significant-digit test (E97) — the classic
+    * fabricated/synthetic-numbers screen: naturally-occurring magnitudes
+    * spread across orders of magnitude follow P(d) = log10(1 + 1/d);
+    * uniform or hand-entered data does not. Reports, per digit 1-9, the
+    * observed count/share vs the Benford expectation, plus the
+    * chi-square statistic repeated on each row (window sum over 9 rows).
+    *
+    * Determinism: the first significant digit is extracted from the
+    * DECIMAL(38,6) string rendering (both engines print decimals with
+    * fixed scale), NOT via log10/floor — `log10(1000)` is a last-ulp
+    * coin-flip between 2.999… and 3.0 across libm implementations and
+    * would misdigit every power of ten. Values rounding to 0 at 6 dp
+    * (and nulls) are excluded; digits absent from the data still
+    * contribute their (0 − e)² term via the literal 1-9 spine. Chi-square
+    * terms are ROUND(·,12) → DECIMAL(38,12) summed (the decSum
+    * contract).
+    *
+    * ONE map-side-combined 9-group aggregation over a codegen'd
+    * scan — the window runs over 9 rows. */
+  def benfordTest(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digit = regexp_extract(
+      col(valueCol).cast(Dec).cast(StringType), "[1-9]", 0)
+    val counts = df
+      .select(digit.as("d"))
+      .where(col("d") =!= "")
+      .groupBy(col("d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val spine = (1 to 9).toDF("digit")
+    val joined = spine.join(counts, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val n = sum("n_obs").over(Window.partitionBy())
+    val expShare = log(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType)) /
+      log(lit(10.0))
+    val obsShare = col("n_obs").cast(DoubleType) / col("n").cast(DoubleType)
+    val term = (obsShare - col("exp_share")) * (obsShare - col("exp_share")) /
+      col("exp_share") * col("n").cast(DoubleType)
+    joined
+      .withColumn("n", n)
+      .withColumn("exp_share", expShare)
+      .withColumn("chi2", sum(round(term, 12).cast(Dec12))
+        .over(Window.partitionBy()).cast(DoubleType))
+      .select(col("digit"), col("n_obs"),
+        round(obsShare, 6).as("obs_share"),
+        round(col("exp_share"), 6).as("exp_share"),
+        round(col("chi2"), 6).as("chi2"))
   }
 
   /** Per-group exact quantiles (E82) — the per-domain length/quality

@@ -673,6 +673,38 @@ class Round6Spec extends AnyFunSuite {
     assert(out.values.forall(_.getLong(2) == 4L))
   }
 
+  test("iqrOutliers: hand fences, outlier tails counted, all-null column degenerate") {
+    import spark.implicits._
+    // 1..8 plus outliers -100 and 1000; quartiles of the 10 values:
+    // q1 = 1.75 (interp), q3 = 6.25 -> iqr 4.5 -> fences [-5, 13]
+    val vals = Seq(-100.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 1000.0)
+    val df = vals.map(v => (Option(v), Option.empty[Double])).toDF("x", "z")
+    val out = graft.profiler.RobustStats.iqrOutliers(df, Seq("x", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = out("x")
+    assert(math.abs(x.getDouble(1) - 2.25) < 1e-6 || math.abs(x.getDouble(1) - 1.75) < 1e-6)
+    assert(x.getLong(5) == 1L && x.getLong(6) == 1L) // -100 below, 1000 above
+    val z = out("z")
+    assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
+  }
+
+  test("benfordTest: string-derived first digit, 9-row spine, sub-6dp zeros excluded") {
+    import spark.implicits._
+    val df = Seq(Option(1.0), Option(1.5), Option(19.0), Option(2.5),
+      Option(0.05), Option(4e-7), Option.empty[Double]).toDF("v")
+    val out = graft.profiler.RobustStats.benfordTest(df, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(4)))).toMap
+    assert(out.size == 9)
+    // digits: 1,1,1,2,5 — the 4e-7 rounds to 0.000000 and is excluded
+    assert(out(1)._1 == 3L && out(1)._2 == 0.6)
+    assert(out(2)._1 == 1L && out(5)._1 == 1L)
+    assert(out(3)._1 == 0L && out(9)._1 == 0L)
+    // chi2 identical on every row, finite and positive
+    val chi2s = out.values.map(_._3).toSet
+    assert(chi2s.size == 1 && chi2s.head > 0.0)
+  }
+
   test("dailyProfile: UTC day bucketing, distinct users, null-value day gives null mean") {
     import spark.implicits._
     val us = 1_000_000L
