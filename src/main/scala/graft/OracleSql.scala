@@ -348,6 +348,27 @@ FROM j ORDER BY bucket"""
   val winsorizedStats: String =
     wrap(union(Lineitem.numeric.flatMap(c => winsorSelects(c, "0.01", "0.99"))))
 
+  /** KS-drift twin (E98): pooled distinct values, conditional count
+    * merge, explicit ROWS-framed cumulative window, integer counts to
+    * the final double division, display-only ROUND. */
+  val ksDrift: String =
+    raw"""WITH u AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey % 2 AS side
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+m AS (SELECT v,
+        CAST(COUNT(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS ca,
+        CAST(COUNT(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS cb
+      FROM u GROUP BY v),
+c AS (SELECT v, ca, cb,
+        SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cca,
+        SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccb,
+        SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM m)
+SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+  CAST(COUNT(*) AS BIGINT) AS n_values,
+  ROUND(MAX(ABS(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks_d
+FROM c"""
+
   /** Benford twin (E97): first significant digit from the DECIMAL(38,6)
     * string rendering (never log10/floor — last-ulp coin-flip on powers
     * of ten), 1-9 spine LEFT JOIN, LN-based expected shares, chi-square

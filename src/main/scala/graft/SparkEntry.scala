@@ -71,6 +71,14 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance", "name")),
+    // exact two-sample KS drift between the even/odd-order halves (E98)
+    "ks_drift" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.ksDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
     // Benford first-digit screen on the price column (E97)
     "benford_digits" -> ((s, dir) =>
       graft.profiler.RobustStats.benfordTest(
@@ -1311,6 +1319,7 @@ object SparkEntry {
     "winsorized_stats" -> OracleSql.winsorizedStats,
     "iqr_outliers" -> OracleSql.iqrOutliers,
     "benford_digits" -> OracleSql.benfordDigits,
+    "ks_drift" -> OracleSql.ksDrift,
     "count_distinct" -> OracleSql.countDistinct,
     "entropy" -> OracleSql.entropy,
     "unique_value_ratio" -> OracleSql.uniqueValueRatio,

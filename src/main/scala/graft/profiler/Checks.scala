@@ -313,6 +313,54 @@ object Checks {
         col("keys_f1"), col("keys_f2_9"), col("keys_f10_99"), col("keys_f100p"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov drift (E98) — the
+    * distribution-shape complement of E58's binned PSI: D = max over the
+    * pooled distinct values of |ECDF_a − ECDF_b|, sensitive to ANY
+    * distributional change, with no binning choices to tune (the PSI
+    * grid can hide a shift that lands inside one bin). The max of a
+    * two-sample KS always occurs at a data point, so evaluating at the
+    * pooled distinct values is exact, not an approximation.
+    *
+    * Scale shape: each side collapses map-side to (value, count); one
+    * value-keyed shuffle merges them; the cumulative sums run as a
+    * window over the DISTINCT-VALUE relation — for a genuinely
+    * high-cardinality column at 100 TB that global-order window is the
+    * bottleneck, and the documented scale path is the two-phase
+    * range-partitioned prefix sum (the E29 Packing machinery) over the
+    * same relation; the algebra is unchanged. Counts stay integer to
+    * the final double division; D is rounded for display only. */
+  def ksDrift(
+      before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    def side(df: org.apache.spark.sql.DataFrame, tag: Int) = df
+      .select(col(valueCol).cast(DoubleType).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), lit(tag).as("side"))
+    val m = side(before, 0).unionAll(side(after, 1))
+      .groupBy("v")
+      .agg(
+        count(when(col("side") === 0, 1)).as("ca"),
+        count(when(col("side") === 1, 1)).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    m.withColumn("cca", sum("ca").over(w))
+      .withColumn("ccb", sum("cb").over(w))
+      .withColumn("na", sum("ca").over(Window.partitionBy()))
+      .withColumn("nb", sum("cb").over(Window.partitionBy()))
+      .agg(
+        max("na").cast("long").as("n_a"),
+        max("nb").cast("long").as("n_b"),
+        count(lit(1)).as("n_values"),
+        round(max(abs(
+          col("cca").cast(DoubleType) / col("na").cast(DoubleType) -
+            col("ccb").cast(DoubleType) / col("nb").cast(DoubleType))), 6)
+          .as("ks_d"))
+  }
+
   /** Pattern-match compliance (E85) — the Deequ PatternMatch analyzer
     * (the format-validation workhorse: id/phone/code columns checked
     * against an expected regex). For each named spec (check, column,

@@ -688,6 +688,19 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("ksDrift: identical samples D=0; disjoint D=1; hand-computed shift") {
+    import spark.implicits._
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val same = graft.profiler.Checks.ksDrift(a, a, "v").collect()(0)
+    assert(same.getLong(0) == 4L && same.getDouble(3) == 0.0)
+    val b = Seq(10.0, 11.0).toDF("v")
+    val disj = graft.profiler.Checks.ksDrift(a, b, "v").collect()(0)
+    assert(disj.getDouble(3) == 1.0 && disj.getLong(2) == 6L)
+    // shift by one: a = {1,2,3,4}, c = {2,3,4,5} -> D = 1/4 at v=1 and v=4
+    val c = Seq(2.0, 3.0, 4.0, 5.0).toDF("v")
+    assert(graft.profiler.Checks.ksDrift(a, c, "v").collect()(0).getDouble(3) == 0.25)
+  }
+
   test("benfordTest: string-derived first digit, 9-row spine, sub-6dp zeros excluded") {
     import spark.implicits._
     val df = Seq(Option(1.0), Option(1.5), Option(19.0), Option(2.5),
