@@ -1500,6 +1500,25 @@ SELECT * FROM (
 ${rows.mkString("\nUNION ALL\n")}) u ORDER BY instance"""
   }
 
+  /** Chi-square twin (E99): the E80 joint/marginal CTE, expected counts
+    * in the same all-double order, the present-cell term minus its
+    * absent-cell correction (closed form `+ n`), decSum(38,12). */
+  def chiSquare(pairs: Seq[(String, String)], from: String = T): String = {
+    val selects = pairs.map { case (a, b) =>
+      val e = "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / CAST(n AS DOUBLE)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(SUM(c) AS BIGINT) AS n_joint,
+  CASE WHEN SUM(c) IS NULL THEN NULL ELSE
+    CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT) END AS dof,
+  ROUND(CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e - e, 12) AS DECIMAL(38,12))) AS DOUBLE) + CAST(MAX(n) AS DOUBLE), 6) AS chi2
+FROM (
+  SELECT c, x, y, $e AS e, n
+  FROM (SELECT x, y, c, SUM(c) OVER (PARTITION BY x) AS cx, SUM(c) OVER (PARTITION BY y) AS cy, SUM(c) OVER () AS n
+        FROM (SELECT CAST($a AS VARCHAR) AS x, CAST($b AS VARCHAR) AS y, COUNT(*) AS c
+              FROM $from WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) j) w) m"""
+    }
+    selects.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+  }
+
   /** Segmented-completeness twin (E79): one grouped CTE of per-column
     * non-null counts, unpivoted per column, same ROUND(·,6) division. */
   val segmentedCompleteness: String = {

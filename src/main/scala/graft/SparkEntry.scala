@@ -760,6 +760,13 @@ object SparkEntry {
         c, Seq("id_str", "bal_str", "pos_str", "seg_null", "mixed"))
         .orderBy("instance")
     }),
+    // chi-square independence test over the same pairs (E99)
+    "chi_square" -> ((s, dir) =>
+      graft.profiler.MutualInfo.chiSquare(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderstatus", "o_custkey")))
+        .orderBy("col_a", "col_b")),
     // pairwise mutual information over the categorical columns (E80)
     "mutual_info" -> ((s, dir) =>
       graft.profiler.MutualInfo.pairs(
@@ -1417,6 +1424,10 @@ FROM events GROUP BY 1 ORDER BY day""",
     "grouped_quantiles" -> OracleSql.groupedQuantiles(
       "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),
       from = "documents"),
+    "chi_square" -> OracleSql.chiSquare(
+      Seq(("o_orderstatus", "o_orderpriority"),
+        ("o_orderstatus", "o_custkey")),
+      from = "orders"),
     "mutual_info" -> OracleSql.mutualInfo(
       Seq(("o_orderstatus", "o_orderpriority"),
         ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")),

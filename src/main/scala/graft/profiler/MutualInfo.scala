@@ -73,4 +73,55 @@ object MutualInfo {
     broadcast(lookup).join(agg, Seq("pid"), "left")
       .select(col("col_a"), col("col_b"), col("n_joint"), col("mi"))
   }
+
+  /** Pearson chi-square independence test (E99) over the same joint
+    * relation as [[pairs]] — the hypothesis-test face of the dependence
+    * MI measures in nats: χ² = Σ_cells (observed − expected)² / expected
+    * with expected = c_x·c_y/n, plus the degrees of freedom
+    * (|X|−1)·(|Y|−1) needed to read it. Same single joint-count shuffle,
+    * same marginal windows, all-double cell algebra (no 64-bit product
+    * overflow), ROUND(·,12) → DECIMAL(38,12) term sums. Cells absent
+    * from the joint table contribute (0−e)²/e = e, so χ² is computed as
+    * Σ_present ((o−e)²/e − e) + n — exact without materializing the
+    * |X|·|Y| cell cross product. */
+  def chiSquare(dfIn: DataFrame, cols: Seq[(String, String)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column pair")
+    val spark = dfIn.sparkSession
+    import spark.implicits._
+    val df = ScanMetrics.spread(dfIn)
+    val entries = cols.zipWithIndex.map { case ((a, b), i) =>
+      when(col(a).isNotNull && col(b).isNotNull,
+        struct(lit(i).as("pid"),
+          col(a).cast("string").as("x"), col(b).cast("string").as("y")))
+    }
+    val joint = df
+      .select(explode(array(entries: _*)).as("e"))
+      .where(col("e").isNotNull)
+      .groupBy(col("e.pid").as("pid"), col("e.x").as("x"), col("e.y").as("y"))
+      .agg(count(lit(1)).as("c"))
+    val byPid = Window.partitionBy("pid")
+    val m = joint
+      .withColumn("cx", sum("c").over(Window.partitionBy("pid", "x")))
+      .withColumn("cy", sum("c").over(Window.partitionBy("pid", "y")))
+      .withColumn("n", sum("c").over(byPid))
+    val e = (col("cx").cast(DoubleType) * col("cy").cast(DoubleType)) /
+      col("n").cast(DoubleType)
+    val o = col("c").cast(DoubleType)
+    // present-cell term minus the absent-cell correction it will get back
+    // via the closed-form "+ n" below
+    val term = (o - e) * (o - e) / e - e
+    val agg = m.groupBy("pid").agg(
+      sum("c").cast(LongType).as("n_joint"),
+      countDistinct("x").as("card_x"),
+      countDistinct("y").as("card_y"),
+      (sum(round(term, 12).cast(Dec12)).cast(DoubleType) +
+        max(col("n")).cast(DoubleType)).as("chi2_raw"))
+    val lookup = cols.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("pid", "col_a", "col_b")
+    broadcast(lookup).join(agg, Seq("pid"), "left")
+      .select(col("col_a"), col("col_b"), col("n_joint"),
+        ((col("card_x") - 1) * (col("card_y") - 1)).cast(LongType).as("dof"),
+        round(col("chi2_raw"), 6).as("chi2"))
+  }
 }

@@ -644,6 +644,23 @@ class Round6Spec extends AnyFunSuite {
     assert(out(("x", "z")) == ((None, None)))
   }
 
+  test("chiSquare: independence gives 0; 2x2 dependence matches the hand formula") {
+    import spark.implicits._
+    // independent 2x2: every cell e = o -> chi2 = 0, dof = 1
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val r0 = graft.profiler.MutualInfo.chiSquare(ind, Seq(("x", "y"))).collect()(0)
+    assert(r0.getLong(3) == 1L && r0.getDouble(4) == 0.0)
+    // perfect dependence on 2x2 with n=4: chi2 = n = 4
+    val dep = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
+    val r1 = graft.profiler.MutualInfo.chiSquare(dep, Seq(("x", "y"))).collect()(0)
+    assert(r1.getDouble(4) == 4.0 && r1.getLong(3) == 1L)
+    // absent-cell handling: 2x2 with one empty cell,
+    // o = [[2,1],[0,1]]: e = [[1.5,1.5],[0.5,0.5]] -> chi2 = 4/3
+    val sparse = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 2)).toDF("x", "y")
+    val r2 = graft.profiler.MutualInfo.chiSquare(sparse, Seq(("x", "y"))).collect()(0)
+    assert(math.abs(r2.getDouble(4) - 4.0 / 3) < 1e-6)
+  }
+
   test("mutualInfo: independent columns give exactly 0") {
     import spark.implicits._
     val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
