@@ -1506,15 +1506,20 @@ ${rows.mkString("\nUNION ALL\n")}) u ORDER BY instance"""
   def chiSquare(pairs: Seq[(String, String)], from: String = T): String = {
     val selects = pairs.map { case (a, b) =>
       val e = "(CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)) / CAST(n AS DOUBLE)"
-      s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(SUM(c) AS BIGINT) AS n_joint,
+      s"""SELECT col_a, col_b, n_joint, dof, ROUND(chi2_raw, 6) AS chi2,
+  CASE WHEN mind <= 0 THEN NULL
+       ELSE ROUND(SQRT(chi2_raw / (CAST(n_joint AS DOUBLE) * CAST(mind AS DOUBLE))), 6) END AS cramers_v
+FROM (
+SELECT '$a' AS col_a, '$b' AS col_b, CAST(SUM(c) AS BIGINT) AS n_joint,
   CASE WHEN SUM(c) IS NULL THEN NULL ELSE
     CAST((COUNT(DISTINCT x) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT) END AS dof,
-  ROUND(CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e - e, 12) AS DECIMAL(38,12))) AS DOUBLE) + CAST(MAX(n) AS DOUBLE), 6) AS chi2
+  CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) - e) * (CAST(c AS DOUBLE) - e) / e - e, 12) AS DECIMAL(38,12))) AS DOUBLE) + CAST(MAX(n) AS DOUBLE) AS chi2_raw,
+  LEAST(COUNT(DISTINCT x), COUNT(DISTINCT y)) - 1 AS mind
 FROM (
   SELECT c, x, y, $e AS e, n
   FROM (SELECT x, y, c, SUM(c) OVER (PARTITION BY x) AS cx, SUM(c) OVER (PARTITION BY y) AS cy, SUM(c) OVER () AS n
         FROM (SELECT CAST($a AS VARCHAR) AS x, CAST($b AS VARCHAR) AS y, COUNT(*) AS c
-              FROM $from WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) j) w) m"""
+              FROM $from WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2) j) w) m) g"""
     }
     selects.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
   }

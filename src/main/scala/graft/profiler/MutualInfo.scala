@@ -119,9 +119,17 @@ object MutualInfo {
     val lookup = cols.zipWithIndex
       .map { case ((a, b), i) => (i, a, b) }
       .toDF("pid", "col_a", "col_b")
+    // Cramér's V: χ² normalized to [0,1] effect size — the number that
+    // compares dependence strength ACROSS pairs of different cardinality;
+    // degenerate 1×k tables (min(card)−1 = 0) yield null, not a div-0
+    val minDim = least(col("card_x"), col("card_y")) - lit(1)
+    val v = when(minDim <= 0, lit(null).cast(DoubleType))
+      .otherwise(sqrt(col("chi2_raw") /
+        (col("n_joint").cast(DoubleType) * minDim.cast(DoubleType))))
     broadcast(lookup).join(agg, Seq("pid"), "left")
       .select(col("col_a"), col("col_b"), col("n_joint"),
         ((col("card_x") - 1) * (col("card_y") - 1)).cast(LongType).as("dof"),
-        round(col("chi2_raw"), 6).as("chi2"))
+        round(col("chi2_raw"), 6).as("chi2"),
+        round(v, 6).as("cramers_v"))
   }
 }

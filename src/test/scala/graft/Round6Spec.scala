@@ -650,10 +650,15 @@ class Round6Spec extends AnyFunSuite {
     val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
     val r0 = graft.profiler.MutualInfo.chiSquare(ind, Seq(("x", "y"))).collect()(0)
     assert(r0.getLong(3) == 1L && r0.getDouble(4) == 0.0)
-    // perfect dependence on 2x2 with n=4: chi2 = n = 4
+    // perfect dependence on 2x2 with n=4: chi2 = n = 4, Cramér's V = 1
     val dep = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("x", "y")
     val r1 = graft.profiler.MutualInfo.chiSquare(dep, Seq(("x", "y"))).collect()(0)
     assert(r1.getDouble(4) == 4.0 && r1.getLong(3) == 1L)
+    assert(r1.getDouble(5) == 1.0)
+    // degenerate 1xk: V undefined -> null
+    val deg = Seq(("a", 1), ("a", 2)).toDF("x", "y")
+    assert(graft.profiler.MutualInfo.chiSquare(deg, Seq(("x", "y")))
+      .collect()(0).isNullAt(5))
     // absent-cell handling: 2x2 with one empty cell,
     // o = [[2,1],[0,1]]: e = [[1.5,1.5],[0.5,0.5]] -> chi2 = 4/3
     val sparse = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 2)).toDF("x", "y")
