@@ -994,6 +994,27 @@ FROM w WHERE event_type = 'purchase' ORDER BY event_id"""
       Lineitem.numeric.map(c => sel(c, "Minimum", minimumExpr(c))) ++
       Lineitem.numeric.map(c => sel(c, "Maximum", maximumExpr(c)))))
 
+  /** Segmented-incremental twin (E100): the incremental battery GROUPed
+    * by the segment column — same exact decimal/double algebra per
+    * segment, per-segment Size rows. */
+  val segmentedIncrementalProfile: String = {
+    def gsel(c: String, metric: String, expr: String) =
+      s"SELECT CAST(l_returnflag AS VARCHAR) AS segment, '$c' AS instance, " +
+        s"'$metric' AS name, ROUND($expr, 6) AS value FROM $T GROUP BY 1"
+    val size =
+      s"SELECT CAST(l_returnflag AS VARCHAR) AS segment, '*' AS instance, " +
+        s"'Size' AS name, ROUND(CAST(COUNT(*) AS DOUBLE), 6) AS value FROM $T GROUP BY 1"
+    val parts = Seq(size) ++
+      Lineitem.numeric.map(c => gsel(c, "Completeness", completenessExpr(c))) ++
+      Lineitem.numeric.map(c => gsel(c, "Mean", meanExpr(c))) ++
+      Lineitem.numeric.map(c => gsel(c, "Sum", sumExpr(c))) ++
+      Lineitem.numeric.map(c => gsel(c, "StandardDeviation", stddevPopExpr(c))) ++
+      Lineitem.numeric.map(c => gsel(c, "Minimum", minimumExpr(c))) ++
+      Lineitem.numeric.map(c => gsel(c, "Maximum", maximumExpr(c)))
+    s"SELECT * FROM (${parts.mkString(" UNION ALL ")}) q " +
+      "ORDER BY segment, instance, name"
+  }
+
   /** Decode twin: the synthetic media corpus is a pure function of
     * doc_id/text (Multimodal.syntheticMedia), so the oracle recomputes what
     * the real BMP/WAV header parsers must read back — dimensions from the

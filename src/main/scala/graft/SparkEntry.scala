@@ -259,6 +259,22 @@ object SparkEntry {
         .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
         .orderBy("instance", "name")
     }),
+    // segmented incremental profiling (E100): per-returnflag mergeable
+    // states, split/merged without rescan, exact metrics per segment
+    "segmented_incremental_profile" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val halves = Seq(
+        IncrementalProfiler.snapshotBy(
+          li.where(col("l_orderkey") % 2 === 0), "l_returnflag"),
+        IncrementalProfiler.snapshotBy(
+          li.where(col("l_orderkey") % 2 === 1), "l_returnflag"))
+      IncrementalProfiler.metricsBy(IncrementalProfiler.mergeBy(halves))
+        .where(col("name") =!= lit("ApproxCountDistinct") &&
+          !col("name").startsWith("ApproxQuantiles"))
+        .select(col("segment"), col("instance"), col("name"),
+          round(col("value"), 6).as("value"))
+        .orderBy("segment", "instance", "name")
+    }),
     "profile_lineitem_full" -> ((s, dir) =>
       Profiler.profile(s, lineitem(s, dir), cfg)
         .select(
@@ -1424,6 +1440,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "grouped_quantiles" -> OracleSql.groupedQuantiles(
       "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),
       from = "documents"),
+    "segmented_incremental_profile" -> OracleSql.segmentedIncrementalProfile,
     "chi_square" -> OracleSql.chiSquare(
       Seq(("o_orderstatus", "o_orderpriority"),
         ("o_orderstatus", "o_custkey")),

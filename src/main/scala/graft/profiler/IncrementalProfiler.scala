@@ -52,11 +52,26 @@ object IncrementalProfiler {
     * (exact for any in-range integral or decimal; quantizes doubles like
     * the oracle's `CAST(c AS DECIMAL(38,6))`); `sq` matches ScanMetrics'
     * square form `CAST(double(c) * double(c) AS DECIMAL(38,6))`. */
-  def snapshot(df: DataFrame): DataFrame = {
-    graft.functions.KllAggs.register(df.sparkSession)
+  private def snapshotAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    count(col("v")).as("nn"),
+    try_sum(col("vd")).as("dec_sum"),
+    count(when(col("v").isNotNull && col("vd").isNull, lit(1))).as("oor"),
+    try_sum(col("sq")).as("dec_sum_sq"),
+    count(when(col("v").isNotNull && col("sq").isNull, lit(1))).as("oor_sq"),
+    min(col("v")).as("mn"),
+    max(col("v")).as("mx"),
+    // DataSketches HLL takes int/long/string/binary only; the string
+    // form of a double is injective, so distinct counts are preserved
+    hll_sketch_agg(col("v").cast("string")).as("hll"),
+    // mergeable KLL quantile sketch — percentile_approx buffers cannot
+    // be persisted across batches; this can (see KllAggs)
+    graft.functions.KllAggs.kllSketchAgg(col("v")).as("kll"))
+
+  private def stacked(df: DataFrame, excluded: Set[String]): DataFrame = {
     val cols = df.schema.fields
       .filter(f => ColumnClass.of(f.dataType) == ColumnClass.Numeric)
-      .map(_.name).toSeq
+      .map(_.name).toSeq.filterNot(excluded)
     require(cols.nonEmpty, "no numeric columns to profile")
     val stackArgs: Seq[Column] =
       lit(cols.size) +: cols.flatMap { c =>
@@ -70,23 +85,34 @@ object IncrementalProfiler {
     // single-row-group sources serialize the stack+partial phase — see
     // ScanMetrics.spread; all state fields are order-independent
     ScanMetrics.spread(df)
-      .select(stack(stackArgs: _*).as(Seq("instance", "v", "vd", "sq")))
+      .select(col("*"), stack(stackArgs: _*).as(Seq("instance", "v", "vd", "sq")))
+  }
+
+  def snapshot(df: DataFrame): DataFrame = {
+    graft.functions.KllAggs.register(df.sparkSession)
+    val aggs = snapshotAggs
+    stacked(df, Set.empty)
+      .select("instance", "v", "vd", "sq")
       .groupBy("instance")
-      .agg(
-        count(lit(1)).as("n"),
-        count(col("v")).as("nn"),
-        try_sum(col("vd")).as("dec_sum"),
-        count(when(col("v").isNotNull && col("vd").isNull, lit(1))).as("oor"),
-        try_sum(col("sq")).as("dec_sum_sq"),
-        count(when(col("v").isNotNull && col("sq").isNull, lit(1))).as("oor_sq"),
-        min(col("v")).as("mn"),
-        max(col("v")).as("mx"),
-        // DataSketches HLL takes int/long/string/binary only; the string
-        // form of a double is injective, so distinct counts are preserved
-        hll_sketch_agg(col("v").cast("string")).as("hll"),
-        // mergeable KLL quantile sketch — percentile_approx buffers cannot
-        // be persisted across batches; this can (see KllAggs)
-        graft.functions.KllAggs.kllSketchAgg(col("v")).as("kll"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Segmented snapshot (E100): the same mergeable state keyed
+    * (segment, instance) — per-tenant / per-event-type / per-day
+    * incremental profiling, the E79 segmentation idea applied to the
+    * 100 TB never-rescan operating mode. One stacked shuffle exactly like
+    * [[snapshot]], just a wider grouping key; every state field merges
+    * associatively per segment, so daily segmented states roll up across
+    * any partitioning. Null segments profile as their own segment (the
+    * E79 contract). */
+  def snapshotBy(df: DataFrame, segCol: String): DataFrame = {
+    graft.functions.KllAggs.register(df.sparkSession)
+    val aggs = snapshotAggs
+    stacked(df, Set(segCol))
+      .select(col(segCol).cast("string").as("segment"),
+        col("instance"), col("v"), col("vd"), col("sq"))
+      .groupBy("segment", "instance")
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Combine any number of state relations — associative and commutative,
@@ -94,30 +120,46 @@ object IncrementalProfiler {
     * A snapshot whose decimal total overflowed (`try_sum` → null with
     * nn > 0) poisons the merged total to null rather than being silently
     * skipped by `sum`'s null-ignoring semantics. */
+  private def mergeAggs: Seq[Column] = Seq(
+    sum(col("n")).as("n"),
+    sum(col("nn")).as("nn"),
+    count(when(col("dec_sum").isNull && col("nn") > 0, lit(1))).as("sum_bad"),
+    try_sum(col("dec_sum")).as("dec_sum_raw"),
+    sum(col("oor")).as("oor"),
+    count(when(col("dec_sum_sq").isNull && col("nn") > 0, lit(1))).as("sq_bad"),
+    try_sum(col("dec_sum_sq")).as("dec_sum_sq_raw"),
+    sum(col("oor_sq")).as("oor_sq"),
+    min(col("mn")).as("mn"),
+    max(col("mx")).as("mx"),
+    hll_union_agg(col("hll")).as("hll"),
+    graft.functions.KllAggs.kllMergeAgg(col("kll")).as("kll"))
+
+  private def mergeFinal(keyCols: Seq[String]): Seq[Column] =
+    keyCols.map(col) ++ Seq(
+      col("n"), col("nn"),
+      when(col("sum_bad") === 0, col("dec_sum_raw")).as("dec_sum"),
+      col("oor"),
+      when(col("sq_bad") === 0, col("dec_sum_sq_raw")).as("dec_sum_sq"),
+      col("oor_sq"),
+      col("mn"), col("mx"), col("hll"), col("kll"))
+
   def merge(states: Seq[DataFrame]): DataFrame = {
     states.foreach(s => graft.functions.KllAggs.register(s.sparkSession))
+    val aggs = mergeAggs
     states.reduce(_ unionByName _)
       .groupBy("instance")
-      .agg(
-        sum(col("n")).as("n"),
-        sum(col("nn")).as("nn"),
-        count(when(col("dec_sum").isNull && col("nn") > 0, lit(1))).as("sum_bad"),
-        try_sum(col("dec_sum")).as("dec_sum_raw"),
-        sum(col("oor")).as("oor"),
-        count(when(col("dec_sum_sq").isNull && col("nn") > 0, lit(1))).as("sq_bad"),
-        try_sum(col("dec_sum_sq")).as("dec_sum_sq_raw"),
-        sum(col("oor_sq")).as("oor_sq"),
-        min(col("mn")).as("mn"),
-        max(col("mx")).as("mx"),
-        hll_union_agg(col("hll")).as("hll"),
-        graft.functions.KllAggs.kllMergeAgg(col("kll")).as("kll"))
-      .select(
-        col("instance"), col("n"), col("nn"),
-        when(col("sum_bad") === 0, col("dec_sum_raw")).as("dec_sum"),
-        col("oor"),
-        when(col("sq_bad") === 0, col("dec_sum_sq_raw")).as("dec_sum_sq"),
-        col("oor_sq"),
-        col("mn"), col("mx"), col("hll"), col("kll"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(mergeFinal(Seq("instance")): _*)
+  }
+
+  /** Segmented merge (E100): [[merge]] keyed (segment, instance). */
+  def mergeBy(states: Seq[DataFrame]): DataFrame = {
+    states.foreach(s => graft.functions.KllAggs.register(s.sparkSession))
+    val aggs = mergeAggs
+    states.reduce(_ unionByName _)
+      .groupBy("segment", "instance")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(mergeFinal(Seq("segment", "instance")): _*)
   }
 
   /** Metrics relation from a (possibly merged) state.
@@ -136,53 +178,89 @@ object IncrementalProfiler {
     * the sketch decoding run as plain JVM code instead of a UDF. The
     * arithmetic (decimal→double cast, then IEEE double ops) is exactly the
     * previous column-expression sequence, so oracle hashes are unchanged. */
-  def metrics(state: DataFrame, quantiles: Int = 10): DataFrame = {
+  /** Instance-level metric rows derived from one state row — the shared
+    * arithmetic of [[metrics]] and [[metricsBy]] (ONE definition so the
+    * whole-table and segmented paths cannot drift). */
+  private def rowMetrics(
+      r: org.apache.spark.sql.Row, ps: Seq[Double]): Seq[(String, String, Double)] = {
     import org.apache.datasketches.hll.HllSketch
     import org.apache.datasketches.memory.Memory
+    def nullable[T](name: String): Option[T] = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) None else Some(r.getAs[T](i))
+    }
+    val rows = Seq.newBuilder[(String, String, Double)]
+    val inst = r.getAs[String]("instance")
+    val n = r.getAs[Long]("n")
+    val nn = r.getAs[Long]("nn")
+    if (n > 0) rows += ((inst, "Completeness", nn.toDouble / n))
+    val decSum = nullable[java.math.BigDecimal]("dec_sum")
+    val sumOk = nn > 0 && r.getAs[Long]("oor") == 0 && decSum.isDefined
+    if (sumOk) {
+      val sumD = decSum.get.doubleValue
+      rows += ((inst, "Mean", sumD / nn))
+      rows += ((inst, "Sum", sumD))
+      val decSumSq = nullable[java.math.BigDecimal]("dec_sum_sq")
+      if (r.getAs[Long]("oor_sq") == 0 && decSumSq.isDefined) {
+        val sqD = decSumSq.get.doubleValue
+        rows += ((inst, "StandardDeviation",
+          math.sqrt(math.max(sqD / nn - math.pow(sumD / nn, 2), 0.0))))
+      }
+    }
+    nullable[Double]("mn").foreach(v => rows += ((inst, "Minimum", v)))
+    nullable[Double]("mx").foreach(v => rows += ((inst, "Maximum", v)))
+    nullable[Array[Byte]]("hll").filter(_.nonEmpty).foreach { b =>
+      // same rounding as Spark's hll_sketch_estimate (bigint estimate)
+      rows += ((inst, MetricNames.ApproxCountDistinct,
+        Math.round(HllSketch.heapify(Memory.wrap(b)).getEstimate).toDouble))
+    }
+    nullable[Array[Byte]]("kll").foreach { b =>
+      graft.functions.KllAggs.quantiles(b, ps).foreach { qs =>
+        ps.zip(qs).foreach { case (p, q) =>
+          rows += ((inst, MetricNames.approxQuantile(p), q))
+        }
+      }
+    }
+    rows.result()
+  }
+
+  def metrics(state: DataFrame, quantiles: Int = 10): DataFrame = {
     val spark = state.sparkSession
     val ps = ScanMetrics.quantilePs(quantiles)
     val collected = state.collect()
     val rows = Seq.newBuilder[(String, String, Double)]
     var maxN = 0L
     collected.foreach { r =>
-      def nullable[T](name: String): Option[T] = {
-        val i = r.fieldIndex(name)
-        if (r.isNullAt(i)) None else Some(r.getAs[T](i))
-      }
-      val inst = r.getAs[String]("instance")
-      val n = r.getAs[Long]("n")
-      val nn = r.getAs[Long]("nn")
-      maxN = math.max(maxN, n)
-      if (n > 0) rows += ((inst, "Completeness", nn.toDouble / n))
-      val decSum = nullable[java.math.BigDecimal]("dec_sum")
-      val sumOk = nn > 0 && r.getAs[Long]("oor") == 0 && decSum.isDefined
-      if (sumOk) {
-        val sumD = decSum.get.doubleValue
-        rows += ((inst, "Mean", sumD / nn))
-        rows += ((inst, "Sum", sumD))
-        val decSumSq = nullable[java.math.BigDecimal]("dec_sum_sq")
-        if (r.getAs[Long]("oor_sq") == 0 && decSumSq.isDefined) {
-          val sqD = decSumSq.get.doubleValue
-          rows += ((inst, "StandardDeviation",
-            math.sqrt(math.max(sqD / nn - math.pow(sumD / nn, 2), 0.0))))
-        }
-      }
-      nullable[Double]("mn").foreach(v => rows += ((inst, "Minimum", v)))
-      nullable[Double]("mx").foreach(v => rows += ((inst, "Maximum", v)))
-      nullable[Array[Byte]]("hll").filter(_.nonEmpty).foreach { b =>
-        // same rounding as Spark's hll_sketch_estimate (bigint estimate)
-        rows += ((inst, MetricNames.ApproxCountDistinct,
-          Math.round(HllSketch.heapify(Memory.wrap(b)).getEstimate).toDouble))
-      }
-      nullable[Array[Byte]]("kll").foreach { b =>
-        graft.functions.KllAggs.quantiles(b, ps).foreach { qs =>
-          ps.zip(qs).foreach { case (p, q) =>
-            rows += ((inst, MetricNames.approxQuantile(p), q))
-          }
-        }
-      }
+      maxN = math.max(maxN, r.getAs[Long]("n"))
+      rows ++= rowMetrics(r, ps)
     }
     if (collected.nonEmpty) rows += (("*", MetricNames.Size, maxN.toDouble))
     spark.createDataFrame(rows.result()).toDF("instance", "name", "value")
+  }
+
+  /** Segmented metrics (E100): [[metrics]] per segment, with a
+    * per-segment Size row (instance `*`). The state is one row per
+    * (segment, column) — metadata-sized for any bounded segment
+    * cardinality, so the eager collect policy carries over; for
+    * unbounded segment domains the state RELATION itself is the product
+    * (publish it to a sink), not this driver-side metric view. */
+  def metricsBy(state: DataFrame, quantiles: Int = 10): DataFrame = {
+    val spark = state.sparkSession
+    val ps = ScanMetrics.quantilePs(quantiles)
+    val collected = state.collect()
+    val rows = Seq.newBuilder[(String, String, String, Double)]
+    val maxN = scala.collection.mutable.Map.empty[String, Long]
+    collected.foreach { r =>
+      val seg = Option(r.getAs[String]("segment")).orNull
+      val segKey = if (seg == null) null else seg
+      maxN(segKey) = math.max(
+        maxN.getOrElse(segKey, 0L), r.getAs[Long]("n"))
+      rowMetrics(r, ps).foreach { case (i, m, v) => rows += ((segKey, i, m, v)) }
+    }
+    maxN.foreach { case (seg, n) =>
+      rows += ((seg, "*", MetricNames.Size, n.toDouble))
+    }
+    spark.createDataFrame(rows.result())
+      .toDF("segment", "instance", "name", "value")
   }
 }
