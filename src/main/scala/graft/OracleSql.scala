@@ -1403,6 +1403,19 @@ FROM (${combos.map(combo).mkString("\nUNION ALL\n")}) u ORDER BY key_cols"""
   CAST(SUM(COALESCE(len($wsToksSql), 0)) AS BIGINT) AS n_tokens
 FROM documents GROUP BY 1 ORDER BY bucket"""
 
+  /** Fuzzy-match twin (E101): same dirty-variant derivation, prefix-block
+    * equi-join, DuckDB's classic levenshtein (identical to Spark's). */
+  val fuzzyMatch: String =
+    raw"""WITH dirty AS (
+  SELECT c_custkey AS left_id, substring(c_name, 1, length(c_name) - 1) AS lk
+  FROM customer WHERE c_custkey % 20 = 0),
+clean AS (SELECT c_custkey AS right_id, c_name AS rk FROM customer)
+SELECT d.left_id, c.right_id, CAST(levenshtein(d.lk, c.rk) AS INT) AS dist
+FROM dirty d JOIN clean c
+  ON lower(substring(d.lk, 1, 12)) = lower(substring(c.rk, 1, 12))
+WHERE levenshtein(d.lk, c.rk) <= 1
+ORDER BY left_id, right_id"""
+
   /** Quantile-bucket twin (E88): the n−1 boundaries as one CTE row,
     * ROUND(·,6) quantized on BOTH engines before the comparison chain. */
   def quantileBuckets(valueCol: String, nBuckets: Int, from: String): String = {

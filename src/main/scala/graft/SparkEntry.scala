@@ -806,6 +806,19 @@ object SparkEntry {
             .cast("long").as("n_tokens"))
         .orderBy("bucket")
     }),
+    // blocked fuzzy entity matching (E101): last-char-dropped "dirty"
+    // variants of every 20th customer name matched back to the clean
+    // reference by Levenshtein inside prefix blocks
+    "fuzzy_match" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val dirty = cust.where(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey").as("dirty_id"),
+          expr("substring(c_name, 1, length(c_name) - 1)").as("dirty_name"))
+      graft.operators.FuzzyJoin.fuzzyMatch(
+        dirty, cust, "dirty_id", "c_custkey", "dirty_name", "c_name",
+        blockLen = 12, maxDist = 1)
+        .orderBy("left_id", "right_id")
+    }),
     // exact-decile curriculum bucketing (E88)
     "quantile_buckets" -> ((s, dir) =>
       graft.operators.Sampling.quantileBuckets(
@@ -1427,6 +1440,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "pattern_match" -> OracleSql.patternMatch(patternSpecs, from = "customer"),
     "snapshot_diff" -> OracleSql.snapshotDiff,
     "quantile_buckets" -> OracleSql.quantileBuckets("n_chars", 10, "documents"),
+    "fuzzy_match" -> OracleSql.fuzzyMatch,
     "partitioned_profile" -> OracleSql.partitionedProfile,
     "effective_tokens" -> OracleSql.effectiveTokens,
     "corpus_cube" -> OracleSql.corpusCube,

@@ -710,6 +710,26 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("fuzzyMatch: in-block typo found, block-escaping typo missed, cap drops loudly") {
+    import spark.implicits._
+    val right = Seq((10L, Option("acme corp")), (11L, Option("acme co")),
+      (12L, Option("beta inc"))).toDF("id", "name")
+    val left = Seq((1L, Option("acme corp!")), (2L, Option("bcme corp")),
+      (3L, Option.empty[String])).toDF("id", "name")
+    def run(cap: Option[Int]) = graft.operators.FuzzyJoin
+      .fuzzyMatch(left, right, "id", "id", "name", "name",
+        blockLen = 4, maxDist = 2, maxBlockFreq = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 1 matches 10 (dist 1); "acme co" is dist 3 away; the char-1 typo
+    // escapes its block (documented recall trade); null never matches
+    assert(run(None) == Set((1L, 10L, 1)))
+    // cap=1: the 2-member "acme" block is dropped -> no matches at all
+    assert(run(Some(1)).isEmpty)
+    val diag = graft.operators.FuzzyJoin
+      .fuzzyMatchDiagnostics(right, "name", blockLen = 4, cap = 1).collect()(0)
+    assert(diag.getLong(0) == 1L && diag.getLong(1) == 2L)
+  }
+
   test("segmented incremental: split+merge equals one-shot; null segment kept") {
     import spark.implicits._
     val df = Seq(
