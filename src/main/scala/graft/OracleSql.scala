@@ -1620,6 +1620,27 @@ UNION ALL SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
 UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
 ORDER BY stage"""
 
+  /** Time-to-convert twin (E102): the eventFunnel anchor CTEs, per
+    * transition the (t_next − t_prev)/1e6 delta in the same double
+    * order, COUNT + QUANTILE_CONT. */
+  val timeToConvert: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e WHERE event_type = 'signup' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts_us > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY e.user_id),
+t12 AS (SELECT CAST(s2.t - s1.t AS DOUBLE) / 1000000.0 AS d FROM s1 JOIN s2 USING (user_id)),
+t23 AS (SELECT CAST(s3.t - s2.t AS DOUBLE) / 1000000.0 AS d FROM s2 JOIN s3 USING (user_id))
+SELECT 'signup->view' AS transition, CAST(COUNT(*) AS BIGINT) AS n_users,
+  ROUND((ARRAY_AGG(d ORDER BY d))[CAST(CEIL(0.5 * COUNT(*)) AS INT)], 6) AS p50_s,
+  ROUND((ARRAY_AGG(d ORDER BY d))[CAST(CEIL(0.9 * COUNT(*)) AS INT)], 6) AS p90_s FROM t12
+UNION ALL
+SELECT 'view->purchase', CAST(COUNT(*) AS BIGINT),
+  ROUND((ARRAY_AGG(d ORDER BY d))[CAST(CEIL(0.5 * COUNT(*)) AS INT)], 6),
+  ROUND((ARRAY_AGG(d ORDER BY d))[CAST(CEIL(0.9 * COUNT(*)) AS INT)], 6) FROM t23
+ORDER BY transition"""
+
   /** Cohort-retention twin: epoch-day cohorts via integer division of the
     * microsecond timestamp, distinct (user, cohort, offset) triples. */
   val cohortRetention: String =

@@ -906,6 +906,15 @@ object SparkEntry {
         e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
         .orderBy("stage")
     }),
+    // funnel time-to-convert latency distribution (E102)
+    "time_to_convert" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val e = s.read.parquet(s"$dir/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      graft.operators.Events.timeToConvert(
+        e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+        .orderBy("transition")
+    }),
     // daily cohort retention matrix (first-active-day cohorts, 7-day window)
     "cohort_retention" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1478,6 +1487,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     // must reproduce the exact whole-table metrics
     "streaming_incremental_profile" -> OracleSql.incrementalProfile,
     "event_funnel" -> OracleSql.eventFunnel,
+    "time_to_convert" -> OracleSql.timeToConvert,
     "cohort_retention" -> OracleSql.cohortRetention,
     "profile_all_tables" -> OracleSql.profileAllTables,
     "approx_error_audit" -> OracleSql.approxErrorAudit,

@@ -97,6 +97,98 @@ object Events {
       .where(col("reached") >= 1)
   }
 
+  /** [[funnelReached]] with the per-stage anchor TIMES kept: returns
+    * `(u, anchors)` where `anchors(k)` is the stage-(k+1) anchor in
+    * microseconds (array length = depth reached). Same single shuffle and
+    * greedy walk; the accumulator additionally appends each accepted
+    * anchor. The stage-1 null-ts sentinel can appear only at index 0 and
+    * blocks all later stages, so any index ≥ 1 anchor — and its
+    * predecessor — is a real time (the E48 sentinel contract). */
+  def funnelAnchors(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage required")
+    val stagesArr = array(stages.map(lit): _*)
+    val NullTs = Long.MaxValue
+    val tsLong = events.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _: TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case _ => col(tsCol).cast("long")
+    }
+    val typed = events
+      .where(col(typeCol).isin(stages: _*))
+      .select(
+        col(userCol).as("u"),
+        struct(coalesce(tsLong, lit(NullTs)).as("t"), col(typeCol).as("ty")).as("e"))
+    typed.groupBy("u")
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(
+        col("u"),
+        aggregate(
+          col("evs"),
+          struct(lit(0).as("s"), lit(Long.MinValue).as("t"),
+            array().cast("array<bigint>").as("a")),
+          (acc, e) => when(
+            get(stagesArr, acc("s")) === e("ty") && e("t") > acc("t") &&
+              (acc("s") === 0 || e("t") =!= lit(NullTs)),
+            struct((acc("s") + 1).as("s"), e("t").as("t"),
+              concat(acc("a"), array(e("t"))).as("a"))).otherwise(acc),
+          acc => acc("a")).as("anchors"))
+      .where(size(col("anchors")) >= 1)
+  }
+
+  /** Funnel time-to-convert (E102) — per stage transition, how many users
+    * converted and the exact p50/p90 latency in seconds: the
+    * product-analytics number next to E48's depth counts. ONE events
+    * shuffle ([[funnelAnchors]]), then per-transition deltas explode from
+    * the per-user anchor array (≤ |stages|−1 rows per user) into a
+    * |transitions|-group exact-percentile aggregation (the N8-twin
+    * contract). */
+  def timeToConvert(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need at least two stages for a transition")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val anchors = funnelAnchors(events, userCol, tsCol, typeCol, stages)
+    val deltas = anchors
+      .select(explode(expr(
+        "transform(slice(anchors, 2, size(anchors) - 1), " +
+          "(x, i) -> struct(i AS i, x - element_at(anchors, i + 1) AS d))"))
+        .as("e"))
+      .select(col("e.i").as("i"),
+        (col("e.d").cast("double") / lit(1000000.0)).as("delta_s"))
+    // nearest-rank (discrete) quantiles — an ACTUAL delta, not an
+    // interpolation: interpolated quantiles of messy doubles differ in
+    // the last ulp across engines (Spark (1−g)a+gb vs a+g(b−a)) and flip
+    // the 6-dp display rounding; picking element ceil(p·n) is
+    // bit-identical everywhere. The per-transition sorted array is
+    // bounded by converter count; at adversarial scale use the grouped
+    // KLL battery (E19/E82) instead.
+    def disc(p: Double) = round(element_at(col("ds"),
+      ceil(lit(p) * col("n_users")).cast("int")), 6)
+    val agg = deltas.groupBy("i").agg(
+      count(lit(1)).as("n_users"),
+      sort_array(collect_list(col("delta_s"))).as("ds"))
+      .select(col("i"), col("n_users"),
+        disc(0.5).as("p50_s"), disc(0.9).as("p90_s"))
+    val lookup = stages.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (i, s"$a->$b") }.toSeq
+      .toDF("i", "transition")
+    broadcast(lookup).join(agg, Seq("i"), "left")
+      .select(col("transition"),
+        // a transition nobody completed is 0 converters (the oracle's
+        // COUNT over an empty set), not an absent row
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("p50_s"), col("p90_s"))
+  }
+
   /** Strict-order funnel counts: stage k's `n_users` = users reaching at
     * least stage k ([[funnelReached]] — one events-table shuffle; this
     * wrapper reduces the per-user relation to ≤ |stages| rows and builds

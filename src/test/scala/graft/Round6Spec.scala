@@ -710,6 +710,30 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("timeToConvert: hand latencies, partial funnels, zero-converter transition") {
+    import spark.implicits._
+    val us = 1000000L
+    val ev = Seq(
+      (1L, 0L, "signup"), (1L, 10 * us, "view"), (1L, 40 * us, "purchase"),
+      (2L, 0L, "signup"), (2L, 5 * us, "view"),
+      (3L, 0L, "view") // never signed up: contributes nothing
+    ).toDF("user_id", "ts_us", "event_type")
+    val out = graft.operators.Events.timeToConvert(
+      ev, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    // signup->view deltas sorted [5, 10]: nearest-rank p50 = element
+    // ceil(0.5*2)=1 -> 5.0; p90 = element ceil(0.9*2)=2 -> 10.0
+    assert(out("signup->view") == ((2L, Some(5.0), Some(10.0))))
+    assert(out("view->purchase") == ((1L, Some(30.0), Some(30.0))))
+    // drop purchases: the transition still reports, with 0 converters
+    val none = graft.operators.Events.timeToConvert(
+      ev.where(col("event_type") =!= "purchase"),
+      "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(none("view->purchase") == 0L)
+  }
+
   test("fuzzyMatch: in-block typo found, block-escaping typo missed, cap drops loudly") {
     import spark.implicits._
     val right = Seq((10L, Option("acme corp")), (11L, Option("acme co")),
