@@ -369,6 +369,34 @@ SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
   ROUND(MAX(ABS(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks_d
 FROM c"""
 
+  /** Spearman twin (E103): average-tie ranks via RANK + tie-count
+    * windows, then the columnCorr moment algebra over the rank CTE
+    * (DECIMAL(38,6)-quantized rank sums are exact — ranks are integers
+    * or halves). */
+  def spearman(pairs: Seq[(String, String)], from: String = T): String = {
+    val selects = pairs.map { case (a, b) =>
+      def avgRank(v: String) =
+        s"CAST(RANK() OVER (ORDER BY $v) AS DOUBLE) + " +
+          s"CAST(COUNT(*) OVER (PARTITION BY $v) - 1 AS DOUBLE) / CAST(2.0 AS DOUBLE)"
+      val nD = "CAST(n AS DOUBLE)"
+      val g = s"($nD * sxx - sx * sx) * ($nD * syy - sy * sy)"
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+  ROUND(CASE WHEN $g > 0 THEN ($nD * sxy - sx * sy) / SQRT($g) END, 6) AS spearman
+FROM (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ra AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(ra * ra AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(rb AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(rb * rb AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(ra * rb AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+  FROM (
+    SELECT ${avgRank("va")} AS ra, ${avgRank("vb")} AS rb
+    FROM (SELECT CAST($a AS DOUBLE) AS va, CAST($b AS DOUBLE) AS vb
+          FROM $from WHERE $a IS NOT NULL AND $b IS NOT NULL) c) r) g"""
+    }
+    selects.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+  }
+
   /** Benford twin (E97): first significant digit from the DECIMAL(38,6)
     * string rendering (never log10/floor — last-ulp coin-flip on powers
     * of ten), 1-9 spine LEFT JOIN, LN-based expected shares, chi-square

@@ -79,6 +79,12 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    // Spearman rank correlation over two numeric pairs (E103)
+    "spearman_corr" -> ((s, dir) =>
+      graft.profiler.Correlation.spearman(
+        lineitem(s, dir),
+        Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")))
+        .orderBy("col_a", "col_b")),
     // Benford first-digit screen on the price column (E97)
     "benford_digits" -> ((s, dir) =>
       graft.profiler.RobustStats.benfordTest(
@@ -1365,6 +1371,8 @@ object SparkEntry {
     "iqr_outliers" -> OracleSql.iqrOutliers,
     "benford_digits" -> OracleSql.benfordDigits,
     "ks_drift" -> OracleSql.ksDrift,
+    "spearman_corr" -> OracleSql.spearman(
+      Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax"))),
     "count_distinct" -> OracleSql.countDistinct,
     "entropy" -> OracleSql.entropy,
     "unique_value_ratio" -> OracleSql.uniqueValueRatio,

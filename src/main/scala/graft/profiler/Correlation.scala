@@ -137,4 +137,34 @@ object Correlation {
         StructField("n", LongType, nullable = false),
         StructField("corr", DoubleType, nullable = true))))
   }
+
+  /** Spearman rank correlation (E103) — the monotone-association member
+    * that completes the dependence suite (Pearson E37 sees linear only;
+    * MI E80 and χ² E99 see categorical): Pearson over average-tie ranks,
+    * so a perfect nonlinear monotone relation scores exactly ±1. Ranks
+    * are min-rank + (tie-count − 1)/2 — always an integer or half, so
+    * the DECIMAL(38,6) moment quantization of [[matrix]] is EXACT and
+    * the whole pipeline stays on the proven columnCorr algebra.
+    *
+    * Scale note: the ranking runs as a global-order window (one
+    * partition) per pair — the honest cost of exact ranks; at 100 TB the
+    * documented path is approximate ranks from the KLL CDF (E19), this
+    * exact pass as spot-verifier. */
+  def spearman(dfIn: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pairs.nonEmpty, "need at least one column pair")
+    pairs.map { case (a, b) =>
+      val complete = dfIn
+        .where(col(a).isNotNull && col(b).isNotNull)
+        .select(col(a).cast(DoubleType).as("va"), col(b).cast(DoubleType).as("vb"))
+      def avgRank(vc: String) =
+        rank().over(Window.orderBy(col(vc))).cast(DoubleType) +
+          (count(lit(1)).over(Window.partitionBy(col(vc))) - lit(1))
+            .cast(DoubleType) / lit(2.0)
+      val ranked = complete.select(avgRank("va").as("ra"), avgRank("vb").as("rb"))
+      matrix(ranked, Seq("ra", "rb"))
+        .select(lit(a).as("col_a"), lit(b).as("col_b"),
+          col("n"), col("corr").as("spearman"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -710,6 +710,22 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("spearman: nonlinear monotone is exactly 1; reversed is -1; ties averaged") {
+    import spark.implicits._
+    // y = x^3: nonlinear but perfectly monotone -> Spearman exactly 1
+    val mono = (1 to 20).map(i => (i.toDouble, math.pow(i, 3))).toDF("x", "y")
+    val r1 = graft.profiler.Correlation.spearman(mono, Seq(("x", "y"))).collect()(0)
+    assert(r1.getLong(2) == 20L && r1.getDouble(3) == 1.0)
+    val anti = (1 to 20).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(graft.profiler.Correlation.spearman(anti, Seq(("x", "y")))
+      .collect()(0).getDouble(3) == -1.0)
+    // tie handling: x = (1,2,2,3) ranks (1, 2.5, 2.5, 4); with y equal
+    // to x the correlation is still exactly 1
+    val tied = Seq((1.0, 1.0), (2.0, 2.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y")
+    assert(graft.profiler.Correlation.spearman(tied, Seq(("x", "y")))
+      .collect()(0).getDouble(3) == 1.0)
+  }
+
   test("timeToConvert: hand latencies, partial funnels, zero-converter transition") {
     import spark.implicits._
     val us = 1000000L
