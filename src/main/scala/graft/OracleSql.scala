@@ -166,7 +166,13 @@ object OracleSql {
   /** Correlation twin: identical decimal-quantized moments and identical
     * double assembly order; the variance-product guard precedes SQRT
     * (DuckDB raises on sqrt of a negative). */
-  val columnCorr: String = {
+  val columnCorr: String = corrSql(numeric, T)
+
+  /** The pairwise-Pearson twin over arbitrary columns of an arbitrary
+    * relation — shared by `column_corr` (E37) and `null_corr` (E104). */
+  def corrSql(cols: Seq[String], from: String): String = {
+    val numeric = cols
+    val T = from
     val pairs = for {
       i <- numeric.indices
       j <- (i + 1) until numeric.size

@@ -79,6 +79,20 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    // co-missingness correlation (E104): which columns go missing together
+    "null_corr" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val dirty = o.select(
+        when(col("o_orderkey") % 7 < 2, lit(null))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 7 < 2, lit(null))
+          .otherwise(col("o_custkey")).as("cust"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderdate")).as("odate"))
+      graft.profiler.Correlation.nullCorrelation(
+        dirty, Seq("price", "cust", "odate"))
+        .orderBy("col_a", "col_b")
+    }),
     // Spearman rank correlation over two numeric pairs (E103)
     "spearman_corr" -> ((s, dir) =>
       graft.profiler.Correlation.spearman(
@@ -1373,6 +1387,15 @@ object SparkEntry {
     "ks_drift" -> OracleSql.ksDrift,
     "spearman_corr" -> OracleSql.spearman(
       Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax"))),
+    // the oracle's relation carries the null INDICATORS directly (the
+    // engine derives them via isNull — same 0/1 doubles)
+    "null_corr" -> OracleSql.corrSql(
+      Seq("price", "cust", "odate"),
+      from = """(SELECT
+  CASE WHEN o_orderkey % 7 < 2 THEN 1.0 ELSE 0.0 END AS price,
+  CASE WHEN o_orderkey % 7 < 2 THEN 1.0 ELSE 0.0 END AS cust,
+  CASE WHEN o_orderkey % 5 = 0 THEN 1.0 ELSE 0.0 END AS odate
+FROM orders) ind"""),
     "count_distinct" -> OracleSql.countDistinct,
     "entropy" -> OracleSql.entropy,
     "unique_value_ratio" -> OracleSql.uniqueValueRatio,

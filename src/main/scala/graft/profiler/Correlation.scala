@@ -138,6 +138,23 @@ object Correlation {
         StructField("corr", DoubleType, nullable = true))))
   }
 
+  /** Co-missingness correlation (E104) — Pearson over NULL indicators:
+    * which columns go missing TOGETHER. Segmented completeness (E79)
+    * finds where nulls cluster by segment; this finds the cross-column
+    * structure (one upstream extractor failing takes its whole column
+    * group with it — the co-missing block is the fingerprint of which
+    * one). Indicators are 0/1 doubles, so the exact-decimal moment
+    * machinery of [[matrix]] applies verbatim (a column with no nulls —
+    * or all nulls — has zero variance and correlates as null, the
+    * matrix degenerate-pair rule). One wide pass, same chunked
+    * concurrent jobs. */
+  def nullCorrelation(dfIn: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val indicators = dfIn.select(cols.map(c =>
+      col(c).isNull.cast(DoubleType).as(c)): _*)
+    matrix(indicators, cols)
+  }
+
   /** Spearman rank correlation (E103) — the monotone-association member
     * that completes the dependence suite (Pearson E37 sees linear only;
     * MI E80 and χ² E99 see categorical): Pearson over average-tie ranks,

@@ -710,6 +710,23 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("nullCorrelation: coupled missingness 1, anti-coupled -1, no-null column degenerates") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1), Option("x"), Option.empty[Int], Option(9)),
+      (Option.empty[Int], Option.empty[String], Option(5), Option(9)),
+      (Option(2), Option("y"), Option.empty[Int], Option(9)),
+      (Option.empty[Int], Option.empty[String], Option(7), Option(9))
+    ).toDF("a", "b", "c", "full")
+    val out = graft.profiler.Correlation
+      .nullCorrelation(df, Seq("a", "b", "c", "full"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(3)))
+      .toMap
+    assert(out(("a", "b")) == Some(1.0))   // always missing together
+    assert(out(("a", "c")) == Some(-1.0))  // exactly complementary
+    assert(out(("a", "full")).isEmpty)     // zero variance -> null
+  }
+
   test("spearman: nonlinear monotone is exactly 1; reversed is -1; ties averaged") {
     import spark.implicits._
     // y = x^3: nonlinear but perfectly monotone -> Spearman exactly 1
