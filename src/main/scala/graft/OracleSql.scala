@@ -1592,6 +1592,33 @@ FROM (
     selects.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
   }
 
+  /** Theil's-U twin (E105): the E80 joint CTE, marginal-entropy CTEs with
+    * ROUND(·,12) → DECIMAL(38,12) c·ln(c) sums, RAW mi/h quotient
+    * rounded at 6 — the Spark expression order verbatim. */
+  def theilsU(pairs: Seq[(String, String)], from: String = T): String = {
+    val selects = pairs.map { case (a, b) =>
+      def hSql(key: String) =
+        s"""SELECT LN(CAST(SUM(cm) AS DOUBLE)) -
+      CAST(SUM(CAST(ROUND(CAST(cm AS DOUBLE) * LN(CAST(cm AS DOUBLE)), 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(SUM(cm) AS DOUBLE) AS h
+    FROM (SELECT $key, SUM(c) AS cm FROM j GROUP BY 1) m"""
+      s"""SELECT '$a' AS col_a, '$b' AS col_b, n_joint,
+  ROUND(hxv, 6) AS h_a, ROUND(hyv, 6) AS h_b,
+  CASE WHEN hxv > 0 THEN ROUND(mi_raw / hxv, 6) END AS u_ab,
+  CASE WHEN hyv > 0 THEN ROUND(mi_raw / hyv, 6) END AS u_ba
+FROM (
+  WITH j AS (SELECT CAST($a AS VARCHAR) AS x, CAST($b AS VARCHAR) AS y, COUNT(*) AS c
+             FROM $from WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1, 2)
+  SELECT
+    (SELECT CAST(SUM(c) AS BIGINT) FROM j) AS n_joint,
+    (SELECT CAST(SUM(CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LN((CAST(n AS DOUBLE) * CAST(c AS DOUBLE)) / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 12) AS DECIMAL(38,12))) AS DOUBLE)
+     FROM (SELECT c, SUM(c) OVER (PARTITION BY x) AS cx, SUM(c) OVER (PARTITION BY y) AS cy, SUM(c) OVER () AS n FROM j) w) AS mi_raw,
+    (SELECT h FROM (${hSql("x")}) hx0) AS hxv,
+    (SELECT h FROM (${hSql("y")}) hy0) AS hyv
+) q"""
+    }
+    selects.mkString("\nUNION ALL\n") + "\nORDER BY col_a, col_b"
+  }
+
   /** Segmented-completeness twin (E79): one grouped CTE of per-column
     * non-null counts, unpivoted per column, same ROUND(·,6) division. */
   val segmentedCompleteness: String = {

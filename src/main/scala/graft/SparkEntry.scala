@@ -803,6 +803,13 @@ object SparkEntry {
         Seq(("o_orderstatus", "o_orderpriority"),
           ("o_orderstatus", "o_custkey")))
         .orderBy("col_a", "col_b")),
+    // directional uncertainty coefficients over the same pairs (E105)
+    "theils_u" -> ((s, dir) =>
+      graft.profiler.MutualInfo.theilsU(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderstatus", "o_custkey")))
+        .orderBy("col_a", "col_b")),
     // pairwise mutual information over the categorical columns (E80)
     "mutual_info" -> ((s, dir) =>
       graft.profiler.MutualInfo.pairs(
@@ -1495,6 +1502,10 @@ FROM events GROUP BY 1 ORDER BY day""",
       "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),
       from = "documents"),
     "segmented_incremental_profile" -> OracleSql.segmentedIncrementalProfile,
+    "theils_u" -> OracleSql.theilsU(
+      Seq(("o_orderstatus", "o_orderpriority"),
+        ("o_orderstatus", "o_custkey")),
+      from = "orders"),
     "chi_square" -> OracleSql.chiSquare(
       Seq(("o_orderstatus", "o_orderpriority"),
         ("o_orderstatus", "o_custkey")),

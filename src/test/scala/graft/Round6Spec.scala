@@ -710,6 +710,25 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("theilsU: determinism is directional; independence gives 0; constant column null") {
+    import spark.implicits._
+    // x determines y (each x has one y) but y does NOT determine x:
+    // U(y|x)=1 exactly, U(x|y)<1
+    val df = Seq(("a", 1), ("b", 1), ("c", 2), ("d", 2)).toDF("x", "y")
+    val r = graft.profiler.MutualInfo.theilsU(df, Seq(("x", "y"))).collect()(0)
+    // u_ab = U(x|y) = MI/H(x); u_ba = U(y|x) = MI/H(y)
+    assert(r.getDouble(6) == 1.0, s"y should be fully determined by x: $r")
+    assert(r.getDouble(5) < 1.0 && r.getDouble(5) > 0.0)
+    // independent: MI = 0 -> both U = 0
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("x", "y")
+    val ri = graft.profiler.MutualInfo.theilsU(ind, Seq(("x", "y"))).collect()(0)
+    assert(ri.getDouble(5) == 0.0 && ri.getDouble(6) == 0.0)
+    // constant y: H(y) = 0 -> u_ba undefined (null), u_ab = 0
+    val const = Seq(("a", 1), ("b", 1)).toDF("x", "y")
+    val rc = graft.profiler.MutualInfo.theilsU(const, Seq(("x", "y"))).collect()(0)
+    assert(rc.isNullAt(6) && rc.getDouble(5) == 0.0)
+  }
+
   test("nullCorrelation: coupled missingness 1, anti-coupled -1, no-null column degenerates") {
     import spark.implicits._
     val df = Seq(
