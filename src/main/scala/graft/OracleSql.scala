@@ -621,6 +621,22 @@ SELECT doc_id, n_bigrams,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** Gini-concentration twin (E106): per-group token totals, ROW_NUMBER
+    * over the same (x ASC, g ASC) order, identical closed-form double
+    * algebra. */
+  lazy val giniConcentration: String =
+    raw"""WITH t AS (SELECT source AS g, SUM(COALESCE(len($wsToksSql), 0)) AS x
+           FROM documents GROUP BY 1),
+r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x ASC, g ASC) AS BIGINT) * x AS ix FROM t),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, CAST(SUM(x) AS BIGINT) AS total_tokens,
+             CAST(SUM(ix) AS BIGINT) AS six FROM r)
+SELECT n_groups, total_tokens,
+  CASE WHEN total_tokens = 0 OR n_groups = 0 THEN NULL
+       ELSE ROUND((CAST(2.0 AS DOUBLE) * CAST(six AS DOUBLE)) /
+                  (CAST(n_groups AS DOUBLE) * CAST(total_tokens AS DOUBLE)) -
+                  CAST(n_groups + 1 AS DOUBLE) / CAST(n_groups AS DOUBLE), 6) END AS gini
+FROM a"""
+
   /** Vocabulary-coverage twin (E84): same tokenization, top-k vocab under
     * the (freq DESC, token ASC) total order, LEFT JOIN membership test,
     * per-doc OOV counts and ROUND(·,6) rate. */

@@ -855,6 +855,10 @@ object SparkEntry {
       graft.operators.Sampling.quantileBuckets(
         documents(s, dir), "doc_id", "n_chars", nBuckets = 10)
         .orderBy("doc_id")),
+    // source-concentration Gini over per-domain token volume (E106)
+    "gini_concentration" -> ((s, dir) =>
+      graft.operators.CorpusStats.giniConcentration(
+        documents(s, dir), "source", "text")),
     // dedup-weighted effective corpus size (E89)
     "effective_tokens" -> ((s, dir) =>
       graft.operators.CorpusStats.effectiveTokens(
@@ -1494,6 +1498,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "fuzzy_match" -> OracleSql.fuzzyMatch,
     "partitioned_profile" -> OracleSql.partitionedProfile,
     "effective_tokens" -> OracleSql.effectiveTokens,
+    "gini_concentration" -> OracleSql.giniConcentration,
     "corpus_cube" -> OracleSql.corpusCube,
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",

@@ -298,6 +298,48 @@ object CorpusStats {
         grouping(col(dimB)).cast("long").as(s"g_$dimB"))
   }
 
+  /** Gini concentration of corpus volume (E106) — "what share of my
+    * tokens do the top sources hold": the exact Gini coefficient of
+    * per-group token totals (0 = perfectly even, →1 = one source is the
+    * corpus). The one-number companion to E74's per-domain report card —
+    * a crawl whose Gini drifts up is quietly collapsing onto a few
+    * domains.
+    *
+    * G = (2·Σᵢ i·xᵢ) / (n·Σx) − (n+1)/n over the ASCENDING-sorted group
+    * totals — swapping equal values leaves Σ i·xᵢ unchanged, so the
+    * arbitrary tie order inside the row_number window cannot change the
+    * result. Shape: one map-side-combined groupBy(group) to totals, a
+    * window over the GROUP-sized relation (documented 100 TB path for
+    * extreme group counts: the E29 two-phase prefix sum), integer sums
+    * (token counts) to the final double division. */
+  def giniConcentration(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions
+    val text = col(textCol)
+    val totals = df
+      .select(col(groupCol).as("g"),
+        when(text.isNull, lit(0L))
+          .otherwise(TextFunctions.wsTokenCount(text)).as("nt"))
+      .groupBy("g").agg(sum("nt").as("x"))
+    val i = row_number().over(Window.orderBy(col("x").asc, col("g").asc))
+    totals
+      .select(col("x"), (i.cast("long") * col("x")).as("ix"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum("x").cast("long").as("total_tokens"),
+        sum("ix").cast("long").as("six"))
+      .select(
+        col("n_groups"), col("total_tokens"),
+        when(col("total_tokens") === 0 || col("n_groups") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2.0) * col("six").cast("double")) /
+              (col("n_groups").cast("double") * col("total_tokens").cast("double")) -
+              (col("n_groups") + lit(1)).cast("double") /
+                col("n_groups").cast("double"), 6)).as("gini"))
+  }
+
   /** Per-document vocabulary coverage (E84) — the tokenizer-coverage
     * curation metric: against the corpus top-k vocabulary (the fixed
     * vocab a tokenizer or embedding table would ship), each document's

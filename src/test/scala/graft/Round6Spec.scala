@@ -710,6 +710,21 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("giniConcentration: even split 0-ish, total concentration (n-1)/n, hand case") {
+    import spark.implicits._
+    // 4 sources, equal 2-token volume each -> G = 2*(1*2+2*2+3*2+4*2)/(4*8) - 5/4 = 0
+    val even = (1 to 4).flatMap(i => Seq((s"s$i", "a b"))).toDF("source", "text")
+    val r0 = graft.operators.CorpusStats
+      .giniConcentration(even, "source", "text").collect()(0)
+    assert(r0.getLong(0) == 4L && r0.getLong(1) == 8L && r0.getDouble(2) == 0.0)
+    // one source holds everything: G = 2*(4*8)/(4*8) - 5/4 = 0.75 = (n-1)/n
+    val conc = (Seq(("s1", "a b c d e f g h")) ++
+      (2 to 4).map(i => (s"s$i", ""))).toDF("source", "text")
+    val r1 = graft.operators.CorpusStats
+      .giniConcentration(conc, "source", "text").collect()(0)
+    assert(r1.getDouble(2) == 0.75)
+  }
+
   test("theilsU: determinism is directional; independence gives 0; constant column null") {
     import spark.implicits._
     // x determines y (each x has one y) but y does NOT determine x:
