@@ -845,6 +845,26 @@ FROM (
   FROM documents) q ORDER BY doc_id"""
   }
 
+  /** Top-k-by-quality twin (E107): the textQuality score expression,
+    * ROW_NUMBER under the same (score DESC NULLS LAST, doc_id ASC)
+    * total order, rank ≤ k. */
+  lazy val topkByQuality: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH s AS (
+  SELECT doc_id, lang,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM (
+    SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) q),
+r AS (SELECT doc_id, lang, score,
+        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC NULLS LAST, doc_id ASC) AS rn
+      FROM s)
+SELECT doc_id, lang, score FROM r WHERE rn <= 10 ORDER BY lang, doc_id"""
+  }
+
   /** Domain report-card twin (E74): the textQuality inner relation plus
     * sentinel-coalesced content hash; dup counts via (hash, domain)
     * partials joined to corpus hash frequencies; decimal-quantized mean

@@ -855,6 +855,15 @@ object SparkEntry {
       graft.operators.Sampling.quantileBuckets(
         documents(s, dir), "doc_id", "n_chars", nBuckets = 10)
         .orderBy("doc_id")),
+    // quality-ranked top-10 documents per language (E107)
+    "topk_by_quality" -> ((s, dir) => {
+      val scored = documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+      graft.operators.Sampling.topKByScore(
+        scored, "lang", "doc_id", col("score"), k = 10)
+        .orderBy("lang", "doc_id")
+    }),
     // source-concentration Gini over per-domain token volume (E106)
     "gini_concentration" -> ((s, dir) =>
       graft.operators.CorpusStats.giniConcentration(
@@ -1499,6 +1508,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "partitioned_profile" -> OracleSql.partitionedProfile,
     "effective_tokens" -> OracleSql.effectiveTokens,
     "gini_concentration" -> OracleSql.giniConcentration,
+    "topk_by_quality" -> OracleSql.topkByQuality,
     "corpus_cube" -> OracleSql.corpusCube,
     "csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",

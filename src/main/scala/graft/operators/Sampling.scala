@@ -254,6 +254,27 @@ object Sampling {
       .drop("_stratum", "_bound")
   }
 
+  /** Quality-ranked top-k per group (E107) — curation's final cut: keep
+    * the BEST `k` documents of every domain/language by a score column
+    * (vs [[stratifiedSample]]'s hash-ordered cap, which is fair but
+    * quality-blind). Deterministic total order (score DESC, key ASC) so
+    * ties cannot flap across runs/engines. One stratum-keyed shuffle +
+    * per-group rank window; a pathologically hot group sorts within one
+    * task — pre-trim with a score threshold filter (map-side, exact as
+    * long as ≥ k rows survive per group) when a group outgrows task
+    * memory. */
+  def topKByScore(
+      df: DataFrame, groupCol: String, keyCol: String, scoreCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(scoreCol.desc, col(keyCol).asc)
+    df.withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .drop("_rank")
+  }
+
   /** Exact-quantile bucket assignment (E88) — curriculum/stratification
     * prep: each row labeled with which of `nBuckets` equal-population
     * value buckets it falls in (deciles for nBuckets=10), using EXACT

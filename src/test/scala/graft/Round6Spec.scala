@@ -710,6 +710,20 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("topKByScore: per-group cut, score-desc order, deterministic tie-break") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", 1L, 0.9), ("g1", 2L, 0.5), ("g1", 3L, 0.9), ("g1", 4L, 0.1),
+      ("g2", 5L, 0.2)
+    ).toDF("g", "id", "score")
+    val out = graft.operators.Sampling
+      .topKByScore(df, "g", "id", col("score"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // g1 keeps the two 0.9s (tie broken by id asc is irrelevant at k=2,
+    // but 0.5 and 0.1 must be cut); g2 keeps its only row
+    assert(out == Set(("g1", 1L), ("g1", 3L), ("g2", 5L)))
+  }
+
   test("giniConcentration: even split 0-ish, total concentration (n-1)/n, hand case") {
     import spark.implicits._
     // 4 sources, equal 2-token volume each -> G = 2*(1*2+2*2+3*2+4*2)/(4*8) - 5/4 = 0
