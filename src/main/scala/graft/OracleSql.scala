@@ -1034,6 +1034,30 @@ FROM pd GROUP BY split, lang ORDER BY split, lang"""
 s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
 SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""
 
+  /** Batch sessionize twin (E108): same lag/flag/running-sum split as the
+    * Spark plan, with the identical total order (ts, event_id) so
+    * timestamp collisions cannot flap a boundary. SUM(...) casts back to
+    * BIGINT (DuckDB widens integer SUM to HUGEINT). */
+  val sessionize: String =
+    """WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+numbered AS (
+  SELECT user_id, ts_us, event_type,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+  MAX(ts_us) - MIN(ts_us) AS duration_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM numbered GROUP BY 1, 2 ORDER BY user_id, session_idx"""
+
   /** As-of twin: identical strictly-prior IGNORE-NULLS window (DuckDB's
     * native ASOF JOIN would also work; the window form mirrors the Spark
     * plan exactly). Same ns→µs floor as the other event oracles. */
@@ -1966,6 +1990,13 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
       "no_missed_heavy_hitter", "undercount_bounded", "total_mass_bounded"))
 
   val simhashAudit: String = allTrue(Seq("pairs_equal_bruteforce"))
+
+  /** E109 bound audit: the KLL-sketch D̂ stays within 3× the combined
+    * normalized rank error of the exact E98 D, on both a same-distribution
+    * and a disjoint-support pair. */
+  val ksDriftAudit: String = allTrue(Seq(
+    "same_within_3eps", "shift_within_3eps", "d_in_unit",
+    "counts_exact", "shift_detected"))
 
   val deflateAudit: String =
     allTrue(Seq("bounds_hold", "deterministic", "doubling_compresses"))

@@ -79,6 +79,46 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    // approximate KS via mergeable KLL sketches (E109) — E98's 100 TB
+    // path: one union scan, two k-bounded sketches on the wire, no
+    // global-order window; randomized compaction → rows-only here, the
+    // bound vs the exact twin is pinned by ks_drift_audit
+    "ks_drift_approx" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.ksDriftApprox(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
+    "ks_drift_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir)
+      val even = li.where(col("l_orderkey") % 2 === 0)
+      val odd = li.where(col("l_orderkey") % 2 === 1)
+      def one(before: org.apache.spark.sql.DataFrame,
+          after: org.apache.spark.sql.DataFrame, c: String) = {
+        val a = graft.profiler.Checks.ksDriftApprox(before, after, c).head()
+        val e = graft.profiler.Checks.ksDrift(before, after, c).head()
+        (a.getDouble(3), a.getDouble(4), e.getDouble(3),
+          a.getLong(0) == e.getLong(0) && a.getLong(1) == e.getLong(1))
+      }
+      // same-distribution halves: D̂ within 3ε of the exact twin
+      val (dSame, epsSame, dExactSame, countsSame) =
+        one(even, odd, "l_extendedprice")
+      // disjoint-support pair: price vs discount — exact D = 1; the
+      // sketch must still see (near-)total separation
+      val (dShift, _, dExactShift, _) =
+        one(li.select(col("l_extendedprice").as("v")),
+          li.select(col("l_discount").as("v")), "v")
+      Seq(
+        ("same_within_3eps", math.abs(dSame - dExactSame) <= 3 * epsSame),
+        ("shift_within_3eps", math.abs(dShift - dExactShift) <= 3 * epsSame),
+        ("d_in_unit", dSame >= 0.0 && dSame <= 1.0 &&
+          dShift >= 0.0 && dShift <= 1.0),
+        ("counts_exact", countsSame),
+        ("shift_detected", dShift >= 0.9))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // co-missingness correlation (E104): which columns go missing together
     "null_corr" -> ((s, dir) => {
       val o = s.read.parquet(s"$dir/orders.parquet")
@@ -365,6 +405,16 @@ object SparkEntry {
           .withColumn("ts_us", expr("ts DIV 1000")),
         "ts_us", "user_id", "value")
         .orderBy("day")
+    }),
+    // gap-based batch sessionization (E108): 30-minute inactivity gap
+    "sessionize" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.operators.Events.sessionize(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapUs = 30L * 60 * 1000 * 1000)
+        .orderBy("user_id", "session_idx")
     }),
     // bounded-state streaming dedup (E94): dropDuplicatesWithinWatermark
     // over a replayed stream carrying deterministic duplicates — state
@@ -1409,6 +1459,7 @@ object SparkEntry {
     "iqr_outliers" -> OracleSql.iqrOutliers,
     "benford_digits" -> OracleSql.benfordDigits,
     "ks_drift" -> OracleSql.ksDrift,
+    "ks_drift_audit" -> OracleSql.ksDriftAudit,
     "spearman_corr" -> OracleSql.spearman(
       Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax"))),
     // the oracle's relation carries the null INDICATORS directly (the
@@ -1449,6 +1500,7 @@ FROM orders) ind"""),
     "contamination_ratio" -> OracleSql.contaminationRatio,
     "streaming_dedup_watermark" ->
       "SELECT event_id, user_id, value FROM events WHERE event_id % 5 = 0 ORDER BY event_id",
+    "sessionize" -> OracleSql.sessionize,
     "daily_profile" ->
       """SELECT STRFTIME(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -265,4 +265,50 @@ object Events {
         round(sum(col(valueCol).cast(dec)).cast("double") /
           count(col(valueCol)), 6).as("mean_value"))
   }
+
+  /** Gap-based batch sessionization (E108) — the batch face of the
+    * streaming session operator (E13 keeps OPEN sessions as state; this
+    * closes every session in one pass over history): a user's events,
+    * time-ordered, split into sessions wherever the inter-event gap
+    * exceeds `gapUs`. Returns one row per session: `(user, session_idx,
+    * start_us, end_us, duration_us, n_events, n_types)` with
+    * `session_idx` 1-based per user in time order.
+    *
+    * ONE shuffle of the events table, keyed by user: `lag` (previous
+    * event time) and the running new-session-flag sum share a single
+    * `(user, (ts, tie))` window spec, so Catalyst plans them as one
+    * Window operator over one exchange+sort. The per-session reduce that
+    * follows is a standard partial-agg groupBy of the SAME relation —
+    * map-side combine collapses it to session-count rows before its
+    * exchange, so the second shuffle carries sessions, not events.
+    *
+    * Scale shape: the window sort is per-user-partition and spills; a
+    * bot user with 10⁸ events costs a spilled sort, never an in-memory
+    * buffer (nothing here collects a user's events into an array).
+    * Ordering is total — `tieCol` (a unique event id) breaks timestamp
+    * collisions — so session boundaries are deterministic under any
+    * partitioning. All arithmetic is integer microseconds end to end;
+    * no doubles, no timezone: boundaries depend only on deltas. */
+  def sessionize(
+      events: DataFrame, userCol: String, tsUsCol: String, tieCol: String,
+      typeCol: String, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc_nulls_first, col(tieCol).asc_nulls_first)
+    events
+      .select(col(userCol), col(tsUsCol), col(tieCol), col(typeCol))
+      .withColumn("prev_us", lag(col(tsUsCol), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          col(tsUsCol) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"),
+        (max(col(tsUsCol)) - min(col(tsUsCol))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col(typeCol)).as("n_types"))
+  }
 }

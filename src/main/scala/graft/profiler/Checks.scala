@@ -361,6 +361,71 @@ object Checks {
           .as("ks_d"))
   }
 
+  /** Approximate two-sample KS drift via mergeable KLL sketches (E109) —
+    * the 100 TB execution of [[ksDrift]]'s documented scale path made
+    * concrete: E98's exact form pays a value-keyed shuffle of the pooled
+    * DISTINCT values plus a global-order cumulative window; this form
+    * pays ONE union scan with a map-side-mergeable KLL aggregate per
+    * side — the shuffle carries exactly two k-bounded sketches, no
+    * global sort exists at any scale. D̂ = max over the union of both
+    * sketches' retained points of |rank_a(v) − rank_b(v)| (inclusive
+    * ranks). Both estimated CDFs are step functions changing only at
+    * retained points, so that max is EXACT over the estimated CDFs; the
+    * only error is the sketches' normalized rank error (reported as
+    * `rank_eps` = ε_a + ε_b at 99% confidence), giving
+    * |D̂ − D| ≤ rank_eps. KLL compaction is randomized, so D̂ is not
+    * bit-deterministic → no hash oracle; the `ks_drift_audit` query pins
+    * |D̂ − D| against the exact E98 twin with 3× slack instead.
+    *
+    * The two collected rows are sketch bytes + a count — the R14
+    * post-aggregation metadata-sized collect, never data. */
+  def ksDriftApprox(
+      before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame,
+      valueCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val spark = before.sparkSession
+    graft.functions.KllAggs.register(spark)
+    def side(df: org.apache.spark.sql.DataFrame, tag: Int) = df
+      .select(col(valueCol).cast(DoubleType).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), lit(tag).as("side"))
+    val rows = side(before, 0).unionAll(side(after, 1))
+      .groupBy("side")
+      .agg(
+        graft.functions.KllAggs.kllSketchAgg(col("v")).as("kll"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getAs[Array[Byte]]("kll"), r.getLong(2))))
+      .toMap
+    import spark.implicits._
+    def sk(tag: Int): Option[(KllDoublesSketch, Long)] = rows.get(tag).map {
+      case (bytes, n) => (KllDoublesSketch.heapify(Memory.wrap(bytes)), n)
+    }
+    (sk(0), sk(1)) match {
+      case (Some((sa, na)), Some((sb, nb))) =>
+        val cand = (sa.getSortedView.getQuantiles ++ sb.getSortedView.getQuantiles)
+          .distinct.sorted
+        val inc = QuantileSearchCriteria.INCLUSIVE
+        val d = cand.map(v => math.abs(sa.getRank(v, inc) - sb.getRank(v, inc))).max
+        val eps = sa.getNormalizedRankError(false) + sb.getNormalizedRankError(false)
+        Seq((na, nb, cand.length.toLong,
+          math.rint(d * 1e6) / 1e6, math.rint(eps * 1e6) / 1e6))
+          .toDF("n_a", "n_b", "n_candidates", "ks_d_approx", "rank_eps")
+      case _ =>
+        // one or both sides empty: no distribution to compare
+        Seq((rows.get(0).map(_._2).getOrElse(0L),
+          rows.get(1).map(_._2).getOrElse(0L), 0L))
+          .toDF("n_a", "n_b", "n_candidates")
+          .withColumn("ks_d_approx", lit(null).cast(DoubleType))
+          .withColumn("rank_eps", lit(null).cast(DoubleType))
+    }
+  }
+
   /** Pattern-match compliance (E85) — the Deequ PatternMatch analyzer
     * (the format-validation workhorse: id/phone/code columns checked
     * against an expected regex). For each named spec (check, column,

@@ -1173,6 +1173,48 @@ class Round6Spec extends AnyFunSuite {
     assert(out(None) == ((1L, 7.0, 7.0)))
   }
 
+  test("sessionize: gap split, tie-break order, per-session stats") {
+    import spark.implicits._
+    // user 1: events at t=0s, 10s, 100s with gap=30s -> sessions {0,10},{100};
+    // user 2: two events at the SAME ts — tie broken by event id, one session
+    val df = Seq(
+      (10L, 0L, 1L, "view"), (11L, 10_000_000L, 1L, "click"),
+      (12L, 100_000_000L, 1L, "view"),
+      (20L, 5_000_000L, 2L, "view"), (21L, 5_000_000L, 2L, "view")
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = Events.sessionize(df, "user_id", "ts_us", "event_id",
+        "event_type", gapUs = 30_000_000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(out((1L, 1L)) == ((0L, 10_000_000L, 10_000_000L, 2L, 2L)))
+    assert(out((1L, 2L)) == ((100_000_000L, 100_000_000L, 0L, 1L, 1L)))
+    assert(out((2L, 1L)) == ((5_000_000L, 5_000_000L, 0L, 2L, 1L)))
+    assert(out.size == 3)
+  }
+
+  test("ksDriftApprox: sub-k sketches are exact — D̂ equals the exact D") {
+    import spark.implicits._
+    // 10 values/side, far below k: no compaction, ranks exact.
+    // before 1..10 vs after 6..15: ECDF gap peaks at 5/10 = 0.5
+    val before = (1 to 10).map(_.toDouble).toDF("v")
+    val after = (6 to 15).map(_.toDouble).toDF("v")
+    val r = graft.profiler.Checks.ksDriftApprox(before, after, "v").head()
+    assert(r.getLong(0) == 10L && r.getLong(1) == 10L)
+    assert(r.getDouble(3) == 0.5)
+    val e = graft.profiler.Checks.ksDrift(before, after, "v").head()
+    assert(e.getDouble(3) == 0.5)
+  }
+
+  test("ksDriftApprox: empty side yields null D, zero counts") {
+    import spark.implicits._
+    val before = (1 to 5).map(_.toDouble).toDF("v")
+    val after = Seq.empty[Double].toDF("v")
+    val r = graft.profiler.Checks.ksDriftApprox(before, after, "v").head()
+    assert(r.getLong(0) == 5L && r.getLong(1) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
