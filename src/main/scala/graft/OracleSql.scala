@@ -1991,6 +1991,90 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
 
   val simhashAudit: String = allTrue(Seq("pairs_equal_bruteforce"))
 
+  /** RRF twin (E113): the three rank CTEs under the identical
+    * (key DESC NULLS LAST, doc_id ASC) total orders, addends quantized
+    * ROUND(·,12)→DECIMAL(38,12) before the sum, fused order on the
+    * exact decimal score. */
+  lazy val rrfFuse: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH s AS (
+  SELECT doc_id,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM (
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) q),
+rq AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC NULLS LAST, doc_id ASC) AS rank FROM s),
+rl AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rank FROM documents),
+rt AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY CAST(len($wsToksSql) AS BIGINT) DESC NULLS LAST, doc_id ASC) AS rank FROM documents),
+u AS (
+  SELECT doc_id, CAST(ROUND(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank), 12) AS DECIMAL(38,12)) AS a FROM rq
+  UNION ALL SELECT doc_id, CAST(ROUND(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank), 12) AS DECIMAL(38,12)) FROM rl
+  UNION ALL SELECT doc_id, CAST(ROUND(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank), 12) AS DECIMAL(38,12)) FROM rt),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists, SUM(a) AS sc FROM u GROUP BY 1)
+SELECT doc_id AS id, n_lists, ROUND(CAST(sc AS DOUBLE), 6) AS rrf_score
+FROM agg ORDER BY sc DESC, doc_id ASC LIMIT 30"""
+  }
+
+  /** PMI-collocation twin (E112): same bigram construction as
+    * bigramTopK, marginals/total as exact integer sums over the cells
+    * relation, identical double algebra (n·c then cx·cy, one divide,
+    * LN, round 6) and the same rounded-pmi/bigram-ASC frontier. */
+  val collocationsPmi: String =
+    s"""WITH pairs AS (
+  SELECT w[i] AS x, w[i + 1] AS y
+  FROM (SELECT $wsToksLowerSql AS w FROM documents), UNNEST(range(1, len(w))) s(i)),
+cells AS (SELECT x, y, COUNT(*) AS c FROM pairs GROUP BY 1, 2),
+margx AS (SELECT x, SUM(c) AS cx FROM cells GROUP BY 1),
+margy AS (SELECT y, SUM(c) AS cy FROM cells GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM cells)
+SELECT x || ' ' || y AS bigram, CAST(c AS BIGINT) AS freq,
+  ROUND(LN(CAST(n AS DOUBLE) * CAST(c AS DOUBLE) /
+    (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))), 6) AS pmi
+FROM cells JOIN margx USING (x) JOIN margy USING (y) CROSS JOIN tot
+WHERE c >= 5
+ORDER BY pmi DESC, bigram ASC LIMIT 50"""
+
+  /** Transition-entropy twin (E111): same lag pairs under the identical
+    * total order, same ROUND(c·LN(c),12)→DECIMAL(38,12) quantized
+    * entropy sum as the F2/E105 contract. */
+  val transitionEntropy: String =
+    """WITH ordered AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events),
+cells AS (SELECT prev_type, event_type AS cur, COUNT(*) AS c
+  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+agg AS (SELECT prev_type, CAST(SUM(c) AS BIGINT) AS n_transitions,
+  CAST(COUNT(*) AS BIGINT) AS n_next,
+  SUM(CAST(ROUND(c * LN(c), 12) AS DECIMAL(38,12))) AS tsum
+  FROM cells GROUP BY 1)
+SELECT prev_type, n_transitions, n_next,
+  ROUND(LN(n_transitions) - CAST(tsum AS DOUBLE) / n_transitions, 6) AS h_next
+FROM agg ORDER BY prev_type"""
+
+  /** FD-discovery twin (E110): same explode→cells→per-LHS-best→per-pair
+    * cascade, integer g3 algebra to the final rounded double ratio. */
+  def functionalDeps(table: String, pairs: Seq[(String, String)]): String = {
+    val flat = pairs.zipWithIndex.map { case ((l, r), i) =>
+      s"SELECT $i AS pid, CAST($l AS VARCHAR) AS lhs, CAST($r AS VARCHAR) AS rhs FROM $table"
+    }.mkString("\n  UNION ALL ")
+    val cases = pairs.zipWithIndex
+      .map { case ((l, r), i) => s"WHEN $i THEN '$l->$r'" }.mkString(" ")
+    s"""WITH flat AS (
+  $flat),
+cells AS (SELECT pid, lhs, rhs, COUNT(*) AS c FROM flat GROUP BY 1, 2, 3),
+per_lhs AS (SELECT pid, lhs, SUM(c) AS lc, MAX(c) AS best FROM cells GROUP BY 1, 2),
+agg AS (SELECT pid, CAST(SUM(lc) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+  CAST(SUM(best) AS BIGINT) AS n_conforming FROM per_lhs GROUP BY 1)
+SELECT CASE pid $cases END AS fd, n_rows, n_lhs,
+  n_rows - n_conforming AS violations,
+  ROUND(CAST(n_conforming AS DOUBLE) / n_rows, 6) AS fd_ratio
+FROM agg ORDER BY fd"""
+  }
+
   /** E109 bound audit: the KLL-sketch D̂ stays within 3× the combined
     * normalized rank error of the exact E98 D, on both a same-distribution
     * and a disjoint-support pair. */

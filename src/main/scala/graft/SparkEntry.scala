@@ -79,6 +79,16 @@ object SparkEntry {
         li.where(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    // approximate-FD discovery (E110): g3 violations + conformance ratio
+    // for four lhs->rhs pairs in one explode pass
+    "fd_discovery" -> ((s, dir) =>
+      graft.profiler.Integrity.functionalDependencies(
+        lineitem(s, dir), Seq(
+          ("l_orderkey", "l_returnflag"),
+          ("l_partkey", "l_suppkey"),
+          ("l_returnflag", "l_linestatus"),
+          ("l_suppkey", "l_partkey")))
+        .orderBy("fd")),
     // approximate KS via mergeable KLL sketches (E109) — E98's 100 TB
     // path: one union scan, two k-bounded sketches on the wire, no
     // global-order window; randomized compaction → rows-only here, the
@@ -415,6 +425,15 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type",
         gapUs = 30L * 60 * 1000 * 1000)
         .orderBy("user_id", "session_idx")
+    }),
+    // per-state event transition entropy (E111)
+    "transition_entropy" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.operators.Events.transitionEntropy(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("ts DIV 1000")),
+        "user_id", "ts_us", "event_id", "event_type")
+        .orderBy("prev_type")
     }),
     // bounded-state streaming dedup (E94): dropDuplicatesWithinWatermark
     // over a replayed stream carrying deterministic duplicates — state
@@ -779,6 +798,25 @@ object SparkEntry {
     // corpus bigram frequencies (one BPE merge round's pair table)
     "bigram_topk" -> ((s, dir) =>
       TextFunctions.bigramTopK(documents(s, dir), "text", k = 50)),
+    // PMI-ranked collocations (E112): association, not raw frequency
+    "collocations_pmi" -> ((s, dir) =>
+      TextFunctions.collocationsPmi(documents(s, dir), "text",
+        minFreq = 5, k = 50)),
+    // reciprocal-rank fusion (E113) of three independent rankings
+    "rrf_fuse" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, dir)
+      def ranked(key: org.apache.spark.sql.Column) = docs
+        .select(col("doc_id"), key.as("k"))
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("k").desc_nulls_last, col("doc_id").asc)).as("rank"))
+      graft.operators.Search.rrfFuse(
+        Seq(
+          ranked(round(TextFunctions.qualityScore(col("text")), 6)),
+          ranked(col("n_chars")),
+          ranked(TextFunctions.wsTokenCount(col("text")))),
+        "doc_id", "rank", k0 = 60, k = 30)
+    }),
     // curation funnel: survivors per cumulative filter stage, one scan
     "filter_funnel" -> ((s, dir) =>
       graft.operators.Funnel.filterFunnel(
@@ -1460,6 +1498,12 @@ object SparkEntry {
     "benford_digits" -> OracleSql.benfordDigits,
     "ks_drift" -> OracleSql.ksDrift,
     "ks_drift_audit" -> OracleSql.ksDriftAudit,
+    "transition_entropy" -> OracleSql.transitionEntropy,
+    "fd_discovery" -> OracleSql.functionalDeps("lineitem", Seq(
+      ("l_orderkey", "l_returnflag"),
+      ("l_partkey", "l_suppkey"),
+      ("l_returnflag", "l_linestatus"),
+      ("l_suppkey", "l_partkey"))),
     "spearman_corr" -> OracleSql.spearman(
       Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax"))),
     // the oracle's relation carries the null INDICATORS directly (the
@@ -1545,6 +1589,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "embedding_quantize" -> OracleSql.embeddingQuantize,
     "budget_select" -> OracleSql.budgetSelect,
     "bigram_topk" -> OracleSql.bigramTopK,
+    "collocations_pmi" -> OracleSql.collocationsPmi,
+    "rrf_fuse" -> OracleSql.rrfFuse,
     "filter_funnel" -> OracleSql.filterFunnel,
     "corpus_shuffle" -> OracleSql.corpusShuffle,
     "centroid_update" -> OracleSql.centroidUpdate,

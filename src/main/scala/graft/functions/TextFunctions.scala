@@ -102,6 +102,53 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** PMI-ranked collocations (E112) — the statistical upgrade of
+    * [[bigramTopK]]: raw bigram frequency surfaces "of the", PMI
+    * (ln n·c(x,y)/(c(x,·)·c(·,y))) surfaces the genuinely associated
+    * pairs — boilerplate collocations, named entities, templated
+    * phrases — the fingerprints a corpus-curation pass looks for.
+    * `minFreq` drops the unstable low-count tail (PMI's classic
+    * pathology: a hapax pair scores ln n).
+    *
+    * Scale shape: same single explode pass as bigramTopK but keeping
+    * (x, y) separate; the cells relation is map-side combined (the
+    * shuffle carries distinct pairs, never token instances), marginals
+    * are two windows over the CELLS relation keyed by x and y, and the
+    * corpus total joins back as a broadcast scalar — no global-order
+    * window, no single-partition stage anywhere. Ranking compares the
+    * ROUNDED pmi with a bigram ASC tie-break, so the top-k frontier is
+    * deterministic across engines. */
+  def collocationsPmi(
+      df: org.apache.spark.sql.DataFrame, textCol: String, minFreq: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val w = col("w")
+    val cells = df.select(wsTokens(lower(col(textCol))).as("w"))
+      .select(explode(
+        when(size(w) >= 2,
+          transform(
+            sequence(lit(1), size(w) - 1),
+            i => struct(element_at(w, i).as("x"), element_at(w, i + 1).as("y"))))
+          .otherwise(array())).as("p"))
+      .select(col("p.x"), col("p.y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("c"))
+    val n = broadcast(cells.agg(sum("c").as("n")))
+    cells
+      .withColumn("cx", sum("c").over(Window.partitionBy("x")))
+      .withColumn("cy", sum("c").over(Window.partitionBy("y")))
+      .crossJoin(n)
+      .where(col("c") >= minFreq)
+      .select(
+        concat(col("x"), lit(" "), col("y")).as("bigram"),
+        col("c").as("freq"),
+        round(log(col("n").cast(DoubleType) * col("c").cast(DoubleType) /
+          (col("cx").cast(DoubleType) * col("cy").cast(DoubleType))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Tokenizer application: map every token to its dense vocabulary id
     * (1-based rank in the [[vocabTopK]] frequency order; 0 = OOV) and
     * re-assemble the id sequence per document — the step between

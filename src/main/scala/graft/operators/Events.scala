@@ -311,4 +311,49 @@ object Events {
         count(lit(1)).as("n_events"),
         countDistinct(col(typeCol)).as("n_types"))
   }
+
+  /** Per-state transition entropy (E111) — how predictable is the NEXT
+    * event given the current one: for each observed state, the Shannon
+    * entropy of its next-event-type distribution over per-user
+    * consecutive pairs (the first-order-Markov face of the association
+    * suite — E105's Theil's U relates two COLUMNS; this relates a
+    * sequence to its own future). h_next = 0 means the state is fully
+    * deterministic (e.g. 'error' always followed by 'retry'); ln(k)
+    * means it tells you nothing.
+    *
+    * Same one-shuffle shape as [[sessionize]]: lag over the total
+    * `(user, (ts, tie))` order builds the (prev, cur) pairs map-side
+    * after one user-keyed exchange+sort; the cells relation that
+    * follows is state², map-side combined — the shuffle after the
+    * window carries distinct transition cells, never events. Entropy
+    * follows the proven F2/E105 contract: c·ln(c) terms quantized
+    * ROUND(·,12)→DECIMAL(38,12) so the sum is partition-order
+    * independent, h = ln(n) − Σterm/n rounded at 6 for display. */
+  def transitionEntropy(
+      events: DataFrame, userCol: String, tsUsCol: String, tieCol: String,
+      typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec12 = DataTypes.createDecimalType(38, 12)
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc_nulls_first, col(tieCol).asc_nulls_first)
+    val term = round(
+      col("c").cast(DoubleType) * log(col("c").cast(DoubleType)), 12)
+      .cast(dec12)
+    events
+      .select(col(userCol), col(tsUsCol), col(tieCol), col(typeCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(w))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("cur"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("prev_type")
+      .agg(
+        sum("c").cast(LongType).as("n_transitions"),
+        count(lit(1)).as("n_next"),
+        sum(term).as("tsum"))
+      .select(
+        col("prev_type"), col("n_transitions"), col("n_next"),
+        round(log(col("n_transitions").cast(DoubleType)) -
+          col("tsum").cast(DoubleType) / col("n_transitions").cast(DoubleType),
+          6).as("h_next"))
+  }
 }

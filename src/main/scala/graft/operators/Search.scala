@@ -114,4 +114,38 @@ object Search {
       .limit(k)
       .select(col(idCol), round(col("raw"), 6).as("score"))
   }
+
+  /** Reciprocal-rank fusion (E113) — the standard hybrid-retrieval
+    * combiner (Cormack et al. SIGIR 2009): given N independently-ranked
+    * lists over the same id space (BM25, ANN cosine, quality priors,
+    * recency …), score each id Σ 1/(k0 + rank_i) over the lists it
+    * appears in and return the fused top-k. Rank-based, so wildly
+    * different score scales combine without calibration — why RRF is
+    * the default fuser in hybrid search.
+    *
+    * Each input is `(idCol, rankCol)` — a RANKED LIST (top-k retrieval
+    * output, bounded), not a corpus; the union-then-groupBy therefore
+    * shuffles list-sized relations keyed by id. Addends are quantized
+    * to DECIMAL(38,12) before the sum (the engine's exact-sum
+    * contract): with >2 lists a plain double sum would be
+    * partition-order dependent. The fused order compares the exact
+    * decimal score with an id ASC tie-break — deterministic across
+    * engines and partitionings; `rrf_score` is the 6-dp display form. */
+  def rrfFuse(
+      lists: Seq[DataFrame], idCol: String, rankCol: String,
+      k0: Int = 60, k: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val addend = round(
+      lit(1.0) / (lit(k0).cast("double") + col(rankCol).cast("double")), 12)
+      .cast(dec12)
+    lists.map(_.select(col(idCol).as("id"), addend.as("a")))
+      .reduceLeft(_ unionAll _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("a")).as("s"))
+      .orderBy(col("s").desc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("n_lists"),
+        round(col("s").cast("double"), 6).as("rrf_score"))
+  }
 }

@@ -118,4 +118,46 @@ object Integrity {
         StructField("distinctness", DoubleType, nullable = true),
         StructField("is_key", BooleanType, nullable = false))))
   }
+
+  /** Approximate-functional-dependency discovery (E110) — the
+    * profiling classic next to [[candidateKeys]]: for each declared
+    * LHS→RHS pair, how close does LHS *determine* RHS? `violations` is
+    * the minimum number of rows to delete for the FD to hold exactly
+    * (the g3 error of Kivinen & Mannila): n − Σ_lhs max_rhs count, and
+    * `fd_ratio` its complement share. `n_nationkey→n_name` scores 1.0;
+    * a near-FD with a few dirty rows scores 0.99x — the signal schema
+    * inference and key-repair tooling thresholds on.
+    *
+    * ONE scan for ALL pairs: each row explodes map-side into
+    * (pair, lhs, rhs) triples (the E90 Expand shape), then three
+    * cascaded aggregations over strictly shrinking relations — distinct
+    * cells (map-side combined: the shuffle carries Σ distinct(l,r) per
+    * pair, never rows), per-LHS best, per-pair totals. No per-pair jobs,
+    * no self-joins. Values compare as strings (pairs should be
+    * integer/string columns; a double column's rendering is
+    * engine-specific). Null LHS forms its own group (nulls-equal FD
+    * semantics); null RHS is a value. */
+  def functionalDependencies(
+      df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one lhs->rhs pair")
+    val triples = array(pairs.zipWithIndex.map { case ((l, r), i) =>
+      struct(lit(i).as("pid"), col(l).cast("string").as("lhs"),
+        col(r).cast("string").as("rhs"))
+    }: _*)
+    val labels = array(pairs.map { case (l, r) => lit(s"$l->$r") }: _*)
+    df.select(explode(triples).as("p")).select(col("p.*"))
+      .groupBy("pid", "lhs", "rhs").agg(count(lit(1)).as("c"))
+      .groupBy("pid", "lhs").agg(sum("c").as("lc"), max("c").as("best"))
+      .groupBy("pid").agg(
+        sum("lc").as("n_rows"),
+        count(lit(1)).as("n_lhs"),
+        sum("best").as("n_conforming"))
+      .select(
+        element_at(labels, col("pid") + 1).as("fd"),
+        col("n_rows").cast(LongType).as("n_rows"),
+        col("n_lhs"),
+        (col("n_rows") - col("n_conforming")).cast(LongType).as("violations"),
+        round(col("n_conforming").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("fd_ratio"))
+  }
 }

@@ -1215,6 +1215,74 @@ class Round6Spec extends AnyFunSuite {
     assert(r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("functionalDependencies: g3 violations, perfect FD, null-lhs group") {
+    import spark.implicits._
+    // id->name: id 1 maps to both "a" (2 rows) and "b" (1 row) -> 1
+    // violation; name->id holds perfectly; null lhs is its own group
+    val df = Seq(
+      (Option(1L), "a"), (Option(1L), "a"), (Option(1L), "b"),
+      (Option(2L), "c"), (Option.empty[Long], "d")
+    ).toDF("id", "name")
+    val out = graft.profiler.Integrity
+      .functionalDependencies(df, Seq(("id", "name"), ("name", "id")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("id->name") == ((5L, 3L, 1L, 0.8)))
+    assert(out("name->id") == ((5L, 4L, 0L, 1.0)))
+  }
+
+  test("transitionEntropy: deterministic state h=0, uniform state h=ln 2") {
+    import spark.implicits._
+    // user 1: a->b, b->a, a->b ; user 2: a->c
+    // prev a: next {b:2, c:1}; prev b: next {a:1} (deterministic)
+    val df = Seq(
+      (0L, 0L, 1L, "a"), (1L, 1L, 1L, "b"), (2L, 2L, 1L, "a"),
+      (3L, 3L, 1L, "b"),
+      (4L, 0L, 2L, "a"), (5L, 1L, 2L, "c")
+    ).toDF("event_id", "ts_us", "user_id", "event_type")
+    val out = Events.transitionEntropy(df, "user_id", "ts_us", "event_id",
+        "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("b")._1 == 1L && out("b")._3 == 0.0)
+    val expA = math.rint((math.log(3) - (2 * math.log(2)) / 3) * 1e6) / 1e6
+    assert(out("a")._1 == 3L && out("a")._2 == 2L)
+    assert(math.abs(out("a")._3 - expA) < 1e-9)
+    // first event of each user contributes no pair: 4 transitions total
+    assert(out.values.map(_._1).sum == 4L)
+  }
+
+  test("collocationsPmi: hand-computed PMI; minFreq drops hapax pairs") {
+    import spark.implicits._
+    // bigrams: "a b" x3 (doc1), "b a" x2 (doc1) + x1 (doc2), "c d" x1
+    // -> n=7, cx(a)=cy(b)=cx(b)=cy(a)=3
+    val df = Seq((1L, "a b a b a b"), (2L, "b a"), (3L, "c d")).toDF("doc_id", "text")
+    val out = graft.functions.TextFunctions
+      .collocationsPmi(df, "text", minFreq = 2, k = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains("c d"))
+    val pmi = math.rint(math.log(7.0 / 3.0) * 1e6) / 1e6
+    assert(out("a b") == ((3L, pmi)))
+    assert(out("b a") == ((3L, pmi)))
+    assert(out.size == 2)
+  }
+
+  test("rrfFuse: hand-computed fusion, ids missing from one list, ties by id") {
+    import spark.implicits._
+    // list1 ranks: a=1, b=2, c=3 ; list2 ranks: b=1, a=2 (no c)
+    val l1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
+    val l2 = Seq(("b", 1), ("a", 2)).toDF("id", "rank")
+    val out = graft.operators.Search.rrfFuse(Seq(l1, l2), "id", "rank", k0 = 60, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def rr(r: Int) = math.rint(1e12 / (60.0 + r)) / 1e12
+    val sA = math.rint((rr(1) + rr(2)) * 1e6) / 1e6
+    val sC = math.rint(rr(3) * 1e6) / 1e6
+    // a and b tie exactly (1/61+1/62 both) -> id ASC breaks it
+    assert(out(0) == (("a", 2L, sA)))
+    assert(out(1) == (("b", 2L, sA)))
+    assert(out(2) == (("c", 1L, sC)))
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
