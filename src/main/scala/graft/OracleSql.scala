@@ -438,6 +438,24 @@ FROM $T, $f GROUP BY 1, 2, 3, 4, 5"""
     s"SELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}) u ORDER BY instance"
   }
 
+  /** MAD-outlier twin (E114): nested exact medians (QUANTILE_CONT twice,
+    * the deviation median over the SAME |x − med| doubles), identical
+    * fixed-order fence algebra. */
+  val madOutliers: String = {
+    val rows = Lineitem.numeric.map { c =>
+      val m = s"(SELECT CAST(QUANTILE_CONT(CAST($c AS DOUBLE), 0.5) AS DOUBLE) AS med FROM $T) m"
+      val d = s"(SELECT med, CAST(QUANTILE_CONT(ABS(CAST($c AS DOUBLE) - med), 0.5) AS DOUBLE) AS mad FROM $T, $m GROUP BY med) d"
+      val f = s"(SELECT med, mad, med - CAST(3.0 AS DOUBLE) * mad AS lo, " +
+        s"med + CAST(3.0 AS DOUBLE) * mad AS hi FROM $d) f"
+      s"""SELECT '$c' AS instance, ROUND(f.med, 6) AS median, ROUND(f.mad, 6) AS mad,
+  ROUND(f.lo, 6) AS fence_lo, ROUND(f.hi, 6) AS fence_hi,
+  CAST(COUNT(CASE WHEN CAST($c AS DOUBLE) < f.lo THEN 1 END) AS BIGINT) AS n_below,
+  CAST(COUNT(CASE WHEN CAST($c AS DOUBLE) > f.hi THEN 1 END) AS BIGINT) AS n_above
+FROM $T, $f GROUP BY 1, 2, 3, 4, 5"""
+    }
+    s"SELECT * FROM (\n${rows.mkString("\nUNION ALL\n")}) u ORDER BY instance"
+  }
+
   /** E69 blocklist-filter twin: the operator's Bloom prefilter is a pure
     * routing optimization (no false negatives; false positives resolved by
     * the exact anti-join), so the oracle is the plain anti-join over the

@@ -160,6 +160,12 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance")),
+    // MAD robust outlier screen (E114): median +/- 3*MAD fences
+    "mad_outliers" -> ((s, dir) =>
+      graft.profiler.RobustStats.madOutliers(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
     // §2.A frequency battery (F1-F5)
     "count_distinct" -> metricQuery(Set("count_distinct")),
     "entropy" -> metricQuery(Set("entropy")),
@@ -1495,6 +1501,7 @@ object SparkEntry {
     "quantiles_exact" -> OracleSql.quantilesExact,
     "winsorized_stats" -> OracleSql.winsorizedStats,
     "iqr_outliers" -> OracleSql.iqrOutliers,
+    "mad_outliers" -> OracleSql.madOutliers,
     "benford_digits" -> OracleSql.benfordDigits,
     "ks_drift" -> OracleSql.ksDrift,
     "ks_drift_audit" -> OracleSql.ksDriftAudit,

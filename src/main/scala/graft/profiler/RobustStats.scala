@@ -186,6 +186,82 @@ object RobustStats {
         col("n_below"), col("n_above"))
   }
 
+  /** MAD robust outlier screen (E114) — the third member of the robust
+    * suite: E70 winsorizes the tail away, E96's Tukey fences derive from
+    * quartiles, this derives them from the median absolute deviation —
+    * the 50%-breakdown scale estimator, unmoved even when the tail IS
+    * half the data (where the IQR itself starts stretching). Fences are
+    * median ± 3·MAD; a 0 MAD (≥50% identical values) degenerates to
+    * "anything off the median is an outlier" — the documented MAD
+    * pathology, left visible rather than patched.
+    *
+    * THREE passes over the shared spread() exchange (MAD's second
+    * quantile depends on the first's result, so two quantile passes are
+    * inherent): exact medians (column-chunked concurrent percentile
+    * jobs, the E70 shape), exact medians of |x − med| with the med
+    * inlined as a literal, then ONE wide conditional-count pass with
+    * the fences inlined. Fixed-order double fence arithmetic mirrored
+    * verbatim by the oracle; all-null columns yield null fences and
+    * zero counts. */
+  def madOutliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "madOutliers needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = ScanMetrics.spread(df)
+    def chunkedQuantiles(exprs: Seq[(String, Column)]): Map[String, Option[Double]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val jobs = exprs.grouped(2).toSeq.map { group =>
+        val aggs = group.map { case (name, e) =>
+          percentile(e, lit(0.5)).as(name)
+        }
+        group.map(_._1) -> Future(scala.concurrent.blocking {
+          src.agg(aggs.head, aggs.tail: _*).head()
+        })
+      }
+      jobs.flatMap { case (names, fut) =>
+        val row = Await.result(fut, Duration.Inf)
+        names.map(c => c ->
+          (if (row.isNullAt(row.fieldIndex(c))) None
+           else Some(row.getDouble(row.fieldIndex(c)))))
+      }.toMap
+    }
+    val med = chunkedQuantiles(cols.map(c => c -> col(c).cast(DoubleType)))
+    val madCols = cols.flatMap(c => med(c).map(m =>
+      c -> abs(col(c).cast(DoubleType) - lit(m))))
+    val mad =
+      if (madCols.isEmpty) Map.empty[String, Option[Double]]
+      else chunkedQuantiles(madCols)
+    val fences: Seq[(String, Option[(Double, Double, Double, Double)])] =
+      cols.map { c =>
+        c -> (for { m <- med(c); d <- mad.get(c).flatten } yield
+          (m, d, m - 3.0 * d, m + 3.0 * d))
+      }
+    val countAggs = fences.flatMap {
+      case (c, Some((_, _, lo, hi))) => Seq(
+        count(when(col(c).cast(DoubleType) < lo, 1)).as(s"b_$c"),
+        count(when(col(c).cast(DoubleType) > hi, 1)).as(s"a_$c"))
+      case (c, None) => Seq(
+        lit(0L).as(s"b_$c"), lit(0L).as(s"a_$c"))
+    }
+    val counts = src.agg(countAggs.head, countAggs.tail: _*).head()
+    fences.map {
+      case (c, Some((m, d, lo, hi))) =>
+        (c, Option(m), Option(d), Option(lo), Option(hi),
+          counts.getAs[Long](s"b_$c"), counts.getAs[Long](s"a_$c"))
+      case (c, None) =>
+        (c, Option.empty[Double], Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], 0L, 0L)
+    }.toDF("instance", "median", "mad", "fence_lo", "fence_hi",
+      "n_below", "n_above")
+      .select(col("instance"),
+        round(col("median"), 6).as("median"), round(col("mad"), 6).as("mad"),
+        round(col("fence_lo"), 6).as("fence_lo"),
+        round(col("fence_hi"), 6).as("fence_hi"),
+        col("n_below"), col("n_above"))
+  }
+
   /** Benford first-significant-digit test (E97) — the classic
     * fabricated/synthetic-numbers screen: naturally-occurring magnitudes
     * spread across orders of magnitude follow P(d) = log10(1 + 1/d);

@@ -1283,6 +1283,29 @@ class Round6Spec extends AnyFunSuite {
     assert(out(2) == (("c", 1L, sC)))
   }
 
+  test("madOutliers: hand-computed fences, zero-MAD degeneracy, all-null col") {
+    import spark.implicits._
+    // v: 1..7 plus 100 -> median 4.5, |x-4.5| = {3.5,2.5,1.5,0.5,0.5,1.5,2.5,95.5}
+    // -> MAD 2.0, fences [-1.5, 10.5], one outlier above (100)
+    // k: constant 5 except one 9 -> MAD 0, fences [5,5], the 9 flags
+    val df = Seq(
+      (1.0, 5.0, Option.empty[Double]), (2.0, 5.0, None), (3.0, 5.0, None),
+      (4.0, 5.0, None), (5.0, 5.0, None), (6.0, 5.0, None),
+      (7.0, 5.0, None), (100.0, 9.0, None)
+    ).toDF("v", "k", "z")
+    val out = graft.profiler.RobustStats
+      .madOutliers(df, Seq("v", "k", "z"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val v = out("v")
+    assert(v.getDouble(1) == 4.5 && v.getDouble(2) == 2.0)
+    assert(v.getDouble(3) == -1.5 && v.getDouble(4) == 10.5)
+    assert(v.getLong(5) == 0L && v.getLong(6) == 1L)
+    val k = out("k")
+    assert(k.getDouble(2) == 0.0 && k.getLong(6) == 1L)
+    val z = out("z")
+    assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
