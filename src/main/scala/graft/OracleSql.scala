@@ -2055,6 +2055,24 @@ FROM cells JOIN margx USING (x) JOIN margy USING (y) CROSS JOIN tot
 WHERE c >= 5
 ORDER BY pmi DESC, bigram ASC LIMIT 50"""
 
+  /** Rolling-volume twin (E115): same integer day numbers, RANGE frame,
+    * and fixed-order n·days/total double ratio. */
+  val rollingDailyVolume: String =
+    """WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+r AS (
+  SELECT day_num, n_events,
+    CAST(SUM(n_events) OVER w AS BIGINT) AS window_events,
+    CAST(COUNT(*) OVER w AS BIGINT) AS days_in_window
+  FROM daily
+  WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT STRFTIME(make_timestamp(day_num * 86400000000), '%Y-%m-%d') AS day,
+  n_events, window_events, days_in_window,
+  ROUND(CAST(n_events AS DOUBLE) * CAST(days_in_window AS DOUBLE) /
+    CAST(window_events AS DOUBLE), 6) AS vs_trend
+FROM r ORDER BY day"""
+
   /** Transition-entropy twin (E111): same lag pairs under the identical
     * total order, same ROUND(c·LN(c),12)→DECIMAL(38,12) quantized
     * entropy sum as the F2/E105 contract. */

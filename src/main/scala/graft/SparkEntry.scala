@@ -432,6 +432,16 @@ object SparkEntry {
         gapUs = 30L * 60 * 1000 * 1000)
         .orderBy("user_id", "session_idx")
     }),
+    // trailing-7-day rolling volume monitor (E115): RANGE frame over day
+    // numbers so outage gaps shrink the window instead of stretching it
+    "rolling_daily_volume" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.operators.Events.rollingDailyVolume(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("ts DIV 1000")),
+        "ts_us", windowDays = 7)
+        .orderBy("day")
+    }),
     // per-state event transition entropy (E111)
     "transition_entropy" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1506,6 +1516,7 @@ object SparkEntry {
     "ks_drift" -> OracleSql.ksDrift,
     "ks_drift_audit" -> OracleSql.ksDriftAudit,
     "transition_entropy" -> OracleSql.transitionEntropy,
+    "rolling_daily_volume" -> OracleSql.rollingDailyVolume,
     "fd_discovery" -> OracleSql.functionalDeps("lineitem", Seq(
       ("l_orderkey", "l_returnflag"),
       ("l_partkey", "l_suppkey"),

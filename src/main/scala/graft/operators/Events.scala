@@ -312,6 +312,45 @@ object Events {
         countDistinct(col(typeCol)).as("n_types"))
   }
 
+  /** Rolling trailing-window volume monitor (E115) — the time-series
+    * face of the monitoring suite (E95 gives per-day points; E12 the
+    * streaming windows; this the TREND): per UTC day, event volume plus
+    * the trailing `windowDays`-day total/mean and the volume-vs-trend
+    * ratio that alerting thresholds on. The frame is RANGE over the
+    * integer day number, not ROWS — a gap (outage day with zero events)
+    * must SHRINK the trailing window, not silently stretch it to older
+    * days; `days_in_window` makes partial windows (series start, gaps)
+    * visible to the consumer.
+    *
+    * Scale shape: events collapse map-side to the per-day rollup in ONE
+    * groupBy(day) pass; the RANGE window runs over the DAY-sized
+    * relation (three orders smaller than the data — a global-order
+    * window there is free, never the 100 TB bottleneck). Ratio is
+    * n·days/total in fixed-order double, rounded for display. */
+  def rollingDailyVolume(
+      events: DataFrame, tsUsCol: String, windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val usPerDay = 86400000000L
+    // integer DIV, not double `/`: near a midnight boundary the rounded
+    // double quotient could land the event on the wrong day
+    val daily = events
+      .groupBy(expr(s"$tsUsCol DIV $usPerDay").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.orderBy("day_num")
+      .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+    daily
+      .withColumn("window_events", sum("n_events").over(w))
+      .withColumn("days_in_window", count(lit(1)).over(w))
+      .select(
+        date_format(timestamp_micros(col("day_num") * usPerDay), "yyyy-MM-dd")
+          .as("day"),
+        col("n_events"), col("window_events"), col("days_in_window"),
+        round(col("n_events").cast(DoubleType) *
+          col("days_in_window").cast(DoubleType) /
+          col("window_events").cast(DoubleType), 6).as("vs_trend"))
+  }
+
   /** Per-state transition entropy (E111) — how predictable is the NEXT
     * event given the current one: for each observed state, the Shannon
     * entropy of its next-event-type distribution over per-user

@@ -1306,6 +1306,23 @@ class Round6Spec extends AnyFunSuite {
     assert(z.isNullAt(1) && z.getLong(5) == 0L && z.getLong(6) == 0L)
   }
 
+  test("rollingDailyVolume: RANGE frame shrinks over gaps, partial starts visible") {
+    import spark.implicits._
+    val day = 86400000000L
+    // days 0 (2 events), 1 (1), then a gap, day 5 (4): with a 3-day
+    // window, day 5's frame covers days 3-5 -> only day 5 itself
+    val df = Seq(0L, 1L, day, 5 * day, 5 * day, 5 * day, 5 * day)
+      .toDF("ts_us")
+    val out = Events.rollingDailyVolume(df, "ts_us", windowDays = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("1970-01-01") == ((2L, 2L, 1L, 1.0)))
+    assert(out("1970-01-02") == ((1L, 3L, 2L, round6(1.0 * 2 / 3))))
+    assert(out("1970-01-06") == ((4L, 4L, 1L, 1.0)))
+  }
+
+  private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
