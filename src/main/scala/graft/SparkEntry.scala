@@ -432,6 +432,15 @@ object SparkEntry {
         gapUs = 30L * 60 * 1000 * 1000)
         .orderBy("user_id", "session_idx")
     }),
+    // daily-volume autocorrelation at lags 1 and 7 (E116)
+    "volume_autocorr" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.operators.Events.volumeAutocorr(
+        s.read.parquet(s"$dir/events.parquet")
+          .withColumn("ts_us", expr("ts DIV 1000")),
+        "ts_us", lags = Seq(1, 7))
+        .orderBy("col_a", "col_b")
+    }),
     // trailing-7-day rolling volume monitor (E115): RANGE frame over day
     // numbers so outage gaps shrink the window instead of stretching it
     "rolling_daily_volume" -> ((s, dir) => {
@@ -1517,6 +1526,14 @@ object SparkEntry {
     "ks_drift_audit" -> OracleSql.ksDriftAudit,
     "transition_entropy" -> OracleSql.transitionEntropy,
     "rolling_daily_volume" -> OracleSql.rollingDailyVolume,
+    // the aligned-lag relation inlined; corr algebra is the shared twin
+    "volume_autocorr" -> OracleSql.corrSql(
+      Seq("v", "v_lag1", "v_lag7"),
+      from = """(SELECT b.day_num, CAST(b.n_events AS DOUBLE) AS v,
+  CAST(l1.n_events AS DOUBLE) AS v_lag1, CAST(l7.n_events AS DOUBLE) AS v_lag7
+FROM (SELECT epoch_us(ts) // 86400000000 AS day_num, COUNT(*) AS n_events FROM events GROUP BY 1) b
+LEFT JOIN (SELECT epoch_us(ts) // 86400000000 AS day_num, COUNT(*) AS n_events FROM events GROUP BY 1) l1 ON b.day_num = l1.day_num + 1
+LEFT JOIN (SELECT epoch_us(ts) // 86400000000 AS day_num, COUNT(*) AS n_events FROM events GROUP BY 1) l7 ON b.day_num = l7.day_num + 7)"""),
     "fd_discovery" -> OracleSql.functionalDeps("lineitem", Seq(
       ("l_orderkey", "l_returnflag"),
       ("l_partkey", "l_suppkey"),

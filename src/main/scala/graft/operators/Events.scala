@@ -351,6 +351,39 @@ object Events {
           col("window_events").cast(DoubleType), 6).as("vs_trend"))
   }
 
+  /** Daily-volume autocorrelation (E116) — does the event series repeat
+    * itself: Pearson correlation of per-day volume against its own
+    * CALENDAR-shifted copies (lag 1 = day-over-day persistence, lag 7 =
+    * weekly seasonality — the two alerting baselines E115's trailing
+    * mean can't distinguish). Alignment is a self-join on
+    * `day_num = day_num + k` over the day rollup, NOT a ROWS-frame lag:
+    * with outage gaps, "previous row" silently means "previous PRESENT
+    * day" and the lag-1 series quietly compares across a gap; days
+    * whose shifted partner is absent contribute null (excluded per pair
+    * by the corr contract).
+    *
+    * Scale shape: one map-side-combined groupBy(day) collapses events
+    * to the day rollup; the self-joins and the moment pass run over the
+    * DAY-sized relation (broadcast-sized at any corpus scale). Rides
+    * the proven E37 decimal-quantized moment algebra verbatim. */
+  def volumeAutocorr(
+      events: DataFrame, tsUsCol: String, lags: Seq[Int] = Seq(1, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "lags must be >= 1")
+    val usPerDay = 86400000000L
+    val daily = events
+      .groupBy(expr(s"$tsUsCol DIV $usPerDay").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val base = daily.select(col("day_num"), col("n_events").cast("double").as("v"))
+    val aligned = lags.foldLeft(base) { (acc, k) =>
+      acc.join(
+        daily.select((col("day_num") + k).as("dn"),
+          col("n_events").cast("double").as(s"v_lag$k")),
+        col("day_num") === col("dn"), "left").drop("dn")
+    }
+    graft.profiler.Correlation.matrix(
+      aligned, "v" +: lags.map(k => s"v_lag$k"))
+  }
+
   /** Per-state transition entropy (E111) — how predictable is the NEXT
     * event given the current one: for each observed state, the Shannon
     * entropy of its next-event-type distribution over per-user

@@ -1323,6 +1323,22 @@ class Round6Spec extends AnyFunSuite {
 
   private def round6(x: Double): Double = math.rint(x * 1e6) / 1e6
 
+  test("volumeAutocorr: calendar alignment skips gap days; perfect lag corr = 1") {
+    import spark.implicits._
+    val day = 86400000000L
+    // volumes: day0=1, day1=2, day2=3, day4=5 (day3 missing)
+    def ev(d: Long, n: Int) = Seq.fill(n)(d * day)
+    val df = (ev(0, 1) ++ ev(1, 2) ++ ev(2, 3) ++ ev(4, 5)).toDF("ts_us")
+    val out = Events.volumeAutocorr(df, "ts_us", lags = Seq(1))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    // aligned lag-1 pairs: (day1: 2,1), (day2: 3,2) — day4's calendar
+    // predecessor day3 is ABSENT, so it contributes nothing (a
+    // rows-frame lag would have wrongly paired day4 with day2)
+    val (n, c) = out(("v", "v_lag1"))
+    assert(n == 2L && c.contains(1.0))
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
