@@ -160,6 +160,24 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance")),
+    // bucketized interval join (E117): overlapping tolerance bands vs
+    // lineitem prices as a hash equi-join on buckets, never a BNLJ
+    "range_join_bands" -> ((s, dir) => {
+      val bands = s.range(1, 11).select(
+        col("id").as("band_id"),
+        (col("id") * lit(1350.0)).as("lo"),
+        (col("id") * lit(1650.0)).as("hi"))
+      graft.operators.AsOf.rangeJoin(
+        lineitem(s, dir).select(col("l_extendedprice")), "l_extendedprice",
+        bands, "lo", "hi", bucketWidth = 500.0)
+        .groupBy("band_id")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)))
+            .cast("double"), 6).as("sum_price"))
+        .orderBy("band_id")
+    }),
     // MAD robust outlier screen (E114): median +/- 3*MAD fences
     "mad_outliers" -> ((s, dir) =>
       graft.profiler.RobustStats.madOutliers(
@@ -1521,6 +1539,14 @@ object SparkEntry {
     "winsorized_stats" -> OracleSql.winsorizedStats,
     "iqr_outliers" -> OracleSql.iqrOutliers,
     "mad_outliers" -> OracleSql.madOutliers,
+    "range_join_bands" ->
+      """WITH bands AS (
+  SELECT i AS band_id, i * CAST(1350.0 AS DOUBLE) AS lo, i * CAST(1650.0 AS DOUBLE) AS hi
+  FROM generate_series(1, 10) s(i))
+SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 6) AS sum_price
+FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY 1 ORDER BY band_id""",
     "benford_digits" -> OracleSql.benfordDigits,
     "ks_drift" -> OracleSql.ksDrift,
     "ks_drift_audit" -> OracleSql.ksDriftAudit,

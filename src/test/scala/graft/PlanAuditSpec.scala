@@ -259,6 +259,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected directory-level pruning on the partition column:\n$p")
   }
 
+  test("range join plans as a hash equi-join on buckets, never BNLJ/Cartesian") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val bands = spark.range(1, 11).select(
+      col("id").as("band_id"),
+      (col("id") * lit(1350.0)).as("lo"),
+      (col("id") * lit(1650.0)).as("hi"))
+    val p = plan(graft.operators.AsOf.rangeJoin(
+      li.select(col("l_extendedprice")), "l_extendedprice",
+      bands, "lo", "hi", bucketWidth = 500.0))
+    // the whole point: the theta-join must have become an equi-join
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"theta-join fell back to nested loops:\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a keyed join on the bucket id:\n$p")
+  }
+
   test("bigram LM: map-side pair construction — no self-join or window before counting") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.LangModel.bigramScore(docs, "doc_id", "text"))

@@ -1339,6 +1339,24 @@ class Round6Spec extends AnyFunSuite {
     assert(n == 2L && c.contains(1.0))
   }
 
+  test("rangeJoin: overlapping intervals each match; half-open bounds; cap trips") {
+    import spark.implicits._
+    val facts = Seq(0.5, 1.0, 2.0, 2.5, 10.0).toDF("v")
+    // [0,2) and [1,3) overlap on [1,2): 1.0 sits in both; 2.0 is
+    // excluded from a (hi-exclusive) but in b; 10.0 matches none
+    val ivals = Seq(("a", 0.0, 2.0), ("b", 1.0, 3.0)).toDF("name", "lo", "hi")
+    val out = graft.operators.AsOf
+      .rangeJoin(facts, "v", ivals, "lo", "hi", bucketWidth = 1.0)
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(out == Set((0.5, "a"), (1.0, "a"), (1.0, "b"), (2.0, "b"), (2.5, "b")))
+    val ex = intercept[Exception] {
+      graft.operators.AsOf.rangeJoin(
+        facts, "v", Seq(("wide", 0.0, 1e9)).toDF("name", "lo", "hi"),
+        "lo", "hi", bucketWidth = 1.0, maxBucketsPerInterval = 100).collect()
+    }
+    assert(ex.getMessage.contains("rangeJoin"), s"got: ${ex.getMessage}")
+  }
+
   test("spanDedup: hot-span relation above maxHotSpans fails fast") {
     import spark.implicits._
     val df = Seq((1L, "a a"), (2L, "a a"), (3L, "b b"), (4L, "b b"))
