@@ -1943,16 +1943,15 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   }
 
   /** Static column inventory of EVERY testdata table (TESTDATA.md schemas):
-    * the Text+Numeric columns the profiler's battery covers. `events.ts`
-    * (TIMESTAMP_NANOS) profiles as a long under nanosAsLong on the Spark
-    * side; Completeness (COUNT(c)/COUNT(*)) is type-agnostic, so the twin
-    * needs no epoch conversion. Skipped classes (embeddings' float array,
-    * lineitem/orders' ms timestamps) are absent from both sides. */
+    * the Text+Numeric columns the profiler's battery covers. Skipped
+    * classes are absent from BOTH sides: embeddings' float array and every
+    * timestamp column (`events.ts` is TIMESTAMP(MICROS, NTZ) — class
+    * Skipped per reference parity, like lineitem/orders' date columns). */
   private val allTablesProfiled: Seq[(String, Seq[String])] = Seq(
     "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
     "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
     "embeddings" -> Seq("vec_id", "label"),
-    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "events" -> Seq("event_id", "user_id", "event_type", "value", "props"),
     "lineitem" -> Lineitem.profiled,
     "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
     "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"),

@@ -433,48 +433,43 @@ object SparkEntry {
     }),
     // per-UTC-day monitoring profile (E95)
     "daily_profile" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
       graft.operators.Events.dailyProfile(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("ts DIV 1000")),
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
         "ts_us", "user_id", "value")
         .orderBy("day")
     }),
     // gap-based batch sessionization (E108): 30-minute inactivity gap
     "sessionize" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
       graft.operators.Events.sessionize(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("ts DIV 1000")),
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
         "user_id", "ts_us", "event_id", "event_type",
         gapUs = 30L * 60 * 1000 * 1000)
         .orderBy("user_id", "session_idx")
     }),
     // daily-volume autocorrelation at lags 1 and 7 (E116)
     "volume_autocorr" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
       graft.operators.Events.volumeAutocorr(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("ts DIV 1000")),
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
         "ts_us", lags = Seq(1, 7))
         .orderBy("col_a", "col_b")
     }),
     // trailing-7-day rolling volume monitor (E115): RANGE frame over day
     // numbers so outage gaps shrink the window instead of stretching it
     "rolling_daily_volume" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
       graft.operators.Events.rollingDailyVolume(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("ts DIV 1000")),
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
         "ts_us", windowDays = 7)
         .orderBy("day")
     }),
     // per-state event transition entropy (E111)
     "transition_entropy" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = s.read.parquet(s"$dir/events.parquet")
       graft.operators.Events.transitionEntropy(
-        s.read.parquet(s"$dir/events.parquet")
-          .withColumn("ts_us", expr("ts DIV 1000")),
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
         "user_id", "ts_us", "event_id", "event_type")
         .orderBy("prev_type")
     }),
@@ -483,7 +478,6 @@ object SparkEntry {
     // follows the watermark horizon, not corpus size; single-batch replay
     // here so the dedup is exact (the eviction trade is sbt-tested)
     "streaming_dedup_watermark" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // every-5th subset: the state store cost is per KEY (HDFS-backed
       // snapshots), and a full-corpus replay spends 4/5 of its time
       // writing state for rows that never exercise the dedup semantics
@@ -496,7 +490,8 @@ object SparkEntry {
       graft.streaming.StreamingProfile.replayParquet(
         s, s"$staged/*.parquet",
         stream => graft.streaming.StreamingProfile.dedupWithinWatermark(
-          stream.withColumn("_evt", timestamp_micros(expr("ts DIV 1000"))),
+          stream.withColumn("_evt",
+            timestamp_micros(graft.operators.Events.tsMicros(stream, "ts"))),
           Seq("event_id"), "_evt", "1 hour")
           .select("event_id", "user_id", "value"),
         "append").orderBy("event_id")
@@ -530,7 +525,6 @@ object SparkEntry {
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id", "embedding")),
     "events_json" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
         .agg(
@@ -543,12 +537,11 @@ object SparkEntry {
     // as-of enrichment: each purchase annotated with the latest
     // strictly-prior view of the same user (value, time, gap)
     "asof_enrich" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
-        .select(
-          col("event_id"), col("user_id"),
-          expr("ts div 1000").as("ts_us"),
-          col("event_type"), col("value"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("event_id"), col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"),
+        col("event_type"), col("value"))
       graft.operators.AsOf.lastPrior(
         e, "user_id", "ts_us",
         col("event_type") === "view",
@@ -754,27 +747,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     // streaming (events table, driven through real streaming queries).
-    // The testdata carries TIMESTAMP(NANOS) parquet, which Spark's scan
-    // rejects; reading the raw int64 nanos and truncating to micros matches
-    // DuckDB's ns→µs handling exactly (both floor positive values).
+    // Event-time ingestion goes through Events.tsMicros, which dispatches
+    // on the ACTUAL parquet-read type (raw int64 nanos vs TIMESTAMP micros
+    // NTZ vs millis) — matching DuckDB's epoch_us under the pinned UTC zone.
     "streaming_profile" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       StreamingProfile.replayParquet(
         s, s"$dir/events.parquet",
         df => StreamingProfile.windowedProfileExact(
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+          df.withColumn("ts",
+            timestamp_micros(graft.operators.Events.tsMicros(df, "ts")))),
         "complete")
         .orderBy("window_start", "event_type")
     }),
     "streaming_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       StreamingProfile.replayParquet(
         s, s"$dir/events.parquet",
         df => {
           val sp = df.sparkSession
           import sp.implicits._
           StreamingProfile.sessionize(
-            df.select(col("user_id"), expr("ts div 1000").as("ts_us"))
+            df.select(
+              col("user_id"),
+              graft.operators.Events.tsMicros(df, "ts").as("ts_us"))
               .as[SessionEvent],
             gapMinutes = 30).toDF()
         },
@@ -1043,7 +1037,6 @@ object SparkEntry {
         .orderBy("check_name", "instance")),
     // per-segment completeness: the null profile whole-table averages hide
     "segmented_completeness" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.profiler.Checks.segmentedCompleteness(
         s.read.parquet(s"$dir/events.parquet"), "event_type",
         Seq("event_id", "ts", "user_id", "value", "props"))
@@ -1074,27 +1067,29 @@ object SparkEntry {
     }),
     // strict-order conversion funnel over the event stream table
     "event_funnel" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"), col("event_type"))
       graft.operators.Events.funnel(
         e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
         .orderBy("stage")
     }),
     // funnel time-to-convert latency distribution (E102)
     "time_to_convert" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_type"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"), col("event_type"))
       graft.operators.Events.timeToConvert(
         e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
         .orderBy("transition")
     }),
     // daily cohort retention matrix (first-active-day cohorts, 7-day window)
     "cohort_retention" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val e = s.read.parquet(s"$dir/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"), graft.operators.Events.tsMicros(ev, "ts").as("ts_us"))
       graft.operators.Events.cohortRetention(e, "user_id", "ts_us", maxOffset = 7)
         .orderBy("cohort_day", "day_offset")
     }),
@@ -1242,10 +1237,10 @@ object SparkEntry {
     }),
     // flagship multi-table run: the reference's main loop as one relation —
     // enumerate the catalog (R2), profile every table (R1+R15), union with
-    // table identity. Size+Completeness: exact and type-agnostic, so the
-    // oracle covers every table including events' nanos timestamp.
+    // table identity. Size+Completeness over every Text/Numeric column;
+    // events' TIMESTAMP_NTZ ts is class-Skipped (reference parity), so it
+    // appears in neither side of the compare.
     "profile_all_tables" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       graft.profiler.Runner.profileAllTables(
         s, new graft.profiler.ParquetDirCatalog(s, dir), cfg,
         Set("size", "completeness"))

@@ -27,6 +27,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // loud failure: leave an _ERROR sentinel (and no parquet part
+        // files) so the driver reports a red `err` row for this key
+        // instead of silently dropping it from CORRECTNESS — round 6
+        // lost 12 green queries to a swallowed analysis exception here
+        val d = Paths.get(outDir, name)
+        try {
+          Files.createDirectories(d)
+          d.toFile.listFiles().filter(_.getName.endsWith(".parquet"))
+            .foreach(_.delete())
+          Files.writeString(d.resolve("_ERROR"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -102,11 +102,23 @@ object Dedup {
 
   /** Exact Jaccard from a pair-candidate relation `(id_a, id_b)` and the
     * shingle relation: |A∩B| via a shingle join restricted to candidates,
-    * then J = c / (|A| + |B| − c). */
-  private def verifiedJaccard(
-      sh: DataFrame, sizes: DataFrame, pairs: DataFrame): DataFrame = {
-    val a = sh.select(col("id").as("id_a"), col("shingle"))
-    val bSide = sh.select(col("id").as("id_b"), col("shingle"))
+    * then J = c / (|A| + |B| − c).
+    *
+    * The LSH candidate set is tiny relative to the corpus (pairs that
+    * collided on a band hash), so the big `(id, shingle)` relation is
+    * semi-join-filtered down to candidate docs BEFORE the two pair joins
+    * and the size aggregation — per-id shingle counts are unchanged by an
+    * id filter, and the probe sides shrink from the whole corpus to the
+    * candidate docs (the r6 bench regression: both joins and the sizes
+    * groupBy re-consumed the full shingle relation the signature stage had
+    * already reduced). AQE broadcasts the candidate-id build side. */
+  private def verifiedJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val shc = sh.join(candIds, Seq("id"), "leftsemi")
+    val sizes = shingleSizes(shc)
+    val a = shc.select(col("id").as("id_a"), col("shingle"))
+    val bSide = shc.select(col("id").as("id_b"), col("shingle"))
     val inter = pairs
       .join(a, "id_a")
       .join(bSide, Seq("id_b", "shingle"))
@@ -307,7 +319,7 @@ object Dedup {
         .where(col("x.id") < col("y.id"))
         .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
         .distinct()
-      verifiedJaccard(sh, shingleSizes(sh), candidates)
+      verifiedJaccard(sh, candidates)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .where(col("jaccard") >= threshold)
     } finally { sh.unpersist(); () }

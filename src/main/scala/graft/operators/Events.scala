@@ -19,6 +19,33 @@ import org.apache.spark.sql.types._
   */
 object Events {
 
+  import org.apache.spark.sql.Column
+
+  /** Epoch-microseconds view of an event-time column, dispatching on the
+    * column's ACTUAL read type so parquet writer drift (INT64 raw nanos vs
+    * TIMESTAMP(MICROS, NTZ) vs TIMESTAMP(MILLIS)) can never silently break
+    * event-time ingestion again (round-6 regression: every events query
+    * assumed a nanos long while the testdata had moved to micros NTZ):
+    *
+    *   - `LongType` — a raw INT64 epoch column (e.g. TIMESTAMP(NANOS) read
+    *     under `spark.sql.legacy.parquet.nanosAsLong`): `div 1000` floors
+    *     nanos→micros exactly like DuckDB's ns→µs conversion;
+    *   - `TimestampType` / `TimestampNTZType` — `unix_micros` of the
+    *     timestamp; NTZ values are interpreted in the session's pinned UTC
+    *     zone, matching DuckDB's `epoch_us(ts)` on naive timestamps.
+    *
+    * Works on batch AND streaming frames (pure column expression; the
+    * dispatch reads only the schema). */
+  def tsMicros(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case LongType => expr(s"`$tsCol` div 1000")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(tsCol).cast(TimestampType))
+      case dt => throw new IllegalArgumentException(
+        s"tsMicros: unsupported event-time type $dt for column $tsCol " +
+          "(expected INT64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+
   /** Deepest funnel stage each user reaches under STRICT time ordering:
     * stage 1 = any `stages(0)` event; stage k = a `stages(k-1)` event
     * strictly after the stage-(k−1) anchor, where each stage's anchor is

@@ -261,7 +261,7 @@ class Round6Spec extends AnyFunSuite {
       .groupBy(_.getString(0)).view.mapValues(_.length).toMap
     assert(perTableCols("lineitem") == 10) // 8 numeric + 2 text, shipdate skipped
     assert(perTableCols("embeddings") == 2) // vec_id + label, array skipped
-    assert(perTableCols("events") == 6) // ts profiles as long under nanosAsLong
+    assert(perTableCols("events") == 5) // TIMESTAMP_NTZ ts is class-Skipped
   }
 
   test("funnel: null timestamps count at their stage but block later stages") {

@@ -149,12 +149,14 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = StreamingProfile.replayParquet(
       spark, path,
       df => StreamingProfile.windowedProfileExact(
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+        df.withColumn("ts",
+          timestamp_micros(graft.operators.Events.tsMicros(df, "ts")))),
       "complete")
       .orderBy("window_start", "event_type")
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-    val batch = spark.read.parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(path)
+    val batch = raw
+      .withColumn("ts", timestamp_micros(graft.operators.Events.tsMicros(raw, "ts")))
       .groupBy(date_trunc("hour", col("ts")).cast("string").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("w", "event_type")
