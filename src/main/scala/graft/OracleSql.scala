@@ -2139,4 +2139,164 @@ FROM agg ORDER BY fd"""
     allTrue(Seq("equals_plain_join", "no_exchange_in_plan"))
 
   val saltedJoinAudit: String = allTrue(Seq("equals_plain_join"))
+
+  /** E118 timestamp-profile twin: one aggregate pass over epoch_us(ts);
+    * calendar fields via the same integer `// 86400000000` day algebra
+    * and strftime rendering as the daily suite. */
+  val tsProfile: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(us) AS BIGINT) AS n_present,
+  MIN(us) AS min_us, MAX(us) AS max_us,
+  CAST(COUNT(DISTINCT us) AS BIGINT) AS n_distinct,
+  CAST(COUNT(DISTINCT us // 86400000000) AS BIGINT) AS n_days FROM e)
+SELECT n_rows, n_present,
+  ROUND(CAST(n_present AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS completeness,
+  min_us, max_us, n_distinct, n_days,
+  CAST((max_us // 86400000000) - (min_us // 86400000000) + 1 AS BIGINT) AS span_days,
+  STRFTIME(make_timestamp(min_us), '%Y-%m-%d') AS min_day,
+  STRFTIME(make_timestamp(max_us), '%Y-%m-%d') AS max_day
+FROM a"""
+
+  /** E119 inter-arrival twin: identical per-user lag under the
+    * (ts_us, event_id) total order, integer gap sums, the proven
+    * QUANTILE_CONT ↔ percentile contract, µs→s via one double division
+    * chain mirrored from the Spark select. */
+  val interarrivalStats: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+g AS (SELECT user_id,
+  ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us FROM e)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+  ROUND(CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS mean_gap_s,
+  ROUND(CAST(QUANTILE_CONT(CAST(gap_us AS DOUBLE), 0.25) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p25_s,
+  ROUND(CAST(QUANTILE_CONT(CAST(gap_us AS DOUBLE), 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p50_s,
+  ROUND(CAST(QUANTILE_CONT(CAST(gap_us AS DOUBLE), 0.75) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p75_s,
+  ROUND(CAST(QUANTILE_CONT(CAST(gap_us AS DOUBLE), 0.95) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p95_s
+FROM g WHERE gap_us IS NOT NULL"""
+
+  /** E120 hour-of-week twin: pure integer epoch algebra — weekday
+    * (day_num + 4) mod 7 with 0 = Sunday, hour (us // 3600000000) mod
+    * 24 — no timezone, no locale. */
+  val hourlyActivity: String =
+    """WITH e AS (SELECT epoch_us(ts) AS us, user_id FROM events)
+SELECT CAST(((us // 86400000000) + 4) % 7 AS BIGINT) AS dow,
+  CAST((us // 3600000000) % 24 AS BIGINT) AS hour,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2 ORDER BY dow, hour"""
+
+  /** E121 CUSUM twin: deviations quantized ROUND(·,6)→DECIMAL(38,6)
+    * BEFORE the running sum (exact prefixes, engine-portable), extremum
+    * flag compared on the exact decimal. */
+  val volumeCusum: String =
+    """WITH d AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_num, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+s AS (SELECT CAST(SUM(n_events) AS BIGINT) AS tot, CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+c AS (
+  SELECT day_num, n_events,
+    SUM(CAST(ROUND(CAST(n_events AS DOUBLE) - CAST(tot AS DOUBLE) / CAST(nd AS DOUBLE), 6) AS DECIMAL(38,6)))
+      OVER (ORDER BY day_num ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM d, s),
+p AS (SELECT MAX(ABS(cusum)) AS peak FROM c)
+SELECT STRFTIME(make_timestamp(day_num * 86400000000), '%Y-%m-%d') AS day,
+  n_events, ROUND(CAST(cusum AS DOUBLE), 6) AS cusum,
+  CAST(ABS(cusum) = peak AS INT) AS is_changepoint
+FROM c, p ORDER BY day"""
+
+  /** E126 session-stats twin: the sessionize CTE chain reduced to one
+    * row; exact duration quantiles under the proven contract. */
+  val sessionStats: String =
+    """WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events),
+flagged AS (
+  SELECT user_id, ts_us, event_id, event_type,
+    CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered),
+numbered AS (
+  SELECT user_id, ts_us, event_type,
+    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM flagged),
+sess AS (
+  SELECT user_id, session_idx,
+    MAX(ts_us) - MIN(ts_us) AS duration_us,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_event,
+  ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_events,
+  ROUND(CAST(SUM(duration_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS mean_duration_s,
+  ROUND(CAST(QUANTILE_CONT(CAST(duration_us AS DOUBLE), 0.5) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p50_duration_s,
+  ROUND(CAST(QUANTILE_CONT(CAST(duration_us AS DOUBLE), 0.9) AS DOUBLE) / CAST(1000000 AS DOUBLE), 6) AS p90_duration_s
+FROM sess"""
+
+  /** E122 association-rules twin: distinct (user, type) basket relation,
+    * undirected pair counts emitted in both directions, fixed-order
+    * double ratio algebra (c·n / (c_a·c_b), each factor cast once). */
+  val assocRules: String =
+    """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t FROM events WHERE event_type IS NOT NULL),
+nu AS (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) AS n FROM ut),
+m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM ut GROUP BY 1),
+p AS (SELECT a.t AS x, b.t AS y, CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t GROUP BY 1, 2),
+d AS (SELECT x AS antecedent, y AS consequent, n_both FROM p
+  UNION ALL SELECT y, x, n_both FROM p)
+SELECT d.antecedent, d.consequent, d.n_both, ma.c AS n_ante, mc.c AS n_cons,
+  ROUND(CAST(d.n_both AS DOUBLE) / CAST(nu.n AS DOUBLE), 6) AS support,
+  ROUND(CAST(d.n_both AS DOUBLE) / CAST(ma.c AS DOUBLE), 6) AS confidence,
+  ROUND(CAST(d.n_both AS DOUBLE) * CAST(nu.n AS DOUBLE) /
+    (CAST(ma.c AS DOUBLE) * CAST(mc.c AS DOUBLE)), 6) AS lift
+FROM d JOIN m ma ON d.antecedent = ma.t JOIN m mc ON d.consequent = mc.t, nu
+WHERE d.n_both >= 1
+ORDER BY antecedent, consequent"""
+
+  /** E123 document-frequency twin: per-doc DISTINCT token sets before
+    * the unnest (df counts documents, never instances), broadcast doc
+    * total, (df DESC, token ASC) frontier. */
+  val docFrequency: String =
+    s"""WITH tok AS (SELECT t.x AS token FROM documents, UNNEST(list_distinct($wsToksLowerSql)) t(x)),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1)
+SELECT token, df,
+  ROUND(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS df_ratio,
+  CAST(ROUND(CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) >= CAST(0.4 AS DOUBLE) AS INT) AS is_stopword
+FROM f, n ORDER BY df DESC, token ASC LIMIT 50"""
+
+  /** E125 tokenizer-fertility twin: same whitespace + BPE-ish counters
+    * as the tokenCount twin, grouped by language; ratios as single late
+    * double divisions over exact integer sums. */
+  val tokenizerFertility: String =
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(len($wsToksSql)) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS BIGINT) AS n_bpeish_tokens,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+  CAST(SUM(STRLEN(text)) AS BIGINT) AS n_bytes,
+  ROUND(CAST(SUM(LENGTH(text)) AS DOUBLE) / CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS DOUBLE), 6) AS chars_per_token,
+  ROUND(CAST(SUM(STRLEN(text)) AS DOUBLE) / CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS DOUBLE), 6) AS bytes_per_token,
+  ROUND(CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS DOUBLE) / CAST(SUM(len($wsToksSql)) AS DOUBLE), 6) AS fertility_vs_ws
+FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** E124 dedup-yield twin: the dedupClusters recursive-CTE components
+    * reduced to the cluster-size histogram, corpus total as a broadcast
+    * scalar. */
+  val dedupYield: String =
+    s"""WITH RECURSIVE $jaccardCtes,
+edges AS (SELECT id_a AS u, id_b AS v FROM jpairs UNION SELECT id_b, id_a FROM jpairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+clusters AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u),
+csizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM clusters GROUP BY 1),
+h AS (SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM csizes GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM documents)
+SELECT cluster_size, n_clusters,
+  cluster_size * n_clusters AS n_docs,
+  (cluster_size - 1) * n_clusters AS n_removed, n_docs_total
+FROM h, t ORDER BY cluster_size"""
 }

@@ -473,6 +473,67 @@ object SparkEntry {
         "user_id", "ts_us", "event_id", "event_type")
         .orderBy("prev_type")
     }),
+    // timestamp-column profile (E118): the battery face for the column
+    // class the reference Skips, robust to parquet writer drift
+    "ts_profile" -> ((s, dir) =>
+      graft.operators.Events.tsProfile(
+        s.read.parquet(s"$dir/events.parquet"), "ts")),
+    // per-user inter-arrival gap distribution (E119)
+    "interarrival_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.interarrivalStats(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id")
+    }),
+    // hour-of-week traffic heatmap (E120)
+    "hourly_activity" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.hourlyActivity(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", "user_id")
+        .orderBy("dow", "hour")
+    }),
+    // retrospective CUSUM change-point screen over daily volume (E121)
+    "volume_cusum" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.volumeCusum(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us")
+        .orderBy("day")
+    }),
+    // one-row session rollup over the E108 sessionization (E126)
+    "session_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.sessionStats(
+        graft.operators.Events.sessionize(
+          ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+          "user_id", "ts_us", "event_id", "event_type",
+          gapUs = 30L * 60 * 1000 * 1000),
+        "user_id")
+    }),
+    // market-basket association rules over event types (E122)
+    "assoc_rules" -> ((s, dir) =>
+      graft.operators.Events.assocRules(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "event_type")
+        .orderBy("antecedent", "consequent")),
+    // document-frequency stopword discovery (E123)
+    "doc_freq" -> ((s, dir) =>
+      graft.operators.CorpusStats.docFrequency(
+        documents(s, dir), "text", k = 50)),
+    // chars/bytes-per-token fertility report by language (E125)
+    "tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.CorpusStats.tokenizerFertility(
+        documents(s, dir), "lang", "text")
+        .orderBy("lang")),
+    // dedup-yield cluster-size histogram (E124) over the E2/E24 clusters
+    "dedup_yield" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      graft.operators.Clustering.dedupYield(
+        graft.operators.Clustering.dedupClusters(
+          Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)),
+        docs)
+        .orderBy("cluster_size")
+    }),
     // bounded-state streaming dedup (E94): dropDuplicatesWithinWatermark
     // over a replayed stream carrying deterministic duplicates — state
     // follows the watermark horizon, not corpus size; single-batch replay
@@ -1607,6 +1668,15 @@ FROM orders) ind"""),
   CAST(COUNT(value) AS BIGINT) AS n_value,
   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS mean_value
 FROM events GROUP BY 1 ORDER BY day""",
+    "ts_profile" -> OracleSql.tsProfile,
+    "interarrival_stats" -> OracleSql.interarrivalStats,
+    "hourly_activity" -> OracleSql.hourlyActivity,
+    "volume_cusum" -> OracleSql.volumeCusum,
+    "session_stats" -> OracleSql.sessionStats,
+    "assoc_rules" -> OracleSql.assocRules,
+    "doc_freq" -> OracleSql.docFrequency,
+    "tokenizer_fertility" -> OracleSql.tokenizerFertility,
+    "dedup_yield" -> OracleSql.dedupYield,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,

@@ -141,4 +141,33 @@ object Clustering {
       idB: String = "id_b"): DataFrame =
     connectedComponents(pairs, idA, idB)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+
+  /** Dedup-yield report (E124) — what deduplication would actually BUY:
+    * the duplicate-cluster size histogram with per-band document and
+    * removal counts (keep one representative per cluster — E54's policy —
+    * so a size-s cluster removes s−1 docs). The size distribution is the
+    * decision artifact: a corpus whose duplicates sit in a few huge
+    * clusters (template/boilerplate explosions) dedups cheaply and
+    * urgently; one with millions of pairs needs the near-dup thresholds
+    * revisited. `n_docs_total` makes the removed fraction computable
+    * against the corpus without a second scan of it.
+    *
+    * Scale shape: two strictly-shrinking keyed reduces over the CLUSTER
+    * relation (clusters → sizes → size histogram) plus one broadcast
+    * scalar for the corpus total — the documents table is never touched
+    * beyond the count. */
+  def dedupYield(clusters: DataFrame, corpus: DataFrame): DataFrame = {
+    val total = corpus.agg(count(lit(1)).as("n_docs_total"))
+    clusters
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(org.apache.spark.sql.functions.broadcast(total))
+      .select(
+        col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1L) * col("n_clusters")).as("n_removed"),
+        col("n_docs_total"))
+  }
 }

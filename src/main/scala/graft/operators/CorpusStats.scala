@@ -375,4 +375,78 @@ object CorpusStats {
         round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6)
           .as("oov_rate"))
   }
+
+  /** Tokenizer-fertility report (E125) — chars/bytes per token by
+    * language: the compute-cost planner's table (fertility decides how
+    * many MODEL tokens a byte of each language's data becomes — CJK and
+    * under-represented scripts fragment worst; a corpus's mixture cost
+    * is priced from exactly this rollup) and the standard diagnostic for
+    * tokenizer/vocabulary fit (Scao et al. 2022, BLOOM §3.2 report it
+    * per language for the same reason).
+    *
+    * Two tokenizer views side by side: whitespace tokens (corpus-stats
+    * baseline) and the BPE-ish pre-tokenizer (letter/digit runs +
+    * symbols — the GPT-2-style coarse split the model-facing count
+    * follows). Ratios are single late double divisions over exact
+    * integer sums — decimal-free and engine-portable.
+    *
+    * Scale shape: ONE map-side-combined groupBy(lang) scan; all counts
+    * are per-row expressions feeding long sums — no shuffle carries
+    * tokens, no second pass. */
+  def tokenizerFertility(
+      df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    df
+      .groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.wsTokenCount(col(textCol))).as("n_ws_tokens"),
+        sum(TextFunctions.bpeishTokenCount(col(textCol))).as("n_bpeish_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        sum(octet_length(col(textCol)).cast("long")).as("n_bytes"))
+      .select(
+        col("lang"), col("n_docs"), col("n_ws_tokens"),
+        col("n_bpeish_tokens"), col("n_chars"), col("n_bytes"),
+        round(col("n_chars").cast("double") /
+          col("n_bpeish_tokens").cast("double"), 6).as("chars_per_token"),
+        round(col("n_bytes").cast("double") /
+          col("n_bpeish_tokens").cast("double"), 6).as("bytes_per_token"),
+        round(col("n_bpeish_tokens").cast("double") /
+          col("n_ws_tokens").cast("double"), 6).as("fertility_vs_ws"))
+  }
+
+  /** Document-frequency stopword discovery (E123) — tokens ranked by the
+    * share of DOCUMENTS containing them (df), not instance frequency
+    * (E22's vocabTopK): a burst word in one document can top the
+    * instance ranking while df stays honest — df ≥ ~40% of docs is the
+    * classic data-driven stopword cut (the IDF=0 frontier BM25/TF-IDF
+    * weighting implicitly discards), and the list is the corpus-specific
+    * boilerplate fingerprint (every crawl has its own "subscribe",
+    * "cookies", "rights reserved" stratum).
+    *
+    * Scale shape: per-doc token sets via `array_distinct` BEFORE the
+    * explode — the exploded relation carries each (doc, token) once, so
+    * the groupBy(token) shuffle is bounded by Σ|doc vocabularies|, not
+    * token instances; the doc total joins back as a broadcast scalar;
+    * top-k via the usual TakeOrderedAndProject frontier (df DESC, token
+    * ASC). */
+  def docFrequency(
+      df: DataFrame, textCol: String, k: Int,
+      stopwordDf: Double = 0.4): DataFrame = {
+    import graft.functions.TextFunctions
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    df
+      .select(explode(array_distinct(
+        TextFunctions.wsTokens(lower(col(textCol))))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("token"), col("df"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("df_ratio"),
+        (round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          >= stopwordDf).cast("int").as("is_stopword"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(k)
+  }
 }

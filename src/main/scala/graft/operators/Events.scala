@@ -455,4 +455,241 @@ object Events {
           col("tsum").cast(DoubleType) / col("n_transitions").cast(DoubleType),
           6).as("h_next"))
   }
+
+  /** Timestamp-column profile (E118) — the profiling battery face for
+    * event-time columns the reference's battery class-Skips (SURVEY
+    * §1.2: timestamps are not Text/Numeric, so the 17-analyzer battery
+    * never touches them; this is the extension that covers what it
+    * skips): completeness, min/max, cardinality and calendar span of a
+    * timestamp column in ONE scan, robust to parquet writer drift via
+    * [[tsMicros]] (INT64-nanos / TIMESTAMP_MICROS-NTZ / MILLIS all land
+    * on the same epoch-micros algebra — the round-6 regression class
+    * can't reach this operator).
+    *
+    * Scale shape: a single wide `agg()` over the one projected column;
+    * the two `countDistinct`s share one Expand — no second scan, no
+    * driver round-trips. Day boundaries are integer `DIV`, day labels
+    * rendered only on the final single row. */
+  def tsProfile(events: DataFrame, tsCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    events
+      .select(tsMicros(events, tsCol).as("ts_us"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("ts_us")).as("n_present"),
+        min(col("ts_us")).as("min_us"),
+        max(col("ts_us")).as("max_us"),
+        countDistinct(col("ts_us")).as("n_distinct"),
+        countDistinct(expr(s"ts_us DIV $usPerDay")).as("n_days"))
+      .select(
+        col("n_rows"), col("n_present"),
+        round(col("n_present").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("completeness"),
+        col("min_us"), col("max_us"), col("n_distinct"), col("n_days"),
+        (expr(s"max_us DIV $usPerDay") - expr(s"min_us DIV $usPerDay") + 1L)
+          .as("span_days"),
+        date_format(timestamp_micros(col("min_us")), "yyyy-MM-dd").as("min_day"),
+        date_format(timestamp_micros(col("max_us")), "yyyy-MM-dd").as("max_day"))
+  }
+
+  /** Inter-arrival-time profile (E119) — the distribution of per-user
+    * gaps between consecutive events: the bot/retry-storm fingerprint
+    * (machine traffic shows sub-second modes and near-zero variance;
+    * organic traffic is heavy-tailed) and the empirical input for
+    * choosing a sessionization gap (E108's `gapUs` should sit in the
+    * antimode between the two). Returns ONE row of global gap stats:
+    * counts, min/max, decimal-exact mean seconds, and exact
+    * interpolated quartiles/p95 (the proven percentile ↔ QUANTILE_CONT
+    * contract).
+    *
+    * Scale shape: the SAME single user-keyed exchange+sort as
+    * [[sessionize]] builds gaps map-side via `lag`; what shuffles after
+    * the window is the final all-reduce of a dozen aggregate buffers.
+    * The exact percentile is the declared spot-verifier face — at
+    * 100 TB the documented route is the KLL battery (E19) over the same
+    * gap relation. */
+  def interarrivalStats(
+      events: DataFrame, userCol: String, tsUsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc_nulls_first, col(tieCol).asc_nulls_first)
+    val gaps = events
+      .select(col(userCol), col(tsUsCol), col(tieCol))
+      .withColumn("gap_us", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
+      .where(col("gap_us").isNotNull)
+    def secs(c: Column): Column =
+      round(c / lit(1000000.0d), 6)
+    gaps
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        countDistinct(col(userCol)).as("n_users"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        percentile(col("gap_us").cast(DoubleType),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("q"))
+      .select(
+        col("n_gaps"), col("n_users"), col("min_gap_us"), col("max_gap_us"),
+        // integer total -> ONE double division chain (mirrored verbatim
+        // by the oracle): sum/n, then us->s, then the display rounding
+        round(col("sum_gap_us").cast(DoubleType) /
+          col("n_gaps").cast(DoubleType) / lit(1000000.0d), 6)
+          .as("mean_gap_s"),
+        secs(element_at(col("q"), 1)).as("p25_s"),
+        secs(element_at(col("q"), 2)).as("p50_s"),
+        secs(element_at(col("q"), 3)).as("p75_s"),
+        secs(element_at(col("q"), 4)).as("p95_s"))
+  }
+
+  /** Hour-of-week activity profile (E120) — the seasonality rollup the
+    * daily suite can't see (E95 aggregates per DAY; weekly rhythm needs
+    * day-of-week × hour-of-day cells): events and distinct users per
+    * (dow, hour) cell — the classic traffic heatmap, and the calendar
+    * prior behind E116's lag-7 autocorrelation. Weekday is pure integer
+    * epoch algebra — `(day_num + 4) mod 7` with 0 = Sunday (1970-01-01
+    * was a Thursday) — identical on any engine, no timezone, no locale.
+    *
+    * Scale shape: ONE map-side-combined groupBy over ≤168 cells; the
+    * distinct-user count is the only real shuffle and carries
+    * `(cell, user)` keys. */
+  def hourlyActivity(
+      events: DataFrame, tsUsCol: String, userCol: String): DataFrame = {
+    val usPerDay = 86400000000L
+    val usPerHour = 3600000000L
+    events
+      .groupBy(
+        ((expr(s"$tsUsCol DIV $usPerDay") + 4) % 7).as("dow"),
+        (expr(s"$tsUsCol DIV $usPerHour") % 24).as("hour"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_users"))
+  }
+
+  /** CUSUM change-point screen over daily volume (E121) — the
+    * level-shift detector the trend suite lacks (E115 flags days vs
+    * their OWN trailing window; a permanent regime change re-normalizes
+    * into the trailing mean within `windowDays` and goes quiet — CUSUM
+    * accumulates deviation from the GLOBAL mean, so a level shift shows
+    * as a sustained ramp and the change-point as the |cusum| extremum):
+    * per day, volume, cumulative deviation sum, and a flag on the
+    * extremum day (Page 1954's classic, in its retrospective form).
+    *
+    * Scale shape: events collapse map-side to the DAY rollup in one
+    * pass; the global-order running sum and the extremum broadcast run
+    * over the day-sized relation (free at any corpus scale, as E115).
+    * Deviations are quantized ROUND(·,6)→DECIMAL(38,6) BEFORE the
+    * running sum, so every prefix is exact and partition-order
+    * independent, and the extremum comparison is decimal-exact (a
+    * double running sum would make `is_changepoint` flap between
+    * engines). */
+  def volumeCusum(events: DataFrame, tsUsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val usPerDay = 86400000000L
+    val dec6 = DataTypes.createDecimalType(38, 6)
+    val daily = events
+      .groupBy(expr(s"$tsUsCol DIV $usPerDay").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.agg(
+      sum(col("n_events")).as("tot"), count(lit(1)).as("nd"))
+    val cum = daily
+      .crossJoin(broadcast(stats))
+      .withColumn("dev",
+        round(col("n_events").cast(DoubleType) -
+          col("tot").cast(DoubleType) / col("nd").cast(DoubleType), 6)
+          .cast(dec6))
+      .withColumn("cusum",
+        sum(col("dev")).over(Window.orderBy(col("day_num"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val peak = cum.agg(max(abs(col("cusum"))).as("peak"))
+    cum
+      .crossJoin(broadcast(peak))
+      .select(
+        date_format(timestamp_micros(col("day_num") * usPerDay), "yyyy-MM-dd")
+          .as("day"),
+        col("n_events"),
+        round(col("cusum").cast(DoubleType), 6).as("cusum"),
+        (abs(col("cusum")) === col("peak")).cast("int").as("is_changepoint"))
+  }
+
+  /** Session-level rollup (E126) — the one-row report over [[sessionize]]'s
+    * output a monitoring dashboard keys on: session counts, bounce rate
+    * inputs (single-event sessions), decimal-exact mean depth/duration and
+    * exact duration quantiles. Runs entirely over the SESSION-sized
+    * relation — the event table is touched only by the sessionize pass
+    * itself. */
+  def sessionStats(sessions: DataFrame, userCol: String): DataFrame = {
+    def secs(c: Column): Column = round(c / lit(1000000.0d), 6)
+    sessions
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        countDistinct(col(userCol)).as("n_users"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+          .as("n_single_event"),
+        sum(col("n_events")).as("tot_events"),
+        sum(col("duration_us")).as("tot_duration_us"),
+        percentile(col("duration_us").cast(DoubleType),
+          array(lit(0.5), lit(0.9))).as("q"))
+      .select(
+        col("n_sessions"), col("n_users"), col("n_single_event"),
+        round(col("tot_events").cast(DoubleType) /
+          col("n_sessions").cast(DoubleType), 6).as("mean_events"),
+        round(col("tot_duration_us").cast(DoubleType) /
+          col("n_sessions").cast(DoubleType) / lit(1000000.0d), 6)
+          .as("mean_duration_s"),
+        secs(element_at(col("q"), 1)).as("p50_duration_s"),
+        secs(element_at(col("q"), 2)).as("p90_duration_s"))
+  }
+
+  /** Session-scoped association rules (E122) — market-basket lift over
+    * event types: for every ordered type pair (a → b), the number of
+    * users whose history contains both, support, confidence and lift
+    * (the "users who did X also did Y" surface behind feature-adoption
+    * and recommendation analyses; lift > 1 = genuinely associated,
+    * ≈ 1 = independent co-occurrence).
+    *
+    * Scale shape: the event table collapses FIRST to the distinct
+    * `(user, type)` relation (one exchange of compact keys — the only
+    * shuffle that sees data volume); the pair self-join is keyed on
+    * `user` with fan-out ≤ (types-per-user)², bounded by the type
+    * vocabulary, never by a user's event count; marginals and the user
+    * total are broadcast back. The ratio algebra is fixed-order double,
+    * rounded at 6 — c·n / (c_a·c_b) with each factor cast once. */
+  def assocRules(
+      events: DataFrame, userCol: String, typeCol: String,
+      minUsers: Long = 1L): DataFrame = {
+    val ut = events
+      .select(col(userCol).as("u"), col(typeCol).as("t"))
+      .where(col("t").isNotNull)
+      .distinct()
+    val nUsers = ut.agg(countDistinct(col("u")).as("n"))
+    val marg = ut.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.u") === col("b.u") && col("a.t") < col("b.t"))
+      .groupBy(col("a.t").as("x"), col("b.t").as("y"))
+      .agg(count(lit(1)).as("n_both"))
+    val directed = pairs
+      .select(col("x").as("antecedent"), col("y").as("consequent"),
+        col("n_both"))
+      .unionAll(pairs.select(col("y").as("antecedent"),
+        col("x").as("consequent"), col("n_both")))
+    directed
+      .join(broadcast(marg.select(col("t").as("antecedent"),
+        col("c").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(marg.select(col("t").as("consequent"),
+        col("c").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nUsers))
+      .where(col("n_both") >= minUsers)
+      .select(
+        col("antecedent"), col("consequent"), col("n_both"),
+        col("n_ante"), col("n_cons"),
+        round(col("n_both").cast(DoubleType) /
+          col("n").cast(DoubleType), 6).as("support"),
+        round(col("n_both").cast(DoubleType) /
+          col("n_ante").cast(DoubleType), 6).as("confidence"),
+        round(col("n_both").cast(DoubleType) * col("n").cast(DoubleType) /
+          (col("n_ante").cast(DoubleType) * col("n_cons").cast(DoubleType)),
+          6).as("lift"))
+  }
 }
