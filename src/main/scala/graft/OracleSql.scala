@@ -2281,6 +2281,190 @@ FROM f, n ORDER BY df DESC, token ASC LIMIT 50"""
   ROUND(CAST(SUM(len(regexp_extract_all(text, '$BpeishPattern'))) AS DOUBLE) / CAST(SUM(len($wsToksSql)) AS DOUBLE), 6) AS fertility_vs_ws
 FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** E127 per-type daily burst twin: exact BIGINT count/square sums per
+    * type, then the identical fixed-order double mean/σ/z algebra; the
+    * burst flag compares the UNROUNDED z like the Spark expression. */
+  val typeBurst: String = {
+    val mean = "CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE)"
+    val varp = s"CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) - ($mean) * ($mean)"
+    val z = s"(CAST(n_events AS DOUBLE) - $mean) / SQRT($varp)"
+    s"""WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day_num, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2),
+m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(n_events) AS BIGINT) AS s1,
+  CAST(SUM(n_events * n_events) AS BIGINT) AS s2 FROM daily GROUP BY 1)
+SELECT daily.event_type,
+  STRFTIME(make_timestamp(day_num * 86400000000), '%Y-%m-%d') AS day,
+  n_events,
+  ROUND($mean, 6) AS mean_daily,
+  CASE WHEN $varp > 0 THEN ROUND($z, 6) END AS z,
+  CASE WHEN $varp > 0 THEN CAST(ABS($z) >= CAST(2 AS DOUBLE) AS INT) ELSE 0 END AS is_burst
+FROM daily JOIN m USING (event_type)
+ORDER BY event_type, day"""
+  }
+
+  /** E132 user-activity-histogram twin: bucket = bit length of the
+    * per-user event count (LENGTH(bin(n)) − 1) — pure integer algebra. */
+  val userActivityHistogram: String =
+    """WITH pu AS (SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users_total FROM pu),
+h AS (SELECT CAST(LENGTH(bin(n)) - 1 AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_users,
+  CAST(SUM(n) AS BIGINT) AS n_events, MIN(n) AS min_events, MAX(n) AS max_events
+  FROM pu GROUP BY 1)
+SELECT bucket, n_users, n_events, min_events, max_events,
+  ROUND(CAST(n_users AS DOUBLE) / CAST(n_users_total AS DOUBLE), 6) AS users_share
+FROM h, t ORDER BY bucket"""
+
+  /** E128 containment twin: the jaccard CTE shapes with the intersection
+    * relation directed both ways and divided by the SUBSET side's size. */
+  val ngramContainment: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+d AS (SELECT id_a AS id_sub, id_b AS id_super, c FROM inter
+  UNION ALL SELECT id_b, id_a, c FROM inter)
+SELECT id_sub, id_super, c AS n_shared,
+  ROUND(CAST(c AS DOUBLE) / CAST(sz.n AS DOUBLE), 6) AS containment
+FROM d JOIN sizes sz ON sz.doc_id = id_sub
+WHERE ROUND(CAST(c AS DOUBLE) / CAST(sz.n AS DOUBLE), 6) >= CAST(0.5 AS DOUBLE)
+ORDER BY id_sub, id_super"""
+
+  /** E129 novelty twin: the shared distinct-shingle relation joined to
+    * its own corpus document frequency; unique = df 1. */
+  val ngramNovelty: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+freq AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+  CAST(COUNT(CASE WHEN df = 1 THEN 1 END) AS BIGINT) AS n_unique,
+  ROUND(CAST(COUNT(CASE WHEN df = 1 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN freq ON sh.s = freq.s GROUP BY 1 ORDER BY doc_id"""
+
+  /** E130 per-dimension embedding twin: 1-indexed list subscripts over a
+    * 0-based range (UNNEST WITH ORDINALITY is unavailable), float→double
+    * widening exact, means on the DECIMAL(38,12) addend contract. */
+  val embeddingDimStats: String =
+    """WITH v AS (
+  SELECT i AS dim, CAST(e[i + 1] AS DOUBLE) AS x
+  FROM (SELECT embedding AS e FROM embeddings) q, UNNEST(range(len(e))) t(i))
+SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(x), 6) AS mean,
+  ROUND(MIN(x), 6) AS min_x,
+  ROUND(MAX(x), 6) AS max_x,
+  CAST(COUNT(CASE WHEN x = 0 THEN 1 END) AS BIGINT) AS n_zero
+FROM v GROUP BY dim ORDER BY dim"""
+
+  /** E131 score-percentile twin: the textQuality score expression
+    * verbatim, then the built-in PERCENT_RANK — whose (rank−1)/(n−1)
+    * RANK-ties definition is exactly the distinct-score-histogram
+    * formulation the Spark side computes without a global window. */
+  val scorePercentile: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM b),
+s AS (SELECT doc_id, score FROM q WHERE score IS NOT NULL)
+SELECT doc_id, score, ROUND(PERCENT_RANK() OVER (ORDER BY score), 6) AS percentile
+FROM s ORDER BY doc_id"""
+  }
+
+  /** E133 join-cardinality twin: per-side (key, count) relations, exact
+    * BIGINT fan-out algebra, the identical relationship CASE. */
+  val joinCardinality: String =
+    """WITH l AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+r AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
+  CAST(COALESCE(SUM(l.c * r.c), 0) AS BIGINT) AS est_join_rows,
+  CAST(COALESCE(MAX(l.c), 0) AS BIGINT) AS max_fanout_left,
+  CAST(COALESCE(MAX(r.c), 0) AS BIGINT) AS max_fanout_right
+  FROM l JOIN r ON l.k = r.k),
+lt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_left FROM lineitem),
+rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_right FROM orders),
+dl AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_left FROM l),
+dr AS (SELECT CAST(COUNT(*) AS BIGINT) AS d_right FROM r)
+SELECT n_left, n_right, d_left, d_right, matched_keys, est_join_rows,
+  max_fanout_left, max_fanout_right,
+  CASE WHEN matched_keys = 0 THEN 'disjoint'
+    WHEN max_fanout_left = 1 AND max_fanout_right = 1 THEN '1:1'
+    WHEN max_fanout_left = 1 THEN '1:N'
+    WHEN max_fanout_right = 1 THEN 'N:1'
+    ELSE 'M:N' END AS relationship
+FROM m, lt, rt, dl, dr"""
+
+  /** E134 declared-vs-detected confusion twin: the langId argmax inlined
+    * (the mixtureStats pattern), cells + per-declared window share. */
+  val langAgreement: String = {
+    val scores = Stopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS s_$l"
+    }.mkString(", ")
+    val cases = Stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val greatest = Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""WITH det AS (
+  SELECT declared, CASE $cases ELSE 'und' END AS detected FROM (
+    SELECT declared, ${Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")}, GREATEST($greatest) AS m FROM (
+      SELECT lang AS declared, $scores FROM (SELECT lang, $wsToksLowerSql AS toks FROM documents) a) b) c),
+cells AS (SELECT declared, detected, CAST(COUNT(*) AS BIGINT) AS n_docs FROM det GROUP BY 1, 2),
+tot AS (SELECT declared, CAST(SUM(n_docs) AS BIGINT) AS n_declared FROM cells GROUP BY 1)
+SELECT cells.declared, detected, n_docs,
+  ROUND(CAST(n_docs AS DOUBLE) / CAST(n_declared AS DOUBLE), 6) AS share_of_declared,
+  CAST(cells.declared = detected AS INT) AS is_match
+FROM cells JOIN tot ON cells.declared = tot.declared
+ORDER BY cells.declared, detected"""
+  }
+
+  /** E135 threshold-sweep twin: the jaccard pair algebra at the 0.1
+    * floor, collapsed to floor(10·J) bands. */
+  val jaccardHistogram: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jp AS (SELECT ROUND(CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE), 6) AS j
+  FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b)
+SELECT CAST(FLOOR(j * 10) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  ROUND(MIN(j), 6) AS min_jaccard, ROUND(MAX(j), 6) AS max_jaccard
+FROM jp WHERE j >= CAST(0.1 AS DOUBLE) GROUP BY 1 ORDER BY bucket"""
+
+  /** E136 table-digest twin: per-column sha256 with the E1 null
+    * sentinel, '|'-joined, row digest = first 15 sha256 hex chars as a
+    * 60-bit BIGINT, XOR-reduced. */
+  val tableDigest: String = {
+    def digestOf(table: String, cols: Seq[String]): String = {
+      val enc = cols
+        .map(c => s"COALESCE(sha256(CAST($c AS VARCHAR)), 'null')")
+        .mkString(" || '|' || ")
+      s"SELECT '$table' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"COALESCE(bit_xor(('0x' || substr(sha256($enc), 1, 15))::BIGINT), 0) AS digest " +
+        s"FROM $table"
+    }
+    Seq(
+      digestOf("region", Seq("r_regionkey", "r_name")),
+      digestOf("nation", Seq("n_nationkey", "n_name", "n_regionkey")),
+      digestOf("customer",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")))
+      .mkString("", " UNION ALL ", " ORDER BY tbl")
+  }
+
+  /** E137 JSON key-inventory twin: json_keys unnest + broadcast row
+    * total (props is non-null valid JSON in this corpus; the Spark
+    * side's '<invalid>' sentinel has nothing to mark). */
+  val propsKeyProfile: String =
+    """WITH ks AS (SELECT unnest(json_keys(props)) AS key FROM events WHERE props IS NOT NULL),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present, n_rows,
+  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share
+FROM ks, t GROUP BY key, n_rows ORDER BY key"""
+
   /** E124 dedup-yield twin: the dedupClusters recursive-CTE components
     * reduced to the cluster-size histogram, corpus total as a broadcast
     * scalar. */

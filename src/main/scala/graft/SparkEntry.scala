@@ -516,6 +516,78 @@ object SparkEntry {
       graft.operators.Events.assocRules(
         s.read.parquet(s"$dir/events.parquet"), "user_id", "event_type")
         .orderBy("antecedent", "consequent")),
+    // per-type daily volume burst screen (E127)
+    "type_burst" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.typeBurst(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", "event_type")
+        .orderBy("event_type", "day")
+    }),
+    // power-user/long-tail activity histogram (E132)
+    "user_activity_histogram" -> ((s, dir) =>
+      graft.operators.Events.userActivityHistogram(
+        s.read.parquet(s"$dir/events.parquet"), "user_id")
+        .orderBy("bucket")),
+    // asymmetric n-gram containment pairs (E128): the quoted-inside
+    // relation Jaccard under-reports
+    "ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(
+        documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_sub", "id_super")),
+    // per-document n-gram novelty score (E129)
+    "ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(documents(s, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // per-dimension embedding profile (E130): dead/skewed/shifted axes
+    "embedding_dim_stats" -> ((s, dir) =>
+      Similarity.dimStats(embeddings(s, dir), "embedding")
+        .orderBy("dim")),
+    // corpus-calibrated quality percentile (E131): PERCENT_RANK without
+    // the single-partition global window
+    "score_percentile" -> ((s, dir) =>
+      graft.operators.Ranking.scorePercentile(
+        documents(s, dir).select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("score")),
+        "doc_id", "score")
+        .orderBy("doc_id")),
+    // join-cardinality / fan-out profile of the lineitem->orders edge (E133)
+    "join_cardinality" -> ((s, dir) =>
+      graft.profiler.Integrity.joinCardinality(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        s.read.parquet(s"$dir/orders.parquet"), "o_orderkey")),
+    // declared-vs-detected language confusion matrix (E134)
+    "lang_agreement" -> ((s, dir) =>
+      graft.operators.CorpusStats.langAgreement(
+        documents(s, dir), "lang", "text")
+        .orderBy("declared", "detected")),
+    // dedup-threshold sensitivity sweep (E135): pair counts per J band
+    "jaccard_histogram" -> ((s, dir) =>
+      Dedup.jaccardHistogram(
+        documents(s, dir), "doc_id", "text", n = 3, minJaccard = 0.1)
+        .orderBy("bucket")),
+    // order-independent table content digests (E136): CDC equality
+    // primitive over the integer/string star-schema columns
+    "table_digest" -> ((s, dir) => {
+      import graft.profiler.Integrity
+      Integrity.tableDigest(
+        s.read.parquet(s"$dir/region.parquet"), "region",
+        Seq("r_regionkey", "r_name"))
+        .unionAll(Integrity.tableDigest(
+          s.read.parquet(s"$dir/nation.parquet"), "nation",
+          Seq("n_nationkey", "n_name", "n_regionkey")))
+        .unionAll(Integrity.tableDigest(
+          s.read.parquet(s"$dir/customer.parquet"), "customer",
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")))
+        .orderBy("tbl")
+    }),
+    // JSON payload key inventory of events.props (E137)
+    "props_key_profile" -> ((s, dir) =>
+      graft.operators.Events.jsonKeyProfile(
+        s.read.parquet(s"$dir/events.parquet"), "props")
+        .orderBy("key")),
     // document-frequency stopword discovery (E123)
     "doc_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.docFrequency(
@@ -1669,6 +1741,17 @@ FROM orders) ind"""),
   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS mean_value
 FROM events GROUP BY 1 ORDER BY day""",
     "ts_profile" -> OracleSql.tsProfile,
+    "type_burst" -> OracleSql.typeBurst,
+    "user_activity_histogram" -> OracleSql.userActivityHistogram,
+    "ngram_containment" -> OracleSql.ngramContainment,
+    "ngram_novelty" -> OracleSql.ngramNovelty,
+    "embedding_dim_stats" -> OracleSql.embeddingDimStats,
+    "score_percentile" -> OracleSql.scorePercentile,
+    "join_cardinality" -> OracleSql.joinCardinality,
+    "lang_agreement" -> OracleSql.langAgreement,
+    "jaccard_histogram" -> OracleSql.jaccardHistogram,
+    "table_digest" -> OracleSql.tableDigest,
+    "props_key_profile" -> OracleSql.propsKeyProfile,
     "interarrival_stats" -> OracleSql.interarrivalStats,
     "hourly_activity" -> OracleSql.hourlyActivity,
     "volume_cusum" -> OracleSql.volumeCusum,

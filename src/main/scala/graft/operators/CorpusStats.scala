@@ -415,6 +415,36 @@ object CorpusStats {
           col("n_ws_tokens").cast("double"), 6).as("fertility_vs_ws"))
   }
 
+  /** Declared-vs-detected language confusion matrix (E134) — the
+    * metadata-trust audit: per (declared lang, detected lang) cell,
+    * document count, share of the declared language's documents, and the
+    * agreement flag. Scraped corpora routinely carry wrong language
+    * tags; training mixtures priced off the DECLARED column (E40) are
+    * silently wrong exactly where this matrix is off-diagonal. Detection
+    * is E10's deterministic stopword-vote langId, so the matrix is
+    * engine-portable ('und' = no evidence, its own column).
+    *
+    * Scale shape: one map-side language-ID pass (pure per-row column
+    * expressions) collapsing to ≤langs² cells; the per-declared totals
+    * come from a window over the CELLS relation. */
+  def langAgreement(
+      df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val cells = df
+      .groupBy(
+        col(langCol).as("declared"),
+        TextFunctions.langId(col(textCol)).as("detected"))
+      .agg(count(lit(1)).as("n_docs"))
+    cells
+      .withColumn("n_declared",
+        sum(col("n_docs")).over(Window.partitionBy(col("declared"))))
+      .select(
+        col("declared"), col("detected"), col("n_docs"),
+        round(col("n_docs").cast("double") /
+          col("n_declared").cast("double"), 6).as("share_of_declared"),
+        (col("declared") === col("detected")).cast("int").as("is_match"))
+  }
+
   /** Document-frequency stopword discovery (E123) — tokens ranked by the
     * share of DOCUMENTS containing them (df), not instance frequency
     * (E22's vocabTopK): a burst word in one document can top the

@@ -170,6 +170,117 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram containment pairs (E128) — the near-dup relation
+    * Jaccard structurally under-reports: a short document quoted whole
+    * inside a long one has C(sub→super) = |A∩B|/|A| ≈ 1 while J =
+    * |A∩B|/|A∪B| stays far below any dedup threshold (the snippet/
+    * boilerplate-inclusion case — press-release bodies inside news
+    * rollups, README fragments inside vendored trees). Emits DIRECTED
+    * rows `(id_sub, id_super, n_shared, containment)` with containment
+    * = c/|sub| ≥ threshold; a mutual pair (two near-identical docs)
+    * yields both directions, exactly like the underlying set algebra.
+    *
+    * Scale shape is [[ngramJaccard]]'s verbatim: one shared-shingle
+    * equi-join bounded by actual overlap (`maxDocFreq` hot-shingle cap
+    * available), sizes joined back on compact ids, one cheap unionAll to
+    * direct the undirected intersection relation — no second shingle
+    * pass. */
+  def ngramContainment(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val shAll = shingles(df, idCol, textCol, n)
+    val sizes = shingleSizes(shAll)
+    val sh = maxDocFreq match {
+      case Some(cap) =>
+        val rare = shAll.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= cap).select("shingle")
+        shAll.join(rare, "shingle")
+      case None => shAll
+    }
+    val a = sh.select(col("id").as("id_a"), col("shingle"))
+    val b = sh.select(col("id").as("id_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
+    val directed = inter
+      .select(col("id_a").as("id_sub"), col("id_b").as("id_super"), col("c"))
+      .unionAll(inter.select(col("id_b").as("id_sub"),
+        col("id_a").as("id_super"), col("c")))
+    directed
+      .join(sizes.select(col("id").as("id_sub"), col("n_sh").as("n_sub")),
+        "id_sub")
+      .select(
+        col("id_sub"), col("id_super"), col("c").as("n_shared"),
+        round(col("c").cast("double") / col("n_sub").cast("double"), 6)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /** Similarity-threshold sweep (E135) — how many near-dup pairs each
+    * Jaccard band holds: the decision table for CHOOSING a dedup
+    * threshold (the E2/E3 operators take the threshold as given; this
+    * shows what each setting would sweep in — a fat 0.5-0.7 band means
+    * the corpus has a large fuzzy-boilerplate stratum and the threshold
+    * choice moves millions of documents). Buckets are
+    * floor(round(J,6)·10) over all shared-shingle pairs with J ≥
+    * `minJaccard`, bucket 10 = exact duplicates (J = 1).
+    *
+    * Scale shape: the [[ngramJaccard]] pair relation (same equi-join
+    * bounded by real overlap, same `maxDocFreq` guard) collapsed
+    * map-side to ≤11 cells — the report adds NO shuffle beyond the pair
+    * computation itself. */
+  def jaccardHistogram(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.1,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    ngramJaccard(df, idCol, textCol, n, minJaccard, maxDocFreq)
+      .groupBy(floor(col("jaccard") * 10).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(min(col("jaccard")), 6).as("min_jaccard"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+  }
+
+  /** Per-document n-gram novelty (E129) — what fraction of a document's
+    * distinct n-grams exist NOWHERE else in the corpus: the inverse face
+    * of the dedup suite (E1-E5 find what repeats; this scores what
+    * doesn't). Low novelty without a near-dup partner is the templated-
+    * text fingerprint (mad-libs boilerplate whose every phrase appears
+    * elsewhere without any single document matching), and novelty-mass
+    * tracking across ingest batches is the standard "is new data still
+    * new" curation signal next to E71's vocabulary growth.
+    *
+    * Scale shape: the ONE shingle relation feeds both sides — a
+    * map-side-combined corpus frequency per shingle and a per-doc
+    * reduce; the join between them carries (shingle, df) against the
+    * distinct (doc, shingle) relation, bounded by Σ|doc vocabularies|.
+    * Documents with no n-grams (shorter than n tokens) are absent, the
+    * LM-scorer convention. */
+  def ngramNovelty(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(freq, "shingle")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        count(when(col("df") === 1L, lit(1))).as("n_unique"))
+      .select(
+        col("id"), col("n_ngrams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_ngrams").cast("double"),
+          6).as("novelty"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * `minShared` word n-gram shingles with any benchmark/eval document —
     * the standard contamination check run before training on scraped

@@ -641,6 +641,110 @@ object Events {
         secs(element_at(col("q"), 2)).as("p90_duration_s"))
   }
 
+  /** JSON payload key inventory (E137) — schema discovery for the
+    * semi-structured column every event table drags along: per top-level
+    * key, how many rows carry it and the share of rows — the first
+    * question ("what's actually IN props?") before any `get_json_object`
+    * extraction is written, and the drift monitor for producers adding/
+    * dropping fields. Malformed JSON rows surface as the '<invalid>'
+    * sentinel instead of vanishing.
+    *
+    * Scale shape: one explode of per-row key ARRAYS (bounded by each
+    * row's own key count) collapsing map-side to ≤distinct-keys cells;
+    * the row total broadcasts back for the share. */
+  def jsonKeyProfile(events: DataFrame, jsonCol: String): DataFrame = {
+    val keys = when(col(jsonCol).isNull, array())
+      .otherwise(coalesce(json_object_keys(col(jsonCol)),
+        array(lit("<invalid>"))))
+    val total = events.agg(count(lit(1)).as("n_rows"))
+    events
+      .select(explode(keys).as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_present"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("key"), col("n_present"), col("n_rows"),
+        round(col("n_present").cast(DoubleType) /
+          col("n_rows").cast(DoubleType), 6).as("share"))
+  }
+
+  /** Per-type daily burst screen (E127) — which event TYPE went abnormal
+    * on which day: per (event_type, day) volume z-scored against that
+    * type's OWN across-days distribution (the global monitors E95/E115/
+    * E121 can't see a 100× error-rate burst hiding inside a flat total).
+    * z is null when a type's daily volume never varies (σ = 0 — the
+    * degenerate case left visible, the E114 0-MAD convention).
+    *
+    * Scale shape: events collapse map-side to the (type × day) rollup in
+    * ONE pass; the per-type moment pass and the join back run over that
+    * metadata-sized relation. Per-day counts and their squares are exact
+    * BIGINTs, so mean/σ reduce to identical fixed-order double algebra
+    * on any engine — no decimal machinery needed. */
+  def typeBurst(
+      events: DataFrame, tsUsCol: String, typeCol: String,
+      zFlag: Double = 2.0): DataFrame = {
+    val usPerDay = 86400000000L
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        expr(s"$tsUsCol DIV $usPerDay").as("day_num"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("nd"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    val mean = col("s1").cast(DoubleType) / col("nd").cast(DoubleType)
+    val varPop = col("s2").cast(DoubleType) / col("nd").cast(DoubleType) -
+      mean * mean
+    daily
+      .join(moments, Seq("event_type"))
+      .select(
+        col("event_type"),
+        date_format(timestamp_micros(col("day_num") * usPerDay), "yyyy-MM-dd")
+          .as("day"),
+        col("n_events"),
+        round(mean, 6).as("mean_daily"),
+        when(varPop > 0d,
+          round((col("n_events").cast(DoubleType) - mean) / sqrt(varPop), 6))
+          .as("z"),
+        when(varPop > 0d,
+          (abs((col("n_events").cast(DoubleType) - mean) / sqrt(varPop))
+            >= zFlag).cast("int")).otherwise(lit(0)).as("is_burst"))
+  }
+
+  /** User-activity histogram (E132) — the power-user/long-tail shape of
+    * an event corpus: users bucketed by floor(log2(events)) with user and
+    * event totals per bucket (the engagement-distribution report behind
+    * bot screens and per-user sampling caps — a bucket holding 0.1% of
+    * users but 40% of events IS the skew E48's funnel cap guards
+    * against). The bucket is pure integer algebra — the bit length of
+    * the count, `length(bin(n)) − 1` — identical on any engine; no
+    * floating log near power-of-two boundaries.
+    *
+    * Scale shape: one user-keyed reduce of the event table, then a
+    * ≤64-cell map-side-combined histogram; the user total broadcasts
+    * back for the share column. */
+  def userActivityHistogram(
+      events: DataFrame, userCol: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(count(lit(1)).as("n"))
+    val totals = perUser.agg(count(lit(1)).as("n_users_total"))
+    perUser
+      .groupBy((length(bin(col("n"))) - 1).cast(LongType).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        min(col("n")).as("min_events"),
+        max(col("n")).as("max_events"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"), col("n_users"), col("n_events"),
+        col("min_events"), col("max_events"),
+        round(col("n_users").cast(DoubleType) /
+          col("n_users_total").cast(DoubleType), 6).as("users_share"))
+  }
+
   /** Session-scoped association rules (E122) — market-basket lift over
     * event types: for every ordered type pair (a → b), the number of
     * users whose history contains both, support, confidence and lift

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Score calibration over the whole corpus (E131).
+  *
+  * Quality scores from different heuristics (E9's composite, E31's LM
+  * perplexity, a classifier logit) share no scale; curation policies
+  * ("drop the bottom 20%", "sample ∝ quality percentile") need the
+  * PERCENTILE of each document's score, not the raw value. This computes
+  * the standard `PERCENT_RANK` — (rank − 1)/(n − 1) with RANK ties (every
+  * document of an equal score gets the same percentile) — without the
+  * trap implementation: `percent_rank().over(Window.orderBy(score))` has
+  * an empty partition spec, so Spark collapses the entire corpus into ONE
+  * task (the documented single-partition warning) — the 100 TB
+  * anti-pattern.
+  *
+  * Scale shape: rank depends only on how many documents score strictly
+  * lower, so the corpus collapses map-side to the DISTINCT-score
+  * histogram (6-dp scores in [0,1] → ≤10⁶+1 cells, metadata-sized at any
+  * corpus scale); the running offset is a window over THAT relation, and
+  * documents join their score's rank back by equi-join. Two shuffles of
+  * compact keys; no global sort of the data, no single-partition stage
+  * over the corpus.
+  */
+object Ranking {
+
+  /** `(idCol, score, percentile)` for every row with a non-null score;
+    * `scoreCol` must be engine-portable (e.g. 6-dp rounded quality).
+    * Null-score rows carry no ranking signal and are excluded (the E46
+    * convention). Single-row corpus ⇒ percentile 0 (the SQL
+    * PERCENT_RANK convention). */
+  def scorePercentile(
+      df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df
+      .select(col(idCol), col(scoreCol).as("score"))
+      .where(col("score").isNotNull && !isnan(col("score")))
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+    // cum_before = #docs strictly below this score: the running sum over
+    // the distinct-score relation, shifted by one row
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n_total", sum(col("c")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(
+        col("score"),
+        (col("cum") - col("c")).as("below"),
+        col("n_total"))
+    scored
+      .join(ranked, Seq("score"))
+      .select(
+        col(idCol), col("score"),
+        when(col("n_total") > 1L,
+          round(col("below").cast(DoubleType) /
+            (col("n_total") - 1L).cast(DoubleType), 6))
+          .otherwise(lit(0.0d)).as("percentile"))
+  }
+}

@@ -263,6 +263,37 @@ object Similarity {
         6).as("norm_mean"))
   }
 
+  /** Per-dimension embedding profile (E130) — the axis [[corpusStats]]'s
+    * whole-vector norms can't see: per coordinate, mean / min / max /
+    * zero count over the corpus. Dead dimensions (all-zero — a truncated
+    * projection or a masked feature), scale-skewed dimensions (one axis
+    * 100× the others dominates every L2/cosine) and mean-shifted
+    * dimensions (un-centered corpus, degrades LSH hyperplane balance)
+    * are exactly the pathologies that silently break the E5-E7 search
+    * stack, and all three are visible only in this rollup.
+    *
+    * Scale shape: one `posexplode` pass collapsing map-side to ≤dims
+    * cells — the shuffle carries (dim, partial aggregate), never vector
+    * payloads. Means ride the E50 decimal contract (per-value
+    * ROUND(·,12)→DECIMAL(38,12) addends) so they are partition-order
+    * independent; float→double widening is exact. */
+  def dimStats(emb: DataFrame, vecCol: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      // long dim: posexplode's position is INT, the oracle's range() is
+      // BIGINT — align the schema at the source
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(round(col("x"), 12).cast(Dec)).cast("double") /
+          count(col("x")), 6).as("mean"),
+        round(min(col("x")), 6).as("min_x"),
+        round(max(col("x")), 6).as("max_x"),
+        count(when(col("x") === 0.0d, lit(1))).as("n_zero"))
+  }
+
   /** One deterministic Lloyd half-step: per-cell per-dimension mean of the
     * vectors assigned by [[nearestCentroid]] — the centroid RE-estimation
     * that the assignment operator's contract deliberately excludes when

@@ -137,6 +137,86 @@ object Integrity {
     * integer/string columns; a double column's rendering is
     * engine-specific). Null LHS forms its own group (nulls-equal FD
     * semantics); null RHS is a value. */
+  /** Join-cardinality profile (E133) — what a planned join would DO
+    * before paying for it: per-side row/key counts, matched-key overlap,
+    * per-side max fan-out, the EXACT join output size (Σ over matched
+    * keys of cl·cr — the quantity a planner's independence assumption
+    * estimates and skew breaks), and the relationship class
+    * (1:1 / 1:N / N:1 / M:N on the matched keys). This is the profiling
+    * answer to "can I join these two tables safely at 100 TB": an M:N
+    * verdict with a huge est row count IS the warning.
+    *
+    * Scale shape: each side collapses map-side to `(key, count)` — the
+    * only shuffles carry one row per distinct key; the overlap join is
+    * key-relation × key-relation; null keys are excluded from matching
+    * (SQL join semantics) but counted. Everything is exact BIGINT. */
+  def joinCardinality(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    def sideCounts(df: DataFrame, k: String): DataFrame = df
+      .select(col(k).as("k"))
+      .where(col("k").isNotNull)
+      .groupBy("k").agg(count(lit(1)).as("c"))
+    val l = sideCounts(left, leftKey)
+    val r = sideCounts(right, rightKey)
+    val matched = l.select(col("k"), col("c").as("cl"))
+      .join(r.select(col("k"), col("c").as("cr")), Seq("k"))
+      .agg(
+        count(lit(1)).as("matched_keys"),
+        sum(col("cl") * col("cr")).as("est_join_rows"),
+        max(col("cl")).as("max_fanout_left"),
+        max(col("cr")).as("max_fanout_right"))
+    val lt = left.agg(
+      count(lit(1)).as("n_left"), count(col(leftKey)).as("n_left_nonnull"))
+    val rt = right.agg(
+      count(lit(1)).as("n_right"), count(col(rightKey)).as("n_right_nonnull"))
+    val dl = l.agg(count(lit(1)).as("d_left"))
+    val dr = r.agg(count(lit(1)).as("d_right"))
+    matched
+      .crossJoin(broadcast(lt)).crossJoin(broadcast(rt))
+      .crossJoin(broadcast(dl)).crossJoin(broadcast(dr))
+      .select(
+        col("n_left"), col("n_right"), col("d_left"), col("d_right"),
+        col("matched_keys"),
+        coalesce(col("est_join_rows"), lit(0L)).as("est_join_rows"),
+        coalesce(col("max_fanout_left"), lit(0L)).as("max_fanout_left"),
+        coalesce(col("max_fanout_right"), lit(0L)).as("max_fanout_right"),
+        // relationship ON MATCHED KEYS: a side is "1" iff no matched key
+        // repeats on it
+        when(col("matched_keys") === 0L, lit("disjoint"))
+          .when(col("max_fanout_left") === 1L && col("max_fanout_right") === 1L,
+            lit("1:1"))
+          .when(col("max_fanout_left") === 1L, lit("1:N"))
+          .when(col("max_fanout_right") === 1L, lit("N:1"))
+          .otherwise(lit("M:N")).as("relationship"))
+  }
+
+  /** Order-independent table content digest (E136) — the table-equality
+    * primitive behind CDC reconciliation at scale (are two 100 TB
+    * replicas identical WITHOUT moving either): row count + XOR of a
+    * 60-bit per-row digest. XOR is commutative/associative, so the
+    * digest is independent of partitioning and row order, and any single
+    * changed row flips it. Per-column hashing with a null sentinel (the
+    * E1 encoding) keeps `("a", null)` ≠ `(null, "a")` ≠ `("a", "")`.
+    *
+    * The row digest is the first 15 hex chars of sha256 (60 bits,
+    * non-negative in a BIGINT on both engines); collisions XOR-cancel
+    * only if two DIFFERING row multisets collide per-bit — negligible at
+    * 2⁻⁶⁰ per pair. One map-side pass, one single-row reduce; nothing
+    * but (count, xor) ever shuffles. */
+  def tableDigest(
+      df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val enc = cols.map(c =>
+      coalesce(sha2(col(c).cast("string"), 256), lit("null")))
+    val rowHash = conv(
+      substring(sha2(concat_ws("|", enc: _*), 256), 1, 15), 16, 10)
+      .cast("long")
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(bit_xor(rowHash), lit(0L)).as("digest"))
+      .select(lit(table).as("tbl"), col("n_rows"), col("digest"))
+  }
+
   def functionalDependencies(
       df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
     require(pairs.nonEmpty, "need at least one lhs->rhs pair")

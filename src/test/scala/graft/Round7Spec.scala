@@ -159,6 +159,191 @@ class Round7Spec extends AnyFunSuite {
     assert(de.getAs[Long]("n_bytes") == 5L) // ü is 2 UTF-8 bytes
   }
 
+  test("typeBurst: z-score against the type's own daily distribution") {
+    import spark.implicits._
+    // type a: 1,1,4 per day -> mean 2, var (1+1+16)/3-4 = 2, sd sqrt(2)
+    // type b: constant 2/day -> sd 0, z null, flag 0
+    val rows =
+      Seq((0L, "a"), (1L, "a"), (2L, "a"), (2L, "a"), (2L, "a"), (2L, "a")) ++
+        Seq((0L, "b"), (0L, "b"), (1L, "b"), (1L, "b"))
+    val df = rows.map { case (d, t) => (d * usPerDay, t) }
+      .toDF("ts_us", "event_type")
+    val out = Events.typeBurst(df, "ts_us", "event_type").collect()
+      .map(r => (r.getString(0), r.getAs[String]("day")) -> r).toMap
+    val burst = out(("a", "1970-01-03"))
+    assert(burst.getAs[Double]("z") ==
+      math.round((4.0 - 2.0) / math.sqrt(2.0) * 1e6) / 1e6)
+    assert(burst.getAs[Int]("is_burst") == 0) // z = 1.414 < 2
+    assert(out(("b", "1970-01-01")).isNullAt(
+      out(("b", "1970-01-01")).fieldIndex("z")))
+    assert(out(("b", "1970-01-01")).getAs[Int]("is_burst") == 0)
+  }
+
+  test("userActivityHistogram: bit-length buckets, shares") {
+    import spark.implicits._
+    // users with 1, 1, 3, 8 events -> buckets 0, 0, 1, 3
+    val df = (Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++ Seq.fill(3)(3L) ++
+      Seq.fill(8)(4L)).toDF("user_id")
+    val out = Events.userActivityHistogram(df, "user_id").collect()
+      .map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(out(0L).getAs[Long]("n_users") == 2L)
+    assert(out(0L).getAs[Long]("n_events") == 2L)
+    assert(out(1L).getAs[Long]("n_users") == 1L)
+    assert(out(3L).getAs[Long]("min_events") == 8L)
+    assert(out(0L).getAs[Double]("users_share") == 0.5)
+  }
+
+  test("ngramContainment: subset doc scores ~1 toward its superset") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta"
+    val df = Seq(
+      (1L, core),                                  // 4 shingles, all in 2
+      (2L, s"$core eta theta iota kappa"),         // superset of 1
+      (3L, "totally unrelated words only here now")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .ngramContainment(df, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment"))
+      .toMap
+    assert(out((1L, 2L)) == 1.0) // doc 1 fully contained in doc 2
+    // reverse direction diluted: 4 shared / 8 shingles in doc 2
+    assert(out((2L, 1L)) == 0.5)
+    assert(!out.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramNovelty: unique vs shared trigram fractions") {
+    import spark.implicits._
+    val shared = "one two three four"
+    val df = Seq(
+      (1L, shared),                 // 2 shingles, both shared with doc 2
+      (2L, s"$shared five"),        // 3 shingles, 1 unique
+      (3L, "ab")                    // < n tokens: absent
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.ngramNovelty(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out(1L) == (2L, 0L, 0.0))
+    assert(out(2L) == (3L, 1L, math.round(1.0 / 3.0 * 1e6) / 1e6))
+    assert(!out.contains(3L))
+  }
+
+  test("dimStats: dead and scale-skewed dimensions visible") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 1.0f, 100.0f)),
+      (2L, Array(0.0f, 3.0f, -100.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.dimStats(df, "embedding")
+      .collect().map(r => r.getAs[Long]("dim") -> r).toMap
+    assert(out(0L).getAs[Long]("n_zero") == 2L) // dead dim
+    assert(out(0L).getAs[Double]("mean") == 0.0)
+    assert(out(1L).getAs[Double]("mean") == 2.0)
+    assert(out(2L).getAs[Double]("min_x") == -100.0)
+    assert(out(2L).getAs[Double]("max_x") == 100.0)
+  }
+
+  test("scorePercentile: RANK-tie percent_rank without a global window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(0.1)), (2L, Some(0.1)), (3L, Some(0.5)), (4L, Some(0.9)),
+      (5L, None: Option[Double])
+    ).toDF("doc_id", "score")
+    val out = graft.operators.Ranking.scorePercentile(df, "doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("percentile")).toMap
+    // n = 4: pr = below/(n-1)
+    assert(out(1L) == 0.0 && out(2L) == 0.0) // ties share rank
+    assert(out(3L) == math.round(2.0 / 3.0 * 1e6) / 1e6)
+    assert(out(4L) == 1.0)
+    assert(!out.contains(5L)) // null score excluded
+    // single-row corpus: percentile 0 by convention
+    val single = graft.operators.Ranking.scorePercentile(
+      Seq((9L, 0.4)).toDF("doc_id", "score"), "doc_id", "score")
+    assert(single.head().getDouble(2) == 0.0)
+  }
+
+  test("joinCardinality: fan-out, exact join size, relationship class") {
+    import spark.implicits._
+    val left = Seq(1L, 1L, 2L, 3L, 4L).toDF("k")      // key 1 twice
+    val right = Seq(1L, 2L, 2L, 9L).toDF("k")         // key 2 twice
+    val r = graft.profiler.Integrity
+      .joinCardinality(left, "k", right, "k").head()
+    assert(r.getAs[Long]("n_left") == 5L && r.getAs[Long]("n_right") == 4L)
+    assert(r.getAs[Long]("d_left") == 4L && r.getAs[Long]("d_right") == 3L)
+    assert(r.getAs[Long]("matched_keys") == 2L)
+    // 1: 2*1 + 2: 1*2 = 4
+    assert(r.getAs[Long]("est_join_rows") == 4L)
+    assert(r.getAs[String]("relationship") == "M:N")
+    // unique-unique sides classify 1:1
+    val one = graft.profiler.Integrity.joinCardinality(
+      Seq(1L, 2L).toDF("k"), "k", Seq(2L, 3L).toDF("k"), "k").head()
+    assert(one.getAs[String]("relationship") == "1:1")
+  }
+
+  test("tableDigest: order-independent, any changed row flips it") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, null: String)).toDF("id", "s")
+    val b = Seq((3L, null: String), (1L, "x"), (2L, "y")).toDF("id", "s")
+    val c = Seq((1L, "x"), (2L, "z"), (3L, null: String)).toDF("id", "s")
+    def dig(df: org.apache.spark.sql.DataFrame) = graft.profiler.Integrity
+      .tableDigest(df, "t", Seq("id", "s")).head().getAs[Long]("digest")
+    assert(dig(a) == dig(b))  // row order irrelevant
+    assert(dig(a) != dig(c))  // one cell changed
+    assert(graft.profiler.Integrity
+      .tableDigest(a.limit(0), "t", Seq("id", "s")).head()
+      .getAs[Long]("digest") == 0L) // empty table sentinel
+  }
+
+  test("langAgreement: confusion cells and per-declared shares") {
+    import spark.implicits._
+    val en = "the of and to in is was he for it"
+    val df = Seq(
+      (1L, "en", en), (2L, "en", en),
+      (3L, "en", "zz qq ww rr tt yy"),  // zero evidence: ties-to-'de'
+      (4L, "de", en)                    // declared de, detected en
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.CorpusStats
+      .langAgreement(df, "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("share_of_declared"),
+          r.getAs[Int]("is_match"))).toMap
+    assert(out(("en", "en")) == (2L, math.round(2.0 / 3.0 * 1e6) / 1e6, 1))
+    assert(out(("en", "de"))._3 == 0)
+    assert(out(("de", "en")) == (1L, 1.0, 0))
+  }
+
+  test("jaccardHistogram: bands partition the pair relation") {
+    import spark.implicits._
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val df = Seq(
+      (1L, base), (2L, base),                 // J = 1 -> bucket 10
+      (3L, s"$base x1 x2 x3 x4 x5 x6")        // partial overlap with 1, 2
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .jaccardHistogram(df, "doc_id", "text", n = 3, minJaccard = 0.1)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("n_pairs")).toMap
+    assert(out(10L) == 1L)                    // the exact pair
+    assert(out.values.sum == 3L)              // all three pairs binned
+  }
+
+  test("jsonKeyProfile: key counts, invalid and null handling") {
+    import spark.implicits._
+    val df = Seq(
+      Some("""{"a": 1, "b": 2}"""),
+      Some("""{"a": 3}"""),
+      Some("not json"),
+      None: Option[String]
+    ).toDF("props")
+    val out = graft.operators.Events.jsonKeyProfile(df, "props")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_present"), r.getAs[Double]("share"))).toMap
+    assert(out("a") == (2L, 0.5))
+    assert(out("b") == (1L, 0.25))
+    assert(out("<invalid>") == (1L, 0.25))
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
