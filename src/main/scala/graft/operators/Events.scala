@@ -590,10 +590,15 @@ object Events {
     val daily = events
       .groupBy(expr(s"$tsUsCol DIV $usPerDay").as("day_num"))
       .agg(count(lit(1)).as("n_events"))
-    val stats = daily.agg(
-      sum(col("n_events")).as("tot"), count(lit(1)).as("nd"))
+    // totals and the |cusum| extremum as WINDOWS over the day rollup —
+    // separate aggregate+crossJoin branches would re-derive `daily` from
+    // fresh scans of the events table (3 scans where one suffices); every
+    // window here runs over the day-sized relation (E115's argument)
+    val whole = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
     val cum = daily
-      .crossJoin(broadcast(stats))
+      .withColumn("tot", sum(col("n_events")).over(whole))
+      .withColumn("nd", count(lit(1)).over(whole))
       .withColumn("dev",
         round(col("n_events").cast(DoubleType) -
           col("tot").cast(DoubleType) / col("nd").cast(DoubleType), 6)
@@ -601,9 +606,8 @@ object Events {
       .withColumn("cusum",
         sum(col("dev")).over(Window.orderBy(col("day_num"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val peak = cum.agg(max(abs(col("cusum"))).as("peak"))
+      .withColumn("peak", max(abs(col("cusum"))).over(whole))
     cum
-      .crossJoin(broadcast(peak))
       .select(
         date_format(timestamp_micros(col("day_num") * usPerDay), "yyyy-MM-dd")
           .as("day"),
@@ -653,14 +657,24 @@ object Events {
     * row's own key count) collapsing map-side to ≤distinct-keys cells;
     * the row total broadcasts back for the share. */
   def jsonKeyProfile(events: DataFrame, jsonCol: String): DataFrame = {
-    val keys = when(col(jsonCol).isNull, array())
-      .otherwise(coalesce(json_object_keys(col(jsonCol)),
-        array(lit("<invalid>"))))
-    val total = events.agg(count(lit(1)).as("n_rows"))
+    import org.apache.spark.sql.expressions.Window
+    // a '<row>' sentinel element rides along in every row's key array, so
+    // the row total falls out of the SAME explode+aggregate pass (a
+    // separate count(*) would be a second scan of the table); it is
+    // filtered from the output after the window total reads it
+    val keys = concat(
+      array(lit("<row>")),
+      when(col(jsonCol).isNull, array())
+        .otherwise(coalesce(json_object_keys(col(jsonCol)),
+          array(lit("<invalid>")))))
     events
       .select(explode(keys).as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("n_present"))
-      .crossJoin(broadcast(total))
+      .withColumn("n_rows",
+        max(when(col("key") === "<row>", col("n_present"))).over(
+          Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)))
+      .where(col("key") =!= "<row>")
       .select(
         col("key"), col("n_present"), col("n_rows"),
         round(col("n_present").cast(DoubleType) /
@@ -682,22 +696,25 @@ object Events {
   def typeBurst(
       events: DataFrame, tsUsCol: String, typeCol: String,
       zFlag: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val usPerDay = 86400000000L
     val daily = events
       .groupBy(col(typeCol).as("event_type"),
         expr(s"$tsUsCol DIV $usPerDay").as("day_num"))
       .agg(count(lit(1)).as("n_events"))
+    // per-type moments as WINDOWS over the day rollup, not a second
+    // aggregation of it: the events table is scanned ONCE (a separate
+    // moments groupBy would re-derive `daily` from a second 100 TB scan);
+    // the windows run over the metadata-sized type×day relation
+    val wt = Window.partitionBy(col("event_type"))
     val moments = daily
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("nd"),
-        sum(col("n_events")).as("s1"),
-        sum(col("n_events") * col("n_events")).as("s2"))
+      .withColumn("nd", count(lit(1)).over(wt))
+      .withColumn("s1", sum(col("n_events")).over(wt))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(wt))
     val mean = col("s1").cast(DoubleType) / col("nd").cast(DoubleType)
     val varPop = col("s2").cast(DoubleType) / col("nd").cast(DoubleType) -
       mean * mean
-    daily
-      .join(moments, Seq("event_type"))
+    moments
       .select(
         col("event_type"),
         date_format(timestamp_micros(col("day_num") * usPerDay), "yyyy-MM-dd")
@@ -726,10 +743,13 @@ object Events {
     * back for the share column. */
   def userActivityHistogram(
       events: DataFrame, userCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perUser = events
       .groupBy(col(userCol).as("u"))
       .agg(count(lit(1)).as("n"))
-    val totals = perUser.agg(count(lit(1)).as("n_users_total"))
+    // the user total is a window over the ≤64-cell HISTOGRAM (buckets
+    // partition users, so Σ n_users = total) — a separate aggregate of
+    // perUser would re-run the user-keyed reduce from a second scan
     perUser
       .groupBy((length(bin(col("n"))) - 1).cast(LongType).as("bucket"))
       .agg(
@@ -737,7 +757,9 @@ object Events {
         sum(col("n")).as("n_events"),
         min(col("n")).as("min_events"),
         max(col("n")).as("max_events"))
-      .crossJoin(broadcast(totals))
+      .withColumn("n_users_total", sum(col("n_users")).over(
+        Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(
         col("bucket"), col("n_users"), col("n_events"),
         col("min_events"), col("max_events"),
@@ -762,10 +784,15 @@ object Events {
   def assocRules(
       events: DataFrame, userCol: String, typeCol: String,
       minUsers: Long = 1L): DataFrame = {
+    // the basket relation feeds THREE consumers (user total, marginals,
+    // pair join × 2) — materialize it once so the events table is
+    // scanned and distinct-reduced once, not four times (localCheckpoint
+    // also truncates the lineage, the Clustering.scala precedent)
     val ut = events
       .select(col(userCol).as("u"), col(typeCol).as("t"))
       .where(col("t").isNotNull)
       .distinct()
+      .localCheckpoint(true)
     val nUsers = ut.agg(countDistinct(col("u")).as("n"))
     val marg = ut.groupBy(col("t")).agg(count(lit(1)).as("c"))
     val pairs = ut.as("a")

@@ -283,4 +283,74 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"bigrams must come from the token array, not a window:\n$p")
     assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
   }
+
+  private def scanCount(p: String): Int =
+    "Scan parquet".r.findAllIn(p).length
+
+  test("round-7 event monitors scan the events table ONCE (window moments, not re-aggregation)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val withUs = ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts"))
+    for ((name, df) <- Seq(
+      "typeBurst" -> graft.operators.Events.typeBurst(withUs, "ts_us", "event_type"),
+      "volumeCusum" -> graft.operators.Events.volumeCusum(withUs, "ts_us"),
+      "userActivityHistogram" ->
+        graft.operators.Events.userActivityHistogram(ev, "user_id"),
+      "jsonKeyProfile" -> graft.operators.Events.jsonKeyProfile(ev, "props"),
+      "tsProfile" -> graft.operators.Events.tsProfile(ev, "ts"),
+      "interarrivalStats" -> graft.operators.Events.interarrivalStats(
+        withUs, "user_id", "ts_us", "event_id"))) {
+      val p = plan(df)
+      assert(scanCount(p) == 1, s"$name re-scans the events table:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("assoc rules: baskets materialize once; pair generation is user-keyed, never cartesian") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = plan(graft.operators.Events.assocRules(ev, "user_id", "event_type"))
+    // the distinct basket relation was localCheckpoint'ed: the final plan
+    // joins the materialized RDD, not four re-derivations of the scan
+    assert(scanCount(p) == 0, s"baskets must come from the checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("containment / novelty / threshold sweep stay on shingle equi-joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for ((name, df) <- Seq(
+      "ngramContainment" -> graft.operators.Dedup.ngramContainment(
+        docs, "doc_id", "text"),
+      "ngramNovelty" -> graft.operators.Dedup.ngramNovelty(docs, "doc_id", "text"),
+      "jaccardHistogram" -> graft.operators.Dedup.jaccardHistogram(
+        docs, "doc_id", "text"))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      assert(p.contains("HashAggregate") && !p.contains("SortAggregate"),
+        s"$name:\n$p")
+    }
+  }
+
+  test("score percentile: windows run over the distinct-score histogram, docs join back by key") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val scored = docs.select(col("doc_id"),
+      round(graft.functions.TextFunctions.qualityScore(col("text")), 6).as("score"))
+    val p = plan(graft.operators.Ranking.scorePercentile(scored, "doc_id", "score"))
+    // the windows sit above a HashAggregate (the score histogram), and the
+    // corpus reaches the result through a keyed join — no corpus-wide
+    // global-order window
+    assert(p.contains("Window") && p.contains("HashAggregate"), s"\n$p")
+    assert("Window".r.findAllIn(p).length <= 2, s"\n$p")
+    assert(p.contains("Join"), s"expected the rank join-back:\n$p")
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("table digest: one pass, no joins — only the final aggregate exchanges") {
+    val region = spark.read.parquet(s"$dir/region.parquet")
+    val p = plan(graft.profiler.Integrity.tableDigest(
+      region, "region", Seq("r_regionkey", "r_name")))
+    assert(scanCount(p) == 1, s"\n$p")
+    assert(!p.contains("Join"), s"\n$p")
+    assert(p.contains("HashAggregate"), s"\n$p")
+  }
 }
