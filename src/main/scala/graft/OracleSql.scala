@@ -2465,6 +2465,54 @@ SELECT key, CAST(COUNT(*) AS BIGINT) AS n_present, n_rows,
   ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS share
 FROM ks, t GROUP BY key, n_rows ORDER BY key"""
 
+  /** E138 normalized-dedup twin: the identical canonicalization chain
+    * (lower → \s+ collapse with the 'g' flag → trim), grouped by the
+    * normalized text itself (≡ grouping by its sha256). */
+  val dedupNormalized: String =
+    raw"""WITH n AS (SELECT doc_id, text,
+  COALESCE(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 'null') AS nt
+  FROM documents)
+SELECT MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count,
+  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw_variants
+FROM n GROUP BY nt ORDER BY doc_id"""
+
+  /** E139 decile-report twin: the scorePercentile expression feeding
+    * min(⌊10·pr⌋, 9) bands with token weights joined by doc id. */
+  val qualityDeciles: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+q AS (
+  SELECT doc_id, ws_tokens,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM b),
+p AS (
+  SELECT doc_id, ws_tokens, score,
+    ROUND(PERCENT_RANK() OVER (ORDER BY score), 6) AS pr
+  FROM q WHERE score IS NOT NULL)
+SELECT CAST(LEAST(FLOOR(pr * 10), 9) AS BIGINT) AS decile,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ws_tokens) AS BIGINT) AS n_tokens,
+  ROUND(MIN(score), 6) AS min_score, ROUND(MAX(score), 6) AS max_score
+FROM p GROUP BY 1 ORDER BY decile"""
+  }
+
+  /** E140 stream-static-enrich twin: the batch equivalent of the
+    * broadcast dimension join (alphabetical dense type ranks). */
+  val streamingEnrich: String =
+    """WITH d AS (
+  SELECT event_type, CAST(ROW_NUMBER() OVER (ORDER BY event_type) AS BIGINT) AS type_rank
+  FROM (SELECT DISTINCT event_type FROM events) q)
+SELECT event_id, e.event_type, type_rank
+FROM events e JOIN d USING (event_type) ORDER BY event_id"""
+
+  val partitionPruningAudit: String = allTrue(Seq(
+    "multiple_partitions", "partition_filter_in_plan", "pruned_rows_match"))
+
   /** E124 dedup-yield twin: the dedupClusters recursive-CTE components
     * reduced to the cluster-size histogram, corpus total as a broadcast
     * scalar. */

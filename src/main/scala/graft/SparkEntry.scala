@@ -588,6 +588,40 @@ object SparkEntry {
       graft.operators.Events.jsonKeyProfile(
         s.read.parquet(s"$dir/events.parquet"), "props")
         .orderBy("key")),
+    // normalized near-exact dedup (E138): C4-style formatting-invariant
+    "dedup_normalized" -> ((s, dir) =>
+      Dedup.normalizedExact(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // token-weighted quality-decile report (E139)
+    "quality_deciles" -> ((s, dir) =>
+      graft.operators.Ranking.scoreDeciles(
+        documents(s, dir).select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("score"),
+          TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
+        "doc_id", "score", "n_tokens")
+        .orderBy("decile")),
+    // stream-static enrichment (E140): replayed event stream broadcast-
+    // joined to a static dimension — the streaming face of R6's join
+    "streaming_enrich" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val dim = s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type")).distinct()
+        .withColumn("type_rank",
+          row_number().over(Window.orderBy(col("event_type"))).cast("long"))
+      graft.streaming.StreamingProfile.replayParquet(
+        s, s"$dir/events.parquet",
+        stream => stream.select(col("event_id"), col("event_type"))
+          .join(broadcast(dim), Seq("event_type")),
+        "append")
+        .select("event_id", "event_type", "type_rank")
+        .orderBy("event_id")
+    }),
+    // partition-pruning audit (E141): the predicate must reach the file
+    // listing, not just the row filter
+    "partition_pruning_audit" -> ((s, dir) =>
+      graft.sources.FormatRoundtrip.partitionPruningAudit(
+        s, s"$dir/documents.parquet", "lang", "en")),
     // document-frequency stopword discovery (E123)
     "doc_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.docFrequency(
@@ -1752,6 +1786,10 @@ FROM events GROUP BY 1 ORDER BY day""",
     "jaccard_histogram" -> OracleSql.jaccardHistogram,
     "table_digest" -> OracleSql.tableDigest,
     "props_key_profile" -> OracleSql.propsKeyProfile,
+    "dedup_normalized" -> OracleSql.dedupNormalized,
+    "quality_deciles" -> OracleSql.qualityDeciles,
+    "streaming_enrich" -> OracleSql.streamingEnrich,
+    "partition_pruning_audit" -> OracleSql.partitionPruningAudit,
     "interarrival_stats" -> OracleSql.interarrivalStats,
     "hourly_activity" -> OracleSql.hourlyActivity,
     "volume_cusum" -> OracleSql.volumeCusum,

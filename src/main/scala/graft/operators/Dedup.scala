@@ -37,6 +37,30 @@ object Dedup {
       .select(idCol, "dup_count")
   }
 
+  /** Normalized near-exact dedup (E138) — [[exact]] after text
+    * canonicalization (lowercase, whitespace runs → one space, edge
+    * trim): the C4-style "same document modulo formatting" pass that
+    * catches re-encoded mirrors, reflowed HTML extractions and
+    * case-variant copies byte-exact dedup misses, at byte-exact cost
+    * (still one 32-byte hash shuffle — no pair join, no shingles).
+    * Returns one row per normalized-content group: representative id,
+    * group size, and how many RAW variants the group collapsed
+    * (`n_raw_variants` > 1 = normalization caught what [[exact]]
+    * could not — the operator's yield metric). */
+  def normalizedExact(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df
+      .select(col(idCol).as("_id"), col(textCol).as("_t"),
+        coalesce(norm, lit("null")).as("_n"))
+      .groupBy(sha2(col("_n"), 256).as("h"))
+      .agg(
+        min(col("_id")).as(idCol),
+        count(lit(1)).as("dup_count"),
+        countDistinct(col("_t")).as("n_raw_variants"))
+      .select(col(idCol), col("dup_count"), col("n_raw_variants"))
+  }
+
   /** Cross-snapshot incremental dedup: split a new ingest batch into rows
     * whose content already exists in the reference corpus (`dup` = true)
     * and genuinely new rows — the daily-ingest mode of [[exact]], where

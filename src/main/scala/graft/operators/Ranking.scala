@@ -60,4 +60,30 @@ object Ranking {
             (col("n_total") - 1L).cast(DoubleType), 6))
           .otherwise(lit(0.0d)).as("percentile"))
   }
+
+  /** Score-decile corpus report (E139) — the curation decision table one
+    * level above [[scorePercentile]]: per quality decile, document count,
+    * token mass and the score range — "dropping the bottom 2 deciles
+    * costs N% of tokens" read directly off the relation (token-weighted,
+    * because curation budgets are priced in tokens, not documents).
+    * Decile = min(⌊10·percentile⌋, 9), so the p=1.0 frontier folds into
+    * the top band.
+    *
+    * One extra keyed join (weights onto the percentile relation) and a
+    * ≤10-cell map-side-combined rollup on top of the percentile plan. */
+  def scoreDeciles(
+      df: DataFrame, idCol: String, scoreCol: String,
+      weightCol: String): DataFrame = {
+    val sp = scorePercentile(df.select(col(idCol), col(scoreCol)),
+      idCol, scoreCol)
+    sp
+      .join(df.select(col(idCol), col(weightCol).as("_w")), Seq(idCol))
+      .groupBy(least(floor(col("percentile") * 10), lit(9L)).cast("long")
+        .as("decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_w")).as("n_tokens"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.sources
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Source-format breadth, driver-visible (R1/R12 family): the reference
   * profiles whatever each Glue table's SerDe yields — parquet, CSV, JSON
@@ -114,5 +115,50 @@ object FormatRoundtrip {
         .write.mode("overwrite").partitionBy(partCol).parquet(out)
       out
     })
+  }
+
+  /** Partition-pruning audit (E141) — driver-visible evidence that a
+    * predicate on the partition column reaches the FILE LISTING, not just
+    * the row filter: at 100 TB a `lang = 'en'` read that lists and opens
+    * every partition directory is the difference between touching 1/5 of
+    * the data and all of it. Stages the table partitioned by `partCol`
+    * (content-fingerprinted, reused across runs), reads it back with an
+    * equality predicate, and asserts:
+    *
+    *   - `partition_filter_in_plan` — the physical scan carries a
+    *     non-empty `PartitionFilters` list (Catalyst classified the
+    *     predicate as partition-pruning, so non-matching directories are
+    *     never listed into the scan);
+    *   - `pruned_rows_match` — the pruned read returns exactly the rows
+    *     the unpartitioned source yields under the same predicate (> 0);
+    *   - `multiple_partitions` — the staged layout really has > 1
+    *     directory, so the prune was non-trivial.
+    *
+    * The booleans are computed from real plans/counts at audit time; the
+    * oracle pins them all-true (the [[graft.profiler.Sinks.BucketedSink]]
+    * audit convention). */
+  def partitionPruningAudit(
+      spark: SparkSession, sourcePath: String, partCol: String,
+      partValue: String): DataFrame = {
+    import spark.implicits._
+    val dir = stagePartitioned(spark, sourcePath, partCol, col(partCol))
+    val pruned = spark.read.parquet(dir).where(col(partCol) === partValue)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val hasPartFilter =
+      "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined
+    val prunedCount = pruned.count()
+    val batchCount = spark.read.parquet(sourcePath)
+      .where(col(partCol) === partValue).count()
+    val nDirs = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+    }
+    Seq(
+      ("multiple_partitions", nDirs > 1),
+      ("partition_filter_in_plan", hasPartFilter),
+      ("pruned_rows_match", prunedCount == batchCount && prunedCount > 0L))
+      .toDF("property", "ok").orderBy("property")
   }
 }

@@ -344,6 +344,43 @@ class Round7Spec extends AnyFunSuite {
     assert(out("<invalid>") == (1L, 0.25))
   }
 
+  test("normalizedExact: case/whitespace variants collapse, raw variants counted") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("Hello   World")),
+      (2L, Some("hello world")),      // same after normalization
+      (3L, Some("  hello world  ")),  // same after trim
+      (4L, Some("different text")),
+      (5L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.normalizedExact(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("dup_count"), r.getAs[Long]("n_raw_variants"))).toMap
+    assert(out(1L) == (3L, 3L))  // three raw variants, one normalized
+    assert(out(4L) == (1L, 1L))
+    assert(out(5L) == (1L, 0L))  // null text group counts no raw variants
+  }
+
+  test("scoreDeciles: token-weighted bands, p=1.0 folds into decile 9") {
+    import spark.implicits._
+    val df = (1L to 20L).map(i => (i, i.toDouble / 20.0, 10L * i))
+      .toDF("doc_id", "score", "w")
+    val out = graft.operators.Ranking.scoreDeciles(df, "doc_id", "score", "w")
+      .collect().map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    // 20 distinct scores, pr = (i-1)/19; decile floor(10*pr) capped at 9
+    assert(out.values.map(_._1).sum == 20L)
+    assert(out(9L)._1 >= 2L)  // the pr=1.0 row folded into band 9
+    assert(out(0L)._2 == (10L + 20L))  // docs 1,2 land in band 0
+  }
+
+  test("partitionPruningAudit: all properties hold on a lang-partitioned stage") {
+    val out = graft.sources.FormatRoundtrip.partitionPruningAudit(
+      spark, "/root/testdata/sf0.001/documents.parquet", "lang", "en")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 3 && out.values.forall(identity), out.toString)
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
