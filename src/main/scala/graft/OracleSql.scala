@@ -2513,6 +2513,48 @@ FROM events e JOIN d USING (event_type) ORDER BY event_id"""
   val partitionPruningAudit: String = allTrue(Seq(
     "multiple_partitions", "partition_filter_in_plan", "pruned_rows_match"))
 
+  /** E142 quality-weighted-sample twin: the sampleBucket hash against
+    * round(score·10⁴) — the exact keep decision replayed. */
+  val qualityWeightedSample: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM b)
+SELECT doc_id, score FROM q
+WHERE score IS NOT NULL AND $sampleBucket < CAST(ROUND(score * 10000) AS BIGINT)
+ORDER BY doc_id"""
+  }
+
+  /** E143 cluster-balance twin: the knnAssign cells reduced to the
+    * quantized-entropy report; h and exp(h) from the same expression. */
+  val clusterBalance: String = {
+    val hExpr = "LN(CAST(n_assigned AS DOUBLE)) - CAST(tsum AS DOUBLE) / CAST(n_assigned AS DOUBLE)"
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+s AS (SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0),
+a AS (SELECT vec_id, centroid_id FROM s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+cells AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS c FROM a GROUP BY 1),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters, CAST(SUM(c) AS BIGINT) AS n_assigned,
+  MAX(c) AS max_cluster,
+  SUM(CAST(ROUND(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE)), 12) AS DECIMAL(38,12))) AS tsum
+  FROM cells)
+SELECT n_clusters, n_assigned, max_cluster,
+  ROUND($hExpr, 6) AS entropy,
+  ROUND(EXP($hExpr), 6) AS effective_clusters,
+  ROUND(CAST(max_cluster AS DOUBLE) / CAST(n_assigned AS DOUBLE), 6) AS max_share
+FROM g"""
+  }
+
   /** E124 dedup-yield twin: the dedupClusters recursive-CTE components
     * reduced to the cluster-size histogram, corpus total as a broadcast
     * scalar. */

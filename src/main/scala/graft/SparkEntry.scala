@@ -622,6 +622,18 @@ object SparkEntry {
     "partition_pruning_audit" -> ((s, dir) =>
       graft.sources.FormatRoundtrip.partitionPruningAudit(
         s, s"$dir/documents.parquet", "lang", "en")),
+    // quality-proportional deterministic sampling (E142)
+    "quality_weighted_sample" -> ((s, dir) =>
+      Sampling.qualityWeightedSample(
+        documents(s, dir).select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("score")),
+        "doc_id", "score")
+        .orderBy("doc_id")),
+    // embedding-space occupancy diversity (E143)
+    "cluster_balance" -> ((s, dir) =>
+      Similarity.clusterBalance(
+        embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 83 === 0)),
     // document-frequency stopword discovery (E123)
     "doc_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.docFrequency(
@@ -1790,6 +1802,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "quality_deciles" -> OracleSql.qualityDeciles,
     "streaming_enrich" -> OracleSql.streamingEnrich,
     "partition_pruning_audit" -> OracleSql.partitionPruningAudit,
+    "quality_weighted_sample" -> OracleSql.qualityWeightedSample,
+    "cluster_balance" -> OracleSql.clusterBalance,
     "interarrival_stats" -> OracleSql.interarrivalStats,
     "hourly_activity" -> OracleSql.hourlyActivity,
     "volume_cusum" -> OracleSql.volumeCusum,

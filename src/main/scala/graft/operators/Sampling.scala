@@ -42,6 +42,28 @@ object Sampling {
     df.where(hashBucket(col(keyCol), salt) < math.round(rate * Buckets))
   }
 
+  /** Quality-weighted deterministic sampling (E142) — keep each row with
+    * probability ∝ its own score (the DCLM-style "sample by quality, not
+    * by threshold" curation move: a hard cutoff discards the whole
+    * mid-quality stratum; proportional sampling keeps a calibrated
+    * slice of every band). The coin is the same [[hashBucket]] hash —
+    * `bucket(key) < round(score·10000)` — so the sample is a pure
+    * function of (key, score): reproducible across runs, engines and
+    * partitionings, and AUDITABLE (the oracle replays the exact
+    * decision). Null/NaN scores carry no keep-probability and drop.
+    *
+    * One shuffle-free map-side filter at any scale; `scoreCol` must be
+    * engine-portable (6-dp rounded). */
+  def qualityWeightedSample(
+      df: DataFrame, keyCol: String, scoreCol: String,
+      salt: String = "graft"): DataFrame = {
+    val score = col(scoreCol)
+    df
+      .where(score.isNotNull && !isnan(score))
+      .where(hashBucket(col(keyCol), salt) <
+        round(score * Buckets).cast("long"))
+  }
+
   /** Stratified sampling: keep up to `perStratum` rows per stratum, chosen
     * in deterministic hash order (`(hashBucket, key)` — reproducible across
     * runs/partitionings/engines, like [[deterministicSample]]) — the

@@ -294,6 +294,44 @@ object Similarity {
         count(when(col("x") === 0.0d, lit(1))).as("n_zero"))
   }
 
+  /** Embedding cluster-balance report (E143) — is the corpus DIVERSE over
+    * its embedding space or collapsed into a few modes: Shannon entropy of
+    * the [[nearestCentroid]] cell-size distribution, its exp (the
+    * "effective number of clusters" — 64 nominal cells acting like 3 is
+    * the mode-collapse / scraper-loop fingerprint) and the biggest cell's
+    * share. The diversity face of the similarity suite: E5-E7 find pairs
+    * that are too close; this summarizes the whole occupancy shape.
+    *
+    * Scale shape: the assignment pass is the proven E35 broadcast
+    * scoring; everything after is a ≤cells-sized rollup. Entropy rides
+    * the F2/E111 quantized-term contract (ROUND(c·ln c,12) →
+    * DECIMAL(38,12) sum), h and exp(h) computed from the same fixed
+    * expression. */
+  def clusterBalance(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cells = nearestCentroid(embIn, idCol, vecCol, centroidPred)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("c"))
+    val h = log(col("n_assigned").cast("double")) -
+      col("tsum").cast("double") / col("n_assigned").cast("double")
+    cells
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("c")).as("n_assigned"),
+        max(col("c")).as("max_cluster"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double")), 12)
+          .cast(Dec)).as("tsum"))
+      .select(
+        col("n_clusters"), col("n_assigned"), col("max_cluster"),
+        round(h, 6).as("entropy"),
+        round(exp(h), 6).as("effective_clusters"),
+        round(col("max_cluster").cast("double") /
+          col("n_assigned").cast("double"), 6).as("max_share"))
+  }
+
   /** One deterministic Lloyd half-step: per-cell per-dimension mean of the
     * vectors assigned by [[nearestCentroid]] — the centroid RE-estimation
     * that the assignment operator's contract deliberately excludes when

@@ -381,6 +381,53 @@ class Round7Spec extends AnyFunSuite {
     assert(out.size == 3 && out.values.forall(identity), out.toString)
   }
 
+  test("qualityWeightedSample: deterministic, monotone in score, null-safe") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 11).toDouble / 10.0))
+      .toDF("doc_id", "score")
+    val s1 = graft.operators.Sampling
+      .qualityWeightedSample(df, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = graft.operators.Sampling
+      .qualityWeightedSample(df, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2) // pure function of (key, score)
+    // score 0 can never be kept, score 1.0 always kept
+    assert(!s1.exists(id => id % 11 == 0))
+    assert((1L to 200L).filter(_ % 11 == 10).forall(s1.contains))
+    // null/NaN scores drop instead of sampling
+    val withNull = Seq((1L, Some(0.5)), (2L, None: Option[Double]))
+      .toDF("doc_id", "score")
+    assert(graft.operators.Sampling
+      .qualityWeightedSample(withNull, "doc_id", "score")
+      .where(col("doc_id") === 2L).count() == 0L)
+    // a RAISED score can only ADD docs (monotone keep rule)
+    val boosted = df.select(col("doc_id"),
+      least(col("score") + 0.3, lit(1.0)).as("score"))
+    val s3 = graft.operators.Sampling
+      .qualityWeightedSample(boosted, "doc_id", "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("clusterBalance: uniform cells maximize effective clusters; skew collapses it") {
+    import spark.implicits._
+    // 4 well-separated centroid ids among 40 vectors: ids 0,10,20,30 are
+    // centroids (pred: id % 10 == 0); each vector is one-hot so every
+    // group of 10 assigns to its own centroid -> perfectly uniform
+    val vecs = (0 until 40).map { i =>
+      val arr = Array.fill(4)(0.0f); arr(i / 10) = 1.0f
+      (i.toLong, arr)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.clusterBalance(
+      df, "vec_id", "embedding", col("vec_id") % 10 === 0).head()
+    assert(r.getAs[Long]("n_clusters") == 4L)
+    assert(r.getAs[Long]("n_assigned") == 40L)
+    assert(r.getAs[Double]("effective_clusters") == 4.0) // uniform
+    assert(r.getAs[Double]("max_share") == 0.25)
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
