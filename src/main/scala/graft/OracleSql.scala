@@ -2555,6 +2555,82 @@ SELECT n_clusters, n_assigned, max_cluster,
 FROM g"""
   }
 
+  /** E144 HTML-strip twin: identical deterministic render (the piiScan
+    * precedent), identical tag → space → collapse → trim chain with the
+    * 'g' flag. */
+  val htmlStrip: String =
+    raw"""WITH r AS (SELECT doc_id,
+  '<html><body class="doc"><p>' || text || '</p><br/><div>footer ' || CAST(doc_id AS VARCHAR) || '</div></body></html>' AS t
+  FROM documents),
+c AS (SELECT doc_id, t,
+  trim(regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean
+  FROM r)
+SELECT doc_id, CAST(LENGTH(t) AS BIGINT) AS n_raw,
+  CAST(LENGTH(clean) AS BIGINT) AS n_clean,
+  substr(sha256(clean), 1, 16) AS clean_sha
+FROM c ORDER BY doc_id"""
+
+  /** E145 sentence-stats twin: non-blank runs between [.!?]+, exact
+    * integer length sums, one late double division. */
+  val sentenceStats: String =
+    raw"""WITH s AS (SELECT doc_id,
+  list_filter(string_split_regex(text, '[.!?]+'), x -> trim(x) <> '') AS sents
+  FROM documents)
+SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+  CASE WHEN len(sents) > 0 THEN
+    ROUND(CAST(list_reduce(list_transform(sents, x -> CAST(LENGTH(trim(x)) AS BIGINT)), (a, b) -> a + b) AS DOUBLE) / CAST(len(sents) AS DOUBLE), 6)
+  END AS mean_sentence_chars
+FROM s ORDER BY doc_id"""
+
+  /** E146 char-class twin: the same per-class regexp counters summed as
+    * exact BIGINTs per language, other = remainder. */
+  val charClassStats: String = {
+    def cnt(p: String): String =
+      s"CAST(SUM(COALESCE(len(regexp_extract_all(text, '$p')), 0)) AS BIGINT)"
+    raw"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) AS n_chars,
+  ${cnt("[A-Za-z]")} AS n_alpha,
+  ${cnt("[0-9]")} AS n_digit,
+  ${cnt(raw"\s")} AS n_space,
+  ${cnt(PunctPattern)} AS n_punct,
+  CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) - ${cnt("[A-Za-z]")} - ${cnt("[0-9]")} - ${cnt(raw"\s")} - ${cnt(PunctPattern)} AS n_other,
+  ROUND(CAST(${cnt("[A-Za-z]")} AS DOUBLE) / CAST(SUM(COALESCE(LENGTH(text), 0)) AS DOUBLE), 6) AS alpha_ratio,
+  ROUND(CAST(CAST(SUM(COALESCE(LENGTH(text), 0)) AS BIGINT) - ${cnt("[A-Za-z]")} - ${cnt("[0-9]")} - ${cnt(raw"\s")} - ${cnt(PunctPattern)} AS DOUBLE) / CAST(SUM(COALESCE(LENGTH(text), 0)) AS DOUBLE), 6) AS other_ratio
+FROM documents GROUP BY lang ORDER BY lang"""
+  }
+
+  /** E147 degree-histogram twin: the jaccard pair CTEs reduced twice
+    * (pairs → per-node degree → histogram). */
+  val dupGraphDegrees: String =
+    s"""WITH $jaccardCtes,
+d AS (SELECT id_a AS id FROM jpairs UNION ALL SELECT id_b FROM jpairs),
+deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM d GROUP BY 1)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY degree"""
+
+  /** E148 effective-dims twin: per-dim decimal sums → fixed-order σ²
+    * algebra → re-quantized variance sums → participation ratio. */
+  val effectiveDims: String = {
+    val mean = "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)"
+    val varD = s"CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - ($mean) * ($mean)"
+    val pr = "(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)) / CAST(sv2 AS DOUBLE)"
+    s"""WITH vals AS (
+  SELECT i AS dim, CAST(e[i + 1] AS DOUBLE) AS x
+  FROM (SELECT embedding AS e FROM embeddings) q, UNNEST(range(len(e))) t(i)),
+perdim AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(ROUND(x, 12) AS DECIMAL(38,12))) AS s1,
+    SUM(CAST(ROUND(x * x, 12) AS DECIMAL(38,12))) AS s2
+  FROM vals GROUP BY dim),
+vrow AS (SELECT CAST(ROUND($varD, 12) AS DECIMAL(38,12)) AS v FROM perdim),
+vv AS (SELECT v, CAST(ROUND(CAST(v AS DOUBLE) * CAST(v AS DOUBLE), 12) AS DECIMAL(38,12)) AS v2 FROM vrow),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dims, SUM(v) AS sv, SUM(v2) AS sv2 FROM vv)
+SELECT n_dims, ROUND(CAST(sv AS DOUBLE), 6) AS total_variance,
+  ROUND($pr, 6) AS effective_dims,
+  ROUND($pr / CAST(n_dims AS DOUBLE), 6) AS dim_utilization
+FROM g"""
+  }
+
   /** E124 dedup-yield twin: the dedupClusters recursive-CTE components
     * reduced to the cluster-size histogram, corpus total as a broadcast
     * scalar. */

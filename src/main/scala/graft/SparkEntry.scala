@@ -634,6 +634,41 @@ object SparkEntry {
     "cluster_balance" -> ((s, dir) =>
       Similarity.clusterBalance(
         embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 83 === 0)),
+    // HTML tag stripping over a deterministic render (E144): the piiScan
+    // constructed-input precedent — cleaning is exact-checked end to end
+    "html_strip" -> ((s, dir) => {
+      val raw = concat(
+        lit("<html><body class=\"doc\"><p>"), col("text"),
+        lit("</p><br/><div>footer "), col("doc_id").cast("string"),
+        lit("</div></body></html>"))
+      val clean = TextFunctions.htmlStrip(raw)
+      documents(s, dir).select(
+        col("doc_id"),
+        length(raw).cast("long").as("n_raw"),
+        length(clean).cast("long").as("n_clean"),
+        substring(sha2(clean, 256), 1, 16).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
+    // regex-layer sentence segmentation stats (E145)
+    "sentence_stats" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+        TextFunctions.meanSentenceChars(col("text")).as("mean_sentence_chars"))
+        .orderBy("doc_id")),
+    // per-language character-class profile (E146): encoding QA
+    "char_class_stats" -> ((s, dir) =>
+      graft.operators.CorpusStats.charClassStats(
+        documents(s, dir), "lang", "text")
+        .orderBy("lang")),
+    // near-dup graph degree histogram (E147): the hub diagnostic that
+    // sets the maxDocFreq/maxBandFreq caps
+    "dup_graph_degrees" -> ((s, dir) =>
+      Dedup.dupGraphDegrees(documents(s, dir), "doc_id", "text")
+        .orderBy("degree")),
+    // participation-ratio intrinsic dimensionality (E148)
+    "effective_dims" -> ((s, dir) =>
+      Similarity.effectiveDims(embeddings(s, dir), "embedding")),
     // document-frequency stopword discovery (E123)
     "doc_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.docFrequency(
@@ -1804,6 +1839,11 @@ FROM events GROUP BY 1 ORDER BY day""",
     "partition_pruning_audit" -> OracleSql.partitionPruningAudit,
     "quality_weighted_sample" -> OracleSql.qualityWeightedSample,
     "cluster_balance" -> OracleSql.clusterBalance,
+    "html_strip" -> OracleSql.htmlStrip,
+    "sentence_stats" -> OracleSql.sentenceStats,
+    "char_class_stats" -> OracleSql.charClassStats,
+    "dup_graph_degrees" -> OracleSql.dupGraphDegrees,
+    "effective_dims" -> OracleSql.effectiveDims,
     "interarrival_stats" -> OracleSql.interarrivalStats,
     "hourly_activity" -> OracleSql.hourlyActivity,
     "volume_cusum" -> OracleSql.volumeCusum,

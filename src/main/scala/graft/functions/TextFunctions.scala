@@ -149,6 +149,37 @@ object TextFunctions {
       .limit(k)
   }
 
+  /** HTML tag stripping (E144) — the first cleaning pass over scraped
+    * corpora: tags → space, whitespace re-collapse, edge trim. Regex is
+    * deliberately the classic `<[^>]*>` (no backreferences/lookarounds —
+    * the PiiFunctions portability contract), which is exactly what the
+    * C4/CCNet-lineage extractors use for the tag layer; entity decoding
+    * and script/style CONTENT removal are a parser's job, not a regex's,
+    * and stay out of scope. Pure per-row codegen'd expression — the scan
+    * cost is the operator cost at any corpus size. */
+  def htmlStrip(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Sentence segmentation stats (E145) — the shape signal length counts
+    * miss: a 2 000-char doc of 3-word fragments and one of fluent prose
+    * have the same n_chars but very different sentence profiles (the
+    * Gopher rules threshold on exactly this). Sentences = non-blank runs
+    * between `[.!?]+` terminators — the deterministic regex layer of
+    * segmentation (abbreviation handling is a model's job); returns
+    * per-row `(n_sentences, mean_sentence_chars)` columns via one
+    * higher-order-function pass, no explode, no shuffle. */
+  def sentenceCount(c: Column): Column =
+    size(filter(split(c, "[.!?]+"), s => trim(s) =!= lit(""))).cast("long")
+
+  def meanSentenceChars(c: Column): Column = {
+    val lens = transform(
+      filter(split(c, "[.!?]+"), s => trim(s) =!= lit("")),
+      s => length(trim(s)).cast("long"))
+    when(size(lens) > 0,
+      round(aggregate(lens, lit(0L), (acc, x) => acc + x).cast("double") /
+        size(lens).cast("double"), 6))
+  }
+
   /** Tokenizer application: map every token to its dense vocabulary id
     * (1-based rank in the [[vocabTopK]] frequency order; 0 = OOV) and
     * re-assemble the id sequence per document — the step between

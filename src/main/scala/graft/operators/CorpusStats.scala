@@ -415,6 +415,42 @@ object CorpusStats {
           col("n_ws_tokens").cast("double"), 6).as("fertility_vs_ws"))
   }
 
+  /** Character-class profile by language (E146) — the encoding/quality
+    * face of the fertility report (E125 prices tokens; this shows WHAT
+    * the bytes are): per language, exact counts and ratios of ASCII
+    * letters / digits / whitespace / sentence punctuation / other
+    * (where "other" is every non-ASCII-class character — the CJK,
+    * emoji, control-char and mojibake stratum; an `other_ratio` spike
+    * inside a Latin-script language IS the encoding-corruption alarm).
+    * One map-side-combined groupBy(lang) scan of per-row `regexp_count`
+    * expressions — exact integer sums, late double ratios. */
+  def charClassStats(
+      df: DataFrame, langCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      coalesce(regexp_count(t, lit(pattern)).cast("long"), lit(0L))
+    df
+      .groupBy(col(langCol).as("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(length(t).cast("long"), lit(0L))).as("n_chars"),
+        sum(cnt("[A-Za-z]")).as("n_alpha"),
+        sum(cnt("[0-9]")).as("n_digit"),
+        sum(cnt("\\s")).as("n_space"),
+        sum(cnt(TextFunctions.PunctPattern)).as("n_punct"))
+      .select(
+        col("lang"), col("n_docs"), col("n_chars"), col("n_alpha"),
+        col("n_digit"), col("n_space"), col("n_punct"),
+        (col("n_chars") - col("n_alpha") - col("n_digit") -
+          col("n_space") - col("n_punct")).as("n_other"),
+        round(col("n_alpha").cast("double") / col("n_chars").cast("double"),
+          6).as("alpha_ratio"),
+        round((col("n_chars") - col("n_alpha") - col("n_digit") -
+          col("n_space") - col("n_punct")).cast("double") /
+          col("n_chars").cast("double"), 6).as("other_ratio"))
+  }
+
   /** Declared-vs-detected language confusion matrix (E134) — the
     * metadata-trust audit: per (declared lang, detected lang) cell,
     * document count, share of the declared language's documents, and the

@@ -305,6 +305,27 @@ object Dedup {
           6).as("novelty"))
   }
 
+  /** Near-dup graph degree histogram (E147) — the pair-explosion
+    * diagnostic BEFORE clustering: how many near-dup partners each
+    * document has, as a (degree, n_nodes) histogram. A heavy tail here
+    * is the boilerplate hub — the node that makes the CC pair relation
+    * quadratic and the thing `maxDocFreq`/`maxBandFreq` caps exist to
+    * bound; reading this histogram is how those caps get SET. Two
+    * strictly-shrinking reduces over the [[ngramJaccard]] pair relation
+    * (pairs → per-node degrees → histogram). */
+  def dupGraphDegrees(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold)
+    pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Benchmark decontamination: training documents sharing at least
     * `minShared` word n-gram shingles with any benchmark/eval document —
     * the standard contamination check run before training on scraped

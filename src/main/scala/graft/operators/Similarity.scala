@@ -332,6 +332,51 @@ object Similarity {
           col("n_assigned").cast("double"), 6).as("max_share"))
   }
 
+  /** Effective dimensionality of the embedding corpus (E148) — the
+    * participation ratio PR = (Σσ²)² / Σσ⁴ over per-dimension variances:
+    * how many axes the corpus ACTUALLY uses (64 nominal dims with PR ≈ 4
+    * means the space is near-degenerate — ANN bucket quality, quantizer
+    * budgets (E45) and LSH plane counts (E7) are all sized off intrinsic,
+    * not nominal, dimensionality). The axis-aligned PR is the classic
+    * cheap surrogate for the eigenvalue version — no covariance matrix,
+    * no SVD, one pass.
+    *
+    * Scale shape: the same posexplode → ≤dims-cells reduce as
+    * [[dimStats]]; per-dim sums ride the DECIMAL(38,12) addend contract,
+    * σ² is the fixed-order s2/n − mean² algebra on exact sums, and the
+    * final two sums re-quantize the ≤dims variance terms — every stage
+    * partition-order independent. */
+  def effectiveDims(emb: DataFrame, vecCol: String): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val perDim = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        col("x").cast("double").as("x"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("x"), 12).cast(Dec)).as("s1"),
+        sum(round(col("x") * col("x"), 12).cast(Dec)).as("s2"))
+    val mean = col("s1").cast("double") / col("n").cast("double")
+    val varD = col("s2").cast("double") / col("n").cast("double") - mean * mean
+    val pr = (col("sv").cast("double") * col("sv").cast("double")) /
+      col("sv2").cast("double")
+    perDim
+      .select(round(varD, 12).cast(Dec).as("v"))
+      .select(col("v"),
+        round(col("v").cast("double") * col("v").cast("double"), 12)
+          .cast(Dec).as("v2"))
+      .agg(
+        count(lit(1)).as("n_dims"),
+        sum(col("v")).as("sv"),
+        sum(col("v2")).as("sv2"))
+      .select(
+        col("n_dims"),
+        round(col("sv").cast("double"), 6).as("total_variance"),
+        round(pr, 6).as("effective_dims"),
+        round(pr / col("n_dims").cast("double"), 6).as("dim_utilization"))
+  }
+
   /** One deterministic Lloyd half-step: per-cell per-dimension mean of the
     * vectors assigned by [[nearestCentroid]] — the centroid RE-estimation
     * that the assignment operator's contract deliberately excludes when

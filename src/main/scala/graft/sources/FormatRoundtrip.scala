@@ -109,7 +109,10 @@ object FormatRoundtrip {
         staged.remove(key, d)
     }
     staged.computeIfAbsent(key, _ => {
-      val out = s"/tmp/graft_fmt_stage/part_" +
+      // partCol is part of the PATH, not just the cache key: two stagings
+      // of the same source by different partition columns (E92's bucket,
+      // E141's lang) must not overwrite each other's directory layout
+      val out = s"/tmp/graft_fmt_stage/part_${partCol}_" +
         java.lang.Long.toHexString(sourcePath.hashCode.toLong ^ fp)
       src.withColumn(partCol, partExpr)
         .write.mode("overwrite").partitionBy(partCol).parquet(out)

@@ -428,6 +428,80 @@ class Round7Spec extends AnyFunSuite {
     assert(r.getAs[Double]("max_share") == 0.25)
   }
 
+  test("htmlStrip: tags out, whitespace collapsed, entities untouched") {
+    import spark.implicits._
+    val df = Seq(
+      "<p>hello   <b>world</b></p>",
+      "no tags here",
+      "<div class=\"x\">a&amp;b</div>"
+    ).toDF("t").select(graft.functions.TextFunctions.htmlStrip(col("t")).as("c"))
+    val out = df.as[String].collect()
+    assert(out(0) == "hello world")
+    assert(out(1) == "no tags here")
+    assert(out(2) == "a&amp;b") // entity decoding is out of scope
+  }
+
+  test("sentenceCount / meanSentenceChars: terminator runs, blank runs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("One two. Three!  Four five six?")),
+      (2L, Some("no terminator at all")),
+      (3L, Some("...")),
+      (4L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.functions.TextFunctions.sentenceCount(col("text")).as("n"),
+      graft.functions.TextFunctions.meanSentenceChars(col("text")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L)._1.contains(3L))
+    assert(out(2L)._1.contains(1L))
+    assert(out(3L)._1.contains(0L) && out(3L)._2.isEmpty) // only terminators
+    assert(out(4L)._1.isEmpty) // null text stays null
+  }
+
+  test("charClassStats: exact class partition of the character mass") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "ab1 c.!ü")).toDF("doc_id", "lang", "text")
+    val r = graft.operators.CorpusStats.charClassStats(df, "lang", "text").head()
+    assert(r.getAs[Long]("n_chars") == 8L)
+    assert(r.getAs[Long]("n_alpha") == 3L)
+    assert(r.getAs[Long]("n_digit") == 1L)
+    assert(r.getAs[Long]("n_space") == 1L)
+    assert(r.getAs[Long]("n_punct") == 2L) // '.' and '!'
+    assert(r.getAs[Long]("n_other") == 1L) // 'ü'
+  }
+
+  test("dupGraphDegrees: hub degree visible in the histogram") {
+    import spark.implicits._
+    val shared = "w1 w2 w3 w4 w5 w6 w7 w8"
+    // three near-identical docs form a triangle: each node degree 2
+    val df = Seq(
+      (1L, shared), (2L, shared), (3L, shared),
+      (4L, "isolated totally different content here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dupGraphDegrees(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("degree") ->
+        r.getAs[Long]("n_nodes")).toMap
+    assert(out == Map(2L -> 3L))
+  }
+
+  test("effectiveDims: degenerate axes collapse the participation ratio") {
+    import spark.implicits._
+    // two informative axes with equal variance, two dead axes -> PR = 2
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 5.0f, 7.0f)),
+      (2L, Array(-1.0f, 0.0f, 5.0f, 7.0f)),
+      (3L, Array(1.0f, 0.0f, 5.0f, 7.0f)),
+      (4L, Array(-1.0f, 0.0f, 5.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val r = graft.operators.Similarity.effectiveDims(df, "embedding").head()
+    assert(r.getAs[Long]("n_dims") == 4L)
+    assert(r.getAs[Double]("total_variance") == 1.0) // only dim 0 varies
+    assert(r.getAs[Double]("effective_dims") == 1.0)
+    assert(r.getAs[Double]("dim_utilization") == 0.25)
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
