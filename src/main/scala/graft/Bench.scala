@@ -40,6 +40,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      // per-query hygiene OUTSIDE the timed region: drop cached/
+      // checkpointed blocks the query left behind and let the JVM
+      // reclaim them — over a 170-query run the accumulated heap
+      // pressure otherwise inflates late queries 2-4x (r7: isolated
+      // 2.3 s vs 12.2 s in-suite for the same plan), which misreports
+      // steady-state engine throughput
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
       name -> times.min
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0

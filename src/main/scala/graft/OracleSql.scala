@@ -2513,6 +2513,9 @@ FROM events e JOIN d USING (event_type) ORDER BY event_id"""
   val partitionPruningAudit: String = allTrue(Seq(
     "multiple_partitions", "partition_filter_in_plan", "pruned_rows_match"))
 
+  val bloomMembershipAudit: String = allTrue(Seq(
+    "fpr_bounded", "no_false_negatives", "prefilter_shrinks"))
+
   /** E142 quality-weighted-sample twin: the sampleBucket hash against
     * round(score·10⁴) — the exact keep decision replayed. */
   val qualityWeightedSample: String = {

@@ -669,6 +669,16 @@ object SparkEntry {
     // participation-ratio intrinsic dimensionality (E148)
     "effective_dims" -> ((s, dir) =>
       Similarity.effectiveDims(embeddings(s, dir), "embedding")),
+    // Bloom pre-filter soundness audit (E149): the shuffle-free semi-join
+    // accelerator — membership on content hashes, train side vs all docs
+    "bloom_membership_audit" -> ((s, dir) => {
+      val docs = documents(s, dir)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      graft.profiler.Integrity.bloomMembershipAudit(
+        docs.where(col("doc_id") % 50 =!= 0), "h",
+        docs, "h",
+        expectedItems = 100000L, fpp = 0.01)
+    }),
     // document-frequency stopword discovery (E123)
     "doc_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.docFrequency(
@@ -1844,6 +1854,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "char_class_stats" -> OracleSql.charClassStats,
     "dup_graph_degrees" -> OracleSql.dupGraphDegrees,
     "effective_dims" -> OracleSql.effectiveDims,
+    "bloom_membership_audit" -> OracleSql.bloomMembershipAudit,
     "interarrival_stats" -> OracleSql.interarrivalStats,
     "hourly_activity" -> OracleSql.hourlyActivity,
     "volume_cusum" -> OracleSql.volumeCusum,

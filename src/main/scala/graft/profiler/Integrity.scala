@@ -1,6 +1,6 @@
 package graft.profiler
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -215,6 +215,92 @@ object Integrity {
       count(lit(1)).as("n_rows"),
       coalesce(bit_xor(rowHash), lit(0L)).as("digest"))
       .select(lit(table).as("tbl"), col("n_rows"), col("digest"))
+  }
+
+  /** Bloom-filter membership audit (E149) — driver-visible evidence for
+    * the 100 TB semi-join accelerator: a Bloom filter built over the
+    * reference side's join keys pre-filters the probe side BEFORE any
+    * shuffle (the pattern behind Spark's own runtime row-group bloom
+    * pruning, and the standard "did this ingest batch's content hash
+    * appear in the corpus" fast path for E39's incremental dedup).
+    * Asserts the two properties that make the pattern safe:
+    *
+    *   - `no_false_negatives` — every true member is flagged (a Bloom
+    *     filter may over-approximate, never under — the property that
+    *     makes pre-filter + exact-verify sound);
+    *   - `fpr_bounded` — the observed false-positive rate on true
+    *     non-members stays within `fprSlack`× the requested rate;
+    *   - `prefilter_shrinks` — the flagged subset is smaller than the
+    *     probe side (the pre-filter actually saves shuffle volume).
+    *
+    * The filter's bit array is an OR of per-item hash sets — insertion
+    * and partition order never change it, so the booleans are
+    * deterministic. Build side aggregates to ONE filter value; the probe
+    * side evaluates `might_contain` map-side against the broadcast
+    * filter — no shuffle touches the probe table. */
+  def bloomMembershipAudit(
+      build: DataFrame, buildKey: String,
+      probe: DataFrame, probeKey: String,
+      expectedItems: Long, fpp: Double,
+      fprSlack: Double = 3.0): DataFrame = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    // classic sizing: m = -n·ln p / ln²2 bits (rounded up to a power of
+    // two so position extraction is a mask, not a division), k = m/n·ln 2
+    val mBits = {
+      val raw = (-expectedItems * math.log(fpp) /
+        (math.log(2) * math.log(2))).ceil.toLong
+      java.lang.Long.highestOneBit(math.max(64L, raw - 1) * 2)
+    }
+    val kHashes = math.min(16,
+      math.max(1, (mBits.toDouble / expectedItems * math.log(2)).round.toInt))
+    // the filter is built from Spark built-ins only: k seeded xxhash64
+    // positions per key, OR-folded into 64-bit words (bit_or aggregate),
+    // packed into ONE map row — commutative/associative all the way, so
+    // partition and insertion order never change a single bit
+    def positions(c: Column): Seq[Column] =
+      (0 until kHashes).map(j => pmod(xxhash64(c, lit(j)), lit(mBits)))
+    val bf = build
+      .select(col(buildKey).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .select(explode(array(positions(col("k")): _*)).as("pos"))
+      .select(shiftright(col("pos"), 6).as("wi"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+          .as("b"))
+      .groupBy(col("wi")).agg(expr("bit_or(b)").as("w"))
+      .agg(map_from_arrays(
+        collect_list(col("wi")), collect_list(col("w"))).as("bf"))
+    def hit(c: Column): Column = positions(c)
+      .map(pos =>
+        coalesce(element_at(col("bf"), shiftright(pos, 6)), lit(0L))
+          .bitwiseAND(call_function("shiftleft", lit(1L),
+            (pos % 64).cast("int"))) =!= 0L)
+      .reduce(_ && _)
+    val truth = build.select(col(buildKey).cast("string").as("k"))
+      .where(col("k").isNotNull).distinct()
+      .withColumn("member", lit(true))
+    val flagged = probe
+      .select(col(probeKey).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .crossJoin(broadcast(bf))
+      .withColumn("hit", hit(col("k")))
+      .join(truth, Seq("k"), "left")
+    val stats = flagged.agg(
+      count(lit(1)).as("n_probe"),
+      count(when(col("member") && !col("hit"), 1)).as("false_neg"),
+      count(when(col("member").isNull, 1)).as("n_nonmember"),
+      count(when(col("member").isNull && col("hit"), 1)).as("false_pos"),
+      count(when(col("hit"), 1)).as("n_flagged")).head()
+    val fpr =
+      if (stats.getAs[Long]("n_nonmember") == 0L) 0.0
+      else stats.getAs[Long]("false_pos").toDouble /
+        stats.getAs[Long]("n_nonmember").toDouble
+    Seq(
+      ("fpr_bounded", fpr <= fpp * fprSlack),
+      ("no_false_negatives", stats.getAs[Long]("false_neg") == 0L),
+      ("prefilter_shrinks",
+        stats.getAs[Long]("n_flagged") < stats.getAs[Long]("n_probe")))
+      .toDF("property", "ok").orderBy("property")
   }
 
   def functionalDependencies(

@@ -502,6 +502,16 @@ class Round7Spec extends AnyFunSuite {
     assert(r.getAs[Double]("dim_utilization") == 0.25)
   }
 
+  test("bloomMembershipAudit: sound pre-filter on a known membership split") {
+    import spark.implicits._
+    val build = (1L to 300L).map(i => s"key_$i").toDF("k")
+    val probe = (1L to 600L).map(i => s"key_$i").toDF("k")
+    val out = graft.profiler.Integrity.bloomMembershipAudit(
+      build, "k", probe, "k", expectedItems = 1000L, fpp = 0.01)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 3 && out.values.forall(identity), out.toString)
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
