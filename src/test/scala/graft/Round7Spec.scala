@@ -512,6 +512,72 @@ class Round7Spec extends AnyFunSuite {
     assert(out.size == 3 && out.values.forall(identity), out.toString)
   }
 
+  test("property: scorePercentile equals Spark's own percent_rank on seeded random frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 5) {
+      val n = 5 + rng.nextInt(40)
+      // coarse scores force tie groups
+      val rows = (1L to n.toLong).map(i =>
+        (i, math.round(rng.nextDouble() * 5) / 5.0))
+      val df = rows.toDF("doc_id", "score")
+      val ours = graft.operators.Ranking
+        .scorePercentile(df, "doc_id", "score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      val ref = df.withColumn("pr",
+        round(percent_rank().over(Window.orderBy("score")), 6))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr")).toMap
+      assert(ours == ref)
+    }
+  }
+
+  test("property: assocRules marginals and bounds on seeded random baskets") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val events = for {
+        u <- 1L to (3 + rng.nextInt(15)).toLong
+        _ <- 1 to (1 + rng.nextInt(5))
+      } yield (u, s"t${rng.nextInt(4)}")
+      val df = events.toDF("user_id", "event_type")
+      val nUsers = events.map(_._1).distinct.size.toDouble
+      val rules = Events.assocRules(df, "user_id", "event_type").collect()
+      for (r <- rules) {
+        val (both, na, nc) = (r.getAs[Long]("n_both"),
+          r.getAs[Long]("n_ante"), r.getAs[Long]("n_cons"))
+        assert(both <= na && both <= nc) // intersection bounds
+        assert(r.getAs[Double]("support") ==
+          math.round(both / nUsers * 1e6) / 1e6)
+        assert(r.getAs[Double]("confidence") <= 1.0)
+        // symmetric support: the reversed rule exists with the same n_both
+        assert(rules.exists(o =>
+          o.getAs[String]("antecedent") == r.getAs[String]("consequent") &&
+            o.getAs[String]("consequent") == r.getAs[String]("antecedent") &&
+            o.getAs[Long]("n_both") == both))
+      }
+    }
+  }
+
+  test("property: sessionStats totals are consistent with the session relation") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val events = for {
+      u <- 1L to 12L
+      i <- 1 to (1 + rng.nextInt(8))
+    } yield (u, rng.nextInt(5000000).toLong * 100, u * 100 + i)
+    val df = events.toDF("user_id", "ts_us", "event_id")
+      .withColumn("event_type", lit("e"))
+    val sessions = Events.sessionize(
+      df, "user_id", "ts_us", "event_id", "event_type", gapUs = 60000000L)
+    val r = Events.sessionStats(sessions, "user_id").head()
+    assert(r.getAs[Long]("n_sessions") == sessions.count())
+    assert(r.getAs[Long]("n_users") == 12L)
+    val meanEvents = r.getAs[Double]("mean_events")
+    assert(meanEvents * r.getAs[Long]("n_sessions") - events.size.toDouble
+      < 0.01 * events.size) // mean * sessions ≈ total events (6-dp round)
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
