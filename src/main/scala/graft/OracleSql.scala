@@ -2516,6 +2516,13 @@ FROM events e JOIN d USING (event_type) ORDER BY event_id"""
   val bloomMembershipAudit: String = allTrue(Seq(
     "fpr_bounded", "no_false_negatives", "prefilter_shrinks"))
 
+  val minhashMergeAudit: String = allTrue(Seq(
+    "docs_preserved", "merge_equals_whole", "partition_independent"))
+
+  val schemaEvolutionAudit: String = allTrue(Seq(
+    "new_values_intact", "old_rows_null_new_col", "rows_preserved",
+    "schema_is_superset"))
+
   /** E142 quality-weighted-sample twin: the sampleBucket hash against
     * round(score·10⁴) — the exact keep decision replayed. */
   val qualityWeightedSample: String = {

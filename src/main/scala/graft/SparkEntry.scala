@@ -669,6 +669,16 @@ object SparkEntry {
     // participation-ratio intrinsic dimensionality (E148)
     "effective_dims" -> ((s, dir) =>
       Similarity.effectiveDims(embeddings(s, dir), "embedding")),
+    // MinHash merge-associativity audit (E150): per-batch signatures
+    // least()-merge into the whole-set signature — incremental dedup
+    // without revisiting earlier batches
+    "minhash_merge_audit" -> ((s, dir) =>
+      Dedup.minhashMergeAudit(documents(s, dir), "doc_id", "text")),
+    // parquet schema-evolution audit (E151): old batches stay readable
+    // as the producer schema grows
+    "schema_evolution_audit" -> ((s, dir) =>
+      graft.sources.FormatRoundtrip.schemaEvolutionAudit(
+        s, s"$dir/documents.parquet")),
     // Bloom pre-filter soundness audit (E149): the shuffle-free semi-join
     // accelerator — membership on content hashes, train side vs all docs
     "bloom_membership_audit" -> ((s, dir) => {
@@ -1855,6 +1865,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dup_graph_degrees" -> OracleSql.dupGraphDegrees,
     "effective_dims" -> OracleSql.effectiveDims,
     "bloom_membership_audit" -> OracleSql.bloomMembershipAudit,
+    "minhash_merge_audit" -> OracleSql.minhashMergeAudit,
+    "schema_evolution_audit" -> OracleSql.schemaEvolutionAudit,
     "interarrival_stats" -> OracleSql.interarrivalStats,
     "hourly_activity" -> OracleSql.hourlyActivity,
     "volume_cusum" -> OracleSql.volumeCusum,

@@ -404,6 +404,59 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
+  /** MinHash merge-associativity audit (E150) — the property that makes
+    * MinHash the INCREMENTAL dedup sketch at 100 TB: a signature is an
+    * elementwise minimum, so per-batch signatures merge by `least()`
+    * without ever revisiting earlier batches' shingles (the E17/E19
+    * mergeable-state story, for resemblance). Splits every document's
+    * shingle set into two disjoint batches by shingle hash, computes
+    * per-batch signatures, merges them (full outer join + null-skipping
+    * `least` — a doc whose shingles all landed in one batch has no row
+    * in the other), and pins:
+    *
+    *   - `merge_equals_whole` — merged signature equals the whole-set
+    *     signature on every component of every document;
+    *   - `docs_preserved` — the merged relation covers exactly the
+    *     whole-set document set;
+    *   - `partition_independent` — recomputing the whole-set signature
+    *     from a differently-partitioned shingle relation changes
+    *     nothing (min is commutative/associative). */
+  def minhashMergeAudit(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = shingles(df, idCol, textCol, n).persist()
+    try {
+      val whole = minhashSignatures(sh, numHashes)
+      val sigA = minhashSignatures(
+        sh.where(pmod(xxhash64(col("shingle")), lit(2)) === 0), numHashes)
+      val sigB = minhashSignatures(
+        sh.where(pmod(xxhash64(col("shingle")), lit(2)) === 1), numHashes)
+      val hs = (0 until numHashes).map(i => s"h$i")
+      val merged = sigA.select(col("id") +: hs.map(h => col(h).as(s"a_$h")): _*)
+        .join(sigB.select(col("id") +: hs.map(h => col(h).as(s"b_$h")): _*),
+          Seq("id"), "full_outer")
+        .select(col("id") +:
+          hs.map(h => least(col(s"a_$h"), col(s"b_$h")).as(h)): _*)
+      val eqAll = hs.map(h => col(s"m_$h") === col(s"w_$h")).reduce(_ && _)
+      val cmp = merged.select(col("id") +: hs.map(h => col(h).as(s"m_$h")): _*)
+        .join(whole.select(col("id") +: hs.map(h => col(h).as(s"w_$h")): _*),
+          Seq("id"), "full_outer")
+      val mismatches = cmp.where(!coalesce(eqAll, lit(false))).count()
+      val docsWhole = whole.count()
+      val docsMerged = merged.count()
+      val reShuffled = minhashSignatures(sh.repartition(7), numHashes)
+      val shuffleDiff = reShuffled.exceptAll(whole).count() +
+        whole.exceptAll(reShuffled).count()
+      Seq(
+        ("docs_preserved", docsMerged == docsWhole),
+        ("merge_equals_whole", mismatches == 0L),
+        ("partition_independent", shuffleDiff == 0L))
+        .toDF("property", "ok").orderBy("property")
+    } finally { sh.unpersist(); () }
+  }
+
   /** Drop bucket keys shared by more than `cap` rows before a bucket
     * self-join: the guard against quadratic blowup on one hot key (mirrors
     * `maxDocFreq` in [[ngramJaccard]]). A boilerplate-heavy corpus where

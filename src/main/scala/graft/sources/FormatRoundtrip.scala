@@ -3,7 +3,7 @@ package graft.sources
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Source-format breadth, driver-visible (R1/R12 family): the reference
   * profiles whatever each Glue table's SerDe yields — parquet, CSV, JSON
@@ -118,6 +118,53 @@ object FormatRoundtrip {
         .write.mode("overwrite").partitionBy(partCol).parquet(out)
       out
     })
+  }
+
+  /** Schema-evolution audit (E151) — a 100 TB dataset is written over
+    * months by producers whose schema GROWS; the reader contract that
+    * keeps old data readable is parquet schema merge: batches written
+    * before a column existed surface it as null, batches after carry
+    * values, and nothing is dropped or re-written. Stages a v1 batch
+    * (subset schema) and a v2 batch (superset) under one root, reads
+    * with `mergeSchema`, and pins:
+    *
+    *   - `rows_preserved` — merged row count = v1 + v2 (no batch lost);
+    *   - `old_rows_null_new_col` — every v1 row reads the new column as
+    *     null, and only those rows do;
+    *   - `new_values_intact` — the new column's values over v2 rows
+    *     round-trip exactly (sum parity);
+    *   - `schema_is_superset` — the merged schema carries all columns.
+    */
+  def schemaEvolutionAudit(
+      spark: SparkSession, sourcePath: String): DataFrame = {
+    import spark.implicits._
+    val src = spark.read.parquet(sourcePath)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val root = s"/tmp/graft_evo_stage/" +
+      java.lang.Long.toHexString(sourcePath.hashCode.toLong)
+    val v1Dir = s"$root/batch=1"
+    val v2Dir = s"$root/batch=2"
+    val v1 = src.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
+    val v2 = src.where(col("doc_id") % 2 =!= 0)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(v1Dir, "_SUCCESS")))
+      v1.write.mode("overwrite").parquet(v1Dir)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(v2Dir, "_SUCCESS")))
+      v2.write.mode("overwrite").parquet(v2Dir)
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(v1Dir, v2Dir)
+    val nV1 = v1.count(); val nV2 = v2.count()
+    val stats = merged.agg(
+      count(lit(1)).as("n"),
+      count(when(col("n_chars").isNull, 1)).as("n_null_new"),
+      sum(col("n_chars")).as("sum_new")).head()
+    val srcSum = v2.agg(sum(col("n_chars"))).head().getLong(0)
+    Seq(
+      ("new_values_intact", stats.getAs[Long]("sum_new") == srcSum),
+      ("old_rows_null_new_col", stats.getAs[Long]("n_null_new") == nV1),
+      ("rows_preserved", stats.getAs[Long]("n") == nV1 + nV2),
+      ("schema_is_superset",
+        merged.columns.toSet == Set("doc_id", "lang", "n_chars")))
+      .toDF("property", "ok").orderBy("property")
   }
 
   /** Partition-pruning audit (E141) — driver-visible evidence that a

@@ -578,6 +578,25 @@ class Round7Spec extends AnyFunSuite {
       < 0.01 * events.size) // mean * sessions ≈ total events (6-dp round)
   }
 
+  test("minhashMergeAudit: least()-merged batch signatures equal the whole-set signature") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma something else entirely here now"),
+      (3L, "short doc") // fewer than n tokens in one half is fine
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.minhashMergeAudit(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 3 && out.values.forall(identity), out.toString)
+  }
+
+  test("schemaEvolutionAudit: merged read preserves rows, nulls and values") {
+    val out = graft.sources.FormatRoundtrip.schemaEvolutionAudit(
+      spark, "/root/testdata/sf0.001/documents.parquet")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 4 && out.values.forall(identity), out.toString)
+  }
+
   test("sessionStats: rollup over sessionize output") {
     import spark.implicits._
     val gap = 30L * 60 * 1000 * 1000
