@@ -140,16 +140,25 @@ object FormatRoundtrip {
     import spark.implicits._
     val src = spark.read.parquet(sourcePath)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-    val root = s"/tmp/graft_evo_stage/" +
-      java.lang.Long.toHexString(sourcePath.hashCode.toLong)
-    val v1Dir = s"$root/batch=1"
-    val v2Dir = s"$root/batch=2"
     val v1 = src.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
     val v2 = src.where(col("doc_id") % 2 =!= 0)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(v1Dir, "_SUCCESS")))
-      v1.write.mode("overwrite").parquet(v1Dir)
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(v2Dir, "_SUCCESS")))
-      v2.write.mode("overwrite").parquet(v2Dir)
+    // route through the atomic staging map: a naive exists-check races
+    // when two suites audit the same source concurrently in one JVM
+    // (computeIfAbsent serializes the two batch writes per source)
+    val key = (s"$sourcePath#evolution", "evolution")
+    Option(staged.get(key)).foreach { d =>
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "batch=2", "_SUCCESS")))
+        staged.remove(key, d)
+    }
+    val root = staged.computeIfAbsent(key, _ => {
+      val r = s"/tmp/graft_evo_stage/" +
+        java.lang.Long.toHexString(sourcePath.hashCode.toLong)
+      v1.write.mode("overwrite").parquet(s"$r/batch=1")
+      v2.write.mode("overwrite").parquet(s"$r/batch=2")
+      r
+    })
+    val v1Dir = s"$root/batch=1"
+    val v2Dir = s"$root/batch=2"
     val merged = spark.read.option("mergeSchema", "true")
       .parquet(v1Dir, v2Dir)
     val nV1 = v1.count(); val nV2 = v2.count()
