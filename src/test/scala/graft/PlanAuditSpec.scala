@@ -345,6 +345,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"\n$p")
   }
 
+  test("row filters reach the parquet scan as PushedFilters (row-group pruning evidence)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(docs.where(col("doc_id") > 100L && col("lang") === "en")
+      .select(col("doc_id")))
+    // both predicates must appear in the scan's pushed list — a filter
+    // evaluated only post-scan reads every row group of 100 TB
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(doc_id".r.findFirstIn(p).isDefined,
+      s"range predicate not pushed:\n$p")
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(lang".r.findFirstIn(p).isDefined,
+      s"equality predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"),
+      s"column pruning lost:\n$p")
+  }
+
   test("table digest: one pass, no joins — only the final aggregate exchanges") {
     val region = spark.read.parquet(s"$dir/region.parquet")
     val p = plan(graft.profiler.Integrity.tableDigest(
