@@ -1999,6 +1999,22 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
 
+  /** E103 approximate-Spearman audit (r8): the KLL-CDF rank path must
+    * land within 0.02 of the exact global-order-window twin on both a
+    * correlated and a near-independent pair, with identical
+    * complete-case counts. */
+  val spearmanAudit: String = allTrue(Seq(
+    "counts_match", "independent_within_bound", "monotone_near_one",
+    "monotone_within_bound", "rho_in_unit", "ties_within_bound"))
+
+  /** E82 approximate grouped-quantiles audit (r8): the per-group KLL
+    * battery must satisfy the per-(group, p) rank bound against the
+    * data, carry the exact twin's group/count relation, and be monotone
+    * in p within every group. */
+  val groupedQuantilesAudit: String = allTrue(Seq(
+    "all_quantiles_within_rank_bound", "groups_and_counts_match_exact",
+    "monotone_within_group"))
+
   /** Misra-Gries guarantees (E91) as an all-true golden oracle — the
     * estimates themselves are partitioning-dependent (no hash oracle,
     * like ApproxCountDistinct), the guarantees are exact. */
@@ -2383,7 +2399,7 @@ FROM s ORDER BY doc_id"""
     """WITH l AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
 r AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
-  CAST(COALESCE(SUM(l.c * r.c), 0) AS BIGINT) AS est_join_rows,
+  CAST(COALESCE(SUM(CAST(l.c AS DECIMAL(38,0)) * r.c), 0) AS DECIMAL(38,0)) AS est_join_rows,
   CAST(COALESCE(MAX(l.c), 0) AS BIGINT) AS max_fanout_left,
   CAST(COALESCE(MAX(r.c), 0) AS BIGINT) AS max_fanout_right
   FROM l JOIN r ON l.k = r.k),
@@ -2538,7 +2554,7 @@ q AS (
     ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
   FROM b)
 SELECT doc_id, score FROM q
-WHERE score IS NOT NULL AND $sampleBucket < CAST(ROUND(score * 10000) AS BIGINT)
+WHERE score IS NOT NULL AND $sampleBucket < LEAST(GREATEST(CAST(ROUND(score * 10000) AS BIGINT), 0), 10000)
 ORDER BY doc_id"""
   }
 

@@ -149,6 +149,48 @@ object SparkEntry {
         lineitem(s, dir),
         Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")))
         .orderBy("col_a", "col_b")),
+    // E103's 100 TB mode (r8): ranks from each column's KLL sketch CDF —
+    // two shuffle-free scans, no global-order window. Approximate by
+    // design → no hash oracle; spearman_audit pins |ρ̂ − ρ| vs the exact
+    // twin on a correlated AND a near-independent pair.
+    "spearman_approx" -> ((s, dir) =>
+      graft.profiler.Correlation.spearmanApprox(
+        lineitem(s, dir),
+        Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")))
+        .orderBy("col_a", "col_b")),
+    "spearman_audit" -> ((s, dir) => {
+      import s.implicits._
+      // three regimes, because the testdata's own column pairs are all
+      // near-independent (|ρ| < 0.01 — they'd pass any rank mapping):
+      // a perfectly monotone pair (exact ρ = 1, the sensitivity check),
+      // a near-independent pair, and a heavy-ties pair (few distinct
+      // values — the regime the mid-rank tie convention exists for)
+      val base = lineitem(s, dir).select(
+        col("l_extendedprice").cast("double").as("v"),
+        log(col("l_extendedprice")).as("lv"),
+        col("l_discount").as("d"), col("l_tax").as("t"),
+        col("l_quantity").as("q"), col("l_linenumber").as("ln"))
+      val pairs = Seq(("v", "lv"), ("d", "t"), ("q", "ln"))
+      def keyed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+      val ap = keyed(graft.profiler.Correlation
+        .spearmanApprox(base, pairs).collect())
+      val ex = keyed(graft.profiler.Correlation
+        .spearman(base, pairs).collect())
+      def diffOk(p: (String, String)) = (ap(p)._2, ex(p)._2) match {
+        case (Some(a), Some(e)) => math.abs(a - e) <= 0.02
+        case (a, e) => a.isEmpty == e.isEmpty
+      }
+      Seq(
+        ("counts_match", pairs.forall(p => ap(p)._1 == ex(p)._1)),
+        ("independent_within_bound", diffOk(pairs(1))),
+        ("monotone_near_one", ap(pairs(0))._2.exists(_ >= 0.98)),
+        ("monotone_within_bound", diffOk(pairs(0))),
+        ("rho_in_unit", ap.values.flatMap(_._2).forall(r => math.abs(r) <= 1.0)),
+        ("ties_within_bound", diffOk(pairs(2))))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // Benford first-digit screen on the price column (E97)
     "benford_digits" -> ((s, dir) =>
       graft.profiler.RobustStats.benfordTest(
@@ -1145,6 +1187,60 @@ object SparkEntry {
         documents(s, dir), "source", "n_chars",
         Seq(0.25, 0.5, 0.75, 0.9, 0.99))
         .orderBy("source")),
+    // E82's 100 TB mode (r8): per-group KLL sketch battery — fixed-size
+    // state per group, estimates extracted distributed. Approximate →
+    // no hash oracle; grouped_quantiles_audit pins the rank bound.
+    "grouped_quantiles_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.groupedQuantilesApprox(
+        documents(s, dir), "source", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("source")),
+    "grouped_quantiles_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val docs = documents(s, dir)
+      val est = graft.profiler.RobustStats.groupedQuantilesApprox(
+        docs, "source", "n_chars", ps)
+      val exact = graft.profiler.RobustStats.groupedQuantiles(
+        docs, "source", "n_chars", ps)
+      // group-relation parity with the exact twin (same groups, same n)
+      val pcols = ps.map(p => s"p${(p * 100).round}")
+      val keyMismatch = est.select("source", "n")
+        .join(exact.select("source", "n"), Seq("source", "n"), "full_outer")
+        .where(col("n").isNull).count()
+      // per-(group, p) rank bound, checked against the DATA (E109/KLL
+      // convention): rank window of the estimate within its group must
+      // cover p ± 3ε. One broadcast join of the metadata-sized estimate
+      // relation + one grouped conditional-count pass.
+      val eps = 3 * 0.0165
+      val joined = docs.select(col("source"), col("n_chars"))
+        .join(broadcast(est.select(
+          col("source") +: pcols.map(c => col(c).as(s"e_$c")): _*)),
+          Seq("source"))
+      val aggs = pcols.flatMap(c => Seq(
+        count(when(col("n_chars") < col(s"e_$c"), 1)).as(s"lt_$c"),
+        count(when(col("n_chars") <= col(s"e_$c"), 1)).as(s"le_$c"))) :+
+        count(col("n_chars")).as("nn")
+      val ranks = joined.groupBy("source").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val allInBound = ranks.forall { r =>
+        val nn = r.getAs[Long]("nn").toDouble
+        ps.zip(pcols).forall { case (p, c) =>
+          r.getAs[Long](s"le_$c") >= (p - eps) * nn &&
+            r.getAs[Long](s"lt_$c") + 1 <= (p + eps) * nn
+        }
+      }
+      // quantile estimates are monotone in p within every group
+      val mono = est.collect().forall { r =>
+        val vs = pcols.map(c => r.getAs[Double](c))
+        vs.zip(vs.tail).forall { case (a, b) => a <= b }
+      }
+      Seq(
+        ("all_quantiles_within_rank_bound", allInBound),
+        ("groups_and_counts_match_exact", keyMismatch == 0L),
+        ("monotone_within_group", mono))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // inferred-type histogram over string-typed landing-zone columns (E81)
     "inferred_types" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet").select(
@@ -1796,6 +1892,7 @@ LEFT JOIN (SELECT epoch_us(ts) // 86400000000 AS day_num, COUNT(*) AS n_events F
       ("l_suppkey", "l_partkey"))),
     "spearman_corr" -> OracleSql.spearman(
       Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax"))),
+    "spearman_audit" -> OracleSql.spearmanAudit,
     // the oracle's relation carries the null INDICATORS directly (the
     // engine derives them via isNull — same 0/1 doubles)
     "null_corr" -> OracleSql.corrSql(
@@ -1942,6 +2039,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "grouped_quantiles" -> OracleSql.groupedQuantiles(
       "source", "n_chars", Seq(0.25, 0.5, 0.75, 0.9, 0.99),
       from = "documents"),
+    "grouped_quantiles_audit" -> OracleSql.groupedQuantilesAudit,
     "segmented_incremental_profile" -> OracleSql.segmentedIncrementalProfile,
     "theils_u" -> OracleSql.theilsU(
       Seq(("o_orderstatus", "o_orderpriority"),

@@ -114,6 +114,51 @@ object KllAggs {
     override def prettyName: String = "graft_kll_merge_agg"
   }
 
+  /** Scalar quantile extraction from a serialized sketch column:
+    * `graft_kll_quantiles(sketch, array(p₁,…,p_k))` → `array<double>`
+    * (null for a null/empty sketch). The distributed half of the
+    * per-GROUP quantile battery (E82's scale mode): after
+    * `groupBy(g).agg(kllSketchAgg(v))` the estimates come out where the
+    * group rows sit — no driver collect, so a 10⁸-group rollup never
+    * funnels sketch bytes through the driver. The probability array
+    * must be a foldable literal; evaluation runs once per GROUP row
+    * (never per data row), so the heapify-per-call cost is off the hot
+    * path by construction. */
+  case class KllQuantilesExpr(left: Expression, right: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    // CodegenFallback is deliberate: evaluated once per GROUP row, never
+    // per data row — see the scaladoc
+    import org.apache.spark.sql.types.ArrayType
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (BinaryType, ArrayType(DoubleType, _)) if right.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "graft_kll_quantiles requires (binary, foldable array<double>)")
+      }
+    @transient private lazy val ps: Array[Double] =
+      right.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toDoubleArray()
+    override protected def nullSafeEval(b: Any, ignored: Any): Any = {
+      val bytes = b.asInstanceOf[Array[Byte]]
+      if (bytes.isEmpty) null
+      else {
+        val sk = sketchOf(bytes)
+        if (sk.isEmpty) null
+        else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ps.map(p => sk.getQuantile(p)))
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): KllQuantilesExpr =
+      copy(left = newLeft, right = newRight)
+    override def prettyName: String = "graft_kll_quantiles"
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_sketch_agg",
@@ -121,6 +166,9 @@ object KllAggs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_kll_merge_agg",
       exprs => KllMergeAgg(exprs(0)).toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_kll_quantiles",
+      exprs => KllQuantilesExpr(exprs(0), exprs(1)), "built-in")
   }
 
   /** Aggregate a double column into a serialized KLL sketch (requires

@@ -120,39 +120,73 @@ object Dedup {
       .select(col("id"), explode(grams).as("shingle")).distinct()
   }
 
+  /** Per-document DISTINCT shingle ARRAYS `(id, sh_arr)` — the map-only
+    * sibling of [[shingles]]: same tokenize + n-gram slice, but the
+    * distinctness that matters (per document) is an `array_distinct`
+    * inside the row, so the relation never shuffles at all. This is the
+    * spine of [[minhashLsh]] (r8): candidate verification intersects
+    * candidate docs' arrays directly ([[verifiedJaccard]]), replacing
+    * three shingle-level pair joins + a size groupBy with two
+    * candidate-sized joins — at tiny sf that removed ~6 sequential
+    * AQE stage materializations (the actual bottleneck: per-stage
+    * scheduling overhead, not data volume), and at scale nothing but
+    * candidate docs' arrays ever shuffles.
+    *
+    * A map-side signature path over these arrays (32 ×
+    * `array_min(transform(...))`) was built and measured 5× SLOWER than
+    * the explode+groupBy aggregation (3.25 s vs 0.63 s at sf0.1):
+    * higher-order lambda expressions are CodegenFallback — evaluated
+    * interpreted per element — so [[minhashSignatures]] keeps the
+    * codegen'd explode+groupBy form. */
+  def shingleArrays(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = col("_toks")
+    val grams = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    ).otherwise(array())
+    graft.profiler.ScanMetrics.spread(df)
+      .select(
+        col(idCol).as("id"),
+        TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+      .select(col("id"), array_distinct(grams).as("sh_arr"))
+  }
+
   /** Shingle-set sizes `(id, n_sh)`. */
   private def shingleSizes(sh: DataFrame): DataFrame =
     sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
 
   /** Exact Jaccard from a pair-candidate relation `(id_a, id_b)` and the
-    * shingle relation: |A∩B| via a shingle join restricted to candidates,
-    * then J = c / (|A| + |B| − c).
+    * per-doc shingle ARRAY relation ([[shingleArrays]]): each side's
+    * array is joined onto the pair and J = |A∩B| / (|A|+|B|−|A∩B|)
+    * falls out of one `array_intersect` per pair — a plain (non-lambda)
+    * collection expression, evaluated where the pair sits.
     *
     * The LSH candidate set is tiny relative to the corpus (pairs that
-    * collided on a band hash), so the big `(id, shingle)` relation is
-    * semi-join-filtered down to candidate docs BEFORE the two pair joins
-    * and the size aggregation — per-id shingle counts are unchanged by an
-    * id filter, and the probe sides shrink from the whole corpus to the
-    * candidate docs (the r6 bench regression: both joins and the sizes
-    * groupBy re-consumed the full shingle relation the signature stage had
-    * already reduced). AQE broadcasts the candidate-id build side. */
-  private def verifiedJaccard(sh: DataFrame, pairs: DataFrame): DataFrame = {
+    * collided on a band hash), so the array relation is
+    * semi-join-filtered down to candidate docs BEFORE the two pair
+    * joins: nothing but candidate docs' arrays ever moves, and AQE
+    * broadcasts the pair side while it is small. This replaced the r7
+    * shingle-level form (two exploded pair joins + intersection groupBy
+    * + two size joins): same exact answer, but six fewer sequential
+    * stage materializations — which, measured, were the query's actual
+    * cost at benchmark sf (stage scheduling, not data). */
+  private def verifiedJaccard(
+      arrays: DataFrame, pairs: DataFrame): DataFrame = {
     val candIds = pairs.select(col("id_a").as("id"))
       .union(pairs.select(col("id_b").as("id"))).distinct()
-    val shc = sh.join(candIds, Seq("id"), "leftsemi")
-    val sizes = shingleSizes(shc)
-    val a = shc.select(col("id").as("id_a"), col("shingle"))
-    val bSide = shc.select(col("id").as("id_b"), col("shingle"))
-    val inter = pairs
-      .join(a, "id_a")
-      .join(bSide, Seq("id_b", "shingle"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+    val ca = arrays.join(candIds, Seq("id"), "leftsemi")
+    pairs
+      .join(ca.select(col("id").as("id_a"), col("sh_arr").as("arr_a")), "id_a")
+      .join(ca.select(col("id").as("id_b"), col("sh_arr").as("arr_b")), "id_b")
+      .withColumn("c", size(array_intersect(col("arr_a"), col("arr_b"))))
       .select(
         col("id_a"), col("id_b"),
-        (col("c").cast("double") / (col("na") + col("nb") - col("c"))).as("jaccard"))
+        (col("c").cast("double") /
+          (size(col("arr_a")) + size(col("arr_b")) - col("c")))
+          .as("jaccard"))
   }
 
   /** Exact n-gram Jaccard near-dup pairs: join documents on shared shingles,
@@ -512,26 +546,37 @@ object Dedup {
       maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sh = shingles(df, idCol, textCol, n).persist()
-    try {
-      val sig = minhashSignatures(sh, numHashes)
-      val bandStructs = (0 until bands).map { bi =>
-        val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
-        struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
-      }
-      val buckets = capHotBuckets(
-        sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-          .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
-        Seq("band", "bh"), maxBandFreq)
-      val candidates = buckets.alias("x")
-        .join(buckets.alias("y"), Seq("band", "bh"))
-        .where(col("x.id") < col("y.id"))
-        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        .distinct()
-      verifiedJaccard(sh, candidates)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .where(col("jaccard") >= threshold)
-    } finally { sh.unpersist(); () }
+    // r8: verification moved to per-doc ARRAY intersection; signatures
+    // KEEP the [[shingles]]-fed groupBy. Both alternatives were built
+    // and measured at sf0.1 before settling here (2-iteration min):
+    //   - map-side signatures (32 × array_min(transform)): 3.25 s vs
+    //     0.63 s — higher-order lambdas evaluate interpreted;
+    //   - signatures from explode(arrays) without the global distinct:
+    //     6.0 s vs 0.63 s — the 32-min aggregation lands in the same
+    //     stage as the interpreted shingle-transform instead of after
+    //     the distinct Exchange's clean codegen'd rows.
+    // The arrays relation feeds ONLY the verify stage (one extra
+    // map-only tokenize pass, ~0.3 s), where it replaces three
+    // shingle-level pair joins + a size groupBy with two
+    // candidate-sized joins (2.99 s → 0.99 s measured).
+    val sh = shingles(df, idCol, textCol, n)
+    val sig = minhashSignatures(sh, numHashes)
+    val bandStructs = (0 until bands).map { bi =>
+      val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val buckets = capHotBuckets(
+      sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
+      Seq("band", "bh"), maxBandFreq)
+    val candidates = buckets.alias("x")
+      .join(buckets.alias("y"), Seq("band", "bh"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    verifiedJaccard(shingleArrays(df, idCol, textCol, n), candidates)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash per document over lowercased whitespace tokens: each

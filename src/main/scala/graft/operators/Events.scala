@@ -658,25 +658,36 @@ object Events {
     * the row total broadcasts back for the share. */
   def jsonKeyProfile(events: DataFrame, jsonCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // a '<row>' sentinel element rides along in every row's key array, so
+    // internal sentinels carry a NUL prefix no real JSON key produced by
+    // a sane producer carries, and — unlike the printable '<row>' marker
+    // this replaced — cannot collide with a genuine top-level key named
+    // '<row>'/'<invalid>' (a collision both swallowed the real key and
+    // inflated n_rows for every other key); the invalid marker is mapped
+    // to its printable form only at output, where a genuine '<invalid>'
+    // key would surface as a SEPARATE row rather than silently merging
+    val RowMark = "\u0000row"
+    val InvalidMark = "\u0000invalid"
+    // a row sentinel element rides along in every row's key array, so
     // the row total falls out of the SAME explode+aggregate pass (a
     // separate count(*) would be a second scan of the table); it is
     // filtered from the output after the window total reads it
     val keys = concat(
-      array(lit("<row>")),
+      array(lit(RowMark)),
       when(col(jsonCol).isNull, array())
         .otherwise(coalesce(json_object_keys(col(jsonCol)),
-          array(lit("<invalid>")))))
+          array(lit(InvalidMark)))))
     events
       .select(explode(keys).as("key"))
       .groupBy(col("key")).agg(count(lit(1)).as("n_present"))
       .withColumn("n_rows",
-        max(when(col("key") === "<row>", col("n_present"))).over(
+        max(when(col("key") === RowMark, col("n_present"))).over(
           Window.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing)))
-      .where(col("key") =!= "<row>")
+      .where(col("key") =!= RowMark)
       .select(
-        col("key"), col("n_present"), col("n_rows"),
+        when(col("key") === InvalidMark, lit("<invalid>"))
+          .otherwise(col("key")).as("key"),
+        col("n_present"), col("n_rows"),
         round(col("n_present").cast(DoubleType) /
           col("n_rows").cast(DoubleType), 6).as("share"))
   }

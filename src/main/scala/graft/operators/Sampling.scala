@@ -52,16 +52,25 @@ object Sampling {
     * partitionings, and AUDITABLE (the oracle replays the exact
     * decision). Null/NaN scores carry no keep-probability and drop.
     *
+    * `scoreCol`'s domain is [0, 1] — a score IS the keep-probability.
+    * Out-of-domain scores clamp to the nearest edge (an explicit
+    * `least/greatest` on the bucket bound, mirrored in the oracle):
+    * > 1 saturates to keep-always, < 0 to drop-always — the probability
+    * semantics extended continuously, never a silent wraparound of the
+    * bucket comparison.
+    *
     * One shuffle-free map-side filter at any scale; `scoreCol` must be
     * engine-portable (6-dp rounded). */
   def qualityWeightedSample(
       df: DataFrame, keyCol: String, scoreCol: String,
       salt: String = "graft"): DataFrame = {
     val score = col(scoreCol)
+    val keepBound = least(
+      greatest(round(score * Buckets).cast("long"), lit(0L)),
+      lit(Buckets))
     df
       .where(score.isNotNull && !isnan(score))
-      .where(hashBucket(col(keyCol), salt) <
-        round(score * Buckets).cast("long"))
+      .where(hashBucket(col(keyCol), salt) < keepBound)
   }
 
   /** Stratified sampling: keep up to `perStratum` rows per stratum, chosen

@@ -184,4 +184,95 @@ object Correlation {
           col("n"), col("corr").as("spearman"))
     }.reduce(_ unionByName _)
   }
+
+  /** KLL-approximate Spearman (E103's 100 TB mode, r8) — the scale path
+    * the exact [[spearman]] documents: exact ranks need a global-order
+    * window (one task sorts the whole column); here ranks come from each
+    * column's KLL sketch CDF instead, so the whole computation is two
+    * shuffle-free full scans regardless of data size:
+    *
+    *   1. ONE wide aggregation builds a pairwise-complete KLL sketch per
+    *      pair side (`k` controls nothing here — sketch accuracy is the
+    *      KLL default, the same sketch E19 ships);
+    *   2. driver-side (metadata-sized: sketch bytes), each sketch is cut
+    *      into `k` interior quantile splits at probabilities i/(k+1) —
+    *      equal splits under a heavy tie mass are KEPT, they encode it;
+    *   3. ONE wide aggregation computes per-pair double Pearson moments
+    *      over per-row mid-rank CDF lookups ([[graft.functions.SortedCdf]]
+    *      — codegen'd binary search, no sort, no window, no shuffle).
+    *
+    * Rank error is sketch ε + grid resolution 1/k; with k = 1024 the
+    * observed |ρ̂ − ρ| on the audit pairs is ≲ 0.01. Approximate by
+    * design → no DuckDB oracle; `spearman_audit` pins the bound against
+    * the exact twin on a correlated AND an independent pair. Output
+    * matches [[spearman]]: `(col_a, col_b, n, spearman)`. */
+  def spearmanApprox(
+      dfIn: DataFrame,
+      pairs: Seq[(String, String)],
+      k: Int = 1024): DataFrame = {
+    require(pairs.nonEmpty, "need at least one column pair")
+    val spark = dfIn.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    graft.functions.SortedCdfOps.register(spark)
+    val df = ScanMetrics.spread(dfIn)
+
+    def completeCase(a: String, b: String)(c: Column): Column =
+      when(col(a).isNotNull && col(b).isNotNull, c)
+
+    // pass 1: pairwise-complete sketches, all pairs in one aggregation
+    val sketchAggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(
+        graft.functions.KllAggs.kllSketchAgg(
+          completeCase(a, b)(col(a).cast(DoubleType))).as(s"ska_$i"),
+        graft.functions.KllAggs.kllSketchAgg(
+          completeCase(a, b)(col(b).cast(DoubleType))).as(s"skb_$i"))
+    }
+    val sketchRow = df.agg(sketchAggs.head, sketchAggs.tail: _*).head()
+    val ps = (1 to k).map(i => i.toDouble / (k + 1))
+    def splitsOf(bytes: Array[Byte]): Option[Seq[Double]] =
+      graft.functions.KllAggs.quantiles(bytes, ps)
+
+    // pass 2: per-pair double Pearson moments over mid-rank lookups
+    val momentAggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      (splitsOf(sketchRow.getAs[Array[Byte]](s"ska_$i")),
+        splitsOf(sketchRow.getAs[Array[Byte]](s"skb_$i"))) match {
+        case (Some(sa), Some(sb)) =>
+          val cc = completeCase(a, b) _
+          val ra = cc(call_function("graft_sorted_cdf",
+            col(a).cast(DoubleType), lit(sa.toArray)))
+          val rb = cc(call_function("graft_sorted_cdf",
+            col(b).cast(DoubleType), lit(sb.toArray)))
+          Seq(
+            count(cc(lit(1))).as(s"n_$i"),
+            sum(ra).as(s"sx_$i"), sum(rb).as(s"sy_$i"),
+            sum(ra * rb).as(s"sxy_$i"),
+            sum(ra * ra).as(s"sxx_$i"), sum(rb * rb).as(s"syy_$i"))
+        case _ => // a side with no complete rows: n is all that's needed
+          Seq(count(completeCase(a, b)(lit(1))).as(s"n_$i"))
+      }
+    }
+    val m = df.agg(momentAggs.head, momentAggs.tail: _*).head()
+
+    val out = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = m.getAs[Long](s"n_$i")
+      val rho: Option[Double] =
+        if (n == 0L || m.schema.fieldNames.forall(_ != s"sx_$i")) None
+        else {
+          val nd = n.toDouble
+          val (sx, sy) = (m.getAs[Double](s"sx_$i"), m.getAs[Double](s"sy_$i"))
+          val cov = nd * m.getAs[Double](s"sxy_$i") - sx * sy
+          val vx = nd * m.getAs[Double](s"sxx_$i") - sx * sx
+          val vy = nd * m.getAs[Double](s"syy_$i") - sy * sy
+          val g = vx * vy
+          if (g > 0) Some(BigDecimal(cov / math.sqrt(g))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        }
+      (a, b, n, rho)
+    }
+    out.toDF("col_a", "col_b", "n", "spearman")
+      .select(col("col_a"), col("col_b"), col("n"),
+        col("spearman").cast(DoubleType).as("spearman"))
+  }
 }

@@ -149,7 +149,10 @@ object Integrity {
     * Scale shape: each side collapses map-side to `(key, count)` — the
     * only shuffles carry one row per distinct key; the overlap join is
     * key-relation × key-relation; null keys are excluded from matching
-    * (SQL join semantics) but counted. Everything is exact BIGINT. */
+    * (SQL join semantics) but counted. Counts are exact BIGINT; the
+    * join-size estimate accumulates in DECIMAL(38,0) (overflow-proof
+    * for any two ≤10¹⁴-row sides — a 64-bit Σ cl·cr wraps on skewed
+    * M:N joins exactly when the warning matters most). */
   def joinCardinality(
       left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String): DataFrame = {
@@ -163,7 +166,14 @@ object Integrity {
       .join(r.select(col("k"), col("c").as("cr")), Seq("k"))
       .agg(
         count(lit(1)).as("matched_keys"),
-        sum(col("cl") * col("cr")).as("est_join_rows"),
+        // DECIMAL(38,0), not BIGINT: Σ cl·cr on a heavily skewed M:N join
+        // at the 100 TB scale this profiles (two hot keys of ~2³² rows
+        // each) silently wraps a 64-bit accumulator — the overflow would
+        // corrupt exactly the "is this join safe" verdict the operator
+        // exists to give; 38 digits bounds the true product of any two
+        // ≤10¹⁴-row sides
+        sum((col("cl") * col("cr")).cast("decimal(38,0)"))
+          .as("est_join_rows"),
         max(col("cl")).as("max_fanout_left"),
         max(col("cr")).as("max_fanout_right"))
     val lt = left.agg(
@@ -178,7 +188,8 @@ object Integrity {
       .select(
         col("n_left"), col("n_right"), col("d_left"), col("d_right"),
         col("matched_keys"),
-        coalesce(col("est_join_rows"), lit(0L)).as("est_join_rows"),
+        coalesce(col("est_join_rows"), lit(0L).cast("decimal(38,0)"))
+          .as("est_join_rows"),
         coalesce(col("max_fanout_left"), lit(0L)).as("max_fanout_left"),
         coalesce(col("max_fanout_right"), lit(0L)).as("max_fanout_right"),
         // relationship ON MATCHED KEYS: a side is "1" iff no matched key

@@ -340,4 +340,35 @@ object RobustStats {
         .as(s"p${(p * 100).round}"))
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** [[groupedQuantiles]]' 100 TB mode (E82, r8) — the documented scale
+    * path made a declared operator: per-group KLL sketches
+    * (graft_kll_sketch_agg, the E19 mergeable state) instead of exact
+    * per-group value buffers, so per-group memory is the fixed ~3 KB
+    * sketch regardless of group size or value cardinality, and the
+    * estimates are extracted WHERE THE GROUP ROWS SIT by the
+    * graft_kll_quantiles scalar (no driver collect — adversarial group
+    * counts never funnel through one node). One groupBy pass, identical
+    * output schema to the exact twin; values are approximate (KLL
+    * ~1.65% rank error) → no hash oracle, `grouped_quantiles_audit`
+    * pins the per-group rank bound against the data and the group/count
+    * parity against the exact twin. */
+  def groupedQuantilesApprox(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "percentiles must be in [0, 1]")
+    graft.functions.KllAggs.register(df.sparkSession)
+    df.groupBy(col(groupCol))
+      .agg(
+        count(col(valueCol)).as("n"),
+        graft.functions.KllAggs.kllSketchAgg(
+          col(valueCol).cast(DoubleType)).as("_sk"))
+      .withColumn("_qs", call_function("graft_kll_quantiles",
+        col("_sk"), lit(ps.toArray)))
+      .select(col(groupCol) +: col("n") +: ps.zipWithIndex.map {
+        case (p, i) =>
+          round(element_at(col("_qs"), i + 1), 6).as(s"p${(p * 100).round}")
+      }: _*)
+  }
 }

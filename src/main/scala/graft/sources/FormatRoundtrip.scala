@@ -28,27 +28,33 @@ object FormatRoundtrip {
 
   private val staged = new ConcurrentHashMap[(String, String), String]()
 
+  /** Content fingerprint of a source directory (xor of file length/mtime
+    * + file count, through the path's own FileSystem). Every staging
+    * cache key AND staging directory name folds this in: a rewritten
+    * source at the same path must not reuse stale staging, and two JVMs
+    * sharing /tmp (concurrent bench + test run) must land in distinct
+    * dirs rather than overwrite each other's batches mid-read. */
+  private def fingerprint(spark: SparkSession, sourcePath: String): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(sourcePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var acc = 0L
+    var nFiles = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      acc ^= st.getLen ^ st.getModificationTime
+      nFiles += 1
+    }
+    acc ^ nFiles
+  }
+
   def roundtrip(
       spark: SparkSession, sourcePath: String, format: String): DataFrame = {
     val src = spark.read.parquet(sourcePath)
-    // cache key carries a fingerprint of the source (xor of file
-    // length/mtime + count, through the path's own FileSystem) — a
-    // rewritten source at the same path must not reuse stale staging,
-    // and an entry whose dir was tmp-cleaned is dropped before reuse
-    // (the StreamingProfile replay-cache contract).
-    val fp = {
-      val hPath = new org.apache.hadoop.fs.Path(sourcePath)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(hPath, true)
-      var acc = 0L
-      var nFiles = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        acc ^= st.getLen ^ st.getModificationTime
-        nFiles += 1
-      }
-      acc ^ nFiles
-    }
+    // see [[fingerprint]]: stale-staging + cross-JVM isolation; an entry
+    // whose dir was tmp-cleaned is dropped before reuse (the
+    // StreamingProfile replay-cache contract).
+    val fp = fingerprint(spark, sourcePath)
     val key = (s"$sourcePath#$fp", format)
     Option(staged.get(key)).foreach { d =>
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
@@ -90,19 +96,7 @@ object FormatRoundtrip {
       spark: SparkSession, sourcePath: String, partCol: String,
       partExpr: org.apache.spark.sql.Column): String = {
     val src = spark.read.parquet(sourcePath)
-    val fp = {
-      val hPath = new org.apache.hadoop.fs.Path(sourcePath)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(hPath, true)
-      var acc = 0L
-      var nFiles = 0L
-      while (it.hasNext) {
-        val st = it.next()
-        acc ^= st.getLen ^ st.getModificationTime
-        nFiles += 1
-      }
-      acc ^ nFiles
-    }
+    val fp = fingerprint(spark, sourcePath)
     val key = (s"$sourcePath#$fp#$partCol", "partitioned")
     Option(staged.get(key)).foreach { d =>
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "_SUCCESS")))
@@ -144,15 +138,20 @@ object FormatRoundtrip {
     val v2 = src.where(col("doc_id") % 2 =!= 0)
     // route through the atomic staging map: a naive exists-check races
     // when two suites audit the same source concurrently in one JVM
-    // (computeIfAbsent serializes the two batch writes per source)
-    val key = (s"$sourcePath#evolution", "evolution")
+    // (computeIfAbsent serializes the two batch writes per source); the
+    // key and dir fold in the [[fingerprint]] so a second JVM benching
+    // the same source lands in its own dir instead of overwriting these
+    // batch dirs mid-read, and hashCode collisions across paths can't
+    // share a dir
+    val fp = fingerprint(spark, sourcePath)
+    val key = (s"$sourcePath#$fp#evolution", "evolution")
     Option(staged.get(key)).foreach { d =>
       if (!java.nio.file.Files.exists(java.nio.file.Paths.get(d, "batch=2", "_SUCCESS")))
         staged.remove(key, d)
     }
     val root = staged.computeIfAbsent(key, _ => {
       val r = s"/tmp/graft_evo_stage/" +
-        java.lang.Long.toHexString(sourcePath.hashCode.toLong)
+        java.lang.Long.toHexString(sourcePath.hashCode.toLong ^ fp)
       v1.write.mode("overwrite").parquet(s"$r/batch=1")
       v2.write.mode("overwrite").parquet(s"$r/batch=2")
       r
