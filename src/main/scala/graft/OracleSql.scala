@@ -2347,6 +2347,27 @@ FROM d JOIN sizes sz ON sz.doc_id = id_sub
 WHERE ROUND(CAST(c AS DOUBLE) / CAST(sz.n AS DOUBLE), 6) >= CAST(0.5 AS DOUBLE)
 ORDER BY id_sub, id_super"""
 
+  /** r8 shared-shingle family rollup twin: each family's full report
+    * (the five standalone oracles, verbatim) reduced to its row count
+    * and DECIMAL(38,6)-quantized score sum — the order-independent
+    * content handle the engine's one-staged-relation run emits. */
+  def dedupFamilyRollup(
+      containment: String, degrees: String, histogram: String,
+      jaccard: String, novelty: String): String = {
+    def one(family: String, inner: String, sumExpr: String) =
+      s"SELECT '$family' AS family, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        s"CAST(ROUND(COALESCE($sumExpr, 0), 6) AS DOUBLE) AS check_sum " +
+        s"FROM ($inner) t"
+    Seq(
+      one("containment", containment, "SUM(CAST(containment AS DECIMAL(38,6)))"),
+      one("degrees", degrees, "SUM(CAST(degree * n_nodes AS DECIMAL(38,6)))"),
+      one("histogram", histogram, "SUM(CAST(n_pairs AS DECIMAL(38,6)))"),
+      one("jaccard", jaccard, "SUM(CAST(jaccard AS DECIMAL(38,6)))"),
+      one("novelty", novelty, "SUM(CAST(novelty AS DECIMAL(38,6)))"))
+      .map(s => s"($s)")
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY family")
+  }
+
   /** E129 novelty twin: the shared distinct-shingle relation joined to
     * its own corpus document frequency; unique = df 1. */
   val ngramNovelty: String =

@@ -424,6 +424,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // r8: the five shingle-family reports (E2/E128/E129/E135/E147) off
+    // ONE staged shingle relation — tokenize once, not five times; each
+    // family reduced to (n_rows, quantized score sum), hash-checked
+    // against the five standalone DuckDB twins
+    "dedup_family_rollup" -> ((s, dir) =>
+      Dedup.shingleFamilyRollup(
+        documents(s, dir), "doc_id", "text", n = 3,
+        jaccardThreshold = 0.5, containThreshold = 0.5, minJaccard = 0.1)),
     // blocklist removal: sources whose hash bucket < 3000 are "blocked";
     // Bloom prefilter routes the clean bulk around the exact anti-join
     "blocklist_filter" -> ((s, dir) => {
@@ -1923,6 +1931,10 @@ FROM orders) ind"""),
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "dedup_family_rollup" -> OracleSql.dedupFamilyRollup(
+      OracleSql.ngramContainment, OracleSql.dupGraphDegrees,
+      OracleSql.jaccardHistogram, OracleSql.dedupNgramJaccard,
+      OracleSql.ngramNovelty),
     "paragraph_dedup" -> OracleSql.paragraphDedup,
     "blocklist_filter" -> OracleSql.blocklistFilter,
     "dedup_clusters" -> OracleSql.dedupClusters,

@@ -204,8 +204,17 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.5,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, n)
+      maxDocFreq: Option[Int] = None): DataFrame =
+    ngramJaccardFrom(shingles(df, idCol, textCol, n), threshold, maxDocFreq)
+
+  /** [[ngramJaccard]] over a prebuilt `(id, shingle)` relation — the
+    * entry [[shingleFamilyRollup]] feeds ONE staged shingle relation
+    * through (r8): every shingle-family operator has a `*From` twin so
+    * a combined run tokenizes the corpus once, not once per report. */
+  private[graft] def ngramJaccardFrom(
+      shAll: DataFrame,
+      threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
     val sizes = shingleSizes(shAll)
     val sh = maxDocFreq match {
       case Some(cap) =>
@@ -249,8 +258,16 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val shAll = shingles(df, idCol, textCol, n)
+      maxDocFreq: Option[Int] = None): DataFrame =
+    ngramContainmentFrom(
+      shingles(df, idCol, textCol, n), threshold, maxDocFreq)
+
+  /** [[ngramContainment]] over a prebuilt shingle relation — see
+    * [[ngramJaccardFrom]]. */
+  private[graft] def ngramContainmentFrom(
+      shAll: DataFrame,
+      threshold: Double,
+      maxDocFreq: Option[Int]): DataFrame = {
     val sizes = shingleSizes(shAll)
     val sh = maxDocFreq match {
       case Some(cap) =>
@@ -297,14 +314,22 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       minJaccard: Double = 0.1,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    ngramJaccard(df, idCol, textCol, n, minJaccard, maxDocFreq)
+      maxDocFreq: Option[Int] = None): DataFrame =
+    jaccardHistogramFrom(
+      shingles(df, idCol, textCol, n), minJaccard, maxDocFreq)
+
+  /** [[jaccardHistogram]] over a prebuilt shingle relation — see
+    * [[ngramJaccardFrom]]. */
+  private[graft] def jaccardHistogramFrom(
+      shAll: DataFrame,
+      minJaccard: Double,
+      maxDocFreq: Option[Int]): DataFrame =
+    ngramJaccardFrom(shAll, minJaccard, maxDocFreq)
       .groupBy(floor(col("jaccard") * 10).cast("long").as("bucket"))
       .agg(
         count(lit(1)).as("n_pairs"),
         round(min(col("jaccard")), 6).as("min_jaccard"),
         round(max(col("jaccard")), 6).as("max_jaccard"))
-  }
 
   /** Per-document n-gram novelty (E129) — what fraction of a document's
     * distinct n-grams exist NOWHERE else in the corpus: the inverse face
@@ -325,8 +350,12 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 3): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      n: Int = 3): DataFrame =
+    ngramNoveltyFrom(shingles(df, idCol, textCol, n))
+
+  /** [[ngramNovelty]] over a prebuilt shingle relation — see
+    * [[ngramJaccardFrom]]. */
+  private[graft] def ngramNoveltyFrom(sh: DataFrame): DataFrame = {
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(freq, "shingle")
       .groupBy(col("id"))
@@ -352,12 +381,80 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = ngramJaccard(df, idCol, textCol, n, threshold)
+      threshold: Double = 0.5): DataFrame =
+    dupGraphDegreesFrom(shingles(df, idCol, textCol, n), threshold)
+
+  /** [[dupGraphDegrees]] over a prebuilt shingle relation — see
+    * [[ngramJaccardFrom]]. */
+  private[graft] def dupGraphDegreesFrom(
+      sh: DataFrame, threshold: Double): DataFrame = {
+    val pairs = ngramJaccardFrom(sh, threshold, None)
     pairs.select(col("id_a").as("id"))
       .unionAll(pairs.select(col("id_b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Shared-shingle dedup family rollup (r8) — the E17 never-rescan
+    * story applied to the dedup suite: E2 (jaccard pairs), E128
+    * (containment), E129 (novelty), E135 (threshold sweep) and E147
+    * (degree histogram) each need the SAME `(id, shingle)` relation,
+    * and a monitoring pipeline that runs them as five separate queries
+    * tokenizes the corpus five times. This entry stages the shingle
+    * relation ONCE (persist + eager materialize — the five consumers
+    * then plan InMemoryTableScans, pinned by PlanAuditSpec), reduces
+    * each report to its metadata-sized summary row, and unpersists
+    * before returning:
+    *
+    *   `(family, n_rows, check_sum)` — check_sum is the family's
+    *   DECIMAL(38,6)-quantized score sum (order-independent, so it
+    *   hash-matches the DuckDB twin cell-for-cell), giving the oracle a
+    *   full-content handle on all five computations in one relation.
+    *
+    * The summaries are computed eagerly (metadata-sized aggregates
+    * only — never row data) so the staged relation's lifetime is
+    * contained inside the call, the audit-entry convention. */
+  def shingleFamilyRollup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      jaccardThreshold: Double = 0.5,
+      containThreshold: Double = 0.8,
+      minJaccard: Double = 0.1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val sh = shingles(df, idCol, textCol, n).persist()
+    try {
+      sh.count() // materialize: downstream plans read the cached relation
+      def summarize(dfx: DataFrame, scoreSum: Column): (Long, Double) = {
+        val r = dfx.agg(
+          count(lit(1)).as("c"),
+          round(coalesce(scoreSum, lit(0).cast(Dec6)), 6)
+            .cast("double").as("s")).head()
+        (r.getLong(0), r.getDouble(1))
+      }
+      Seq(
+        ("containment", summarize(
+          ngramContainmentFrom(sh, containThreshold, None),
+          sum(col("containment").cast(Dec6)))),
+        ("degrees", summarize(
+          dupGraphDegreesFrom(sh, jaccardThreshold),
+          sum((col("degree") * col("n_nodes")).cast(Dec6)))),
+        ("histogram", summarize(
+          jaccardHistogramFrom(sh, minJaccard, None),
+          sum(col("n_pairs").cast(Dec6)))),
+        ("jaccard", summarize(
+          ngramJaccardFrom(sh, jaccardThreshold, None),
+          sum(col("jaccard").cast(Dec6)))),
+        ("novelty", summarize(
+          ngramNoveltyFrom(sh),
+          sum(col("novelty").cast(Dec6)))))
+        .map { case (f, (rows, s)) => (f, rows, s) }
+        .toDF("family", "n_rows", "check_sum")
+        .orderBy("family")
+    } finally { sh.unpersist(); () }
   }
 
   /** Benchmark decontamination: training documents sharing at least

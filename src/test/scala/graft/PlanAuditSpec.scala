@@ -367,4 +367,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"\n$p")
     assert(p.contains("HashAggregate"), s"\n$p")
   }
+
+  test("dedup family rollup: one staged shingle relation feeds all five reports") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // LIVE plan nodes only: the string form prints each cached
+    // relation's BUILD plan under every InMemoryTableScan (its Generate/
+    // parquet-scan text is a display artifact, not executed work), so
+    // the assertions walk the tree and stop at cache boundaries
+    def live(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => live(a.executedPlan)
+      case s: InMemoryTableScanExec => Seq(s)
+      case other => other +: other.children.flatMap(live)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sh = graft.operators.Dedup.shingles(docs, "doc_id", "text", 3).persist()
+    try {
+      sh.count() // the rollup's staging step
+      for ((name, df) <- Seq(
+        "jaccard" -> graft.operators.Dedup.ngramJaccardFrom(sh, 0.5, None),
+        "containment" -> graft.operators.Dedup.ngramContainmentFrom(sh, 0.5, None),
+        "histogram" -> graft.operators.Dedup.jaccardHistogramFrom(sh, 0.1, None),
+        "novelty" -> graft.operators.Dedup.ngramNoveltyFrom(sh),
+        "degrees" -> graft.operators.Dedup.dupGraphDegreesFrom(sh, 0.5))) {
+        val nodes = live(df.queryExecution.executedPlan)
+        val names = nodes.map(_.nodeName)
+        // every family member reads the staged in-memory relation: no
+        // source re-scan, no re-tokenize (Generate = the explode stage)
+        assert(nodes.exists(_.isInstanceOf[InMemoryTableScanExec]),
+          s"$name does not read the staged shingle relation: $names")
+        assert(!names.exists(_.contains("Scan parquet")),
+          s"$name re-derives the shingle relation from the source scan: $names")
+        assert(!names.exists(_.contains("Generate")),
+          s"$name re-tokenizes (explode stage crept back in): $names")
+      }
+    } finally { sh.unpersist(); () }
+  }
 }
