@@ -313,7 +313,8 @@ object CorpusStats {
     * extreme group counts: the E29 two-phase prefix sum), integer sums
     * (token counts) to the final double division. */
   def giniConcentration(
-      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+      df: DataFrame, groupCol: String, textCol: String,
+      maxGroups: Long = WindowGuard.MaxWindowCells): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions
     val text = col(textCol)
@@ -323,8 +324,16 @@ object CorpusStats {
           .otherwise(TextFunctions.wsTokenCount(text)).as("nt"))
       .groupBy("g").agg(sum("nt").as("x"))
     val i = row_number().over(Window.orderBy(col("x").asc, col("g").asc))
+    // group-sized BY CONTRACT (domains/languages); ENFORCED
+    // (WindowGuard): a key-like group column would silently single-task
+    // the rank window — beyond the bound, route through the E29
+    // two-phase prefix sum documented above
+    val nGroups = count(lit(1)).over(Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing))
     totals
-      .select(col("x"), (i.cast("long") * col("x")).as("ix"))
+      .select(col("x"),
+        WindowGuard.guarded((i.cast("long") * col("x")), nGroups,
+          maxGroups, "CorpusStats.giniConcentration").as("ix"))
       .agg(
         count(lit(1)).as("n_groups"),
         sum("x").cast("long").as("total_tokens"),

@@ -33,7 +33,8 @@ object Ranking {
     * convention). Single-row corpus ⇒ percentile 0 (the SQL
     * PERCENT_RANK convention). */
   def scorePercentile(
-      df: DataFrame, idCol: String, scoreCol: String): DataFrame = {
+      df: DataFrame, idCol: String, scoreCol: String,
+      maxCells: Long = WindowGuard.MaxWindowCells): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = df
       .select(col(idCol), col(scoreCol).as("score"))
@@ -41,15 +42,21 @@ object Ranking {
     val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
     // cum_before = #docs strictly below this score: the running sum over
     // the distinct-score relation, shifted by one row
-    val w = Window.orderBy(col("score"))
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranked = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n_total", sum(col("c")).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("cum", sum(col("c")).over(wRun))
+      .withColumn("n_total", sum(col("c")).over(full))
+      // the 6-dp contract bounds this relation at ≤10⁶+1 cells; ENFORCED
+      // (WindowGuard): un-rounded scores would silently turn the window
+      // into a single task over the corpus
+      .withColumn("n_cells", count(lit(1)).over(full))
       .select(
         col("score"),
-        (col("cum") - col("c")).as("below"),
+        WindowGuard.guarded(col("cum") - col("c"), col("n_cells"),
+          maxCells, "Ranking.scorePercentile").as("below"),
         col("n_total"))
     scored
       .join(ranked, Seq("score"))

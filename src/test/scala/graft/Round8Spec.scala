@@ -77,6 +77,32 @@ class Round8Spec extends AnyFunSuite {
     for ((k, j) <- got) assert(exact(k) == j)
   }
 
+  test("WindowGuard: oversize window input kills the query loudly, values unchanged below bound") {
+    import spark.implicits._
+    def guardFires(f: => Unit): Boolean = try { f; false } catch {
+      case t: Throwable =>
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).exists(e =>
+          Option(e.getMessage).exists(_.contains("metadata-sized")))
+    }
+    // 200 distinct scores against a bound of 100: the histogram window
+    // stage itself must raise (no silent single-task data window)
+    val many = spark.range(200).select(
+      col("id").as("doc_id"), (col("id").cast("double") / 1000).as("score"))
+    assert(guardFires(graft.operators.Ranking
+      .scorePercentile(many, "doc_id", "score", maxCells = 100).collect()))
+    // same relation under the bound: untouched values, guard is a no-op
+    assert(graft.operators.Ranking
+      .scorePercentile(many, "doc_id", "score").count() == 200)
+    // gini: 50 groups against a bound of 10
+    val docs = spark.range(50).select(
+      col("id").cast("string").as("g"), lit("a b c").as("text"))
+    assert(guardFires(graft.operators.CorpusStats
+      .giniConcentration(docs, "g", "text", maxGroups = 10).collect()))
+    assert(graft.operators.CorpusStats
+      .giniConcentration(docs, "g", "text").head()
+      .getAs[Long]("n_groups") == 50)
+  }
+
   test("qualityWeightedSample: out-of-domain scores clamp, not wrap") {
     import spark.implicits._
     val df = Seq(
