@@ -1,0 +1,16 @@
+#!/bin/bash
+# Run a graft main class with plain `java` (same JVM flags sbt's forked
+# run uses) — avoids the sbt target-lock so a bench can run while sbt
+# compiles/tests elsewhere. Usage: tools/runmain.sh graft.Bench [args...]
+CLASS=$1; shift
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$CLASS" "$@"
