@@ -2139,6 +2139,16 @@ FROM agg ORDER BY fd"""
   val annLshAudit: String =
     allTrue(Seq("cos_exact_recompute", "rank_dominance", "ranks_in_bruteforce"))
 
+  /** E114 approx audit: per numeric column, the sketch median/MAD land
+    * at exact rank 0.5±3ε and the CDF-lookup tail counts stay within
+    * 3ε·n of exact counts below/above the same fences. */
+  val madOutliersAudit: String = {
+    val rows = Lineitem.numeric.map(c => s"('$c', true, true, true, true)")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(instance, med_rank_ok, mad_rank_ok, below_ok, above_ok) " +
+      "ORDER BY instance"
+  }
+
   /** KLL rank-interval audit rows mirror approxErrorAudit' shape: one
     * boolean per (numeric column, quantile). */
   val kllRankAudit: String = {
@@ -2420,7 +2430,7 @@ FROM s ORDER BY doc_id"""
     """WITH l AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
 r AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
 m AS (SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
-  CAST(COALESCE(SUM(CAST(l.c AS DECIMAL(38,0)) * r.c), 0) AS DECIMAL(38,0)) AS est_join_rows,
+  CAST(COALESCE(SUM(CAST(l.c AS DECIMAL(38,0)) * r.c), 0) AS DOUBLE) AS est_join_rows,
   CAST(COALESCE(MAX(l.c), 0) AS BIGINT) AS max_fanout_left,
   CAST(COALESCE(MAX(r.c), 0) AS BIGINT) AS max_fanout_right
   FROM l JOIN r ON l.k = r.k),

@@ -226,6 +226,61 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance")),
+    // E114's 100 TB path (r9): two KLL sketch scans, tail counts as
+    // CDF lookups on the pass-1 sketch — no third pass; randomized
+    // compaction → rows-only, bounds pinned by mad_outliers_audit
+    "mad_outliers_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.madOutliersApprox(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
+    "mad_outliers_audit" -> ((s, dir) => {
+      import s.implicits._
+      val cols = OracleSql.Lineitem.numeric
+      val li = lineitem(s, dir).select(cols.map(col): _*)
+      val approx = graft.profiler.RobustStats
+        .madOutliersApprox(li, cols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // one wide exact pass with every approx estimate inlined: lower/
+      // upper ranks of the sketch median and MAD (tie-safe interval),
+      // exact tail counts below/above the APPROX fences
+      val aggs = cols.flatMap { c =>
+        val r = approx(c)
+        val (m, mad, lo, hi) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))
+        val x = col(c).cast("double")
+        val d = abs(x - lit(m))
+        Seq(
+          count(x).as(s"n_$c"),
+          count(when(x < m, 1)).as(s"mlt_$c"),
+          count(when(x <= m, 1)).as(s"mle_$c"),
+          count(when(d < mad, 1)).as(s"dlt_$c"),
+          count(when(d <= mad, 1)).as(s"dle_$c"),
+          count(when(x < lo, 1)).as(s"blo_$c"),
+          count(when(x > hi, 1)).as(s"ahi_$c"))
+      }
+      val e = li.agg(aggs.head, aggs.tail: _*).head()
+      def g(n: String) = e.getAs[Long](n)
+      cols.map { c =>
+        val r = approx(c)
+        val n = g(s"n_$c").toDouble
+        val eps = r.getDouble(7)
+        val slack = 3.0 * eps
+        // the sketch median/MAD must be a true value at rank 0.5±3eps:
+        // with ties the exact rank is the [P(x<v), P(x<=v)] interval,
+        // which must overlap [0.5-slack, 0.5+slack]
+        def rankOk(ltKey: String, leKey: String): Boolean =
+          g(ltKey) / n <= 0.5 + slack && g(leKey) / n >= 0.5 - slack
+        val cntSlack = slack * n + 1
+        (c,
+          rankOk(s"mlt_$c", s"mle_$c"),
+          rankOk(s"dlt_$c", s"dle_$c"),
+          math.abs(g(s"blo_$c") - r.getLong(5)) <= cntSlack,
+          math.abs(g(s"ahi_$c") - r.getLong(6)) <= cntSlack)
+      }.toDF("instance", "med_rank_ok", "mad_rank_ok",
+        "below_ok", "above_ok")
+        .orderBy("instance")
+    }),
     // §2.A frequency battery (F1-F5)
     "count_distinct" -> metricQuery(Set("count_distinct")),
     "entropy" -> metricQuery(Set("entropy")),
@@ -1872,6 +1927,7 @@ object SparkEntry {
     "winsorized_stats" -> OracleSql.winsorizedStats,
     "iqr_outliers" -> OracleSql.iqrOutliers,
     "mad_outliers" -> OracleSql.madOutliers,
+    "mad_outliers_audit" -> OracleSql.madOutliersAudit,
     "range_join_bands" ->
       """WITH bands AS (
   SELECT i AS band_id, i * CAST(1350.0 AS DOUBLE) AS lo, i * CAST(1650.0 AS DOUBLE) AS hi

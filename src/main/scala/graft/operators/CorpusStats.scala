@@ -208,6 +208,11 @@ object CorpusStats {
         graft.functions.TextFunctions.wsTokens(lower(col(textCol))))
         .as("token"))
       .groupBy("token").agg(count(lit(1)).as("freq"))
+      // the rank window below is bounded STRUCTURALLY, not by contract:
+      // orderBy+limit plans as TakeOrderedAndProject (per-partition
+      // top-K + a K-row driver merge, never a global sort), so the
+      // window input is ≤ topK rows at any corpus size — no WindowGuard
+      // needed; PlanAuditSpec pins the TakeOrdered shape
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topK)
     val ranked = freqs.select(

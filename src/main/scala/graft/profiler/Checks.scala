@@ -332,7 +332,9 @@ object Checks {
   def ksDrift(
       before: org.apache.spark.sql.DataFrame,
       after: org.apache.spark.sql.DataFrame,
-      valueCol: String): org.apache.spark.sql.DataFrame = {
+      valueCol: String,
+      maxValues: Long = graft.operators.WindowGuard.MaxWindowCells)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
@@ -347,7 +349,15 @@ object Checks {
         count(when(col("side") === 1, 1)).as("cb"))
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    m.withColumn("cca", sum("ca").over(w))
+    // the cumulative window's input is the DISTINCT-VALUE relation —
+    // bounded for the categorical/rounded columns this exact form is
+    // for, but a continuous column at scale would silently single-task
+    // it; ENFORCED (WindowGuard): beyond the bound, use ksDriftApprox
+    // (E109), whose sketches never materialize the value domain
+    val nv = count(lit(1)).over(Window.partitionBy())
+    m.withColumn("cca",
+        graft.operators.WindowGuard.guarded(sum("ca").over(w), nv,
+          maxValues, "Checks.ksDrift"))
       .withColumn("ccb", sum("cb").over(w))
       .withColumn("na", sum("ca").over(Window.partitionBy()))
       .withColumn("nb", sum("cb").over(Window.partitionBy()))

@@ -188,8 +188,15 @@ object Integrity {
       .select(
         col("n_left"), col("n_right"), col("d_left"), col("d_right"),
         col("matched_keys"),
+        // final rendering is DOUBLE on purpose: the DECIMAL(38,0)
+        // accumulator above is what guards the sum against 64-bit wrap,
+        // but engines disagree on how an over-wide decimal PRINTS
+        // (DuckDB widens the 38×19-digit product to DOUBLE → "60000.0",
+        // Spark keeps decimal → "60000"), and a cardinality ESTIMATE
+        // needs ~15 significant digits, not 38 — so both this select
+        // and the oracle emit the same IEEE double
         coalesce(col("est_join_rows"), lit(0L).cast("decimal(38,0)"))
-          .as("est_join_rows"),
+          .cast("double").as("est_join_rows"),
         coalesce(col("max_fanout_left"), lit(0L)).as("max_fanout_left"),
         coalesce(col("max_fanout_right"), lit(0L)).as("max_fanout_right"),
         // relationship ON MATCHED KEYS: a side is "1" iff no matched key

@@ -262,6 +262,84 @@ object RobustStats {
         col("n_below"), col("n_above"))
   }
 
+  /** KLL-approximate MAD outlier screen — [[madOutliers]]'s 100 TB
+    * execution (the E98→E109 precedent applied to the last exact-only
+    * robust-stats battery): the exact form pays THREE full passes
+    * (median, MAD, fence counts), each a percentile aggregation whose
+    * final merge materializes per-column value sets. This form pays
+    * TWO map-side-mergeable sketch scans and NO third pass at all:
+    *
+    *  1. one scan sketching each column's values (KLL) + non-null n;
+    *  2. one scan sketching |x − m̂| with the sketch-median m̂ inlined
+    *     (MAD's second quantile inherently depends on the first — the
+    *     same two-round structure the exact form has, minus a pass);
+    *  3. the outlier tails come FROM THE PASS-1 SKETCH as rank queries
+    *     (n·rank(lo⁻), n·(1 − rank(hi))) — counting below/above a known
+    *     fence is exactly the CDF lookup a quantile sketch answers, so
+    *     the exact form's whole third scan disappears.
+    *
+    * Everything on the wire is k-bounded sketch bytes; the collect is
+    * the R14 metadata-sized kind. Error: each reported number is off by
+    * at most the sketch's normalized rank error ε (reported as
+    * `rank_eps`, 99% confidence) in RANK space — medians/MADs are true
+    * values at rank 0.5 ± ε, tail counts are within ε·n. KLL compaction
+    * is randomized → no hash oracle; `mad_outliers_audit` pins every
+    * bound against the exact twin. Schema mirrors [[madOutliers]]
+    * (+ rank_eps); all-null columns yield null stats and zero counts. */
+  def madOutliersApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "madOutliersApprox needs at least one column")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    val src = ScanMetrics.spread(df)
+    def sketchPass(exprs: Seq[(String, Column)]): Map[String, (KllDoublesSketch, Long)] = {
+      val aggs = exprs.flatMap { case (name, e) => Seq(
+        graft.functions.KllAggs.kllSketchAgg(e).as(s"k_$name"),
+        count(e).as(s"n_$name")) }
+      val row = src.agg(aggs.head, aggs.tail: _*).head()
+      exprs.map { case (name, _) =>
+        name -> ((
+          KllDoublesSketch.heapify(
+            Memory.wrap(row.getAs[Array[Byte]](s"k_$name"))),
+          row.getAs[Long](s"n_$name"))) }.toMap
+    }
+    val inc = QuantileSearchCriteria.INCLUSIVE
+    val exc = QuantileSearchCriteria.EXCLUSIVE
+    val xs = sketchPass(cols.map(c => c -> col(c).cast(DoubleType)))
+    val med: Map[String, Option[Double]] = cols.map { c =>
+      val (sk, n) = xs(c)
+      c -> (if (n == 0L) None else Some(sk.getQuantile(0.5, inc)))
+    }.toMap
+    val devCols = cols.flatMap(c => med(c).map(m =>
+      c -> abs(col(c).cast(DoubleType) - lit(m))))
+    val devs =
+      if (devCols.isEmpty) Map.empty[String, (KllDoublesSketch, Long)]
+      else sketchPass(devCols)
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    cols.map { c =>
+      val (sk, n) = xs(c)
+      (med(c), devs.get(c)) match {
+        case (Some(m), Some((dsk, _))) =>
+          val mad = dsk.getQuantile(0.5, inc)
+          val (lo, hi) = (m - 3.0 * mad, m + 3.0 * mad)
+          // tail counts as CDF lookups on the pass-1 sketch: EXCLUSIVE
+          // rank = P(x < lo), INCLUSIVE rank = P(x <= hi)
+          val nBelow = math.round(n * sk.getRank(lo, exc))
+          val nAbove = n - math.round(n * sk.getRank(hi, inc))
+          (c, Option(r6(m)), Option(r6(mad)), Option(r6(lo)), Option(r6(hi)),
+            nBelow, nAbove, Option(r6(sk.getNormalizedRankError(false))))
+        case _ =>
+          (c, Option.empty[Double], Option.empty[Double],
+            Option.empty[Double], Option.empty[Double], 0L, 0L,
+            Option.empty[Double])
+      }
+    }.toDF("instance", "median", "mad", "fence_lo", "fence_hi",
+      "n_below", "n_above", "rank_eps")
+  }
+
   /** Benford first-significant-digit test (E97) — the classic
     * fabricated/synthetic-numbers screen: naturally-occurring magnitudes
     * spread across orders of magnitude follow P(d) = log10(1 + 1/d);

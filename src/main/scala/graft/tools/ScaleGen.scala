@@ -17,16 +17,32 @@ import org.apache.spark.sql.functions._
   *    4 rows per key at sf0.1 still hits 4 at sf1);
   *  - `nation`/`region` stay as-is (dimension semantics — broadcast side
   *    stays broadcast-sized at any sf, as it would at 100 TB);
-  *  - `documents.text` gets a copy-salt token injected between words so
-  *    the K copies are NOT cross-copy near-duplicates: each copy behaves
-  *    like an independent sf0.1 corpus, keeping shingle/MinHash workload
-  *    linear in K instead of manufacturing artificial K-sized dup
-  *    clusters that no organic corpus would have;
+  *  - `documents.text` gets a copy-salt SUFFIX on every 3rd whitespace
+  *    token (r9; was an inserted token on every space, which doubled the
+  *    token count and tripled char length — ADVICE r8): suffixing keeps
+  *    the per-copy token count IDENTICAL to the original and char length
+  *    within ~5%, while still guaranteeing every 3-token shingle (the
+  *    n=3 the dedup family uses) contains a copy-specific token — so
+  *    cross-copy shingle overlap is exactly zero and each copy behaves
+  *    like an independent sf0.1 corpus: shingle/MinHash workload is
+  *    linear in K, with no artificial K-sized dup clusters. `n_chars` is
+  *    recomputed as `length(text)` on salted copies so length-derived
+  *    stats stay consistent with the stored column;
   *  - `events` keeps the time range and shifts `user_id`/`event_id`:
   *    volume grows K× over the same period (more users, same window) —
   *    the realistic shape for sessionization/watermark work;
-  *  - `embeddings` shifts `vec_id` only; identical vectors across copies
-  *    leave top-k and threshold-pair workloads linear in K.
+  *  - `embeddings` shifts `vec_id` and ROTATES each copy's vector by the
+  *    copy index (r9; identical vectors across copies landed every copy
+  *    of a vector in the same LSH bucket, growing bucket self-join
+  *    candidates ~K² and putting a cos=1.0 cross-copy pair at the top of
+  *    every top-k list — ADVICE r8): rotation preserves the norm exactly
+  *    and decorrelates a copy from its original (cosine ≈ the inner
+  *    product of a vector with a shifted version of itself, far below
+  *    any near-dup threshold), so threshold-pair workloads stay linear
+  *    in K. Note the brute-force top-k workload is |Q|×N by definition
+  *    and |Q| (`vec_id % 97`) grows K-fold with the corpus — quadratic
+  *    growth THERE is the workload's shape, not an engine artifact; the
+  *    growth table calls this out rather than normalizing it away.
   */
 object ScaleGen {
   private def stride(df: DataFrame, key: String): Long =
@@ -49,17 +65,32 @@ object ScaleGen {
     def read(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 
     def replicate(df: DataFrame, shifts: Map[String, Long],
-                  saltText: Option[String] = None): DataFrame = {
+                  saltText: Option[String] = None,
+                  rotateVec: Option[String] = None): DataFrame = {
       val copies = (0 until k).map { i =>
         val shifted = shifts.foldLeft(df) { case (d, (c, s)) =>
           d.withColumn(c, col(c) + lit(i.toLong * s)) }
-        saltText.fold(shifted) { tc =>
-          // inject a copy-specific token between words so cross-copy
-          // shingle overlap vanishes (copy 0 keeps the original text so
-          // sf0.1-verified answers remain a subset)
+        val salted = saltText.fold(shifted) { tc =>
+          // suffix every 3rd whitespace token with a copy marker: token
+          // count unchanged, every 3-shingle carries the marker, so
+          // cross-copy shingle overlap is zero (copy 0 keeps the
+          // original text so sf0.1-verified answers remain a subset);
+          // n_chars tracks the ~+1 char/3 tokens the suffix adds
           if (i == 0) shifted
-          else shifted.withColumn(
-            tc, regexp_replace(col(tc), " ", s" c$i "))
+          else shifted
+            .withColumn(tc,
+              regexp_replace(col(tc), "((\\S+ ){2}\\S+)", "$1c" + i))
+            .withColumn("n_chars", length(col(tc)))
+        }
+        rotateVec.fold(salted) { vc =>
+          // rotate copy i's vector left by i positions (dim 64 >> K, so
+          // no modular wrap needed): norm-preserving, decorrelates the
+          // copy from its original so LSH buckets and near-dup pairs
+          // don't collapse all K copies onto one key
+          if (i == 0) salted
+          else salted.withColumn(vc, concat(
+            slice(col(vc), lit(i + 1), size(col(vc)) - lit(i)),
+            slice(col(vc), lit(1), lit(i))))
         }
       }
       copies.reduce(_ unionAll _)
@@ -93,7 +124,8 @@ object ScaleGen {
       Map("doc_id" -> stride(documents, "doc_id")),
       saltText = Some("text")), "documents")
     write(replicate(embeddings,
-      Map("vec_id" -> stride(embeddings, "vec_id"))), "embeddings")
+      Map("vec_id" -> stride(embeddings, "vec_id")),
+      rotateVec = Some("embedding")), "embeddings")
     write(replicate(events, Map(
       "event_id" -> stride(events, "event_id"),
       "user_id" -> stride(events, "user_id"))), "events")

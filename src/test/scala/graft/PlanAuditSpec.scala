@@ -368,6 +368,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"\n$p")
   }
 
+  test("ks drift: the size guard rides inside the cumulative window stage") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").cast("double").as("v"))
+    val p = plan(graft.profiler.Checks.ksDrift(ev, ev, "v"))
+    // the metadata-sized invariant is ENFORCED in-stage (WindowGuard):
+    // the guard term lives in the window projection — no extra pass, no
+    // driver-side count, survives column pruning (Catalyst rewrites
+    // assert_true to `if(cond) null else raise_error(...)`)
+    assert(p.contains("raise_error") && p.contains("Checks.ksDrift"),
+      s"window size guard missing:\n$p")
+  }
+
   test("dedup family rollup: one staged shingle relation feeds all five reports") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -53,7 +53,12 @@ def main():
                 b_nan = b is None or (isinstance(b, float) and math.isnan(b))
                 if a_nan and b_nan:
                     continue
-                if a_nan != b_nan or a != b:
+                # driver semantics: the gate hashes STRINGIFIED cells, so
+                # Decimal('60000') vs 60000.0 must FAIL here even though
+                # Python == says they're equal — compare renderings, not
+                # values (this is how the r8 join_cardinality red slipped
+                # past the old `a != b` check)
+                if a_nan != b_nan or str(a) != str(b):
                     bad.append((col, i, a, b))
         if bad:
             print(f"FAIL {name}: {len(bad)} cell diffs; first 5:")
