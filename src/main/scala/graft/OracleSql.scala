@@ -2149,6 +2149,22 @@ FROM agg ORDER BY fd"""
       "ORDER BY instance"
   }
 
+  /** E96 approx audit: sketch quartiles at exact rank 0.25/0.75 ± 3ε,
+    * CDF-lookup tail counts within 3ε·n of exact at the same fences. */
+  val iqrOutliersAudit: String = {
+    val rows = Lineitem.numeric.map(c => s"('$c', true, true, true, true)")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(instance, q1_rank_ok, q3_rank_ok, below_ok, above_ok) " +
+      "ORDER BY instance"
+  }
+
+  /** E70 approx audit: each sketch clip bound at its target rank ± 3ε. */
+  val winsorizedStatsAudit: String = {
+    val rows = Lineitem.numeric.map(c => s"('$c', true, true)")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(instance, lo_rank_ok, hi_rank_ok) ORDER BY instance"
+  }
+
   /** KLL rank-interval audit rows mirror approxErrorAudit' shape: one
     * boolean per (numeric column, quantile). */
   val kllRankAudit: String = {

@@ -71,6 +71,50 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance", "name")),
+    // E70's 100 TB path (r9): KLL bounds pass (fixed-size mergeable
+    // state, never a value-map percentile aggregate) + the UNCHANGED
+    // exact decSum clipped-moment pass — the only approximation is where
+    // the clip bounds land; rows-only, pinned by winsorized_stats_audit
+    "winsorized_stats_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.winsorizedStatsApprox(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance", "name")),
+    "winsorized_stats_audit" -> ((s, dir) => {
+      import s.implicits._
+      val cols = OracleSql.Lineitem.numeric
+      val li = lineitem(s, dir).select(cols.map(col): _*)
+      val approx = graft.profiler.RobustStats
+        .winsorizedStatsApprox(li, cols).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // interval-based boundary logic (see mad_outliers_audit): each
+      // sketch bound must be a true value whose exact tie-interval
+      // [P(x<v), P(x<=v)] overlaps its target rank +/- 3eps
+      val tol = 1e-5
+      val aggs = cols.flatMap { c =>
+        val lo = approx((c, "WinsorizedLow-0.01"))
+        val hi = approx((c, "WinsorizedHigh-0.99"))
+        val x = col(c).cast("double")
+        Seq(
+          count(x).as(s"n_$c"),
+          count(when(x < lo - tol, 1)).as(s"lolt_$c"),
+          count(when(x <= lo + tol, 1)).as(s"lole_$c"),
+          count(when(x < hi - tol, 1)).as(s"hilt_$c"),
+          count(when(x <= hi + tol, 1)).as(s"hile_$c"))
+      }
+      val e = li.agg(aggs.head, aggs.tail: _*).head()
+      def g(n: String) = e.getAs[Long](n)
+      cols.map { c =>
+        val n = g(s"n_$c").toDouble
+        val slack = 3.0 * approx((c, "WinsorizedRankEps"))
+        def rankOk(p: Double, ltKey: String, leKey: String): Boolean =
+          g(ltKey) / n <= p + slack && g(leKey) / n >= p - slack
+        (c,
+          rankOk(0.01, s"lolt_$c", s"lole_$c"),
+          rankOk(0.99, s"hilt_$c", s"hile_$c"))
+      }.toDF("instance", "lo_rank_ok", "hi_rank_ok")
+        .orderBy("instance")
+    }),
     // exact two-sample KS drift between the even/odd-order halves (E98)
     "ks_drift" -> ((s, dir) => {
       val li = lineitem(s, dir)
@@ -202,6 +246,62 @@ object SparkEntry {
         lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
         OracleSql.Lineitem.numeric)
         .orderBy("instance")),
+    // E96's 100 TB path (r9): ONE KLL sketch scan — quartiles from the
+    // sketch, tail counts as CDF rank lookups on the same sketch (no
+    // second pass at all); rows-only, pinned by iqr_outliers_audit
+    "iqr_outliers_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.iqrOutliersApprox(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
+    "iqr_outliers_audit" -> ((s, dir) => {
+      import s.implicits._
+      val cols = OracleSql.Lineitem.numeric
+      val li = lineitem(s, dir).select(cols.map(col): _*)
+      val approx = graft.profiler.RobustStats
+        .iqrOutliersApprox(li, cols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // interval-based boundary logic — see mad_outliers_audit's note on
+      // tie atoms sitting exactly on a rounded fence
+      val tol = 1e-5
+      val aggs = cols.flatMap { c =>
+        val r = approx(c)
+        val (q1, q3, lo, hi) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))
+        val x = col(c).cast("double")
+        Seq(
+          count(x).as(s"n_$c"),
+          count(when(x < q1 - tol, 1)).as(s"q1lt_$c"),
+          count(when(x <= q1 + tol, 1)).as(s"q1le_$c"),
+          count(when(x < q3 - tol, 1)).as(s"q3lt_$c"),
+          count(when(x <= q3 + tol, 1)).as(s"q3le_$c"),
+          count(when(x < lo - tol, 1)).as(s"blomin_$c"),
+          count(when(x <= lo + tol, 1)).as(s"blomax_$c"),
+          count(when(x > hi + tol, 1)).as(s"ahimin_$c"),
+          count(when(x >= hi - tol, 1)).as(s"ahimax_$c"))
+      }
+      val e = li.agg(aggs.head, aggs.tail: _*).head()
+      def g(n: String) = e.getAs[Long](n)
+      cols.map { c =>
+        val r = approx(c)
+        val n = g(s"n_$c").toDouble
+        val slack = 3.0 * r.getDouble(7)
+        // each sketch quartile must be a true value whose tie-interval
+        // [P(x<v), P(x<=v)] overlaps p +/- 3eps
+        def rankOk(p: Double, ltKey: String, leKey: String): Boolean =
+          g(ltKey) / n <= p + slack && g(leKey) / n >= p - slack
+        val cntSlack = slack * n + 1
+        def cntOk(est: Long, minKey: String, maxKey: String): Boolean =
+          est >= g(minKey) - cntSlack && est <= g(maxKey) + cntSlack
+        (c,
+          rankOk(0.25, s"q1lt_$c", s"q1le_$c"),
+          rankOk(0.75, s"q3lt_$c", s"q3le_$c"),
+          cntOk(r.getLong(5), s"blomin_$c", s"blomax_$c"),
+          cntOk(r.getLong(6), s"ahimin_$c", s"ahimax_$c"))
+      }.toDF("instance", "q1_rank_ok", "q3_rank_ok",
+        "below_ok", "above_ok")
+        .orderBy("instance")
+    }),
     // bucketized interval join (E117): overlapping tolerance bands vs
     // lineitem prices as a hash equi-join on buckets, never a BNLJ
     "range_join_bands" -> ((s, dir) => {
@@ -241,9 +341,16 @@ object SparkEntry {
       val approx = graft.profiler.RobustStats
         .madOutliersApprox(li, cols).collect()
         .map(r => r.getString(0) -> r).toMap
-      // one wide exact pass with every approx estimate inlined: lower/
-      // upper ranks of the sketch median and MAD (tie-safe interval),
-      // exact tail counts below/above the APPROX fences
+      // one wide exact pass with every approx estimate inlined. The
+      // audit sees only the 6-dp-rounded display values, and lineitem
+      // columns are tie-heavy 2-dp grids — an atom can sit EXACTLY on a
+      // recomputed median/fence, where float noise (|0.04-0.05| =
+      // 0.010000000000000002 vs the rounded 0.01) flips the atom's whole
+      // tie mass across the boundary. So every check is interval-based:
+      // strict count below (v - tol) vs inclusive count at (v + tol) —
+      // the estimate must agree with SOME tie-breaking of the boundary
+      // atom within sketch error.
+      val tol = 1e-5
       val aggs = cols.flatMap { c =>
         val r = approx(c)
         val (m, mad, lo, hi) = (r.getDouble(1), r.getDouble(2),
@@ -252,31 +359,34 @@ object SparkEntry {
         val d = abs(x - lit(m))
         Seq(
           count(x).as(s"n_$c"),
-          count(when(x < m, 1)).as(s"mlt_$c"),
-          count(when(x <= m, 1)).as(s"mle_$c"),
-          count(when(d < mad, 1)).as(s"dlt_$c"),
-          count(when(d <= mad, 1)).as(s"dle_$c"),
-          count(when(x < lo, 1)).as(s"blo_$c"),
-          count(when(x > hi, 1)).as(s"ahi_$c"))
+          count(when(x < m - tol, 1)).as(s"mlt_$c"),
+          count(when(x <= m + tol, 1)).as(s"mle_$c"),
+          count(when(d < mad - tol, 1)).as(s"dlt_$c"),
+          count(when(d <= mad + tol, 1)).as(s"dle_$c"),
+          count(when(x < lo - tol, 1)).as(s"blomin_$c"),
+          count(when(x <= lo + tol, 1)).as(s"blomax_$c"),
+          count(when(x > hi + tol, 1)).as(s"ahimin_$c"),
+          count(when(x >= hi - tol, 1)).as(s"ahimax_$c"))
       }
       val e = li.agg(aggs.head, aggs.tail: _*).head()
       def g(n: String) = e.getAs[Long](n)
       cols.map { c =>
         val r = approx(c)
         val n = g(s"n_$c").toDouble
-        val eps = r.getDouble(7)
-        val slack = 3.0 * eps
+        val slack = 3.0 * r.getDouble(7)
         // the sketch median/MAD must be a true value at rank 0.5±3eps:
         // with ties the exact rank is the [P(x<v), P(x<=v)] interval,
         // which must overlap [0.5-slack, 0.5+slack]
         def rankOk(ltKey: String, leKey: String): Boolean =
           g(ltKey) / n <= 0.5 + slack && g(leKey) / n >= 0.5 - slack
         val cntSlack = slack * n + 1
+        def cntOk(est: Long, minKey: String, maxKey: String): Boolean =
+          est >= g(minKey) - cntSlack && est <= g(maxKey) + cntSlack
         (c,
           rankOk(s"mlt_$c", s"mle_$c"),
           rankOk(s"dlt_$c", s"dle_$c"),
-          math.abs(g(s"blo_$c") - r.getLong(5)) <= cntSlack,
-          math.abs(g(s"ahi_$c") - r.getLong(6)) <= cntSlack)
+          cntOk(r.getLong(5), s"blomin_$c", s"blomax_$c"),
+          cntOk(r.getLong(6), s"ahimin_$c", s"ahimax_$c"))
       }.toDF("instance", "med_rank_ok", "mad_rank_ok",
         "below_ok", "above_ok")
         .orderBy("instance")
@@ -1928,6 +2038,8 @@ object SparkEntry {
     "iqr_outliers" -> OracleSql.iqrOutliers,
     "mad_outliers" -> OracleSql.madOutliers,
     "mad_outliers_audit" -> OracleSql.madOutliersAudit,
+    "iqr_outliers_audit" -> OracleSql.iqrOutliersAudit,
+    "winsorized_stats_audit" -> OracleSql.winsorizedStatsAudit,
     "range_join_bands" ->
       """WITH bands AS (
   SELECT i AS band_id, i * CAST(1350.0 AS DOUBLE) AS lo, i * CAST(1650.0 AS DOUBLE) AS hi

@@ -113,6 +113,86 @@ object RobustStats {
       .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
   }
 
+  /** KLL-approximate winsorized statistics — [[winsorizedStats]]'s
+    * 100 TB execution, completing the robust battery's sketch lane
+    * (E70 here, E96 [[iqrOutliersApprox]], E114 [[madOutliersApprox]]).
+    * The exact form's first pass is a per-column exact-percentile
+    * TypedImperativeAggregate whose state is the column's VALUE SET —
+    * the thing that stops scaling first. Here pass 1 is a mergeable
+    * k-bounded KLL sketch per column (quantile bounds from the sketch);
+    * pass 2 is UNCHANGED — the same decSum clipped-moment aggregation
+    * with the bounds inlined as literals, so given the bounds the
+    * moments are exact, deterministic and order-independent. The ONLY
+    * approximation is where the clip bounds land (ε in rank space,
+    * reported per column as a `WinsorizedRankEps` row);
+    * `winsorized_stats_audit` pins both bounds' exact rank intervals.
+    * Randomized compaction → rows-only key. Output schema mirrors
+    * [[winsorizedStats]] (+ the RankEps row per column). */
+  def winsorizedStatsApprox(
+      df: DataFrame, cols: Seq[String],
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(cols.nonEmpty, "winsorizedStatsApprox needs at least one column")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    val src = ScanMetrics.spread(df)
+    val skAggs = cols.flatMap { c => Seq(
+      graft.functions.KllAggs.kllSketchAgg(col(c).cast(DoubleType))
+        .as(s"k_$c"),
+      count(col(c)).as(s"cnt_$c")) }
+    val skRow = src.agg(skAggs.head, skAggs.tail: _*).head()
+    val inc = QuantileSearchCriteria.INCLUSIVE
+    val bounds: Seq[(String, (Double, Double, Double))] = cols.flatMap { c =>
+      if (skRow.getAs[Long](s"cnt_$c") == 0L) None
+      else {
+        val sk = KllDoublesSketch.heapify(
+          Memory.wrap(skRow.getAs[Array[Byte]](s"k_$c")))
+        val q = sk.getQuantiles(Array(pLo, pHi), inc)
+        Some(c -> ((q(0), q(1), sk.getNormalizedRankError(false))))
+      }
+    }
+    if (bounds.isEmpty)
+      return Seq.empty[(String, String, Double)]
+        .toDF("instance", "name", "value")
+    val momentAggs: Seq[Column] = bounds.flatMap { case (c, (lo, hi, _)) =>
+      val x = col(c).cast(DoubleType)
+      val clip = when(x.isNull, lit(null).cast(DoubleType))
+        .otherwise(least(greatest(x, lit(lo)), lit(hi)))
+      Seq(
+        decSum(clip).as(s"${c}__sum"),
+        decSum(clip * clip).as(s"${c}__sumsq"),
+        count(x).as(s"${c}__n"),
+        count(when(x < lit(lo) || x > lit(hi), lit(1))).as(s"${c}__clipped"))
+    }
+    val m = src.agg(momentAggs.head, momentAggs.tail: _*).head()
+    val lof = pLo.toString
+    val hif = pHi.toString
+    val rows = bounds.flatMap { case (c, (lo, hi, eps)) =>
+      val n = m.getAs[Long](s"${c}__n")
+      if (n == 0) Nil
+      else {
+        val mean = m.getAs[Double](s"${c}__sum") / n
+        val variance = math.max(
+          m.getAs[Double](s"${c}__sumsq") / n - mean * mean, 0.0)
+        Seq(
+          (c, s"WinsorizedLow-$lof", lo),
+          (c, s"WinsorizedHigh-$hif", hi),
+          (c, s"WinsorizedMean-$lof-$hif", mean),
+          (c, s"WinsorizedStdDev-$lof-$hif", math.sqrt(variance)),
+          (c, s"WinsorizedClipped-$lof-$hif",
+            m.getAs[Long](s"${c}__clipped").toDouble),
+          (c, "WinsorizedRankEps", eps))
+      }
+    }
+    rows.toDF("instance", "name", "value")
+      .select(col("instance"), col("name"), round(col("value"), 6).as("value"))
+  }
+
   /** IQR outlier counts (E96) — Tukey's fences, the standard
     * box-plot outlier rule data-quality suites threshold on: per numeric
     * column, the exact 6-dp-quantized quartiles, the
@@ -184,6 +264,55 @@ object RobustStats {
         round(col("fence_lo"), 6).as("fence_lo"),
         round(col("fence_hi"), 6).as("fence_hi"),
         col("n_below"), col("n_above"))
+  }
+
+  /** KLL-approximate Tukey fences — [[iqrOutliers]]'s 100 TB execution.
+    * Unlike MAD there is NO dependent second quantile (the fences are
+    * pure arithmetic on q1/q3), so the whole screen collapses to ONE
+    * mergeable sketch scan: quartiles come out of each column's KLL
+    * sketch, and the below/above-fence tail counts are CDF rank lookups
+    * on the SAME sketch — the exact form's two extra passes (chunked
+    * percentile jobs + the wide conditional-count pass) both disappear.
+    * Wire traffic is k-bounded sketch bytes; error is ε in rank space
+    * per reported number (`rank_eps`, 99% confidence). Randomized
+    * compaction → rows-only; `iqr_outliers_audit` pins the bounds
+    * against exact counts at the approx fences. Schema mirrors
+    * [[iqrOutliers]] (+ rank_eps). */
+  def iqrOutliersApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "iqrOutliersApprox needs at least one column")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val spark = df.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    val aggs = cols.flatMap { c => Seq(
+      graft.functions.KllAggs.kllSketchAgg(col(c).cast(DoubleType))
+        .as(s"k_$c"),
+      count(col(c)).as(s"n_$c")) }
+    val row = ScanMetrics.spread(df).agg(aggs.head, aggs.tail: _*).head()
+    val inc = QuantileSearchCriteria.INCLUSIVE
+    val exc = QuantileSearchCriteria.EXCLUSIVE
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    cols.map { c =>
+      val n = row.getAs[Long](s"n_$c")
+      if (n == 0L)
+        (c, Option.empty[Double], Option.empty[Double],
+          Option.empty[Double], Option.empty[Double], 0L, 0L,
+          Option.empty[Double])
+      else {
+        val sk = KllDoublesSketch.heapify(
+          Memory.wrap(row.getAs[Array[Byte]](s"k_$c")))
+        val q = sk.getQuantiles(Array(0.25, 0.75), inc)
+        val (q1, q3) = (q(0), q(1))
+        val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+        val nBelow = math.round(n * sk.getRank(lo, exc))
+        val nAbove = n - math.round(n * sk.getRank(hi, inc))
+        (c, Option(r6(q1)), Option(r6(q3)), Option(r6(lo)), Option(r6(hi)),
+          nBelow, nAbove, Option(r6(sk.getNormalizedRankError(false))))
+      }
+    }.toDF("instance", "q1", "q3", "fence_lo", "fence_hi",
+      "n_below", "n_above", "rank_eps")
   }
 
   /** MAD robust outlier screen (E114) — the third member of the robust

@@ -27,7 +27,16 @@ import org.apache.spark.sql.functions._
   *    like an independent sf0.1 corpus: shingle/MinHash workload is
   *    linear in K, with no artificial K-sized dup clusters. `n_chars` is
   *    recomputed as `length(text)` on salted copies so length-derived
-  *    stats stay consistent with the stored column;
+  *    stats stay consistent with the stored column. KNOWN LIMIT: the
+  *    salt is token-level, so CHAR-level k-gram fingerprints (winnowing,
+  *    k=8) between two salt sites are still shared across copies — a
+  *    replicated corpus genuinely contains K-fold verbatim passages, and
+  *    no cheap salting can remove them without destroying the text.
+  *    Consequence (measured, r9): `winnow_near_dup`'s candidate stage
+  *    grows ~K² on this data (Σ df² with every df multiplied by K) while
+  *    its OUTPUT grows linearly (260 → 2563 pairs at K=10) — a
+  *    data-construction artifact of replication, not an engine defect;
+  *    the growth table calls it out;
   *  - `events` keeps the time range and shifts `user_id`/`event_id`:
   *    volume grows K× over the same period (more users, same window) —
   *    the realistic shape for sessionization/watermark work;

@@ -17,7 +17,7 @@ python3 - "$N" <<'EOF' >&2
 import json, sys
 d = json.load(open('/tmp/bench_insuite.json'))
 top = sorted(d['queries'].items(), key=lambda kv: -kv[1])[:int(sys.argv[1])]
-open('/tmp/bench_top.txt','w').write('\n'.join(k for k,_ in top))
+open('/tmp/bench_top.txt','w').write(''.join(k + '\n' for k,_ in top))
 print('total %.2f s over %d queries; top-%s: %s' % (d['value'], d['n_queries'], sys.argv[1], [k for k,_ in top]))
 EOF
 : > /tmp/bench_isolated.txt
