@@ -141,8 +141,11 @@ object Bench {
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(1)
     val forkPer = sys.env.get("SPARK_GRAFT_FORK_PER")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(6)
+    // SPARK_GRAFT_FORCE_FORK: local test aid — exercise the fork path on
+    // an ONLY-subset (normally ONLY means single-query iteration, no fork)
     val noFork = isWorker || sys.env.contains("SPARK_GRAFT_NO_FORK") ||
-      (only.isDefined && !isWorker)
+      (only.isDefined && !isWorker &&
+        !sys.env.contains("SPARK_GRAFT_FORCE_FORK"))
     // Throughput-line exclusions (Verify still runs ALL declared keys):
     //  - `*_audit` keys re-run other operators plus brute-force twins;
     //  - `dedup_family_rollup` re-times the five standalone shingle-family
@@ -151,13 +154,22 @@ object Bench {
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(
           !name.endsWith("_audit") && name != "dedup_family_rollup") }
+    // measurement-mode accounting, reported in the JSON line: a driver
+    // environment where forking fails would silently revert to the r8
+    // in-process numbers (2-3x late-query inflation) — make that visible
+    // in the artifact instead of inferable from timings
+    var nForked, nFallback = 0
     val results: Map[String, Double] =
       if (noFork)
         runInProcess(selected, sfDir, cpus, iterations, perSession).toMap
       else
         selected.grouped(forkPer).flatMap { group =>
-          runForked(group.map(_._1)).getOrElse(
-            runInProcess(group, sfDir, cpus, iterations, perSession))
+          runForked(group.map(_._1)) match {
+            case Some(ts) => nForked += 1; ts
+            case None =>
+              nFallback += 1
+              runInProcess(group, sfDir, cpus, iterations, perSession)
+          }
         }.toMap
     if (isWorker) {
       results.foreach { case (n, t) =>
@@ -177,7 +189,8 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
-        s""""n_queries":${results.size}}"""
+        s""""n_queries":${results.size},""" +
+        s""""forked_groups":$nForked,"fallback_groups":$nFallback}"""
     }
     var keep = slowestFirst
     while (line(keep).length > 1850 && keep.nonEmpty) keep = keep.init

@@ -368,6 +368,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"\n$p")
   }
 
+  test("sketch outlier screens: the driving pass is a partial+final ObjectHashAggregate, no percentile, no sort") {
+    // the r9 scale modes' whole point: the one pass that touches data
+    // aggregates a mergeable KLL sketch (ObjectHashAggregate with a
+    // map-side partial phase), never `percentile` (whose buffer is the
+    // column's value set) and never a sort/window stage. This is the
+    // exact aggregate iqrOutliersApprox / winsorizedStatsApprox /
+    // madOutliersApprox submit per column (they then collect the k-bounded
+    // sketch bytes — the R14 metadata-sized collect).
+    graft.functions.KllAggs.register(spark)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val pass = graft.profiler.ScanMetrics.spread(li).agg(
+      graft.functions.KllAggs.kllSketchAgg(col("l_quantity").cast("double"))
+        .as("k_q"),
+      count(col("l_quantity")).as("n_q"),
+      graft.functions.KllAggs.kllSketchAgg(
+        col("l_extendedprice").cast("double")).as("k_p"),
+      count(col("l_extendedprice")).as("n_p"))
+    val p = plan(pass)
+    assert(p.contains("ObjectHashAggregate"), s"\n$p")
+    assert(p.contains("partial_graft_kll_sketch_agg"),
+      s"sketch aggregate lost its map-side partial phase:\n$p")
+    assert(!p.contains("percentile"), s"exact percentile crept back in:\n$p")
+    assert(!p.contains("Window") && !p.contains("Sort "),
+      s"sketch pass plans a sort/window:\n$p")
+  }
+
   test("ks drift: the size guard rides inside the cumulative window stage") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id").cast("double").as("v"))
