@@ -1947,6 +1947,11 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     * classes are absent from BOTH sides: embeddings' float array and every
     * timestamp column (`events.ts` is TIMESTAMP(MICROS, NTZ) — class
     * Skipped per reference parity, like lineitem/orders' date columns). */
+  /** Every driver-provided parquet table (the R2 enumeration domain). */
+  val AllTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
   private val allTablesProfiled: Seq[(String, Seq[String])] = Seq(
     "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
     "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
@@ -2157,6 +2162,20 @@ FROM agg ORDER BY fd"""
       "AS t(instance, q1_rank_ok, q3_rank_ok, below_ok, above_ok) " +
       "ORDER BY instance"
   }
+
+  /** Parquet-layout audit: per table, Σ footer rows == the engine's own
+    * COUNT(*) and the file/row-group structure is sane. */
+  val parquetLayoutAudit: String = {
+    val rows = AllTables.sorted.map(t => s"('$t', true, true)")
+    s"SELECT * FROM (VALUES ${rows.mkString(", ")}) " +
+      "AS t(\"table\", rows_match, layout_sane) ORDER BY \"table\""
+  }
+
+  /** Z-order audit: single-sort is sharp on its column / blind on the
+    * other; the Morton layout bounds both and ≥halves the blind one. */
+  val zorderAudit: String =
+    "SELECT true AS linear_sharp_on_a, true AS linear_blind_on_b, " +
+      "true AS zorder_improves_b, true AS zorder_bounds_both"
 
   /** E70 approx audit: each sketch clip bound at its target rank ± 3ε. */
   val winsorizedStatsAudit: String = {

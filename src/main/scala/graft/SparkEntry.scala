@@ -837,6 +837,58 @@ object SparkEntry {
     "partition_pruning_audit" -> ((s, dir) =>
       graft.sources.FormatRoundtrip.partitionPruningAudit(
         s, s"$dir/documents.parquet", "lang", "en")),
+    // parquet physical-layout profile (r9): the small-files / row-group
+    // health detector — footer metadata only, never data pages. The
+    // rollup numbers are write-time facts but the oracle SQL cannot see
+    // paths (views only) → rows-only; parquet_layout_audit pins footer
+    // row counts against the engine's own scan counts
+    "parquet_layout" -> ((s, dir) =>
+      graft.sources.ParquetLayout.tableRollup(s, dir).orderBy("table")),
+    "parquet_layout_audit" -> ((s, dir) => {
+      import s.implicits._
+      val layout = graft.sources.ParquetLayout.tableRollup(s, dir)
+        .select("table", "n_rows", "n_files", "n_row_groups").collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      OracleSql.AllTables.map { t =>
+        val scanned = s.read.parquet(s"$dir/$t.parquet").count()
+        val (footer, files, groups) = layout(t)
+        // Σ footer rows == the scan's COUNT(*): the footer-vs-data
+        // consistency proof; layout sanity: ≥1 file, ≥1 group per file
+        (t, footer == scanned, files >= 1L && groups >= files)
+      }.toDF("table", "rows_match", "layout_sane").orderBy("table")
+    }),
+    // z-order clustering report (r9): stage linear-sorted vs
+    // Morton-interleaved layouts of (l_partkey, l_suppkey), measure each
+    // column's average normalized zone-map span from footers only — the
+    // OPTIMIZE-ZORDER trade quantified; rows-only (paths invisible to
+    // the oracle), claims pinned by zorder_audit
+    "zorder_clustering" -> ((s, dir) =>
+      graft.sources.ZOrderLayout.clusteringReport(
+        s, lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", cacheKey = dir)),
+    "zorder_audit" -> ((s, dir) => {
+      import s.implicits._
+      val spans = graft.sources.ZOrderLayout.clusteringReport(
+        s, lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", cacheKey = dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+      val (linA, linB) = (spans(("linear", "l_partkey")),
+        spans(("linear", "l_suppkey")))
+      val (zA, zB) = (spans(("zorder", "l_partkey")),
+        spans(("zorder", "l_suppkey")))
+      // the four clustering claims: a single-column sort is sharp on its
+      // own column and BLIND on the other; z-order bounds both at once
+      // and at least halves the unsorted column's zone-map width
+      Seq((
+        linA <= 0.2,
+        linB >= 0.8,
+        zB <= 0.5 * linB,
+        math.max(zA, zB) <= 0.75))
+        .toDF("linear_sharp_on_a", "linear_blind_on_b",
+          "zorder_improves_b", "zorder_bounds_both")
+    }),
     // quality-proportional deterministic sampling (E142)
     "quality_weighted_sample" -> ((s, dir) =>
       Sampling.qualityWeightedSample(
@@ -2040,6 +2092,8 @@ object SparkEntry {
     "mad_outliers_audit" -> OracleSql.madOutliersAudit,
     "iqr_outliers_audit" -> OracleSql.iqrOutliersAudit,
     "winsorized_stats_audit" -> OracleSql.winsorizedStatsAudit,
+    "parquet_layout_audit" -> OracleSql.parquetLayoutAudit,
+    "zorder_audit" -> OracleSql.zorderAudit,
     "range_join_bands" ->
       """WITH bands AS (
   SELECT i AS band_id, i * CAST(1350.0 AS DOUBLE) AS lo, i * CAST(1650.0 AS DOUBLE) AS hi

@@ -105,9 +105,14 @@ object ScaleGen {
       copies.reduce(_ unionAll _)
     }
 
-    def write(df: DataFrame, name: String): Unit = {
-      df.repartition(spark.sparkContext.defaultParallelism)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def write(df: DataFrame, name: String, parts: Int = 0): Unit = {
+      // small-files guard (found by ParquetLayout on this generator's own
+      // r9 output: nation/region as 12 files of ~140 bytes): dimension
+      // passthroughs coalesce to one file, facts spread over the cores
+      val shaped =
+        if (parts == 1) df.coalesce(1)
+        else df.repartition(spark.sparkContext.defaultParallelism)
+      shaped.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"wrote $name x$k")
     }
 
@@ -138,8 +143,8 @@ object ScaleGen {
     write(replicate(events, Map(
       "event_id" -> stride(events, "event_id"),
       "user_id" -> stride(events, "user_id"))), "events")
-    // dimension tables pass through unchanged
-    Seq("nation", "region").foreach(n => write(read(n), n))
+    // dimension tables pass through unchanged (single file each)
+    Seq("nation", "region").foreach(n => write(read(n), n, parts = 1))
     spark.stop()
   }
 }

@@ -37,6 +37,58 @@ class Round9Spec extends AnyFunSuite {
     assert(ni.isNullAt(1) && ni.getAs[Long]("n_below") == 0L)
   }
 
+  test("ZOrder: bit spreading and Morton interleave match the textbook values") {
+    import spark.implicits._
+    val df = Seq((0, 0), (3, 0), (0, 3), (0xFFFF, 0xFFFF), (1, 2))
+      .toDF("a", "b")
+      .select(
+        graft.functions.ZOrder.spread16(col("a")).as("sa"),
+        graft.functions.ZOrder.morton(col("a"), col("b")).as("m"))
+      .collect()
+    assert(df(0).getInt(0) == 0 && df(0).getInt(1) == 0)
+    assert(df(1).getInt(0) == 0x5)        // spread(0b11) = 0b0101
+    assert(df(1).getInt(1) == 0x5)        // morton(3, 0)
+    assert(df(2).getInt(1) == 0xA)        // morton(0, 3) = 0b1010
+    assert(df(3).getInt(1) == 0xFFFFFFFF) // full 16+16 bits interleave
+    assert(df(4).getInt(1) == 0x9)        // a=1 -> bit0, b=2 -> bit3
+    // bucket16: ends of the domain hit 0 and 65535; nulls/degenerate -> 0
+    val b = Seq(Some(10L), Some(20L), None).toDF("x")
+      .select(graft.functions.ZOrder.bucket16(col("x"), 10L, 20L).as("v"))
+      .collect().map(_.getInt(0))
+    assert(b.toSeq == Seq(0, 65535, 0))
+  }
+
+  test("ParquetLayout: footer counts match scans, table names resolve for files and part-dirs") {
+    val dir = "/root/testdata/sf0.001"
+    val roll = graft.sources.ParquetLayout.tableRollup(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(roll.keySet == Set("region", "nation", "customer", "supplier",
+      "part", "orders", "lineitem", "events", "documents", "embeddings"))
+    for ((t, r) <- roll) {
+      val scanned = spark.read.parquet(s"$dir/$t.parquet").count()
+      assert(r.getAs[Long]("n_rows") == scanned,
+        s"$t footer rows ${r.getAs[Long]("n_rows")} != scan $scanned")
+      assert(r.getAs[Long]("n_row_groups") >= r.getAs[Long]("n_files"))
+    }
+    // sf0.001 files are all far under the 4 MB small-file bound — the
+    // pathology flag must see every one of them
+    assert(roll.values.forall(r =>
+      r.getAs[Long]("small_files") == r.getAs[Long]("n_files")))
+    // part-directory layout (dir/<table>.parquet/part-*.parquet) resolves
+    // to the same table name as the single-file layout
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    try {
+      spark.read.parquet(s"$dir/nation.parquet").repartition(3)
+        .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+      val multi = graft.sources.ParquetLayout.tableRollup(spark, tmp).head()
+      assert(multi.getString(0) == "nation")
+      assert(multi.getAs[Long]("n_files") == 3L)
+      assert(multi.getAs[Long]("n_rows") == 25L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("winsorizedStatsApprox: exact bounds on sub-k data, moments from the same decSum pass") {
     import spark.implicits._
     val df = (1 to 100).map(_.toDouble).toDF("x")
