@@ -45,7 +45,7 @@ object Bench {
     spark
   }
 
-  private val WorkerLine = """GRAFT_BENCH_Q (\S+) (\S+)""".r
+  private val WorkerLine = """GRAFT_BENCH_Q (\S+) (\S+) (\S+)""".r
 
   /** Run `group` in this JVM: a fresh session per `perSession` queries,
     * and — when several queries share a session — the full hygiene block
@@ -55,7 +55,7 @@ object Bench {
   private def runInProcess(
       group: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       sfDir: String, cpus: String, iterations: Int,
-      perSession: Int): Seq[(String, Double)] =
+      perSession: Int): Seq[(String, (Double, Boolean))] =
     group.grouped(perSession).flatMap { sess =>
       val spark = newSession(cpus)
       // per-session warmup OUTSIDE the timed region: scheduler + parquet
@@ -73,12 +73,18 @@ object Bench {
             _.unpersist(blocking = true))
           System.gc()
         }
+        var failed = false
         val t = (1 to iterations).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count() }
+          catch { case _: Throwable => failed = true }
           (System.nanoTime() - t0) / 1e9
         }.min
-        name -> t
+        // a failed query's elapsed time is time-to-failure, not engine
+        // throughput — keep it for continuity but FLAG it, so a plan
+        // that starts raising (e.g. a WindowGuard trip at a bigger sf)
+        // cannot masquerade as a fast legitimate result
+        name -> ((t, failed))
       }
       // discard ALL session state (broadcasts, status store, cached and
       // checkpointed blocks) before the next session
@@ -94,15 +100,16 @@ object Bench {
     * this JVM's exact classpath and the same module opens/heap the sbt
     * fork uses, so its measurements are the `tools/runmain.sh` isolated
     * numbers by construction. */
-  private def runForked(names: Seq[String]): Option[Seq[(String, Double)]] = {
+  private def runForked(
+      names: Seq[String]): Option[Seq[(String, (Double, Boolean))]] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
-    val opens = Seq(
-      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
-      "java.net", "java.nio", "java.util", "java.util.concurrent",
-      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-      "sun.security.action", "sun.util.calendar",
-    ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    // the SAME module opens spark-submit would inject — sourced from
+    // Spark's own launcher so a Spark upgrade can't silently desync the
+    // child (an IllegalAccessError child would fall back in-process and
+    // quietly reinstate the r8 inflation)
+    val opens = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd = Seq(javaBin) ++ opens ++ Seq(
       s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -117,7 +124,8 @@ object Bench {
       val out = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toList
       val rc = proc.waitFor()
-      val parsed = out.collect { case WorkerLine(n, t) => n -> t.toDouble }
+      val parsed = out.collect {
+        case WorkerLine(n, t, ok) => n -> ((t.toDouble, ok == "fail")) }
       // a worker that died mid-group may still have timed a prefix —
       // only trust a clean exit that covered every requested query
       if (rc == 0 && parsed.map(_._1).toSet == names.toSet) Some(parsed)
@@ -159,7 +167,7 @@ object Bench {
     // in-process numbers (2-3x late-query inflation) — make that visible
     // in the artifact instead of inferable from timings
     var nForked, nFallback = 0
-    val results: Map[String, Double] =
+    val results: Map[String, (Double, Boolean)] =
       if (noFork)
         runInProcess(selected, sfDir, cpus, iterations, perSession).toMap
       else
@@ -172,25 +180,35 @@ object Bench {
           }
         }.toMap
     if (isWorker) {
-      results.foreach { case (n, t) =>
-        println(f"GRAFT_BENCH_Q $n $t%.4f") }
+      // Locale.ROOT: a comma-decimal default locale would print "6,36",
+      // the parent's toDouble would throw, and every group would silently
+      // fall back in-process
+      results.foreach { case (n, (t, failed)) =>
+        println("GRAFT_BENCH_Q " +
+          String.format(java.util.Locale.ROOT, "%s %.4f %s", n,
+            java.lang.Double.valueOf(t), if (failed) "fail" else "ok")) }
       return
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedQueries = results.collect { case (n, (_, true)) => n }.toSeq.sorted
+    val times = results.map { case (n, (t, _)) => n -> t }
+    val total = if (times.nonEmpty) times.values.sum else 0.0
     // The driver parses this line out of a 2000-char stdout tail; round 3's
     // full-precision 70-query line overflowed the window and was recorded as
     // parsed:null. Millisecond precision + slowest-first truncation keeps the
     // line inside the window (the slow queries are the ones perf grading
     // needs); n_queries records how many ran vs how many are listed.
-    def fmt(v: Double): String = f"$v%.2f"
-    val slowestFirst = results.toSeq.sortBy(-_._2)
+    // Locale.ROOT: the JSON line must be machine-parseable on any host
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(v))
+    val slowestFirst = times.toSeq.sortBy(-_._2)
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
-        s""""n_queries":${results.size},""" +
-        s""""forked_groups":$nForked,"fallback_groups":$nFallback}"""
+        s""""n_queries":${times.size},""" +
+        s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
+        s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
     var keep = slowestFirst
     while (line(keep).length > 1850 && keep.nonEmpty) keep = keep.init

@@ -1947,11 +1947,6 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     * classes are absent from BOTH sides: embeddings' float array and every
     * timestamp column (`events.ts` is TIMESTAMP(MICROS, NTZ) — class
     * Skipped per reference parity, like lineitem/orders' date columns). */
-  /** Every driver-provided parquet table (the R2 enumeration domain). */
-  val AllTables: Seq[String] = Seq(
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings")
-
   private val allTablesProfiled: Seq[(String, Seq[String])] = Seq(
     "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
     "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
@@ -1963,6 +1958,10 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
     "region" -> Seq("r_regionkey", "r_name"),
     "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+  /** Every driver-provided parquet table (the R2 enumeration domain) —
+    * derived from the profile battery's list so the two can't drift. */
+  val AllTables: Seq[String] = allTablesProfiled.map(_._1)
 
   /** Golden twin of the approx-sketch accuracy audit: the Spark side emits
     * deterministic booleans (HLL within 3x rsd of exact, percentile_approx

@@ -34,13 +34,21 @@ object ZOrder {
 
   /** Proportional 16-bit bucket of `x` in [lo, hi] (corpus min/max,
     * inlined as literals by the caller): 0 for the min, 65535 for the
-    * max, integer arithmetic only. Degenerate domains (hi == lo) and
-    * nulls map to bucket 0 so every row keeps a sort key. */
+    * max. The ratio is computed in DOUBLE — a 64-bit integer
+    * `(x − lo) · 65535` wraps for domains wider than ~2⁴⁷ (a
+    * microsecond-epoch key spans ~2⁴⁸ over a decade) and ANSI-off Spark
+    * would return garbage buckets silently; the double path is monotone
+    * and exact to far more than the 16 bits kept. Degenerate domains
+    * (hi == lo) and nulls map to bucket 0 so every row keeps a sort
+    * key. */
   def bucket16(x: Column, lo: Long, hi: Long): Column =
     if (hi <= lo) lit(0)
-    else coalesce(
-      ((x.cast("long") - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("int"),
-      lit(0))
+    else when(x.isNull, lit(0)).otherwise(
+      // explicit null branch FIRST: least() SKIPS null arguments, so a
+      // null x inside least would bucket to 65535 instead of 0
+      least(lit(65535),
+        ((x.cast("double") - lit(lo.toDouble)) * 65535.0 /
+          lit((hi - lo).toDouble)).cast("int")))
 
   /** 32-bit Morton key interleaving two 16-bit buckets: a's bit i at
     * 2i, b's at 2i+1. */

@@ -79,8 +79,12 @@ object ParquetLayout {
       }
       .toDF("path", "n_rows", "n_row_groups", "compressed_bytes")
       .select(
+        // Pattern.quote: a directory named "run (1)" would otherwise
+        // inject a capture group (or a PatternSyntaxException) into the
+        // table-name extraction
         regexp_replace(
-          regexp_extract(col("path"), s"^$dirPath/([^/]+)", 1),
+          regexp_extract(col("path"),
+            "^" + java.util.regex.Pattern.quote(dirPath + "/") + "([^/]+)", 1),
           "\\.parquet$", "").as("table"),
         regexp_extract(col("path"), "([^/]+)$", 1).as("file"),
         col("n_rows"), col("n_row_groups"), col("compressed_bytes"))

@@ -40,14 +40,26 @@ object ZOrderLayout {
   private val staged = new ConcurrentHashMap[String, (String, String)]()
 
   /** Stage both layouts of `df` (projected to the two key columns) and
-    * return `(linearDir, zorderDir)`. Cached per (source, bounds) —
-    * the FormatRoundtrip staging contract. */
+    * return `(linearDir, zorderDir)` — the FormatRoundtrip staging
+    * contract, fully applied: the directory name folds in the JVM (two
+    * processes sharing /tmp — a forked bench child next to a test run —
+    * must never overwrite a layout the other is footer-reading
+    * mid-measurement) and the per-JVM cache entry is revalidated against
+    * `_SUCCESS` so a tmp-cleaned dir re-stages instead of measuring a
+    * ghost. Source staleness is the caller's `cacheKey` (bounds fold
+    * in). */
   private def stage(
       spark: SparkSession, df: DataFrame, colA: String, colB: String,
       loA: Long, hiA: Long, loB: Long, hiB: Long,
-      nRanges: Int, cacheKey: String): (String, String) =
+      nRanges: Int, cacheKey: String): (String, String) = {
+    def intact(d: (String, String)): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d._1, "_SUCCESS")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(d._2, "_SUCCESS"))
+    Option(staged.get(cacheKey)).filterNot(intact)
+      .foreach(d => staged.remove(cacheKey, d))
     staged.computeIfAbsent(cacheKey, _ => {
-      val base = s"/tmp/graft_zorder/${java.lang.Long.toHexString(
+      val pid = ProcessHandle.current().pid()
+      val base = s"/tmp/graft_zorder/p${pid}_${java.lang.Long.toHexString(
         cacheKey.hashCode.toLong & 0xFFFFFFFFL)}"
       val linear = s"$base/linear"
       val zorder = s"$base/zorder"
@@ -64,6 +76,7 @@ object ZOrderLayout {
         .write.mode("overwrite").parquet(zorder)
       (linear, zorder)
     })
+  }
 
   /** `(layout, column, n_row_groups, avg_span)` over the two staged
     * layouts × the two key columns; `avg_span` ∈ [0, 1] is the mean

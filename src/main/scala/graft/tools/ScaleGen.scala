@@ -88,7 +88,11 @@ object ScaleGen {
           if (i == 0) shifted
           else shifted
             .withColumn(tc,
-              regexp_replace(col(tc), "((\\S+ ){2}\\S+)", "$1c" + i))
+              // \s+, not a literal space: a tab/newline/double-space
+              // would otherwise leave unsalted 3-token runs whose
+              // shingles collide across copies — the exact K² artifact
+              // the salt exists to prevent
+              regexp_replace(col(tc), "((\\S+\\s+){2}\\S+)", "$1c" + i))
             .withColumn("n_chars", length(col(tc)))
         }
         rotateVec.fold(salted) { vc =>
