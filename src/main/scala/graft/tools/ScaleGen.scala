@@ -57,26 +57,16 @@ object ScaleGen {
   private def stride(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).head().getLong(0) + 1L
 
-  def main(args: Array[String]): Unit = {
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/sf1")
-    val k = sys.env.get("SPARK_GRAFT_SCALE_K")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 1).getOrElse(10)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-
-    def read(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
-
-    def replicate(df: DataFrame, shifts: Map[String, Long],
-                  saltText: Option[String] = None,
-                  rotateVec: Option[String] = None): DataFrame = {
-      val copies = (0 until k).map { i =>
+  /** K disjoint copies of `df` (copy i of K): keyed columns shift by
+    * `i * stride`, text salts token-preservingly, vectors rotate. Public
+    * within the package so the salting/rotation invariants the scale
+    * lane depends on are pinned by unit tests, not only by inspection
+    * of generated data. */
+  private[graft] def replicateK(
+      df: DataFrame, k: Int, shifts: Map[String, Long],
+      saltText: Option[String] = None,
+      rotateVec: Option[String] = None): DataFrame = {
+    val copies = (0 until k).map { i =>
         val shifted = shifts.foldLeft(df) { case (d, (c, s)) =>
           d.withColumn(c, col(c) + lit(i.toLong * s)) }
         val salted = saltText.fold(shifted) { tc =>
@@ -106,8 +96,29 @@ object ScaleGen {
             slice(col(vc), lit(1), lit(i))))
         }
       }
-      copies.reduce(_ unionAll _)
-    }
+    copies.reduce(_ unionAll _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "target/sf1")
+    val k = sys.env.get("SPARK_GRAFT_SCALE_K")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 1).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
+
+    def replicate(df: DataFrame, shifts: Map[String, Long],
+                  saltText: Option[String] = None,
+                  rotateVec: Option[String] = None): DataFrame =
+      replicateK(df, k, shifts, saltText, rotateVec)
 
     def write(df: DataFrame, name: String, parts: Int = 0): Unit = {
       // small-files guard (found by ParquetLayout on this generator's own

@@ -37,6 +37,42 @@ class Round9Spec extends AnyFunSuite {
     assert(ni.isNullAt(1) && ni.getAs[Long]("n_below") == 0L)
   }
 
+  test("ScaleGen.replicateK: disjoint keys, token-preserving salt, norm-preserving rotation") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta\tgamma delta\nepsilon zeta eta", 40L),
+      (1L, "one two three", 13L)).toDF("doc_id", "text", "n_chars")
+    val rep = graft.tools.ScaleGen
+      .replicateK(docs, 3, Map("doc_id" -> 2L), saltText = Some("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // disjoint key ranges: ids 0,1 / 2,3 / 4,5
+    assert(rep.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    def toks(s: String): Seq[String] = s.split("\\s+").toSeq
+    // token count preserved per copy, across tabs/newlines too
+    assert(toks(rep(2L).getString(1)).size == 7)
+    assert(toks(rep(4L).getString(1)).size == 7)
+    // every 3rd token carries the copy marker; copy 0 untouched
+    assert(toks(rep(2L).getString(1))(2) == "gammac1")
+    assert(toks(rep(4L).getString(1))(2) == "gammac2")
+    assert(rep(0L).getString(1) == rep(0L).getString(1))
+    // zero cross-copy 3-shingle overlap (the scale-lane invariant)
+    def shingles(s: String): Set[String] =
+      toks(s).sliding(3).map(_.mkString(" ")).toSet
+    assert(shingles(rep(0L).getString(1))
+      .intersect(shingles(rep(2L).getString(1))).isEmpty)
+    assert(shingles(rep(2L).getString(1))
+      .intersect(shingles(rep(4L).getString(1))).isEmpty)
+    // n_chars recomputed on salted copies
+    assert(rep(2L).getLong(2) == rep(2L).getString(1).length.toLong)
+    // vector rotation: same multiset of values, different order, norm kept
+    val vecs = Seq((0L, Array(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+    val rv = graft.tools.ScaleGen
+      .replicateK(vecs, 2, Map("vec_id" -> 1L), rotateVec = Some("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rv(0L) == Seq(1f, 2f, 3f, 4f))
+    assert(rv(1L) == Seq(2f, 3f, 4f, 1f))   // left-rotate by 1
+  }
+
   test("ZOrder: bit spreading and Morton interleave match the textbook values") {
     import spark.implicits._
     val df = Seq((0, 0), (3, 0), (0, 3), (0xFFFF, 0xFFFF), (1, 2))
