@@ -2176,6 +2176,12 @@ FROM agg ORDER BY fd"""
     "SELECT true AS linear_sharp_on_a, true AS linear_blind_on_b, " +
       "true AS zorder_improves_b, true AS zorder_bounds_both"
 
+  /** Compaction-plan audit: full coverage, one bin for the staged
+    * fragmented layout, no overfill, run-to-run determinism. */
+  val compactionAudit: String =
+    "SELECT true AS coverage, true AS single_bin, " +
+      "true AS fill_ok, true AS deterministic"
+
   /** E70 approx audit: each sketch clip bound at its target rank ± 3ε. */
   val winsorizedStatsAudit: String = {
     val rows = Lineitem.numeric.map(c => s"('$c', true, true)")

@@ -889,6 +889,39 @@ object SparkEntry {
         .toDF("linear_sharp_on_a", "linear_blind_on_b",
           "zorder_improves_b", "zorder_bounds_both")
     }),
+    // small-file compaction plan (r9): the ACTION half of the layout
+    // profiler — FFD bin packing per table, executor-side, pure footer
+    // metadata; rows-only (paths invisible to the oracle), claims pinned
+    // by compaction_audit on a staged 12-file layout
+    "compaction_plan" -> ((s, dir) =>
+      graft.sources.Compaction.compactionPlan(s, dir)),
+    "compaction_audit" -> ((s, dir) => {
+      import s.implicits._
+      // stage a deliberately fragmented layout (12 small files) — the
+      // per-JVM + _SUCCESS staging contract (see ZOrderLayout.stage)
+      val staged = s"/tmp/graft_compact/p${ProcessHandle.current().pid()}"
+      if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/docs.parquet/_SUCCESS")))
+        s.read.parquet(s"$dir/documents.parquet").repartition(12)
+          .write.mode("overwrite").parquet(s"$staged/docs.parquet")
+      val plan1 = graft.sources.Compaction.compactionPlan(s, staged).collect()
+      val plan2 = graft.sources.Compaction.compactionPlan(s, staged).collect()
+      val target = 128L << 20
+      val nStagedFiles = graft.sources.ParquetLayout
+        .fileStats(s, staged).count()
+      Seq((
+        // every staged file planned exactly once
+        plan1.length.toLong == nStagedFiles &&
+          plan1.map(_.getString(1)).distinct.length == plan1.length,
+        // 12 small files, ~6 MB total: ONE compaction bin, nothing kept
+        plan1.forall(_.getString(3) == "compact") &&
+          plan1.map(_.getLong(4)).distinct.length == 1,
+        // no bin overfills the target
+        plan1.forall(_.getLong(6) <= target),
+        // the plan is deterministic run-to-run
+        plan1.map(_.toString).toSeq == plan2.map(_.toString).toSeq))
+        .toDF("coverage", "single_bin", "fill_ok", "deterministic")
+    }),
     // quality-proportional deterministic sampling (E142)
     "quality_weighted_sample" -> ((s, dir) =>
       Sampling.qualityWeightedSample(
@@ -2094,6 +2127,7 @@ object SparkEntry {
     "winsorized_stats_audit" -> OracleSql.winsorizedStatsAudit,
     "parquet_layout_audit" -> OracleSql.parquetLayoutAudit,
     "zorder_audit" -> OracleSql.zorderAudit,
+    "compaction_audit" -> OracleSql.compactionAudit,
     "range_join_bands" ->
       """WITH bands AS (
   SELECT i AS band_id, i * CAST(1350.0 AS DOUBLE) AS lo, i * CAST(1650.0 AS DOUBLE) AS hi

@@ -37,6 +37,27 @@ class Round9Spec extends AnyFunSuite {
     assert(ni.isNullAt(1) && ni.getAs[Long]("n_below") == 0L)
   }
 
+  test("Compaction.packFFD: coverage, no overfill, keep-vs-compact split, deterministic FFD shape") {
+    val files = Seq(("a", 60L), ("b", 50L), ("c", 40L), ("d", 30L),
+      ("huge", 200L))
+    val plan = graft.sources.Compaction.packFFD(files, 100L)
+    val byFile = plan.map(p => p._1 -> p).toMap
+    assert(plan.map(_._1).sorted == files.map(_._1).sorted)   // coverage
+    assert(byFile("huge")._3 == "keep" && byFile("huge")._4 == -1L)
+    // FFD with target 100: 60→bin0, 50→bin1, 40→bin0 (full), 30→bin1
+    assert(byFile("a")._4 == 0L && byFile("c")._4 == 0L)
+    assert(byFile("b")._4 == 1L && byFile("d")._4 == 1L)
+    assert(byFile("a")._6 == 100L && byFile("b")._6 == 80L)   // bin bytes
+    // no bin overfills; identical input → identical plan
+    assert(plan.filter(_._3 == "compact").forall(_._6 <= 100L))
+    assert(plan == graft.sources.Compaction.packFFD(files, 100L))
+    // all-small single bin; all-big all-keep
+    assert(graft.sources.Compaction.packFFD(Seq(("x", 1L), ("y", 2L)), 100L)
+      .forall(p => p._3 == "compact" && p._4 == 0L))
+    assert(graft.sources.Compaction.packFFD(Seq(("x", 100L)), 100L)
+      .forall(_._3 == "keep"))
+  }
+
   test("ScaleGen.replicateK: disjoint keys, token-preserving salt, norm-preserving rotation") {
     import spark.implicits._
     val docs = Seq(
