@@ -394,6 +394,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sketch pass plans a sort/window:\n$p")
   }
 
+  test("compaction planning packs inside executors — file lists never route through the driver") {
+    val p = plan(graft.sources.Compaction.compactionPlan(spark, dir))
+    // per-table FFD runs as a MapGroups stage (one task per table);
+    // footer reads are a MapPartitions over the distributed path list —
+    // the only driver traffic is the final plan rows
+    assert(p.contains("MapGroups"), s"packing left the executors:\n$p")
+    assert(p.contains("MapPartitions"), s"footer sweep not distributed:\n$p")
+  }
+
   test("ks drift: the size guard rides inside the cumulative window stage") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
       .select(col("user_id").cast("double").as("v"))
