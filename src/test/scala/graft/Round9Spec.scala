@@ -37,6 +37,65 @@ class Round9Spec extends AnyFunSuite {
     assert(ni.isNullAt(1) && ni.getAs[Long]("n_below") == 0L)
   }
 
+  test("packFFD properties over 200 seeded random file sets") {
+    val rng = new scala.util.Random(9)
+    for (_ <- 1 to 200) {
+      val target = 1L + rng.nextInt(1000)
+      val files = Seq.tabulate(rng.nextInt(30)) { i =>
+        (f"f$i%03d", 1L + rng.nextInt(1500)) }
+      val plan = graft.sources.Compaction.packFFD(files, target)
+      // coverage: every file exactly once, sizes preserved
+      assert(plan.map(p => p._1 -> p._2).sorted == files.sorted)
+      // keep iff >= target; compact bins never overfill
+      for (p <- plan) {
+        if (p._2 >= target) assert(p._3 == "keep")
+        else assert(p._3 == "compact" && p._6 <= target)
+      }
+      // bin bookkeeping consistent: per bin, members and totals agree
+      plan.filter(_._3 == "compact").groupBy(_._4).foreach {
+        case (_, members) =>
+          assert(members.map(_._5).distinct == Seq(members.size.toLong))
+          assert(members.map(_._6).distinct ==
+            Seq(members.map(_._2).sum))
+      }
+      // determinism
+      assert(plan == graft.sources.Compaction.packFFD(files, target))
+    }
+  }
+
+  test("morton key properties: injective and order-compatible over seeded random pairs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val pairs = Seq.fill(500)((rng.nextInt(65536), rng.nextInt(65536))).distinct
+    val keys = pairs.toDF("a", "b")
+      .select(graft.functions.ZOrder.morton(col("a"), col("b")).as("m"),
+        col("a"), col("b"))
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(0))
+    // injective: distinct pairs -> distinct keys
+    assert(keys.map(_._2).distinct.length == pairs.length)
+    // decodable: de-interleaving the key recovers exactly (a, b)
+    def compact(x: Int): Int = {
+      var v = x & 0x55555555
+      v = (v | (v >>> 1)) & 0x33333333
+      v = (v | (v >>> 2)) & 0x0F0F0F0F
+      v = (v | (v >>> 4)) & 0x00FF00FF
+      (v | (v >>> 8)) & 0x0000FFFF
+    }
+    for (((a, b), m) <- keys) {
+      assert(compact(m) == a && compact(m >>> 1) == b)
+    }
+    // bucket16 is monotone on a seeded random domain
+    val lo, hi0 = rng.nextLong() % 1000000L
+    val (l, h) = (math.min(lo, hi0), math.max(lo, hi0) + 1L)
+    val xs = Seq.fill(300)(l + (rng.nextLong().abs % (h - l + 1))).sorted
+    val bs = xs.toDF("x")
+      .select(graft.functions.ZOrder.bucket16(col("x"), l, h).as("v"),
+        col("x")).orderBy("x")
+      .collect().map(_.getInt(0))
+    assert(bs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    assert(bs.forall(v => v >= 0 && v <= 65535))
+  }
+
   test("Compaction.packFFD: coverage, no overfill, keep-vs-compact split, deterministic FFD shape") {
     val files = Seq(("a", 60L), ("b", 50L), ("c", 40L), ("d", 30L),
       ("huge", 200L))
