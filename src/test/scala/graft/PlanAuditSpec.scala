@@ -109,7 +109,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // audit one round's building blocks via the public entry on a tiny graph:
     // the executed plan of the result must contain no cartesian/nested-loop
     // join and no sort-based aggregation — each round is min-agg + equi-join
-    val out = graft.operators.Clustering.connectedComponents(edges, "a", "b")
+    // threshold 0 forces the DISTRIBUTED path (the r9 hybrid would solve
+    // a 3-edge graph with the driver union-find and plan a LocalTableScan)
+    val out = graft.operators.Clustering.connectedComponents(
+      edges, "a", "b", localEdgeThreshold = 0L)
     val p = plan(out)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"CC must join on node keys only:\n$p")

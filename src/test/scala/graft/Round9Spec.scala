@@ -37,6 +37,31 @@ class Round9Spec extends AnyFunSuite {
     assert(ni.isNullAt(1) && ni.getAs[Long]("n_below") == 0L)
   }
 
+  test("connected components: driver union-find and alternating-star agree on 25 random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    for (_ <- 1 to 25) {
+      val nNodes = 2 + rng.nextInt(40)
+      val nEdges = 1 + rng.nextInt(60)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        def run(threshold: Long) = graft.operators.Clustering
+          .connectedComponents(df, "a", "b", localEdgeThreshold = threshold)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val local = run(1000000L)      // hybrid fast path
+        val dist = run(0L)             // forced alternating-star
+        assert(local == dist, s"paths disagree on $edges")
+        // canonical labels: every component labeled by its min member
+        val byComp = local.groupBy(_._2)
+        for ((comp, members) <- byComp)
+          assert(members.map(_._1).min == comp)
+      }
+    }
+  }
+
   test("packFFD properties over 200 seeded random file sets") {
     val rng = new scala.util.Random(9)
     for (_ <- 1 to 200) {
