@@ -863,6 +863,40 @@ FROM (
   FROM documents) q ORDER BY doc_id"""
   }
 
+  /** Corpus-card twin: every card number on an already-proven contract —
+    * integer counts, DECIMAL(38,6)-quantized quality mean rendered as
+    * DOUBLE on both engines (the join_cardinality lesson), QUANTILE_CONT
+    * bit-parity for the token median, count-desc/lang-asc-NULLS-FIRST
+    * argmax tie-break matching Spark's asc (nulls first). */
+  lazy val corpusCard: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT lang, text, ws_tokens,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS q
+  FROM (
+    SELECT lang, text, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) i),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+    CAST(COUNT(DISTINCT text) AS BIGINT) AS nd,
+    ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q), 6) AS mean_quality,
+    ROUND(QUANTILE_CONT(CAST(ws_tokens AS DOUBLE), 0.5), 6) AS p50_tokens
+  FROM b),
+t AS (
+  SELECT lang AS top_lang, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY 1 ORDER BY c DESC, lang ASC NULLS FIRST LIMIT 1)
+SELECT n_docs, total_ws_tokens, n_langs, top_lang,
+  ROUND(CAST(c AS DOUBLE) / n_docs, 6) AS top_lang_share,
+  ROUND(CAST(n_docs - nd AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+  mean_quality, p50_tokens
+FROM m, t"""
+  }
+
   /** Top-k-by-quality twin (E107): the textQuality score expression,
     * ROW_NUMBER under the same (score DESC NULLS LAST, doc_id ASC)
     * total order, rank ≤ k. */

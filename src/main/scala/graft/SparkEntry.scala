@@ -1248,6 +1248,39 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       graft.operators.Search.bm25TopK(
         documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
+    // corpus card (r9): the one-row dataset summary a curator exports —
+    // size, token volume, language mix, exact-dup rate, quality level,
+    // median length — every number riding an already-proven cross-engine
+    // contract (integer counts, decSum quality mean, percentile
+    // bit-parity, deterministic argmax tie-break), so the whole card is
+    // hash-oracled. One wide agg + one lang rollup; scales as a scan.
+    "corpus_card" -> ((s, dir) => {
+      val base = documents(s, dir).select(
+        col("lang"), col("text"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("q"))
+      val Dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+      val m = base.agg(
+        count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("text").as("n_distinct_texts"),
+        round(sum(col("q").cast(Dec)).cast("double") / count(col("q")), 6)
+          .as("mean_quality"),
+        round(percentile(col("ws_tokens").cast("double"), lit(0.5)), 6)
+          .as("p50_tokens"))
+      val top = base.groupBy("lang").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("lang").asc).limit(1)
+        .select(col("lang").as("top_lang"), col("c").as("top_docs"))
+      m.crossJoin(broadcast(top)).select(
+        col("n_docs"), col("total_ws_tokens"), col("n_langs"),
+        col("top_lang"),
+        round(col("top_docs").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"),
+        round((col("n_docs") - col("n_distinct_texts")).cast("double") /
+          col("n_docs"), 6).as("exact_dup_rate"),
+        col("mean_quality"), col("p50_tokens"))
+    }),
     "vocab_topk" -> ((s, dir) =>
       TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
     // Zipf rank-frequency OLS fit over the top-1000 vocabulary (E76)
@@ -2262,6 +2295,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "bm25_topk" -> OracleSql.bm25TopK,
     "tfidf_keywords" -> OracleSql.tfidfKeywords,
     "vocab_topk" -> OracleSql.vocabTopK,
+    "corpus_card" -> OracleSql.corpusCard,
     "vocab_growth" -> OracleSql.vocabGrowth,
     "zipf_fit" -> OracleSql.zipfFit,
     "lang_id" -> OracleSql.langId,

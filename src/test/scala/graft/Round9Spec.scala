@@ -37,6 +37,27 @@ class Round9Spec extends AnyFunSuite {
     assert(ni.isNullAt(1) && ni.getAs[Long]("n_below") == 0L)
   }
 
+  test("corpus_card: the one-row summary matches hand-computed facts on a tiny corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val card = SparkEntry.queries("corpus_card")(spark, dir).head()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    assert(card.getAs[Long]("n_docs") == docs.count())
+    assert(card.getAs[Long]("n_langs") ==
+      docs.select("lang").distinct().count())
+    // declared-language mode matches a direct rollup
+    val top = docs.groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang").asc).head()
+    assert(card.getAs[String]("top_lang") == top.getString(0))
+    assert(card.getAs[Double]("top_lang_share") ==
+      math.rint(top.getLong(1).toDouble / docs.count() * 1e6) / 1e6)
+    // share/dup-rate/quality are 6-dp doubles in [0, 1]
+    for (c <- Seq("top_lang_share", "exact_dup_rate", "mean_quality")) {
+      val v = card.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c = $v")
+    }
+    assert(card.getAs[Double]("p50_tokens") > 0.0)
+  }
+
   test("connected components: driver union-find and alternating-star agree on 25 random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(31)
