@@ -201,18 +201,31 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(v))
     val slowestFirst = times.toSeq.sortBy(-_._2)
-    def line(entries: Seq[(String, Double)]): String = {
+    // n_failed always carries the full count; the NAME list participates
+    // in the truncation loop (ADVICE r9: a mass-failure round would
+    // otherwise blow the 1850-char budget on the failed list alone and
+    // reproduce the parsed:null overflow exactly when the artifact
+    // matters most)
+    def line(entries: Seq[(String, Double)], failedShown: Seq[String]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
         s""""n_queries":${times.size},""" +
         s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
-        s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+        s""""n_failed":${failedQueries.size},""" +
+        s""""failed_queries":${failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
     var keep = slowestFirst
-    while (line(keep).length > 1850 && keep.nonEmpty) keep = keep.init
-    val out = line(keep)
+    var keepFailed = failedQueries
+    while (line(keep, keepFailed).length > 1850 &&
+      (keep.nonEmpty || keepFailed.nonEmpty)) {
+      // shrink the failed-name list first (n_failed still records the
+      // count); only then start dropping per-query timings
+      if (keepFailed.nonEmpty) keepFailed = keepFailed.init
+      else keep = keep.init
+    }
+    val out = line(keep, keepFailed)
     println(out)
   }
 }

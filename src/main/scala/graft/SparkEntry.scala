@@ -1253,7 +1253,12 @@ object SparkEntry {
     // median length — every number riding an already-proven cross-engine
     // contract (integer counts, decSum quality mean, percentile
     // bit-parity, deterministic argmax tie-break), so the whole card is
-    // hash-oracled. One wide agg + one lang rollup; scales as a scan.
+    // hash-oracled. One wide agg + one lang rollup. SCALE LIMIT (ADVICE
+    // r9): every term scales as a scan EXCEPT p50_tokens, whose exact
+    // `percentile` buffer is the token-count value set — fine for a card
+    // over any real corpus (token counts are a bounded-ish domain), but
+    // at 100 TB the documented path swaps that one term for the E19 KLL
+    // median and keeps the rest of the card unchanged.
     "corpus_card" -> ((s, dir) => {
       val base = documents(s, dir).select(
         col("lang"), col("text"),

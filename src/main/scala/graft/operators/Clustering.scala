@@ -67,7 +67,9 @@ object Clustering {
     * HYBRID execution (r9): after dedup's hot-key caps, the distinct
     * pair graph is usually a small fraction of the corpus — and for an
     * edge set at metadata scale (≤ `localEdgeThreshold` distinct edges,
-    * 16 MB of longs at the 10⁶ default), a driver-side union-find with
+    * collected as primitive (Long, Long) pairs — tens of MB with tuple
+    * shells at the 10⁶ default, well inside driver heap), a
+    * driver-side union-find with
     * path compression finishes in milliseconds where the distributed
     * loop pays O(log² n) rounds × 2 shuffles each. The threshold makes
     * the collect contract EXPLICIT: the count is checked first, the
@@ -97,7 +99,11 @@ object Clustering {
     if (initCk.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val es = initCk.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // primitive tuple Dataset collect: the edge set arrives as unboxed
+      // (Long, Long) pairs — ~16 bytes/edge + tuple shells, not the
+      // ~100 MB of boxed GenericRows a Row collect would allocate at the
+      // 10⁶-edge threshold (ADVICE r9)
+      val es = initCk.as[(Long, Long)].collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

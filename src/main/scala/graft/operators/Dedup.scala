@@ -821,14 +821,28 @@ object Dedup {
     *
     * Similarity contract: STOP-FINGERPRINTS are dropped from BOTH sides
     * of the measure first — any fingerprint whose document frequency
-    * exceeds `maxHashFreq` (or, by default, `docFreqFraction` of the
-    * corpus document count — the IDF rationale: a k-gram window present
-    * in >2% of all documents is corpus boilerplate, not resemblance
-    * signal). The cap is also the scale guard: candidate pairs are
-    * Σ df², so phrase-level boilerplate with df in the thousands is
-    * exactly what makes a shared-fingerprint join quadratic at 100 TB;
-    * a corpus-RELATIVE cap keeps the bound meaningful at any corpus
-    * size where a fixed absolute cap cannot. Over the surviving
+    * exceeds `maxHashFreq` (default [[DefaultHotFingerprintCap]] = 128:
+    * a k-gram window shared verbatim by more than 128 documents is
+    * corpus boilerplate — license headers, templates — not resemblance
+    * signal, REGARDLESS of corpus size). The cap is also the scale
+    * guard: candidate pairs are Σ df², and only an ABSOLUTE cap bounds
+    * that at `#fingerprints · cap²` — linear in corpus size. The r9
+    * corpus-RELATIVE default (`docFreqFraction` of the doc count,
+    * reachable with `maxHashFreq = None`) left Σ df² quadratic in N
+    * (worst-case per-fingerprint fan-out (0.02·N)² — measured as 25×
+    * wall-time at 10× data in the r9 scale lane, VERDICT r9) and
+    * survives only as the documented small-corpus/IDF-study mode.
+    *
+    * PRE-FLIGHT GUARD (r10): before the pair join is even planned, one
+    * fingerprint-frequency aggregation computes the EXACT candidate
+    * count Σ df·(df−1)/2 over the surviving fingerprints; past
+    * `maxCandidatePairs` the call fails loudly with the count and the
+    * knobs to turn (the [[hotBucketStats]] observability precedent:
+    * degenerate corpora are detected up front, not discovered from a
+    * hung quadratic join). Cost: one extra scan-shaped pass whose
+    * output is metadata-sized; `None` skips it.
+    *
+    * Over the surviving
     * per-document distinct fingerprint sets: exact Jaccard
     * c/(nₐ+n_b−c), threshold-filtered.
     *
@@ -841,6 +855,8 @@ object Dedup {
     * Cites reference scope: dedup is absent from
     * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
     * per SURVEY §2.E. */
+  val DefaultHotFingerprintCap: Int = 128
+
   def winnowNearDup(
       df: DataFrame,
       idCol: String,
@@ -848,16 +864,29 @@ object Dedup {
       k: Int = 8,
       w: Int = 4,
       threshold: Double = 0.5,
-      maxHashFreq: Option[Int] = None,
-      docFreqFraction: Double = 0.02): DataFrame = {
-    // relative cap: one metadata-cheap count; mirror the oracle's
-    // CEIL(COUNT(*) * fraction) double algebra exactly
+      maxHashFreq: Option[Int] = Some(DefaultHotFingerprintCap),
+      docFreqFraction: Double = 0.02,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    // relative fallback mode: one metadata-cheap count; mirror the
+    // oracle's CEIL(COUNT(*) * fraction) double algebra exactly
     val cap = maxHashFreq.getOrElse {
       val nDocs = df.count()
       math.max(2L, math.ceil(nDocs * docFreqFraction).toLong).toInt
     }
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("hash")).distinct()
+    maxCandidatePairs.foreach { bound =>
+      val est = fp.groupBy("hash").agg(count(lit(1)).as("bf"))
+        .where(col("bf") <= cap)
+        .agg(coalesce(
+          sum(col("bf") * (col("bf") - 1L) / lit(2L)), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"winnowNearDup pre-flight: $est candidate pairs under " +
+          s"hot-fingerprint cap $cap exceed maxCandidatePairs=$bound — " +
+          "refusing the quadratic join; lower maxHashFreq (the " +
+          "boilerplate cap) or raise maxCandidatePairs deliberately")
+    }
     val kept = capHotBuckets(fp, Seq("hash"), Some(cap))
     val sizes = kept.groupBy("id").agg(count(lit(1)).as("nf"))
     val pairs = kept.select(col("id").as("id_a"), col("hash"))

@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   * consistency proof with an all-true VALUES oracle. */
 object ParquetLayout {
 
+  /** Default footer-read fan-out: plenty for a local test directory.
+    * Callers profiling a real lake should raise it — the difference
+    * between 64-way and 1000-way on a million-file listing. */
+  val DefaultFooterParallelism: Int = 64
+
   /** Recursive parquet file listing under `dir` (data files only). */
   private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -51,13 +56,20 @@ object ParquetLayout {
     * the first path segment under `dir` with any `.parquet` suffix
     * stripped (`lineitem.parquet` the file and `lineitem.parquet/` the
     * directory of parts both profile as table `lineitem`). */
-  def fileStats(spark: SparkSession, dir: String): DataFrame = {
+  def fileStats(
+      spark: SparkSession, dir: String,
+      footerParallelism: Int = DefaultFooterParallelism): DataFrame = {
     import spark.implicits._
-    val dirPath = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-      .stripSuffix("/")
+    // derive the strip-prefix from the QUALIFIED path, the same form the
+    // listing emits — anchoring on the caller's raw string broke relative
+    // dirs (table '' for every file; ADVICE r9)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val dirPath = root
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(root).toUri.getPath.stripSuffix("/")
     val files = listParquet(spark, dir)
     spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 64)))
+      .repartition(math.max(1, math.min(files.size, footerParallelism)))
       .mapPartitions { it =>
         // fresh default Configuration per task: listing produced plain
         // paths on the cluster's default FS; footer reads need no
@@ -97,11 +109,12 @@ object ParquetLayout {
     * this is how clustering QUALITY is measured without scanning data
     * (see [[ZOrderLayout]]). */
   def rowGroupLongStats(
-      spark: SparkSession, dir: String, column: String): DataFrame = {
+      spark: SparkSession, dir: String, column: String,
+      footerParallelism: Int = DefaultFooterParallelism): DataFrame = {
     import spark.implicits._
     val files = listParquet(spark, dir)
     spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.size, 64)))
+      .repartition(math.max(1, math.min(files.size, footerParallelism)))
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
         it.flatMap { f =>
@@ -149,8 +162,9 @@ object ParquetLayout {
   def tableRollup(
       spark: SparkSession, dir: String,
       smallFileBytes: Long = 4L << 20,
-      bigFileBytes: Long = 1L << 30): DataFrame =
-    fileStats(spark, dir)
+      bigFileBytes: Long = 1L << 30,
+      footerParallelism: Int = DefaultFooterParallelism): DataFrame =
+    fileStats(spark, dir, footerParallelism)
       .groupBy("table")
       .agg(
         count(lit(1)).as("n_files"),

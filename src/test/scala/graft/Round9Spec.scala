@@ -180,7 +180,12 @@ class Round9Spec extends AnyFunSuite {
     // every 3rd token carries the copy marker; copy 0 untouched
     assert(toks(rep(2L).getString(1))(2) == "gammac1")
     assert(toks(rep(4L).getString(1))(2) == "gammac2")
-    assert(rep(0L).getString(1) == rep(0L).getString(1))
+    // copy 0 keeps the ORIGINAL text (sf0.1-verified answers remain a
+    // subset of the replicated corpus) — compare against the source df,
+    // not against itself (ADVICE r9: the old self-compare was a tautology)
+    assert(rep(0L).getString(1) ==
+      "alpha beta\tgamma delta\nepsilon zeta eta")
+    assert(rep(1L).getString(1) == "one two three")
     // zero cross-copy 3-shingle overlap (the scale-lane invariant)
     def shingles(s: String): Set[String] =
       toks(s).sliding(3).map(_.mkString(" ")).toSet
