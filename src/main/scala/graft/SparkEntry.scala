@@ -889,6 +889,31 @@ object SparkEntry {
         .toDF("linear_sharp_on_a", "linear_blind_on_b",
           "zorder_improves_b", "zorder_bounds_both")
     }),
+    // the pruned READ the z-order spans predict (r10): a two-sided range
+    // filter (middle 50% of l_partkey x middle 10% of l_suppkey) over
+    // both staged layouts — zone-map arithmetic says which row groups a
+    // stats-aware scan CANNOT skip; the audit pins that the z-ordered
+    // layout reads strictly fewer groups for identical results, i.e.
+    // "spans are tighter" cashes out as "reads are smaller"
+    "zorder_prune_audit" -> ((s, dir) => {
+      import s.implicits._
+      val rep = graft.sources.ZOrderLayout.pruneReport(
+        s, lineitem(s, dir).select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", cacheKey = dir)
+        .collect().map(r => r.getString(0) -> r).toMap
+      val lin = rep("linear"); val z = rep("zorder")
+      Seq((
+        // both layouts return the same non-empty result
+        lin.getLong(3) == z.getLong(3) && lin.getLong(3) > 0L,
+        // the z-ordered scan skips row groups the linear one cannot
+        z.getLong(2) < lin.getLong(2),
+        // z-order reads at most half the row groups for this filter
+        z.getLong(2) * 2 <= z.getLong(1),
+        // candidates never exceed totals (span-arithmetic sanity)
+        lin.getLong(2) <= lin.getLong(1) && z.getLong(2) <= z.getLong(1)))
+        .toDF("results_equal", "zorder_skips_more",
+          "zorder_prunes_half", "bounds_sane")
+    }),
     // small-file compaction plan (r9): the ACTION half of the layout
     // profiler — FFD bin packing per table, executor-side, pure footer
     // metadata; rows-only (paths invisible to the oracle), claims pinned
@@ -921,6 +946,64 @@ object SparkEntry {
         // the plan is deterministic run-to-run
         plan1.map(_.toString).toSeq == plan2.map(_.toString).toSeq))
         .toDF("coverage", "single_bin", "fill_ok", "deterministic")
+    }),
+    // compaction EXECUTOR (r10): each compact bin rewritten into one
+    // merged file, keep files and the source layout untouched — the
+    // rewrite half of Delta-OPTIMIZE, footer-reconciled end to end;
+    // rows-only (paths + write-time bytes invisible to the oracle)
+    "compaction_execute" -> ((s, dir) =>
+      graft.sources.Compaction.executeCompaction(
+        s, dir, s"/tmp/graft_compact_exec/p${ProcessHandle.current().pid()}")
+        .drop("output_bytes")), // encoding-dependent; the audit bounds it
+    "compaction_execute_audit" -> ((s, dir) => {
+      import s.implicits._
+      // stage a layout with BOTH pathologies' counterparts: a 12-shard
+      // fragmented table (all compact) and a single-file table sized
+      // exactly at the target (keep — must never be read or rewritten)
+      val staged = s"/tmp/graft_compact_x/p${ProcessHandle.current().pid()}"
+      val outDir = s"${staged}_out"
+      if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$staged/docs.parquet/_SUCCESS"))) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.repartition(12)
+          .write.mode("overwrite").parquet(s"$staged/docs.parquet")
+        docs.coalesce(1)
+          .write.mode("overwrite").parquet(s"$staged/whole.parquet")
+      }
+      def listing() = graft.sources.ParquetLayout.fileStats(s, staged)
+        .select("table", "file", "n_rows", "compressed_bytes")
+        .collect().map(_.toString).sorted.toSeq
+      // target = the single file's exact size: `whole` plans keep
+      // (packFFD keeps at >= target), the 12 shards pack into bins
+      val target = graft.sources.ParquetLayout.fileStats(s, staged)
+        .where(col("table") === "whole")
+        .agg(max("compressed_bytes")).head().getLong(0)
+      val before = listing()
+      val report = graft.sources.Compaction
+        .executeCompaction(s, staged, outDir, target).collect()
+      val after = listing()
+      val srcRows = s.read.parquet(s"$staged/docs.parquet").count()
+      def L(r: org.apache.spark.sql.Row, c: String) = r.getAs[Long](c)
+      Seq((
+        // every compaction bin merged into exactly ONE output file
+        report.nonEmpty && report.forall(L(_, "n_output_files") == 1L),
+        // per-bin AND total row preservation vs the source scan
+        report.forall(r => L(r, "input_rows") == L(r, "output_rows")) &&
+          report.map(L(_, "output_rows")).sum == srcRows,
+        // merged bytes within tolerance of the bin's input (merging may
+        // shrink bytes — 12 footers/dictionaries collapse into one)
+        report.forall { r =>
+          val ib = L(r, "input_bytes"); val ob = L(r, "output_bytes")
+          ob >= (math.min(ib, target) * 0.4).toLong && ob <= (ib * 3) / 2 },
+        // the keep table was not rewritten: no `whole` rows in the
+        // report and no output directory for it
+        report.forall(_.getString(0) == "docs") &&
+          !java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$outDir/whole")),
+        // the SOURCE layout is byte-identical after the rewrite
+        before == after))
+        .toDF("one_file_per_bin", "rows_preserved", "bytes_sane",
+          "keep_untouched", "source_untouched")
     }),
     // quality-proportional deterministic sampling (E142)
     "quality_weighted_sample" -> ((s, dir) =>
@@ -2165,7 +2248,9 @@ object SparkEntry {
     "winsorized_stats_audit" -> OracleSql.winsorizedStatsAudit,
     "parquet_layout_audit" -> OracleSql.parquetLayoutAudit,
     "zorder_audit" -> OracleSql.zorderAudit,
+    "zorder_prune_audit" -> OracleSql.zorderPruneAudit,
     "compaction_audit" -> OracleSql.compactionAudit,
+    "compaction_execute_audit" -> OracleSql.compactionExecuteAudit,
     "range_join_bands" ->
       """WITH bands AS (
   SELECT i AS band_id, i * CAST(1350.0 AS DOUBLE) AS lo, i * CAST(1650.0 AS DOUBLE) AS hi

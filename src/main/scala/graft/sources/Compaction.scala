@@ -71,4 +71,79 @@ object Compaction {
         "bin_id", "bin_files", "bin_bytes")
       .orderBy("table", "bin_id", "file")
   }
+
+  /** EXECUTE the `compact` half of [[compactionPlan]] (r10, VERDICT r9
+    * task 3 — the action's action): every compaction bin is rewritten
+    * into exactly ONE merged parquet file under
+    * `outDir/<table>/bin=<id>/`, `keep` files are never read or
+    * rewritten, and the SOURCE directory is never touched (the
+    * Delta-OPTIMIZE contract split into rewrite-then-swap; the swap —
+    * atomically replacing source files with the merged output — is a
+    * transaction-log concern this library leaves to the table format).
+    *
+    * Scale shape — coalesce-free by construction: rows are shuffled ONCE
+    * on the bin id (`repartition(col("bin"))` puts each bin's rows in
+    * exactly one task; a task holding several small bins still writes
+    * one file PER bin via `partitionBy`), so a million-file lake
+    * compacts with one job per table, parallel across bins, and no
+    * driver-side file loop — the driver iterates TABLES (metadata-sized)
+    * only. The file→bin assignment stays a DataFrame joined against
+    * `input_file_name()`; the file list itself never reaches the driver.
+    *
+    * Returns the per-bin reconciliation report, with the input side from
+    * the plan's footer sweep and the output side footer-read from the
+    * rewritten layout:
+    * `(table, bin_id, n_input_files, input_rows, input_bytes,
+    *   n_output_files, output_rows, output_bytes)`. */
+  def executeCompaction(
+      spark: SparkSession, dir: String, outDir: String,
+      targetBytes: Long = 128L << 20): DataFrame = {
+    import spark.implicits._
+    val stats = ParquetLayout.fileStats(spark, dir)
+      .select("table", "file", "n_rows", "compressed_bytes")
+    val plan = compactionPlan(spark, dir, targetBytes)
+    val bins = plan.where(col("action") === "compact")
+      .join(stats.withColumnRenamed("compressed_bytes", "fbytes"),
+        Seq("table", "file"))
+    // one entry per TABLE — metadata-sized, unlike the file list
+    val tables = bins.select("table").distinct().as[String].collect().sorted
+    val reports = tables.map { t =>
+      val assign = bins.where(col("table") === t)
+        .select(col("file").as("_f"), col("bin_id").as("bin"))
+      spark.read.parquet(s"$dir/$t.parquet")
+        .withColumn("_f", regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .join(assign, Seq("_f"))     // inner join: keep-files drop out
+        .drop("_f")
+        .repartition(col("bin"))     // each bin's rows land in ONE task
+        .write.mode("overwrite").partitionBy("bin")
+        .parquet(s"$outDir/$t")
+      val outRows = spark.read.parquet(s"$outDir/$t")
+        .groupBy("bin").agg(count(lit(1)).as("output_rows"))
+      // footer sweep of the rewritten layout: fileStats' first path
+      // segment under outDir/<t> is the partition dir "bin=<id>"
+      val outFiles = ParquetLayout.fileStats(spark, s"$outDir/$t")
+        .select(
+          regexp_extract(col("table"), "^bin=(\\d+)$", 1).cast("long")
+            .as("bin"),
+          col("n_rows"), col("compressed_bytes"))
+        .groupBy("bin").agg(
+          count(lit(1)).as("n_output_files"),
+          sum("compressed_bytes").as("output_bytes"))
+      bins.where(col("table") === t)
+        .groupBy("bin_id").agg(
+          count(lit(1)).as("n_input_files"),
+          sum("n_rows").as("input_rows"),
+          sum("fbytes").as("input_bytes"))
+        .join(outRows.withColumnRenamed("bin", "bin_id"), Seq("bin_id"))
+        .join(outFiles.withColumnRenamed("bin", "bin_id"), Seq("bin_id"))
+        .select(lit(t).as("table"), col("bin_id"), col("n_input_files"),
+          col("input_rows"), col("input_bytes"), col("n_output_files"),
+          col("output_rows"), col("output_bytes"))
+    }
+    reports.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataset[(String, Long, Long, Long, Long, Long,
+        Long, Long)].toDF("table", "bin_id", "n_input_files", "input_rows",
+        "input_bytes", "n_output_files", "output_rows", "output_bytes"))
+      .orderBy("table", "bin_id")
+  }
 }

@@ -81,21 +81,33 @@ object ZOrderLayout {
   /** `(layout, column, n_row_groups, avg_span)` over the two staged
     * layouts × the two key columns; `avg_span` ∈ [0, 1] is the mean
     * normalized zone-map width (lower = better pruning). */
-  def clusteringReport(
+  /** Bounds + staging shared by [[clusteringReport]] and
+    * [[pruneReport]]: returns `(linearDir, zorderDir, loA, hiA, loB,
+    * hiB)` for the cached (or freshly staged) pair of layouts. */
+  private def stagedLayouts(
       spark: SparkSession, df: DataFrame, colA: String, colB: String,
-      nRanges: Int = 8, cacheKey: String = ""): DataFrame = {
-    import spark.implicits._
+      nRanges: Int, cacheKey: String)
+      : (String, String, Long, Long, Long, Long) = {
     val proj = df.select(col(colA), col(colB))
     val b = proj.agg(
       min(colA).cast("long"), max(colA).cast("long"),
       min(colB).cast("long"), max(colB).cast("long")).head()
     require(!b.isNullAt(0) && !b.isNullAt(2),
-      "clusteringReport needs non-empty, non-null key columns")
+      "ZOrderLayout needs non-empty, non-null key columns")
     val (loA, hiA, loB, hiB) =
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     val key = s"$cacheKey|$colA|$colB|$loA|$hiA|$loB|$hiB|$nRanges"
     val (linDir, zDir) = stage(
       spark, proj, colA, colB, loA, hiA, loB, hiB, nRanges, key)
+    (linDir, zDir, loA, hiA, loB, hiB)
+  }
+
+  def clusteringReport(
+      spark: SparkSession, df: DataFrame, colA: String, colB: String,
+      nRanges: Int = 8, cacheKey: String = ""): DataFrame = {
+    import spark.implicits._
+    val (linDir, zDir, loA, hiA, loB, hiB) =
+      stagedLayouts(spark, df, colA, colB, nRanges, cacheKey)
     def spans(dir: String, layout: String, c: String, lo: Long, hi: Long) =
       ParquetLayout.rowGroupLongStats(spark, dir, c)
         .where(col("col_min").isNotNull)
@@ -110,5 +122,52 @@ object ZOrderLayout {
       .unionAll(spans(zDir, "zorder", colA, loA, hiA))
       .unionAll(spans(zDir, "zorder", colB, loB, hiB))
       .orderBy("layout", "column")
+  }
+
+  /** The pruned READ the spans predict (r10, VERDICT r9 task 4):
+    * evaluates a two-sided range predicate
+    * `colA ∈ [fracA of domain] AND colB ∈ [fracB of domain]` against
+    * both staged layouts and reports, per layout, how many row groups
+    * the zone maps CANNOT skip (footer span arithmetic — a group
+    * survives only if BOTH columns' [min, max] intersect the filter
+    * interval; groups without stats conservatively survive) alongside
+    * the rows the filter actually selects. A stats-aware reader skips
+    * exactly the complement, so `candidate_groups` IS the read cost:
+    * `(layout, n_row_groups, candidate_groups, rows_selected)`.
+    *
+    * `nRanges` defaults higher than [[clusteringReport]]'s: pruning is
+    * measured at row-group granularity, and with only 8 groups the
+    * quadrant arithmetic is too coarse to separate the layouts. */
+  def pruneReport(
+      spark: SparkSession, df: DataFrame, colA: String, colB: String,
+      fracA: (Double, Double) = (0.25, 0.75),
+      fracB: (Double, Double) = (0.45, 0.55),
+      nRanges: Int = 64, cacheKey: String = ""): DataFrame = {
+    import spark.implicits._
+    val (linDir, zDir, loA, hiA, loB, hiB) =
+      stagedLayouts(spark, df, colA, colB, nRanges, cacheKey)
+    def bound(lo: Long, hi: Long, f: Double): Long =
+      lo + math.round((hi - lo) * f)
+    val (aLo, aHi) = (bound(loA, hiA, fracA._1), bound(loA, hiA, fracA._2))
+    val (bLo, bHi) = (bound(loB, hiB, fracB._1), bound(loB, hiB, fracB._2))
+    def report(dir: String, layout: String) = {
+      val ga = ParquetLayout.rowGroupLongStats(spark, dir, colA)
+        .withColumnsRenamed(Map("col_min" -> "a_min", "col_max" -> "a_max"))
+      val gb = ParquetLayout.rowGroupLongStats(spark, dir, colB)
+        .withColumnsRenamed(Map("col_min" -> "b_min", "col_max" -> "b_max"))
+      val survives =
+        coalesce(col("a_min") <= aHi && col("a_max") >= aLo, lit(true)) &&
+          coalesce(col("b_min") <= bHi && col("b_max") >= bLo, lit(true))
+      val counts = ga.join(gb, Seq("file", "group_idx"))
+        .agg(count(lit(1)).as("n_row_groups"),
+          count(when(survives, 1)).as("candidate_groups"))
+      val selected = spark.read.parquet(dir)
+        .where(col(colA).between(aLo, aHi) && col(colB).between(bLo, bHi))
+        .count()
+      counts.select(lit(layout).as("layout"), col("n_row_groups"),
+        col("candidate_groups"), lit(selected).as("rows_selected"))
+    }
+    report(linDir, "linear").unionAll(report(zDir, "zorder"))
+      .orderBy("layout")
   }
 }

@@ -65,17 +65,41 @@ object ScaleGen {
   private[graft] def replicateK(
       df: DataFrame, k: Int, shifts: Map[String, Long],
       saltText: Option[String] = None,
-      rotateVec: Option[String] = None): DataFrame = {
+      rotateVec: Option[String] = None,
+      saltMode: String = "token"): DataFrame = {
+    require(saltMode == "token" || saltMode == "char",
+      s"saltMode must be token|char, got $saltMode")
     val copies = (0 until k).map { i =>
         val shifted = shifts.foldLeft(df) { case (d, (c, s)) =>
           d.withColumn(c, col(c) + lit(i.toLong * s)) }
         val salted = saltText.fold(shifted) { tc =>
-          // suffix every 3rd whitespace token with a copy marker: token
-          // count unchanged, every 3-shingle carries the marker, so
-          // cross-copy shingle overlap is zero (copy 0 keeps the
-          // original text so sf0.1-verified answers remain a subset);
-          // n_chars tracks the ~+1 char/3 tokens the suffix adds
+          // token mode: suffix every 3rd whitespace token with a copy
+          // marker — token count unchanged, every 3-shingle carries the
+          // marker, so cross-copy shingle overlap is zero (copy 0 keeps
+          // the original text so sf0.1-verified answers remain a
+          // subset); n_chars tracks the ~+1 char/3 tokens the suffix
+          // adds. KNOWN LIMIT: char-level k-grams between two salt sites
+          // stay shared across copies, so char-gram operators (winnowing,
+          // k=8) see every fingerprint's doc-frequency multiplied by K —
+          // the measured ~K² candidate artifact of VERDICT r9.
+          //
+          // char mode (r10, VERDICT r9 task 2): insert a COPY-SPECIFIC
+          // character after every 7th character — every 8-char window of
+          // a salted copy contains a salt char, so NO char-level 8-gram
+          // is shared across copies (nor with the unsalted copy 0: the
+          // salt chars are Latin-1 supplement letters the ASCII
+          // generator never emits). This is the content-varying
+          // replication char-gram operators need the lane to measure;
+          // it does NOT preserve token counts or char length (~+14%),
+          // so token-exact rows keep using token mode.
           if (i == 0) shifted
+          else if (saltMode == "char") shifted
+            .withColumn(tc,
+              // (?s): text contains newlines; '.' must cross them or
+              // newline-adjacent runs would keep unsalted 8-grams
+              regexp_replace(col(tc), "(?s)(.{7})",
+                "$1" + (0xA1 + (i - 1) % 0x50).toChar))
+            .withColumn("n_chars", length(col(tc)))
           else shifted
             .withColumn(tc,
               // \s+, not a literal space: a tab/newline/double-space
@@ -105,6 +129,15 @@ object ScaleGen {
     val k = sys.env.get("SPARK_GRAFT_SCALE_K")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 1).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // SPARK_GRAFT_SCALE_SALT=char: content-varying replication (salts
+    // every 7th CHARACTER, killing cross-copy char-k-gram sharing) for
+    // re-measuring char-gram operators without the replication artifact
+    val saltMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_SALT", "token")
+    // SPARK_GRAFT_SCALE_TABLES=documents,events: write only a subset —
+    // a charsalt documents-only lane dir need not duplicate lineitem
+    val tableFilter = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(name: String): Boolean = tableFilter.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -118,7 +151,7 @@ object ScaleGen {
     def replicate(df: DataFrame, shifts: Map[String, Long],
                   saltText: Option[String] = None,
                   rotateVec: Option[String] = None): DataFrame =
-      replicateK(df, k, shifts, saltText, rotateVec)
+      replicateK(df, k, shifts, saltText, rotateVec, saltMode)
 
     def write(df: DataFrame, name: String, parts: Int = 0): Unit = {
       // small-files guard (found by ParquetLayout on this generator's own
@@ -131,35 +164,49 @@ object ScaleGen {
       println(s"wrote $name x$k")
     }
 
-    val lineitem = read("lineitem"); val orders = read("orders")
-    val customer = read("customer"); val part = read("part")
-    val supplier = read("supplier"); val documents = read("documents")
-    val embeddings = read("embeddings"); val events = read("events")
-
-    val sOrder = stride(orders, "o_orderkey")
-    val sCust = stride(customer, "c_custkey")
-    val sPart = stride(part, "p_partkey")
-    val sSupp = stride(supplier, "s_suppkey")
-
-    write(replicate(lineitem, Map(
-      "l_orderkey" -> sOrder, "l_partkey" -> sPart, "l_suppkey" -> sSupp)),
-      "lineitem")
-    write(replicate(orders, Map(
-      "o_orderkey" -> sOrder, "o_custkey" -> sCust)), "orders")
-    write(replicate(customer, Map("c_custkey" -> sCust)), "customer")
-    write(replicate(part, Map("p_partkey" -> sPart)), "part")
-    write(replicate(supplier, Map("s_suppkey" -> sSupp)), "supplier")
-    write(replicate(documents,
-      Map("doc_id" -> stride(documents, "doc_id")),
-      saltText = Some("text")), "documents")
-    write(replicate(embeddings,
-      Map("vec_id" -> stride(embeddings, "vec_id")),
-      rotateVec = Some("embedding")), "embeddings")
-    write(replicate(events, Map(
-      "event_id" -> stride(events, "event_id"),
-      "user_id" -> stride(events, "user_id"))), "events")
+    if (want("lineitem") || want("orders") || want("customer") ||
+      want("part") || want("supplier")) {
+      val orders = read("orders"); val customer = read("customer")
+      val part = read("part"); val supplier = read("supplier")
+      val sOrder = stride(orders, "o_orderkey")
+      val sCust = stride(customer, "c_custkey")
+      val sPart = stride(part, "p_partkey")
+      val sSupp = stride(supplier, "s_suppkey")
+      if (want("lineitem"))
+        write(replicate(read("lineitem"), Map(
+          "l_orderkey" -> sOrder, "l_partkey" -> sPart,
+          "l_suppkey" -> sSupp)), "lineitem")
+      if (want("orders"))
+        write(replicate(orders, Map(
+          "o_orderkey" -> sOrder, "o_custkey" -> sCust)), "orders")
+      if (want("customer"))
+        write(replicate(customer, Map("c_custkey" -> sCust)), "customer")
+      if (want("part"))
+        write(replicate(part, Map("p_partkey" -> sPart)), "part")
+      if (want("supplier"))
+        write(replicate(supplier, Map("s_suppkey" -> sSupp)), "supplier")
+    }
+    if (want("documents")) {
+      val documents = read("documents")
+      write(replicate(documents,
+        Map("doc_id" -> stride(documents, "doc_id")),
+        saltText = Some("text")), "documents")
+    }
+    if (want("embeddings")) {
+      val embeddings = read("embeddings")
+      write(replicate(embeddings,
+        Map("vec_id" -> stride(embeddings, "vec_id")),
+        rotateVec = Some("embedding")), "embeddings")
+    }
+    if (want("events")) {
+      val events = read("events")
+      write(replicate(events, Map(
+        "event_id" -> stride(events, "event_id"),
+        "user_id" -> stride(events, "user_id"))), "events")
+    }
     // dimension tables pass through unchanged (single file each)
-    Seq("nation", "region").foreach(n => write(read(n), n, parts = 1))
+    Seq("nation", "region").filter(want)
+      .foreach(n => write(read(n), n, parts = 1))
     spark.stop()
   }
 }

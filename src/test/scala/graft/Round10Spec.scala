@@ -74,6 +74,80 @@ class Round10Spec extends AnyFunSuite {
     assert(fired)
   }
 
+  test("ZOrderLayout.pruneReport: z-order reads fewer row groups than linear for identical results") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val rep = graft.sources.ZOrderLayout
+      .pruneReport(spark, li, "l_partkey", "l_suppkey",
+        cacheKey = "spec0.001")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lin = rep("linear"); val z = rep("zorder")
+    info(s"linear:  ${lin.getLong(2)}/${lin.getLong(1)} candidate groups, " +
+      s"${lin.getLong(3)} rows")
+    info(s"zorder:  ${z.getLong(2)}/${z.getLong(1)} candidate groups, " +
+      s"${z.getLong(3)} rows")
+    assert(lin.getLong(3) == z.getLong(3) && lin.getLong(3) > 0L)
+    assert(z.getLong(2) < lin.getLong(2))
+    assert(z.getLong(2) * 2 <= z.getLong(1))
+  }
+
+  test("Compaction.executeCompaction: bins merge to one file each, rows preserved, source untouched") {
+    import spark.implicits._
+    val staged = "target/r10_compact_src"
+    val out = "target/r10_compact_out"
+    val src = (1 to 5000).map(i => (i.toLong, s"row $i payload"))
+      .toDF("id", "payload")
+    src.repartition(10).write.mode("overwrite").parquet(s"$staged/t.parquet")
+    try {
+      val before = graft.sources.ParquetLayout.fileStats(spark, staged)
+        .collect().map(_.toString).sorted.toSeq
+      val rep = graft.sources.Compaction
+        .executeCompaction(spark, staged, out, targetBytes = 1L << 20)
+        .collect()
+      assert(rep.nonEmpty)
+      assert(rep.forall(_.getAs[Long]("n_output_files") == 1L))
+      assert(rep.forall(r =>
+        r.getAs[Long]("input_rows") == r.getAs[Long]("output_rows")))
+      assert(rep.map(_.getAs[Long]("output_rows")).sum == 5000L)
+      val after = graft.sources.ParquetLayout.fileStats(spark, staged)
+        .collect().map(_.toString).sorted.toSeq
+      assert(before == after)
+      // the merged output itself reads back identically to the source
+      val merged = spark.read.parquet(s"$out/t").drop("bin")
+      assert(merged.count() == 5000L)
+      assert(merged.exceptAll(src).isEmpty && src.exceptAll(merged).isEmpty)
+    } finally {
+      Seq(staged, out).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      ()
+    }
+  }
+
+  test("ScaleGen char-salt mode: no 8-char k-gram survives across copies") {
+    import spark.implicits._
+    val text = "alpha beta\tgamma delta\nepsilon zeta eta theta iota kappa"
+    val docs = Seq((0L, text, text.length.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val rep = graft.tools.ScaleGen
+      .replicateK(docs, 3, Map("doc_id" -> 1L),
+        saltText = Some("text"), saltMode = "char")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def grams(s: String): Set[String] = s.sliding(8).toSet
+    // copy 0 keeps the original text
+    assert(rep(0L).getString(1) == text)
+    // the content-varying invariant: zero shared 8-grams, copy-vs-copy
+    // AND copy-vs-original — the winnowing fingerprint lane measures the
+    // engine, not replication (VERDICT r9 task 2)
+    assert(grams(rep(0L).getString(1))
+      .intersect(grams(rep(1L).getString(1))).isEmpty)
+    assert(grams(rep(1L).getString(1))
+      .intersect(grams(rep(2L).getString(1))).isEmpty)
+    assert(grams(rep(0L).getString(1))
+      .intersect(grams(rep(2L).getString(1))).isEmpty)
+    // n_chars tracks the salted length
+    assert(rep(1L).getLong(2) == rep(1L).getString(1).length.toLong)
+  }
+
   test("ParquetLayout: relative dir yields real table names, footerParallelism bounds the read fan-out") {
     import spark.implicits._
     val rel = "target/r10_layout_rel"
