@@ -1432,7 +1432,7 @@ FROM sel ORDER BY doc_id, pos"""
 
   /** Winnow-near-dup twin (E73): the same fingerprint CTE collapsed to
     * DISTINCT (doc, hash), stop-fingerprints (doc-freq > the ABSOLUTE
-    * boilerplate cap 128 = Dedup.DefaultHotFingerprintCap; r10, was the
+    * boilerplate cap 32 = Dedup.DefaultHotFingerprintCap; r10, was the
     * corpus-relative 2% whose Σ df² stays quadratic in N) removed from
     * both sides, exact Jaccard over the surviving sets via one
     * shared-hash self-join. */
@@ -1449,7 +1449,7 @@ fp AS (SELECT DISTINCT doc_id, enc // 1048576 AS hash FROM (
   SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(keys) - 3, 1) + 1),
     j -> list_min(keys[j : j + 3]))) AS enc
   FROM kg WHERE len(keys) >= 1) t),
-ok AS (SELECT hash FROM fp GROUP BY hash HAVING COUNT(*) <= 128),
+ok AS (SELECT hash FROM fp GROUP BY hash HAVING COUNT(*) <= 32),
 kept AS (SELECT f.doc_id, f.hash FROM fp f JOIN ok USING (hash)),
 sz AS (SELECT doc_id, COUNT(*) AS nf FROM kept GROUP BY doc_id),
 p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS c

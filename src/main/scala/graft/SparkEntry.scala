@@ -1805,9 +1805,16 @@ object SparkEntry {
     // continuous profiling: a real streaming query delivers lineitem in
     // micro-batches; foreachBatch reduces each to mergeable state; the
     // merged EXACT metrics must equal the whole-table profile
+    // SPARK_GRAFT_STREAM_BATCHES (default 4): scale-lane experiment knob —
+    // at K× data, constant nBatches means K×-bigger batches (per-batch
+    // planning/commit overhead amortizes), while nBatches=4K holds bytes
+    // per batch constant (overhead scales with batch count); the merged
+    // metrics are EXACT either way, so the oracle is unaffected
     "streaming_incremental_profile" -> ((s, dir) =>
       StreamingProfile.continuousIncrementalProfile(
-        s, s"$dir/lineitem.parquet", "l_orderkey", nBatches = 4)
+        s, s"$dir/lineitem.parquet", "l_orderkey",
+        nBatches = sys.env.get("SPARK_GRAFT_STREAM_BATCHES")
+          .flatMap(b => scala.util.Try(b.toInt).toOption).getOrElse(4))
         .where(col("name") =!= lit("ApproxCountDistinct") &&
           !col("name").startsWith("ApproxQuantiles"))
         .select(col("instance"), col("name"), round(col("value"), 6).as("value"))

@@ -759,11 +759,12 @@ object Dedup {
     * corrupting the packed key (position bleeding into hash bits) — chunk
     * long documents first ([[graft.functions.TextFunctions.chunkDocuments]]).
     *
-    * Scale shape: pure per-row expression work (the k-gram hashes and the
-    * token array are staged columns — referencing an expression tree from
-    * inside a lambda re-evaluates it per element) + one explode of the
-    * DISTINCT selected fingerprints (≈ 2/(w+1) of positions); no shuffle,
-    * no state. Returns `(id, pos, hash)` rows. */
+    * Scale shape: ONE codegen'd expression per row
+    * ([[graft.functions.WinnowSelect]] — the former higher-order-function
+    * pipeline evaluated its lambdas interpreted, allocating per k-gram;
+    * r10 measured 4.6 s → ~1 s for the pass at the 10× lane point) + one
+    * explode of the DISTINCT selected fingerprints (≈ 2/(w+1) of
+    * positions); no shuffle, no state. Returns `(id, pos, hash)` rows. */
   def winnowFingerprints(
       df: DataFrame,
       idCol: String,
@@ -771,18 +772,16 @@ object Dedup {
       k: Int = 8,
       w: Int = 4): DataFrame = {
     require(k > 0 && w > 0, "need positive k and w")
-    graft.functions.RollingHash.register(df.sparkSession)
-    val PosBase = 1L << 20
-    val text = col("_t")
-    val keys = col("_keys")
+    graft.functions.WinnowSelect.register(df.sparkSession)
+    val PosBase = graft.functions.WinnowSelect.PosBase
     graft.profiler.ScanMetrics.spread(df) // see shingles note
       .select(
         col(idCol).as("id"),
-        // enforce the packing cap: beyond 2^20-1 chars the position term
-        // would go negative and bleed into the hash bits — fail loudly.
-        // coalesce: length(NULL) is NULL, which would otherwise make the
-        // condition NULL and mis-route null text into raise_error — null
-        // text must keep flowing to the empty-fingerprint branch below
+        // enforce the packing cap HERE too (the expression re-checks, but
+        // only this site can name the offending document id). coalesce:
+        // length(NULL) is NULL, which would otherwise make the condition
+        // NULL and mis-route null text into raise_error — null text must
+        // keep flowing to the null → zero-rows explode branch below
         when(coalesce(length(col(textCol)), lit(0)) < lit(PosBase), col(textCol))
           .otherwise(raise_error(concat(
             lit("winnowFingerprints: document "), col(idCol).cast("string"),
@@ -791,20 +790,8 @@ object Dedup {
           .as("_t"))
       .select(
         col("id"),
-        when(length(text) >= k,
-          transform(
-            sequence(lit(1), length(text) - k + 1),
-            i => call_function("rolling_hash", substr(text, i, lit(k))) * lit(PosBase)
-              + (lit(PosBase - 1) - i)))
-          .otherwise(array().cast("array<bigint>")).as("_keys"))
-      .select(
-        col("id"),
-        explode(
-          when(size(keys) >= 1,
-            array_distinct(transform(
-              sequence(lit(1), greatest(size(keys) - w + 1, lit(1))),
-              j => array_min(slice(keys, j, lit(w))))))
-            .otherwise(array().cast("array<bigint>"))).as("enc"))
+        explode(call_function("winnow_select",
+          col("_t"), lit(k), lit(w))).as("enc"))
       .select(
         col("id"),
         (lit(PosBase - 1) - pmod(col("enc"), lit(PosBase))).as("pos"),
@@ -821,10 +808,14 @@ object Dedup {
     *
     * Similarity contract: STOP-FINGERPRINTS are dropped from BOTH sides
     * of the measure first — any fingerprint whose document frequency
-    * exceeds `maxHashFreq` (default [[DefaultHotFingerprintCap]] = 128:
-    * a k-gram window shared verbatim by more than 128 documents is
+    * exceeds `maxHashFreq` (default [[DefaultHotFingerprintCap]] = 32:
+    * a k-gram window shared verbatim by more than 32 documents is
     * corpus boilerplate — license headers, templates — not resemblance
-    * signal, REGARDLESS of corpus size). The cap is also the scale
+    * signal, REGARDLESS of corpus size; the testdata's template-heavy
+    * generator made the sensitivity measurable — median 8-gram df is 14
+    * and Σ df² at cap 128 is 5× the cap-32 volume for the SAME 25-pair
+    * answer at sf0.01, so 32 is where signal stops paying for
+    * candidates). The cap is also the scale
     * guard: candidate pairs are Σ df², and only an ABSOLUTE cap bounds
     * that at `#fingerprints · cap²` — linear in corpus size. The r9
     * corpus-RELATIVE default (`docFreqFraction` of the doc count,
@@ -833,29 +824,51 @@ object Dedup {
     * wall-time at 10× data in the r9 scale lane, VERDICT r9) and
     * survives only as the documented small-corpus/IDF-study mode.
     *
-    * PRE-FLIGHT GUARD (r10): before the pair join is even planned, one
-    * fingerprint-frequency aggregation computes the EXACT candidate
-    * count Σ df·(df−1)/2 over the surviving fingerprints; past
-    * `maxCandidatePairs` the call fails loudly with the count and the
-    * knobs to turn (the [[hotBucketStats]] observability precedent:
-    * degenerate corpora are detected up front, not discovered from a
-    * hung quadratic join). Cost: one extra scan-shaped pass whose
-    * output is metadata-sized; `None` skips it.
+    * PREFIX-FILTERED pair generation (r10, after the absolute cap cut
+    * the r9 quadratic to linear and the lane showed the operator was
+    * then CANDIDATE-VOLUME-bound — 47.7M candidate rows through a
+    * shuffle for 2.6k result pairs at the 10× point): the standard
+    * set-similarity-join prefix filter (Chaudhuri et al. SSJoin '06;
+    * Bayardo et al. WWW '07). Under ANY global element order, two sets
+    * with Jaccard ≥ t must share an element within the first
+    * `n − ceil(t·n) + 1` elements of each — so only that PREFIX is
+    * indexed into the candidate self-join, and ordering ascending by
+    * document frequency puts each document's RAREST fingerprints in its
+    * prefix: documents made of unique content index df=1 fingerprints
+    * and generate ZERO candidates; candidate volume tracks the true
+    * near-dup mass instead of Σ df². Candidates are then verified
+    * EXACTLY against per-document sorted full fingerprint sets
+    * (`array_intersect` — the r8 minhashLsh verification shape), so the
+    * filter is lossless by the prefix theorem and the oracle keeps
+    * computing the plain full join.
+    *
+    * PRE-FLIGHT GUARD (r10): before the candidate join is even planned,
+    * one frequency aggregation over the PREFIX relation computes the
+    * EXACT candidate count Σ pf·(pf−1)/2; past `maxCandidatePairs` the
+    * call fails loudly with the count and the knobs to turn (the
+    * [[hotBucketStats]] observability precedent: degenerate corpora are
+    * detected up front, not discovered from a hung quadratic join).
+    * Cost: one metadata-sized aggregation over an already-materialized
+    * relation; `None` skips it.
     *
     * Over the surviving
     * per-document distinct fingerprint sets: exact Jaccard
     * c/(nₐ+n_b−c), threshold-filtered.
     *
-    * Scale shape: the pair join carries (hash, id) longs only — text and
-    * positions never shuffle; the hash-frequency cap bounds any key's
-    * fan-out (the same [[capHotBuckets]] machinery as E3/E4); per-pair
-    * intersection counts come from one grouped aggregation of the join,
-    * not per-pair set materialization.
+    * Scale shape: the candidate join carries (hash, id) longs only —
+    * text and positions never shuffle; the hash-frequency cap bounds any
+    * key's fan-out (the same [[capHotBuckets]] machinery as E3/E4) and
+    * the prefix filter bounds candidate VOLUME; the per-doc ranking is a
+    * doc-partitioned window (each partition is one document's ≤2²⁰
+    * fingerprints — never a global window); verification joins are
+    * candidate-sized. The fingerprint relation and the ranked relation
+    * are each materialized exactly once (localCheckpoint — on a cluster
+    * the blocks live on executors, GC-cleaned with the plan).
     *
     * Cites reference scope: dedup is absent from
     * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
     * per SURVEY §2.E. */
-  val DefaultHotFingerprintCap: Int = 128
+  val DefaultHotFingerprintCap: Int = 32
 
   def winnowNearDup(
       df: DataFrame,
@@ -873,29 +886,62 @@ object Dedup {
       val nDocs = df.count()
       math.max(2L, math.ceil(nDocs * docFreqFraction).toLong).toInt
     }
+    import org.apache.spark.sql.expressions.Window
+    // ONE fingerprint pass, materialized: the (id, hash) relation feeds
+    // the frequency table, the ranking window and the verification sets —
+    // recomputing the k-gram hash expressions for each consumer was ~5
+    // scans of per-row expression work (measured 26 s → 9 s at the 10×
+    // lane point). localCheckpoint truncates to the ~16-byte-per-row
+    // long pairs.
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .select(col("id"), col("hash")).distinct()
+      .localCheckpoint(true)
+    val freq = fp.groupBy("hash").agg(count(lit(1)).as("bf"))
+    val kept = fp.join(
+      freq.where(col("bf") <= cap).select(col("hash"), col("bf")),
+      Seq("hash"))
+    // rank each doc's surviving fingerprints under the global
+    // (df asc, hash asc) order; nf rides the same doc-partitioned window
+    val byDoc = Window.partitionBy("id")
+    val ranked = kept
+      .withColumn("nf", count(lit(1)).over(byDoc))
+      .withColumn("rn",
+        row_number().over(byDoc.orderBy(col("bf"), col("hash"))))
+      .select("id", "hash", "nf", "rn")
+      .localCheckpoint(true)
+    // prefix theorem (Jaccard ≥ t ⇒ prefixes of length n − ceil(t·n) + 1
+    // under a common order intersect): index only the prefix
+    val prefix = ranked
+      .where(col("rn") <=
+        col("nf") - ceil(col("nf") * lit(threshold)) + lit(1))
+      .select("id", "hash")
     maxCandidatePairs.foreach { bound =>
-      val est = fp.groupBy("hash").agg(count(lit(1)).as("bf"))
-        .where(col("bf") <= cap)
+      val est = prefix.groupBy("hash").agg(count(lit(1)).as("pf"))
         .agg(coalesce(
-          sum(col("bf") * (col("bf") - 1L) / lit(2L)), lit(0L)).cast("long"))
+          sum(col("pf") * (col("pf") - 1L) / lit(2L)), lit(0L)).cast("long"))
         .head().getLong(0)
       require(est <= bound,
-        s"winnowNearDup pre-flight: $est candidate pairs under " +
+        s"winnowNearDup pre-flight: $est prefix candidate pairs under " +
           s"hot-fingerprint cap $cap exceed maxCandidatePairs=$bound — " +
           "refusing the quadratic join; lower maxHashFreq (the " +
           "boilerplate cap) or raise maxCandidatePairs deliberately")
     }
-    val kept = capHotBuckets(fp, Seq("hash"), Some(cap))
-    val sizes = kept.groupBy("id").agg(count(lit(1)).as("nf"))
-    val pairs = kept.select(col("id").as("id_a"), col("hash"))
-      .join(kept.select(col("id").as("id_b"), col("hash")), Seq("hash"))
+    val cands = prefix.select(col("id").as("id_a"), col("hash"))
+      .join(prefix.select(col("id").as("id_b"), col("hash")), Seq("hash"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("c"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("nf").as("na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("nf").as("nb")), Seq("id_b"))
+      .select("id_a", "id_b").distinct()
+    // exact verification against the full per-doc sorted sets — the
+    // prefix filter is lossless, this is where every candidate earns
+    // (or loses) its jaccard
+    val sets = ranked.groupBy("id").agg(
+      sort_array(collect_list(col("hash"))).as("fset"),
+      max(col("nf")).as("nf"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("fset").as("fa"),
+        col("nf").as("na")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("fset").as("fb"),
+        col("nf").as("nb")), Seq("id_b"))
+      .withColumn("c", size(array_intersect(col("fa"), col("fb"))).cast("long"))
       .select(
         col("id_a"), col("id_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)

@@ -87,18 +87,22 @@ object ScaleGen {
           // character after every 7th character — every 8-char window of
           // a salted copy contains a salt char, so NO char-level 8-gram
           // is shared across copies (nor with the unsalted copy 0: the
-          // salt chars are Latin-1 supplement letters the ASCII
-          // generator never emits). This is the content-varying
-          // replication char-gram operators need the lane to measure;
-          // it does NOT preserve token counts or char length (~+14%),
-          // so token-exact rows keep using token mode.
+          // salt chars are UPPERCASE letters the lowercase-only
+          // generator text never emits — and deliberately single-byte
+          // ASCII: a multibyte salt forces UTF8String substring onto
+          // the codepoint-walking path and the k-gram pass goes
+          // quadratic per document, measured +60% on the winnow lane).
+          // This is the content-varying replication char-gram operators
+          // need the lane to measure; it does NOT preserve token counts
+          // or char length (~+14%), so token-exact rows keep using
+          // token mode.
           if (i == 0) shifted
           else if (saltMode == "char") shifted
             .withColumn(tc,
               // (?s): text contains newlines; '.' must cross them or
               // newline-adjacent runs would keep unsalted 8-grams
               regexp_replace(col(tc), "(?s)(.{7})",
-                "$1" + (0xA1 + (i - 1) % 0x50).toChar))
+                "$1" + ('A' + (i - 1) % 26).toChar))
             .withColumn("n_chars", length(col(tc)))
           else shifted
             .withColumn(tc,

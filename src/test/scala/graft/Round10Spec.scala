@@ -74,6 +74,49 @@ class Round10Spec extends AnyFunSuite {
     assert(fired)
   }
 
+  test("WinnowSelect expression: parity with the brute-force selection over random strings") {
+    // independent reference: hash every k-gram, pack, slice windows, min,
+    // distinct — the exact semantics the interpreted pipeline had
+    def brute(s: String, k: Int, w: Int): Set[Long] = {
+      if (s.length < k) return Set.empty
+      val keys = (1 to s.length - k + 1).map { i =>
+        var h = 0L
+        s.substring(i - 1, i - 1 + k).foreach(c => h = (h * 31 + c) % 2147483647L)
+        h * 1048576L + (1048575L - i)
+      }
+      (1 to math.max(keys.length - w + 1, 1))
+        .map(j => keys.slice(j - 1, j - 1 + w).min).toSet
+    }
+    val rng = new scala.util.Random(42)
+    def randStr(n: Int): String =
+      Seq.fill(n)((' ' + rng.nextInt(90)).toChar).mkString
+    for (_ <- 1 to 200) {
+      val s = randStr(rng.nextInt(60))
+      for ((k, w) <- Seq((8, 4), (3, 2), (5, 9), (1, 1))) {
+        val got = graft.functions.WinnowSelect
+          .select(org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+          .toLongArray().toSet
+        assert(got == brute(s, k, w),
+          s"mismatch for '$s' k=$k w=$w: $got vs ${brute(s, k, w)}")
+      }
+    }
+    // oversize document trips the packing-cap check
+    val big = org.apache.spark.unsafe.types.UTF8String
+      .fromString("x" * (1 << 20))
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.WinnowSelect.select(big, 8, 4)
+    }
+    assert(e.getMessage.contains("packing cap"))
+    // null text flows to zero fingerprint rows through the DataFrame path
+    import spark.implicits._
+    val withNull = Seq((1L, "some document text here"), (2L, null))
+      .toDF("doc_id", "text")
+    val rows = graft.operators.Dedup
+      .winnowFingerprints(withNull, "doc_id", "text")
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.toMap.keySet == Set(1L))
+  }
+
   test("ZOrderLayout.pruneReport: z-order reads fewer row groups than linear for identical results") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_partkey"), col("l_suppkey"))
