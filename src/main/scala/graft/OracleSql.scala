@@ -2217,6 +2217,12 @@ FROM agg ORDER BY fd"""
     "SELECT true AS results_equal, true AS zorder_skips_more, " +
       "true AS zorder_prunes_half, true AS bounds_sane"
 
+  /** 3-dim z-order audit (r10): single sort blind on both non-sort
+    * columns; the 3-dim curve bounds and improves all three. */
+  val zorder3Audit: String =
+    "SELECT true AS linear_blind_on_others, " +
+      "true AS zorder_bounds_all_three, true AS zorder_improves_others"
+
   /** Compaction-plan audit: full coverage, one bin for the staged
     * fragmented layout, no overfill, run-to-run determinism. */
   val compactionAudit: String =

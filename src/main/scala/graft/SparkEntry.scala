@@ -914,6 +914,37 @@ object SparkEntry {
         .toDF("results_equal", "zorder_skips_more",
           "zorder_prunes_half", "bounds_sane")
     }),
+    // 3-DIMENSIONAL z-order (r10 — closes the "stops at 2 dims" gap):
+    // Morton interleave of three 16-bit keys (48-bit long key) over
+    // (l_partkey, l_suppkey, l_orderkey); rows-only + claims audit
+    "zorder3_clustering" -> ((s, dir) =>
+      graft.sources.ZOrderLayout.clusteringReportN(
+        s, lineitem(s, dir), Seq("l_partkey", "l_suppkey", "l_orderkey"),
+        nRanges = 16, cacheKey = dir)),
+    "zorder3_audit" -> ((s, dir) => {
+      import s.implicits._
+      // 16 ranges: 4 partition bits over the 48-bit key, so every
+      // dimension's top bit gets a real split (8 ranges left the
+      // third dimension un-split and its span near-blind)
+      val spans = graft.sources.ZOrderLayout.clusteringReportN(
+        s, lineitem(s, dir), Seq("l_partkey", "l_suppkey", "l_orderkey"),
+        nRanges = 16, cacheKey = dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+      def lin(c: String) = spans(("linear", c))
+      def z(c: String) = spans(("zorder", c))
+      val others = Seq("l_suppkey", "l_orderkey")
+      Seq((
+        // single-column sort: sharp on its own column, blind on BOTH
+        // others
+        lin("l_partkey") <= 0.2 && others.forall(lin(_) >= 0.8),
+        // the 3-dim curve bounds ALL THREE dimensions at once
+        Seq("l_partkey", "l_suppkey", "l_orderkey").forall(z(_) <= 0.8),
+        // and strictly improves every column the linear sort is blind on
+        others.forall(c => z(c) < lin(c))))
+        .toDF("linear_blind_on_others", "zorder_bounds_all_three",
+          "zorder_improves_others")
+    }),
     // small-file compaction plan (r9): the ACTION half of the layout
     // profiler — FFD bin packing per table, executor-side, pure footer
     // metadata; rows-only (paths invisible to the oracle), claims pinned
@@ -2256,6 +2287,7 @@ object SparkEntry {
     "parquet_layout_audit" -> OracleSql.parquetLayoutAudit,
     "zorder_audit" -> OracleSql.zorderAudit,
     "zorder_prune_audit" -> OracleSql.zorderPruneAudit,
+    "zorder3_audit" -> OracleSql.zorder3Audit,
     "compaction_audit" -> OracleSql.compactionAudit,
     "compaction_execute_audit" -> OracleSql.compactionExecuteAudit,
     "range_join_bands" ->

@@ -124,6 +124,69 @@ object ZOrderLayout {
       .orderBy("layout", "column")
   }
 
+  /** N-DIMENSIONAL clustering report (r10 — VERDICT r9 carried "z-order
+    * stops at 2 dimensions" as the remaining layout gap): same
+    * linear-vs-z-order staging and footer-span measurement as
+    * [[clusteringReport]], over ANY 2..8 key columns via
+    * [[ZOrder.mortonN]] (16 bits/dim through d=3, 15 at d=4 — the
+    * interleaved key stays inside a signed long). `linear` sorts on
+    * `cols.head` only; `zorder` sorts on the d-dim Morton key. Output:
+    * `(layout, column, n_row_groups, avg_span)` for every layout ×
+    * column. */
+  def clusteringReportN(
+      spark: SparkSession, df: DataFrame, cols: Seq[String],
+      nRanges: Int = 8, cacheKey: String = ""): DataFrame = {
+    import spark.implicits._
+    require(cols.size >= 2, "need at least two key columns")
+    val bits = ZOrder.bitsFor(cols.size)
+    val proj = df.select(cols.map(col): _*)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val b = proj.agg(aggs.head, aggs.tail: _*).head()
+    require(!b.anyNull, "clusteringReportN needs non-null key columns")
+    val bounds: Seq[(Long, Long)] =
+      cols.indices.map(i => (b.getLong(2 * i), b.getLong(2 * i + 1)))
+    val key = s"N|$cacheKey|${cols.mkString(",")}|" +
+      s"${bounds.map(p => s"${p._1}:${p._2}").mkString("|")}|$nRanges"
+    def intact(d: (String, String)): Boolean =
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d._1, "_SUCCESS")) &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get(d._2, "_SUCCESS"))
+    Option(staged.get(key)).filterNot(intact)
+      .foreach(d => staged.remove(key, d))
+    val dirs = staged.computeIfAbsent(key, _ => {
+      val pid = ProcessHandle.current().pid()
+      val base = s"/tmp/graft_zorder/p${pid}_${java.lang.Long.toHexString(
+        key.hashCode.toLong & 0xFFFFFFFFL)}"
+      val linear = s"$base/linear"
+      val zorder = s"$base/zorder"
+      proj.repartitionByRange(nRanges, col(cols.head))
+        .sortWithinPartitions(cols.head)
+        .write.mode("overwrite").parquet(linear)
+      val z = ZOrder.mortonN(
+        cols.zip(bounds).map { case (c, (lo, hi)) =>
+          ZOrder.bucketBits(col(c), lo, hi, bits) }, bits)
+      proj.withColumn("_z", z)
+        .repartitionByRange(nRanges, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(zorder)
+      (linear, zorder)
+    })
+    val (linDir, zDir) = dirs
+    def spans(dir: String, layout: String, c: String, lo: Long, hi: Long) =
+      ParquetLayout.rowGroupLongStats(spark, dir, c)
+        .where(col("col_min").isNotNull)
+        .agg(
+          count(lit(1)).as("n_row_groups"),
+          avg((col("col_max") - col("col_min")).cast("double") /
+            lit(math.max(1L, hi - lo).toDouble)).as("avg_span"))
+        .select(lit(layout).as("layout"), lit(c).as("column"),
+          col("n_row_groups"), round(col("avg_span"), 6).as("avg_span"))
+    cols.zip(bounds).flatMap { case (c, (lo, hi)) =>
+      Seq(spans(linDir, "linear", c, lo, hi), spans(zDir, "zorder", c, lo, hi))
+    }.reduce(_ unionAll _).orderBy("layout", "column")
+  }
+
   /** The pruned READ the spans predict (r10, VERDICT r9 task 4):
     * evaluates a two-sided range predicate
     * `colA ∈ [fracA of domain] AND colB ∈ [fracB of domain]` against

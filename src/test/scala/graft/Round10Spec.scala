@@ -134,6 +134,30 @@ class Round10Spec extends AnyFunSuite {
     assert(z.getLong(2) * 2 <= z.getLong(1))
   }
 
+  test("ZOrder.mortonN: bit-exact vs the 2-dim magic-mask ladder; 3-dim interleave positions") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val df = Seq.tabulate(1000)(i =>
+      (i * 37 % 65536, i * 101 % 65536)).toDF("a", "b")
+    val mismatches = df.where(
+      ZOrder.morton(col("a"), col("b")).cast("long") =!=
+        ZOrder.mortonN(Seq(col("a"), col("b")), 16)).count()
+    assert(mismatches == 0)
+    def key3(a: Int, b: Int, c: Int): Long =
+      Seq((a, b, c)).toDF("a", "b", "c")
+        .select(ZOrder.mortonN(Seq(col("a"), col("b"), col("c")), 16))
+        .head().getLong(0)
+    // all-max buckets fill the 48-bit key exactly
+    assert(key3(65535, 65535, 65535) == (1L << 48) - 1)
+    // dimension j's bit i lands at bit i*3 + j
+    assert(key3(1, 0, 0) == 1L)
+    assert(key3(0, 1, 0) == 2L)
+    assert(key3(0, 0, 1) == 4L)
+    assert(key3(2, 0, 0) == 8L)
+    // 4 dims drop to 15 bits so the key stays clear of the sign bit
+    assert(ZOrder.bitsFor(3) == 16 && ZOrder.bitsFor(4) == 15)
+  }
+
   test("Compaction.executeCompaction: bins merge to one file each, rows preserved, source untouched") {
     import spark.implicits._
     val staged = "target/r10_compact_src"

@@ -116,18 +116,20 @@ class Round9Spec extends AnyFunSuite {
     val keys = pairs.toDF("a", "b")
       .select(graft.functions.ZOrder.morton(col("a"), col("b")).as("m"),
         col("a"), col("b"))
-      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getInt(0))
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(0))
     // injective: distinct pairs -> distinct keys
     assert(keys.map(_._2).distinct.length == pairs.length)
     // decodable: de-interleaving the key recovers exactly (a, b)
-    def compact(x: Int): Int = {
-      var v = x & 0x55555555
-      v = (v | (v >>> 1)) & 0x33333333
-      v = (v | (v >>> 2)) & 0x0F0F0F0F
-      v = (v | (v >>> 4)) & 0x00FF00FF
-      (v | (v >>> 8)) & 0x0000FFFF
+    // (keys are unsigned 32-bit values carried in a LONG since r10)
+    def compact(x: Long): Int = {
+      var v = x & 0x55555555L
+      v = (v | (v >>> 1)) & 0x33333333L
+      v = (v | (v >>> 2)) & 0x0F0F0F0FL
+      v = (v | (v >>> 4)) & 0x00FF00FFL
+      ((v | (v >>> 8)) & 0x0000FFFFL).toInt
     }
     for (((a, b), m) <- keys) {
+      assert(m >= 0L && m <= 0xFFFFFFFFL)
       assert(compact(m) == a && compact(m >>> 1) == b)
     }
     // bucket16 is monotone on a seeded random domain
@@ -212,12 +214,12 @@ class Round9Spec extends AnyFunSuite {
         graft.functions.ZOrder.spread16(col("a")).as("sa"),
         graft.functions.ZOrder.morton(col("a"), col("b")).as("m"))
       .collect()
-    assert(df(0).getInt(0) == 0 && df(0).getInt(1) == 0)
+    assert(df(0).getInt(0) == 0 && df(0).getLong(1) == 0L)
     assert(df(1).getInt(0) == 0x5)        // spread(0b11) = 0b0101
-    assert(df(1).getInt(1) == 0x5)        // morton(3, 0)
-    assert(df(2).getInt(1) == 0xA)        // morton(0, 3) = 0b1010
-    assert(df(3).getInt(1) == 0xFFFFFFFF) // full 16+16 bits interleave
-    assert(df(4).getInt(1) == 0x9)        // a=1 -> bit0, b=2 -> bit3
+    assert(df(1).getLong(1) == 0x5L)      // morton(3, 0)
+    assert(df(2).getLong(1) == 0xAL)      // morton(0, 3) = 0b1010
+    assert(df(3).getLong(1) == 0xFFFFFFFFL) // full 16+16 bits, UNSIGNED in a long (r10)
+    assert(df(4).getLong(1) == 0x9L)      // a=1 -> bit0, b=2 -> bit3
     // bucket16: ends of the domain hit 0 and 65535; nulls/degenerate -> 0
     val b = Seq(Some(10L), Some(20L), None).toDF("x")
       .select(graft.functions.ZOrder.bucket16(col("x"), 10L, 20L).as("v"))

@@ -1,0 +1,67 @@
+#!/bin/bash
+# Scale-lane runner: times each lane query at sf0.1 and at the ScaleGen
+# sf1 replication (plus special rows), ONE FRESH JVM per (query, dir)
+# via tools/runmain.sh + SPARK_GRAFT_ONLY, and assembles
+# BENCH_r{N}_sf1.json. Usage: tools/scale_lane.sh <round> [outfile]
+set -u
+ROUND=${1:?round}
+OUT=${2:-BENCH_r${ROUND}_sf1.json}
+cd /root/repo
+
+QUERIES="assoc_rules bm25_topk corpus_cube dedup_clusters dedup_minhash_lsh \
+dedup_ngram_jaccard dedup_simhash dedup_yield event_funnel fd_discovery \
+histogram_drift iqr_outliers_approx ivf_topk ks_drift_approx \
+leakage_safe_split mad_outliers mad_outliers_approx mutual_info \
+profile_lineitem profile_lineitem_full quantiles_exact sessionize \
+spearman_approx streaming_incremental_profile tokenize_ids winnow_near_dup"
+
+run_one() { # dir query [extra env as VAR=VAL ...]
+  local dir=$1 q=$2; shift 2
+  env "$@" SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_ONLY="$q" tools/runmain.sh graft.Bench 2>/dev/null \
+    | grep -E '^\{' \
+    | python3 -c "import json,sys; print(json.load(sys.stdin)['queries'].get('$q','null'))"
+}
+
+TMP=$(mktemp)
+echo "{}" > "$TMP"
+for q in $QUERIES; do
+  a=$(run_one /root/testdata/sf0.1 "$q")
+  b=$(run_one target/sf1 "$q")
+  echo "lane $q sf0.1=$a sf1=$b" >&2
+  python3 - "$TMP" "$q" "$a" "$b" <<'EOF'
+import json, sys
+p, q, a, b = sys.argv[1:]
+d = json.load(open(p))
+d.setdefault("q01", {})[q] = float(a)
+d.setdefault("q1", {})[q] = float(b)
+json.dump(d, open(p, "w"))
+EOF
+done
+
+# special rows: content-varying (char-salt) winnow + batch-geometry probe
+wcs=$(run_one target/sf1cs winnow_near_dup)
+sb40=$(run_one target/sf1 streaming_incremental_profile SPARK_GRAFT_STREAM_BATCHES=40)
+echo "lane specials winnow_cs=$wcs stream_b40=$sb40" >&2
+
+python3 - "$TMP" "$OUT" "$ROUND" "$wcs" "$sb40" <<'EOF'
+import json, sys
+tmp, out, rnd, wcs, sb40 = sys.argv[1:]
+d = json.load(open(tmp))
+growth = {q: round(d["q1"][q] / d["q01"][q], 1) for q in d["q01"]}
+doc = {
+  "metric": "sf1_scale_lane", "unit": "sec",
+  "sf": "target/sf1 (ScaleGen K=10 over sf0.1)",
+  "data_ratio": 10, "iterations": 2, "agg": "min",
+  "isolation": "one JVM per query",
+  "queries_sf0_1": d["q01"], "queries_sf1": d["q1"], "growth": growth,
+  "winnow_near_dup_charsalt_sf1": float(wcs),
+  "winnow_note": "charsalt = SPARK_GRAFT_SCALE_SALT=char content-varying replication (no shared 8-gram across copies) - the row that measures the engine rather than replication",
+  "streaming_incremental_profile_sf1_b40": float(sb40),
+  "streaming_note": "b40 = 40 micro-batches (constant rows per batch at 10x data) vs the default 4 (constant batch count): slower, pinning the growth to per-micro-batch fixed overhead, not the profile computation",
+  "excluded": {"spearman_corr": "exact mode is WindowGuard-enforced at 2M rows (r10) and refuses sf1 by design; spearman_approx is the scale row"},
+}
+json.dump(doc, open(out, "w"), indent=0)
+print("wrote", out)
+EOF
+rm -f "$TMP"
