@@ -97,12 +97,15 @@ object Compaction {
     *   n_output_files, output_rows, output_bytes)`. */
   def executeCompaction(
       spark: SparkSession, dir: String, outDir: String,
-      targetBytes: Long = 128L << 20): DataFrame = {
+      targetBytes: Long = 128L << 20,
+      tableFilter: Option[Seq[String]] = None): DataFrame = {
     import spark.implicits._
     val stats = ParquetLayout.fileStats(spark, dir)
       .select("table", "file", "n_rows", "compressed_bytes")
     val plan = compactionPlan(spark, dir, targetBytes)
     val bins = plan.where(col("action") === "compact")
+      .where(tableFilter.map(ts => col("table").isInCollection(ts))
+        .getOrElse(lit(true)))
       .join(stats.withColumnRenamed("compressed_bytes", "fbytes"),
         Seq("table", "file"))
     // one entry per TABLE — metadata-sized, unlike the file list

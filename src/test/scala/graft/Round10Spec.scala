@@ -54,6 +54,40 @@ class Round10Spec extends AnyFunSuite {
       .count() == 12L * 11 / 2)
   }
 
+  test("winnowNearDup prefix filter is lossless: matches brute-force Jaccard over seeded random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(73)
+    // template-heavy corpora (the regime that makes prefixes non-trivial):
+    // docs are built from a small shared phrase pool plus unique tails
+    val pool = Seq.fill(12)(Seq.fill(20)(('a' + rng.nextInt(26)).toChar).mkString)
+    for (round <- 1 to 3) {
+      val docs = (0 until 24).map { i =>
+        val phrases = Seq.fill(2 + rng.nextInt(3))(pool(rng.nextInt(pool.size)))
+        val tail = Seq.fill(10 + rng.nextInt(30))(('a' + rng.nextInt(26)).toChar).mkString
+        (i.toLong, (phrases :+ tail).mkString(" "))
+      }.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .winnowNearDup(docs, "doc_id", "text", threshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // brute force over the SAME capped fingerprint sets
+      val fpRows = graft.operators.Dedup
+        .winnowFingerprints(docs, "doc_id", "text")
+        .select(col("id"), col("hash")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val dfCount = fpRows.groupBy(_._2).view.mapValues(_.size).toMap
+      val sets = fpRows.filter(p => dfCount(p._2) <= 32)
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys; if a < b
+        c = (sets(a) & sets(b)).size
+        if c > 0
+        j = math.rint(c.toDouble / (sets(a).size + sets(b).size - c) * 1e6) / 1e6
+        if j >= 0.3
+      } yield (a, b) -> j).toMap
+      assert(got == expect, s"round $round: $got vs $expect")
+    }
+  }
+
   test("spearman: exact mode is WindowGuard-enforced past maxRows; values unchanged below the bound") {
     import spark.implicits._
     val df = (1 to 50).map(i => (i.toDouble, i * i.toDouble)).toDF("x", "y")
