@@ -639,6 +639,40 @@ SELECT doc_id, n_bigrams,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_bigrams AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** DSIR importance-weight twin (E157): the same word unigram+bigram
+    * features, the same 31-adic rolling hash of the FULL feature string
+    * mod 64 buckets, target = English-labeled docs, +1-smoothed
+    * histograms, per-bucket log-ratios at ROUND(LN(double÷double),12) →
+    * DECIMAL(38,12) per-doc sums (the bigram-LM contract), zero-feature
+    * docs carrying log 1 = 0 via the LEFT JOIN. */
+  lazy val dsirWeights: String = // lazy: wsToksLowerSql initializes later in this object
+    raw"""WITH words AS (SELECT doc_id, lang, $wsToksLowerSql AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM words),
+feats AS (
+  SELECT doc_id, t AS f FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.t || ' ' || b.t AS f
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+fb AS (SELECT f.doc_id, d.lang = 'en' AS is_t,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(f.f, ''), c -> CAST(ord(c) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 2147483647) % 64 AS bucket
+  FROM feats f JOIN documents d USING (doc_id)),
+hist AS (SELECT bucket,
+    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct, COUNT(*) AS cr
+  FROM fb GROUP BY 1),
+tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM hist),
+lr AS (SELECT bucket,
+    CAST(ROUND(LN(CAST(ct + 1 AS DOUBLE) / CAST(nt + 64 AS DOUBLE))
+             - LN(CAST(cr + 1 AS DOUBLE) / CAST(nr + 64 AS DOUBLE)), 12)
+      AS DECIMAL(38,12)) AS lr
+  FROM hist, tot),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(lr) AS s
+  FROM fb JOIN lr USING (bucket) GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+  ROUND(CAST(COALESCE(s, 0) AS DOUBLE), 6) AS log_weight
+FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
+
   /** Gini-concentration twin (E106): per-group token totals, ROW_NUMBER
     * over the same (x ASC, g ASC) order, identical closed-form double
     * algebra. */
@@ -1459,6 +1493,71 @@ SELECT id_a, id_b, j AS jaccard FROM (
     ROUND(CAST(c AS DOUBLE) / (sa.nf + sb.nf - c), 6) AS j
   FROM p JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) q
 WHERE j >= 0.5 ORDER BY id_a, id_b"""
+
+  /** Longest common prefix of two strings, O(len): zip the codepoint
+    * lists, position of the first mismatch (list_zip pads the shorter
+    * side with NULL, which IS DISTINCT FROM any char — so prefix
+    * relationships terminate correctly); `NULLIF(·,0)` because DuckDB's
+    * list_position returns 0, not NULL, when nothing matches (equal
+    * strings), and the COALESCE arm then yields the full common length.
+    * The naive per-length generate_series probe is O(len²) per
+    * candidate — measured unusable even at sf0.01. */
+  private def lcp(x: String, y: String): String =
+    s"COALESCE(NULLIF(list_position(list_transform(list_zip(" +
+      s"string_split($x,''), string_split($y,'')), " +
+      s"p -> p[1] IS DISTINCT FROM p[2]), true), 0), " +
+      s"LEAST(LENGTH($x), LENGTH($y)) + 1) - 1"
+
+  /** Exact-substring-duplicate twin (E156): the same winnowing anchor
+    * sites (positions KEPT, unlike the near-dup twin's distinct sets),
+    * the same ABSOLUTE occurrence cap 32, candidate pairs via the shared-
+    * hash self-join, and the maximal extension recomputed as two
+    * longest-common-prefix scans — right = lcp of the suffixes at the
+    * anchors (a verbatim anchor means lcp ≥ 8; a 31-adic hash collision
+    * means lcp < 8 and the candidate drops, exactly the Spark kernel's
+    * −1), left = lcp of the REVERSED prefixes. Per pair the lexicographic
+    * (len, start_a, start_b) max, ties impossible to flap because the
+    * order is total over distinct spans. */
+  val substringDup: String = {
+    val right = lcp(
+      "substr(da.text, CAST(pos_a AS INT))",
+      "substr(db.text, CAST(pos_b AS INT))")
+    val left = lcp(
+      "reverse(substr(da.text, 1, CAST(pos_a AS INT) - 1))",
+      "reverse(substr(db.text, 1, CAST(pos_b AS INT) - 1))")
+    raw"""WITH kg AS (SELECT doc_id,
+  CASE WHEN LENGTH(text) >= 8 THEN
+    list_transform(range(1, LENGTH(text) - 8 + 2), i ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 2147483647) * 1048576 + (1048575 - i))
+  ELSE CAST([] AS BIGINT[]) END AS keys
+  FROM documents),
+sel AS (SELECT DISTINCT doc_id, enc FROM (
+  SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(keys) - 3, 1) + 1),
+    j -> list_min(keys[j : j + 3]))) AS enc
+  FROM kg WHERE len(keys) >= 1) t),
+fp AS (SELECT doc_id AS id, 1048575 - (enc % 1048576) AS pos, enc // 1048576 AS hash FROM sel),
+ok AS (SELECT hash FROM fp GROUP BY hash HAVING COUNT(*) <= 32),
+kept AS (SELECT f.id, f.pos, f.hash FROM fp f JOIN ok USING (hash)),
+cand AS (SELECT a.id AS id_a, a.pos AS pos_a, b.id AS id_b, b.pos AS pos_b
+  FROM kept a JOIN kept b USING (hash) WHERE a.id < b.id),
+ext AS (SELECT id_a, id_b, pos_a, pos_b, $right AS r, $left AS l
+  FROM cand JOIN documents da ON da.doc_id = id_a
+            JOIN documents db ON db.doc_id = id_b),
+spans AS (SELECT DISTINCT id_a, id_b,
+    pos_a - l AS start_a, pos_b - l AS start_b, l + r AS len
+  FROM ext WHERE r >= 8),
+best AS (SELECT id_a, id_b, start_a, start_b, len,
+    ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+      ORDER BY len DESC, start_a DESC, start_b DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY id_a, id_b) AS n_spans
+  FROM spans)
+SELECT id_a, id_b, CAST(len AS BIGINT) AS overlap_len,
+  CAST(start_a AS BIGINT) AS start_a, CAST(start_b AS BIGINT) AS start_b,
+  CAST(n_spans AS BIGINT) AS n_spans
+FROM best WHERE rn = 1 AND len >= 30 ORDER BY id_a, id_b"""
+  }
 
   /** Referential-integrity twin: per-key child counts, NOT EXISTS
     * orphans, the same containment division + ROUND(·,6). */

@@ -1233,6 +1233,14 @@ object SparkEntry {
       Sampling.mixtureResample(
         documents(s, dir), "doc_id", col("lang"), alpha = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // DSIR importance weights (E157): every document scored by the log
+    // importance ratio of its hashed unigram+bigram profile against the
+    // English-labeled target slice — the principled quality-filter
+    // replacement (sample ∝ w); fully hash-oracled
+    "dsir_weights" -> ((s, dir) =>
+      Sampling.dsirWeights(
+        documents(s, dir), "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")),
     // leakage-safe split: near-dup cluster members share one split label
     // (split key = canonical cluster id, singletons split by own id)
     "leakage_safe_split" -> ((s, dir) => {
@@ -1575,6 +1583,13 @@ object SparkEntry {
     // local-match detector complementing MinHash's global resemblance
     "winnow_near_dup" -> ((s, dir) =>
       Dedup.winnowNearDup(documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    // exact-substring duplicate spans (E156): pairs sharing a verbatim
+    // run >= 30 chars, with the maximal span's offsets — winnowing
+    // anchors + codegen'd maximal extension; fully hash-oracled (DuckDB
+    // mirrors the extension as a zip-based longest-common-prefix)
+    "substring_dup" -> ((s, dir) =>
+      Dedup.substringDup(documents(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
     // cross-table referential-integrity profile over the star schema's
     // two fact edges (key relations only — payloads never shuffle)
@@ -2415,6 +2430,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "asof_enrich" -> OracleSql.asofEnrich,
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "mixture_resample" -> OracleSql.mixtureResample,
+    "dsir_weights" -> OracleSql.dsirWeights,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,
@@ -2454,6 +2470,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "centroid_update" -> OracleSql.centroidUpdate,
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
     "winnow_near_dup" -> OracleSql.winnowNearDup,
+    "substring_dup" -> OracleSql.substringDup,
     "domain_stats" -> OracleSql.domainStats,
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, IntegerLiteral, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maximal common-substring extension around a shared anchor k-gram —
+  * the per-candidate kernel of exact-substring duplicate detection
+  * (`Dedup.substringDup`): given two texts and the 1-based positions of
+  * an anchor k-gram in each, verify the anchor matches VERBATIM (the
+  * rolling hashes that produced the candidate can collide mod 2³¹−1),
+  * then extend the match left and right character-by-character as far
+  * as it stays equal.
+  *
+  * Returns the maximal span packed into one long —
+  * `startA·2⁴⁰ + startB·2²⁰ + len` (starts 1-based; every component is
+  * < 2²⁰ because the winnowing packing cap bounds document length) — or
+  * −1 when the anchor was a hash collision / out of range, so collisions
+  * drop out with one `>= 0` filter. A packed long instead of a struct
+  * keeps the expression inside whole-stage codegen with no boxing
+  * (the [[WinnowSelect]] precedent) and unpacks to three columns with
+  * integer `div`/`pmod` — arithmetic DuckDB mirrors exactly.
+  *
+  * Character semantics: UTF-16 code-unit comparison, identical to
+  * codepoint comparison for ASCII and the BMP — the same parity contract
+  * as [[RollingHash]]/[[WinnowSelect]], which makes the whole operator
+  * oracle-verifiable against DuckDB `substr` equality.
+  */
+case class CommonExtend(
+    a: Expression, pa: Expression, b: Expression, pb: Expression, k: Int)
+    extends QuaternaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = pa
+  override def third: Expression = b
+  override def fourth: Expression = pb
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (a.dataType == StringType && b.dataType == StringType &&
+      pa.dataType == LongType && pb.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "common_extend requires (string, bigint, string, bigint) arguments, got " +
+        Seq(a, pa, b, pb).map(_.dataType.catalogString).mkString("(", ", ", ")"))
+
+  override protected def nullSafeEval(
+      av: Any, pav: Any, bv: Any, pbv: Any): Any =
+    CommonExtend.extend(
+      av.asInstanceOf[UTF8String], pav.asInstanceOf[Long],
+      bv.asInstanceOf[UTF8String], pbv.asInstanceOf[Long], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (ac, pac, bc, pbc) =>
+      s"graft.functions.CommonExtend.extend($ac, $pac, $bc, $pbc, $k)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): CommonExtend =
+    copy(a = newFirst, pa = newSecond, b = newThird, pb = newFourth)
+
+  override def prettyName: String = "common_extend"
+}
+
+object CommonExtend {
+
+  /** Called from generated code — public, static-shaped. Positions are
+    * 1-based (the winnowing fingerprint contract); the result packs
+    * 1-based starts. */
+  def extend(a: UTF8String, pa: Long, b: UTF8String, pb: Long, k: Int): Long = {
+    val sa = a.toString
+    val sb = b.toString
+    val i0 = pa.toInt - 1 // 0-based anchor starts
+    val j0 = pb.toInt - 1
+    if (i0 < 0 || j0 < 0 || i0 + k > sa.length || j0 + k > sb.length) return -1L
+    // verbatim anchor check: the candidate came from a 31-adic hash mod
+    // 2³¹−1 — collisions are rare but must not fabricate an overlap
+    var t = 0
+    while (t < k) {
+      if (sa.charAt(i0 + t) != sb.charAt(j0 + t)) return -1L
+      t += 1
+    }
+    var l = 0
+    while (i0 - l > 0 && j0 - l > 0 && sa.charAt(i0 - l - 1) == sb.charAt(j0 - l - 1)) l += 1
+    var r = k
+    while (i0 + r < sa.length && j0 + r < sb.length && sa.charAt(i0 + r) == sb.charAt(j0 + r)) r += 1
+    val startA = (i0 - l + 1).toLong // back to 1-based
+    val startB = (j0 - l + 1).toLong
+    val len = (l + r).toLong
+    startA * (1L << 40) + startB * (1L << 20) + len
+  }
+
+  /** Register `common_extend(a, pa, b, pb, k)` (k must be an integer
+    * literal) in the session's function registry. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "common_extend",
+      exprs => {
+        val k = exprs(4) match {
+          case IntegerLiteral(v) => v
+          case other => throw new IllegalArgumentException(
+            s"common_extend: k must be an integer literal, got $other")
+        }
+        CommonExtend(exprs.head, exprs(1), exprs(2), exprs(3), k)
+      },
+      "built-in")
+}

@@ -948,4 +948,121 @@ object Dedup {
           .as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
+
+  /** Exact-substring duplicate spans (E156) — the dedup family the
+    * suffix-array literature calls exact substring deduplication (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL '22): find pairs of documents sharing a VERBATIM run of at least
+    * `minLen` characters and report the maximal such span. Where
+    * [[winnowNearDup]] scores whole-document resemblance from shared
+    * fingerprints, this returns the overlap itself — start offsets and
+    * length — the unit a curation pipeline actually cuts.
+    *
+    * Not a distributed suffix array: the same detection guarantee comes
+    * from winnowing anchors at a join's cost. By the winnowing theorem
+    * (Schleimer et al., SIGMOD '03), any common substring of length
+    * ≥ w+k−1 contains a full window of k-grams in both documents, and the
+    * window's minimum-hash k-gram is selected in BOTH (the packed
+    * position tie-break changes which occurrence is kept, never which
+    * hash value wins a window) — so every qualifying overlap surfaces as
+    * an equi-join hit on a shared anchor hash, and maximal extension
+    * around the anchor ([[graft.functions.CommonExtend]], codegen'd)
+    * recovers the span's full extent. Detection is EXHAUSTIVE above
+    * w+k−1 chars, modulo anchors suppressed by the boilerplate cap.
+    *
+    * Hash collisions (31-adic mod 2³¹−1) cannot fabricate spans: the
+    * extension kernel re-checks the anchor verbatim and returns −1 on
+    * mismatch.
+    *
+    * Per pair, ONE maximal span is reported — lexicographic max of
+    * `(len, start_a, start_b)` — plus `n_spans`, the count of DISTINCT
+    * maximal spans the pair shares, of any length ≥ w+k−1 (a width
+    * signal: templated pairs share many short runs, plagiarized pairs
+    * one long one).
+    *
+    * Scale shape: anchors are the winnowing fingerprints (≈2/(w+1) of
+    * positions); the ABSOLUTE occurrence cap `maxOccFreq` (default
+    * [[DefaultHotFingerprintCap]]) drops boilerplate anchors BEFORE the
+    * join, bounding candidates at #hashes·cap² — linear in corpus size
+    * (the r10 winnow doctrine); the optional pre-flight guard computes
+    * the exact candidate count and refuses a blow-up loudly. Texts ship
+    * only to surviving candidates (two equi-joins on id), so payload
+    * movement is candidate-bounded, not corpus-bounded.
+    *
+    * Cites reference scope: dedup is absent from awsdataprofiler
+    * (Profiler.scala:166-253 profiles only) — extension per SURVEY §2.E. */
+  def substringDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 30,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"substringDup: minLen=$minLen below the winnowing detection " +
+        s"guarantee w+k-1=${w + k - 1}; shorter overlaps are not " +
+        "exhaustively found — lower k/w instead")
+    graft.functions.CommonExtend.register(df.sparkSession)
+    // anchor sites: (id, pos, hash) — positions kept, unlike the
+    // near-dup path's per-doc distinct sets
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint(true)
+    // ABSOLUTE occurrence cap: a k-gram window appearing more than
+    // maxOccFreq times across the corpus is boilerplate (license
+    // headers, templates) — and occurrence (not document) frequency is
+    // what bounds the candidate join, Σ occ² ≤ #hashes·cap²
+    val kept = fp.join(
+      fp.groupBy("hash").agg(count(lit(1)).as("occ"))
+        .where(col("occ") <= maxOccFreq)
+        .select("hash"),
+      Seq("hash"))
+    maxCandidatePairs.foreach { bound =>
+      val est = kept.groupBy("hash").agg(count(lit(1)).as("f"))
+        .agg(coalesce(
+          sum(col("f") * (col("f") - 1L) / lit(2L)), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"substringDup pre-flight: $est anchor candidate pairs under " +
+          s"occurrence cap $maxOccFreq exceed maxCandidatePairs=$bound — " +
+          "refusing the quadratic join; lower maxOccFreq or raise " +
+          "maxCandidatePairs deliberately")
+    }
+    val cands = kept.select(
+      col("id").as("id_a"), col("pos").as("pos_a"), col("hash"))
+      .join(kept.select(
+        col("id").as("id_b"), col("pos").as("pos_b"), col("hash")),
+        Seq("hash"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "pos_a", "id_b", "pos_b")
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("t"))
+    val P = graft.functions.WinnowSelect.PosBase // 2^20: the packing base
+    val ext = cands
+      .join(texts.select(col("id").as("id_a"), col("t").as("ta")), Seq("id_a"))
+      .join(texts.select(col("id").as("id_b"), col("t").as("tb")), Seq("id_b"))
+      .select(
+        col("id_a"), col("id_b"),
+        call_function("common_extend",
+          col("ta"), col("pos_a"), col("tb"), col("pos_b"), lit(k)).as("enc"))
+      .where(col("enc") >= 0L)
+      .distinct() // many anchors inside one span encode the SAME span
+    ext
+      .groupBy("id_a", "id_b")
+      .agg(
+        // enc packs (start_a·2⁴⁰ + start_b·2²⁰ + len); the REPORTED span
+        // must be the LONGEST (ties → largest start_a, then start_b), so
+        // max over the len-major repack (len·2⁴⁰ + start_a·2²⁰ + start_b)
+        max(pmod(col("enc"), lit(P)) * lit(P * P)
+          + expr(s"enc div ${P * P}") * lit(P)
+          + pmod(expr(s"enc div $P"), lit(P))).as("lenmaj"),
+        count(lit(1)).as("n_spans"))
+      .select(
+        col("id_a"), col("id_b"),
+        expr(s"lenmaj div ${P * P}").cast("long").as("overlap_len"),
+        pmod(expr(s"lenmaj div $P"), lit(P)).cast("long").as("start_a"),
+        pmod(col("lenmaj"), lit(P)).cast("long").as("start_b"),
+        col("n_spans"))
+      .where(col("overlap_len") >= minLen)
+  }
 }

@@ -335,4 +335,89 @@ object Sampling {
         when(v.isNull, lit(null).cast("int"))
           .otherwise(bucket).as("bucket"))
   }
+
+  /** DSIR importance weights (E157) — Data Selection via Importance
+    * Resampling (Xie et al., NeurIPS '23): score every raw document by
+    * how target-like its hashed n-gram profile is,
+    * `log w(doc) = Σ_b c_b(doc) · (log p̂_target(b) − log p̂_raw(b))`,
+    * the log importance ratio under bag-of-hashed-ngrams unigram models.
+    * Downstream, sampling ∝ w (Gumbel top-k over `log_weight`) selects a
+    * raw subset distributionally close to the target — the principled
+    * replacement for hard quality-threshold filters.
+    *
+    * Features are the paper's: word unigrams AND bigrams, hashed into
+    * `buckets` buckets ([[graft.functions.RollingHash]], codegen'd — the
+    * oracle recomputes the identical 31-adic fold) — collisions are part
+    * of the MODEL (hashing trick), not an approximation to audit.
+    * `p̂_target` counts feature occurrences of documents matching
+    * `isTarget` (null → false), `p̂_raw` counts ALL documents, both
+    * Laplace-smoothed (+1 per bucket).
+    *
+    * Cross-engine determinism: per-bucket log-ratios are computed once
+    * (ln of the same double division on both engines), quantized
+    * `ROUND(·,12) → DECIMAL(38,12)` so per-document sums are exact and
+    * order-independent (the bigram-LM contract), rendered
+    * `ROUND(double, 6)`.
+    *
+    * Scale shape: one tokenize+explode pass; the histogram is a
+    * `buckets`-row aggregate (map-side combined); the ratio table
+    * BROADCASTS back onto the feature stream; the per-document sum is
+    * one shuffle of (id, decimal-partial) pairs. Linear in corpus size,
+    * no pairwise anything; `buckets` (10⁴–10⁶ in production) never
+    * leaves executor memory.
+    *
+    * Cites reference scope: data selection is absent from awsdataprofiler
+    * (Profiler.scala:166-253 profiles only) — extension per SURVEY §2.E. */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "need a positive bucket count")
+    graft.functions.RollingHash.register(df.sparkSession)
+    val toks = col("_toks")
+    val bigrams = when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    ).otherwise(array())
+    // one tokenize pass; features = unigrams ++ bigrams, exploded, hashed
+    val feats = graft.profiler.ScanMetrics.spread(df)
+      .select(
+        col(idCol).as("id"),
+        coalesce(isTarget, lit(false)).as("is_t"),
+        graft.functions.TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+      .select(
+        col("id"), col("is_t"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(
+        col("id"), col("is_t"),
+        pmod(call_function("rolling_hash", col("f")), lit(buckets.toLong))
+          .as("bucket"))
+      .localCheckpoint(true) // two consumers: histogram + per-doc sum
+    val hist = feats.groupBy("bucket").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val tot = hist.agg(
+      sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lr = hist.crossJoin(broadcast(tot)).select(
+      col("bucket"),
+      round(
+        log((col("ct") + 1L).cast("double") / (col("nt") + buckets).cast("double"))
+          - log((col("cr") + 1L).cast("double") / (col("nr") + buckets).cast("double")),
+        12).cast("decimal(38,12)").as("lr"))
+    val perDoc = feats
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("s"))
+    // zero-feature documents (empty text) carry the empty product: log 1 = 0
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        round(coalesce(col("s"), lit(0)).cast("double"), 6).as("log_weight"))
+  }
 }

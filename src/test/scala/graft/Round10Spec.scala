@@ -270,4 +270,92 @@ class Round10Spec extends AnyFunSuite {
       ()
     }
   }
+
+  test("substringDup: planted verbatim overlap is recovered with exact offsets and maximal length") {
+    import spark.implicits._
+    val rng = new scala.util.Random(41)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val shared = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TWELVE TIMES" // 56 chars
+    val pre0 = noise(37); val pre1 = noise(81)
+    // 0 and 1 share exactly `shared` (the random flanks mismatch at both
+    // edges with probability 1 - 26^-1 per side; the uppercase alphabet is
+    // disjoint from the lowercase noise, so edges CANNOT extend); 2 is pure noise
+    val docs = Seq(
+      (0L, pre0 + shared + noise(40)),
+      (1L, pre1 + shared + noise(25)),
+      (2L, noise(150))).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup
+      .substringDup(docs, "doc_id", "text", minLen = 30)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getAs[Long]("overlap_len") == shared.length.toLong)
+    assert(r.getAs[Long]("start_a") == pre0.length + 1L) // 1-based
+    assert(r.getAs[Long]("start_b") == pre1.length + 1L)
+  }
+
+  test("substringDup: detection is exhaustive above w+k-1 and the guards fire") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    // minLen below the winnowing guarantee is refused
+    val tiny = Seq((0L, "x")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.substringDup(tiny, "doc_id", "text", minLen = 5)
+    }
+    assert(e.getMessage.contains("w+k-1"))
+    // pre-flight guard: a corpus of identical docs under a tiny bound
+    val same = (0 until 10).map(i => (i.toLong, "all ten documents are this same sentence"))
+      .toDF("doc_id", "text")
+    val g = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.substringDup(
+        same, "doc_id", "text", maxCandidatePairs = Some(2L))
+    }
+    assert(g.getMessage.contains("pre-flight"))
+    // exhaustive: EVERY planted overlap of length >= 30 across 6 pairs is
+    // found (winnowing theorem: any >= w+k-1 = 11 char match shares an
+    // anchor), and pure-noise pairs produce nothing
+    val spans = (0 until 6).map(i => noise(30 + i * 7))
+    val docs = spans.zipWithIndex.flatMap { case (s, i) =>
+      Seq((i * 2L, noise(20 + i) + s + noise(30)),
+        (i * 2L + 1, noise(50 - i) + s + noise(15 + i)))
+    }.toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .substringDup(docs, "doc_id", "text", minLen = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("overlap_len")).toMap
+    val expect = spans.zipWithIndex.map { case (s, i) =>
+      (i * 2L, i * 2L + 1) -> s.length.toLong
+    }.toMap
+    assert(got.keySet == expect.keySet)
+    // maximality reports AT LEAST the planted span (a random flank char
+    // can coincidentally extend it — never shrink it)
+    expect.foreach { case (pair, len) => assert(got(pair) >= len) }
+  }
+
+  test("dsirWeights: target-like docs score above raw-like docs; feature count and empty-doc contracts hold") {
+    import spark.implicits._
+    // target docs speak "alpha beta", raw-only docs speak "gamma delta";
+    // two probe docs mix them at opposite ratios
+    val docs = (
+      (0 until 8).map(i => (i.toLong, "alpha beta alpha beta alpha", true)) ++
+      (8 until 16).map(i => (i.toLong, "gamma delta gamma delta gamma", false)) ++
+      Seq(
+        (16L, "alpha beta alpha beta gamma", false), // target-leaning probe
+        (17L, "gamma delta gamma delta alpha", false), // raw-leaning probe
+        (18L, "", false), // zero features
+        (19L, "solo", false)) // 1 token, 0 bigrams
+      ).toDF("doc_id", "text", "is_t")
+    val w = graft.operators.Sampling
+      .dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n_feats = tokens + bigrams = 2n - 1
+    assert(w(0L)._1 == 9L)
+    assert(w(18L)._1 == 0L && w(18L)._2 == 0.0)
+    assert(w(19L)._1 == 1L)
+    // the target-leaning probe outscores the raw-leaning one, and both sit
+    // between the pure-target and pure-raw scores
+    assert(w(16L)._2 > w(17L)._2)
+    assert(w(0L)._2 > w(16L)._2 && w(17L)._2 > w(8L)._2)
+  }
 }
