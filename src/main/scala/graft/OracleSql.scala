@@ -1518,7 +1518,7 @@ WHERE j >= 0.5 ORDER BY id_a, id_b"""
     * −1), left = lcp of the REVERSED prefixes. Per pair the lexicographic
     * (len, start_a, start_b) max, ties impossible to flap because the
     * order is total over distinct spans. */
-  val substringDup: String = {
+  private lazy val substringSpansCte: String = {
     val right = lcp(
       "substr(da.text, CAST(pos_a AS INT))",
       "substr(db.text, CAST(pos_b AS INT))")
@@ -1547,7 +1547,11 @@ ext AS (SELECT id_a, id_b, pos_a, pos_b, $right AS r, $left AS l
             JOIN documents db ON db.doc_id = id_b),
 spans AS (SELECT DISTINCT id_a, id_b,
     pos_a - l AS start_a, pos_b - l AS start_b, l + r AS len
-  FROM ext WHERE r >= 8),
+  FROM ext WHERE r >= 8)"""
+  }
+
+  lazy val substringDup: String =
+    raw"""$substringSpansCte,
 best AS (SELECT id_a, id_b, start_a, start_b, len,
     ROW_NUMBER() OVER (PARTITION BY id_a, id_b
       ORDER BY len DESC, start_a DESC, start_b DESC) AS rn,
@@ -1557,7 +1561,46 @@ SELECT id_a, id_b, CAST(len AS BIGINT) AS overlap_len,
   CAST(start_a AS BIGINT) AS start_a, CAST(start_b AS BIGINT) AS start_b,
   CAST(n_spans AS BIGINT) AS n_spans
 FROM best WHERE rn = 1 AND len >= 30 ORDER BY id_a, id_b"""
-  }
+
+  /** Coverage twin (E156's per-document readout): both interval sides of
+    * every ≥30-char span, DISTINCT, merged by the gap-and-islands pattern
+    * (the sessionize contract — running MAX(end) over the same
+    * (start, end) order), covered = Σ island widths, fraction over the
+    * document's LENGTH. */
+  lazy val substringDupCoverage: String =
+    raw"""$substringSpansCte,
+ivals AS (SELECT DISTINCT id, s, e FROM (
+  SELECT id_a AS id, start_a AS s, start_a + len AS e FROM spans WHERE len >= 30
+  UNION ALL
+  SELECT id_b, start_b, start_b + len FROM spans WHERE len >= 30) u),
+flagged AS (SELECT id, s, e,
+    CASE WHEN MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s > MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS brk
+  FROM ivals),
+isl AS (SELECT id, s, e, SUM(brk) OVER (PARTITION BY id ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM flagged),
+cov AS (SELECT id, g, MIN(s) AS s0, MAX(e) AS e1 FROM isl GROUP BY 1, 2),
+agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+    CAST(SUM(e1 - s0) AS BIGINT) AS covered_chars
+  FROM cov GROUP BY 1)
+SELECT a.id AS doc_id, n_islands, covered_chars,
+  ROUND(covered_chars * 1.0 / LENGTH(d.text), 6) AS dup_char_fraction
+FROM agg a JOIN documents d ON d.doc_id = a.id ORDER BY doc_id"""
+
+  /** DSIR Gumbel top-k selection twin (E157's action half): the weight
+    * subquery verbatim, the engine's sha256 sampling bucket as the
+    * uniform (mid-bucket, never 0/1), `−LN(−LN u)` quantized ROUND(·,12)
+    * before the sum and ROUND(·,6) at the key — both engines rank
+    * identical doubles; top-100, best first, doc_id tie-break. */
+  lazy val dsirSelect: String =
+    s"""SELECT doc_id, log_weight,
+  ROUND(log_weight + ROUND(-LN(-LN(($sampleBucket + 0.5) / 10000)), 12), 6) AS select_key
+FROM ($dsirWeights) t
+ORDER BY select_key DESC, doc_id LIMIT 100"""
 
   /** Referential-integrity twin: per-key child counts, NOT EXISTS
     * orphans, the same containment division + ROUND(·,6). */

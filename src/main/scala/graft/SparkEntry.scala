@@ -1241,6 +1241,12 @@ object SparkEntry {
       Sampling.dsirWeights(
         documents(s, dir), "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
+    // DSIR's action half: Gumbel top-k over the log weights draws the
+    // without-replacement sample ∝ w — deterministic noise from the
+    // engine's sha256 bucket, so the selection is fully hash-oracled
+    "dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(
+        documents(s, dir), "doc_id", "text", col("lang") === "en", k = 100)),
     // leakage-safe split: near-dup cluster members share one split label
     // (split key = canonical cluster id, singletons split by own id)
     "leakage_safe_split" -> ((s, dir) => {
@@ -1591,6 +1597,12 @@ object SparkEntry {
     "substring_dup" -> ((s, dir) =>
       Dedup.substringDup(documents(s, dir), "doc_id", "text")
         .orderBy("id_a", "id_b")),
+    // E156's per-document readout: fraction of each touched document's
+    // chars inside >= 30-char cross-document verbatim runs (interval
+    // union via doc-partitioned gap-and-islands — never double-counted)
+    "substring_dup_coverage" -> ((s, dir) =>
+      Dedup.substringDupCoverage(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // cross-table referential-integrity profile over the star schema's
     // two fact edges (key relations only — payloads never shuffle)
     "referential_integrity" -> ((s, dir) => {
@@ -2431,6 +2443,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "sample_deterministic" -> OracleSql.sampleDeterministic,
     "mixture_resample" -> OracleSql.mixtureResample,
     "dsir_weights" -> OracleSql.dsirWeights,
+    "dsir_select" -> OracleSql.dsirSelect,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,
@@ -2471,6 +2484,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "winnow_fingerprint" -> OracleSql.winnowFingerprint,
     "winnow_near_dup" -> OracleSql.winnowNearDup,
     "substring_dup" -> OracleSql.substringDup,
+    "substring_dup_coverage" -> OracleSql.substringDupCoverage,
     "domain_stats" -> OracleSql.domainStats,
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,

@@ -1004,6 +1004,36 @@ object Dedup {
       s"substringDup: minLen=$minLen below the winnowing detection " +
         s"guarantee w+k-1=${w + k - 1}; shorter overlaps are not " +
         "exhaustively found — lower k/w instead")
+    substringDupSpans(df, idCol, textCol, k, w, maxOccFreq, maxCandidatePairs)
+      .groupBy("id_a", "id_b")
+      .agg(
+        // the REPORTED span is the LONGEST (ties → largest start_a, then
+        // start_b): lexicographic struct max
+        max(struct(col("len"), col("start_a"), col("start_b"))).as("best"),
+        count(lit(1)).as("n_spans"))
+      .select(
+        col("id_a"), col("id_b"),
+        col("best.len").as("overlap_len"),
+        col("best.start_a").as("start_a"),
+        col("best.start_b").as("start_b"),
+        col("n_spans"))
+      .where(col("overlap_len") >= minLen)
+  }
+
+  /** The full DISTINCT maximal-span relation behind [[substringDup]]:
+    * `(id_a, id_b, start_a, start_b, len)` — every maximal common
+    * substring found through a surviving winnowing anchor, of ANY length
+    * (callers filter; detection is exhaustive from w+k−1 up). Shared by
+    * [[substringDup]] (per-pair longest) and [[substringDupCoverage]]
+    * (per-document interval union). */
+  def substringDupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
     graft.functions.CommonExtend.register(df.sparkSession)
     // anchor sites: (id, pos, hash) — positions kept, unlike the
     // near-dup path's per-doc distinct sets
@@ -1047,22 +1077,75 @@ object Dedup {
           col("ta"), col("pos_a"), col("tb"), col("pos_b"), lit(k)).as("enc"))
       .where(col("enc") >= 0L)
       .distinct() // many anchors inside one span encode the SAME span
-    ext
-      .groupBy("id_a", "id_b")
+    ext.select(
+      col("id_a"), col("id_b"),
+      expr(s"enc div ${P * P}").cast("long").as("start_a"),
+      pmod(expr(s"enc div $P"), lit(P)).cast("long").as("start_b"),
+      pmod(col("enc"), lit(P)).cast("long").as("len"))
+  }
+
+  /** Per-document duplicated-character coverage (E156's corpus-level
+    * readout, the statistic the suffix-array dedup paper reports): for
+    * every document touched by at least one cross-document verbatim run
+    * ≥ `minLen` chars, the fraction of its characters lying inside such
+    * runs — `covered_chars / n_chars` after UNIONING the document's span
+    * intervals (overlapping spans from different partners must not
+    * double-count a character).
+    *
+    * Interval union is the gap-and-islands pattern (the sessionize
+    * contract): per document, order intervals by (start, end), an
+    * interval opens a new island when it starts strictly after the
+    * running max end; island length = max end − min start. The window is
+    * DOC-PARTITIONED (a document's span count — never a global order).
+    *
+    * Returns `(doc_id, n_islands, covered_chars, dup_char_fraction)`,
+    * documents with zero qualifying spans omitted (join back to the
+    * corpus for the zero-filled view). */
+  def substringDupCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 30,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"substringDupCoverage: minLen=$minLen below the winnowing " +
+        s"detection guarantee w+k-1=${w + k - 1}")
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringDupSpans(
+      df, idCol, textCol, k, w, maxOccFreq, maxCandidatePairs)
+      .where(col("len") >= minLen)
+    val ivals = spans
+      .select(col("id_a").as("id"), col("start_a").as("s"),
+        (col("start_a") + col("len")).as("e"))
+      .unionByName(spans.select(col("id_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("len")).as("e")))
+      .distinct()
+    val byDoc = Window.partitionBy("id").orderBy(col("s"), col("e"))
+    val flagged = ivals
+      .withColumn("pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("g",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val islands = flagged.groupBy("id", "g")
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e1"))
+    islands.groupBy("id")
       .agg(
-        // enc packs (start_a·2⁴⁰ + start_b·2²⁰ + len); the REPORTED span
-        // must be the LONGEST (ties → largest start_a, then start_b), so
-        // max over the len-major repack (len·2⁴⁰ + start_a·2²⁰ + start_b)
-        max(pmod(col("enc"), lit(P)) * lit(P * P)
-          + expr(s"enc div ${P * P}") * lit(P)
-          + pmod(expr(s"enc div $P"), lit(P))).as("lenmaj"),
-        count(lit(1)).as("n_spans"))
+        count(lit(1)).as("n_islands"),
+        sum(col("e1") - col("s0")).as("covered_chars"))
+      .join(
+        df.select(col(idCol).as("id"),
+          length(col(textCol)).cast("long").as("_n")),
+        Seq("id"))
       .select(
-        col("id_a"), col("id_b"),
-        expr(s"lenmaj div ${P * P}").cast("long").as("overlap_len"),
-        pmod(expr(s"lenmaj div $P"), lit(P)).cast("long").as("start_a"),
-        pmod(col("lenmaj"), lit(P)).cast("long").as("start_b"),
-        col("n_spans"))
-      .where(col("overlap_len") >= minLen)
+        col("id").as(idCol),
+        col("n_islands"),
+        col("covered_chars"),
+        round(col("covered_chars").cast("double") / col("_n"), 6)
+          .as("dup_char_fraction"))
   }
 }

@@ -420,4 +420,38 @@ object Sampling {
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         round(coalesce(col("s"), lit(0)).cast("double"), 6).as("log_weight"))
   }
+
+  /** DSIR selection (the ACTION half of [[dsirWeights]]): the paper's
+    * Gumbel top-k trick — adding independent Gumbel(0,1) noise to each
+    * document's log weight and keeping the k largest keys draws a
+    * WITHOUT-REPLACEMENT sample distributed ∝ w (Vieira '14; Xie et al.
+    * §2.2 use exactly this for the resampling step). The noise is
+    * deterministic here: `u = (hashBucket(id, salt) + 0.5) / 10000`
+    * (the engine's reproducible-sampling primitive — mid-bucket so u is
+    * never 0 or 1), `g = −ln(−ln u)`, quantized ROUND(·,12) before the
+    * sum and ROUND(·,6) at the key so both engines rank identical
+    * doubles.
+    *
+    * Scale shape: [[dsirWeights]]' linear pipeline + one global
+    * top-k (TakeOrderedAndProject — per-partition heaps of k, never a
+    * global sort). Returns the k selected `(idCol, log_weight,
+    * select_key)` rows, best first. */
+  def dsirSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      k: Int,
+      salt: String = "graft",
+      buckets: Int = 64): DataFrame = {
+    require(k > 0, "need a positive selection size")
+    val u = (hashBucket(col(idCol), salt).cast("double") + 0.5) / Buckets
+    dsirWeights(df, idCol, textCol, isTarget, buckets)
+      .withColumn("_g", round(-log(-log(u)), 12))
+      .select(
+        col(idCol), col("log_weight"),
+        round(col("log_weight") + col("_g"), 6).as("select_key"))
+      .orderBy(col("select_key").desc, col(idCol))
+      .limit(k)
+  }
 }

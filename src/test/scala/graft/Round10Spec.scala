@@ -358,4 +358,48 @@ class Round10Spec extends AnyFunSuite {
     assert(w(16L)._2 > w(17L)._2)
     assert(w(0L)._2 > w(16L)._2 && w(17L)._2 > w(8L)._2)
   }
+
+  test("substringDupCoverage: overlapping spans from different partners union without double-counting") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    def block(n: Int) = Seq.fill(n)(('A' + rng.nextInt(26)).toChar).mkString
+    // A carries S1+S2+S3 contiguously; B shares S1+S2, C shares S2+S3.
+    // Disjoint alphabets (uppercase blocks vs lowercase noise) pin the
+    // extension boundaries exactly.
+    val s1 = block(34); val s2 = block(31); val s3 = block(37)
+    val docs = Seq(
+      (0L, noise(21) + s1 + s2 + s3 + noise(18)), // A
+      (1L, noise(40) + s1 + s2 + noise(33)), // B
+      (2L, noise(11) + s2 + s3 + noise(52))) // C
+      .toDF("doc_id", "text")
+    val cov = graft.operators.Dedup
+      .substringDupCoverage(docs, "doc_id", "text", minLen = 30)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val total = (s1 + s2 + s3).length.toLong
+    // A: the two spans overlap on S2 — ONE island covering S1S2S3 exactly
+    assert(cov(0L) == ((1L, total, math.rint(total.toDouble / (21 + total + 18) * 1e6) / 1e6)))
+    assert(cov(1L)._2 == (s1 + s2).length.toLong)
+    assert(cov(2L)._2 == (s2 + s3).length.toLong)
+  }
+
+  test("dsirSelect: returns k rows ranked by descending key, weights consistent with dsirWeights") {
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      val t = if (i % 3 == 0) "alpha beta alpha beta" else "gamma delta epsilon zeta"
+      (i.toLong, t, i % 3 == 0)
+    }.toDF("doc_id", "text", "is_t")
+    val sel = graft.operators.Sampling
+      .dsirSelect(docs, "doc_id", "text", col("is_t"), k = 7)
+      .collect()
+    assert(sel.length == 7)
+    val keys = sel.map(_.getDouble(2))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a >= b })
+    val w = graft.operators.Sampling
+      .dsirWeights(docs, "doc_id", "text", col("is_t"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    sel.foreach(r => assert(r.getDouble(1) == w(r.getLong(0))))
+  }
 }
