@@ -1602,6 +1602,34 @@ FROM agg a JOIN documents d ON d.doc_id = a.id ORDER BY doc_id"""
 FROM ($dsirWeights) t
 ORDER BY select_key DESC, doc_id LIMIT 100"""
 
+  /** SemDeDup twin (E158): the same nearest-centroid assignment as the
+    * centroid-update twin (6-dp cosine, QUALIFY argmax with centroid-id
+    * tie-break), within-cluster pairwise 6-dp cosine, and the same
+    * pairwise-loser rule — the HIGHER rounded centroid-cosine member of
+    * every duplicate pair is removed (ties remove the larger id). */
+  lazy val semDedup: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM e WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id, centroid_id, cos FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.ce")} / (${listNorm("e.embedding")} * ${listNorm("c.ce")}), 6) AS cos,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      ROUND(${listDot("e.embedding", "c.ce")} / (${listNorm("e.embedding")} * ${listNorm("c.ce")}), 6) DESC,
+      c.centroid_id) AS rn
+  FROM e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.ce")} > 0) t WHERE rn = 1),
+m AS (SELECT a.vec_id, a.centroid_id, a.cos, e.embedding FROM a JOIN e USING (vec_id)),
+p AS (SELECT x.vec_id AS id_a, x.cos AS ca, y.vec_id AS id_b, y.cos AS cb,
+    ROUND(${listDot("x.embedding", "y.embedding")} / (${listNorm("x.embedding")} * ${listNorm("y.embedding")}), 6) AS pcos
+  FROM m x JOIN m y ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE ${listNorm("x.embedding")} * ${listNorm("y.embedding")} > 0),
+r AS (SELECT DISTINCT CASE WHEN ca > cb THEN id_a WHEN ca < cb THEN id_b
+    ELSE GREATEST(id_a, id_b) END AS vec_id
+  FROM p WHERE pcos >= 0.35)
+SELECT a.vec_id, a.centroid_id, a.cos AS centroid_cos,
+  (r.vec_id IS NOT NULL) AS removed
+FROM a LEFT JOIN r USING (vec_id) ORDER BY a.vec_id"""
+
   /** Referential-integrity twin: per-key child counts, NOT EXISTS
     * orphans, the same containment division + ROUND(·,6). */
   val referentialIntegrity: String = {

@@ -1178,6 +1178,14 @@ object SparkEntry {
         .orderBy("vec_id")),
     "dedup_embedding_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(embeddings(s, dir), "vec_id", "embedding")),
+    // SemDeDup (E158): cluster-scoped semantic dedup — per-vector
+    // KEEP/REMOVE verdict, the member closer to its centroid removed
+    // from every within-cluster duplicate pair (cos >= 0.35)
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedup(
+        embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 83 === 0, threshold = 0.35)
+        .orderBy("vec_id")),
     "events_json" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -2444,6 +2452,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "mixture_resample" -> OracleSql.mixtureResample,
     "dsir_weights" -> OracleSql.dsirWeights,
     "dsir_select" -> OracleSql.dsirSelect,
+    "semdedup" -> OracleSql.semDedup,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,

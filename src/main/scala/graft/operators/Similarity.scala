@@ -233,6 +233,77 @@ object Similarity {
       nearDupBuckets(embIn, idCol, vecCol, bands, bitsPerBand),
       Seq("bucket"), maxBucketFreq)
 
+  /** SemDeDup (E158) — semantic deduplication by cluster-scoped cosine
+    * (Abbas et al. '23, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication"): embeddings are bucketed to their
+    * nearest centroid ([[nearestCentroid]] — centroids broadcast, argmax
+    * on the 6-dp cosine), pairwise cosine runs ONLY within a cluster, and
+    * within every duplicate pair (cosine ≥ `threshold`) the member CLOSER
+    * to the centroid is removed — the paper keeps the lowest-centroid-
+    * similarity example of each group to preserve diversity. Ties on the
+    * (rounded) centroid cosine remove the larger id. Pairwise-loser
+    * marking collapses a mutual duplicate clique to exactly its
+    * farthest-from-centroid member, with no connected-components pass.
+    *
+    * This is the EMBEDDING-space sibling of [[cosineNearDupPairs]]:
+    * where that op surfaces the top pairs for review, SemDeDup emits a
+    * per-vector KEEP/REMOVE verdict — the curation action.
+    *
+    * Scale shape: with centroids ∝ N/83 the mean cluster size is a
+    * CONSTANT (~83), so within-cluster pairwise work Σ c² ≈ 83·N — linear
+    * in corpus size, the paper's own argument for clustering before
+    * comparing; the pre-flight guard computes the exact pair count and
+    * refuses a degenerate clustering loudly (the winnowing-cap contract).
+    * Priority comparisons use the ROUNDED 6-dp centroid cosine — the same
+    * value both engines rank, so the verdict is hash-oracle-verifiable. */
+  def semDedup(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      threshold: Double,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val assign = nearestCentroid(embIn, idCol, vecCol, centroidPred)
+      .localCheckpoint(true) // three consumers: guard, both pair sides, verdict
+    maxCandidatePairs.foreach { bound =>
+      val est = assign.groupBy("centroid_id").agg(count(lit(1)).as("c"))
+        .agg(coalesce(
+          sum(col("c") * (col("c") - 1L) / lit(2L)), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"semDedup pre-flight: $est within-cluster pairs exceed " +
+          s"maxCandidatePairs=$bound — the clustering is degenerate " +
+          "(add centroids) or raise the bound deliberately")
+    }
+    val base = graft.profiler.ScanMetrics.spread(embIn).select(
+      col(idCol).as("vec_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val members = assign.join(base, Seq("vec_id"))
+    val x = members.select(
+      col("centroid_id"), col("vec_id").as("id_a"), col("cos").as("ca"),
+      col("v").as("va"), col("nv").as("na"))
+    val y = members.select(
+      col("centroid_id"), col("vec_id").as("id_b"), col("cos").as("cb"),
+      col("v").as("vb"), col("nv").as("nb"))
+    val removed = x.join(y, Seq("centroid_id"))
+      .where(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"), col("ca"), col("id_b"), col("cb"),
+        safeCos(col("va"), col("vb"), col("na"), col("nb")).as("pcos"))
+      .where(col("pcos").isNotNull && col("pcos") >= threshold)
+      .select(
+        when(col("ca") > col("cb"), col("id_a"))
+          .when(col("ca") < col("cb"), col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))).as("vec_id"))
+      .distinct()
+    assign
+      .join(removed.withColumn("_r", lit(true)), Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("centroid_id"),
+        col("cos").as("centroid_cos"),
+        coalesce(col("_r"), lit(false)).as("removed"))
+  }
+
   /** Embedding-corpus QA summary — the sanity pass before any vector
     * workload: corpus size, dimension consistency (ragged embeddings break
     * every downstream dot product), zero-norm count (no direction — they

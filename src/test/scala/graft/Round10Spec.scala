@@ -402,4 +402,37 @@ class Round10Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     sel.foreach(r => assert(r.getDouble(1) == w(r.getLong(0))))
   }
+
+  test("semDedup: a duplicate clique collapses to its farthest-from-centroid member; clusters are scoped") {
+    import spark.implicits._
+    // centroids: c0 = (1,0) [id 0], c1 = (0,1) [id 100]. Cluster 0 holds a
+    // duplicate clique (the centroid vector itself + three near-identical
+    // members) with centroid-cosines ordered 0 > 1 > 2 > 3; cluster 1
+    // holds a near-centroid member (pairs with its own centroid vector)
+    // and a dissimilar one that pairs with nothing.
+    val vecs = Seq(
+      (0L, Array(1f, 0f)),
+      (100L, Array(0f, 1f)),
+      (1L, Array(1f, 0.10f)),
+      (2L, Array(1f, 0.12f)),
+      (3L, Array(1f, 0.14f)),
+      (4L, Array(0.10f, 1f)),
+      (5L, Array(0.9f, 1f))) // assigned c1 (cos .74 vs .67); below τ with all
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semDedup(vecs, "vec_id", "embedding",
+        col("vec_id").isin(0L, 100L), threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out.size == 7)
+    // clique {0,1,2,3}: the farthest-from-centroid member survives, every
+    // closer member loses at least one pair and is removed
+    assert(out(0L)._1 == 0L && out(0L)._2) // the centroid vector: closest of all — removed
+    assert(out(1L)._2 && out(2L)._2)
+    assert(!out(3L)._2) // farthest of the clique — kept
+    // cluster 1: {100, 4} pair (cos .995) — the centroid vector is closer
+    // to itself, so IT is removed and 4 kept; 5 pairs with nothing
+    assert(out(100L)._2)
+    assert(!out(4L)._2 && out(4L)._1 == 100L)
+    assert(out(5L)._1 == 100L && !out(5L)._2)
+  }
 }
