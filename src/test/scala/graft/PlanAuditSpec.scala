@@ -219,6 +219,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"\n$p")
   }
 
+  test("substring dup: anchor candidates and text delivery stay hash-keyed equi-joins") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.substringDup(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must stay hash-keyed:\n$p")
+    // the extension kernel is a codegen'd expression, not a UDF
+    assert(p.contains("common_extend"), s"extension expression missing:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"), s"\n$p")
+  }
+
+  test("dsir: ratio table broadcasts back onto the feature stream; no pairwise stage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.dsirWeights(
+      docs, "doc_id", "text", col("lang") === "en"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected the 64-row ratio/total broadcast:\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+  }
+
+  test("semdedup: pairwise cosine joins on the cluster id, never corpus-wide") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val df = graft.operators.Similarity.semDedup(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0, threshold = 0.35)
+    val p = plan(df)
+    // the ONLY nested-loop stage allowed is the broadcast centroid scoring
+    // (k centroids against the corpus — nearestCentroid's documented shape);
+    // the pair stage itself must be a centroid_id-keyed hash join
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"),
+      s"expected a centroid_id-keyed equi-join for the pair stage:\n$p")
+  }
+
   test("zipf fit: heap top-k cut, no global sort of the vocabulary") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.CorpusStats.zipfFit(docs, "text"))
