@@ -673,6 +673,43 @@ SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
   ROUND(CAST(COALESCE(s, 0) AS DOUBLE), 6) AS log_weight
 FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
 
+  /** BPE-induction twin (E159): the identical iteration REPLAYED as
+    * chained CTEs — per step, weighted adjacent-pair counts over the
+    * current vocabulary symbolization, the same (count DESC, l, r)
+    * deterministic best-pair cut, and the same greedy left-to-right
+    * non-overlapping merge as a `list_reduce` fold (accumulator =
+    * list-of-symbols; the last element either absorbs the next symbol
+    * into the merged pair or the symbol appends — provably equivalent to
+    * the scan because a symbol merged THIS pass equals l||r and can
+    * never equal l again, r being non-empty). Eight steps, matching the
+    * declared query's nMerges. */
+  lazy val bpeMerges: String = {
+    val K = 8
+    def fold(b: String) =
+      s"list_reduce(list_transform(syms, s -> [s]), " +
+        s"(acc, x) -> CASE WHEN acc[-1] = $b.l AND x[1] = $b.r " +
+        s"THEN list_append(list_slice(acc, 1, len(acc) - 1), $b.l || $b.r) " +
+        s"ELSE list_concat(acc, x) END)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH vocab AS (SELECT t AS w, COUNT(*) AS cnt FROM (
+  SELECT unnest($wsToksLowerSql) AS t FROM documents) u GROUP BY 1),
+it0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM vocab)"""
+    for (k <- 1 to K) {
+      sb ++= s""",
+p$k AS (SELECT pr['l'] AS l, pr['r'] AS r, SUM(cnt) AS c FROM (
+  SELECT cnt, unnest(list_transform(range(1, len(syms)), i -> {'l': syms[i], 'r': syms[i+1]})) AS pr
+  FROM it${k - 1} WHERE len(syms) >= 2) t GROUP BY 1, 2),
+b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+it$k AS (SELECT w, cnt, ${fold("b")} AS syms FROM it${k - 1}, b$k b)"""
+    }
+    sb ++= "\n" + (1 to K).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n")
+    sb ++= "\nORDER BY merge_rank"
+    sb.toString
+  }
+
   /** Gini-concentration twin (E106): per-group token totals, ROW_NUMBER
     * over the same (x ASC, g ASC) order, identical closed-form double
     * algebra. */

@@ -1241,6 +1241,12 @@ object SparkEntry {
       Sampling.mixtureResample(
         documents(s, dir), "doc_id", col("lang"), alpha = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // BPE vocabulary induction (E159): the merge-table learner — eight
+    // deterministic most-frequent-pair merges over the word-frequency
+    // vocabulary, each step one aggregation + a codegen'd merge pass
+    "bpe_merges" -> ((s, dir) =>
+      graft.operators.BpeInduction.bpeMerges(documents(s, dir), "text", 8)
+        .orderBy("merge_rank")),
     // DSIR importance weights (E157): every document scored by the log
     // importance ratio of its hashed unigram+bigram profile against the
     // English-labeled target slice — the principled quality-filter
@@ -2453,6 +2459,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dsir_weights" -> OracleSql.dsirWeights,
     "dsir_select" -> OracleSql.dsirSelect,
     "semdedup" -> OracleSql.semDedup,
+    "bpe_merges" -> OracleSql.bpeMerges,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,

@@ -435,4 +435,22 @@ class Round10Spec extends AnyFunSuite {
     assert(!out(4L)._2 && out(4L)._1 == 100L)
     assert(out(5L)._1 == 100L && !out(5L)._2)
   }
+
+  test("bpeMerges: greedy non-overlapping merges, frequency-weighted best pair, early stop") {
+    import spark.implicits._
+    // words: aaaa x2, b x1. Step 1: pair (a,a) has weight 2 words x 3
+    // adjacencies = 6 -> merge; greedy scan leaves [aa, aa] (never
+    // [a, aa, a]). Step 2: (aa, aa) weight 2. Then no pairs remain:
+    // asking for 5 merges returns 2 rows.
+    val docs = Seq((0L, "aaaa aaaa b"), (1L, "aaaa b")).toDF("doc_id", "text")
+    // aaaa appears 3x total, b 2x: step1 (a,a) = 3 words * 3 pairs... no:
+    // pair count per word = #adjacent (a,a) sites = 3, weighted by word
+    // frequency 3 -> 9
+    val got = graft.operators.BpeInduction.bpeMerges(docs, "text", nMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", "aa", 9L),
+      (2L, "aa", "aa", "aaaa", 3L)))
+  }
 }
