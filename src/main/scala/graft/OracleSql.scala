@@ -683,8 +683,10 @@ FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id"""
     * the scan because a symbol merged THIS pass equals l||r and can
     * never equal l again, r being non-empty). Eight steps, matching the
     * declared query's nMerges. */
-  lazy val bpeMerges: String = {
-    val K = 8
+  /** The chained induction CTEs shared by [[bpeMerges]] and
+    * [[bpeEncode]]: `WITH vocab, it0, (p_k, b_k, it_k)*` — it`K` holds
+    * the vocabulary fully encoded under the K learned merges. */
+  private def bpeChain(K: Int): String = {
     def fold(b: String) =
       s"list_reduce(list_transform(syms, s -> [s]), " +
         s"(acc, x) -> CASE WHEN acc[-1] = $b.l AND x[1] = $b.r " +
@@ -702,13 +704,29 @@ p$k AS (SELECT pr['l'] AS l, pr['r'] AS r, SUM(cnt) AS c FROM (
 b$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
 it$k AS (SELECT w, cnt, ${fold("b")} AS syms FROM it${k - 1}, b$k b)"""
     }
-    sb ++= "\n" + (1 to K).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
-        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k")
-      .mkString("\nUNION ALL\n")
-    sb ++= "\nORDER BY merge_rank"
     sb.toString
   }
+
+  lazy val bpeMerges: String = {
+    val K = 8
+    bpeChain(K) + "\n" + (1 to K).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+        s"l || r AS merged, CAST(c AS BIGINT) AS pair_count FROM b$k")
+      .mkString("\nUNION ALL\n") + "\nORDER BY merge_rank"
+  }
+
+  /** BPE-encode twin (E160): the encoded vocabulary is the induction
+    * chain's own it8 (merges apply in rank order — the single-pass-per-
+    * rank equivalence argued in BpeInduction.bpeEncode's doc), joined
+    * back onto the corpus words; one doc-keyed rollup. */
+  lazy val bpeEncode: String =
+    bpeChain(8) + s""",
+enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS ntok FROM it8),
+wd AS (SELECT doc_id, unnest($wsToksLowerSql) AS w FROM documents)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(ntok) AS BIGINT) AS n_bpe_tokens,
+  ROUND(CAST(SUM(LENGTH(w)) AS DOUBLE) / CAST(SUM(ntok) AS DOUBLE), 6) AS chars_per_token
+FROM wd JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id"""
 
   /** Gini-concentration twin (E106): per-group token totals, ROW_NUMBER
     * over the same (x ASC, g ASC) order, identical closed-form double

@@ -1247,6 +1247,11 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       graft.operators.BpeInduction.bpeMerges(documents(s, dir), "text", 8)
         .orderBy("merge_rank")),
+    // BPE encode (E160): the inference half — per-doc token stats under
+    // the learned 8-merge table (rank-order application, vocab-level)
+    "bpe_encode" -> ((s, dir) =>
+      graft.operators.BpeInduction.bpeEncode(documents(s, dir), "doc_id", "text", 8)
+        .orderBy("doc_id")),
     // DSIR importance weights (E157): every document scored by the log
     // importance ratio of its hashed unigram+bigram profile against the
     // English-labeled target slice — the principled quality-filter
@@ -2460,6 +2465,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dsir_select" -> OracleSql.dsirSelect,
     "semdedup" -> OracleSql.semDedup,
     "bpe_merges" -> OracleSql.bpeMerges,
+    "bpe_encode" -> OracleSql.bpeEncode,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,
     "dataset_split" -> OracleSql.datasetSplit,
     "stratified_sample" -> OracleSql.stratifiedSample,

@@ -88,4 +88,55 @@ object BpeInduction {
         StructField("merged", StringType, nullable = false),
         StructField("pair_count", LongType, nullable = false))))
   }
+
+  /** BPE encode (E160) — apply a learned merge table and report per-
+    * document token statistics: `(idCol, n_words, n_bpe_tokens,
+    * chars_per_token)`. The inference half of [[bpeMerges]] — together
+    * they close the tokenizer loop (learn → encode → fertility, E125).
+    *
+    * Merges apply in RANK ORDER, one greedy pass each
+    * ([[graft.functions.BpeMergeStep]]) — provably equivalent to the
+    * classic lowest-rank-first priority encoding: for merge k's pair
+    * (a,b), both symbols were created by merges < k (or are characters),
+    * and merging can only INSERT symbols between neighbours, never
+    * remove them, so applying ranks 1..K sequentially can never make an
+    * earlier merge applicable again. This is the single-pass-per-rank
+    * shape fast BPE encoders use.
+    *
+    * Scale shape: encoding runs on the VOCABULARY (distinct words),
+    * K codegen'd merge passes, no shuffle; per-document counts come from
+    * ONE explode + word-keyed equi-join + doc-keyed aggregation — the
+    * corpus ships (doc, word) pairs once, never symbol arrays. */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      nMerges: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.BpeMergeStep.register(spark)
+    val table = bpeMerges(df, textCol, nMerges).collect() // ≤ nMerges rows
+    val words = graft.profiler.ScanMetrics.spread(df)
+      .select(
+        col(idCol).as("id"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("w"))
+    val vocab0 = words.groupBy("w").agg(count(lit(1)).as("_f"))
+      .select(col("w"), split(col("w"), "(?!$)").as("syms"))
+    val encoded = table.foldLeft(vocab0) { (v, m) =>
+      v.withColumn("syms", call_function("bpe_merge_step",
+        col("syms"), lit(m.getString(1)), lit(m.getString(2))))
+    }.select(col("w"), size(col("syms")).cast("long").as("ntok"))
+    words
+      .join(encoded, Seq("w"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("ntok")).as("n_bpe_tokens"),
+        sum(length(col("w")).cast("long")).as("_chars"))
+      .select(
+        col("id").as(idCol),
+        col("n_words"),
+        col("n_bpe_tokens"),
+        round(col("_chars").cast("double") / col("n_bpe_tokens"), 6)
+          .as("chars_per_token"))
+  }
 }

@@ -452,5 +452,12 @@ class Round10Spec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       (1L, "a", "a", "aa", 9L),
       (2L, "aa", "aa", "aaaa", 3L)))
+    // encode under the learned table: aaaa -> [aaaa] (1 token), b -> [b]
+    val enc = graft.operators.BpeInduction
+      .bpeEncode(docs, "doc_id", "text", nMerges = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(enc(0L) == ((3L, 3L, 3.0))) // "aaaa aaaa b": 9 chars / 3 tokens
+    assert(enc(1L) == ((2L, 2L, 2.5))) // "aaaa b": 5 chars / 2 tokens
   }
 }
