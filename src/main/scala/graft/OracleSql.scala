@@ -1646,6 +1646,59 @@ SELECT a.id AS doc_id, n_islands, covered_chars,
   ROUND(covered_chars * 1.0 / LENGTH(d.text), 6) AS dup_char_fraction
 FROM agg a JOIN documents d ON d.doc_id = a.id ORDER BY doc_id"""
 
+  /** Cross-table contamination twin (E161): the same winnowing anchors
+    * built per SIDE (corpus = doc_id % 101 <> 0, eval = % 101 = 0), the
+    * occurrence cap counted over BOTH sides together, corpus×eval
+    * candidates (no self pairs by construction), the same lcp-based
+    * maximal extension. */
+  lazy val substringContamination: String = {
+    def side(tag: String, where: String) =
+      raw"""kg$tag AS (SELECT doc_id,
+  CASE WHEN LENGTH(text) >= 8 THEN
+    list_transform(range(1, LENGTH(text) - 8 + 2), i ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 2147483647) * 1048576 + (1048575 - i))
+  ELSE CAST([] AS BIGINT[]) END AS keys
+  FROM documents WHERE $where),
+sel$tag AS (SELECT DISTINCT doc_id, enc FROM (
+  SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(keys) - 3, 1) + 1),
+    j -> list_min(keys[j : j + 3]))) AS enc
+  FROM kg$tag WHERE len(keys) >= 1) t),
+fp$tag AS (SELECT doc_id AS id, 1048575 - (enc % 1048576) AS pos, enc // 1048576 AS hash FROM sel$tag)"""
+    val right = lcp(
+      "substr(dc.text, CAST(pos_c AS INT))",
+      "substr(db.text, CAST(pos_b AS INT))")
+    val left = lcp(
+      "reverse(substr(dc.text, 1, CAST(pos_c AS INT) - 1))",
+      "reverse(substr(db.text, 1, CAST(pos_b AS INT) - 1))")
+    raw"""WITH ${side("c", "doc_id % 101 <> 0")},
+${side("b", "doc_id % 101 = 0")},
+ok AS (SELECT hash FROM (
+    SELECT hash FROM fpc UNION ALL SELECT hash FROM fpb) u
+  GROUP BY hash HAVING COUNT(*) <= 32),
+kc AS (SELECT f.id, f.pos, f.hash FROM fpc f JOIN ok USING (hash)),
+kb AS (SELECT f.id, f.pos, f.hash FROM fpb f JOIN ok USING (hash)),
+cand AS (SELECT c.id AS corpus_id, c.pos AS pos_c, b.id AS eval_id, b.pos AS pos_b
+  FROM kc c JOIN kb b USING (hash)),
+ext AS (SELECT corpus_id, eval_id, pos_c, pos_b, $right AS r, $left AS l
+  FROM cand JOIN documents dc ON dc.doc_id = corpus_id
+            JOIN documents db ON db.doc_id = eval_id),
+spans AS (SELECT DISTINCT corpus_id, eval_id,
+    pos_c - l AS start_corpus, pos_b - l AS start_eval, l + r AS len
+  FROM ext WHERE r >= 8),
+best AS (SELECT corpus_id, eval_id, start_corpus, start_eval, len,
+    ROW_NUMBER() OVER (PARTITION BY corpus_id, eval_id
+      ORDER BY len DESC, start_corpus DESC, start_eval DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY corpus_id, eval_id) AS n_spans
+  FROM spans)
+SELECT corpus_id, eval_id, CAST(len AS BIGINT) AS overlap_len,
+  CAST(start_corpus AS BIGINT) AS start_corpus,
+  CAST(start_eval AS BIGINT) AS start_eval,
+  CAST(n_spans AS BIGINT) AS n_spans
+FROM best WHERE rn = 1 AND len >= 30 ORDER BY corpus_id, eval_id"""
+  }
+
   /** DSIR Gumbel top-k selection twin (E157's action half): the weight
     * subquery verbatim, the engine's sha256 sampling bucket as the
     * uniform (mid-bucket, never 0/1), `−LN(−LN u)` quantized ROUND(·,12)

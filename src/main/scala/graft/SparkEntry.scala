@@ -1622,6 +1622,16 @@ object SparkEntry {
     "substring_dup_coverage" -> ((s, dir) =>
       Dedup.substringDupCoverage(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // span-level train/eval decontamination (E161): verbatim runs leaking
+    // from the corpus into a pseudo held-out slice (doc_id % 101 == 0)
+    "substring_contamination" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.substringContamination(
+        d.where(col("doc_id") % 101 =!= 0),
+        d.where(col("doc_id") % 101 === 0),
+        "doc_id", "text")
+        .orderBy("corpus_id", "eval_id")
+    }),
     // cross-table referential-integrity profile over the star schema's
     // two fact edges (key relations only — payloads never shuffle)
     "referential_integrity" -> ((s, dir) => {
@@ -2507,6 +2517,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "winnow_near_dup" -> OracleSql.winnowNearDup,
     "substring_dup" -> OracleSql.substringDup,
     "substring_dup_coverage" -> OracleSql.substringDupCoverage,
+    "substring_contamination" -> OracleSql.substringContamination,
     "domain_stats" -> OracleSql.domainStats,
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,

@@ -1084,6 +1084,93 @@ object Dedup {
       pmod(col("enc"), lit(P)).cast("long").as("len"))
   }
 
+  /** Cross-table exact-substring contamination (E161) — the span-level
+    * train/eval decontamination pass (the application Lee et al. and the
+    * GPT-3 appendix dedup actually run): find every (corpus doc, eval
+    * doc) pair sharing a verbatim run ≥ `minLen` chars and report the
+    * maximal span with offsets on BOTH sides. Where E23/E93 score
+    * document-level n-gram containment, this returns the leaked span
+    * itself — what a decontamination pipeline cuts or drops.
+    *
+    * Same machinery and guarantees as [[substringDup]] (winnowing
+    * anchors, verbatim re-check, maximal extension, absolute occurrence
+    * cap + pre-flight guard), but the candidate join is corpus-side ×
+    * eval-side — never corpus × corpus, so candidate volume is
+    * Σ_h fC(h)·fB(h) ≤ cap·Σ fB — linear in the (small) eval set for a
+    * fixed cap, the right asymmetry for a 100 TB corpus against a
+    * benchmark suite. The occurrence cap counts BOTH sides together:
+    * boilerplate is boilerplate wherever it appears.
+    *
+    * Returns `(corpus_id, eval_id, overlap_len, start_corpus,
+    * start_eval, n_spans)`. */
+  def substringContamination(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 30,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"substringContamination: minLen=$minLen below the winnowing " +
+        s"detection guarantee w+k-1=${w + k - 1}")
+    graft.functions.CommonExtend.register(corpus.sparkSession)
+    val fpC = winnowFingerprints(corpus, idCol, textCol, k, w)
+      .localCheckpoint(true)
+    val fpB = winnowFingerprints(eval, idCol, textCol, k, w)
+      .localCheckpoint(true)
+    val ok = fpC.select("hash").unionAll(fpB.select("hash"))
+      .groupBy("hash").agg(count(lit(1)).as("occ"))
+      .where(col("occ") <= maxOccFreq)
+      .select("hash")
+    val keptC = fpC.join(ok, Seq("hash"))
+    val keptB = fpB.join(ok, Seq("hash"))
+    maxCandidatePairs.foreach { bound =>
+      val est = keptC.groupBy("hash").agg(count(lit(1)).as("fc"))
+        .join(keptB.groupBy("hash").agg(count(lit(1)).as("fb")), Seq("hash"))
+        .agg(coalesce(sum(col("fc") * col("fb")), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"substringContamination pre-flight: $est cross candidates under " +
+          s"occurrence cap $maxOccFreq exceed maxCandidatePairs=$bound")
+    }
+    val P = graft.functions.WinnowSelect.PosBase
+    val ext = keptC.select(
+      col("id").as("corpus_id"), col("pos").as("pos_c"), col("hash"))
+      .join(keptB.select(
+        col("id").as("eval_id"), col("pos").as("pos_b"), col("hash")),
+        Seq("hash"))
+      .join(corpus.select(col(idCol).as("corpus_id"), col(textCol).as("tc")),
+        Seq("corpus_id"))
+      .join(eval.select(col(idCol).as("eval_id"), col(textCol).as("tb")),
+        Seq("eval_id"))
+      .select(
+        col("corpus_id"), col("eval_id"),
+        call_function("common_extend",
+          col("tc"), col("pos_c"), col("tb"), col("pos_b"), lit(k)).as("enc"))
+      .where(col("enc") >= 0L)
+      .distinct()
+    ext.select(
+      col("corpus_id"), col("eval_id"),
+      expr(s"enc div ${P * P}").cast("long").as("start_corpus"),
+      pmod(expr(s"enc div $P"), lit(P)).cast("long").as("start_eval"),
+      pmod(col("enc"), lit(P)).cast("long").as("len"))
+      .groupBy("corpus_id", "eval_id")
+      .agg(
+        max(struct(col("len"), col("start_corpus"), col("start_eval")))
+          .as("best"),
+        count(lit(1)).as("n_spans"))
+      .select(
+        col("corpus_id"), col("eval_id"),
+        col("best.len").as("overlap_len"),
+        col("best.start_corpus").as("start_corpus"),
+        col("best.start_eval").as("start_eval"),
+        col("n_spans"))
+      .where(col("overlap_len") >= minLen)
+  }
+
   /** Per-document duplicated-character coverage (E156's corpus-level
     * readout, the statistic the suffix-array dedup paper reports): for
     * every document touched by at least one cross-document verbatim run

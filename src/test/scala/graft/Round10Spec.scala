@@ -460,4 +460,29 @@ class Round10Spec extends AnyFunSuite {
     assert(enc(0L) == ((3L, 3L, 3.0))) // "aaaa aaaa b": 9 chars / 3 tokens
     assert(enc(1L) == ((2L, 2L, 2.5))) // "aaaa b": 5 chars / 2 tokens
   }
+
+  test("substringContamination: leaked eval passages surface with both-side offsets; corpus-corpus pairs never do") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val leak = "EVAL ANSWER FORTY TWO IS THE LEAKED PASSAGE HERE" // 48 chars
+    val pre = noise(29)
+    // corpus docs 0/1 share a long run with each other — must NOT appear
+    // (cross-table only); corpus doc 2 contains the eval passage
+    val shared = noise(44)
+    val corpus = Seq(
+      (0L, noise(10) + shared + noise(20)),
+      (1L, noise(33) + shared + noise(8)),
+      (2L, pre + leak + noise(31))).toDF("doc_id", "text")
+    val eval = Seq((100L, noise(17) + leak + noise(12))).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup
+      .substringContamination(corpus, eval, "doc_id", "text", minLen = 30)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 100L)
+    assert(r.getAs[Long]("overlap_len") == leak.length.toLong)
+    assert(r.getAs[Long]("start_corpus") == pre.length + 1L)
+    assert(r.getAs[Long]("start_eval") == 18L)
+  }
 }
