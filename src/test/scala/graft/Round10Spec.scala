@@ -485,4 +485,29 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getAs[Long]("start_corpus") == pre.length + 1L)
     assert(r.getAs[Long]("start_eval") == 18L)
   }
+
+  test("CommonExtend kernel: parity with a brute-force maximal extension over seeded random strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(97)
+    val k = 4
+    def brute(a: String, i0: Int, b: String, j0: Int): Long = {
+      if (a.substring(i0, i0 + k) != b.substring(j0, j0 + k)) return -1L
+      var l = 0
+      while (i0 - l > 0 && j0 - l > 0 && a(i0 - l - 1) == b(j0 - l - 1)) l += 1
+      var r = k
+      while (i0 + r < a.length && j0 + r < b.length && a(i0 + r) == b(j0 + r)) r += 1
+      ((i0 - l + 1).toLong << 40) | ((j0 - l + 1).toLong << 20) | (l + r).toLong
+    }
+    for (round <- 1 to 300) {
+      // tiny alphabet so anchors match AND extensions terminate early
+      val a = Seq.fill(12 + rng.nextInt(30))(('a' + rng.nextInt(3)).toChar).mkString
+      val b = Seq.fill(12 + rng.nextInt(30))(('a' + rng.nextInt(3)).toChar).mkString
+      val i0 = rng.nextInt(a.length - k + 1)
+      val j0 = rng.nextInt(b.length - k + 1)
+      val got = graft.functions.CommonExtend.extend(
+        UTF8String.fromString(a), i0 + 1L, UTF8String.fromString(b), j0 + 1L, k)
+      val want = brute(a, i0, b, j0)
+      assert(got == want, s"round $round: a=$a i0=$i0 b=$b j0=$j0: $got vs $want")
+    }
+  }
 }
