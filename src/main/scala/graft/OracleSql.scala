@@ -1646,6 +1646,49 @@ SELECT a.id AS doc_id, n_islands, covered_chars,
   ROUND(covered_chars * 1.0 / LENGTH(d.text), 6) AS dup_char_fraction
 FROM agg a JOIN documents d ON d.doc_id = a.id ORDER BY doc_id"""
 
+  /** Intra-document longest-repeated-substring twin (E162): the same
+    * anchor relation SELF-paired within a document (same hash, pos1 <
+    * pos2, per-(doc,hash) site cap 32), both lcp extensions over the
+    * same text at the two anchors. */
+  lazy val selfRepeat: String = {
+    val right = lcp(
+      "substr(d.text, CAST(p1 AS INT))",
+      "substr(d.text, CAST(p2 AS INT))")
+    val left = lcp(
+      "reverse(substr(d.text, 1, CAST(p1 AS INT) - 1))",
+      "reverse(substr(d.text, 1, CAST(p2 AS INT) - 1))")
+    raw"""WITH kg AS (SELECT doc_id,
+  CASE WHEN LENGTH(text) >= 8 THEN
+    list_transform(range(1, LENGTH(text) - 8 + 2), i ->
+      list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(substr(text, CAST(i AS INT), 8), ''), c -> CAST(ord(c) AS BIGINT))),
+        (a, b) -> (a * 31 + b) % 2147483647) * 1048576 + (1048575 - i))
+  ELSE CAST([] AS BIGINT[]) END AS keys
+  FROM documents),
+sel AS (SELECT DISTINCT doc_id, enc FROM (
+  SELECT doc_id, unnest(list_transform(range(1, GREATEST(len(keys) - 3, 1) + 1),
+    j -> list_min(keys[j : j + 3]))) AS enc
+  FROM kg WHERE len(keys) >= 1) t),
+fp AS (SELECT doc_id AS id, 1048575 - (enc % 1048576) AS pos, enc // 1048576 AS hash FROM sel),
+ok AS (SELECT id, hash FROM fp GROUP BY id, hash HAVING COUNT(*) <= 32),
+kept AS (SELECT f.id, f.pos, f.hash FROM fp f JOIN ok USING (id, hash)),
+cand AS (SELECT a.id, a.pos AS p1, b.pos AS p2
+  FROM kept a JOIN kept b USING (id, hash) WHERE a.pos < b.pos),
+ext AS (SELECT id, p1, p2, $right AS r, $left AS l
+  FROM cand JOIN documents d ON d.doc_id = id),
+spans AS (SELECT DISTINCT id, p1 - l AS s1, p2 - l AS s2, l + r AS len
+  FROM ext WHERE r >= 8),
+best AS (SELECT id, s1, s2, len,
+    ROW_NUMBER() OVER (PARTITION BY id
+      ORDER BY len DESC, s1 DESC, s2 DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY id) AS n_repeat_spans
+  FROM spans)
+SELECT id AS doc_id, CAST(len AS BIGINT) AS repeat_len,
+  CAST(s1 AS BIGINT) AS start_1, CAST(s2 AS BIGINT) AS start_2,
+  CAST(n_repeat_spans AS BIGINT) AS n_repeat_spans
+FROM best WHERE rn = 1 AND len >= 20 ORDER BY doc_id"""
+  }
+
   /** Cross-table contamination twin (E161): the same winnowing anchors
     * built per SIDE (corpus = doc_id % 101 <> 0, eval = % 101 = 0), the
     * occurrence cap counted over BOTH sides together, corpus×eval

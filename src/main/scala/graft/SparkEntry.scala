@@ -1622,6 +1622,11 @@ object SparkEntry {
     "substring_dup_coverage" -> ((s, dir) =>
       Dedup.substringDupCoverage(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // intra-document longest repeated substring (E162): exact char-level
+    // self-repetition — the within-document half of substring dedup
+    "self_repeat" -> ((s, dir) =>
+      Dedup.selfRepeat(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // span-level train/eval decontamination (E161): verbatim runs leaking
     // from the corpus into a pseudo held-out slice (doc_id % 101 == 0)
     "substring_contamination" -> ((s, dir) => {
@@ -2518,6 +2523,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "substring_dup" -> OracleSql.substringDup,
     "substring_dup_coverage" -> OracleSql.substringDupCoverage,
     "substring_contamination" -> OracleSql.substringContamination,
+    "self_repeat" -> OracleSql.selfRepeat,
     "domain_stats" -> OracleSql.domainStats,
     "referential_integrity" -> OracleSql.referentialIntegrity,
     "segmented_completeness" -> OracleSql.segmentedCompleteness,

@@ -1171,6 +1171,86 @@ object Dedup {
       .where(col("overlap_len") >= minLen)
   }
 
+  /** Intra-document longest repeated substring (E162) — the WITHIN-
+    * document half of exact-substring dedup (Lee et al. dedupe inside
+    * documents too; Gopher's repetition filters are the token-level
+    * proxy this sharpens to exact characters): for every document with a
+    * verbatim run occurring at least twice, the longest such run and the
+    * 1-based starts of the two occurrences the maximal extension was
+    * found at. Detection is exhaustive from w+k−1 chars up (winnowing:
+    * both occurrences select the same window-min hash), and occurrences
+    * MAY overlap (tandem repeats report the classic overlapping-LRS
+    * answer — "aaaa…" repeats itself at offset 1).
+    *
+    * Candidate pairs are positions of the SAME fingerprint hash within
+    * the SAME document; `maxSiteFreq` caps sites per (doc, hash) — a
+    * pathological `abababab…` page otherwise quadratic in its own
+    * length — and the pre-flight guard refuses a blow-up loudly.
+    * The extension kernel is the shared [[graft.functions.CommonExtend]]
+    * (both sides the same text, different anchors).
+    *
+    * Returns `(doc_id, repeat_len, start_1, start_2, n_repeat_spans)`
+    * for documents whose longest repeat ≥ `minLen`; `n_repeat_spans`
+    * counts distinct maximal repeated spans of any length. */
+  def selfRepeat(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 20,
+      maxSiteFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"selfRepeat: minLen=$minLen below the winnowing detection " +
+        s"guarantee w+k-1=${w + k - 1}")
+    graft.functions.CommonExtend.register(df.sparkSession)
+    val fp = winnowFingerprints(df, idCol, textCol, k, w)
+      .localCheckpoint(true)
+    val kept = fp.join(
+      fp.groupBy("id", "hash").agg(count(lit(1)).as("occ"))
+        .where(col("occ") <= maxSiteFreq)
+        .select("id", "hash"),
+      Seq("id", "hash"))
+    maxCandidatePairs.foreach { bound =>
+      val est = kept.groupBy("id", "hash").agg(count(lit(1)).as("f"))
+        .agg(coalesce(
+          sum(col("f") * (col("f") - 1L) / lit(2L)), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"selfRepeat pre-flight: $est intra-document candidate pairs " +
+          s"under site cap $maxSiteFreq exceed maxCandidatePairs=$bound")
+    }
+    val P = graft.functions.WinnowSelect.PosBase
+    val ext = kept.select(col("id"), col("pos").as("p1"), col("hash"))
+      .join(kept.select(col("id"), col("pos").as("p2"), col("hash")),
+        Seq("id", "hash"))
+      .where(col("p1") < col("p2"))
+      .join(df.select(col(idCol).as("id"), col(textCol).as("t")), Seq("id"))
+      .select(
+        col("id"),
+        call_function("common_extend",
+          col("t"), col("p1"), col("t"), col("p2"), lit(k)).as("enc"))
+      .where(col("enc") >= 0L)
+      .distinct()
+    ext.select(
+      col("id"),
+      expr(s"enc div ${P * P}").cast("long").as("s1"),
+      pmod(expr(s"enc div $P"), lit(P)).cast("long").as("s2"),
+      pmod(col("enc"), lit(P)).cast("long").as("len"))
+      .groupBy("id")
+      .agg(
+        max(struct(col("len"), col("s1"), col("s2"))).as("best"),
+        count(lit(1)).as("n_repeat_spans"))
+      .select(
+        col("id").as(idCol),
+        col("best.len").as("repeat_len"),
+        col("best.s1").as("start_1"),
+        col("best.s2").as("start_2"),
+        col("n_repeat_spans"))
+      .where(col("repeat_len") >= minLen)
+  }
+
   /** Per-document duplicated-character coverage (E156's corpus-level
     * readout, the statistic the suffix-array dedup paper reports): for
     * every document touched by at least one cross-document verbatim run

@@ -486,6 +486,30 @@ class Round10Spec extends AnyFunSuite {
     assert(r.getAs[Long]("start_eval") == 18L)
   }
 
+  test("selfRepeat: planted internal repeat found exactly; tandem repeats obey the overlap identity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    def noise(n: Int) = Seq.fill(n)(('a' + rng.nextInt(26)).toChar).mkString
+    val rpt = Seq.fill(25)(('A' + rng.nextInt(26)).toChar).mkString
+    val n1 = noise(14); val n2 = noise(40)
+    val docs = Seq(
+      (0L, n1 + rpt + n2 + rpt + noise(9)), // the repeat, twice
+      (1L, noise(120)), // no repeat
+      (2L, "AB" * 20)) // tandem: overlapping occurrences ARE allowed
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .selfRepeat(docs, "doc_id", "text", minLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.contains(0L) && !out.contains(1L))
+    assert(out(0L) == ((rpt.length.toLong, n1.length + 1L,
+      n1.length + rpt.length + n2.length + 1L)))
+    // tandem "ABAB…": a repeat at offset d has length 40 - d (overlapping
+    // self-alignment), so len + (start_2 - start_1) == 40 exactly
+    val (len2, s1, s2) = out(2L)
+    assert(len2 >= 30 && len2 + (s2 - s1) == 40L)
+  }
+
   test("CommonExtend kernel: parity with a brute-force maximal extension over seeded random strings") {
     import org.apache.spark.unsafe.types.UTF8String
     val rng = new scala.util.Random(97)
