@@ -2358,6 +2358,13 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
 
+  /** E163 approximate-overlap audit: the three HLL estimates within the
+    * standard-error bound of their exact twins, the inclusion–exclusion
+    * overlap within the summed bound, containments consistent. */
+  val approxOverlapAudit: String = allTrue(Seq(
+    "containments_consistent", "n_a_within_bound", "n_b_within_bound",
+    "n_union_within_bound", "overlap_within_summed_bound"))
+
   /** E103 approximate-Spearman audit (r8): the KLL-CDF rank path must
     * land within 0.02 of the exact global-order-window twin on both a
     * correlated and a near-independent pair, with identical

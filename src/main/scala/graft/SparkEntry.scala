@@ -1637,6 +1637,55 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("corpus_id", "eval_id")
     }),
+    // approximate cross-table key overlap (E163): three HLLs in ONE
+    // aggregation over a tagged union + inclusion-exclusion — the
+    // no-join, sketch-mergeable scale path to referential containment.
+    // HLL values are engine-specific -> rows-only; the audit pins them.
+    "approx_overlap" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      graft.profiler.Integrity.approxOverlap(
+        ord, "o_custkey", cust, "c_custkey",
+        "orders.o_custkey~customer.c_custkey")
+    }),
+    // E163 audit: every HLL estimate within the standard-error bound
+    // (0.15 = 3x the default 5% rsd) of its exact twin; the derived
+    // overlap within the summed bound; containments consistent
+    "approx_overlap_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val est = graft.profiler.Integrity.approxOverlap(
+        ord, "o_custkey", cust, "c_custkey", "r").head()
+      val ka = ord.select(col("o_custkey").cast("string").as("k"))
+        .where(col("k").isNotNull)
+      val kb = cust.select(col("c_custkey").cast("string").as("k"))
+        .where(col("k").isNotNull)
+      val exact = ka.withColumn("s", lit("a"))
+        .unionByName(kb.withColumn("s", lit("b")))
+        .agg(
+          countDistinct(col("k")).as("u"),
+          countDistinct(when(col("s") === "a", col("k"))).as("na"),
+          countDistinct(when(col("s") === "b", col("k"))).as("nb"))
+        .head()
+      val (u, na, nb) = (exact.getLong(0), exact.getLong(1), exact.getLong(2))
+      val overlap = na + nb - u
+      def within(e: Long, x: Long) = math.abs(e - x) <= 0.15 * x
+      Seq(
+        ("n_a_within_bound", within(est.getLong(1), na)),
+        ("n_b_within_bound", within(est.getLong(2), nb)),
+        ("n_union_within_bound", within(est.getLong(3), u)),
+        ("overlap_within_summed_bound",
+          math.abs(est.getLong(4) - overlap) <= 0.15 * (na + nb + u).toDouble),
+        ("containments_consistent", {
+          val ca = est.getAs[java.lang.Double]("containment_a")
+          val cb = est.getAs[java.lang.Double]("containment_b")
+          ca != null && cb != null && ca >= 0 && ca <= 1.5 && cb >= 0 && cb <= 1.5 &&
+            math.abs(ca * est.getLong(1) - est.getLong(4)) <= 1 + 1e-6 * est.getLong(4) &&
+            math.abs(cb * est.getLong(2) - est.getLong(4)) <= 1 + 1e-6 * est.getLong(4)
+        }))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // cross-table referential-integrity profile over the star schema's
     // two fact edges (key relations only — payloads never shuffle)
     "referential_integrity" -> ((s, dir) => {
@@ -2580,6 +2629,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "profile_all_tables" -> OracleSql.profileAllTables,
     "approx_error_audit" -> OracleSql.approxErrorAudit,
     "minhash_audit" -> OracleSql.minhashAudit,
+    "approx_overlap_audit" -> OracleSql.approxOverlapAudit,
     "heavy_hitters_audit" -> OracleSql.heavyHittersAudit,
     "simhash_audit" -> OracleSql.simhashAudit,
     "deflate_audit" -> OracleSql.deflateAudit,

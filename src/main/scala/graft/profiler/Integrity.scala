@@ -344,4 +344,49 @@ object Integrity {
         round(col("n_conforming").cast(DoubleType) /
           col("n_rows").cast(DoubleType), 6).as("fd_ratio"))
   }
+
+  /** Approximate cross-table key overlap (E163) — distinct-key overlap
+    * and containment between two tables WITHOUT any join: three HLL
+    * sketches (A keys, B keys, union) answered by ONE aggregation over a
+    * tagged union, then inclusion–exclusion
+    * `|A∩B| ≈ n_A + n_B − n_{A∪B}` (clamped at 0 — sketch noise can push
+    * the difference negative). The scale path for the question
+    * [[referential]] answers exactly: referential joins per-key relations
+    * (a shuffle of every distinct key), this ships three fixed-size
+    * sketches — and in production the per-table sketches are precomputed
+    * artifacts that MERGE (HLL union is lossless), so cross-table overlap
+    * across a 100 TB lake needs no table rescans at all.
+    *
+    * Returns one row: `(relation, n_a, n_b, n_union, n_overlap_est,
+    * containment_a, containment_b)` — containments 6-dp, null when the
+    * side estimate is 0. HLL values are engine-specific (no value
+    * oracle); `approx_overlap_audit` pins every estimate within the
+    * standard-error bound of its exact twin. */
+  def approxOverlap(
+      a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String,
+      relation: String): DataFrame = {
+    val ka = ScanMetrics.spread(a)
+      .select(col(aKey).cast("string").as("k")).where(col("k").isNotNull)
+      .withColumn("s", lit("a"))
+    val kb = ScanMetrics.spread(b)
+      .select(col(bKey).cast("string").as("k")).where(col("k").isNotNull)
+      .withColumn("s", lit("b"))
+    ka.unionByName(kb)
+      .agg(
+        approx_count_distinct(col("k")).as("n_union"),
+        approx_count_distinct(when(col("s") === "a", col("k"))).as("n_a"),
+        approx_count_distinct(when(col("s") === "b", col("k"))).as("n_b"))
+      .select(
+        lit(relation).as("relation"),
+        col("n_a"), col("n_b"), col("n_union"),
+        greatest(lit(0L), col("n_a") + col("n_b") - col("n_union"))
+          .as("n_overlap_est"))
+      .withColumn("containment_a",
+        when(col("n_a") > 0,
+          round(col("n_overlap_est").cast(DoubleType) / col("n_a"), 6)))
+      .withColumn("containment_b",
+        when(col("n_b") > 0,
+          round(col("n_overlap_est").cast(DoubleType) / col("n_b"), 6)))
+  }
 }

@@ -510,6 +510,22 @@ class Round10Spec extends AnyFunSuite {
     assert(len2 >= 30 && len2 + (s2 - s1) == 40L)
   }
 
+  test("approxOverlap: inclusion-exclusion estimates track a known overlap; the plan is join-free") {
+    import spark.implicits._
+    val a = (1 to 400).map(i => Tuple1(i.toLong)).toDF("ka")
+    val b = (201 to 600).map(i => Tuple1(i.toLong)).toDF("kb")
+    val df = graft.profiler.Integrity.approxOverlap(a, "ka", b, "kb", "a~b")
+    val r = df.head()
+    def close(est: Long, exact: Long) = math.abs(est - exact) <= 0.15 * exact
+    assert(close(r.getLong(1), 400) && close(r.getLong(2), 400))
+    assert(close(r.getLong(3), 600)) // union
+    assert(math.abs(r.getLong(4) - 200) <= 0.15 * 1400) // overlap, summed bound
+    // no join anywhere: one aggregation over the tagged union
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"expected a join-free plan:\n$p")
+    assert(p.contains("Union"), s"\n$p")
+  }
+
   test("CommonExtend kernel: parity with a brute-force maximal extension over seeded random strings") {
     import org.apache.spark.unsafe.types.UTF8String
     val rng = new scala.util.Random(97)
