@@ -158,10 +158,16 @@ object Bench {
     //  - `*_audit` keys re-run other operators plus brute-force twins;
     //  - `dedup_family_rollup` re-times the five standalone shingle-family
     //    queries off one staged relation — already counted individually.
+    // deterministic key order (r11, VERDICT r10 task 4): Map iteration
+    // order shifts whenever the query set changes, silently recomposing
+    // every fork group — round-over-round per-query deltas then compare
+    // different group contexts. Sorted by key, a new query perturbs only
+    // its own neighborhood.
     val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) =>
         only.map(_.contains(name)).getOrElse(
           !name.endsWith("_audit") && name != "dedup_family_rollup") }
+      .sortBy(_._1)
     // measurement-mode accounting, reported in the JSON line: a driver
     // environment where forking fails would silently revert to the r8
     // in-process numbers (2-3x late-query inflation) — make that visible

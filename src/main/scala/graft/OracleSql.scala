@@ -960,7 +960,7 @@ FROM (
   lazy val corpusCard: String = {
     val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
     s"""WITH b AS (
-  SELECT lang, text, ws_tokens,
+  SELECT lang, sha256(text) AS text_h, ws_tokens,
     ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS q
   FROM (
     SELECT lang, text, CAST(LENGTH(text) AS BIGINT) AS n_chars,
@@ -972,7 +972,7 @@ m AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
     CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
     CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-    CAST(COUNT(DISTINCT text) AS BIGINT) AS nd,
+    CAST(COUNT(DISTINCT text_h) AS BIGINT) AS nd,
     ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(q), 6) AS mean_quality,
     ROUND(QUANTILE_CONT(CAST(ws_tokens AS DOUBLE), 0.5), 6) AS p50_tokens
   FROM b),
@@ -2364,6 +2364,28 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val approxOverlapAudit: String = allTrue(Seq(
     "containments_consistent", "n_a_within_bound", "n_b_within_bound",
     "n_union_within_bound", "overlap_within_summed_bound"))
+
+  /** E163 persisted-state audit (r11): the state-based overlap must be
+    * bit-identical to the direct sketch computation, and split states
+    * must union losslessly to the whole-table state. */
+  val approxOverlapStatesAudit: String = allTrue(Seq(
+    "estimates_match_rescan", "overlap_nonnegative",
+    "split_merge_lossless"))
+
+  /** E119/E126 approximate event-stat audits (r11): scalars must equal
+    * the exact one-pass recount; each KLL quantile's exact rank interval
+    * must overlap [p−3ε, p+3ε]. */
+  val interarrivalStatsAudit: String = allTrue(Seq(
+    "p25", "p50", "p75", "p95", "scalars"))
+  val sessionStatsAudit: String = allTrue(Seq("p50", "p90", "scalars"))
+
+  /** E102 approximate time-to-convert audit (r11): per transition, the
+    * converter count must equal the exact count and each grouped-KLL
+    * quantile must satisfy the 3ε rank interval. */
+  val timeToConvertAudit: String =
+    "SELECT * FROM (VALUES ('signup->view', true, true, true), " +
+      "('view->purchase', true, true, true)) " +
+      "AS t(transition, n_ok, p50_ok, p90_ok) ORDER BY transition"
 
   /** E103 approximate-Spearman audit (r8): the KLL-CDF rank path must
     * land within 0.02 of the exact global-order-window twin on both a

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
   */
 object KllAggs {
 
-  private[functions] val K = 200 // sketch size parameter: ~1.65% rank error, ~3 KB
+  private[graft] val K = 200 // sketch size parameter: ~1.65% rank error, ~3 KB
 
   private def sketchOf(bytes: Array[Byte]): KllDoublesSketch =
     KllDoublesSketch.heapify(Memory.wrap(bytes))

@@ -36,10 +36,33 @@ import graft.functions.TextFunctions
   * SURVEY §2.E. */
 object BpeInduction {
 
+  /** Vocabulary-size threshold below which induction runs driver-side
+    * (the hybrid-CC precedent, [[Clustering]]'s union-find fast path):
+    * 2M `(word, count)` pairs ≈ low hundreds of MB of driver heap —
+    * comfortably collectable — and covers every real-world lowercased
+    * whitespace vocabulary short of raw-web scale. */
+  val DefaultDriverVocabCap: Long = 2L * 1000 * 1000
+
+  /** Hybrid BPE induction (r11, VERDICT r10 task 3). The r10 shape ran
+    * ONE distributed aggregation job + 1-row collect + localCheckpoint
+    * PER MERGE — corpus-linear and correct, but a production 32k-merge
+    * train is 32k Spark jobs ≈ hours of pure scheduler latency
+    * regardless of data size. After the one corpus scan, the vocabulary
+    * is metadata-sized; when its counted size is ≤ `maxDriverVocab` the
+    * classic incremental merge loop runs DRIVER-SIDE (lazy max-heap
+    * over pair counts, delta updates on affected words only) — ONE
+    * distributed job total, merge-count-independent. Above the
+    * threshold the per-merge distributed rounds remain as the fallback.
+    * Both paths implement the identical contract (overlap-inclusive
+    * adjacent pair counts, greedy left-to-right non-overlapping merge,
+    * `(count desc, l asc, r asc)` tie-break under UTF-8 byte order) —
+    * parity is property-tested over seeded random corpora ≥200 merges
+    * (Round11Spec). */
   def bpeMerges(
       df: DataFrame,
       textCol: String,
-      nMerges: Int = 8): DataFrame = {
+      nMerges: Int = 8,
+      maxDriverVocab: Long = DefaultDriverVocabCap): DataFrame = {
     require(nMerges > 0, "need a positive merge count")
     val spark = df.sparkSession
     graft.functions.BpeMergeStep.register(spark)
@@ -50,6 +73,21 @@ object BpeInduction {
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .select(col("w"), col("cnt"), split(col("w"), "(?!$)").as("syms"))
       .localCheckpoint(true)
+    val mergeSchema = StructType(Seq(
+      StructField("merge_rank", LongType, nullable = false),
+      StructField("lhs", StringType, nullable = false),
+      StructField("rhs", StringType, nullable = false),
+      StructField("merged", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    val vocabSize = vocab.count()
+    if (vocabSize <= maxDriverVocab) {
+      val pairs = vocab.select(col("w"), col("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val rows = driverMerges(pairs, nMerges)
+        .map { case (rk, l, r, m, c) => Row(rk, l, r, m, c) }
+      return spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), mergeSchema)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var rank = 1
     var exhausted = false
@@ -80,13 +118,107 @@ object BpeInduction {
       }
     }
     spark.createDataFrame(
-      java.util.Arrays.asList(merges.toSeq: _*),
-      StructType(Seq(
-        StructField("merge_rank", LongType, nullable = false),
-        StructField("lhs", StringType, nullable = false),
-        StructField("rhs", StringType, nullable = false),
-        StructField("merged", StringType, nullable = false),
-        StructField("pair_count", LongType, nullable = false))))
+      java.util.Arrays.asList(merges.toSeq: _*), mergeSchema)
+  }
+
+  /** UTF-8 byte-order string comparison — Spark (and DuckDB) order
+    * strings by unsigned UTF-8 bytes, which is code-POINT order; Java's
+    * `String.compareTo` is UTF-16 code-UNIT order and disagrees for
+    * supplementary characters. The driver loop's tie-break must match
+    * the engines'. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The classic incremental BPE merge loop over a collected
+    * `(word, count)` vocabulary — semantics identical to the distributed
+    * rounds: pair counts are overlap-INCLUSIVE adjacent counts (the
+    * recount the distributed aggregation computes), the winner is
+    * `(count desc, l asc, r asc)` under UTF-8 byte order, and each merge
+    * applies [[graft.functions.BpeMergeStep]]'s greedy left-to-right
+    * non-overlapping scan. A lazy max-heap holds `(count, l, r)`
+    * snapshots; stale entries (count since changed) are skipped on pop,
+    * and every count change pushes a fresh snapshot — so each merge
+    * touches only the words that contain the winning pair. */
+  private[operators] def driverMerges(
+      vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      vocab.map { case (w, _) =>
+        mutable.ArrayBuffer.from(w.split("(?!$)")) }
+    val cnts: Array[Long] = vocab.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def eachPair(s: mutable.ArrayBuffer[String])(f: ((String, String)) => Unit): Unit = {
+      var j = 0
+      while (j + 1 < s.length) { f((s(j), s(j + 1))); j += 1 }
+    }
+    for (i <- syms.indices) eachPair(syms(i)) { p =>
+      pairCount.updateWith(p)(c => Some(c.getOrElse(0L) + cnts(i)))
+      pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      ()
+    }
+    // max-heap: higher count wins; ties prefer UTF-8-smaller (l, r)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(a: (Long, String, String), b: (Long, String, String)): Int =
+        if (a._1 != b._1) java.lang.Long.compare(a._1, b._1)
+        else if (a._2 != b._2) (if (utf8Lt(a._2, b._2)) 1 else -1)
+        else if (a._3 != b._3) (if (utf8Lt(a._3, b._3)) 1 else -1)
+        else 0
+    }
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    pairCount.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var rank = 1L
+    while (rank <= nMerges && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      // lazy deletion: only a live snapshot of a positive count is a win
+      if (c > 0 && pairCount.getOrElse((l, r), 0L) == c) {
+        out += ((rank, l, r, l + r, c))
+        val touched = mutable.HashSet.empty[(String, String)]
+        val affected = pairWords.getOrElse((l, r), mutable.HashSet.empty)
+          .toArray.sorted
+        for (wi <- affected) {
+          val s = syms(wi)
+          // delta update = full recount of this word's adjacency
+          // multiset (overlap-inclusive, matching the distributed agg)
+          eachPair(s) { p =>
+            pairCount.updateWith(p)(cc => Some(cc.getOrElse(0L) - cnts(wi)))
+            touched += p; ()
+          }
+          // the BpeMergeStep greedy scan, in place
+          val merged = mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < s.length) {
+            if (j + 1 < s.length && s(j) == l && s(j + 1) == r) {
+              merged += l + r; j += 2
+            } else { merged += s(j); j += 1 }
+          }
+          syms(wi) = merged
+          eachPair(merged) { p =>
+            pairCount.updateWith(p)(cc => Some(cc.getOrElse(0L) + cnts(wi)))
+            pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += wi
+            touched += p; ()
+          }
+        }
+        touched.foreach { p =>
+          val cc = pairCount.getOrElse(p, 0L)
+          if (cc > 0) pq.enqueue((cc, p._1, p._2)) else pairCount.remove(p)
+        }
+        rank += 1
+      }
+    }
+    out.result()
   }
 
   /** BPE encode (E160) — apply a learned merge table and report per-
@@ -111,19 +243,32 @@ object BpeInduction {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      nMerges: Int = 8): DataFrame = {
+      nMerges: Int = 8): DataFrame =
+    bpeEncodeWith(df, idCol, textCol,
+      bpeMerges(df, textCol, nMerges).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
+  /** [[bpeEncode]] with a PRECOMPUTED merge table (rank order) — the
+    * production inference path: a tokenizer is trained once and applied
+    * to many corpora; the r10 shape re-trained the table inside every
+    * encode call (VERDICT r10 "What's wrong" #4). */
+  def bpeEncodeWith(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      mergeTable: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     graft.functions.BpeMergeStep.register(spark)
-    val table = bpeMerges(df, textCol, nMerges).collect() // ≤ nMerges rows
+    val table = mergeTable
     val words = graft.profiler.ScanMetrics.spread(df)
       .select(
         col(idCol).as("id"),
         explode(TextFunctions.wsTokens(lower(col(textCol)))).as("w"))
     val vocab0 = words.groupBy("w").agg(count(lit(1)).as("_f"))
       .select(col("w"), split(col("w"), "(?!$)").as("syms"))
-    val encoded = table.foldLeft(vocab0) { (v, m) =>
+    val encoded = table.foldLeft(vocab0) { case (v, (l, r)) =>
       v.withColumn("syms", call_function("bpe_merge_step",
-        col("syms"), lit(m.getString(1)), lit(m.getString(2))))
+        col("syms"), lit(l), lit(r)))
     }.select(col("w"), size(col("syms")).cast("long").as("ntok"))
     words
       .join(encoded, Seq("w"))

@@ -910,10 +910,15 @@ object Dedup {
       .select("id", "hash", "nf", "rn")
       .localCheckpoint(true)
     // prefix theorem (Jaccard ≥ t ⇒ prefixes of length n − ceil(t·n) + 1
-    // under a common order intersect): index only the prefix
+    // under a common order intersect): index only the prefix. The bound
+    // is computed on a 6-dp-rounded product: raw double t·n can land one
+    // ulp ABOVE an exact-integer product (100·0.07 = 7.000000000000001),
+    // and ceil of that overestimates the required overlap by 1 — a
+    // one-too-short prefix that silently breaks losslessness for pairs
+    // with exactly the minimum qualifying overlap (ADVICE r10).
     val prefix = ranked
       .where(col("rn") <=
-        col("nf") - ceil(col("nf") * lit(threshold)) + lit(1))
+        col("nf") - ceil(round(col("nf") * lit(threshold), 6)) + lit(1))
       .select("id", "hash")
     maxCandidatePairs.foreach { bound =>
       val est = prefix.groupBy("hash").agg(count(lit(1)).as("pf"))
@@ -976,9 +981,13 @@ object Dedup {
     *
     * Per pair, ONE maximal span is reported — lexicographic max of
     * `(len, start_a, start_b)` — plus `n_spans`, the count of DISTINCT
-    * maximal spans the pair shares, of any length ≥ w+k−1 (a width
-    * signal: templated pairs share many short runs, plagiarized pairs
-    * one long one).
+    * maximal spans of length ≥ k the pair shares (a width signal:
+    * templated pairs share many short runs, plagiarized pairs one long
+    * one). Note the floor is k, not w+k−1: spans of length k..w+k−2
+    * are counted whenever winnowing happened to anchor them — only
+    * DETECTION above w+k−1 is guaranteed-exhaustive (ADVICE r10: the
+    * two engines count identically either way; this doc states the
+    * implemented floor).
     *
     * Scale shape: anchors are the winnowing fingerprints (≈2/(w+1) of
     * positions); the ABSOLUTE occurrence cap `maxOccFreq` (default
@@ -1314,5 +1323,239 @@ object Dedup {
         col("covered_chars"),
         round(col("covered_chars").cast("double") / col("_n"), 6)
           .as("dup_char_fraction"))
+  }
+
+  /** Default chunk width for the substring family's chunking front-end:
+    * half the 2²⁰ packing cap — far above any qualifying span while
+    * keeping every chunk safely below [[graft.functions.WinnowSelect]]'s
+    * position-packing limit. */
+  val DefaultChunkChars: Int = 1 << 19
+
+  /** Overlapping character chunks (r11, VERDICT r10 task 6 — the
+    * front-end that lets the substring family accept ANY document
+    * length): each document splits into `chunkChars`-char windows with
+    * k−1 chars of overlap, so every k-gram of the original lies wholly
+    * inside at least one chunk and no winnowing anchor is lost. Columns:
+    * `(id, ci, off, t)` with `off` the 0-based global char offset of the
+    * chunk (local 1-based position p ⇒ global 1-based position p+off).
+    * Pure per-row explode+substring — no shuffle. */
+  private[operators] def charChunks(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, chunkChars: Int): DataFrame = {
+    val PosBase = graft.functions.WinnowSelect.PosBase
+    require(k >= 1 && chunkChars > 4 * k && chunkChars < PosBase,
+      s"charChunks: need 4k < chunkChars < $PosBase")
+    val stride = chunkChars - (k - 1)
+    val n = coalesce(length(col(textCol)), lit(0))
+    val lastIdx = when(n > chunkChars,
+      ceil((n - chunkChars).cast("double") / stride).cast("int"))
+      .otherwise(lit(0))
+    df.select(col(idCol).as("id"), col(textCol).as("txt"),
+      explode(when(n > 0, sequence(lit(0), lastIdx)).otherwise(
+        array().cast("array<int>"))).as("ci"))
+      .select(
+        col("id"), col("ci").cast("long").as("ci"),
+        (col("ci").cast("long") * stride).as("off"),
+        expr(s"substring(txt, ci * $stride + 1, $chunkChars)").as("t"))
+  }
+
+  /** Chunked anchor sites with GLOBAL positions: winnowing fingerprints
+    * of every chunk, remapped to document coordinates, with the overlap
+    * region's double detections collapsed to one representative per
+    * `(doc, hash, gpos)` (kept with its chunk id + local position so the
+    * extension kernel can run on the owning chunk's text). */
+  private def chunkedAnchorSites(chunks: DataFrame, k: Int, w: Int): DataFrame = {
+    val fp = winnowFingerprints(
+      chunks.select(struct(col("id"), col("ci")).as("cid"), col("t")),
+      "cid", "t", k, w)
+    fp.select(col("id.id").as("doc"), col("id.ci").as("ci"),
+      col("pos"), col("hash"))
+      .join(chunks.select(col("id").as("doc"), col("ci"), col("off")),
+        Seq("doc", "ci"))
+      .select(col("doc"), col("hash"), (col("pos") + col("off")).as("gpos"),
+        col("ci"), col("pos"))
+      .groupBy("doc", "hash", "gpos")
+      .agg(min(struct(col("ci"), col("pos"))).as("r"))
+      .select(col("doc"), col("hash"), col("gpos"),
+        col("r.ci").as("ci"), col("r.pos").as("pos"))
+  }
+
+  /** [[substringDupSpans]] through the chunking front-end — accepts
+    * documents of ANY length (the bare form fails loudly at the 2²⁰-char
+    * packing cap). Identical machinery per chunk (winnowing anchors,
+    * verbatim re-check, maximal extension, absolute occurrence cap,
+    * pre-flight guard), with anchors deduplicated across the k−1-char
+    * chunk overlaps and all offsets remapped to GLOBAL document
+    * coordinates. The one semantic difference vs the unchunked form:
+    * extension truncates at chunk boundaries, so a verbatim run longer
+    * than a chunk surfaces as up-to-chunk-sized pieces (still far above
+    * any `minLen`); with every document under `chunkChars`, the output
+    * is exactly [[substringDupSpans]]'s (parity-tested, Round11Spec). */
+  def substringDupSpansChunked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L),
+      chunkChars: Int = DefaultChunkChars): DataFrame = {
+    graft.functions.CommonExtend.register(df.sparkSession)
+    val P = graft.functions.WinnowSelect.PosBase
+    val chunks = charChunks(df, idCol, textCol, k, chunkChars)
+      .localCheckpoint(true)
+    val rep = chunkedAnchorSites(chunks, k, w).localCheckpoint(true)
+    val kept = rep.join(
+      rep.groupBy("hash").agg(count(lit(1)).as("occ"))
+        .where(col("occ") <= maxOccFreq)
+        .select("hash"),
+      Seq("hash"))
+    maxCandidatePairs.foreach { bound =>
+      val est = kept.groupBy("hash").agg(count(lit(1)).as("f"))
+        .agg(coalesce(
+          sum(col("f") * (col("f") - 1L) / lit(2L)), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"substringDupSpansChunked pre-flight: $est anchor candidate " +
+          s"pairs under occurrence cap $maxOccFreq exceed " +
+          s"maxCandidatePairs=$bound")
+    }
+    // offsets re-derive from ci (off = ci·stride); texts join per chunk
+    val texts = chunks.select(col("id").as("doc"), col("ci"), col("t"))
+    val left = kept.select(col("doc").as("doc_a"), col("ci").as("ci_a"),
+      col("pos").as("pos_a"), col("hash"))
+    val right = kept.select(col("doc").as("doc_b"), col("ci").as("ci_b"),
+      col("pos").as("pos_b"), col("hash"))
+    val stride = (chunkChars - (k - 1)).toLong
+    left.join(right, Seq("hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .join(texts.select(col("doc").as("doc_a"), col("ci").as("ci_a"),
+        col("t").as("ta")), Seq("doc_a", "ci_a"))
+      .join(texts.select(col("doc").as("doc_b"), col("ci").as("ci_b"),
+        col("t").as("tb")), Seq("doc_b", "ci_b"))
+      .select(
+        col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+        col("ci_a"), col("ci_b"),
+        call_function("common_extend",
+          col("ta"), col("pos_a"), col("tb"), col("pos_b"), lit(k)).as("enc"))
+      .where(col("enc") >= 0L)
+      .select(
+        col("id_a"), col("id_b"),
+        (expr(s"enc div ${P * P}") + col("ci_a") * stride)
+          .cast("long").as("start_a"),
+        (pmod(expr(s"enc div $P"), lit(P)) + col("ci_b") * stride)
+          .cast("long").as("start_b"),
+        pmod(col("enc"), lit(P)).cast("long").as("len"))
+      .distinct()
+  }
+
+  /** [[substringDup]] through the chunking front-end — the per-pair
+    * longest-span report for corpora containing over-cap documents. */
+  def substringDupChunked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 30,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L),
+      chunkChars: Int = DefaultChunkChars): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"substringDupChunked: minLen=$minLen below the winnowing " +
+        s"detection guarantee w+k-1=${w + k - 1}")
+    substringDupSpansChunked(
+      df, idCol, textCol, k, w, maxOccFreq, maxCandidatePairs, chunkChars)
+      .groupBy("id_a", "id_b")
+      .agg(
+        max(struct(col("len"), col("start_a"), col("start_b"))).as("best"),
+        count(lit(1)).as("n_spans"))
+      .select(
+        col("id_a"), col("id_b"),
+        col("best.len").as("overlap_len"),
+        col("best.start_a").as("start_a"),
+        col("best.start_b").as("start_b"),
+        col("n_spans"))
+      .where(col("overlap_len") >= minLen)
+  }
+
+  /** [[selfRepeat]] through the chunking front-end — intra-document
+    * repeats for documents of ANY length: global-position site pairs
+    * (gpos₁ < gpos₂, per-(doc,hash) site cap on the deduplicated global
+    * sites), each side extended on its OWN chunk's text (the two sites
+    * may live in different chunks of the same document — `common_extend`
+    * takes two texts), offsets remapped to document coordinates. With
+    * every document under `chunkChars` the output is exactly
+    * [[selfRepeat]]'s (parity-tested). */
+  def selfRepeatChunked(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 20,
+      maxSiteFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L),
+      chunkChars: Int = DefaultChunkChars): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"selfRepeatChunked: minLen=$minLen below the winnowing detection " +
+        s"guarantee w+k-1=${w + k - 1}")
+    graft.functions.CommonExtend.register(df.sparkSession)
+    val P = graft.functions.WinnowSelect.PosBase
+    val chunks = charChunks(df, idCol, textCol, k, chunkChars)
+      .localCheckpoint(true)
+    val rep = chunkedAnchorSites(chunks, k, w).localCheckpoint(true)
+    val kept = rep.join(
+      rep.groupBy("doc", "hash").agg(count(lit(1)).as("occ"))
+        .where(col("occ") <= maxSiteFreq)
+        .select("doc", "hash"),
+      Seq("doc", "hash"))
+    maxCandidatePairs.foreach { bound =>
+      val est = kept.groupBy("doc", "hash").agg(count(lit(1)).as("f"))
+        .agg(coalesce(
+          sum(col("f") * (col("f") - 1L) / lit(2L)), lit(0L)).cast("long"))
+        .head().getLong(0)
+      require(est <= bound,
+        s"selfRepeatChunked pre-flight: $est intra-document candidate " +
+          s"pairs under site cap $maxSiteFreq exceed " +
+          s"maxCandidatePairs=$bound")
+    }
+    val stride = (chunkChars - (k - 1)).toLong
+    val ext = kept.select(col("doc"), col("hash"), col("gpos").as("g1"),
+      col("ci").as("ci1"), col("pos").as("p1"))
+      .join(kept.select(col("doc"), col("hash"), col("gpos").as("g2"),
+        col("ci").as("ci2"), col("pos").as("p2")),
+        Seq("doc", "hash"))
+      .where(col("g1") < col("g2"))
+      .join(chunks.select(col("id").as("doc"), col("ci").as("ci1"),
+        col("t").as("t1")), Seq("doc", "ci1"))
+      .join(chunks.select(col("id").as("doc"), col("ci").as("ci2"),
+        col("t").as("t2")), Seq("doc", "ci2"))
+      .select(
+        col("doc"), col("ci1"), col("ci2"),
+        call_function("common_extend",
+          col("t1"), col("p1"), col("t2"), col("p2"), lit(k)).as("enc"))
+      .where(col("enc") >= 0L)
+      .select(
+        col("doc"),
+        (expr(s"enc div ${P * P}") + col("ci1") * stride)
+          .cast("long").as("s1"),
+        (pmod(expr(s"enc div $P"), lit(P)) + col("ci2") * stride)
+          .cast("long").as("s2"),
+        pmod(col("enc"), lit(P)).cast("long").as("len"))
+      .where(col("s1") =!= col("s2"))
+      .distinct()
+    ext
+      .groupBy("doc")
+      .agg(
+        max(struct(col("len"), col("s1"), col("s2"))).as("best"),
+        count(lit(1)).as("n_repeat_spans"))
+      .select(
+        col("doc").as(idCol),
+        col("best.len").as("repeat_len"),
+        col("best.s1").as("start_1"),
+        col("best.s2").as("start_2"),
+        col("n_repeat_spans"))
+      .where(col("repeat_len") >= minLen)
   }
 }

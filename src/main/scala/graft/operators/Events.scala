@@ -173,7 +173,14 @@ object Events {
     * shuffle ([[funnelAnchors]]), then per-transition deltas explode from
     * the per-user anchor array (≤ |stages|−1 rows per user) into a
     * |transitions|-group exact-percentile aggregation (the N8-twin
-    * contract). */
+    * contract).
+    *
+    * SPOT-VERIFIER ONLY (the spearman_corr discipline): the
+    * `sort_array(collect_list)` below buffers EVERY converter's delta
+    * for a transition inside ONE aggregation buffer — at 100 TB the
+    * declared scale row is [[timeToConvertApprox]] (grouped KLL
+    * sketches, k-bounded state per group), pinned by
+    * `time_to_convert_audit`'s 3ε rank bounds. */
   def timeToConvert(
       events: DataFrame,
       userCol: String,
@@ -183,14 +190,7 @@ object Events {
     require(stages.size >= 2, "need at least two stages for a transition")
     val spark = events.sparkSession
     import spark.implicits._
-    val anchors = funnelAnchors(events, userCol, tsCol, typeCol, stages)
-    val deltas = anchors
-      .select(explode(expr(
-        "transform(slice(anchors, 2, size(anchors) - 1), " +
-          "(x, i) -> struct(i AS i, x - element_at(anchors, i + 1) AS d))"))
-        .as("e"))
-      .select(col("e.i").as("i"),
-        (col("e.d").cast("double") / lit(1000000.0)).as("delta_s"))
+    val deltas = convertDeltas(events, userCol, tsCol, typeCol, stages)
     // nearest-rank (discrete) quantiles — an ACTUAL delta, not an
     // interpolation: interpolated quantiles of messy doubles differ in
     // the last ulp across engines (Spark (1−g)a+gb vs a+g(b−a)) and flip
@@ -214,6 +214,69 @@ object Events {
         // COUNT over an empty set), not an absent row
         coalesce(col("n_users"), lit(0L)).as("n_users"),
         col("p50_s"), col("p90_s"))
+  }
+
+  /** The per-transition conversion-delta relation both E102 faces
+    * aggregate: ONE events shuffle ([[funnelAnchors]]), then deltas
+    * explode from the per-user anchor array (≤ |stages|−1 rows per
+    * user). Columns: `(i, delta_s)` with `i` the 0-based transition
+    * index. */
+  private[graft] def convertDeltas(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame =
+    funnelAnchors(events, userCol, tsCol, typeCol, stages)
+      .select(explode(expr(
+        "transform(slice(anchors, 2, size(anchors) - 1), " +
+          "(x, i) -> struct(i AS i, x - element_at(anchors, i + 1) AS d))"))
+        .as("e"))
+      .select(col("e.i").as("i"),
+        (col("e.d").cast("double") / lit(1000000.0)).as("delta_s"))
+
+  /** KLL-approximate time-to-convert — [[timeToConvert]]'s 100 TB
+    * execution: the exact form's `sort_array(collect_list)` per-group
+    * delta buffer (∝ converters in ONE task) becomes a grouped KLL
+    * sketch aggregation with k-bounded state, and p50/p90 are CDF reads
+    * off each transition's sketch via the distributed
+    * `graft_kll_quantiles` scalar — the relation never leaves the
+    * executors un-reduced and no group buffers more than sketch bytes.
+    * Reported quantiles are TRUE delta values at rank p ± ε
+    * (`rank_eps`, 99% confidence). Randomized compaction → no hash
+    * oracle; `time_to_convert_audit` pins counts by equality and
+    * quantiles by 3ε rank intervals. Schema = exact form + rank_eps. */
+  def timeToConvertApprox(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2, "need at least two stages for a transition")
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    val eps = math.rint(org.apache.datasketches.kll.KllDoublesSketch
+      .newHeapInstance(graft.functions.KllAggs.K)
+      .getNormalizedRankError(false) * 1e6) / 1e6
+    val deltas = convertDeltas(events, userCol, tsCol, typeCol, stages)
+    val agg = deltas.groupBy("i").agg(
+      count(lit(1)).as("n_users"),
+      graft.functions.KllAggs.kllSketchAgg(col("delta_s")).as("sk"))
+      .select(col("i"), col("n_users"),
+        call_function("graft_kll_quantiles", col("sk"),
+          array(lit(0.5), lit(0.9))).as("q"))
+      .select(col("i"), col("n_users"),
+        round(element_at(col("q"), 1), 6).as("p50_s"),
+        round(element_at(col("q"), 2), 6).as("p90_s"))
+    val lookup = stages.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (i, s"$a->$b") }.toSeq
+      .toDF("i", "transition")
+    broadcast(lookup).join(agg, Seq("i"), "left")
+      .select(col("transition"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        col("p50_s"), col("p90_s"),
+        when(col("n_users").isNotNull, lit(eps)).as("rank_eps"))
   }
 
   /** Strict-order funnel counts: stage k's `n_users` = users reaching at
@@ -505,19 +568,16 @@ object Events {
     * Scale shape: the SAME single user-keyed exchange+sort as
     * [[sessionize]] builds gaps map-side via `lag`; what shuffles after
     * the window is the final all-reduce of a dozen aggregate buffers.
-    * The exact percentile is the declared spot-verifier face — at
-    * 100 TB the documented route is the KLL battery (E19) over the same
-    * gap relation. */
+    * SPOT-VERIFIER ONLY (the spearman_corr discipline): the exact
+    * `percentile` materializes the full gap value set in the final
+    * merge — at 100 TB the declared scale row is
+    * [[interarrivalStatsApprox]] (KLL sketch, identical schema plus
+    * `rank_eps`), pinned by `interarrival_stats_audit`'s 3ε rank
+    * bounds. */
   def interarrivalStats(
       events: DataFrame, userCol: String, tsUsCol: String,
       tieCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(userCol))
-      .orderBy(col(tsUsCol).asc_nulls_first, col(tieCol).asc_nulls_first)
-    val gaps = events
-      .select(col(userCol), col(tsUsCol), col(tieCol))
-      .withColumn("gap_us", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
-      .where(col("gap_us").isNotNull)
+    val gaps = gapRelation(events, userCol, tsUsCol, tieCol)
     def secs(c: Column): Column =
       round(c / lit(1000000.0d), 6)
     gaps
@@ -540,6 +600,79 @@ object Events {
         secs(element_at(col("q"), 2)).as("p50_s"),
         secs(element_at(col("q"), 3)).as("p75_s"),
         secs(element_at(col("q"), 4)).as("p95_s"))
+  }
+
+  /** The per-user consecutive-gap relation both E119 faces aggregate:
+    * one user-keyed exchange+sort (the [[sessionize]] shuffle), gaps
+    * built map-side via `lag`, first-event rows (null gap) dropped.
+    * Columns: `(userCol, gap_us)`. */
+  private[graft] def gapRelation(
+      events: DataFrame, userCol: String, tsUsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsUsCol).asc_nulls_first, col(tieCol).asc_nulls_first)
+    events
+      .select(col(userCol), col(tsUsCol), col(tieCol))
+      .withColumn("gap_us", col(tsUsCol) - lag(col(tsUsCol), 1).over(w))
+      .where(col("gap_us").isNotNull)
+      .select(col(userCol), col("gap_us"))
+  }
+
+  /** KLL-approximate inter-arrival profile — [[interarrivalStats]]'s
+    * 100 TB execution (the E114 `mad_outliers_approx` pattern applied
+    * to the event family): the scalar stats (counts, min/max, exact
+    * mean) are cheap mergeable aggregate buffers either way; only the
+    * quartiles forced the exact form's full-value-set `percentile`
+    * merge. This form sketches the gap distribution in the SAME single
+    * wide aggregation (k-bounded KLL bytes on the wire, the R14
+    * metadata-sized collect) and reads p25/p50/p75/p95 off the sketch
+    * CDF. Each reported quantile is a TRUE gap value whose rank is
+    * within the sketch's normalized rank error ε of the target
+    * (reported as `rank_eps`, 99% confidence). KLL compaction is
+    * randomized → no hash oracle; `interarrival_stats_audit` pins every
+    * number against an exact one-pass recount (scalars by equality,
+    * quantiles by 3ε rank intervals). Schema = exact form + rank_eps. */
+  def interarrivalStatsApprox(
+      events: DataFrame, userCol: String, tsUsCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val spark = events.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    val gaps = gapRelation(events, userCol, tsUsCol, tieCol)
+    val row = gaps.agg(
+      count(lit(1)).as("n_gaps"),
+      countDistinct(col(userCol)).as("n_users"),
+      min(col("gap_us")).as("min_gap_us"),
+      max(col("gap_us")).as("max_gap_us"),
+      sum(col("gap_us")).as("sum_gap_us"),
+      graft.functions.KllAggs.kllSketchAgg(col("gap_us").cast(DoubleType))
+        .as("sk")).head()
+    val nGaps = row.getAs[Long]("n_gaps")
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    if (nGaps == 0L) {
+      Seq((0L, 0L, Option.empty[Long], Option.empty[Long],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+        .toDF("n_gaps", "n_users", "min_gap_us", "max_gap_us", "mean_gap_s",
+          "p25_s", "p50_s", "p75_s", "p95_s", "rank_eps")
+    } else {
+      val sk = KllDoublesSketch.heapify(
+        Memory.wrap(row.getAs[Array[Byte]]("sk")))
+      def q(p: Double): Double =
+        r6(sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE) / 1e6)
+      Seq((nGaps, row.getAs[Long]("n_users"),
+        Option(row.getAs[Long]("min_gap_us")),
+        Option(row.getAs[Long]("max_gap_us")),
+        Option(r6(row.getAs[Long]("sum_gap_us").toDouble / nGaps / 1e6)),
+        Option(q(0.25)), Option(q(0.5)), Option(q(0.75)), Option(q(0.95)),
+        Option(r6(sk.getNormalizedRankError(false)))))
+        .toDF("n_gaps", "n_users", "min_gap_us", "max_gap_us", "mean_gap_s",
+          "p25_s", "p50_s", "p75_s", "p95_s", "rank_eps")
+    }
   }
 
   /** Hour-of-week activity profile (E120) — the seasonality rollup the
@@ -621,7 +754,12 @@ object Events {
     * inputs (single-event sessions), decimal-exact mean depth/duration and
     * exact duration quantiles. Runs entirely over the SESSION-sized
     * relation — the event table is touched only by the sessionize pass
-    * itself. */
+    * itself.
+    *
+    * SPOT-VERIFIER ONLY (the spearman_corr discipline): the session
+    * relation is ∝ users, and the exact `percentile` materializes every
+    * session duration in the final merge — at 100 TB the declared scale
+    * row is [[sessionStatsApprox]], pinned by `session_stats_audit`. */
   def sessionStats(sessions: DataFrame, userCol: String): DataFrame = {
     def secs(c: Column): Column = round(c / lit(1000000.0d), 6)
     sessions
@@ -643,6 +781,52 @@ object Events {
           .as("mean_duration_s"),
         secs(element_at(col("q"), 1)).as("p50_duration_s"),
         secs(element_at(col("q"), 2)).as("p90_duration_s"))
+  }
+
+  /** KLL-approximate session rollup — [[sessionStats]]'s 100 TB
+    * execution: scalar stats stay exact mergeable buffers; the duration
+    * quantiles come off a KLL sketch built in the SAME single wide
+    * aggregation over the session relation. Reported p50/p90 are true
+    * session durations at rank 0.5/0.9 ± ε (`rank_eps`, 99%
+    * confidence). Randomized compaction → no hash oracle;
+    * `session_stats_audit` pins scalars by equality and quantiles by 3ε
+    * rank intervals. Schema = exact form + rank_eps. */
+  def sessionStatsApprox(sessions: DataFrame, userCol: String): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val spark = sessions.sparkSession
+    import spark.implicits._
+    graft.functions.KllAggs.register(spark)
+    val row = sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col(userCol)).as("n_users"),
+      sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+        .as("n_single_event"),
+      sum(col("n_events")).as("tot_events"),
+      sum(col("duration_us")).as("tot_duration_us"),
+      graft.functions.KllAggs
+        .kllSketchAgg(col("duration_us").cast(DoubleType)).as("sk")).head()
+    val n = row.getAs[Long]("n_sessions")
+    def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
+    if (n == 0L) {
+      Seq((0L, 0L, 0L, Option.empty[Double], Option.empty[Double],
+        Option.empty[Double], Option.empty[Double], Option.empty[Double]))
+        .toDF("n_sessions", "n_users", "n_single_event", "mean_events",
+          "mean_duration_s", "p50_duration_s", "p90_duration_s", "rank_eps")
+    } else {
+      val sk = KllDoublesSketch.heapify(
+        Memory.wrap(row.getAs[Array[Byte]]("sk")))
+      def q(p: Double): Double =
+        r6(sk.getQuantile(p, QuantileSearchCriteria.INCLUSIVE) / 1e6)
+      Seq((n, row.getAs[Long]("n_users"), row.getAs[Long]("n_single_event"),
+        Option(r6(row.getAs[Long]("tot_events").toDouble / n)),
+        Option(r6(row.getAs[Long]("tot_duration_us").toDouble / n / 1e6)),
+        Option(q(0.5)), Option(q(0.9)),
+        Option(r6(sk.getNormalizedRankError(false)))))
+        .toDF("n_sessions", "n_users", "n_single_event", "mean_events",
+          "mean_duration_s", "p50_duration_s", "p90_duration_s", "rank_eps")
+    }
   }
 
   /** JSON payload key inventory (E137) — schema discovery for the

@@ -110,10 +110,26 @@ object Compaction {
         Seq("table", "file"))
     // one entry per TABLE — metadata-sized, unlike the file list
     val tables = bins.select("table").distinct().as[String].collect().sorted
+    // fileStats strips an OPTIONAL .parquet suffix off the first path
+    // segment, so re-appending a hardcoded ".parquet" broke bare-directory
+    // layouts (dir/lineitem/part-*.parquet) AFTER bins were computed
+    // (ADVICE r10) — re-derive each table's actual first segment from the
+    // same listing fileStats read
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val dirPath = root
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(root).toUri.getPath.stripSuffix("/")
+    val segOf: Map[String, String] = ParquetLayout
+      .listParquet(spark, dir)
+      .flatMap { p =>
+        val seg = p.stripPrefix(dirPath + "/").takeWhile(_ != '/')
+        if (seg.isEmpty) None
+        else Some(seg.replaceAll("\\.parquet$", "") -> seg)
+      }.toMap
     val reports = tables.map { t =>
       val assign = bins.where(col("table") === t)
         .select(col("file").as("_f"), col("bin_id").as("bin"))
-      spark.read.parquet(s"$dir/$t.parquet")
+      spark.read.parquet(s"$dir/${segOf.getOrElse(t, s"$t.parquet")}")
         .withColumn("_f", regexp_extract(input_file_name(), "([^/]+)$", 1))
         .join(assign, Seq("_f"))     // inner join: keep-files drop out
         .drop("_f")

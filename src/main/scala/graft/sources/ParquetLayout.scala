@@ -36,7 +36,7 @@ object ParquetLayout {
   val DefaultFooterParallelism: Int = 64
 
   /** Recursive parquet file listing under `dir` (data files only). */
-  private def listParquet(spark: SparkSession, dir: String): Seq[String] = {
+  private[sources] def listParquet(spark: SparkSession, dir: String): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = Seq.newBuilder[String]

@@ -97,14 +97,22 @@ object ScaleGen {
           // or char length (~+14%), so token-exact rows keep using
           // token mode.
           if (i == 0) shifted
-          else if (saltMode == "char") shifted
-            .withColumn(tc,
-              // (?s): text contains newlines; '.' must cross them or
-              // newline-adjacent runs would keep unsalted 8-grams
-              regexp_replace(col(tc), "(?s)(.{7})",
-                "$1" + ('A' + (i - 1) % 26).toChar))
-            .withColumn("n_chars", length(col(tc)))
-          else shifted
+          else if (saltMode == "char") {
+            // one salt char per copy: beyond 27 copies (i-1 > 25) the
+            // 26-letter alphabet would wrap and copies i and i+26 would
+            // share a salt, silently reintroducing the cross-copy 8-gram
+            // sharing (and the K² candidate artifact) this mode exists
+            // to eliminate (ADVICE r10)
+            require(i - 1 < 26,
+              s"char salt mode supports at most 27 copies (k<=27), got copy $i")
+            shifted
+              .withColumn(tc,
+                // (?s): text contains newlines; '.' must cross them or
+                // newline-adjacent runs would keep unsalted 8-grams
+                regexp_replace(col(tc), "(?s)(.{7})",
+                  "$1" + ('A' + (i - 1)).toChar))
+              .withColumn("n_chars", length(col(tc)))
+          } else shifted
             .withColumn(tc,
               // \s+, not a literal space: a tab/newline/double-space
               // would otherwise leave unsalted 3-token runs whose

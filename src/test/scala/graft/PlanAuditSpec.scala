@@ -488,4 +488,20 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     } finally { sh.unpersist(); () }
   }
+
+  test("corpus card: exchanges carry 32-byte text hashes, never the document body") {
+    val df = SparkEntry.queries("corpus_card")(spark, dir)
+    val p = plan(df)
+    // the exact-dup distinct must key on sha2(text), so no Exchange (or
+    // its Expand input) may reference the raw text attribute — text#N in
+    // a shuffle means the corpus body crosses the wire (VERDICT r10 #2).
+    // (text_h#N does not match "text#": the attribute id separator '#'
+    // must directly follow the column name.)
+    val shuffleLines = p.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Expand"))
+      .mkString("\n")
+    assert(!shuffleLines.contains("text#"),
+      s"raw text attribute reaches a shuffle stage:\n$shuffleLines")
+    assert(p.contains("sha2"), s"expected sha2-keyed distinct:\n$p")
+  }
 }

@@ -1,0 +1,284 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions (VERDICT r10 tasks): KLL-approx scale lanes for
+  * the event family — interarrivalStatsApprox, sessionStatsApprox,
+  * timeToConvertApprox — whose exact twins are now spot-verifier-only. */
+class Round11Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("interarrivalStatsApprox: scalars exact, quantiles are true gaps at the right rank (sub-compaction regime)") {
+    import spark.implicits._
+    import graft.operators.Events
+    // user a: gaps 1s,2s,...,9s; user b: one gap of 100s → 10 gaps total
+    val evs =
+      (0 to 9).map(i => ("a", (i * (i + 1) / 2) * 1000000L, i.toLong)) ++
+        Seq(("b", 0L, 100L), ("b", 100000000L, 101L))
+    val df = evs.toDF("user_id", "ts_us", "event_id")
+    val a = Events
+      .interarrivalStatsApprox(df, "user_id", "ts_us", "event_id").head()
+    val e = Events
+      .interarrivalStats(df, "user_id", "ts_us", "event_id").head()
+    assert(a.getAs[Long]("n_gaps") == 10L && e.getAs[Long]("n_gaps") == 10L)
+    assert(a.getAs[Long]("n_users") == 2L)
+    assert(a.getAs[Long]("min_gap_us") == 1000000L)
+    assert(a.getAs[Long]("max_gap_us") == 100000000L)
+    assert(a.getAs[Double]("mean_gap_s") == e.getAs[Double]("mean_gap_s"))
+    // below k=200 values the sketch holds every atom: quantiles are the
+    // exact order statistics (gaps in seconds), not interpolations
+    val gaps = ((1 to 9).map(_.toDouble) :+ 100.0).sorted
+    for ((p, c) <- Seq((0.25, "p25_s"), (0.5, "p50_s"), (0.75, "p75_s"),
+      (0.95, "p95_s"))) {
+      val v = a.getAs[Double](c)
+      assert(gaps.contains(v), s"$c=$v is not a true gap")
+      // inclusive-rank interval of v must cover p (exact in this regime)
+      val lt = gaps.count(_ < v) / 10.0
+      val le = gaps.count(_ <= v) / 10.0
+      assert(lt < p + 1e-9 && le >= p - 1e-9, s"$c=$v rank [$lt,$le] vs $p")
+    }
+    assert(a.getAs[Double]("rank_eps") > 0.0)
+  }
+
+  test("interarrivalStatsApprox: empty input yields the zero row") {
+    import spark.implicits._
+    val df = Seq(("a", 0L, 0L)).toDF("user_id", "ts_us", "event_id")
+    val r = graft.operators.Events
+      .interarrivalStatsApprox(df, "user_id", "ts_us", "event_id").head()
+    assert(r.getAs[Long]("n_gaps") == 0L)
+    assert(r.isNullAt(r.fieldIndex("p50_s")))
+  }
+
+  test("sessionStatsApprox: scalars equal the exact rollup, durations true values") {
+    import spark.implicits._
+    import graft.operators.Events
+    val evs = Seq(
+      // user a: two sessions (gap > 30 min): 3 events then 1 event
+      ("a", 0L, 0L, "view"), ("a", 60000000L, 1L, "view"),
+      ("a", 120000000L, 2L, "purchase"),
+      ("a", 10000000000L, 3L, "view"),
+      // user b: one 2-event session
+      ("b", 0L, 4L, "view"), ("b", 5000000L, 5L, "view"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val sess = Events.sessionize(
+      evs, "user_id", "ts_us", "event_id", "event_type",
+      gapUs = 30L * 60 * 1000 * 1000)
+    val a = Events.sessionStatsApprox(sess, "user_id").head()
+    val e = Events.sessionStats(sess, "user_id").head()
+    for (c <- Seq("n_sessions", "n_users", "n_single_event"))
+      assert(a.getAs[Long](c) == e.getAs[Long](c), c)
+    assert(a.getAs[Double]("mean_events") == e.getAs[Double]("mean_events"))
+    assert(a.getAs[Double]("mean_duration_s") ==
+      e.getAs[Double]("mean_duration_s"))
+    // sub-compaction: p50/p90 are true session durations
+    val durs = sess.select(col("duration_us").cast("double") / 1e6)
+      .collect().map(_.getDouble(0)).toSet
+    assert(durs.contains(a.getAs[Double]("p50_duration_s")))
+    assert(durs.contains(a.getAs[Double]("p90_duration_s")))
+  }
+
+  test("timeToConvertApprox: counts equal exact, quantiles true deltas, zero-converter transition surfaces") {
+    import spark.implicits._
+    import graft.operators.Events
+    val evs = Seq(
+      ("u1", 0L, "signup"), ("u1", 10000000L, "view"),
+      ("u2", 0L, "signup"), ("u2", 30000000L, "view"),
+      ("u3", 0L, "signup"), ("u3", 50000000L, "view"))
+      .toDF("user_id", "ts_us", "event_type")
+    val stages = Seq("signup", "view", "purchase")
+    val a = Events.timeToConvertApprox(
+      evs, "user_id", "ts_us", "event_type", stages)
+      .orderBy("transition").collect()
+    val e = Events.timeToConvert(
+      evs, "user_id", "ts_us", "event_type", stages)
+      .orderBy("transition").collect()
+    assert(a.map(_.getString(0)).toSeq == e.map(_.getString(0)).toSeq)
+    assert(a.map(_.getLong(1)).toSeq == e.map(_.getLong(1)).toSeq)
+    val sv = a.find(_.getString(0) == "signup->view").get
+    assert(Set(10.0, 30.0, 50.0).contains(sv.getDouble(2)))
+    assert(Set(10.0, 30.0, 50.0).contains(sv.getDouble(3)))
+    assert(sv.getDouble(2) <= sv.getDouble(3))
+    val vp = a.find(_.getString(0) == "view->purchase").get
+    assert(vp.getLong(1) == 0L && vp.isNullAt(2) && vp.isNullAt(3) &&
+      vp.isNullAt(4))
+  }
+
+  test("property: hybrid driver-side BPE matches the distributed rounds over seeded random corpora (>=200 merges)") {
+    import spark.implicits._
+    import graft.operators.BpeInduction
+    val rng = new scala.util.Random(41)
+    // a rich corpus: 70 distinct words over an 8-letter alphabet with
+    // skewed repeat counts — enough adjacency structure to sustain 200+
+    // distinct merges before exhaustion
+    val alphabet = "abcdefgh"
+    val pool = (0 until 70).map { _ =>
+      val len = 4 + rng.nextInt(9)
+      (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length))).mkString
+    }
+    val docs = (0 until 120).map { i =>
+      val nw = 3 + rng.nextInt(8)
+      (i.toLong,
+        (0 until nw).map(_ => pool(rng.nextInt(pool.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val driver = BpeInduction.bpeMerges(docs, "text", nMerges = 200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val dist = BpeInduction.bpeMerges(docs, "text", nMerges = 200,
+      maxDriverVocab = 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(driver.size >= 200, s"corpus exhausted at ${driver.size} merges")
+    assert(driver == dist)
+  }
+
+  test("driver-side BPE runs a merge-count-independent number of Spark jobs") {
+    import spark.implicits._
+    import graft.operators.BpeInduction
+    val docs = (0 until 40).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog " * 3))
+      .toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val n = BpeInduction.bpeMerges(docs, "text", nMerges = 60).count()
+      // listener delivery is async; a short drain keeps the count stable
+      Thread.sleep(500)
+      assert(n > 0)
+      // vocab build + count + collect + result count — NOT one job per
+      // merge (the r10 shape was >= 60 jobs here)
+      assert(jobs.get() <= 8,
+        s"driver path ran ${jobs.get()} jobs for 60 merges")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("bpeEncodeWith: a precomputed merge table reproduces bpeEncode without re-training") {
+    import spark.implicits._
+    import graft.operators.BpeInduction
+    val docs = Seq(
+      (1L, "low lower lowest newer newest wide wider widest"),
+      (2L, "new newer news lower low low wide")).toDF("doc_id", "text")
+    val table = BpeInduction.bpeMerges(docs, "text", nMerges = 12)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val direct = BpeInduction.bpeEncode(docs, "doc_id", "text", nMerges = 12)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val withTable = BpeInduction
+      .bpeEncodeWith(docs, "doc_id", "text", table)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(direct == withTable)
+  }
+
+  test("property: CommonExtend ASCII byte fast path matches the UTF-16 reference (300 seeded rounds, mixed alphabets)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the pre-r11 reference semantics, verbatim on java Strings
+    def ref(sa: String, sb: String, pa: Long, pb: Long, k: Int): Long = {
+      val i0 = pa.toInt - 1; val j0 = pb.toInt - 1
+      if (i0 < 0 || j0 < 0 || i0 + k > sa.length || j0 + k > sb.length)
+        return -1L
+      var t = 0
+      while (t < k) {
+        if (sa.charAt(i0 + t) != sb.charAt(j0 + t)) return -1L
+        t += 1
+      }
+      var l = 0
+      while (i0 - l > 0 && j0 - l > 0 &&
+        sa.charAt(i0 - l - 1) == sb.charAt(j0 - l - 1)) l += 1
+      var r = k
+      while (i0 + r < sa.length && j0 + r < sb.length &&
+        sa.charAt(i0 + r) == sb.charAt(j0 + r)) r += 1
+      (i0 - l + 1).toLong * (1L << 40) + (j0 - l + 1).toLong * (1L << 20) +
+        (l + r).toLong
+    }
+    val rng = new scala.util.Random(97)
+    val alphabets = Seq("ab", "abcxyz", "abé", "ab日本", "a b\tc")
+    for (round <- 0 until 300) {
+      val alpha = alphabets(round % alphabets.size)
+      def mk(n: Int): String =
+        (0 until n).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      val sa = mk(5 + rng.nextInt(40))
+      val sb = if (rng.nextBoolean()) sa.drop(rng.nextInt(3)) + mk(5)
+        else mk(5 + rng.nextInt(40))
+      val k = 1 + rng.nextInt(4)
+      val pa = 1L + rng.nextInt(math.max(1, sa.length - k + 1) + 2) // may be out of range
+      val pb = 1L + rng.nextInt(math.max(1, sb.length - k + 1) + 2)
+      val got = graft.functions.CommonExtend.extend(
+        UTF8String.fromString(sa), pa, UTF8String.fromString(sb), pb, k)
+      assert(got == ref(sa, sb, pa, pb, k),
+        s"round $round: alpha='$alpha' sa='$sa' sb='$sb' pa=$pa pb=$pb k=$k")
+    }
+  }
+
+  test("chunked substring family equals the unchunked forms when every doc fits one chunk") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.substringDupSpans(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val b = Dedup.substringDupSpansChunked(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+    val c = Dedup.selfRepeat(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val d = Dedup.selfRepeatChunked(docs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(c == d)
+  }
+
+  test("chunked substring family drives a >2^20-char document end-to-end with correct global offsets") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val rng = new scala.util.Random(23)
+    def rand(n: Int): String =
+      (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    // 90 random UPPERCASE chars: disjoint from the lowercase filler (no
+    // accidental anchors) and internally non-repetitive (no shifted
+    // partial self-alignments muddying the span census)
+    val passage =
+      (0 until 90).map(_ => ('A' + rng.nextInt(26)).toChar).mkString
+    val cap = 1 << 20
+    // digit sentinels at every copy boundary: extension can never cross
+    // them (each digit is unique per side), so spans are EXACTLY the
+    // planted passage — deterministic offsets, no filler-luck extension
+    val prefix = rand(cap + 50000)
+    val mid = rand(2000)
+    val big = prefix + "1" + passage + "2" + mid + "3" + passage + "4" + rand(1000)
+    val s1 = (prefix.length + 2).toLong            // 1-based global starts
+    val s2 = (prefix.length + passage.length + mid.length + 4).toLong
+    val small = rand(300) + "5" + passage + "6" + rand(100)
+    val sSmall = 302L
+    // the bare form refuses the over-cap doc loudly...
+    val err = intercept[Exception] {
+      Dedup.substringDup(
+        Seq((1L, big), (2L, small)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+    }
+    assert(err.getMessage.contains("2^20") ||
+      err.getMessage.contains("packing cap"))
+    // ...the chunked form accepts it and reports GLOBAL offsets
+    val pair = Dedup.substringDupChunked(
+      Seq((1L, big), (2L, small)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(pair.length == 1)
+    val r = pair.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getAs[Long]("overlap_len") == passage.length.toLong)
+    // two len-90 spans tie; the reported best takes the larger start_a
+    assert(r.getAs[Long]("start_a") == s2,
+      s"start_a=${r.getAs[Long]("start_a")} != $s2")
+    assert(r.getAs[Long]("start_b") == sSmall)
+    assert(r.getAs[Long]("n_spans") == 2L) // passage planted twice in big
+    // intra-doc: the two planted copies inside the big doc
+    val sr = Dedup.selfRepeatChunked(
+      Seq((1L, big)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+    assert(sr.length == 1)
+    assert(sr.head.getAs[Long]("repeat_len") == passage.length.toLong)
+    assert(sr.head.getAs[Long]("start_1") == s1)
+    assert(sr.head.getAs[Long]("start_2") == s2)
+  }
+}
