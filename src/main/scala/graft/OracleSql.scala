@@ -2372,6 +2372,128 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     "estimates_match_rescan", "overlap_nonnegative",
     "split_merge_lossless"))
 
+  /** E164 in-engine logistic-regression training twin (r11) — the BPE
+    * replay pattern applied to model training: six chained CTE steps,
+    * each computing the decimal-quantized gradient term sums, the
+    * pre-update softplus log-loss and the z≥0 accuracy with the previous
+    * step's weights, then the 6-dp weight update. Feature quantization
+    * (6 dp) keeps the logit a fixed-order double expression both engines
+    * evaluate identically; gradient/log-loss terms round to
+    * DECIMAL(38,6) before summing (a last-ulp exp/ln disagreement is six
+    * orders below the grain). */
+  lazy val qualityLogreg: String = {
+    val en = stopList(graft.functions.TextFunctions.Stopwords
+      .collectFirst { case ("en", w) => w }.get)
+    def zed = "(w0 + w1*x1 + w2*x2 + w3*x3)"
+    def p = s"(1.0/(1.0+EXP(-$zed)))"
+    def gTerm(x: String) =
+      s"ROUND(CAST(SUM(CAST(ROUND(($p - y) * $x, 6) AS DECIMAL(38,6))) " +
+        s"AS DOUBLE)/COUNT(*), 6)"
+    val llTerm =
+      s"ROUND(CAST(SUM(CAST(ROUND(LN(1.0 + EXP(-(2.0*y - 1.0) * $zed)), 6) " +
+        s"AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*), 6)"
+    val accTerm =
+      s"ROUND(CAST(COUNT(CASE WHEN ($zed >= 0) = (y = 1.0) THEN 1 END) " +
+        s"AS DOUBLE)/COUNT(*), 6)"
+    val steps = (1 to 6).map { k =>
+      s"""g$k AS (
+  SELECT ${gTerm("1.0")} AS g0, ${gTerm("x1")} AS g1,
+    ${gTerm("x2")} AS g2, ${gTerm("x3")} AS g3,
+    $llTerm AS ll, $accTerm AS acc
+  FROM f, w${k - 1}),
+w$k AS (
+  SELECT ROUND(w0 - 1.0*g0, 6) AS w0, ROUND(w1 - 1.0*g1, 6) AS w1,
+    ROUND(w2 - 1.0*g2, 6) AS w2, ROUND(w3 - 1.0*g3, 6) AS w3
+  FROM w${k - 1}, g$k),
+r$k AS (
+  SELECT CAST($k AS BIGINT) AS iter, w.w0, w.w1, w.w2, w.w3,
+    g.ll AS mean_logloss, g.acc AS accuracy
+  FROM w$k w, g$k g)"""
+    }.mkString(",\n")
+    raw"""WITH f AS (
+  SELECT ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
+    ROUND(CAST(punct AS DOUBLE)/n_chars, 6) AS x2,
+    ROUND(CAST(stop_hits AS DOUBLE)/ws_tokens, 6) AS x3,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (
+    SELECT lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.PunctPattern}')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) i
+  WHERE n_chars > 0 AND ws_tokens > 0),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+$steps
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+UNION ALL SELECT * FROM r6 ORDER BY iter"""
+  }
+
+  /** E165 deterministic JL projection twin (r11): the identical sha256
+    * sign matrix regenerated in SQL, the identical left-to-right fold
+    * (list_reduce; Spark's fold starts 0.0 + x₁ = x₁), 1/√16 scale. */
+  val embeddingProject: String =
+    """WITH s AS (
+  SELECT j, list(CASE WHEN substr(sha256('jl:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1) < '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+  FROM range(64) t1(i) CROSS JOIN range(16) t2(j) GROUP BY j)
+SELECT vec_id, CAST(j AS BIGINT) AS dim,
+  ROUND(list_reduce(list_transform(list_zip(embedding, sv), z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) / 4.0, 6) AS value
+FROM embeddings CROSS JOIN s
+ORDER BY vec_id, dim"""
+
+  /** E166 UniMax waterfilling twin (r11): the driver recursion replayed
+    * as a recursive CTE — visit domains by (count asc, domain asc), each
+    * takes min(count, remaining // domains_left), integer end-to-end. */
+  val unimaxMix: String =
+    """WITH RECURSIVE d AS (
+  SELECT lang AS domain, CAST(COUNT(*) AS BIGINT) AS c,
+    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*), lang) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER () AS BIGINT) AS k
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+w AS (
+  SELECT CAST(0 AS BIGINT) AS rn, CAST(400 AS BIGINT) AS remaining,
+    CAST(NULL AS VARCHAR) AS domain, CAST(NULL AS BIGINT) AS c,
+    CAST(NULL AS BIGINT) AS allocated
+  UNION ALL
+  SELECT d.rn,
+    w.remaining - LEAST(d.c, w.remaining // (d.k - d.rn + 1)),
+    d.domain, d.c, LEAST(d.c, w.remaining // (d.k - d.rn + 1))
+  FROM w JOIN d ON d.rn = w.rn + 1)
+SELECT domain, c AS n_docs, allocated, (allocated = c) AS saturated
+FROM w WHERE rn > 0 ORDER BY domain"""
+
+  /** E167 path templating twin (r11): per-(depth, segment) support,
+    * generalize below-threshold segments to '*', census the templates. */
+  val pathTemplates: String =
+    """WITH uu AS (
+  SELECT doc_id AS id,
+    '/' || source || '/' || lang || '/b' || CAST(doc_id % 50 AS VARCHAR) || '/page-' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+sp AS (SELECT id, string_split(regexp_replace(url, '^/', ''), '/') AS parts FROM uu),
+s AS (SELECT id, unnest(parts) AS seg, unnest(range(1, len(parts) + 1)) AS pos FROM sp),
+k AS (SELECT pos, seg FROM s GROUP BY pos, seg HAVING COUNT(*) >= 20),
+g AS (
+  SELECT s.id, s.pos,
+    CASE WHEN k.seg IS NOT NULL THEN s.seg ELSE '*' END AS gs
+  FROM s LEFT JOIN k ON s.pos = k.pos AND s.seg = k.seg),
+t2 AS (SELECT id, '/' || string_agg(gs, '/' ORDER BY pos) AS template FROM g GROUP BY id)
+SELECT template, CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM t2 GROUP BY template ORDER BY n_urls DESC, template"""
+
+  /** E168 hard-negative mining twin (r11): brute-force cosine with the
+    * label-inequality predicate before the per-query top-k. */
+  val hardNegatives: String =
+    s"""WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 97 = 0 AND label IS NOT NULL)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label,
+    e.vec_id AS neighbor_id, e.label AS neighbor_label,
+    ROUND(${listDot("q.embedding", "e.embedding")} / (${listNorm("q.embedding")} * ${listNorm("e.embedding")}), 6) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.label IS NOT NULL AND e.label <> q.label) t
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+ORDER BY query_id, neighbor_id"""
+
   /** E119/E126 approximate event-stat audits (r11): scalars must equal
     * the exact one-pass recount; each KLL quantile's exact rank interval
     * must overlap [p−3ε, p+3ε]. */

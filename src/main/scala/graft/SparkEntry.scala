@@ -1546,6 +1546,45 @@ object SparkEntry {
     }),
     "vocab_topk" -> ((s, dir) =>
       TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
+    // in-engine logistic-regression quality/language classifier (E164):
+    // 6 full-batch GD iterations, decimal-quantized gradient terms —
+    // model TRAINING with a full hash oracle (6 chained CTE replay)
+    "quality_logreg" -> ((s, dir) => {
+      val f = graft.operators.QualityModel.docFeatures(
+        documents(s, dir), "text", "lang")
+      graft.operators.QualityModel.logregTrain(
+        f, Seq("x1", "x2", "x3"), "y", iterations = 6)
+        .orderBy("iter")
+    }),
+    // deterministic JL random projection 64->16 (E165): sha256 sign
+    // matrix, per-row codegen folds, no shuffle
+    "embedding_project" -> ((s, dir) =>
+      graft.operators.Quantize.randomProject(
+        embeddings(s, dir), "vec_id", "embedding", outDims = 16)
+        .orderBy("vec_id", "dim")),
+    // UniMax budget waterfilling across languages (E166): metadata-sized
+    // domain rollup, driver recursion, integer-exact
+    "unimax_mix" -> ((s, dir) =>
+      Sampling.unimaxAllocation(documents(s, dir), "lang", budget = 400L)
+        .orderBy("domain")),
+    // URL path templating census (E167) over a synthetic per-doc URL
+    // (the url_normalize convention): literal above support 20, else '*'
+    "path_templates" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("u", concat(
+        lit("/"), col("source"), lit("/"), col("lang"), lit("/b"),
+        (col("doc_id") % 50).cast("string"),
+        lit("/page-"), col("doc_id").cast("string")))
+      graft.operators.CorpusStats.pathTemplates(d, "doc_id", "u",
+        minSupport = 20L)
+        .orderBy(col("n_urls").desc, col("template"))
+    }),
+    // label-disjoint hard-negative mining (E168): DPR-style contrastive
+    // negatives, broadcast queries, corpus never shuffles
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(
+        embeddings(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") % 97 === 0, k = 10)
+        .orderBy("query_id", "neighbor_id")),
     // Zipf rank-frequency OLS fit over the top-1000 vocabulary (E76)
     "zipf_fit" -> ((s, dir) =>
       graft.operators.CorpusStats.zipfFit(documents(s, dir), "text", 1000)),
@@ -2772,6 +2811,11 @@ FROM events GROUP BY 1 ORDER BY day""",
     "tokenizer_fertility" -> OracleSql.tokenizerFertility,
     "dedup_yield" -> OracleSql.dedupYield,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
+    "quality_logreg" -> OracleSql.qualityLogreg,
+    "embedding_project" -> OracleSql.embeddingProject,
+    "unimax_mix" -> OracleSql.unimaxMix,
+    "path_templates" -> OracleSql.pathTemplates,
+    "hard_negatives" -> OracleSql.hardNegatives,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,
     "events_json" -> OracleSql.eventsJson,

@@ -529,4 +529,46 @@ object CorpusStats {
       .orderBy(col("df").desc, col("token").asc)
       .limit(k)
   }
+
+  /** URL path templating (E167) — the structure-discovery pass a web
+    * curation pipeline runs before any per-site rule is written: per
+    * path DEPTH, segments with support ≥ `minSupport` stay literal,
+    * everything else generalizes to `*`, and each URL collapses to its
+    * template — /forum/thread/8812/page-3 becomes /forum/thread/x/x with
+    * x the wildcard segment. The
+    * template census (which shapes dominate a crawl, how much is
+    * pagination/ID noise) is the input to dedup-by-template and
+    * crawl-budget decisions (the URL-level analogue of E74's domain
+    * caps; E53 normalizes single URLs, this profiles their population).
+    *
+    * Scale shape: one posexplode of per-URL segment arrays collapsing
+    * map-side to ≤ distinct-(depth, segment) cells; the keep-set joins
+    * back as a hash equi-join on (depth, segment); per-URL reassembly is
+    * a collect_list bounded by the URL's own depth. No payload wider
+    * than a path ever shuffles. Returns `(template, n_urls)`. */
+  def pathTemplates(
+      df: DataFrame, idCol: String, urlCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, "need a positive support threshold")
+    val segs = df
+      .select(col(idCol).as("id"), col(urlCol).as("u"))
+      .where(col("u").isNotNull)
+      .select(col("id"),
+        posexplode(split(regexp_replace(col("u"), "^/", ""), "/"))
+          .as(Seq("pos", "seg")))
+    val keep = segs.groupBy("pos", "seg")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= minSupport)
+      .select(col("pos"), col("seg"), lit(1).as("_k"))
+    segs.join(keep, Seq("pos", "seg"), "left")
+      .select(col("id"), col("pos"),
+        when(col("_k").isNotNull, col("seg")).otherwise(lit("*")).as("g"))
+      .groupBy("id")
+      .agg(concat(lit("/"), concat_ws("/",
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("g")))),
+          s => s("g")))).as("template"))
+      .groupBy("template")
+      .agg(count(lit(1)).as("n_urls"))
+  }
 }

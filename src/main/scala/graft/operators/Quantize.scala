@@ -60,4 +60,56 @@ object Quantize {
       when(scale > 0, array_max(codes)).as("code_max"),
       when(scale > 0, round(mse, 6)).as("mse"))
   }
+
+  /** The deterministic ±1 sign of projection-matrix cell (i, j): +1 iff
+    * the first hex character of sha256("jl:i:j") is below '8' (i.e. the
+    * digest's top bit is 0 — an unbiased coin). SHA-256 is the
+    * cross-engine determinism contract (the dsir precedent): DuckDB's
+    * `sha256()` produces the identical lowercase hex, so both engines
+    * materialize the SAME matrix without shipping it. */
+  private[operators] def jlSign(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val d = md.digest(s"jl:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (((d(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
+  /** Deterministic Johnson–Lindenstrauss random projection (E165) — the
+    * dimensionality-reduction step ahead of ANN indexing / clustering at
+    * corpus scale: project each `d`-dim vector onto `outDims` ±1
+    * hyperplanes (Achlioptas' database-friendly JL construction, signs
+    * drawn from SHA-256 so both engines regenerate the identical matrix)
+    * and scale by 1/√outDims, preserving pairwise distances within the
+    * JL bound in expectation. A 64→16 projection cuts ANN scoring and
+    * index memory 4× before any quantization.
+    *
+    * Scale shape: pure per-row codegen'd array folds — no shuffle, no
+    * UDF, the projection matrix rides as a broadcast-free literal.
+    * Determinism: products are float→double exact sign flips; each
+    * output coordinate is ONE left-to-right fold from 0.0 (the
+    * list_reduce contract), divided by √outDims and rounded 6-dp.
+    * Vectors shorter than the probed dimensionality project to null
+    * coordinates (zip_with's null padding propagates through the fold) —
+    * surfaced, not silently truncated.
+    *
+    * Returns `(id, dim, value)`, one row per output coordinate. */
+  def randomProject(
+      emb: DataFrame, idCol: String, vecCol: String,
+      outDims: Int = 16): DataFrame = {
+    require(outDims > 0, "need a positive output dimensionality")
+    val probe = emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).head()
+    val d = probe.getInt(0)
+    val scale = math.sqrt(outDims.toDouble)
+    val projCols = (0 until outDims).map { j =>
+      val signs = (0 until d).map(i => jlSign(i, j))
+      round(
+        aggregate(
+          zip_with(col(vecCol), typedlit(signs), (x, s) => x.cast("double") * s),
+          lit(0.0), (acc, x) => acc + x) / lit(scale),
+        6)
+    }
+    emb.select(col(idCol),
+      posexplode(array(projCols: _*)).as(Seq("dim", "value")))
+      .select(col(idCol), col("dim").cast("long").as("dim"), col("value"))
+  }
 }

@@ -454,4 +454,46 @@ object Sampling {
       .orderBy(col("select_key").desc, col(idCol))
       .limit(k)
   }
+
+  /** UniMax budget allocation (E166) — the multi-domain sampling budget
+    * allocator (Chung et al., "UniMax: Fairer and More Effective Language
+    * Sampling", ICLR '23, applied to domains instead of languages):
+    * given a total document budget, spread it as UNIFORMLY as possible
+    * across domains, capping each domain at its available count — the
+    * principled alternative to temperature sampling's tail starvation.
+    * Classic waterfilling: visit domains by (count asc, domain asc);
+    * each gets `min(count, floor(remaining / domains_left))` — small
+    * domains take what they have, the freed budget re-spreads over the
+    * rest. Integer arithmetic end-to-end (floor division), so the
+    * allocation is engine-exact; the floor remainders stay unallocated
+    * (≤ #domains docs, reported via the allocation sum).
+    *
+    * Scale shape: ONE map-side-combined domain rollup (the corpus
+    * relation reduces to ≤ #domains rows); the waterfill runs over that
+    * metadata-sized relation driver-side (the hybrid-CC / funnel
+    * precedent) and the result is the per-domain sampling plan a
+    * [[mixtureResample]]-style pass consumes. Returns
+    * `(domain, n_docs, allocated, saturated)` — `saturated` marks
+    * domains whose full count was taken. */
+  def unimaxAllocation(
+      df: DataFrame, domainCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "need a non-negative budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (dom, c) => (c, dom) }
+    var remaining = budget
+    val rows = counts.zipWithIndex.map { case ((dom, c), i) =>
+      val left = counts.length - i
+      val share = remaining / left // floor
+      val alloc = math.min(c, share)
+      remaining -= alloc
+      (dom, c, alloc, alloc == c)
+    }
+    rows.toSeq.toDF("domain", "n_docs", "allocated", "saturated")
+  }
 }

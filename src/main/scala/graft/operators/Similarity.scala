@@ -127,6 +127,49 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Hard-negative mining (E168) — for each query vector, the top-k most
+    * similar corpus vectors carrying a DIFFERENT label: the contrastive-
+    * training data miner (random in-batch negatives are easy; the
+    * informative negatives a retrieval/embedding trainer wants are the
+    * near-identical vectors from OTHER classes — the DPR-style recipe,
+    * label-disjoint). Same broadcast-the-queries shape as [[cosineTopK]]
+    * — the corpus never shuffles — with the label-inequality predicate
+    * applied BEFORE the per-query heap, so k informative negatives
+    * survive per query regardless of how many same-class near-dups crowd
+    * the top. NULL labels are excluded from BOTH sides (no information,
+    * not a class). Output
+    * `(query_id, query_label, neighbor_id, neighbor_label, cos)`. */
+  def hardNegatives(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queryPred: Column,
+      k: Int = 10): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+      .where(col(labelCol).isNotNull)
+    val corpus = emb.select(
+      col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
+      col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val queries = emb.where(queryPred)
+      .select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
+        col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
+    val scored = corpus.crossJoin(broadcast(queries))
+      .where(col("neighbor_label") =!= col("query_label"))
+      .select(
+        col("query_id"), col("query_label"),
+        col("neighbor_id"), col("neighbor_label"),
+        safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
+      .where(col("cos").isNotNull)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select("query_id", "query_label", "neighbor_id", "neighbor_label",
+        "cos")
+  }
+
   /** Embedding near-duplicate review list: the `top` closest pairs by
     * cosine across the corpus (id_a < id_b), ranked on the rounded cosine
     * with id tie-breaks.

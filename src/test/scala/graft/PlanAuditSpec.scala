@@ -489,6 +489,17 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally { sh.unpersist(); () }
   }
 
+  test("hard negatives broadcast the query side; JL projection is a shuffle-free scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val hn = plan(Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", col("vec_id") % 97 === 0))
+    assert(hn.contains("Broadcast"), s"expected broadcast join:\n$hn")
+    assert(!hn.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$hn")
+    val pj = plan(graft.operators.Quantize.randomProject(
+      emb, "vec_id", "embedding", 16))
+    assert(!pj.contains("Exchange"), s"projection should not shuffle:\n$pj")
+  }
+
   test("corpus card: exchanges carry 32-byte text hashes, never the document body") {
     val df = SparkEntry.queries("corpus_card")(spark, dir)
     val p = plan(df)

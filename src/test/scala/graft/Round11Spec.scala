@@ -281,4 +281,90 @@ class Round11Spec extends AnyFunSuite {
     assert(sr.head.getAs[Long]("start_1") == s1)
     assert(sr.head.getAs[Long]("start_2") == s2)
   }
+
+  test("logregTrain: separable features converge — loss falls, accuracy reaches 1.0") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val f = (0 until 200).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      // x1 cleanly separates; x2 is noise in [0, 0.1]
+      (if (y == 1.0) 0.8 + (i % 5) * 0.01 else 0.2 - (i % 5) * 0.01,
+        (i % 10) * 0.01, y)
+    }.toDF("x1", "x2", "y")
+    val rows = QualityModel.logregTrain(f, Seq("x1", "x2"), "y",
+      iterations = 6).orderBy("iter").collect()
+    assert(rows.length == 6)
+    val losses = rows.map(_.getAs[Double]("mean_logloss"))
+    assert(losses.head > losses.last, s"loss did not fall: ${losses.toSeq}")
+    assert(rows.last.getAs[Double]("accuracy") == 1.0)
+    // iteration-1 loss is ln 2 at w = 0 (pre-update), on both engines
+    assert(math.abs(losses.head - 0.693147) < 1e-6)
+  }
+
+  test("randomProject: 16 deterministic coordinates per vector, exactly linear") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    val v = (0 until 64).map(i => (i % 7 - 3).toFloat)
+    val df = Seq((1L, v), (2L, v.map(x => x * 2))).toDF("id", "vec")
+    val p = Quantize.randomProject(df, "id", "vec", outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p.size == 32)
+    for (j <- 0 until 16) {
+      // doubling the vector doubles every coordinate (6-dp exact: inputs
+      // are small integers, folds are exact in double)
+      assert(math.abs(p((2L, j.toLong)) - 2.0 * p((1L, j.toLong))) < 1e-9,
+        s"dim $j not linear")
+    }
+    // determinism across invocations
+    val q = Quantize.randomProject(df, "id", "vec", outDims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p == q)
+  }
+
+  test("unimaxAllocation: waterfilling — small domains take their count, the freed budget re-spreads") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (Seq.fill(5)("a") ++ Seq.fill(10)("b") ++ Seq.fill(100)("c"))
+      .zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("id", "dom")
+    val rows = Sampling.unimaxAllocation(docs, "dom", budget = 30L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // sorted (a:5, b:10, c:100); shares: 30/3=10 -> a takes 5 (sat);
+    // 25/2=12 -> b takes 10 (sat); 15/1=15 -> c takes 15 (unsat)
+    assert(rows("a") == ((5L, 5L, true)))
+    assert(rows("b") == ((10L, 10L, true)))
+    assert(rows("c") == ((100L, 15L, false)))
+  }
+
+  test("pathTemplates: below-support segments generalize to '*', template census is exact") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val urls = (0 until 10).map(i => (i.toLong, s"/docs/page-$i")) ++
+      Seq((10L, "/docs/index"), (11L, "/docs/index"), (12L, "/docs/index"))
+    val out = CorpusStats.pathTemplates(
+      urls.toDF("id", "u"), "id", "u", minSupport = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'docs' (13x) literal; 'index' (3x) literal; each page-i (1x) -> '*'
+    assert(out == Map("/docs/*" -> 10L, "/docs/index" -> 3L))
+  }
+
+  test("hardNegatives: same-label vectors are excluded even when they dominate the top") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // query (id 0, label 1); ids 1-3 label 1 nearly identical to the
+    // query; ids 4-5 label 2 less similar — the negatives MUST be 4, 5
+    def vec(theta: Double): Seq[Float] =
+      Seq(math.cos(theta).toFloat, math.sin(theta).toFloat) ++
+        Seq.fill(62)(0.0f)
+    val emb = Seq(
+      (0L, vec(0.0), 1), (1L, vec(0.01), 1), (2L, vec(0.02), 1),
+      (3L, vec(0.03), 1), (4L, vec(0.5), 2), (5L, vec(0.7), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", col("vec_id") === 0L, k = 2)
+      .orderBy("neighbor_id").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(4L, 5L))
+    assert(out.forall(_.getAs[Int]("neighbor_label") == 2))
+    assert(out.forall(_.getAs[Int]("query_label") == 1))
+  }
 }

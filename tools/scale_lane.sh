@@ -13,7 +13,12 @@ dedup_ngram_jaccard dedup_simhash dedup_yield event_funnel fd_discovery \
 histogram_drift iqr_outliers_approx ivf_topk ks_drift_approx \
 leakage_safe_split mad_outliers mad_outliers_approx mutual_info \
 profile_lineitem profile_lineitem_full quantiles_exact sessionize \
-spearman_approx streaming_incremental_profile tokenize_ids winnow_near_dup"
+spearman_approx streaming_incremental_profile tokenize_ids winnow_near_dup \
+approx_overlap bpe_encode bpe_merges dsir_weights semdedup \
+substring_contamination substring_dup substring_dup_coverage self_repeat \
+substring_dup_chunked self_repeat_chunked approx_overlap_states \
+interarrival_stats_approx session_stats_approx time_to_convert_approx \
+quality_logreg embedding_project unimax_mix path_templates corpus_card"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
@@ -39,7 +44,19 @@ json.dump(d, open(p, "w"))
 EOF
 done
 
-# special rows: content-varying (char-salt) winnow + batch-geometry probe
+# special rows: content-varying (char-salt) substring/winnow family +
+# batch-geometry probe
+for q in substring_dup substring_dup_chunked self_repeat_chunked; do
+  v=$(run_one target/sf1cs "$q")
+  echo "lane charsalt $q=$v" >&2
+  python3 - "$TMP" "$q" "$v" <<'EOF2'
+import json, sys
+p, q, v = sys.argv[1:]
+d = json.load(open(p))
+d.setdefault("q1cs", {})[q] = float(v)
+json.dump(d, open(p, "w"))
+EOF2
+done
 wcs=$(run_one target/sf1cs winnow_near_dup)
 sb40=$(run_one target/sf1 streaming_incremental_profile SPARK_GRAFT_STREAM_BATCHES=40)
 echo "lane specials winnow_cs=$wcs stream_b40=$sb40" >&2
@@ -59,7 +76,9 @@ doc = {
   "winnow_note": "charsalt = SPARK_GRAFT_SCALE_SALT=char content-varying replication (no shared 8-gram across copies) - the row that measures the engine rather than replication",
   "streaming_incremental_profile_sf1_b40": float(sb40),
   "streaming_note": "b40 = 40 micro-batches (constant rows per batch at 10x data) vs the default 4 (constant batch count): slower, pinning the growth to per-micro-batch fixed overhead, not the profile computation",
-  "excluded": {"spearman_corr": "exact mode is WindowGuard-enforced at 2M rows (r10) and refuses sf1 by design; spearman_approx is the scale row"},
+  "queries_sf1_charsalt": d.get("q1cs", {}),
+  "excluded": {"spearman_corr": "exact mode is WindowGuard-enforced at 2M rows (r10) and refuses sf1 by design; spearman_approx is the scale row",
+    "hard_negatives": "|Q| x N brute force with |Q| proportional to the corpus (vec_id % 97) - 10x data means ~100x work by definition, like ann_cosine_topk; the LSH/IVF rows are that family's scale path"},
 }
 json.dump(doc, open(out, "w"), indent=0)
 print("wrote", out)
