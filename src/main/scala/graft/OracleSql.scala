@@ -1694,7 +1694,20 @@ FROM best WHERE rn = 1 AND len >= 20 ORDER BY doc_id"""
     * occurrence cap counted over BOTH sides together, corpus×eval
     * candidates (no self pairs by construction), the same lcp-based
     * maximal extension. */
-  lazy val substringContamination: String = {
+  lazy val substringContamination: String =
+    raw"""$contaminationSpansCte,
+best AS (SELECT corpus_id, eval_id, start_corpus, start_eval, len,
+    ROW_NUMBER() OVER (PARTITION BY corpus_id, eval_id
+      ORDER BY len DESC, start_corpus DESC, start_eval DESC) AS rn,
+    COUNT(*) OVER (PARTITION BY corpus_id, eval_id) AS n_spans
+  FROM spans)
+SELECT corpus_id, eval_id, CAST(len AS BIGINT) AS overlap_len,
+  CAST(start_corpus AS BIGINT) AS start_corpus,
+  CAST(start_eval AS BIGINT) AS start_eval,
+  CAST(n_spans AS BIGINT) AS n_spans
+FROM best WHERE rn = 1 AND len >= 30 ORDER BY corpus_id, eval_id"""
+
+  private lazy val contaminationSpansCte: String = {
     def side(tag: String, where: String) =
       raw"""kg$tag AS (SELECT doc_id,
   CASE WHEN LENGTH(text) >= 8 THEN
@@ -1729,18 +1742,62 @@ ext AS (SELECT corpus_id, eval_id, pos_c, pos_b, $right AS r, $left AS l
             JOIN documents db ON db.doc_id = eval_id),
 spans AS (SELECT DISTINCT corpus_id, eval_id,
     pos_c - l AS start_corpus, pos_b - l AS start_eval, l + r AS len
-  FROM ext WHERE r >= 8),
-best AS (SELECT corpus_id, eval_id, start_corpus, start_eval, len,
-    ROW_NUMBER() OVER (PARTITION BY corpus_id, eval_id
-      ORDER BY len DESC, start_corpus DESC, start_eval DESC) AS rn,
-    COUNT(*) OVER (PARTITION BY corpus_id, eval_id) AS n_spans
-  FROM spans)
-SELECT corpus_id, eval_id, CAST(len AS BIGINT) AS overlap_len,
-  CAST(start_corpus AS BIGINT) AS start_corpus,
-  CAST(start_eval AS BIGINT) AS start_eval,
-  CAST(n_spans AS BIGINT) AS n_spans
-FROM best WHERE rn = 1 AND len >= 30 ORDER BY corpus_id, eval_id"""
+  FROM ext WHERE r >= 8)"""
   }
+
+  /** Shared interval-cut twin body: merge `ivals(id, s, e)` by
+    * gap-and-islands, rebuild each flagged document's text from the
+    * complement segments (`string_agg` ordered by segment start, the
+    * tail segment carried as `ee IS NULL`), and emit the executor
+    * readout for every document of `docFilter` — sha256 of the rebuilt
+    * string is the full-hash handle matching Spark's `sha2(·, 256)`. */
+  private def cutIntervalsSql(docFilter: String): String =
+    raw"""flagged AS (SELECT id, s, e,
+    CASE WHEN MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      OR s > MAX(e) OVER (PARTITION BY id ORDER BY s, e
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    THEN 1 ELSE 0 END AS brk
+  FROM ivals),
+isl AS (SELECT id, s, e, SUM(brk) OVER (PARTITION BY id ORDER BY s, e
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g FROM flagged),
+cov AS (SELECT id, g, MIN(s) AS s0, MAX(e) AS e1 FROM isl GROUP BY 1, 2),
+segs AS (
+  SELECT id, COALESCE(LAG(e1) OVER (PARTITION BY id ORDER BY s0), 1) AS ss,
+    s0 AS ee FROM cov
+  UNION ALL
+  SELECT id, MAX(e1) AS ss, NULL AS ee FROM cov GROUP BY id),
+ctext AS (SELECT s.id,
+    string_agg(CASE WHEN ee IS NULL THEN substr(d.text, CAST(ss AS INT))
+      ELSE substr(d.text, CAST(ss AS INT), CAST(ee - ss AS INT)) END,
+      '' ORDER BY ss) AS clean,
+    COUNT(*) - 1 AS n_isl
+  FROM segs s JOIN documents d ON d.doc_id = s.id GROUP BY s.id)
+SELECT d.doc_id, CAST(LENGTH(d.text) AS BIGINT) AS orig_len,
+  CAST(LENGTH(COALESCE(c.clean, d.text)) AS BIGINT) AS clean_len,
+  CAST(COALESCE(c.n_isl, 0) AS BIGINT) AS n_cut_spans,
+  substr(sha256(COALESCE(c.clean, d.text)), 1, 16) AS clean_sha
+FROM documents d LEFT JOIN ctext c ON c.id = d.doc_id
+WHERE $docFilter ORDER BY d.doc_id"""
+
+  /** Decontamination-executor twin (E169): the contamination span CTE
+    * verbatim, corpus-side intervals of every ≥30-char leak, and the
+    * shared interval-cut body over the corpus slice. */
+  lazy val decontamExecute: String =
+    raw"""$contaminationSpansCte,
+ivals AS (SELECT DISTINCT corpus_id AS id, start_corpus AS s,
+    start_corpus + len AS e FROM spans WHERE len >= 30),
+${cutIntervalsSql("d.doc_id % 101 <> 0")}"""
+
+  /** Self-dedup-executor twin (E170): the substring-dup span CTE
+    * verbatim, cut intervals taken from the LARGER doc id of every
+    * ≥30-char cross-document span (keep-first), the shared cut body
+    * over ALL documents. */
+  lazy val substringDupExecute: String =
+    raw"""$substringSpansCte,
+ivals AS (SELECT DISTINCT id_b AS id, start_b AS s, start_b + len AS e
+  FROM spans WHERE len >= 30),
+${cutIntervalsSql("TRUE")}"""
 
   /** DSIR Gumbel top-k selection twin (E157's action half): the weight
     * subquery verbatim, the engine's sha256 sampling bucket as the
@@ -3273,4 +3330,72 @@ SELECT cluster_size, n_clusters,
   cluster_size * n_clusters AS n_docs,
   (cluster_size - 1) * n_clusters AS n_removed, n_docs_total
 FROM h, t ORDER BY cluster_size"""
+
+  /** CCNet-bucket twin (E171): the langId argmax + textQuality score
+    * (both expression-identical to their standalone oracles), the
+    * per-language DISTINCT-score histogram with the strictly-better
+    * running mass (DESC window, one row back), and the integer tertile
+    * comparison `3·n_above < k·n_lang` — no float at the cut. */
+  lazy val ccnetBuckets: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    val scores = Stopwords.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS s_$l"
+    }.mkString(", ")
+    val cases = Stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
+    val greatest = Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
+    s"""WITH base AS (
+  SELECT doc_id, $wsToksLowerSql AS toks,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+sc AS (SELECT doc_id, n_chars, ws_tokens, punct, stop_hits, $scores FROM base),
+s AS (SELECT doc_id, lang, score FROM (
+  SELECT doc_id, CASE $cases ELSE 'und' END AS lang,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM (SELECT *, GREATEST($greatest) AS m FROM sc) g) q
+  WHERE score IS NOT NULL),
+h AS (SELECT lang, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+r AS (SELECT lang, score,
+    COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above,
+    SUM(c) OVER (PARTITION BY lang) AS n_lang
+  FROM h)
+SELECT s.doc_id, s.lang, s.score,
+  CASE WHEN n_above * 3 < n_lang THEN 'head'
+       WHEN n_above * 3 < n_lang * 2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM s JOIN r ON r.lang = s.lang AND r.score = s.score
+ORDER BY s.doc_id"""
+  }
+
+  /** Power-iteration PCA twin (E172): the uncentered Gram matrix from
+    * per-row upper-triangle products (6-dp terms, DECIMAL(38,6) sums —
+    * order-free), mirrored to full symmetry, then every iteration
+    * replayed as a chained (matvec, norm, normalize) CTE triple on the
+    * same decimal-term contract; the start vector ROUND(1/√dim, 6). */
+  def pcaPower(iterations: Int = 8): String = {
+    val steps = (1 to iterations).map { k =>
+      s"""w$k AS (SELECT g.i, CAST(SUM(CAST(ROUND(g.g * v.val, 6) AS DECIMAL(38,6))) AS DOUBLE) AS wv
+  FROM gm g JOIN v${k - 1} v ON v.i = g.j GROUP BY 1),
+n$k AS (SELECT SQRT(CAST(SUM(CAST(ROUND(wv * wv, 6) AS DECIMAL(38,6))) AS DOUBLE)) AS nrm FROM w$k),
+v$k AS (SELECT i, ROUND(wv / nrm, 6) AS val FROM w$k, n$k)"""
+    }.mkString(",\n")
+    s"""WITH cells AS (
+  SELECT t1.i AS i, t2.j AS j,
+    CAST(e[t1.i + 1] AS DOUBLE) AS xi, CAST(e[t2.j + 1] AS DOUBLE) AS xj
+  FROM (SELECT embedding AS e FROM embeddings WHERE embedding IS NOT NULL) q,
+    UNNEST(range(len(e))) t1(i), UNNEST(range(len(e))) t2(j)
+  WHERE t2.j >= t1.i),
+up AS MATERIALIZED (SELECT i, j, CAST(SUM(CAST(ROUND(xi * xj, 6) AS DECIMAL(38,6))) AS DOUBLE) AS g
+  FROM cells GROUP BY 1, 2),
+gm AS MATERIALIZED (SELECT i, j, g FROM up UNION ALL SELECT j, i, g FROM up WHERE i <> j),
+dims AS (SELECT DISTINCT i FROM gm),
+v0 AS (SELECT i, ROUND(1 / SQRT((SELECT COUNT(*) FROM dims)), 6) AS val FROM dims),
+$steps
+SELECT CAST(i AS BIGINT) AS dim_idx, val AS loading,
+  ROUND(nrm, 6) AS eigenvalue
+FROM v$iterations, n$iterations ORDER BY dim_idx"""
+  }
 }

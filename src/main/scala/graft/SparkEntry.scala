@@ -1556,6 +1556,23 @@ object SparkEntry {
         f, Seq("x1", "x2", "x3"), "y", iterations = 6)
         .orderBy("iter")
     }),
+    // CCNet-style per-language quality tertiles (E171): head/middle/tail
+    // by strictly-better mass over the per-lang DISTINCT-score histogram
+    // (WindowGuard-enforced), integer comparison at the cut
+    "ccnet_buckets" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = documents(s, dir).select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+      graft.operators.Ranking.ccnetBuckets(scored, "doc_id", "lang", "score")
+        .orderBy("doc_id")
+    }),
+    // top principal component by power iteration (E172): one Gram pass,
+    // driver-side iteration on the 64x64 matrix, decimal-quantized steps
+    // (in-engine training #2 — full hash oracle replays all 8 steps)
+    "pca_power" -> ((s, dir) =>
+      graft.operators.QualityModel.pcaPower(embeddings(s, dir), "embedding")
+        .orderBy("dim_idx")),
     // deterministic JL random projection 64->16 (E165): sha256 sign
     // matrix, per-row codegen folds, no shuffle
     "embedding_project" -> ((s, dir) =>
@@ -1794,6 +1811,23 @@ object SparkEntry {
         "doc_id", "text")
         .orderBy("corpus_id", "eval_id")
     }),
+    // decontamination EXECUTOR (E169): the cut action for E161 — leaked
+    // spans removed from the corpus side, cleaned text pinned by sha256
+    // (full hash oracle over the rebuilt strings; payloads never shuffle)
+    "decontam_execute" -> ((s, dir) => {
+      val d = documents(s, dir)
+      Dedup.decontamExecute(
+        d.where(col("doc_id") % 101 =!= 0),
+        d.where(col("doc_id") % 101 === 0),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+    // exact-substring self-dedup EXECUTOR (E170): Lee et al.'s ExactSubstr
+    // action — every cross-doc verbatim run >=30 chars keeps its lowest-id
+    // occurrence, all others cut; full corpus returned, sha256-pinned
+    "substring_dup_execute" -> ((s, dir) =>
+      Dedup.substringDupExecute(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // approximate cross-table key overlap (E163): three HLLs in ONE
     // aggregation over a tagged union + inclusion-exclusion — the
     // no-join, sketch-mergeable scale path to referential containment.
@@ -2812,6 +2846,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dedup_yield" -> OracleSql.dedupYield,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "quality_logreg" -> OracleSql.qualityLogreg,
+    "ccnet_buckets" -> OracleSql.ccnetBuckets,
+    "pca_power" -> OracleSql.pcaPower(),
     "embedding_project" -> OracleSql.embeddingProject,
     "unimax_mix" -> OracleSql.unimaxMix,
     "path_templates" -> OracleSql.pathTemplates,
@@ -2869,6 +2905,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "substring_dup" -> OracleSql.substringDup,
     "substring_dup_coverage" -> OracleSql.substringDupCoverage,
     "substring_contamination" -> OracleSql.substringContamination,
+    "decontam_execute" -> OracleSql.decontamExecute,
+    "substring_dup_execute" -> OracleSql.substringDupExecute,
     "self_repeat" -> OracleSql.selfRepeat,
     // the chunked forms are pinned by the SAME oracles: at sf0.01 every
     // document fits one chunk, where chunked == unchunked by design

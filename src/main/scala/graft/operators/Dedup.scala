@@ -1125,6 +1125,38 @@ object Dedup {
     require(minLen >= w + k - 1,
       s"substringContamination: minLen=$minLen below the winnowing " +
         s"detection guarantee w+k-1=${w + k - 1}")
+    substringContaminationSpans(
+      corpus, eval, idCol, textCol, k, w, maxOccFreq, maxCandidatePairs)
+      .groupBy("corpus_id", "eval_id")
+      .agg(
+        max(struct(col("len"), col("start_corpus"), col("start_eval")))
+          .as("best"),
+        count(lit(1)).as("n_spans"))
+      .select(
+        col("corpus_id"), col("eval_id"),
+        col("best.len").as("overlap_len"),
+        col("best.start_corpus").as("start_corpus"),
+        col("best.start_eval").as("start_eval"),
+        col("n_spans"))
+      .where(col("overlap_len") >= minLen)
+  }
+
+  /** The full DISTINCT maximal-span relation behind
+    * [[substringContamination]]: `(corpus_id, eval_id, start_corpus,
+    * start_eval, len)` — every maximal cross-side verbatim run found
+    * through a surviving winnowing anchor, of ANY length (callers filter;
+    * detection is exhaustive from w+k−1 up). Shared by
+    * [[substringContamination]] (per-pair longest readout) and
+    * [[decontamExecute]] (the cut action). */
+  def substringContaminationSpans(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
     graft.functions.CommonExtend.register(corpus.sparkSession)
     val fpC = winnowFingerprints(corpus, idCol, textCol, k, w)
       .localCheckpoint(true)
@@ -1166,18 +1198,137 @@ object Dedup {
       expr(s"enc div ${P * P}").cast("long").as("start_corpus"),
       pmod(expr(s"enc div $P"), lit(P)).cast("long").as("start_eval"),
       pmod(col("enc"), lit(P)).cast("long").as("len"))
-      .groupBy("corpus_id", "eval_id")
-      .agg(
-        max(struct(col("len"), col("start_corpus"), col("start_eval")))
-          .as("best"),
-        count(lit(1)).as("n_spans"))
-      .select(
-        col("corpus_id"), col("eval_id"),
-        col("best.len").as("overlap_len"),
-        col("best.start_corpus").as("start_corpus"),
-        col("best.start_eval").as("start_eval"),
-        col("n_spans"))
-      .where(col("overlap_len") >= minLen)
+  }
+
+  /** Interval-cut kernel shared by the decontamination and self-dedup
+    * EXECUTORS: given per-document 1-based char intervals `(id, s, e)`
+    * (half-open `[s, e)`), merge them by the gap-and-islands pattern and
+    * rebuild each document's text with the merged islands removed.
+    *
+    * Scale shape: the interval relation is metadata-sized (flagged docs
+    * only) — it is merged with two windows over `(id)` partitions, rolled
+    * up to ONE sorted island array per flagged doc, and broadcast back
+    * onto the corpus, so the document payloads never shuffle; the cut
+    * itself is a per-row fold (`aggregate` over the island array)
+    * appending the complement segments. Unflagged docs pass through
+    * untouched with `n_cut_spans = 0`.
+    *
+    * Returns `(idCol, orig_len, clean_len, n_cut_spans, clean_sha)` for
+    * EVERY input document — `clean_sha` the first 16 hex chars of
+    * sha256 of the rebuilt text (the full-hash-oracle handle; the text
+    * itself stays out of the result on purpose). */
+  private def cutIntervals(
+      docs: DataFrame, idCol: String, textCol: String,
+      ivals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("id").orderBy(col("s"), col("e"))
+    val islands = ivals
+      .withColumn("pmax",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("g",
+        sum(col("brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("id", "g")
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e1"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s0"), col("e1")))).as("iv"))
+    val joined = docs
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(broadcast(islands), Seq("id"), "left")
+    // fold the sorted islands: append the complement segment before each
+    // island, carry the cursor past it, then append the tail
+    val clean = when(col("iv").isNull, col("t")).otherwise(
+      aggregate(
+        col("iv"),
+        struct(lit(1L).as("p"), lit("").as("acc")),
+        (acc, x) => struct(
+          x.getField("e1").cast("long").as("p"),
+          concat(acc.getField("acc"),
+            col("t").substr(acc.getField("p").cast("int"),
+              (x.getField("s0") - acc.getField("p")).cast("int"))).as("acc")),
+        acc => concat(acc.getField("acc"),
+          col("t").substr(acc.getField("p").cast("int"),
+            (length(col("t")) + lit(1L) - acc.getField("p")).cast("int")))))
+    joined.select(
+      col("id").as(idCol),
+      length(col("t")).cast("long").as("orig_len"),
+      length(clean).cast("long").as("clean_len"),
+      coalesce(size(col("iv")).cast("long"), lit(0L)).as("n_cut_spans"),
+      substring(sha2(clean, 256), 1, 16).as("clean_sha"))
+  }
+
+  /** Span-level decontamination EXECUTOR (E169) — the ACTION for
+    * [[substringContamination]]'s detection (what Lee et al. §5 and the
+    * GPT-3 appendix actually do to a leaked span: cut it from the
+    * training corpus, keeping the rest of the document): every corpus
+    * interval covered by a ≥ `minLen`-char verbatim run shared with the
+    * eval side is removed, overlapping leaks merged first, and the
+    * cleaned corpus is returned as `(id, orig_len, clean_len,
+    * n_cut_spans, clean_sha)` — one row per CORPUS document, untouched
+    * docs included with `n_cut_spans = 0`.
+    *
+    * Same detection guarantees as [[substringContamination]] (winnowing
+    * anchors, verbatim re-check, maximal extension, absolute occurrence
+    * cap, pre-flight guard, corpus×eval asymmetry); the cut side is the
+    * broadcast-islands fold of [[cutIntervals]], so corpus payloads
+    * never shuffle — the right shape for 100 TB against a benchmark
+    * suite. */
+  def decontamExecute(
+      corpus: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 30,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"decontamExecute: minLen=$minLen below the winnowing detection " +
+        s"guarantee w+k-1=${w + k - 1}")
+    val spans = substringContaminationSpans(
+      corpus, eval, idCol, textCol, k, w, maxOccFreq, maxCandidatePairs)
+      .where(col("len") >= minLen)
+    val ivals = spans.select(
+      col("corpus_id").as("id"), col("start_corpus").as("s"),
+      (col("start_corpus") + col("len")).as("e")).distinct()
+    cutIntervals(corpus, idCol, textCol, ivals)
+  }
+
+  /** Exact-substring self-dedup EXECUTOR (E170) — the corpus-side ACTION
+    * for [[substringDup]] (Lee et al.'s ExactSubstr deduplication: of
+    * every verbatim run ≥ `minLen` chars appearing in two documents,
+    * keep ONE occurrence and cut the other): for each cross-document
+    * span the occurrence in the LARGER doc id is cut and the smaller
+    * id's kept — a deterministic keep-first rule, so a duplicated
+    * passage survives exactly in its lowest-id carrier. Overlapping cut
+    * intervals merge before cutting. Returns the [[cutIntervals]]
+    * relation over ALL documents.
+    *
+    * Chains resolve per-pair: a doc can keep a span against a larger id
+    * while losing it against a smaller one — the cut set is the union,
+    * which preserves the at-least-one-occurrence invariant globally
+    * (the minimum id of every span's carrier set is never cut). */
+  def substringDupExecute(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 30,
+      maxOccFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"substringDupExecute: minLen=$minLen below the winnowing " +
+        s"detection guarantee w+k-1=${w + k - 1}")
+    val spans = substringDupSpans(
+      df, idCol, textCol, k, w, maxOccFreq, maxCandidatePairs)
+      .where(col("len") >= minLen)
+    val ivals = spans.select(
+      col("id_b").as("id"), col("start_b").as("s"),
+      (col("start_b") + col("len")).as("e")).distinct()
+    cutIntervals(df, idCol, textCol, ivals)
   }
 
   /** Intra-document longest repeated substring (E162) — the WITHIN-

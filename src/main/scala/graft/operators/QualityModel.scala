@@ -93,6 +93,79 @@ object QualityModel {
       java.util.Arrays.asList(out.result(): _*), schema)
   }
 
+  /** Top principal component by deterministic power iteration (E172) —
+    * the second in-engine TRAINING operator (after [[logregTrain]]):
+    * the direction of maximum variance of the embedding cloud, the
+    * whitening/compression primitive ahead of ANN and clustering (and
+    * the exact-machinery sibling of E148's covariance-free effective-
+    * dims estimate).
+    *
+    * Spark-first shape: ONE distributed pass reduces the corpus to the
+    * uncentered dim×dim Gram matrix — per-row upper-triangle products,
+    * 6-dp-rounded and DECIMAL(38,6)-summed (order-free, the decSum
+    * contract), map-side combined into ≤ dim(dim+1)/2 groups — then the
+    * power iteration runs DRIVER-SIDE on the metadata-sized matrix (the
+    * hybrid-CC precedent: 64×64 doubles, `iterations`·dim² flops; a
+    * 100 TB corpus changes only the one scan). Every iteration step is
+    * engine-replayable: matvec terms `ROUND(G_ij·v_j, 6)` decimal-
+    * summed, norm on decimal-summed `ROUND(w_i², 6)`, update
+    * `v ← ROUND(w/‖w‖, 6)` — DuckDB replays all `iterations` steps in
+    * chained CTEs (the E159/E164 pattern), a FULL hash oracle for an
+    * eigenvector computation.
+    *
+    * Start vector is the uniform `ROUND(1/√dim, 6)`; its overlap with
+    * the top eigenvector of a Gram matrix of real embedding data is
+    * far from 0, so `iterations` = 8 converges the direction to the
+    * 6-dp grain. Returns `(dim_idx, loading, eigenvalue)` — eigenvalue
+    * the norm of the final matvec (= the Rayleigh estimate under a
+    * normalized v). */
+  def pcaPower(
+      emb: DataFrame, vecCol: String, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1)
+    val spark = emb.sparkSession
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val upper = emb
+      .select(col(vecCol).as("v")).where(col("v").isNotNull)
+      .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
+      .select(col("i"), col("xi").cast("double").as("xi"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+      .groupBy("i", "j")
+      .agg(sum(round(col("xi") * col("xj").cast("double"), 6).cast(dec6))
+        .as("g"))
+    val cells = upper.collect() // ≤ dim(dim+1)/2 rows — metadata-sized
+    require(cells.nonEmpty, "pcaPower: no embeddings")
+    val dim = cells.map(_.getAs[Int]("j")).max + 1
+    val G = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val g = r.getDecimal(2).doubleValue()
+      G(i)(j) = g; G(j)(i) = g
+    }
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Σ ROUND(term, 6) as exact decimals — the order-free sum both
+    // engines agree on bit-for-bit
+    def decSum(ts: Iterator[Double]): Double =
+      ts.foldLeft(BigDecimal(0))((a, t) =>
+        a + BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .toDouble
+    var v = Array.fill(dim)(r6(1.0 / math.sqrt(dim.toDouble)))
+    var lam = 0.0
+    for (_ <- 1 to iterations) {
+      val w = Array.tabulate(dim)(i =>
+        decSum((0 until dim).iterator.map(j => G(i)(j) * v(j))))
+      val norm = math.sqrt(decSum(w.iterator.map(wi => wi * wi)))
+      require(norm > 0, "pcaPower: matvec collapsed to zero")
+      v = w.map(wi => r6(wi / norm))
+      lam = r6(norm)
+    }
+    import spark.implicits._
+    v.toSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x, lam) }
+      .toDF("dim_idx", "loading", "eigenvalue")
+  }
+
   /** The documents-table training set both engines derive identically:
     * 6-dp quality features (length score, punctuation ratio, stopword
     * ratio — the E9 ingredients) and the is-English label; rows with no

@@ -68,6 +68,50 @@ object Ranking {
           .otherwise(lit(0.0d)).as("percentile"))
   }
 
+  /** CCNet-style per-language quality bucketing (E171) — the
+    * head/middle/tail split CCNet cuts each language's corpus into
+    * before sampling (Wenzek et al. bucket by LM perplexity tertiles;
+    * the score here is any engine-portable 6-dp quality, higher =
+    * better): per language, documents whose strictly-better mass is
+    * under 1/3 of the language are `head`, under 2/3 `middle`, else
+    * `tail`. Ties share a bucket by construction (the boundary is
+    * computed on the DISTINCT-score histogram), and the comparison is
+    * integer (`3·n_above < k·n_lang`) — no float at the cut.
+    *
+    * Scale shape (the E131 pattern): the only windows run over the
+    * per-language distinct-score histogram — ≤10⁶ cells under the 6-dp
+    * contract, WindowGuard-enforced — never over the corpus; documents
+    * join back by (lang, score). Null/NaN scores carry no signal and
+    * are excluded (the E46 convention). */
+  def ccnetBuckets(
+      df: DataFrame, idCol: String, langCol: String, scoreCol: String,
+      maxCells: Long = WindowGuard.MaxWindowCells): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = df
+      .select(col(idCol), col(langCol).as("lang"), col(scoreCol).as("score"))
+      .where(col("score").isNotNull && !isnan(col("score")))
+    val hist = scored.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+    val full = Window.partitionBy("lang").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAbove = Window.partitionBy("lang").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("n_above", coalesce(sum(col("c")).over(wAbove), lit(0L)))
+      .withColumn("n_lang", sum(col("c")).over(full))
+      .withColumn("n_cells", count(lit(1)).over(full))
+      .select(col("lang"), col("score"),
+        WindowGuard.guarded(col("n_above"), col("n_cells"), maxCells,
+          "Ranking.ccnetBuckets").as("n_above"),
+        col("n_lang"))
+    scored
+      .join(ranked, Seq("lang", "score"))
+      .select(
+        col(idCol), col("lang"), col("score"),
+        when(col("n_above") * 3 < col("n_lang"), lit("head"))
+          .when(col("n_above") * 3 < col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Score-decile corpus report (E139) — the curation decision table one
     * level above [[scorePercentile]]: per quality decile, document count,
     * token mass and the score range — "dropping the bottom 2 deciles

@@ -515,4 +515,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"raw text attribute reaches a shuffle stage:\n$shuffleLines")
     assert(p.contains("sha2"), s"expected sha2-keyed distinct:\n$p")
   }
+
+  test("ccnet buckets: windows run over the per-lang distinct-score histogram, docs join back by key") {
+    val df = SparkEntry.queries("ccnet_buckets")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("HashAggregate"), s"\n$p")
+    // the corpus-sized relation must never sort globally: the only Sort
+    // allowed under a Window is over the (lang, score) histogram
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
+  test("decontam executor: island cut-map broadcasts onto the corpus — document payloads never shuffle") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Dedup.decontamExecute(
+      d.where(col("doc_id") % 101 =!= 0),
+      d.where(col("doc_id") % 101 === 0), "doc_id", "text")
+    val p = plan(df)
+    // the final cut join must be broadcast (islands are metadata-sized),
+    // and no Exchange may carry the corpus text: the only text movement
+    // allowed is the detection side's capped candidate join inputs
+    assert(p.contains("BroadcastHashJoin"),
+      s"island map must broadcast:\n$p")
+    val cutJoinSide = p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!cutJoinSide.contains("[t#"),
+      s"cut-side text attribute reaches a shuffle:\n$cutJoinSide")
+  }
 }

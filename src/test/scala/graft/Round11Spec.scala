@@ -367,4 +367,112 @@ class Round11Spec extends AnyFunSuite {
     assert(out.forall(_.getAs[Int]("neighbor_label") == 2))
     assert(out.forall(_.getAs[Int]("query_label") == 1))
   }
+
+  test("decontamExecute: planted leak is cut from the corpus side only, untouched docs pass through") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val leak = "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN" // 50 chars
+    // maximal extension absorbs the flanking spaces shared by both sides
+    // (" $leak " appears verbatim in corpus AND eval), so the cut span is
+    // 52 chars, not the bare 50-char leak
+    val corpusText = s"corpus prefix text here. $leak and a corpus tail."
+    val cleanExpect = "corpus prefix text here." + "and a corpus tail."
+    val corpus = Seq(
+      (1L, corpusText),
+      (2L, "an entirely unrelated corpus document body with no leak"))
+      .toDF("doc_id", "text")
+    val eval = Seq((101L, s"eval question: $leak end of eval."))
+      .toDF("doc_id", "text")
+    val out = Dedup.decontamExecute(corpus, eval, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_cut_spans") == 1L)
+    assert(r1.getAs[Long]("orig_len") == corpusText.length.toLong)
+    assert(r1.getAs[Long]("clean_len") == cleanExpect.length.toLong)
+    val expSha = spark.sql(
+      s"SELECT substring(sha2('${cleanExpect}', 256), 1, 16) s")
+      .head().getString(0)
+    assert(r1.getAs[String]("clean_sha") == expSha)
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_cut_spans") == 0L)
+    assert(r2.getAs[Long]("clean_len") == r2.getAs[Long]("orig_len"))
+  }
+
+  test("substringDupExecute: keep-first — larger doc id loses the shared run; overlapping cuts merge") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val run = "A SHARED VERBATIM PASSAGE OF SUFFICIENT LENGTH HERE" // 52
+    val a = s"first doc keeps this: $run."
+    val b = s"second doc loses it: $run!"
+    val df = Seq((1L, a), (2L, b), (3L, "no duplicates at all in here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupExecute(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    // doc 1: the span carrier — untouched
+    assert(out(0).getAs[Long]("n_cut_spans") == 0L)
+    assert(out(0).getAs[Long]("clean_len") == a.length.toLong)
+    // doc 2: the shared run cut (maximal extension may absorb the
+    // surrounding equal chars; the remaining length is orig minus cut)
+    assert(out(1).getAs[Long]("n_cut_spans") == 1L)
+    assert(out(1).getAs[Long]("clean_len") < b.length.toLong - run.length + 8)
+    assert(out(2).getAs[Long]("n_cut_spans") == 0L)
+  }
+
+  test("ccnetBuckets: per-language tertiles — boundaries integer-exact, ties share a bucket") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // lang A: scores 1..9 (distinct) -> 9/3 per bucket exactly;
+    // lang B: 4 docs all score 0.5 -> one distinct score, n_above=0 -> all head
+    val rows =
+      (1 to 9).map(i => (i.toLong, "a", i.toDouble / 10)) ++
+        (10 to 13).map(i => (i.toLong, "b", 0.5))
+    val out = Ranking.ccnetBuckets(
+      rows.toDF("doc_id", "lang", "score"), "doc_id", "lang", "score")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    // lang a ordered DESC: .9,.8,.7 head; .6,.5,.4 middle; .3,.2,.1 tail
+    assert(Seq(9L, 8L, 7L).forall(byId(_) == "head"))
+    assert(Seq(6L, 5L, 4L).forall(byId(_) == "middle"))
+    assert(Seq(3L, 2L, 1L).forall(byId(_) == "tail"))
+    assert((10L to 13L).forall(byId(_) == "head"))
+  }
+
+  test("pcaPower: recovers the dominant axis of an anisotropic cloud; loadings unit-normalized") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // 40 vectors along dim 2 (+noise-free), 4 along dim 5: top PC = e2
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => if (d == 2) 10.0f else 0.0f))) ++
+      (40 until 44).map(i =>
+        (i.toLong, Seq.tabulate(8)(d => if (d == 5) 1.0f else 0.0f)))
+    val out = QualityModel.pcaPower(
+      vecs.toDF("vec_id", "embedding"), "embedding", iterations = 8)
+      .orderBy("dim_idx").collect()
+    assert(out.length == 8)
+    val loadings = out.map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(loadings(2)) - 1.0) < 1e-4,
+      s"dim2 loading ${loadings(2)}")
+    assert(loadings.zipWithIndex.filter(_._2 != 2)
+      .forall { case (l, _) => math.abs(l) < 1e-3 })
+    // eigenvalue ~ ||G v|| = 40 * 100 = 4000 on the dominant axis
+    val lam = out.head.getAs[Double]("eigenvalue")
+    assert(math.abs(lam - 4000.0) < 1.0, s"eigenvalue $lam")
+  }
+
+  test("cutIntervals semantics via decontamExecute: full-document leak yields clean_len 0 and sha of empty string") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val t = "ENTIRELY LEAKED DOCUMENT BODY WITH ENOUGH LENGTH TO QUALIFY"
+    val corpus = Seq((1L, t)).toDF("doc_id", "text")
+    val eval = Seq((101L, t)).toDF("doc_id", "text")
+    val r = Dedup.decontamExecute(corpus, eval, "doc_id", "text").head()
+    assert(r.getAs[Long]("clean_len") == 0L)
+    assert(r.getAs[Long]("n_cut_spans") == 1L)
+    val emptySha = spark.sql(
+      "SELECT substring(sha2('', 256), 1, 16) s").head().getString(0)
+    assert(r.getAs[String]("clean_sha") == emptySha)
+  }
 }
