@@ -2438,7 +2438,43 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     * evaluate identically; gradient/log-loss terms round to
     * DECIMAL(38,6) before summing (a last-ulp exp/ln disagreement is six
     * orders below the grain). */
-  lazy val qualityLogreg: String = {
+  lazy val qualityLogreg: String =
+    s"""WITH ${logregCtes()}
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+UNION ALL SELECT * FROM r6 ORDER BY iter"""
+
+  /** Calibration-table twin (E175): the textQuality score expression,
+    * the fixed logistic `σ(8·(q − 0.5))` rounded to 6 dp (the shared
+    * bucketing double), the ×10 floor buckets, DECIMAL(38,6) mean and
+    * exact positive fraction. */
+  lazy val calibrationTable: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+s AS (SELECT ROUND(1.0/(1.0+EXP(-(8.0 * (score - 0.5)))), 6) AS p,
+    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+  FROM (
+    SELECT lang,
+      ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+    FROM b) q
+  WHERE score IS NOT NULL)
+SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(CAST(p AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mean_p,
+  ROUND(CAST(COUNT(CASE WHEN y = 1.0 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+FROM s GROUP BY 1 ORDER BY bucket"""
+  }
+
+  /** The shared E164 training chain: quantized feature relation `f`,
+    * zero weights `w0`, and six chained (gradient, update, readout)
+    * CTE triples ending at `w6`/`r6` — interpolated verbatim by both
+    * [[qualityLogreg]] and [[logregCalibration]]. */
+  private def logregCtes(lr: String = "1.0"): String = {
     val en = stopList(graft.functions.TextFunctions.Stopwords
       .collectFirst { case ("en", w) => w }.get)
     def zed = "(w0 + w1*x1 + w2*x2 + w3*x3)"
@@ -2459,15 +2495,15 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     $llTerm AS ll, $accTerm AS acc
   FROM f, w${k - 1}),
 w$k AS (
-  SELECT ROUND(w0 - 1.0*g0, 6) AS w0, ROUND(w1 - 1.0*g1, 6) AS w1,
-    ROUND(w2 - 1.0*g2, 6) AS w2, ROUND(w3 - 1.0*g3, 6) AS w3
+  SELECT ROUND(w0 - $lr*g0, 6) AS w0, ROUND(w1 - $lr*g1, 6) AS w1,
+    ROUND(w2 - $lr*g2, 6) AS w2, ROUND(w3 - $lr*g3, 6) AS w3
   FROM w${k - 1}, g$k),
 r$k AS (
   SELECT CAST($k AS BIGINT) AS iter, w.w0, w.w1, w.w2, w.w3,
     g.ll AS mean_logloss, g.acc AS accuracy
   FROM w$k w, g$k g)"""
     }.mkString(",\n")
-    raw"""WITH f AS (
+    raw"""f AS (
   SELECT ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
     ROUND(CAST(punct AS DOUBLE)/n_chars, 6) AS x2,
     ROUND(CAST(stop_hits AS DOUBLE)/ws_tokens, 6) AS x3,
@@ -2481,10 +2517,7 @@ r$k AS (
   WHERE n_chars > 0 AND ws_tokens > 0),
 w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-$steps
-SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
-UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
-UNION ALL SELECT * FROM r6 ORDER BY iter"""
+$steps"""
   }
 
   /** E165 deterministic JL projection twin (r11): the identical sha256
@@ -3369,6 +3402,130 @@ SELECT s.doc_id, s.lang, s.score,
 FROM s JOIN r ON r.lang = s.lang AND r.score = s.score
 ORDER BY s.doc_id"""
   }
+
+  /** Dup-graph PageRank twin (E173): the jaccard pair CTEs verbatim,
+    * symmetric edges, eight chained damped iterations on the same
+    * decimal-term contract — contributions ROUND(r/deg, 12) summed as
+    * DECIMAL(38,12), updates ROUND((1−0.85)/N + 0.85·Σ, 12). */
+  lazy val dupPagerank: String = {
+    val iters = (1 to 8).map { k =>
+      s"""r$k AS (SELECT e.v AS id, ROUND((1 - 0.85) / (SELECT n FROM nn) + 0.85 * CAST(SUM(CAST(ROUND(r.rank / d.deg, 12) AS DECIMAL(38,12))) AS DOUBLE), 12) AS rank
+  FROM edges e JOIN r${k - 1} r ON r.id = e.u JOIN deg d ON d.u = e.u
+  GROUP BY e.v)"""
+    }.mkString(",\n")
+    s"""WITH $jaccardCtes,
+edges AS (SELECT id_a AS u, id_b AS v FROM jpairs UNION ALL SELECT id_b, id_a FROM jpairs),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT u AS id, ROUND(1.0 / (SELECT n FROM nn), 12) AS rank FROM deg),
+$iters
+SELECT d.u AS doc_id, r.rank, CAST(d.deg AS BIGINT) AS degree
+FROM r8 r JOIN deg d ON d.u = r.id ORDER BY doc_id"""
+  }
+
+  /** Interpolated-trigram twin (E174): tri/bi/unigram counts from the
+    * positional token relation, the identical fixed-order interpolation
+    * `0.6·p₃ + 0.3·p₂ + 0.1·p₁` over BIGINT counts, ROUND(LN·,12) →
+    * DECIMAL(38,12) per-doc sums (the bigramLm contract). */
+  val trigramLm: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM words),
+big AS (SELECT a.doc_id, a.t AS b1, b.t AS b2 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+tc AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tri GROUP BY 1, 2, 3),
+bc AS (SELECT b1, b2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+uc AS (SELECT t, COUNT(*) AS cu FROM tok GROUP BY 1),
+tot AS (SELECT COUNT(*) AS tt, COUNT(DISTINCT t) AS v FROM tok),
+lp AS (SELECT tri.doc_id, CAST(ROUND(LN(
+    0.6 * (CAST(tc.ct + 1 AS DOUBLE) / CAST(cb12.cb + v AS DOUBLE)) +
+    0.3 * (CAST(cb23.cb + 1 AS DOUBLE) / CAST(cu2.cu + v AS DOUBLE)) +
+    0.1 * (CAST(cu3.cu + 1 AS DOUBLE) / CAST(tt + v AS DOUBLE))), 12) AS DECIMAL(38,12)) AS lp
+  FROM tri JOIN tc USING (w1, w2, w3)
+    JOIN bc cb12 ON cb12.b1 = tri.w1 AND cb12.b2 = tri.w2
+    JOIN bc cb23 ON cb23.b1 = tri.w2 AND cb23.b2 = tri.w3
+    JOIN uc cu2 ON cu2.t = tri.w2
+    JOIN uc cu3 ON cu3.t = tri.w3, tot),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, SUM(lp) AS slp FROM lp GROUP BY 1)
+SELECT doc_id, n_trigrams,
+  ROUND(CAST(slp AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS avg_logprob,
+  ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_trigrams AS DOUBLE))), 6) AS perplexity
+FROM agg ORDER BY doc_id"""
+
+  /** Shard-manifest twin (E176): the deterministic sha256 bucket routing
+    * (the hashBucket contract) folded to `% 16`, exact counts, and the
+    * commutative BIGINT XOR of per-doc `sha256(id:text)[0,15]`
+    * fingerprints. */
+  val shardManifest: String =
+    """SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  bit_xor(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':' || text), 1, 15))::BIGINT) AS digest
+FROM (SELECT *, ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'shard'), 1, 8))::BIGINT % 10000 % 16 AS shard FROM documents) q
+GROUP BY shard ORDER BY shard"""
+
+  /** PQ-encode twin (E177): per-subspace list slices, the shared
+    * left-to-right zip fold for the squared distance (ROUND 6), QUALIFY
+    * argmin with centroid-id tie-break, ordered code join and the
+    * DECIMAL(38,6) distortion sum. */
+  val embeddingPq: String =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 83 = 0),
+vs AS (SELECT vec_id, s, embedding[s * (len(embedding) // 8) + 1 : (s + 1) * (len(embedding) // 8)] AS v
+  FROM embeddings, UNNEST(range(8)) t(s)),
+cs AS (SELECT cid, s, ce[s * (len(ce) // 8) + 1 : (s + 1) * (len(ce) // 8)] AS cv
+  FROM c, UNNEST(range(8)) t(s)),
+d AS (SELECT vec_id, s, cid,
+    ROUND(list_reduce(list_transform(list_zip(v, cv),
+      z -> (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE)) * (CAST(z[1] AS DOUBLE) - CAST(z[2] AS DOUBLE))),
+      (a, b) -> a + b), 6) AS d
+  FROM vs JOIN cs USING (s)),
+best AS (SELECT vec_id, s, cid, d FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1)
+SELECT vec_id, string_agg(CAST(cid AS VARCHAR), '-' ORDER BY s) AS code,
+  ROUND(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE), 6) AS distortion
+FROM best GROUP BY vec_id ORDER BY vec_id"""
+
+  /** Per-domain top-k twin (E178): the textQuality score, the DESC
+    * strictly-better window over the per-domain distinct-score
+    * histogram, kept rows where n_better < k (ties all kept). */
+  lazy val domainTopk: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH b AS (
+  SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+s AS (SELECT doc_id, domain, score FROM (
+  SELECT doc_id, source AS domain,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score
+  FROM b) q WHERE score IS NOT NULL),
+h AS (SELECT domain, score, COUNT(*) AS c FROM s GROUP BY 1, 2),
+r AS (SELECT domain, score,
+    COALESCE(SUM(c) OVER (PARTITION BY domain ORDER BY score DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_better
+  FROM h)
+SELECT s.doc_id, s.domain, s.score, CAST(r.n_better AS BIGINT) AS n_better
+FROM s JOIN r ON r.domain = s.domain AND r.score = s.score
+WHERE r.n_better < 20 ORDER BY s.doc_id"""
+  }
+
+  /** Char-entropy twin (E179): per-(doc, char) counts, the identical
+    * `(c/n)·ln(c/n)` double terms ROUND(·,12) → DECIMAL(38,12) sums,
+    * entropy = ROUND(−Σ, 6). */
+  val charEntropy: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE LENGTH(text) > 0),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+nn AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+t AS (SELECT cnt.doc_id, n,
+    CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12)) AS t
+  FROM cnt JOIN nn USING (doc_id))
+SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_chars,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+  ROUND(-CAST(SUM(t) AS DOUBLE), 6) AS entropy
+FROM t GROUP BY doc_id ORDER BY doc_id"""
 
   /** Power-iteration PCA twin (E172): the uncentered Gram matrix from
     * per-row upper-triangle products (6-dp terms, DECIMAL(38,6) sums —

@@ -1461,6 +1461,38 @@ object SparkEntry {
       graft.operators.LangModel.bigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // interpolated trigram perplexity (E174): Jelinek-Mercer fixed-lambda
+    // backoff over corpus-trained tri/bi/unigram counts - the next step
+    // toward the CCNet KenLM filter; full hash oracle
+    "trigram_lm" -> ((s, dir) =>
+      graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // PageRank over the near-dup graph (E173): 8 damped iterations,
+    // 12-dp decimal contribution sums - graph centrality as the
+    // template-center signal; full hash oracle (chained CTE replay)
+    "dup_pagerank" -> ((s, dir) =>
+      graft.operators.Clustering.dupPagerank(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // classifier calibration table (E175): reliability diagram for a
+    // 6-dp probability column vs the is-English label - here a fixed
+    // logistic over the quality score (in production: logregTrain's
+    // final-weight sigmoid); mean_p vs frac_pos per tenth-bucket
+    "calibration_table" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val q = round(TextFunctions.qualityScore(col("text")), 6)
+      val p = round(
+        lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * (q - lit(0.5))))), 6)
+      val scored = documents(s, dir).select(p.as("p"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+      graft.operators.QualityModel.calibrationTable(scored, "p", "y")
+        .orderBy("bucket")
+    }),
+    // reproducible-export shard manifest (E176): sha256-bucket routing,
+    // order-free XOR content digest - map-side-combined, no sort
+    "shard_manifest" -> ((s, dir) =>
+      graft.operators.Sampling.shardManifest(documents(s, dir), "doc_id", "text")
+        .orderBy("shard")),
     // Gopher-style repetition filters: duplicate-token fraction and
     // most-common-bigram share per document
     "repetition_metrics" -> ((s, dir) =>
@@ -1573,6 +1605,29 @@ object SparkEntry {
     "pca_power" -> ((s, dir) =>
       graft.operators.QualityModel.pcaPower(embeddings(s, dir), "embedding")
         .orderBy("dim_idx")),
+    // product quantization encode (E177): 8 subspaces, broadcast
+    // sub-codebooks, argmin struct-min - 64 floats -> 8 ids + distortion
+    "embedding_pq" -> ((s, dir) =>
+      graft.operators.Quantize.productQuantize(
+        embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 83 === 0)
+        .orderBy("vec_id")),
+    // per-domain top-k with ties (E178): strictly-better mass under k
+    // over the per-domain distinct-score histogram - no corpus sort
+    "domain_topk" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = documents(s, dir).select(col("doc_id"), col("source"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+      graft.operators.Ranking.domainTopk(
+        scored, "doc_id", "source", "score", 20L)
+        .orderBy("doc_id")
+    }),
+    // per-doc character entropy (E179): the repetitive-garbage gate;
+    // 12-dp decimal term sums, one (doc, char) keyed shuffle
+    "char_entropy" -> ((s, dir) =>
+      graft.operators.CorpusStats.charEntropy(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // deterministic JL random projection 64->16 (E165): sha256 sign
     // matrix, per-row codegen folds, no shuffle
     "embedding_project" -> ((s, dir) =>
@@ -2848,6 +2903,13 @@ FROM events GROUP BY 1 ORDER BY day""",
     "quality_logreg" -> OracleSql.qualityLogreg,
     "ccnet_buckets" -> OracleSql.ccnetBuckets,
     "pca_power" -> OracleSql.pcaPower(),
+    "dup_pagerank" -> OracleSql.dupPagerank,
+    "trigram_lm" -> OracleSql.trigramLm,
+    "calibration_table" -> OracleSql.calibrationTable,
+    "embedding_pq" -> OracleSql.embeddingPq,
+    "domain_topk" -> OracleSql.domainTopk,
+    "char_entropy" -> OracleSql.charEntropy,
+    "shard_manifest" -> OracleSql.shardManifest,
     "embedding_project" -> OracleSql.embeddingProject,
     "unimax_mix" -> OracleSql.unimaxMix,
     "path_templates" -> OracleSql.pathTemplates,

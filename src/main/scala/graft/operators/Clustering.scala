@@ -203,6 +203,73 @@ object Clustering {
     * relation (clusters → sizes → size histogram) plus one broadcast
     * scalar for the corpus total — the documents table is never touched
     * beyond the count. */
+  /** PageRank over the near-dup graph (E173) — graph centrality as a
+    * curation signal: in a duplicate graph, high-rank nodes are the
+    * template/boilerplate CENTERS (the page every near-copy points at),
+    * the documents to inspect first and the natural cluster
+    * representatives when "keep the most central" beats E54's
+    * keep-best-score policy.
+    *
+    * Classic damped PageRank over the SYMMETRIC pair graph, restricted
+    * to non-isolated nodes (an isolated doc's rank is the constant
+    * (1−d)/N — no information). Every node of the symmetric graph has
+    * out-degree ≥ 1, so there is no dangling mass and each iteration is
+    * one equi-join (ranks onto edges) + one map-side-combined aggregate
+    * — the natural distributed shape; `iterations` is fixed (default 8)
+    * so the plan is `iterations` small keyed shuffles over the EDGE
+    * relation, never the corpus.
+    *
+    * Determinism (the decSum contract): contribution terms
+    * `ROUND(r_u/deg_u, 12)` are DECIMAL(38,12)-summed (order-free);
+    * updates `ROUND((1−d)/N + d·Σ, 12)` — both engines evaluate the
+    * identical fixed-order double expression, so the final ranks carry
+    * a FULL hash oracle (chained CTE replay, the E159/E164/E172
+    * pattern).
+    *
+    * Returns `(doc_id, rank, degree)` for every non-isolated node. */
+  def dupPagerank(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      iterations: Int = 8,
+      damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1 && damping > 0 && damping < 1)
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val pairs = Dedup.ngramJaccard(df, idCol, textCol, n, threshold)
+      .select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count()
+    if (nNodes == 0L)
+      return deg.select(col("u").as("doc_id"), lit(0.0).as("rank"),
+        col("deg").as("degree")).where(lit(false))
+    def r12(v: Double): Double =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val edgesD = edges.join(deg, Seq("u")).localCheckpoint(true)
+    var r = deg.select(col("u").as("id"),
+      lit(r12(1.0 / nNodes.toDouble)).as("rank"))
+    for (_ <- 1 to iterations) {
+      r = edgesD
+        .join(r.select(col("id").as("u"), col("rank")), Seq("u"))
+        .select(col("v"),
+          round(col("rank") / col("deg"), 12).cast(dec12).as("t"))
+        .groupBy("v")
+        .agg(sum(col("t")).as("s"))
+        .select(col("v").as("id"),
+          round((lit(1.0) - lit(damping)) / lit(nNodes.toDouble) +
+            lit(damping) * col("s").cast("double"), 12).as("rank"))
+        .localCheckpoint(true)
+    }
+    r.join(deg.select(col("u").as("id"), col("deg")), Seq("id"))
+      .select(col("id").as("doc_id"), col("rank"),
+        col("deg").cast("long").as("degree"))
+  }
+
   def dedupYield(clusters: DataFrame, corpus: DataFrame): DataFrame = {
     val total = corpus.agg(count(lit(1)).as("n_docs_total"))
     clusters

@@ -438,6 +438,42 @@ object CorpusStats {
     * inside a Latin-script language IS the encoding-corruption alarm).
     * One map-side-combined groupBy(lang) scan of per-row `regexp_count`
     * expressions — exact integer sums, late double ratios. */
+  /** Per-document character entropy (E179) — the classic repetitive-
+    * garbage gate (encoding noise, keyboard mashing, `aaaa…` filler all
+    * sit at pathological char entropy; Gopher's repetition filters are
+    * the token-level cousin this sharpens to characters): Shannon
+    * entropy of each document's character distribution in nats,
+    * `H = −Σ (c/n)·ln(c/n)`, plus the raw counts a threshold rule
+    * needs. Empty documents are omitted (no distribution).
+    *
+    * Scale shape: one explode to `(doc, char)` — shuffle keyed on the
+    * (doc id, single char) pair with map-side combine, linear in corpus
+    * chars, no window, no payloads. Determinism: per-char terms
+    * `ROUND((c/n)·ln(c/n), 12)` are DECIMAL(38,12)-summed (order-free),
+    * entropy rounded to 6 dp. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val chars = df
+      .where(coalesce(length(col(textCol)), lit(0)) > 0)
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), "(?!$)")).as("ch"))
+    val counts = chars.groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val term = round(
+      (col("c").cast("double") / col("n").cast("double")) *
+        log(col("c").cast("double") / col("n").cast("double")), 12)
+      .cast(dec12)
+    counts
+      .join(counts.groupBy("id").agg(sum(col("c")).as("n")), Seq("id"))
+      .select(col("id"), col("n"), col("ch"), term.as("t"))
+      .groupBy("id")
+      .agg(
+        first(col("n")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(-sum(col("t")).cast("double"), 6).as("entropy"))
+      .select(col("id").as(idCol), col("n_chars"),
+        col("n_distinct_chars"), col("entropy"))
+  }
+
   def charClassStats(
       df: DataFrame, langCol: String, textCol: String): DataFrame = {
     import graft.functions.TextFunctions

@@ -104,4 +104,76 @@ object LangModel {
         round(exp(-(col("slp").cast("double") / col("n_bigrams").cast("double"))), 6)
           .as("perplexity"))
   }
+
+  /** Interpolated trigram perplexity (E174) — the sharpest in-engine
+    * step toward the KenLM filter CCNet actually runs: per trigram
+    * occurrence, `p = 0.6·p₃ + 0.3·p₂ + 0.1·p₁` with add-1-smoothed
+    * components `p₃ = (c(w₁w₂w₃)+1)/(c(w₁w₂)+V)`,
+    * `p₂ = (c(w₂w₃)+1)/(c(w₂)+V)`, `p₁ = (c(w₃)+1)/(T+V)` — linear
+    * interpolation (Jelinek-Mercer with fixed λ) so rare trigrams back
+    * off smoothly instead of hitting the uniform floor the bigram model
+    * gives them.
+    *
+    * Scale shape: three count relations (trigram / bigram / unigram),
+    * each one explode → map-side-combined hash agg; scoring joins the
+    * exploded trigram stream on compact token keys only; per-doc
+    * reduction is one keyed agg. Totals broadcast. Determinism: the
+    * interpolation is a fixed-order double expression over BIGINT
+    * counts; `ROUND(ln p, 12)` addends are DECIMAL(38,12)-summed (the
+    * [[bigramScore]] contract).
+    *
+    * Returns `(id, n_trigrams, avg_logprob, perplexity)`; documents
+    * with fewer than 3 tokens are omitted. */
+  def trigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = df.select(
+      col(idCol).as("id"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("w"))
+    val tris = words
+      .where(size(col("w")) >= 3)
+      .select(col("id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 2), " +
+          "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2, " +
+          "element_at(w, i + 3) AS w3))")).as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val bigs = words
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> struct(x AS b1, element_at(w, i + 2) AS b2))")).as("bg"))
+      .select(col("bg.b1").as("b1"), col("bg.b2").as("b2"))
+    val toks = words.select(explode(col("w")).as("t"))
+    val triCounts = tris.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val bigCounts = bigs.groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
+    val uniCounts = toks.groupBy("t").agg(count(lit(1)).as("cu"))
+    val totals = toks.agg(
+      count(lit(1)).as("tt"), countDistinct("t").as("v"))
+    def sm(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      (num + lit(1)).cast("double") / (den + col("v")).cast("double")
+    val logp = round(log(
+      lit(0.6) * sm(col("ct"), col("c12")) +
+        lit(0.3) * sm(col("c23"), col("c2")) +
+        lit(0.1) * ((col("c3u") + lit(1)).cast("double") /
+          (col("tt") + col("v")).cast("double"))), 12)
+      .cast(DecimalType(38, 12))
+    tris
+      .join(triCounts, Seq("w1", "w2", "w3"))
+      .join(bigCounts.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb").as("c12")), Seq("w1", "w2"))
+      .join(bigCounts.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("cb").as("c23")), Seq("w2", "w3"))
+      .join(uniCounts.select(col("t").as("w2"), col("cu").as("c2")), Seq("w2"))
+      .join(uniCounts.select(col("t").as("w3"), col("cu").as("c3u")), Seq("w3"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), logp.as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("lp").as("slp"))
+      .select(
+        col("id"),
+        col("n_trigrams"),
+        round(col("slp").cast("double") / col("n_trigrams").cast("double"), 6)
+          .as("avg_logprob"),
+        round(exp(-(col("slp").cast("double") / col("n_trigrams").cast("double"))), 6)
+          .as("perplexity"))
+  }
 }

@@ -93,6 +93,37 @@ object QualityModel {
       java.util.Arrays.asList(out.result(): _*), schema)
   }
 
+  /** Classifier calibration table (E175) — the reliability diagram
+    * behind every "keep docs with p ≥ τ" curation threshold: bucket a
+    * 6-dp predicted probability column into tenths and report, per
+    * bucket, the count, the mean predicted probability (decimal-summed)
+    * and the observed positive fraction — a well-calibrated filter has
+    * mean_p ≈ frac_pos per bucket, and the deviation IS the threshold
+    * correction to apply (the Platt-scaling input). In production the
+    * score column is [[logregTrain]]'s final-weight sigmoid; the
+    * operator takes ANY 6-dp p so cheap heuristic scores calibrate the
+    * same way.
+    *
+    * Determinism: p must arrive rounded to 6 dp, so both engines bucket
+    * the identical double via the shared ×10 floor. Scale: map-only
+    * scoring, ≤10-group map-side-combined hash agg — nothing else. */
+  def calibrationTable(
+      scored: DataFrame,
+      probCol: String,
+      labelCol: String): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    scored
+      .select(col(probCol).as("p"), col(labelCol).as("y"))
+      .where(col("p").isNotNull)
+      .groupBy(least(floor(col("p") * 10).cast("long"), lit(9L)).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("p").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("mean_p"),
+        round(count(when(col("y") === 1.0, 1)).cast("double") /
+          count(lit(1)), 6).as("frac_pos"))
+  }
+
   /** Top principal component by deterministic power iteration (E172) —
     * the second in-engine TRAINING operator (after [[logregTrain]]):
     * the direction of maximum variance of the embedding cloud, the

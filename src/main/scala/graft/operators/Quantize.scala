@@ -67,6 +67,60 @@ object Quantize {
     * cross-engine determinism contract (the dsir precedent): DuckDB's
     * `sha256()` produces the identical lowercase hex, so both engines
     * materialize the SAME matrix without shipping it. */
+  /** Product quantization encode (E177) — the Jégou et al. PQ step every
+    * billion-vector ANN index (IVF-PQ/FAISS) runs after coarse
+    * quantization: split each `dim`-dim vector into `m` contiguous
+    * subspaces, encode each sub-vector as the id of its nearest
+    * sub-codebook entry, and report the code word plus the total squared
+    * reconstruction distortion — 64 floats become `m` small ids, the
+    * 100 TB→memory compression that makes vector search tractable.
+    *
+    * Codebook = the deterministic centroid convention (rows matching
+    * `centroidPred`, the E50/E158 seed rule) sliced per subspace — it is
+    * metadata-sized and BROADCAST onto the per-subspace vector stream,
+    * so encode is one broadcast join + one argmin agg, never a shuffle
+    * of the embedding corpus. Determinism: sub-distances are
+    * `ROUND(Σ(aᵢ−bᵢ)², 6)` with the left-to-right zip fold both engines
+    * share; argmin ties break to the smaller centroid id via the
+    * lexicographic struct min; distortion is the DECIMAL(38,6) sum of
+    * the m chosen sub-distances.
+    *
+    * Returns `(id, code, distortion)` — `code` the '-'-joined m
+    * sub-codes in subspace order. */
+  def productQuantize(
+      emb: DataFrame, idCol: String, vecCol: String,
+      centroidPred: Column, m: Int = 8): DataFrame = {
+    require(m >= 1)
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    def subs(df: DataFrame, outId: String) = df
+      .select(col(idCol).as(outId), col(vecCol).as("_v"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col(outId), col("s"),
+        expr(s"slice(_v, s * (size(_v) div $m) + 1, size(_v) div $m)")
+          .as(s"_sub_$outId"))
+    val vecSub = subs(emb, "vid")
+    val cenSub = subs(emb.where(centroidPred), "cid")
+    val d = round(
+      aggregate(
+        zip_with(col("_sub_vid"), col("_sub_cid"),
+          (a, b) => (a.cast("double") - b.cast("double")) *
+            (a.cast("double") - b.cast("double"))),
+        lit(0.0), (acc, x) => acc + x), 6)
+    vecSub
+      .join(broadcast(cenSub), Seq("s"))
+      .select(col("vid"), col("s"), col("cid"), d.as("d"))
+      .groupBy("vid", "s")
+      .agg(min(struct(col("d"), col("cid"))).as("best"))
+      .groupBy("vid")
+      .agg(
+        concat_ws("-", transform(
+          array_sort(collect_list(struct(col("s"), col("best.cid").as("c")))),
+          x => x.getField("c").cast("string"))).as("code"),
+        round(sum(col("best.d").cast(dec6)).cast("double"), 6)
+          .as("distortion"))
+      .withColumnRenamed("vid", idCol)
+  }
+
   private[operators] def jlSign(i: Int, j: Int): Double = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     val d = md.digest(s"jl:$i:$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -68,6 +68,45 @@ object Ranking {
           .otherwise(lit(0.0d)).as("percentile"))
   }
 
+  /** Per-domain top-k selection (E178) — "the best k documents from
+    * every source" without a per-domain sort of the corpus: a curation
+    * budget spread across domains keeps diversity while a global top-k
+    * would let one high-scoring domain crowd out the rest. Keeps every
+    * row whose strictly-better count within its domain is under `k`, so
+    * boundary TIES are all kept (deterministic, engine-portable — no
+    * arbitrary tie-break row_number would need).
+    *
+    * The E131/E171 scale shape: the only window runs over the
+    * per-domain DISTINCT-score histogram (6-dp contract,
+    * WindowGuard-enforced), never the corpus; rows join back by
+    * (domain, score). Null/NaN scores are excluded. Returns
+    * `(idCol, domain, score, n_better)` for kept rows. */
+  def domainTopk(
+      df: DataFrame, idCol: String, domainCol: String, scoreCol: String,
+      k: Long,
+      maxCells: Long = WindowGuard.MaxWindowCells): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val scored = df
+      .select(col(idCol), col(domainCol).as("domain"),
+        col(scoreCol).as("score"))
+      .where(col("score").isNotNull && !isnan(col("score")))
+    val hist = scored.groupBy("domain", "score").agg(count(lit(1)).as("c"))
+    val full = Window.partitionBy("domain").rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAbove = Window.partitionBy("domain").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("n_better", coalesce(sum(col("c")).over(wAbove), lit(0L)))
+      .withColumn("n_cells", count(lit(1)).over(full))
+      .select(col("domain"), col("score"),
+        WindowGuard.guarded(col("n_better"), col("n_cells"), maxCells,
+          "Ranking.domainTopk").as("n_better"))
+      .where(col("n_better") < k)
+    scored.join(ranked, Seq("domain", "score"))
+      .select(col(idCol), col("domain"), col("score"), col("n_better"))
+  }
+
   /** CCNet-style per-language quality bucketing (E171) — the
     * head/middle/tail split CCNet cuts each language's corpus into
     * before sampling (Wenzek et al. bucket by LM perplexity tertiles;

@@ -34,6 +34,39 @@ object Sampling {
     conv(substring(sha2(concat(key.cast("string"), lit(salt)), 256), 1, 8), 16, 10)
       .cast("long") % Buckets
 
+  /** Reproducible-export shard manifest (E176) — the content-addressed
+    * plan a training-data EXPORT ships with: documents route to
+    * `nShards` shards by the deterministic sha256 bucket (so any engine
+    * reproduces the routing), and each shard row carries the counts a
+    * reader validates against plus a commutative 60-bit content digest
+    * — XOR of per-document fingerprints `sha256(id:text)[0,15]` — that
+    * changes if ANY document's id or body changes, yet needs no sort
+    * and no ordered concatenation (order-free, so the shard never
+    * materializes in one place; the bit_xor combine is map-side
+    * partial). Returns `(shard, n_docs, total_chars, min_id, max_id,
+    * digest)`. */
+  def shardManifest(
+      df: DataFrame, idCol: String, textCol: String,
+      nShards: Int = 16): DataFrame = {
+    require(nShards >= 1)
+    val fp = conv(substring(sha2(concat(
+      col(idCol).cast("string"), lit(":"), col(textCol)), 256), 1, 15), 16, 10)
+      .cast("long")
+    df
+      .select(
+        (hashBucket(col(idCol), "shard") % nShards).as("shard"),
+        col(idCol).as("_id"),
+        length(col(textCol)).cast("long").as("_len"),
+        fp.as("_fp"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_len")).as("total_chars"),
+        min(col("_id")).as("min_id"),
+        max(col("_id")).as("max_id"),
+        expr("bit_xor(_fp)").as("digest"))
+  }
+
   /** Keep rows whose bucket falls below `rate` — a deterministic,
     * reproducible `rate`-fraction sample keyed on `keyCol`. */
   def deterministicSample(

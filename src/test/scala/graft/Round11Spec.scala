@@ -462,6 +462,151 @@ class Round11Spec extends AnyFunSuite {
     assert(math.abs(lam - 4000.0) < 1.0, s"eigenvalue $lam")
   }
 
+  test("dupPagerank: star center outranks leaves; ranks sum to ~1; isolated docs excluded") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    // three docs sharing 3-gram sets pairwise with the center built by
+    // near-identical texts; doc 99 unrelated (isolated -> excluded)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base), (2L, base + " iota"), (3L, base + " kappa"),
+      (99L, "completely different words nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val out = Clustering.dupPagerank(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L))
+    val ranks = out.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    // 1-2, 1-3, 2-3 all pass Jaccard 0.5 here: complete graph -> equal
+    // ranks; total mass preserved
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6)
+    assert(out.forall(_.getAs[Long]("degree") == 2L))
+  }
+
+  test("dupPagerank: center of a path graph accumulates rank") {
+    import spark.implicits._
+    import graft.operators.Clustering
+    // b overlaps a AND c; a and c do not overlap each other (path a-b-c)
+    val a = "one two three four five six seven eight"
+    val b = "three four five six seven eight nine ten"
+    val c = "six seven eight nine ten eleven twelve thirteen"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val out = Clustering.dupPagerank(df, "doc_id", "text", threshold = 0.3)
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[Double]("rank")).toMap
+    assert(out.size == 3)
+    assert(out(2L) > out(1L) && out(2L) > out(3L),
+      s"center should outrank leaves: $out")
+  }
+
+  test("trigramScore: repeated text scores far more probable than unique text; n_trigrams = tokens - 2") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = (1L to 10L).map(i => (i, common)) :+
+      (11L, "zyx wvu tsr qpo nml kji hgf edc bca")
+    val out = LangModel.trigramScore(docs.toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("id").collect()
+    assert(out.forall(_.getAs[Long]("n_trigrams") == 7L))
+    val ppl = out.map(r =>
+      r.getAs[Long]("id") -> r.getAs[Double]("perplexity")).toMap
+    assert(ppl(1L) < ppl(11L) / 3,
+      s"repeated text should have much lower perplexity: $ppl")
+  }
+
+  test("calibrationTable: exact per-bucket counts, means and positive fractions") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val rows = Seq(
+      (0.15, 1.0), (0.18, 0.0),       // bucket 1: mean .165, frac .5
+      (0.95, 1.0), (0.99, 1.0),       // bucket 9
+      (1.0, 1.0))                      // p = 1.0 folds into bucket 9
+    val out = QualityModel.calibrationTable(
+      rows.toDF("p", "y"), "p", "y").orderBy("bucket").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("bucket") == 1L)
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(0).getAs[Double]("mean_p") == 0.165)
+    assert(out(0).getAs[Double]("frac_pos") == 0.5)
+    assert(out(1).getAs[Long]("bucket") == 9L)
+    assert(out(1).getAs[Long]("n") == 3L)
+    assert(out(1).getAs[Double]("frac_pos") == 1.0)
+  }
+
+  test("shardManifest: routing is deterministic, digest is order-free and content-sensitive") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = (1L to 50L).map(i => (i, s"document body number $i"))
+    val m1 = Sampling.shardManifest(docs.toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 4).orderBy("shard").collect()
+    // permuted input -> identical manifest (XOR digest is commutative)
+    val m2 = Sampling.shardManifest(
+      scala.util.Random.shuffle(docs).toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 4).orderBy("shard").collect()
+    assert(m1.map(_.toSeq).toSeq == m2.map(_.toSeq).toSeq)
+    assert(m1.map(_.getAs[Long]("n_docs")).sum == 50L)
+    // one changed byte in one doc flips exactly that shard's digest
+    val mutated = docs.map { case (i, t) =>
+      (i, if (i == 7L) t + "!" else t) }
+    val m3 = Sampling.shardManifest(mutated.toDF("doc_id", "text"),
+      "doc_id", "text", nShards = 4).orderBy("shard").collect()
+    val changed = m1.zip(m3).count { case (a, b) =>
+      a.getAs[Long]("digest") != b.getAs[Long]("digest") }
+    assert(changed == 1, s"exactly one shard digest should change: $changed")
+  }
+
+  test("productQuantize: centroid rows encode to themselves with zero distortion; others pick the nearest sub-codebook entry") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    // two centroids (ids 0, 83): e0 = all 1.0, e83 = all -1.0; a probe
+    // at +0.9 must take centroid 0 in every subspace
+    val vecs = Seq(
+      (0L, Seq.fill(64)(1.0f)), (83L, Seq.fill(64)(-1.0f)),
+      (5L, Seq.fill(64)(0.9f)), (7L, Seq.fill(64)(-0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Quantize.productQuantize(
+      vecs, "vec_id", "embedding", col("vec_id") % 83 === 0)
+      .orderBy("vec_id").collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[String]("code"), r.getAs[Double]("distortion"))).toMap
+    assert(byId(0L) == (Seq.fill(8)("0").mkString("-"), 0.0))
+    assert(byId(83L) == (Seq.fill(8)("83").mkString("-"), 0.0))
+    assert(byId(5L)._1 == Seq.fill(8)("0").mkString("-"))
+    // 8 dims/subspace * 0.1^2 = 0.08 per subspace, 0.64 total
+    assert(math.abs(byId(5L)._2 - 0.64) < 1e-6)
+    assert(byId(7L)._1 == Seq.fill(8)("83").mkString("-"))
+  }
+
+  test("domainTopk: per-domain budget, boundary ties all kept") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // domain a: scores 9,8,7,7,1 with k=3 -> keep 9,8,7,7 (tie at the
+    // boundary); domain b: 2 docs, both kept
+    val rows = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.8), (3L, "a", 0.7), (4L, "a", 0.7),
+      (5L, "a", 0.1), (6L, "b", 0.2), (7L, "b", 0.3))
+    val out = Ranking.domainTopk(
+      rows.toDF("doc_id", "domain", "score"), "doc_id", "domain", "score", 3L)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(1L, 2L, 3L, 4L, 6L, 7L))
+    val n3 = out.find(_.getAs[Long]("doc_id") == 3L).get
+    assert(n3.getAs[Long]("n_better") == 2L)
+  }
+
+  test("charEntropy: uniform alphabet hits ln(k); single-char doc is zero; empty docs omitted") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val out = CorpusStats.charEntropy(
+      Seq((1L, "abcd"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("entropy") - math.log(4.0)) < 1e-6)
+    assert(out(0).getAs[Long]("n_distinct_chars") == 4L)
+    assert(out(1).getAs[Double]("entropy") == 0.0)
+    assert(out(1).getAs[Long]("n_chars") == 4L)
+  }
+
   test("cutIntervals semantics via decontamExecute: full-document leak yields clean_len 0 and sha of empty string") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -18,7 +18,10 @@ approx_overlap bpe_encode bpe_merges dsir_weights semdedup \
 substring_contamination substring_dup substring_dup_coverage self_repeat \
 substring_dup_chunked self_repeat_chunked approx_overlap_states \
 interarrival_stats_approx session_stats_approx time_to_convert_approx \
-quality_logreg embedding_project unimax_mix path_templates corpus_card"
+quality_logreg embedding_project unimax_mix path_templates corpus_card \
+decontam_execute substring_dup_execute ccnet_buckets pca_power \
+dup_pagerank trigram_lm calibration_table shard_manifest domain_topk \
+char_entropy"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
@@ -46,7 +49,7 @@ done
 
 # special rows: content-varying (char-salt) substring/winnow family +
 # batch-geometry probe
-for q in substring_dup substring_dup_chunked self_repeat_chunked; do
+for q in substring_dup substring_dup_chunked self_repeat_chunked decontam_execute substring_dup_execute; do
   v=$(run_one target/sf1cs "$q")
   echo "lane charsalt $q=$v" >&2
   python3 - "$TMP" "$q" "$v" <<'EOF2'
@@ -78,6 +81,7 @@ doc = {
   "streaming_note": "b40 = 40 micro-batches (constant rows per batch at 10x data) vs the default 4 (constant batch count): slower, pinning the growth to per-micro-batch fixed overhead, not the profile computation",
   "queries_sf1_charsalt": d.get("q1cs", {}),
   "excluded": {"spearman_corr": "exact mode is WindowGuard-enforced at 2M rows (r10) and refuses sf1 by design; spearman_approx is the scale row",
+    "embedding_pq": "the codebook is the vec_id % 83 centroid convention, so it grows WITH the corpus - 10x data means 10x codebook x 10x vectors = ~100x encode work by definition; at fixed codebook size the encode is one broadcast join, linear in N",
     "hard_negatives": "|Q| x N brute force with |Q| proportional to the corpus (vec_id % 97) - 10x data means ~100x work by definition, like ann_cosine_topk; the LSH/IVF rows are that family's scale path"},
 }
 json.dump(doc, open(out, "w"), indent=0)
