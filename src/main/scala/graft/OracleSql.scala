@@ -2470,10 +2470,13 @@ SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bucket,
 FROM s GROUP BY 1 ORDER BY bucket"""
   }
 
-  /** The shared E164 training chain: quantized feature relation `f`,
-    * zero weights `w0`, and six chained (gradient, update, readout)
-    * CTE triples ending at `w6`/`r6` — interpolated verbatim by both
-    * [[qualityLogreg]] and [[logregCalibration]]. */
+  /** The E164 training chain: quantized feature relation `f`, zero
+    * weights `w0`, and six chained (gradient, update, readout) CTE
+    * triples ending at `w6`/`r6`. `lr` is the interpolated learning
+    * rate (both engines update `w ← ROUND(w − lr·g, 6)`). Kept to six
+    * steps: DuckDB inlines single-referenced CTEs, so a much deeper
+    * chain (each step referencing the prior several times) explodes the
+    * expression tree exponentially — measured unusable at 30 steps. */
   private def logregCtes(lr: String = "1.0"): String = {
     val en = stopList(graft.functions.TextFunctions.Stopwords
       .collectFirst { case ("en", w) => w }.get)

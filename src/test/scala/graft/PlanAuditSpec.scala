@@ -525,6 +525,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("PQ encode: sub-codebooks broadcast; the embedding corpus never sort-merge joins") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.Quantize.productQuantize(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0))
+    assert(p.contains("BroadcastHashJoin"), s"codebook must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus-side shuffle join crept in:\n$p")
+  }
+
+  test("shard manifest: one map-side-combined hash agg, no sort, no join") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.shardManifest(
+      d, "doc_id", "text", nShards = 16))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"\n$p")
+    assert(!p.contains("SortAggregate") && !p.contains("Join"), s"\n$p")
+  }
+
   test("decontam executor: island cut-map broadcasts onto the corpus — document payloads never shuffle") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.operators.Dedup.decontamExecute(
