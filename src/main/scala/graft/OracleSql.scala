@@ -2470,14 +2470,28 @@ SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bucket,
 FROM s GROUP BY 1 ORDER BY bucket"""
   }
 
+  /** The quality-score label (E180): the proven E9 score twin at 6 dp,
+    * thresholded at 0.5 — "reference-like" membership. */
+  private val qualityLabelYSql: String =
+    "CASE WHEN ROUND(0.4 * LEAST(ws_tokens / 100.0, 1.0) + " +
+      "0.3 * (1.0 - punct * 1.0 / n_chars) + " +
+      "0.3 * (stop_hits * 1.0 / ws_tokens), 6) >= 0.5 " +
+      "THEN 1.0 ELSE 0.0 END"
+
   /** The E164 training chain: quantized feature relation `f`, zero
     * weights `w0`, and six chained (gradient, update, readout) CTE
     * triples ending at `w6`/`r6`. `lr` is the interpolated learning
-    * rate (both engines update `w ← ROUND(w − lr·g, 6)`). Kept to six
-    * steps: DuckDB inlines single-referenced CTEs, so a much deeper
+    * rate (both engines update `w ← ROUND(w − lr·g, 6)`); `ySql` the
+    * 0.0/1.0 label expression over the pre-feature relation (default:
+    * is-English — E180 swaps in the reference-quality label); `fromSql`
+    * the source relation (E183 trains over the deduped CTE). Kept to
+    * six steps: DuckDB inlines single-referenced CTEs, so a much deeper
     * chain (each step referencing the prior several times) explodes the
     * expression tree exponentially — measured unusable at 30 steps. */
-  private def logregCtes(lr: String = "1.0"): String = {
+  private def logregCtes(
+      lr: String = "1.0",
+      ySql: String = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
+      fromSql: String = "documents"): String = {
     val en = stopList(graft.functions.TextFunctions.Stopwords
       .collectFirst { case ("en", w) => w }.get)
     def zed = "(w0 + w1*x1 + w2*x2 + w3*x3)"
@@ -2507,20 +2521,155 @@ r$k AS (
   FROM w$k w, g$k g)"""
     }.mkString(",\n")
     raw"""f AS (
-  SELECT ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
+  SELECT doc_id,
+    ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
+    ROUND(CAST(punct AS DOUBLE)/n_chars, 6) AS x2,
+    ROUND(CAST(stop_hits AS DOUBLE)/ws_tokens, 6) AS x3,
+    $ySql AS y
+  FROM (
+    SELECT doc_id, lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.PunctPattern}')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM $fromSql) i
+  WHERE n_chars > 0 AND ws_tokens > 0),
+w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+  CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
+$steps"""
+  }
+
+  /** E183 end-to-end curation twin — the whole pipeline replayed in one
+    * statement: E2's jaccard pair CTEs → NOT EXISTS anti join (the E181
+    * larger-id rule) → the FULL training chain over the deduped
+    * relation (reference-quality label, lr 8) → logit-threshold keep →
+    * the E21 split bounds and E176 shard/fingerprint algebra rolled up
+    * per (split, shard) with the commutative bit_xor digest. */
+  lazy val corpusCurate: String =
+    s"""WITH $jaccardCtes,
+corpus2 AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM jpairs p WHERE p.id_b = d.doc_id)),
+${logregCtes(lr = "8.0", ySql = qualityLabelYSql, fromSql = "corpus2")},
+scored AS (SELECT doc_id, (w0 + w1*x1 + w2*x2 + w3*x3) AS z FROM f, w6),
+kept AS (
+  SELECT c.doc_id, c.text,
+    ('0x' || substr(sha256(CAST(c.doc_id AS VARCHAR) || 'graft'), 1, 8))::BIGINT % 10000 AS b,
+    ('0x' || substr(sha256(CAST(c.doc_id AS VARCHAR) || 'shard'), 1, 8))::BIGINT % 10000 % 8 AS shard,
+    ('0x' || substr(sha256(CAST(c.doc_id AS VARCHAR) || ':' || c.text), 1, 15))::BIGINT AS fp
+  FROM corpus2 c JOIN scored s ON c.doc_id = s.doc_id WHERE s.z >= 0)
+SELECT CASE WHEN b < 9000 THEN 'train' WHEN b < 9500 THEN 'valid' ELSE 'test' END AS split,
+  shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  bit_xor(fp) AS digest
+FROM kept GROUP BY 1, 2 ORDER BY split, shard"""
+
+  /** E180 quality-filter executor twin: replay the full training chain
+    * under the reference-quality label at lr 8 (the executor's training
+    * configuration), score every feature-valid document with the FINAL
+    * weights (the identical fixed-order logit), keep z ≥ 0 (the
+    * logit-threshold convention — no transcendental at the boundary)
+    * and pin the kept text by sha256. */
+  lazy val qualityFilterExecute: String =
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql)},
+scored AS (
+  SELECT doc_id, (w0 + w1*x1 + w2*x2 + w3*x3) AS z FROM f, w6)
+SELECT s.doc_id, ROUND(s.z, 6) AS score, sha256(d.text) AS text_sha
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.z >= 0 ORDER BY s.doc_id"""
+
+  /** E181 Jaccard-dedup executor twin: the E2 pair relation's larger ids
+    * are the removal set (`id_a < id_b` by construction, so a doc is
+    * removed iff it appears as some pair's id_b); the kept corpus
+    * returns sha256-pinned with its char length. */
+  lazy val jaccardDedupExecute: String =
+    s"""WITH $jaccardCtes
+SELECT d.doc_id, sha256(d.text) AS text_sha,
+  CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM jpairs p WHERE p.id_b = d.doc_id)
+ORDER BY d.doc_id"""
+
+  /** E182 Group-DRO training twin — the E164 replay pattern with a
+    * per-domain axis: each of six steps is (a$k) the per-domain decimal
+    * gradient/loss/accuracy sums under the previous weights, (m$k) 6-dp
+    * per-domain means, (qr$k/qd$k/q$k) the multiplicative mixture-weight
+    * update `ROUND(q·e^{η·ℓ}, 6)` normalized by the EXACT decimal sum of
+    * the 6-dp raw weights, (g$k) the q-weighted gradient as
+    * DECIMAL(38,12) sums of `ROUND(q·gm, 12)` terms, and (w$k) the 6-dp
+    * weight step. The heavy per-domain aggregates are AS MATERIALIZED:
+    * DuckDB inlines single-reference CTEs, and the multi-reference
+    * chain otherwise re-expands exponentially with depth. */
+  lazy val groupDroTrain: String = {
+    val en = stopList(graft.functions.TextFunctions.Stopwords
+      .collectFirst { case ("en", w) => w }.get)
+    def zed = "(w0 + w1*x1 + w2*x2 + w3*x3)"
+    def p = s"(1.0/(1.0+EXP(-$zed)))"
+    def sTerm(x: String) =
+      s"SUM(CAST(ROUND(($p - y) * $x, 6) AS DECIMAL(38,6)))"
+    val sllTerm =
+      s"SUM(CAST(ROUND(LN(1.0 + EXP(-(2.0*y - 1.0) * $zed)), 6) " +
+        "AS DECIMAL(38,6)))"
+    val hitsTerm =
+      s"COUNT(CASE WHEN ($zed >= 0) = (y = 1.0) THEN 1 END)"
+    val steps = (1 to 6).map { k =>
+      s"""a$k AS MATERIALIZED (
+  SELECT grp, COUNT(*) AS n, ${sTerm("1.0")} AS s0, ${sTerm("x1")} AS s1,
+    ${sTerm("x2")} AS s2, ${sTerm("x3")} AS s3,
+    $sllTerm AS sll, $hitsTerm AS hits
+  FROM fg, w${k - 1} GROUP BY grp),
+m$k AS (
+  SELECT grp, n,
+    ROUND(CAST(s0 AS DOUBLE)/n, 6) AS gm0, ROUND(CAST(s1 AS DOUBLE)/n, 6) AS gm1,
+    ROUND(CAST(s2 AS DOUBLE)/n, 6) AS gm2, ROUND(CAST(s3 AS DOUBLE)/n, 6) AS gm3,
+    ROUND(CAST(sll AS DOUBLE)/n, 6) AS ml,
+    ROUND(CAST(hits AS DOUBLE)/n, 6) AS acc
+  FROM a$k),
+qr$k AS MATERIALIZED (
+  SELECT m.grp, m.n, m.ml, m.acc, m.gm0, m.gm1, m.gm2, m.gm3,
+    ROUND(q.q * EXP(0.5 * m.ml), 6) AS qraw
+  FROM m$k m JOIN q${k - 1} q ON m.grp = q.grp),
+q$k AS MATERIALIZED (
+  SELECT grp, n, ml, acc, gm0, gm1, gm2, gm3,
+    ROUND(qraw / (SELECT CAST(SUM(CAST(qraw AS DECIMAL(38,6))) AS DOUBLE)
+                  FROM qr$k), 6) AS q
+  FROM qr$k),
+w$k AS MATERIALIZED (
+  SELECT ROUND(w.w0 - 1.0*g.g0, 6) AS w0, ROUND(w.w1 - 1.0*g.g1, 6) AS w1,
+    ROUND(w.w2 - 1.0*g.g2, 6) AS w2, ROUND(w.w3 - 1.0*g.g3, 6) AS w3
+  FROM w${k - 1} w, (
+    SELECT CAST(SUM(CAST(ROUND(q*gm0, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+      CAST(SUM(CAST(ROUND(q*gm1, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+      CAST(SUM(CAST(ROUND(q*gm2, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g2,
+      CAST(SUM(CAST(ROUND(q*gm3, 12) AS DECIMAL(38,12))) AS DOUBLE) AS g3
+    FROM q$k) g),
+r$k AS (
+  SELECT CAST($k AS BIGINT) AS iter, q.grp AS domain, q.n, q.ml AS mean_loss,
+    q.acc AS accuracy, q.q, w.w0, w.w1, w.w2, w.w3
+  FROM q$k q, w$k w)"""
+    }.mkString(",\n")
+    raw"""WITH fg AS MATERIALIZED (
+  SELECT grp,
+    ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
     ROUND(CAST(punct AS DOUBLE)/n_chars, 6) AS x2,
     ROUND(CAST(stop_hits AS DOUBLE)/ws_tokens, 6) AS x3,
     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM (
-    SELECT lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    SELECT source AS grp, lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
       CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
       CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.PunctPattern}')) AS BIGINT) AS punct,
       CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
     FROM documents) i
   WHERE n_chars > 0 AND ws_tokens > 0),
+q0 AS (
+  SELECT grp, ROUND(1.0 / (SELECT COUNT(DISTINCT grp) FROM fg), 6) AS q
+  FROM (SELECT DISTINCT grp FROM fg)),
 w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-$steps"""
+$steps
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+UNION ALL SELECT * FROM r6 ORDER BY iter, domain"""
   }
 
   /** E165 deterministic JL projection twin (r11): the identical sha256

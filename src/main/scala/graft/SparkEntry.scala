@@ -1588,6 +1588,38 @@ object SparkEntry {
         f, Seq("x1", "x2", "x3"), "y", iterations = 6)
         .orderBy("iter")
     }),
+    // quality-filter EXECUTOR (E180): the E164 action — train the linear
+    // filter in-engine against the reference-quality label (fastText
+    // recipe), keep every doc the model accepts (z >= 0, the logit
+    // threshold), sha256-pin the kept corpus; map-only scoring, no join
+    "quality_filter_execute" -> ((s, dir) =>
+      graft.operators.QualityModel.qualityFilterExecute(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // n-gram-Jaccard dedup EXECUTOR (E181): the E2 action — drop every
+    // doc with a smaller-id neighbor at J >= 0.5 (per-pair larger-id
+    // rule; cluster minima always survive), kept corpus sha256-pinned
+    "jaccard_dedup_execute" -> ((s, dir) =>
+      Dedup.jaccardDedupExecute(
+        documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("doc_id")),
+    // Group-DRO robust training (E182, in-engine training #4): per-source
+    // mean losses, multiplicative mixture-weight updates q <- q*e^(0.5*l)
+    // (normalized), q-weighted gradient steps — the DoReMi domain-weight
+    // learner; one per-domain agg + metadata collect per iteration
+    "groupdro_train" -> ((s, dir) =>
+      graft.operators.QualityModel.groupDroTrain(
+        graft.operators.QualityModel.docFeaturesWith(
+          documents(s, dir), "text", "lang", Seq("source")),
+        Seq("x1", "x2", "x3"), "y", "source")
+        .orderBy("iter", "domain")),
+    // end-to-end curation pipeline (E183): near-dup drop -> in-engine
+    // trained quality filter (on the deduped corpus) -> deterministic
+    // 90/5/5 split -> per-(split, shard) content-addressed manifest,
+    // ONE declarative plan with one chained hash oracle
+    "corpus_curate" -> ((s, dir) =>
+      graft.operators.Curate.corpusCurate(documents(s, dir), "doc_id", "text")
+        .orderBy("split", "shard")),
     // CCNet-style per-language quality tertiles (E171): head/middle/tail
     // by strictly-better mass over the per-lang DISTINCT-score histogram
     // (WindowGuard-enforced), integer comparison at the cut
@@ -2901,6 +2933,10 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dedup_yield" -> OracleSql.dedupYield,
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "quality_logreg" -> OracleSql.qualityLogreg,
+    "quality_filter_execute" -> OracleSql.qualityFilterExecute,
+    "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
+    "groupdro_train" -> OracleSql.groupDroTrain,
+    "corpus_curate" -> OracleSql.corpusCurate,
     "ccnet_buckets" -> OracleSql.ccnetBuckets,
     "pca_power" -> OracleSql.pcaPower(),
     "dup_pagerank" -> OracleSql.dupPagerank,

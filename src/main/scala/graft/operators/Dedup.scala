@@ -237,6 +237,41 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** N-gram-Jaccard dedup EXECUTOR (E181) — the drop action for [[ngramJaccard]]'s
+    * verdict relation: every document with a SMALLER-id neighbor at
+    * J ≥ `threshold` is removed (the deterministic per-pair larger-id
+    * rule E170 uses for substring spans: the minimum id of any connected
+    * duplicate component has no smaller-id neighbor and is never
+    * removed, so every near-dup cluster keeps at least that member —
+    * no connected-components pass needed for the safety property). The
+    * kept corpus returns sha256-pinned with its char length — the E169
+    * executor output convention.
+    *
+    * Scale shape: candidate generation is [[ngramJaccard]] verbatim
+    * (shared-shingle equi-join, optional `maxDocFreq` hot-shingle cap);
+    * the removal set is ids only (8 bytes/doc) and anti-joins back onto
+    * the corpus — document payloads never shuffle, and the removal side
+    * is duplicate-count-sized, broadcastable in any real corpus.
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def jaccardDedupExecute(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val removed = ngramJaccard(df, idCol, textCol, n, threshold, maxDocFreq)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(removed, Seq(idCol), "left_anti")
+      .select(
+        col(idCol),
+        sha2(col(textCol), 256).as("text_sha"),
+        length(col(textCol)).cast("long").as("n_chars"))
+  }
+
   /** Asymmetric n-gram containment pairs (E128) — the near-dup relation
     * Jaccard structurally under-reports: a short document quoted whole
     * inside a long one has C(sub→super) = |A∩B|/|A| ≈ 1 while J =

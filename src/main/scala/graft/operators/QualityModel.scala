@@ -202,7 +202,32 @@ object QualityModel {
     * ratio — the E9 ingredients) and the is-English label; rows with no
     * chars or no tokens carry undefined ratios and are excluded on both
     * sides. */
-  def docFeatures(docs: DataFrame, textCol: String, langCol: String): DataFrame = {
+  def docFeatures(docs: DataFrame, textCol: String, langCol: String): DataFrame =
+    docFeaturesWith(docs, textCol, langCol, Nil)
+
+  /** [[docFeatures]] with passthrough columns — the executor/DRO entry
+    * point: the same feature algebra and validity filter, plus `extra`
+    * columns (a doc id for score joins, a domain for group weighting, a
+    * precomputed content hash) carried through untouched so scoring
+    * stays a single map-only pass with no join back to the corpus. */
+  def docFeaturesWith(
+      docs: DataFrame,
+      textCol: String,
+      langCol: String,
+      extra: Seq[String]): DataFrame =
+    docFeaturesLabeled(docs, textCol,
+      when(col(langCol) === "en", lit(1.0)).otherwise(lit(0.0)), extra)
+
+  /** The shared feature relation under an arbitrary 0.0/1.0 `label`
+    * column — [[docFeaturesWith]]'s generalization: the fastText-filter
+    * recipe trains the same features against whatever defines
+    * "reference-like" in the pipeline at hand (a language id, a
+    * reference-corpus membership bit, a heuristic quality verdict). */
+  def docFeaturesLabeled(
+      docs: DataFrame,
+      textCol: String,
+      label: Column,
+      extra: Seq[String]): DataFrame = {
     import graft.functions.TextFunctions
     val t = col(textCol)
     val nChars = length(t).cast("double")
@@ -210,13 +235,193 @@ object QualityModel {
     docs
       .where(coalesce(length(t), lit(0)) > 0 &&
         TextFunctions.wsTokenCount(t) > 0)
-      .select(
+      .select(extra.map(col) ++ Seq(
         round(least(ws.cast("double") / lit(100.0), lit(1.0)), 6).as("x1"),
         round(TextFunctions.punctCount(t).cast("double") / nChars, 6).as("x2"),
         round(TextFunctions.stopwordCount(
           TextFunctions.wsTokens(lower(t)),
           TextFunctions.Stopwords.collectFirst { case ("en", ww) => ww }.get)
           .cast("double") / ws.cast("double"), 6).as("x3"),
-        when(col(langCol) === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+        label.as("y")): _*)
+  }
+
+  /** The reference-quality training label the filter executor learns
+    * from: 1.0 when the 6-dp E9 quality score is ≥ 0.5 — "positives =
+    * reference-like documents, negatives = the rest", the fastText
+    * classifier recipe (GPT-3 appendix A trains against WebText
+    * membership; with no external reference corpus the heuristic gate
+    * plays that role, and the learned model is its calibrated linear
+    * distillation). */
+  def qualityLabel(textCol: String): Column =
+    when(round(graft.functions.TextFunctions.qualityScore(col(textCol)), 6)
+      >= 0.5, lit(1.0)).otherwise(lit(0.0))
+
+  /** Quality-filter EXECUTOR (E180) — the curation ACTION [[logregTrain]]
+    * trains for: learn the linear filter in-engine against the
+    * reference-quality label ([[qualityLabel]] — the fastText recipe:
+    * positives = reference-like docs, the label the features genuinely
+    * separate), then keep every document the model accepts (p ≥ 0.5 ⇔
+    * z ≥ 0 — the decision threshold stays on the LOGIT, never on σ(z),
+    * so no transcendental touches the keep/drop boundary) and pin the
+    * kept corpus by sha256(text). The GPT-3/CCNet "classifier-filtered
+    * corpus" step as one operator instead of train-export-rescore
+    * plumbing. Default lr = 8: full-batch GD on these 6-dp features
+    * moves ~0.1/step at lr 1 — at 6 replayable steps the boundary never
+    * leaves the bias's shadow; 8 converges the decision boundary into
+    * the corpus's score range (kept ≈ the separable label, boundary
+    * docs decided by the model).
+    *
+    * Spark-first shape: training is [[logregTrain]]'s 6 metadata-sized
+    * collects; scoring inlines the final 6-dp weights as LITERALS into
+    * one map-only pass over the feature relation — the content hash rides
+    * along from the same scan ([[docFeaturesLabeled]] passthrough), so
+    * the executor plan has NO join and NO shuffle of document payloads.
+    * Documents failing the feature-validity filter (no chars / no
+    * tokens) are dropped — a filter that cannot score a document does
+    * not keep it.
+    *
+    * Determinism: z = w0 + w1·x1 + w2·x2 + w3·x3 is the same fixed-order
+    * IEEE-double expression on both engines over 6-dp literals and
+    * features (+/× are exactly rounded — bit-identical), so the keep set
+    * and the 6-dp score hash-match the DuckDB replay of the full
+    * training chain + scoring join. Full hash oracle for a
+    * train-then-act pipeline.
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def qualityFilterExecute(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0): DataFrame = {
+    val src = docs.withColumn("text_sha", sha2(col(textCol), 256))
+    val fid = docFeaturesLabeled(
+      src, textCol, qualityLabel(textCol), Seq(idCol, "text_sha"))
+      .localCheckpoint(true) // two consumers: the training agg chain + scoring
+    val last = logregTrain(
+      fid.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+      iterations, lr)
+      .orderBy(col("iter").desc).head()
+    val w = (0 to 3).map(j => last.getAs[Double](s"w$j"))
+    val z = lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    fid
+      .where(z >= 0)
+      .select(col(idCol), round(z, 6).as("score"), col("text_sha"))
+  }
+
+  /** Group-DRO robust training (E182, in-engine training #4) — the
+    * Sagawa et al. '20 distributionally-robust update that DoReMi
+    * (Xie et al. '23) runs to learn domain mixture weights: instead of
+    * minimizing the average loss (which lets the model ignore small/hard
+    * domains), each step (1) measures the per-domain mean loss under the
+    * current weights, (2) upweights domains multiplicatively
+    * `q_g ← q_g·e^{η·ℓ_g}` (normalized), and (3) descends the
+    * q-weighted gradient — so persistent worst-case domains steer both
+    * the model AND the returned mixture weights (DoReMi's product: feed
+    * `q` to the E66/E166 samplers as the reweighted training mixture).
+    *
+    * Spark-first iteration shape: per step ONE map-side-combined
+    * `groupBy(domain)` aggregation (≤ #domains rows collected — gradient
+    * term sums, loss sum, accuracy per domain), then the q-update, the
+    * normalization and the weight step run driver-side on the
+    * metadata-sized domain table (the hybrid-CC precedent). The corpus
+    * reduces once to the quantized feature relation; executor state is a
+    * dozen buffers per domain.
+    *
+    * Determinism (decSum end-to-end): per-row gradient/loss terms are
+    * quantized to DECIMAL(38,6) before the per-domain sums (E164's
+    * contract); per-domain means ROUND(·,6); the q-update
+    * `ROUND(q·e^{η·ℓ}, 6)` normalizes by the EXACT decimal sum of the
+    * 6-dp raw weights; the mixed gradient sums `ROUND(q_g·gm_g, 12)` as
+    * DECIMAL(38,12) over domains (order-free); weights update at 6 dp.
+    * DuckDB replays every step in chained CTEs — a FULL hash oracle for
+    * robust optimization.
+    *
+    * Returns one row per (iteration, domain): post-update mixture weight
+    * `q`, PRE-update mean loss and accuracy (the worst-group trajectory
+    * a DRO training log shows), and the post-update model weights
+    * (identical across the iteration's rows). */
+  def groupDroTrain(
+      features: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      domainCol: String,
+      iterations: Int = 6,
+      lr: Double = 1.0,
+      eta: Double = 0.5): DataFrame = {
+    require(featureCols.nonEmpty && iterations > 0)
+    val spark = features.sparkSession
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val src = graft.profiler.ScanMetrics.spread(features)
+      .localCheckpoint(true)
+    val nf = featureCols.size
+    var w = Array.fill(nf + 1)(0.0)
+    var q: Map[String, Double] = null
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Σ ROUND(term, 12) as exact decimals — order-free on both engines
+    def dec12Sum(ts: Iterable[Double]): Double =
+      ts.foldLeft(BigDecimal(0))((a, t) =>
+        a + BigDecimal(t).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+        .toDouble
+    val out = Seq.newBuilder[Row]
+    for (it <- 1 to iterations) {
+      val z: Column = featureCols.zipWithIndex.foldLeft(lit(w(0))) {
+        case (acc, (c, j)) => acc + lit(w(j + 1)) * col(c)
+      }
+      val y = col(labelCol)
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val xs: Seq[Column] = lit(1.0) +: featureCols.map(col)
+      val gradAggs = xs.zipWithIndex.map { case (x, j) =>
+        sum(round((p - y) * x, 6).cast(dec6)).as(s"s_$j")
+      }
+      val aggs = gradAggs ++ Seq(
+        count(lit(1)).as("n"),
+        sum(round(log(lit(1.0) + exp(-(lit(2.0) * y - lit(1.0)) * z)), 6)
+          .cast(dec6)).as("sll"),
+        count(when((z >= 0) === (y === 1.0), 1)).as("hits"))
+      val rows = src.groupBy(col(domainCol).as("domain"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().sortBy(_.getAs[String]("domain"))
+      require(rows.nonEmpty, "groupDroTrain: empty feature relation")
+      if (q == null) q = rows.map(_.getAs[String]("domain") ->
+        r6(1.0 / rows.length)).toMap
+      val stats = rows.map { r =>
+        val d = r.getAs[String]("domain")
+        val n = r.getAs[Long]("n")
+        val gm = (0 to nf).map(j => r6(r.getDecimal(j + 1).doubleValue() / n))
+        val ml = r6(r.getAs[java.math.BigDecimal]("sll").doubleValue() / n)
+        val acc = r6(r.getAs[Long]("hits").toDouble / n)
+        (d, n, gm, ml, acc)
+      }
+      val qraw = stats.map { case (d, _, _, ml, _) =>
+        d -> r6(q(d) * math.exp(eta * ml))
+      }.toMap
+      // 6-dp raw weights sum exactly as decimals — same denominator both engines
+      val denom = qraw.values
+        .foldLeft(BigDecimal(0))((a, v) => a + BigDecimal(v)).toDouble
+      q = qraw.map { case (d, v) => d -> r6(v / denom) }
+      val grad = (0 to nf).map(j =>
+        dec12Sum(stats.map { case (d, _, gm, _, _) => q(d) * gm(j) }))
+      w = w.zip(grad).map { case (wj, gj) => r6(wj - lr * gj) }
+      stats.foreach { case (d, n, _, ml, acc) =>
+        out += Row.fromSeq(
+          Seq(it.toLong, d, n, ml, acc, q(d)) ++ w.toSeq)
+      }
+    }
+    val schema = StructType(
+      Seq(
+        StructField("iter", LongType, nullable = false),
+        StructField("domain", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("mean_loss", DoubleType, nullable = false),
+        StructField("accuracy", DoubleType, nullable = false),
+        StructField("q", DoubleType, nullable = false)) ++
+        (0 to nf).map(j => StructField(s"w$j", DoubleType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(out.result(): _*), schema)
   }
 }

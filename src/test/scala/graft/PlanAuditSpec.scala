@@ -543,6 +543,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate") && !p.contains("Join"), s"\n$p")
   }
 
+  test("quality-filter executor: scoring is map-only over the feature relation — no join, no exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.QualityModel.qualityFilterExecute(
+      d, "doc_id", "text"))
+    assert(!p.contains("Join"), s"scoring must not join:\n$p")
+    assert(!p.contains("Exchange"), s"scoring must not shuffle:\n$p")
+  }
+
+  test("jaccard dedup executor: candidate + anti joins stay equi — no cartesian, no nested loop") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.jaccardDedupExecute(
+      d, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
+  test("corpus curate: the manifest rollup reads the checkpointed metadata relation — hash agg, no join, no rescan") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Curate.corpusCurate(d, "doc_id", "text"))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"\n$p")
+    assert(!p.contains("Join"), s"all joins must resolve before the checkpoint:\n$p")
+    assert(!p.contains("FileScan") && !p.contains("BatchScan"),
+      s"document payloads must not be rescanned for the rollup:\n$p")
+  }
+
   test("decontam executor: island cut-map broadcasts onto the corpus — document payloads never shuffle") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val df = graft.operators.Dedup.decontamExecute(

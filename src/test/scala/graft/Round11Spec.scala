@@ -620,4 +620,159 @@ class Round11Spec extends AnyFunSuite {
       "SELECT substring(sha2('', 256), 1, 16) s").head().getString(0)
     assert(r.getAs[String]("clean_sha") == emptySha)
   }
+
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("qualityFilterExecute: keep set is exactly z >= 0 under the trained weights; invalid docs dropped; sha pinned") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val docs = Seq(
+      (1L, "the of and to in for with on this that is a good document", "en"),
+      (2L, "xyzzy qwerty plugh zork grue frobozz", "en"),
+      (3L, "le monde est grand et la vie est belle aujourd'hui", "fr"),
+      (4L, "the and of to is that for with a in", "fr"),
+      (5L, "", "en"), // invalid: no chars — dropped before training AND scoring
+      (6L, "another the of and with plenty of the usual stopwords here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = QualityModel
+      .qualityFilterExecute(docs, "doc_id", "text").collect()
+    // independent replay: final weights from logregTrain under the
+    // reference-quality label, z computed in Scala
+    val feats = QualityModel
+      .docFeaturesLabeled(docs, "text",
+        QualityModel.qualityLabel("text"), Seq("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("x1"), r.getAs[Double]("x2"), r.getAs[Double]("x3")))
+      .toMap
+    val last = QualityModel.logregTrain(
+      QualityModel.docFeaturesLabeled(docs, "text",
+        QualityModel.qualityLabel("text"), Nil),
+      Seq("x1", "x2", "x3"), "y", iterations = 6, lr = 8.0)
+      .orderBy(col("iter").desc).head()
+    val w = (0 to 3).map(j => last.getAs[Double](s"w$j"))
+    val expected = feats.collect {
+      case (id, (x1, x2, x3))
+        if w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3 >= 0 => id
+    }.toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+    assert(!feats.contains(5L) && !expected.contains(5L))
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (x1, x2, x3) = feats(id)
+      val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+      assert(r.getAs[Double]("score") ==
+        BigDecimal(z).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(r.getAs[String]("text_sha") == sha256hex(texts(id)))
+    }
+  }
+
+  test("jaccardDedupExecute: larger ids of duplicate pairs drop, cluster minimum survives, distinct docs pass through") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = Dedup
+      .jaccardDedupExecute(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+    assert(out(0).getAs[String]("text_sha") == sha256hex(dup))
+    assert(out(0).getAs[Long]("n_chars") == dup.length.toLong)
+  }
+
+  test("groupDroTrain: q normalizes per iteration, upweights the persistently hard domain, weights shared across rows") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val stop = "the of and to in for with on that is"
+    val rare = "xyzzy qwerty plugh zork grue frobozz mumble foo"
+    // easy domain: separable (label follows the stopword signal). hard
+    // domain: the SAME text under contradictory labels — irreducible
+    // noise, so its mean softplus loss is >= ln 2 under ANY weights
+    // (equality only at z = 0) while easy's drops below as training fits
+    // its signal
+    val mixed = "the of and xyzzy qwerty plugh"
+    val docs =
+      (1L to 6L).map(i => (i, stop, "en", "easy")) ++
+        (7L to 12L).map(i => (i, rare, "fr", "easy")) ++
+        Seq((13L, mixed, "en", "hard"), (14L, mixed, "fr", "hard"))
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val out = QualityModel.groupDroTrain(
+      QualityModel.docFeaturesWith(df, "text", "lang", Seq("source")),
+      Seq("x1", "x2", "x3"), "y", "source", iterations = 6).collect()
+    assert(out.length == 12) // 6 iterations x 2 domains
+    for (it <- 1 to 6) {
+      val rows = out.filter(_.getAs[Long]("iter") == it.toLong)
+      val qs = rows.map(_.getAs[Double]("q")).sum
+      assert(math.abs(qs - 1.0) <= 2e-6, s"iter $it: q sums to $qs")
+      // post-update model weights identical across the iteration's rows
+      assert(rows.map(r => (0 to 3).map(j =>
+        r.getAs[Double](s"w$j"))).distinct.size == 1)
+      assert(rows.map(r => r.getAs[String]("domain") ->
+        r.getAs[Long]("n")).toMap == Map("easy" -> 12L, "hard" -> 2L))
+    }
+    val fin = out.filter(_.getAs[Long]("iter") == 6L)
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Double]("mean_loss"), r.getAs[Double]("q"))).toMap
+    assert(fin("hard")._1 > fin("easy")._1,
+      s"hard domain should stay lossier: $fin")
+    assert(fin("hard")._2 > fin("easy")._2,
+      s"DRO must upweight the hard domain: $fin")
+    // at w=0 every loss is ln 2 -> the first q update keeps uniform
+    val it1 = out.filter(_.getAs[Long]("iter") == 1L)
+    assert(it1.forall(_.getAs[Double]("q") == 0.5))
+  }
+
+  test("corpusCurate: manifest equals the stage-by-stage composition of the tested pieces") {
+    import spark.implicits._
+    import graft.operators.{Curate, Dedup, QualityModel}
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val docs = ((1L to 3L).map(i => (i, dup)) ++ Seq(
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "the of and to in for with on that is the of and to in"),
+      (6L, ""), // invalid: dropped by the feature-validity filter
+      (7L, "one two three four five six seven eight nine ten eleven twelve")))
+      .toDF("doc_id", "text")
+    val out = Curate
+      .corpusCurate(docs, "doc_id", "text", nShards = 4)
+      .collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[Long]("min_id"), r.getAs[Long]("max_id"),
+          r.getAs[Long]("digest"))).toMap
+    // independent composition from the stage operators
+    val removed = Dedup
+      .ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(_.getAs[Long]("id_b")).toSet
+    assert(removed == Set(2L, 3L)) // the near-dup copies, minimum kept
+    val deduped = docs.where(!col("doc_id").isin(removed.toSeq: _*))
+    val keptIds = QualityModel
+      .qualityFilterExecute(deduped, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    def bucket(id: Long, salt: String): Long =
+      java.lang.Long.parseLong(
+        sha256hex(id.toString + salt).substring(0, 8), 16) % 10000L
+    val texts = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val expected = keptIds.toSeq.map { id =>
+      val split =
+        if (bucket(id, "graft") < 9000) "train"
+        else if (bucket(id, "graft") < 9500) "valid" else "test"
+      val shard = bucket(id, "shard") % 4
+      val fp = java.lang.Long.parseLong(
+        sha256hex(s"$id:${texts(id)}").substring(0, 15), 16)
+      (split, shard) -> (id, texts(id).length.toLong, fp)
+    }.groupBy(_._1).map { case (k, vs) =>
+      val ids = vs.map(_._2._1)
+      k -> (ids.size.toLong, vs.map(_._2._2).sum, ids.min, ids.max,
+        vs.map(_._2._3).reduce(_ ^ _))
+    }
+    assert(keptIds.nonEmpty && out == expected,
+      s"kept=$keptIds out=$out expected=$expected")
+  }
 }
