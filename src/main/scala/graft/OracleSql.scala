@@ -2600,7 +2600,27 @@ ORDER BY d.doc_id"""
     * weight step. The heavy per-domain aggregates are AS MATERIALIZED:
     * DuckDB inlines single-reference CTEs, and the multi-reference
     * chain otherwise re-expands exponentially with depth. */
-  lazy val groupDroTrain: String = {
+  lazy val groupDroTrain: String =
+    s"""WITH ${groupDroCtes()}
+SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
+UNION ALL SELECT * FROM r6 ORDER BY iter, domain"""
+
+  /** E184 DoReMi-selection twin: the E182 chain grouped by language,
+    * then the learned q6 turned into integer keep-bounds
+    * `ROUND(10000·q/q_max)` and replayed as the deterministic E20
+    * hash-bucket coin per document. */
+  lazy val doremiSelect: String =
+    s"""WITH ${groupDroCtes(grpSql = "lang")},
+sel AS (
+  SELECT d.doc_id, d.lang AS domain,
+    CAST(ROUND(10000 * q.q / (SELECT MAX(q) FROM q6)) AS BIGINT) AS bound
+  FROM documents d JOIN q6 q ON d.lang = q.grp)
+SELECT doc_id, domain, bound FROM sel
+WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'doremi'), 1, 8))::BIGINT % 10000 < bound
+ORDER BY doc_id"""
+
+  private def groupDroCtes(grpSql: String = "source"): String = {
     val en = stopList(graft.functions.TextFunctions.Stopwords
       .collectFirst { case ("en", w) => w }.get)
     def zed = "(w0 + w1*x1 + w2*x2 + w3*x3)"
@@ -2648,14 +2668,14 @@ r$k AS (
     q.acc AS accuracy, q.q, w.w0, w.w1, w.w2, w.w3
   FROM q$k q, w$k w)"""
     }.mkString(",\n")
-    raw"""WITH fg AS MATERIALIZED (
+    raw"""fg AS MATERIALIZED (
   SELECT grp,
     ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
     ROUND(CAST(punct AS DOUBLE)/n_chars, 6) AS x2,
     ROUND(CAST(stop_hits AS DOUBLE)/ws_tokens, 6) AS x3,
     CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
   FROM (
-    SELECT source AS grp, lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    SELECT $grpSql AS grp, lang, CAST(LENGTH(text) AS BIGINT) AS n_chars,
       CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
       CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.PunctPattern}')) AS BIGINT) AS punct,
       CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
@@ -2666,10 +2686,7 @@ q0 AS (
   FROM (SELECT DISTINCT grp FROM fg)),
 w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
-$steps
-SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
-UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r5
-UNION ALL SELECT * FROM r6 ORDER BY iter, domain"""
+$steps"""
   }
 
   /** E165 deterministic JL projection twin (r11): the identical sha256

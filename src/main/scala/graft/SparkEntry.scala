@@ -1613,6 +1613,14 @@ object SparkEntry {
           documents(s, dir), "text", "lang", Seq("source")),
         Seq("x1", "x2", "x3"), "y", "source")
         .orderBy("iter", "domain")),
+    // DoReMi selection (E184): the E182 action — Group-DRO over language
+    // domains, then each domain keeps a deterministic hash slice
+    // proportional to its learned mixture weight (max-q domain whole);
+    // training is metadata collects, selection one map-only pass
+    "doremi_select" -> ((s, dir) =>
+      graft.operators.QualityModel.doremiSelect(
+        documents(s, dir), "doc_id", "text", "lang", "lang")
+        .orderBy("doc_id")),
     // end-to-end curation pipeline (E183): near-dup drop -> in-engine
     // trained quality filter (on the deduped corpus) -> deterministic
     // 90/5/5 split -> per-(split, shard) content-addressed manifest,
@@ -2937,6 +2945,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,
+    "doremi_select" -> OracleSql.doremiSelect,
     "ccnet_buckets" -> OracleSql.ccnetBuckets,
     "pca_power" -> OracleSql.pcaPower(),
     "dup_pagerank" -> OracleSql.dupPagerank,

@@ -424,4 +424,53 @@ object QualityModel {
     spark.createDataFrame(
       java.util.Arrays.asList(out.result(): _*), schema)
   }
+
+  /** DoReMi selection (E184) — the ACTION [[groupDroTrain]]'s mixture
+    * weights exist for (Xie et al. '23 §3: train the proxy under Group-
+    * DRO, then SAMPLE the corpus by the learned domain weights): each
+    * domain keeps a deterministic hash slice proportional to its final
+    * `q`, the max-weight domain kept whole — `bound_d =
+    * ROUND(10000·q_d/q_max)`, keep iff `bucket(id, "doremi") < bound_d`
+    * (the E20 reproducible-coin convention, so the sample is a pure
+    * function of ids and the training trajectory, replayable by any
+    * engine). Documents whose domain never produced a feature-valid row
+    * carry no weight and drop.
+    *
+    * Scale shape: training is [[groupDroTrain]]'s per-step metadata
+    * collects; the final weights are a ≤#domains driver map inlined as
+    * a literal CASE chain — selection is ONE map-only pass over the
+    * corpus, no join, no shuffle.
+    *
+    * Returns the kept rows `(id, domain, bound)` — `bound` the integer
+    * keep-threshold, the value both engines rank against. */
+  def doremiSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      domainCol: String,
+      iterations: Int = 6,
+      lr: Double = 1.0,
+      eta: Double = 0.5,
+      salt: String = "doremi"): DataFrame = {
+    val feats = docFeaturesWith(docs, textCol, langCol, Seq(domainCol))
+    val fin = groupDroTrain(
+      feats, Seq("x1", "x2", "x3"), "y", domainCol, iterations, lr, eta)
+      .where(col("iter") === iterations.toLong)
+      .select("domain", "q").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val qmax = fin.values.max
+    val bounds = fin.map { case (d, qd) =>
+      d -> BigDecimal(10000.0 * qd / qmax)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val boundCol = bounds.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (d, b)) =>
+        acc.when(col(domainCol) === d, lit(b))
+      }.otherwise(lit(null).cast("long"))
+    docs
+      .withColumn("bound", boundCol)
+      .where(Sampling.hashBucket(col(idCol), salt) < col("bound"))
+      .select(col(idCol), col(domainCol).as("domain"), col("bound"))
+  }
 }

@@ -559,6 +559,13 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("doremi select: selection is one map-only corpus pass — literal bounds, no join, no exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.QualityModel.doremiSelect(
+      d, "doc_id", "text", "lang", "lang"))
+    assert(!p.contains("Join") && !p.contains("Exchange"), s"\n$p")
+  }
+
   test("corpus curate: the manifest rollup reads the checkpointed metadata relation — hash agg, no join, no rescan") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Curate.corpusCurate(d, "doc_id", "text"))

@@ -775,4 +775,42 @@ class Round11Spec extends AnyFunSuite {
     assert(keptIds.nonEmpty && out == expected,
       s"kept=$keptIds out=$out expected=$expected")
   }
+
+  test("doremiSelect: bounds proportional to learned q (max domain whole), keep = deterministic bucket coin") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    val stop = "the of and to in for with on that is"
+    val rare = "xyzzy qwerty plugh zork grue frobozz mumble foo"
+    val mixed = "the of and xyzzy qwerty plugh"
+    val docs =
+      (1L to 6L).map(i => (i, stop, "en", "easy")) ++
+        (7L to 12L).map(i => (i, rare, "fr", "easy")) ++
+        Seq((13L, mixed, "en", "hard"), (14L, mixed, "fr", "hard"))
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val out = QualityModel
+      .doremiSelect(df, "doc_id", "text", "lang", "source")
+      .collect()
+    // independent replay: final q from the tested groupDroTrain
+    val fin = QualityModel.groupDroTrain(
+      QualityModel.docFeaturesWith(df, "text", "lang", Seq("source")),
+      Seq("x1", "x2", "x3"), "y", "source", iterations = 6)
+      .where(col("iter") === 6L).collect()
+      .map(r => r.getAs[String]("domain") -> r.getAs[Double]("q")).toMap
+    val qmax = fin.values.max
+    val bounds = fin.map { case (d, q) =>
+      d -> BigDecimal(10000.0 * q / qmax)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    // the DRO test's hard domain carries the larger q -> the whole slice
+    assert(bounds("hard") == 10000L && bounds("easy") < 10000L, s"$bounds")
+    val expected = docs.collect {
+      case (id, _, _, src)
+        if java.lang.Long.parseLong(
+          sha256hex(id.toString + "doremi").substring(0, 8), 16) % 10000L <
+          bounds(src) => (id, src, bounds(src))
+    }.toSet
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("domain"),
+      r.getAs[Long]("bound"))).toSet == expected)
+    assert(out.nonEmpty)
+  }
 }
