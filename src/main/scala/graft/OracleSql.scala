@@ -1815,8 +1815,10 @@ ORDER BY select_key DESC, doc_id LIMIT 100"""
     * tie-break), within-cluster pairwise 6-dp cosine, and the same
     * pairwise-loser rule — the HIGHER rounded centroid-cosine member of
     * every duplicate pair is removed (ties remove the larger id). */
-  lazy val semDedup: String =
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+  /** Shared CTE chain for the SemDeDup twins (E158/E186): assignment
+    * (argmax 6-dp centroid cosine), within-cluster pairs, removal set. */
+  private lazy val semDedupCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
 c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM e WHERE vec_id % 83 = 0),
 a AS (SELECT vec_id, centroid_id, cos FROM (
   SELECT e.vec_id, c.centroid_id,
@@ -1833,10 +1835,26 @@ p AS (SELECT x.vec_id AS id_a, x.cos AS ca, y.vec_id AS id_b, y.cos AS cb,
   WHERE ${listNorm("x.embedding")} * ${listNorm("y.embedding")} > 0),
 r AS (SELECT DISTINCT CASE WHEN ca > cb THEN id_a WHEN ca < cb THEN id_b
     ELSE GREATEST(id_a, id_b) END AS vec_id
-  FROM p WHERE pcos >= 0.35)
+  FROM p WHERE pcos >= 0.35)"""
+
+  lazy val semDedup: String =
+    s"""WITH $semDedupCtes
 SELECT a.vec_id, a.centroid_id, a.cos AS centroid_cos,
   (r.vec_id IS NOT NULL) AS removed
 FROM a LEFT JOIN r USING (vec_id) ORDER BY a.vec_id"""
+
+  /** SemDeDup-executor twin (E186): the verdict CTEs verbatim; the kept
+    * corpus is embeddings minus the removal set — unassigned vectors
+    * (null/zero-norm: no direction, no duplicate pair) survive by
+    * construction; per kept vector the dimension count and 6-dp norm
+    * are the content witness. */
+  lazy val semDedupExecute: String =
+    s"""WITH $semDedupCtes
+SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dims,
+  ROUND(${listNorm("e.embedding")}, 6) AS norm
+FROM e
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.vec_id = e.vec_id)
+ORDER BY e.vec_id"""
 
   /** Referential-integrity twin: per-key child counts, NOT EXISTS
     * orphans, the same containment division + ROUND(·,6). */
@@ -2414,6 +2432,12 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
 
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
+
+  /** E185 executor audit: sound removals, corpus partition, identical
+    * docs caught deterministically (J=1 ⇒ identical band hashes). */
+  val minhashDedupExecuteAudit: String =
+    allTrue(Seq("identical_pairs_always_caught",
+      "kept_plus_removed_partitions_corpus", "removed_subset_of_exact"))
 
   /** E163 approximate-overlap audit: the three HLL estimates within the
     * standard-error bound of their exact twins, the inclusion–exclusion
@@ -3538,14 +3562,17 @@ FROM h, t ORDER BY cluster_size"""
     * per-language DISTINCT-score histogram with the strictly-better
     * running mass (DESC window, one row back), and the integer tertile
     * comparison `3·n_above < k·n_lang` — no float at the cut. */
-  lazy val ccnetBuckets: String = {
+  /** Shared CTE chain for the CCNet-bucket twins (E171/E187): the langId
+    * argmax + textQuality score, the per-language DISTINCT-score
+    * histogram, the strictly-better running mass. */
+  private lazy val ccnetBucketsCtes: String = {
     val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
     val scores = Stopwords.map { case (l, ws) =>
       s"len(list_filter(toks, t -> list_contains(${stopList(ws)}, t))) AS s_$l"
     }.mkString(", ")
     val cases = Stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }.mkString(" ")
     val greatest = Stopwords.map { case (l, _) => s"s_$l" }.mkString(", ")
-    s"""WITH base AS (
+    s"""base AS (
   SELECT doc_id, $wsToksLowerSql AS toks,
     CAST(LENGTH(text) AS BIGINT) AS n_chars,
     CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
@@ -3563,14 +3590,33 @@ r AS (SELECT lang, score,
     COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_above,
     SUM(c) OVER (PARTITION BY lang) AS n_lang
-  FROM h)
+  FROM h)"""
+  }
+
+  lazy val ccnetBuckets: String =
+    s"""WITH $ccnetBucketsCtes
 SELECT s.doc_id, s.lang, s.score,
   CASE WHEN n_above * 3 < n_lang THEN 'head'
        WHEN n_above * 3 < n_lang * 2 THEN 'middle'
        ELSE 'tail' END AS bucket
 FROM s JOIN r ON r.lang = s.lang AND r.score = s.score
 ORDER BY s.doc_id"""
-  }
+
+  /** CCNet-selection-executor twin (E187): the bucket CTEs verbatim,
+    * tail dropped (documents with no score carry no bucket and are
+    * dropped too — the E46 null-score convention), the kept corpus
+    * sha256-pinned with its char length. */
+  lazy val ccnetSelect: String =
+    s"""WITH $ccnetBucketsCtes,
+b AS (SELECT s.doc_id, s.lang, s.score,
+    CASE WHEN n_above * 3 < n_lang THEN 'head'
+         WHEN n_above * 3 < n_lang * 2 THEN 'middle'
+         ELSE 'tail' END AS bucket
+  FROM s JOIN r ON r.lang = s.lang AND r.score = s.score)
+SELECT b.doc_id, b.lang, b.score, b.bucket,
+  sha256(d.text) AS text_sha, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM b JOIN documents d ON d.doc_id = b.doc_id
+WHERE b.bucket IN ('head', 'middle') ORDER BY b.doc_id"""
 
   /** Dup-graph PageRank twin (E173): the jaccard pair CTEs verbatim,
     * symmetric edges, eight chained damped iterations on the same

@@ -1285,6 +1285,15 @@ object SparkEntry {
         embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") % 83 === 0, threshold = 0.35)
         .orderBy("vec_id")),
+    // SemDeDup EXECUTOR (E186): the action half — removed vectors
+    // dropped via ids-only broadcast anti join, kept corpus returns
+    // with n_dims + 6-dp norm; fully hash-oracled (the verdict is
+    // deterministic, unlike the sketch-based E185)
+    "semdedup_execute" -> ((s, dir) =>
+      Similarity.semDedupExecute(
+        embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 83 === 0, threshold = 0.35)
+        .orderBy("vec_id")),
     "events_json" -> ((s, dir) => {
       s.read.parquet(s"$dir/events.parquet")
         .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
@@ -1603,6 +1612,45 @@ object SparkEntry {
       Dedup.jaccardDedupExecute(
         documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("doc_id")),
+    // MinHash-LSH dedup EXECUTOR (E185): E181's 100 TB sibling — the
+    // same drop rule over the LSH-candidate VERIFIED pair relation
+    // (sound: verified pairs are a subset of the exact relation); band
+    // hashes are engine-specific -> rows-only, the audit pins soundness
+    "minhash_dedup_execute" -> ((s, dir) =>
+      Dedup.minhashDedupExecute(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // E185 audit: removals sound vs the exact relation, kept+removed
+    // partitions the corpus, identical docs (J=1, identical signatures)
+    // deterministically caught
+    "minhash_dedup_execute_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val mh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .persist()
+      val exact = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5)
+        .persist()
+      try {
+        val removedMh = mh.select(col("id_b")).distinct()
+        val exactRemoved = exact.select(col("id_b")).distinct()
+        val unsound = removedMh
+          .join(exactRemoved, Seq("id_b"), "left_anti").count()
+        val kept = Dedup.minhashDedupExecute(docs, "doc_id", "text")
+        val total = docs.count()
+        val nk = kept.count()
+        val nr = removedMh.count()
+        val overlap = kept.select(col("doc_id").as("id_b"))
+          .join(removedMh, Seq("id_b")).count()
+        val missedPerfect = exact.where(col("jaccard") === 1.0)
+          .join(mh.select("id_a", "id_b"), Seq("id_a", "id_b"), "left_anti")
+          .count()
+        Seq(
+          ("identical_pairs_always_caught", missedPerfect == 0L),
+          ("kept_plus_removed_partitions_corpus",
+            nk + nr == total && overlap == 0L),
+          ("removed_subset_of_exact", unsound == 0L))
+          .toDF("property", "ok").orderBy("property")
+      } finally { mh.unpersist(); exact.unpersist(); () }
+    }),
     // Group-DRO robust training (E182, in-engine training #4): per-source
     // mean losses, multiplicative mixture-weight updates q <- q*e^(0.5*l)
     // (normalized), q-weighted gradient steps — the DoReMi domain-weight
@@ -1637,6 +1685,18 @@ object SparkEntry {
         TextFunctions.langId(col("text")).as("lang"),
         round(TextFunctions.qualityScore(col("text")), 6).as("score"))
       graft.operators.Ranking.ccnetBuckets(scored, "doc_id", "lang", "score")
+        .orderBy("doc_id")
+    }),
+    // CCNet selection EXECUTOR (E187): drop the tail tertile of every
+    // language (and unscored docs); (id, sha, length) projected BEFORE
+    // the verdict join so document payloads never enter an exchange
+    "ccnet_select" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = documents(s, dir).select(col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+      graft.operators.Ranking.ccnetSelect(
+        scored, "doc_id", "lang", "score", "text")
         .orderBy("doc_id")
     }),
     // top principal component by power iteration (E172): one Gram pass,
@@ -2947,6 +3007,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "corpus_curate" -> OracleSql.corpusCurate,
     "doremi_select" -> OracleSql.doremiSelect,
     "ccnet_buckets" -> OracleSql.ccnetBuckets,
+    "ccnet_select" -> OracleSql.ccnetSelect,
     "pca_power" -> OracleSql.pcaPower(),
     "dup_pagerank" -> OracleSql.dupPagerank,
     "trigram_lm" -> OracleSql.trigramLm,
@@ -2968,6 +3029,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dsir_weights" -> OracleSql.dsirWeights,
     "dsir_select" -> OracleSql.dsirSelect,
     "semdedup" -> OracleSql.semDedup,
+    "semdedup_execute" -> OracleSql.semDedupExecute,
     "bpe_merges" -> OracleSql.bpeMerges,
     "bpe_encode" -> OracleSql.bpeEncode,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,
@@ -3075,6 +3137,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "profile_all_tables" -> OracleSql.profileAllTables,
     "approx_error_audit" -> OracleSql.approxErrorAudit,
     "minhash_audit" -> OracleSql.minhashAudit,
+    "minhash_dedup_execute_audit" -> OracleSql.minhashDedupExecuteAudit,
     "approx_overlap_audit" -> OracleSql.approxOverlapAudit,
     "approx_overlap_states_audit" -> OracleSql.approxOverlapStatesAudit,
     "heavy_hitters_audit" -> OracleSql.heavyHittersAudit,

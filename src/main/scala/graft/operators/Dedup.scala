@@ -272,6 +272,53 @@ object Dedup {
         length(col(textCol)).cast("long").as("n_chars"))
   }
 
+  /** MinHash-LSH dedup EXECUTOR (E185) — [[jaccardDedupExecute]]'s
+    * 100 TB sibling: the same per-pair larger-id drop rule applied to
+    * [[minhashLsh]]'s VERIFIED pair relation instead of the exact
+    * all-shared-shingle join. Because minhashLsh re-checks every banded
+    * candidate against the true shingle-set Jaccard before emitting it,
+    * the pair relation is a SUBSET of the exact one (minhash_audit pins
+    * this) — so every removal here is a removal the exact executor would
+    * also make (soundness by construction); what LSH can miss is
+    * candidates, i.e. this executor may KEEP a borderline near-dup the
+    * exact rule would drop, never the reverse. Identical documents
+    * (J = 1) have identical signatures, hence identical band hashes, and
+    * are caught deterministically.
+    *
+    * Scale shape: candidate generation is banded bucket equi-joins with
+    * the absolute `maxBandFreq` hot-bucket cap — work bounded by bucket
+    * occupancy, never corpus²; verification touches candidate pairs
+    * only; the removal set is ids-only and broadcast anti-joins back.
+    * This is the executor to run when the exact pair join's shared-
+    * shingle fan-out (even capped) is the bottleneck.
+    *
+    * Path-dependent (band hashes) → rows-only in the gate; the
+    * `minhash_dedup_execute_audit` all-true twin pins soundness
+    * (removed ⊆ exact-removed), the corpus partition property, and
+    * deterministic capture of identical-document pairs.
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def minhashDedupExecute(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
+    val removed = minhashLsh(
+      df, idCol, textCol, n, threshold, numHashes, bands, maxBandFreq)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(broadcast(removed), Seq(idCol), "left_anti")
+      .select(
+        col(idCol),
+        sha2(col(textCol), 256).as("text_sha"),
+        length(col(textCol)).cast("long").as("n_chars"))
+  }
+
   /** Asymmetric n-gram containment pairs (E128) — the near-dup relation
     * Jaccard structurally under-reports: a short document quoted whole
     * inside a long one has C(sub→super) = |A∩B|/|A| ≈ 1 while J =

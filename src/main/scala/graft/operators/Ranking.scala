@@ -151,6 +151,45 @@ object Ranking {
           .otherwise(lit("tail")).as("bucket"))
   }
 
+  /** CCNet selection EXECUTOR (E187) — the action [[ccnetBuckets]]'s
+    * verdict exists for (Wenzek et al. keep the head and middle
+    * perplexity tertiles of each language and DROP the tail): every
+    * `tail` document is removed, and so are documents with no score
+    * (null/NaN carry no signal — the E46 convention, matched by the
+    * oracle); the kept corpus returns with its bucket, sha256 content
+    * pin and char length.
+    *
+    * Scale shape: the bucket verdict's only windows run over the
+    * per-language DISTINCT-score histogram (WindowGuard-enforced, ≤10⁶
+    * cells under the 6-dp contract) — never the corpus; the action side
+    * projects (id, sha, length) BEFORE the verdict join, so document
+    * payloads are read once and never enter an exchange even though the
+    * kept set (~2/3 of the corpus) is far too large to broadcast.
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def ccnetSelect(
+      df: DataFrame,
+      idCol: String,
+      langCol: String,
+      scoreCol: String,
+      textCol: String,
+      keep: Seq[String] = Seq("head", "middle"),
+      maxCells: Long = WindowGuard.MaxWindowCells): DataFrame = {
+    val verdict = ccnetBuckets(
+      df.select(col(idCol), col(langCol), col(scoreCol)),
+      idCol, langCol, scoreCol, maxCells)
+      .where(col("bucket").isin(keep: _*))
+    df.select(
+        col(idCol),
+        sha2(col(textCol), 256).as("text_sha"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(verdict, Seq(idCol))
+      .select(col(idCol), col("lang"), col("score"), col("bucket"),
+        col("text_sha"), col("n_chars"))
+  }
+
   /** Score-decile corpus report (E139) — the curation decision table one
     * level above [[scorePercentile]]: per quality decile, document count,
     * token mass and the score range — "dropping the bottom 2 deciles

@@ -347,6 +347,46 @@ object Similarity {
         coalesce(col("_r"), lit(false)).as("removed"))
   }
 
+  /** SemDeDup EXECUTOR (E186) — the action half of [[semDedup]], closing
+    * the embedding-space lane of the executor family (exact text: E181,
+    * MinHash-LSH: E185, verbatim spans: E170, semantic: this): every
+    * vector [[semDedup]] marks `removed` is dropped, the kept corpus
+    * returns with its dimension count and 6-dp norm as the content
+    * witness. Vectors the verdict never assigned (null / zero-norm — no
+    * direction, hence no duplicate pair) survive by construction: the
+    * removal set is subtracted from the FULL corpus, not from the
+    * assigned slice.
+    *
+    * Scale shape: the verdict's within-cluster pairwise work is Σc² ≈
+    * 83·N (the [[semDedup]] linearity argument, pre-flight-guarded); the
+    * removal set is ids-only and broadcast anti-joins back, so corpus
+    * embedding payloads are read once and never shuffle on the action
+    * side. Fully hash-oracled — the verdict itself is deterministic
+    * (6-dp cosines, decimal tie-breaks), so unlike the sketch-based E185
+    * the semantic action replays cell-for-cell in DuckDB.
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def semDedupExecute(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      threshold: Double,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val removed = semDedup(
+      embIn, idCol, vecCol, centroidPred, threshold, maxCandidatePairs)
+      .where(col("removed")).select(col("vec_id").as(idCol))
+    graft.profiler.ScanMetrics.spread(embIn)
+      .join(broadcast(removed), Seq(idCol), "left_anti")
+      .select(
+        col(idCol),
+        size(col(vecCol)).cast("long").as("n_dims"),
+        round(fnorm(col(vecCol)), 6).as("norm"))
+  }
+
   /** Embedding-corpus QA summary — the sanity pass before any vector
     * workload: corpus size, dimension consistency (ragged embeddings break
     * every downstream dot product), zero-norm count (no direction — they

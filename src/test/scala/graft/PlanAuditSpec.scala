@@ -559,6 +559,39 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
   }
 
+  test("semdedup executor: removal set broadcast-anti-joins back — no cartesian beyond the centroid scoring") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.semDedupExecute(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0, threshold = 0.35))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // the kept-corpus subtraction must be a broadcast anti join (ids-only)
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), s"removal set must broadcast:\n$p")
+  }
+
+  test("ccnet selection executor: document payloads never enter an exchange — sha projected before the verdict join") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    import graft.functions.TextFunctions
+    val scored = d.select(col("doc_id"), col("text"),
+      TextFunctions.langId(col("text")).as("lang"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+    val p = plan(graft.operators.Ranking.ccnetSelect(
+      scored, "doc_id", "lang", "score", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("text#"),
+      s"corpus text attribute reaches a shuffle:\n$exch")
+  }
+
+  test("minhash dedup executor: banded candidate joins + anti join stay equi — no cartesian, no nested loop") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.minhashDedupExecute(
+      d, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+  }
+
   test("doremi select: selection is one map-only corpus pass — literal bounds, no join, no exchange") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.QualityModel.doremiSelect(

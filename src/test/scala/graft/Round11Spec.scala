@@ -813,4 +813,82 @@ class Round11Spec extends AnyFunSuite {
       r.getAs[Long]("bound"))).toSet == expected)
     assert(out.nonEmpty)
   }
+
+  test("semDedupExecute: duplicate pair keeps the farthest-from-centroid member; unassigned vectors survive") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // centroid = id 0; ids 0, 1, 3 form a duplicate clique at threshold
+    // 0.9 and the pairwise-loser rule keeps only the farthest-from-
+    // centroid member (id 3): id 0 (cos 1.0, the centroid itself is a
+    // corpus member) and id 1 lose their pairs; id 5 is far from all;
+    // id 7 is the zero vector (never assigned, never removable)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (3L, Array(0.8f, 0.3f)),
+      (5L, Array(0.0f, 1.0f)),
+      (7L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val verdict = Similarity.semDedup(
+      emb, "vec_id", "embedding", col("vec_id") === 0L, threshold = 0.9)
+      .collect().map(r =>
+        r.getAs[Long]("vec_id") -> r.getAs[Boolean]("removed")).toMap
+    assert(verdict(0L) && verdict(1L) && !verdict(3L) && !verdict(5L),
+      s"verdict=$verdict")
+    val kept = Similarity.semDedupExecute(
+      emb, "vec_id", "embedding", col("vec_id") === 0L, threshold = 0.9)
+      .orderBy("vec_id").collect()
+    assert(kept.map(_.getAs[Long]("vec_id")).toSeq == Seq(3L, 5L, 7L))
+    // content witness: dims + 6-dp norm
+    val k3 = kept.find(_.getAs[Long]("vec_id") == 3L).get
+    assert(k3.getAs[Long]("n_dims") == 2L)
+    assert(math.abs(k3.getAs[Double]("norm") -
+      math.rint(math.sqrt(0.8 * 0.8 + 0.3 * 0.3) * 1e6) / 1e6) < 1e-12)
+  }
+
+  test("ccnetSelect: tail tertile and unscored docs dropped, head/middle kept with content pins") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // lang en: scores 0.9/0.5/0.1 -> head/middle/tail; one null-score doc
+    val docs = Seq(
+      (1L, "en", Option(0.9), "best doc"),
+      (2L, "en", Option(0.5), "middle doc"),
+      (3L, "en", Option(0.1), "tail doc"),
+      (4L, "en", None: Option[Double], "unscored doc"))
+      .toDF("doc_id", "lang", "score", "text")
+    val kept = Ranking.ccnetSelect(docs, "doc_id", "lang", "score", "text")
+      .orderBy("doc_id").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L))
+    assert(kept.map(_.getAs[String]("bucket")).toSeq ==
+      Seq("head", "middle"))
+    assert(kept(0).getAs[String]("text_sha") == sha256hex("best doc"))
+    assert(kept(1).getAs[Long]("n_chars") == "middle doc".length.toLong)
+    // agreement with the verdict relation: kept = buckets minus tail
+    val buckets = Ranking.ccnetBuckets(
+      docs.select(col("doc_id"), col("lang"), col("score")),
+      "doc_id", "lang", "score")
+      .where(col("bucket") =!= "tail")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(buckets == Seq(1L, 2L))
+  }
+
+  test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashDedupExecute(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // J=1 pairs have identical signatures -> identical band hashes ->
+    // deterministically caught; on this corpus LSH and exact agree
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+    val exact = Dedup.jaccardDedupExecute(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ==
+      exact.map(_.getAs[Long]("doc_id")).toSeq)
+    assert(out(0).getAs[String]("text_sha") == sha256hex(dup))
+  }
 }
