@@ -604,6 +604,39 @@ scored AS (SELECT doc_id, ${term(0)} + ${term(1)} + ${term(2)} AS raw FROM base,
 SELECT doc_id, ROUND(raw, 6) AS score FROM scored ORDER BY raw DESC, doc_id LIMIT 20"""
   }
 
+  /** Multi-query BM25 twin (E190): query terms from the eval slice
+    * (doc_id % 101 = 0), postings over the corpus slice pruned to the
+    * query-term set, df stopping (df ≤ 1000) + per-query 16 rarest
+    * terms (df asc, term asc), the E27 score with every constant
+    * interpolated from the SAME JVM doubles the Spark side uses as
+    * literals, per-(query, doc) terms ROUND(·, 12) decimal-summed, rank
+    * on the EXACT decimal (doc-id tie-break). */
+  lazy val bm25Multi: String = {
+    val k1 = 1.2; val b = 0.75
+    raw"""WITH cw AS (SELECT doc_id, $wsToksLowerSql AS w FROM documents WHERE doc_id % 101 <> 0),
+qw AS (SELECT doc_id AS query_id, $wsToksLowerSql AS w FROM documents WHERE doc_id % 101 = 0),
+dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM cw),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+qt AS (SELECT DISTINCT query_id, t FROM (SELECT query_id, unnest(w) AS t FROM qw) z),
+post AS (SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM cw) x
+  WHERE t IN (SELECT t FROM qt) GROUP BY 1, 2),
+dfr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY 1 HAVING COUNT(*) <= 1000),
+qsel AS (SELECT query_id, t, df FROM (
+  SELECT q.query_id, q.t, d.df,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY d.df, q.t) AS trk
+  FROM qt q JOIN dfr d USING (t)) z WHERE trk <= 16),
+cand AS (SELECT query_id, p.doc_id,
+    CAST(ROUND(LN((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) * CAST(tf AS DOUBLE) * ${k1 + 1.0} / (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))), 12) AS DECIMAL(38,12)) AS term
+  FROM qsel s JOIN post p USING (t) JOIN dls USING (doc_id), stats),
+sc AS (SELECT query_id, doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms, SUM(term) AS s
+  FROM cand GROUP BY 1, 2)
+SELECT query_id, doc_id, n_terms, ROUND(CAST(s AS DOUBLE), 6) AS score
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) <= 10
+ORDER BY query_id, doc_id"""
+  }
+
   /** Unigram-LM twin: same tokenization, per-token ln(c/total) as pure
     * double math, addends quantized to DECIMAL(38,12) before the per-doc
     * sum (order-independent — the engine's exact-sum contract). LN not LOG
@@ -1386,6 +1419,39 @@ SELECT query_id, neighbor_id, cos FROM s
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
 ORDER BY query_id, neighbor_id"""
 
+  /** NDCG@10 eval twin (E189): the IVF run and the brute-force top-10
+    * pool nested verbatim as CTEs; the discount CASE chain interpolates
+    * the SAME JVM-computed `1/log2(i+1)` doubles the Spark side embeds
+    * as literals (Double.toString round-trips exactly — no runtime
+    * transcendental on either engine), terms ROUND(gain·disc, 12)
+    * decimal-summed, the final division 6-dp. */
+  lazy val ndcgEval: String = {
+    val discs = (1 to 10).map(i => i -> 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val discCase =
+      s"CASE rnk ${discs.map { case (i, d) => s"WHEN $i THEN $d" }.mkString(" ")} ELSE 0.0 END"
+    s"""WITH sys AS ($ivfTopK),
+qr0 AS ($annCosineTopK),
+qr AS (SELECT query_id AS q, neighbor_id AS i,
+    GREATEST(CAST(cos AS DOUBLE), 0.0) AS rel FROM qr0),
+sysr AS (SELECT query_id AS q, neighbor_id AS i,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM sys),
+d AS (SELECT sysr.q, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+    SUM(CAST(ROUND(COALESCE(qr.rel, 0.0) * $discCase, 12) AS DECIMAL(38,12))) AS dcg
+  FROM sysr LEFT JOIN qr ON qr.q = sysr.q AND qr.i = sysr.i
+  WHERE rnk <= 10 GROUP BY sysr.q),
+ir AS (SELECT q, i, rel,
+    ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, i) AS rnk FROM qr),
+idl AS (SELECT q, SUM(CAST(ROUND(rel * $discCase, 12) AS DECIMAL(38,12))) AS idcg
+  FROM ir WHERE rnk <= 10 GROUP BY q)
+SELECT d.q AS query_id, n_retrieved,
+  ROUND(CAST(dcg AS DOUBLE), 6) AS dcg,
+  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+  CASE WHEN idcg > 0 THEN
+    ROUND(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg
+FROM d JOIN idl ON idl.q = d.q ORDER BY query_id"""
+  }
+
   /** Int8 scalar-quantization twin: same symmetric scale (max|x|/127),
     * same explicit half-up code law sign(x)*floor(|x|/scale + 0.5), same
     * left-fold residual MSE (list_reduce ≡ Spark aggregate from 0.0). */
@@ -1650,14 +1716,17 @@ FROM agg a JOIN documents d ON d.doc_id = a.id ORDER BY doc_id"""
     * anchor relation SELF-paired within a document (same hash, pos1 <
     * pos2, per-(doc,hash) site cap 32), both lcp extensions over the
     * same text at the two anchors. */
-  lazy val selfRepeat: String = {
+  /** Shared CTE chain for the intra-document repeat twins (E162/E188):
+    * the anchor relation self-paired within a document, both lcp
+    * extensions, the decoded maximal span relation. */
+  private lazy val selfRepeatSpansCte: String = {
     val right = lcp(
       "substr(d.text, CAST(p1 AS INT))",
       "substr(d.text, CAST(p2 AS INT))")
     val left = lcp(
       "reverse(substr(d.text, 1, CAST(p1 AS INT) - 1))",
       "reverse(substr(d.text, 1, CAST(p2 AS INT) - 1))")
-    raw"""WITH kg AS (SELECT doc_id,
+    raw"""kg AS (SELECT doc_id,
   CASE WHEN LENGTH(text) >= 8 THEN
     list_transform(range(1, LENGTH(text) - 8 + 2), i ->
       list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1677,7 +1746,11 @@ cand AS (SELECT a.id, a.pos AS p1, b.pos AS p2
 ext AS (SELECT id, p1, p2, $right AS r, $left AS l
   FROM cand JOIN documents d ON d.doc_id = id),
 spans AS (SELECT DISTINCT id, p1 - l AS s1, p2 - l AS s2, l + r AS len
-  FROM ext WHERE r >= 8),
+  FROM ext WHERE r >= 8)"""
+  }
+
+  lazy val selfRepeat: String =
+    raw"""WITH $selfRepeatSpansCte,
 best AS (SELECT id, s1, s2, len,
     ROW_NUMBER() OVER (PARTITION BY id
       ORDER BY len DESC, s1 DESC, s2 DESC) AS rn,
@@ -1687,7 +1760,16 @@ SELECT id AS doc_id, CAST(len AS BIGINT) AS repeat_len,
   CAST(s1 AS BIGINT) AS start_1, CAST(s2 AS BIGINT) AS start_2,
   CAST(n_repeat_spans AS BIGINT) AS n_repeat_spans
 FROM best WHERE rn = 1 AND len >= 20 ORDER BY doc_id"""
-  }
+
+  /** Intra-document repetition-removal twin (E188): the E162 span CTEs
+    * verbatim, cut intervals taken from the LATER occurrence of every
+    * ≥20-char repeat (keep-earliest), the shared interval-cut body over
+    * ALL documents. */
+  lazy val selfRepeatExecute: String =
+    raw"""WITH $selfRepeatSpansCte,
+ivals AS (SELECT DISTINCT id, s2 AS s, s2 + len AS e
+  FROM spans WHERE len >= 20),
+${cutIntervalsSql("TRUE")}"""
 
   /** Cross-table contamination twin (E161): the same winnowing anchors
     * built per SIDE (corpus = doc_id % 101 <> 0, eval = % 101 = 0), the

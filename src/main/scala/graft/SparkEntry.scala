@@ -1541,6 +1541,17 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       graft.operators.Search.bm25TopK(
         documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
+    // multi-query BM25 (E190): every eval-slice doc retrieves its top-10
+    // corpus docs through a term-filtered inverted index — postings
+    // pruned map-side to the query-term set, df stopping + per-query
+    // rarest-16 terms bound candidates absolutely, exact-decimal ranking
+    "bm25_multi" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.Search.bm25MultiTopK(
+        d.where(col("doc_id") % 101 =!= 0),
+        d.where(col("doc_id") % 101 === 0), "doc_id", "text")
+        .orderBy("query_id", "doc_id")
+    }),
     // corpus card (r9): the one-row dataset summary a curator exports —
     // size, token volume, language mix, exact-dup rate, quality level,
     // median length — every number riding an already-proven cross-engine
@@ -1860,6 +1871,21 @@ object SparkEntry {
         centroidPred = col("vec_id") % 83 === 0,
         queryPred = col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    // NDCG@10 eval (E189): the IVF run graded against the brute-force
+    // top-10 pool (pooled-judgment semantics, unjudged gain 0); rank
+    // discounts are precomputed literals, terms decimal-summed
+    "ndcg_eval" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val sys = Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        centroidPred = col("vec_id") % 83 === 0,
+        queryPred = col("vec_id") % 97 === 0)
+      val pool = Similarity.cosineTopK(
+        emb, "vec_id", "embedding", col("vec_id") % 97 === 0)
+      graft.operators.Search.ndcgAtK(
+        sys, pool, "query_id", "neighbor_id", "cos", "cos")
+        .orderBy("query_id")
+    }),
     // int8 scalar quantization report per embedding vector
     "embedding_quantize" -> ((s, dir) =>
       graft.operators.Quantize.int8Scalar(embeddings(s, dir), "vec_id", "embedding")
@@ -1942,6 +1968,12 @@ object SparkEntry {
     // self-repetition — the within-document half of substring dedup
     "self_repeat" -> ((s, dir) =>
       Dedup.selfRepeat(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // intra-doc repetition-removal EXECUTOR (E188): every >=20-char
+    // repeated run keeps its earliest occurrence, the later span cut by
+    // the shared broadcast interval kernel; cleaned text sha256-pinned
+    "self_repeat_execute" -> ((s, dir) =>
+      Dedup.selfRepeatExecute(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // chunking front-end (r11): the substring family accepting ANY
     // document length — over-cap docs split into k−1-overlap char
@@ -3045,6 +3077,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "repetition_metrics" -> OracleSql.repetitionMetrics,
     "pii_scan" -> OracleSql.piiScan,
     "bm25_topk" -> OracleSql.bm25TopK,
+    "bm25_multi" -> OracleSql.bm25Multi,
     "tfidf_keywords" -> OracleSql.tfidfKeywords,
     "vocab_topk" -> OracleSql.vocabTopK,
     "corpus_card" -> OracleSql.corpusCard,
@@ -3061,6 +3094,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "multimodal_frames" -> OracleSql.multimodalFrames,
     "text_normalize" -> OracleSql.textNormalize,
     "ivf_topk" -> OracleSql.ivfTopK,
+    "ndcg_eval" -> OracleSql.ndcgEval,
     "embedding_quantize" -> OracleSql.embeddingQuantize,
     "budget_select" -> OracleSql.budgetSelect,
     "bigram_topk" -> OracleSql.bigramTopK,
@@ -3077,6 +3111,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "decontam_execute" -> OracleSql.decontamExecute,
     "substring_dup_execute" -> OracleSql.substringDupExecute,
     "self_repeat" -> OracleSql.selfRepeat,
+    "self_repeat_execute" -> OracleSql.selfRepeatExecute,
     // the chunked forms are pinned by the SAME oracles: at sf0.01 every
     // document fits one chunk, where chunked == unchunked by design
     "substring_dup_chunked" -> OracleSql.substringDup,

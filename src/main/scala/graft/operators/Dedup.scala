@@ -1446,6 +1446,34 @@ object Dedup {
     require(minLen >= w + k - 1,
       s"selfRepeat: minLen=$minLen below the winnowing detection " +
         s"guarantee w+k-1=${w + k - 1}")
+    selfRepeatSpans(df, idCol, textCol, k, w, maxSiteFreq,
+      maxCandidatePairs)
+      .groupBy("id")
+      .agg(
+        max(struct(col("len"), col("s1"), col("s2"))).as("best"),
+        count(lit(1)).as("n_repeat_spans"))
+      .select(
+        col("id").as(idCol),
+        col("best.len").as("repeat_len"),
+        col("best.s1").as("start_1"),
+        col("best.s2").as("start_2"),
+        col("n_repeat_spans"))
+      .where(col("repeat_len") >= minLen)
+  }
+
+  /** Maximal intra-document repeated spans — [[selfRepeat]]'s underlying
+    * relation `(id, s1, s2, len)` (1-based starts of both occurrences,
+    * s1 < s2, every verified maximal extension ≥ k chars), exposed so
+    * the executor can cut on it. Same anchors, site cap, pre-flight
+    * guard and [[graft.functions.CommonExtend]] kernel. */
+  def selfRepeatSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      maxSiteFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
     graft.functions.CommonExtend.register(df.sparkSession)
     val fp = winnowFingerprints(df, idCol, textCol, k, w)
       .localCheckpoint(true)
@@ -1480,17 +1508,48 @@ object Dedup {
       expr(s"enc div ${P * P}").cast("long").as("s1"),
       pmod(expr(s"enc div $P"), lit(P)).cast("long").as("s2"),
       pmod(col("enc"), lit(P)).cast("long").as("len"))
-      .groupBy("id")
-      .agg(
-        max(struct(col("len"), col("s1"), col("s2"))).as("best"),
-        count(lit(1)).as("n_repeat_spans"))
-      .select(
-        col("id").as(idCol),
-        col("best.len").as("repeat_len"),
-        col("best.s1").as("start_1"),
-        col("best.s2").as("start_2"),
-        col("n_repeat_spans"))
-      .where(col("repeat_len") >= minLen)
+  }
+
+  /** Intra-document repetition-removal EXECUTOR (E188) — the action half
+    * of [[selfRepeat]], and [[substringDupExecute]]'s WITHIN-document
+    * sibling (the executor family's last detection lane): every maximal
+    * repeated run ≥ `minLen` chars keeps its EARLIEST occurrence and the
+    * later occurrence's span `[s2, s2+len)` is cut; overlapping cuts
+    * merge by the shared gap-and-islands kernel ([[cutIntervals]]), so
+    * a tandem repeat (`abcabcabc…`) collapses toward its first period in
+    * ONE deterministic pass. One pass is the contract — cutting can
+    * expose new adjacencies; re-running converges and each pass is
+    * hash-oracled, the loop is the caller's policy (the E39 incremental
+    * shape).
+    *
+    * Scale shape: detection work is [[selfRepeatSpans]]'s — per-(doc,
+    * hash) site cap + pre-flight guard keep candidate pairs linear in
+    * corpus size; the cut map is one sorted island array per FLAGGED doc
+    * broadcast back onto the corpus, document payloads never shuffle
+    * (the E169/E170 kernel contract).
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def selfRepeatExecute(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minLen: Int = 20,
+      maxSiteFreq: Int = DefaultHotFingerprintCap,
+      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+    require(minLen >= w + k - 1,
+      s"selfRepeatExecute: minLen=$minLen below the winnowing " +
+        s"detection guarantee w+k-1=${w + k - 1}")
+    val spans = selfRepeatSpans(
+      df, idCol, textCol, k, w, maxSiteFreq, maxCandidatePairs)
+      .where(col("len") >= minLen)
+    val ivals = spans.select(
+      col("id"), col("s2").as("s"),
+      (col("s2") + col("len")).as("e")).distinct()
+    cutIntervals(df, idCol, textCol, ivals)
   }
 
   /** Per-document duplicated-character coverage (E156's corpus-level

@@ -148,4 +148,180 @@ object Search {
       .select(col("id"), col("n_lists"),
         round(col("s").cast("double"), 6).as("rrf_score"))
   }
+
+  /** Multi-query BM25 retrieval (E190) — [[bm25TopK]] generalized from
+    * one driver-specified term list to a QUERY RELATION: every query
+    * document retrieves its top-k corpus documents through a term-
+    * filtered inverted index — the distributed IR shape (postings join),
+    * not |Q| repeated corpus scans. The retrieval pass behind
+    * dataset-level curation sweeps (topical selection per seed doc) and
+    * the E23/E161 decontamination asymmetry's lexical sibling.
+    *
+    * Scale shape, stage by stage:
+    *  1. query terms: token-level explode of the QUERY side only (a
+    *     small slice by contract), DISTINCT per (query, term);
+    *  2. postings: corpus tokens are pruned MAP-SIDE against the
+    *     broadcast query-term set before the (term, doc) tf shuffle —
+    *     the only corpus-token exchange, and it carries ids not text;
+    *  3. stopping: terms with `df > maxDf` are dropped (classic IR
+    *     stopping — "the" would otherwise fan a candidate per corpus
+    *     doc), then each query keeps its `maxTermsPerQuery` RAREST
+    *     surviving terms (df asc, term asc) — so per-query candidates
+    *     are bounded by maxTermsPerQuery·maxDf ABSOLUTELY, and the
+    *     per-query rank window is guarded by construction;
+    *  4. scoring: the E27 Lucene-variant BM25 per (query, doc, term),
+    *     each term `ROUND(·, 12)` and decimal-summed — the rank key is
+    *     the EXACT decimal sum (doc-id tie-break), so both engines rank
+    *     identical values; LN parity is the E27/E31 proven contract.
+    *
+    * Cites reference scope: no retrieval surface in awsdataprofiler
+    * (README.md:1-72) — extension per SURVEY §2.E. */
+  def bm25MultiTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      maxDf: Long = 1000L,
+      maxTermsPerQuery: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxTermsPerQuery.toLong * maxDf <= WindowGuard.MaxWindowCells,
+      s"bm25MultiTopK: maxTermsPerQuery*maxDf = " +
+        s"${maxTermsPerQuery.toLong * maxDf} exceeds the window-cell " +
+        s"bound ${WindowGuard.MaxWindowCells}")
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val ctoks = corpus.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("w"))
+    val dls = ctoks.select(
+      col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val stats = dls.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qterms = queries.select(
+        col(idCol).as("query_id"),
+        explode(TextFunctions.wsTokens(lower(col(textCol)))).as("t"))
+      .distinct()
+    val termSet = qterms.select("t").distinct()
+    val postings = ctoks
+      .select(col("doc_id"), explode(col("w")).as("t"))
+      .join(broadcast(termSet), Seq("t"))
+      .groupBy("t", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = postings.groupBy("t")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val wTerms = Window.partitionBy("query_id")
+      .orderBy(col("df").asc, col("t").asc)
+    val qsel = qterms.join(dfRel, Seq("t"))
+      .withColumn("trk", row_number().over(wTerms))
+      .where(col("trk") <= maxTermsPerQuery)
+      .select("query_id", "t", "df")
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val tfD = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl))
+    val cand = qsel.join(postings, Seq("t"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("query_id"), col("doc_id"),
+        round(idf * tfD * lit(k1 + 1.0) / (tfD + norm), 12)
+          .cast(dec12).as("term"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("doc_id").asc)
+    cand.groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("term")).as("s"))
+      .withColumn("rn", row_number().over(wRank))
+      .where(col("rn") <= k)
+      .select(
+        col("query_id"), col("doc_id"), col("n_terms"),
+        round(col("s").cast("double"), 6).as("score"))
+  }
+
+  /** NDCG@k retrieval evaluation (E189) — the standard graded-relevance
+    * metric (Järvelin & Kekäläinen '02, linear-gain variant) computed
+    * IN-ENGINE, so an index change (IVF probe count, LSH band geometry,
+    * quantizer budget) is graded on the spot instead of exporting run
+    * files to an offline eval tool. Pooled-judgment semantics: `system`
+    * is the ranked run (query, item, score — ranked by ITS score),
+    * `qrels` the judged relevance pool; retrieved-but-unjudged items
+    * gain 0 (the classic trec_eval convention), negative relevances
+    * clamp to 0, and IDCG ranks the pool by relevance. Per query:
+    * `ndcg = DCG@k / IDCG@k` with `DCG = Σ gain_i / log2(i+1)`.
+    *
+    * Determinism contract: the rank discounts `1/log2(i+1)` are k
+    * PRECOMPUTED double literals (a rank CASE chain — never a runtime
+    * transcendental, whose libm could differ across engines), each term
+    * `ROUND(gain·disc, 12)` decimal-summed, the final division 6-dp.
+    * Ties rank by (score desc, item asc) on the 6-dp scores both
+    * engines already agree on.
+    *
+    * Scale shape: inputs are per-query CANDIDATE LISTS (top-k runs and
+    * judgment pools — metadata-sized by construction, ~k rows per
+    * query), so the per-query rank windows are bounded by the input's
+    * per-query fan-in, never a corpus; the DCG/IDCG rollup is one
+    * map-side-combined agg each and one query-keyed join. Never feed a
+    * corpus-sized scored relation directly — rank it with a top-k
+    * operator first (the E27/E6 shapes).
+    *
+    * Cites reference scope: no retrieval surface in awsdataprofiler
+    * (README.md:1-72) — extension per SURVEY §2.E. */
+  def ndcgAtK(
+      system: DataFrame,
+      qrels: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      scoreCol: String,
+      relCol: String,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && k <= 100, s"ndcgAtK: k=$k out of [1,100]")
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    // discount literals: identical doubles on both engines by embedding
+    // the JVM-computed value (the oracle interpolates d.toString, which
+    // round-trips exactly)
+    val discs = (1 to k).map(i => i -> 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    def discOf(rnk: Column): Column =
+      discs.tail.foldLeft(when(rnk === discs.head._1, lit(discs.head._2))) {
+        case (acc, (i, d)) => acc.when(rnk === i, lit(d))
+      }.otherwise(lit(0.0))
+    val qr = qrels.select(
+      col(queryCol).as("q"), col(itemCol).as("i"),
+      greatest(col(relCol).cast("double"), lit(0.0)).as("rel"))
+    val wSys = Window.partitionBy("q")
+      .orderBy(col("s").desc, col("i").asc)
+    val dcg = system
+      .select(col(queryCol).as("q"), col(itemCol).as("i"),
+        col(scoreCol).as("s"))
+      .withColumn("rnk", row_number().over(wSys))
+      .where(col("rnk") <= k)
+      .join(qr, Seq("q", "i"), "left")
+      .select(col("q"),
+        round(coalesce(col("rel"), lit(0.0)) * discOf(col("rnk")), 12)
+          .cast(dec12).as("term"))
+      .groupBy("q")
+      .agg(count(lit(1)).as("n_retrieved"), sum(col("term")).as("dcg"))
+    val wIdeal = Window.partitionBy("q")
+      .orderBy(col("rel").desc, col("i").asc)
+    val idcg = qr
+      .withColumn("rnk", row_number().over(wIdeal))
+      .where(col("rnk") <= k)
+      .select(col("q"),
+        round(col("rel") * discOf(col("rnk")), 12).cast(dec12).as("term"))
+      .groupBy("q")
+      .agg(sum(col("term")).as("idcg"))
+    dcg.join(idcg, Seq("q"))
+      .select(
+        col("q").as(queryCol),
+        col("n_retrieved"),
+        round(col("dcg").cast("double"), 6).as("dcg"),
+        round(col("idcg").cast("double"), 6).as("idcg"),
+        when(col("idcg") > 0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .as("ndcg"))
+  }
 }

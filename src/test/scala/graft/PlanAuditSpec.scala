@@ -584,6 +584,41 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus text attribute reaches a shuffle:\n$exch")
   }
 
+  test("bm25 multi: corpus tokens pruned map-side against the broadcast term set; no text in any exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Search.bm25MultiTopK(
+      d.where(col("doc_id") % 101 =!= 0),
+      d.where(col("doc_id") % 101 === 0), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"term-set prune must broadcast:\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("text#"),
+      s"corpus text attribute reaches a shuffle:\n$exch")
+  }
+
+  test("ndcg eval: rank windows + rollups over the top-k relations only — no cartesian") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sys = graft.operators.Similarity.ivfTopK(
+      emb, "vec_id", "embedding",
+      centroidPred = col("vec_id") % 83 === 0,
+      queryPred = col("vec_id") % 97 === 0)
+    val pool = graft.operators.Similarity.cosineTopK(
+      emb, "vec_id", "embedding", col("vec_id") % 97 === 0)
+    val p = plan(graft.operators.Search.ndcgAtK(
+      sys, pool, "query_id", "neighbor_id", "cos", "cos"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
+  test("self-repeat executor: cut-island map broadcasts onto the corpus — no cartesian") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.selfRepeatExecute(
+      d, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"island map must broadcast:\n$p")
+  }
+
   test("minhash dedup executor: banded candidate joins + anti join stay equi — no cartesian, no nested loop") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.Dedup.minhashDedupExecute(

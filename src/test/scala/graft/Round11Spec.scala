@@ -872,6 +872,95 @@ class Round11Spec extends AnyFunSuite {
     assert(buckets == Seq(1L, 2L))
   }
 
+  test("selfRepeatExecute: later occurrence of a repeated run is cut, earliest kept; clean docs untouched") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val p = "the quick brown fox jumps over the lazy dog. "
+    val uniq = "completely unique prose without any internal duplication"
+    val docs = Seq((1L, p + p), (2L, uniq)).toDF("doc_id", "text")
+    val out = Dedup.selfRepeatExecute(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: the single maximal repeat is the whole period at offsets
+    // 1 and |p|+1 -> the later copy [46, 91) is cut, leaving exactly p
+    assert(out(0).getAs[Long]("orig_len") == 2L * p.length)
+    assert(out(0).getAs[Long]("clean_len") == p.length.toLong)
+    assert(out(0).getAs[Long]("n_cut_spans") == 1L)
+    assert(out(0).getAs[String]("clean_sha") ==
+      sha256hex(p).substring(0, 16))
+    // doc 2: no >=20-char repeat -> identity
+    assert(out(1).getAs[Long]("clean_len") == uniq.length.toLong)
+    assert(out(1).getAs[Long]("n_cut_spans") == 0L)
+    assert(out(1).getAs[String]("clean_sha") ==
+      sha256hex(uniq).substring(0, 16))
+    // idempotence on this corpus: a second pass changes nothing
+    val again = Dedup.selfRepeatExecute(
+      Seq((1L, p), (2L, uniq)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(again.map(_.getAs[Long]("n_cut_spans")).toSeq == Seq(0L, 0L))
+  }
+
+  test("ndcgAtK: pooled-judgment semantics — unjudged gain 0, ideal ranks the pool, quantized terms") {
+    import spark.implicits._
+    import graft.operators.Search
+    // query 1: pool = {a:1.0, b:0.5, c:0.2}; system returns b,a,d (d unjudged)
+    val sys = Seq((1L, "b", 0.9), (1L, "a", 0.8), (1L, "d", 0.7))
+      .toDF("query_id", "item", "score")
+    val qrels = Seq((1L, "a", 1.0), (1L, "b", 0.5), (1L, "c", 0.2))
+      .toDF("query_id", "item", "rel")
+    val out = Search.ndcgAtK(sys, qrels, "query_id", "item", "score", "rel")
+      .collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_retrieved") == 3L)
+    // replicate the contract: gain*disc quantized HALF_UP at 12dp,
+    // summed, 6-dp at the readout
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = (1 to 3).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+    val dcg = q12(0.5 * d(0)) + q12(1.0 * d(1)) + q12(0.0 * d(2))
+    val idcg = q12(1.0 * d(0)) + q12(0.5 * d(1)) + q12(0.2 * d(2))
+    assert(r.getAs[Double]("dcg") == r6(dcg))
+    assert(r.getAs[Double]("idcg") == r6(idcg))
+    val ndcg = BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ndcg") == ndcg)
+    // a perfect run scores 1.0
+    val perfect = Search.ndcgAtK(
+      Seq((1L, "a", 0.9), (1L, "b", 0.8), (1L, "c", 0.7))
+        .toDF("query_id", "item", "score"),
+      qrels, "query_id", "item", "score", "rel").head()
+    assert(perfect.getAs[Double]("ndcg") == 1.0)
+  }
+
+  test("bm25MultiTopK: df stopping drops common terms, rarest-first term budget, shorter docs outrank") {
+    import spark.implicits._
+    import graft.operators.Search
+    val corpus = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple banana"),
+      (3L, "apple zebra"),
+      (4L, "unrelated words here"))
+      .toDF("doc_id", "text")
+    val queries = Seq((100L, "banana zebra")).toDF("doc_id", "text")
+    val out = Search.bm25MultiTopK(
+      corpus, queries, "doc_id", "text", maxDf = 2L, maxTermsPerQuery = 2)
+      .orderBy(col("score").desc, col("doc_id")).collect()
+    // apple (df=3) is stopped; zebra (df=1) and banana (df=2) survive.
+    // zebra's idf dominates -> doc 3 first; banana: doc 2 (shorter)
+    // outranks doc 1; doc 4 matches nothing
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L, 2L, 1L))
+    assert(out.forall(_.getAs[Long]("n_terms") == 1L))
+    assert(out(0).getAs[Long]("query_id") == 100L)
+    assert(out(1).getAs[Double]("score") > out(2).getAs[Double]("score"))
+    // term budget: maxTermsPerQuery=1 keeps only the rarest term (zebra)
+    val one = Search.bm25MultiTopK(
+      corpus, queries, "doc_id", "text", maxDf = 2L, maxTermsPerQuery = 1)
+      .collect()
+    assert(one.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
