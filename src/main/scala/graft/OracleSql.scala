@@ -3750,6 +3750,84 @@ SELECT doc_id, n_trigrams,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_trigrams AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** Gopher-rule twin (E192): the same whitespace/line/regex primitives,
+    * every rule cut replayed as the SAME integer comparison (no float at
+    * any boundary), ratios 6-dp readout only. */
+  lazy val gopherRules: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    raw"""WITH base AS (SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w,
+    string_split(text, chr(10)) AS ls,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS BIGINT) AS n_symbols
+  FROM documents),
+m AS (SELECT doc_id, n_symbols,
+    CAST(len(w) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(w, t -> LENGTH(t))), 0) AS BIGINT) AS sum_word_len,
+    CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+    CAST(len(list_filter(w, t -> list_contains($en, t))) AS BIGINT) AS stop_hits,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, l -> starts_with(l, '-') OR starts_with(l, '*') OR starts_with(l, '•'))) AS BIGINT) AS bullet_lines,
+    CAST(len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS ellipsis_lines
+  FROM base)
+SELECT doc_id, n_words,
+  CASE WHEN n_words > 0 THEN ROUND(CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS mean_word_len,
+  CASE WHEN n_words > 0 THEN ROUND(CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS symbol_ratio,
+  ROUND(CAST(bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS bullet_line_frac,
+  ROUND(CAST(ellipsis_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) AS ellipsis_line_frac,
+  CASE WHEN n_words > 0 THEN ROUND(CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE), 6) END AS alpha_word_frac,
+  stop_hits,
+  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+  (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AND n_words > 0) AS ok_mean_word_len,
+  (10 * n_symbols <= n_words AND n_words > 0) AS ok_symbol_ratio,
+  (10 * bullet_lines <= 9 * n_lines) AS ok_bullet_lines,
+  (10 * ellipsis_lines <= 3 * n_lines) AS ok_ellipsis_lines,
+  (5 * alpha_words >= 4 * n_words AND n_words > 0) AS ok_alpha_words,
+  (stop_hits >= 2) AS ok_stop_hits,
+  ((n_words >= 50 AND n_words <= 100000)
+    AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words AND n_words > 0)
+    AND (10 * n_symbols <= n_words AND n_words > 0)
+    AND (10 * bullet_lines <= 9 * n_lines)
+    AND (10 * ellipsis_lines <= 3 * n_lines)
+    AND (5 * alpha_words >= 4 * n_words AND n_words > 0)
+    AND (stop_hits >= 2)) AS keep
+FROM m ORDER BY doc_id"""
+  }
+
+  /** Interpolated Kneser-Ney trigram twin (E191): the E174 token/bigram/
+    * trigram streams verbatim, four continuation-TYPE rollups of the
+    * count relations, the three-level discounted interpolation as one
+    * fixed-order double expression (literal D = 0.75), `ROUND(LN p, 12)`
+    * decimal-summed per doc. */
+  val kneserNeyLm: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM words),
+big AS (SELECT a.doc_id, a.t AS b1, b.t AS b2 FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+             JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY 1, 2, 3),
+bc AS (SELECT b1, b2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+t12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS t12 FROM tc GROUP BY 1, 2),
+c23 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n23c FROM tc GROUP BY 1, 2),
+cx2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ctx2 FROM tc GROUP BY 1),
+t2r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS t2 FROM c23 GROUP BY 1),
+n3 AS (SELECT b2 AS w3, CAST(COUNT(*) AS BIGINT) AS n3c FROM bc GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bc),
+lp AS (SELECT tri.doc_id, CAST(ROUND(LN(
+    (GREATEST(CAST(tc.c123 AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(t12.t12 AS DOUBLE) * ((GREATEST(CAST(c23.n23c AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(t2r.t2 AS DOUBLE) * (CAST(n3.n3c AS DOUBLE) / CAST(bt AS DOUBLE))) / CAST(cx2.ctx2 AS DOUBLE))) / CAST(cb12.cb AS DOUBLE)), 12) AS DECIMAL(38,12)) AS lp
+  FROM tri JOIN tc USING (w1, w2, w3)
+    JOIN bc cb12 ON cb12.b1 = tri.w1 AND cb12.b2 = tri.w2
+    JOIN t12 USING (w1, w2)
+    JOIN c23 USING (w2, w3)
+    JOIN cx2 USING (w2)
+    JOIN t2r USING (w2)
+    JOIN n3 ON n3.w3 = tri.w3, tot),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams, SUM(lp) AS slp FROM lp GROUP BY 1)
+SELECT doc_id, n_trigrams,
+  ROUND(CAST(slp AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS avg_logprob,
+  ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_trigrams AS DOUBLE))), 6) AS perplexity
+FROM agg ORDER BY doc_id"""
+
   /** Shard-manifest twin (E176): the deterministic sha256 bucket routing
     * (the hashBucket contract) folded to `% 16`, exact counts, and the
     * commutative BIGINT XOR of per-doc `sha256(id:text)[0,15]`

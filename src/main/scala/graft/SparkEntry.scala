@@ -1477,6 +1477,21 @@ object SparkEntry {
       graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Gopher quality-rule battery (E192): the seven Rae et al. heuristic
+    // checks + conjunctive keep, every cut an integer comparison, one
+    // map-only pass
+    "gopher_rules" -> ((s, dir) =>
+      graft.operators.CorpusStats.gopherRules(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // interpolated Kneser-Ney trigram perplexity (E191): absolute
+    // discounting with continuation-type counts (the KenLM/CCNet
+    // smoothing), three-level interpolation, decimal-summed logprobs
+    "kneser_ney_lm" -> ((s, dir) =>
+      graft.operators.LangModel.kneserNeyScore(
+        documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // PageRank over the near-dup graph (E173): 8 damped iterations,
     // 12-dp decimal contribution sums - graph centrality as the
     // template-center signal; full hash oracle (chained CTE replay)
@@ -3043,6 +3058,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "pca_power" -> OracleSql.pcaPower(),
     "dup_pagerank" -> OracleSql.dupPagerank,
     "trigram_lm" -> OracleSql.trigramLm,
+    "kneser_ney_lm" -> OracleSql.kneserNeyLm,
+    "gopher_rules" -> OracleSql.gopherRules,
     "calibration_table" -> OracleSql.calibrationTable,
     "embedding_pq" -> OracleSql.embeddingPq,
     "domain_topk" -> OracleSql.domainTopk,

@@ -607,4 +607,84 @@ object CorpusStats {
       .groupBy("template")
       .agg(count(lit(1)).as("n_urls"))
   }
+
+  /** Gopher quality-rule battery (E192) — the Rae et al. '21 heuristic
+    * filter set (Table A1; reused near-verbatim by RefinedWeb and Dolma),
+    * the rule battery a web-scale curation pass runs BEFORE any learned
+    * filter: per document, the seven classic checks (word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio, bullet-line and
+    * ellipsis-line fractions, alphabetic-word fraction, minimum stopword
+    * hits) and the conjunctive `keep` verdict.
+    *
+    * Every cut is an INTEGER comparison (`3n ≤ Σlen ≤ 10n`,
+    * `10·symbols ≤ n`, `10·bullets ≤ 9·lines`, `10·ellipsis ≤ 3·lines`,
+    * `5·alpha ≥ 4·n`, `stop_hits ≥ 2`) — no float at any boundary, so
+    * the verdict is engine-exact by construction; the 6-dp ratios are
+    * readout only. Words are the engine-wide whitespace tokens; lines
+    * split on `\n` keeping empties (both engines); alphabetic means
+    * ASCII `[A-Za-z]` (documented narrowing — the multilingual extension
+    * is a stop-set swap).
+    *
+    * Scale shape: ONE map-only pass — every metric is an array/regex
+    * expression inside the scan projection; no shuffle at all until the
+    * caller aggregates. The verdict relation feeds the E181-style
+    * ids-only anti join or rides along a [[graft.operators.Curate]]
+    * pipeline scan.
+    *
+    * Cites reference scope: heuristic document filters are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def gopherRules(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val w = TextFunctions.wsTokens(lower(col(textCol)))
+    val lines = split(col(textCol), "\n")
+    val staged = df.select(
+      col(idCol),
+      size(w).cast("long").as("n_words"),
+      aggregate(transform(w, t => length(t).cast("long")),
+        lit(0L), (a, x) => a + x).as("sum_word_len"),
+      size(filter(w, t => t.rlike("[a-z]"))).cast("long").as("alpha_words"),
+      TextFunctions.stopwordCount(w,
+        TextFunctions.Stopwords.collectFirst { case ("en", s) => s }.get)
+        .as("stop_hits"),
+      regexp_count(col(textCol), lit("#|\\.\\.\\.|…"))
+        .cast("long").as("n_symbols"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l =>
+        l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+        .cast("long").as("bullet_lines"),
+      size(filter(lines, l =>
+        l.endsWith("...") || l.endsWith("…")))
+        .cast("long").as("ellipsis_lines"))
+    val n = col("n_words")
+    val ruleExprs: Seq[(String, Column)] = Seq(
+      "ok_word_count" -> (n >= 50 && n <= 100000),
+      "ok_mean_word_len" -> (lit(3L) * n <= col("sum_word_len") &&
+        col("sum_word_len") <= lit(10L) * n && n > 0),
+      "ok_symbol_ratio" -> (lit(10L) * col("n_symbols") <= n && n > 0),
+      "ok_bullet_lines" ->
+        (lit(10L) * col("bullet_lines") <= lit(9L) * col("n_lines")),
+      "ok_ellipsis_lines" ->
+        (lit(10L) * col("ellipsis_lines") <= lit(3L) * col("n_lines")),
+      "ok_alpha_words" ->
+        (lit(5L) * col("alpha_words") >= lit(4L) * n && n > 0),
+      "ok_stop_hits" -> (col("stop_hits") >= 2L))
+    staged.select(
+      (Seq(
+        col(idCol), col("n_words"),
+        when(n > 0, round(col("sum_word_len").cast("double") / n.cast("double"), 6))
+          .as("mean_word_len"),
+        when(n > 0, round(col("n_symbols").cast("double") / n.cast("double"), 6))
+          .as("symbol_ratio"),
+        round(col("bullet_lines").cast("double") / col("n_lines").cast("double"), 6)
+          .as("bullet_line_frac"),
+        round(col("ellipsis_lines").cast("double") / col("n_lines").cast("double"), 6)
+          .as("ellipsis_line_frac"),
+        when(n > 0, round(col("alpha_words").cast("double") / n.cast("double"), 6))
+          .as("alpha_word_frac"),
+        col("stop_hits")) ++
+        ruleExprs.map { case (nm, c) => c.as(nm) } :+
+        ruleExprs.map(_._2).reduce(_ && _).as("keep")): _*)
+  }
 }

@@ -176,4 +176,92 @@ object LangModel {
         round(exp(-(col("slp").cast("double") / col("n_trigrams").cast("double"))), 6)
           .as("perplexity"))
   }
+
+  /** Interpolated Kneser-Ney trigram perplexity (E191) — the smoothing
+    * the production n-gram filters actually use (Chen & Goodman '98's
+    * interpolated KN; KenLM's default, hence the CCNet perplexity
+    * model's): absolute discounting with CONTINUATION counts, so a word
+    * that follows many distinct contexts ("francisco" follows only
+    * "san") stops being overweighted by raw frequency — the classic
+    * failure [[trigramScore]]'s Jelinek-Mercer mixture inherits.
+    * Per trigram occurrence, with fixed discount D:
+    * `P(w₃|w₁w₂) = (max(c₁₂₃−D,0) + D·N₁₊(w₁w₂·)·P(w₃|w₂)) / c₁₂`,
+    * `P(w₃|w₂) = (max(N₁₊(·w₂w₃)−D,0) + D·N₁₊(w₂·)·P(w₃)) / N₁₊(·w₂·)`,
+    * `P(w₃) = N₁₊(·w₃) / N₁₊(··)` — every N₁₊ a TYPE count read off the
+    * trigram/bigram count relations (a groupBy away; no extra corpus
+    * pass).
+    *
+    * Scale shape: exactly [[trigramScore]]'s — three explode →
+    * map-side-combined count relations plus four metadata-sized type
+    * rollups OF those relations; scoring joins the trigram stream on
+    * compact token keys only; totals broadcast. Determinism: fixed-order
+    * double expression over BIGINT counts and the literal discount;
+    * `ROUND(ln p, 12)` addends DECIMAL(38,12)-summed.
+    *
+    * Returns `(id, n_trigrams, avg_logprob, perplexity)`; documents
+    * with fewer than 3 tokens are omitted. */
+  def kneserNeyScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNeyScore: discount=$discount out of (0,1)")
+    val words = df.select(
+      col(idCol).as("id"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("w"))
+    val tris = words
+      .where(size(col("w")) >= 3)
+      .select(col("id"), explode(expr(
+        "transform(slice(w, 1, size(w) - 2), " +
+          "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2, " +
+          "element_at(w, i + 3) AS w3))")).as("tg"))
+      .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val bigs = words
+      .where(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(slice(w, 1, size(w) - 1), " +
+          "(x, i) -> struct(x AS b1, element_at(w, i + 2) AS b2))")).as("bg"))
+      .select(col("bg.b1").as("b1"), col("bg.b2").as("b2"))
+    val triCounts = tris.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val bigCounts = bigs.groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
+    // continuation-type rollups — metadata-sized relations over the
+    // count relations, never another corpus pass
+    val t12 = triCounts.groupBy("w1", "w2").agg(count(lit(1)).as("t12"))
+    val cont23 = triCounts.groupBy("w2", "w3").agg(count(lit(1)).as("n23c"))
+    val ctx2 = triCounts.groupBy("w2").agg(count(lit(1)).as("ctx2"))
+    val t2 = cont23.groupBy("w2").agg(count(lit(1)).as("t2"))
+    val n3c = bigCounts.groupBy("b2").agg(count(lit(1)).as("n3c"))
+      .withColumnRenamed("b2", "w3")
+    val totals = bigCounts.agg(count(lit(1)).as("bt"))
+    val d = lit(discount)
+    val p1 = col("n3c").cast("double") / col("bt").cast("double")
+    val p2 = (greatest(col("n23c").cast("double") - d, lit(0.0)) +
+      d * col("t2").cast("double") * p1) / col("ctx2").cast("double")
+    val p3 = (greatest(col("c123").cast("double") - d, lit(0.0)) +
+      d * col("t12").cast("double") * p2) / col("c12").cast("double")
+    val logp = round(log(p3), 12).cast(DecimalType(38, 12))
+    tris
+      .join(triCounts, Seq("w1", "w2", "w3"))
+      .join(bigCounts.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb").as("c12")), Seq("w1", "w2"))
+      .join(t12, Seq("w1", "w2"))
+      .join(cont23, Seq("w2", "w3"))
+      .join(ctx2, Seq("w2"))
+      .join(t2, Seq("w2"))
+      .join(n3c, Seq("w3"))
+      .crossJoin(broadcast(totals))
+      .select(col("id"), logp.as("lp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("lp").as("slp"))
+      .select(
+        col("id"),
+        col("n_trigrams"),
+        round(col("slp").cast("double") / col("n_trigrams").cast("double"), 6)
+          .as("avg_logprob"),
+        round(exp(-(col("slp").cast("double") / col("n_trigrams").cast("double"))), 6)
+          .as("perplexity"))
+  }
 }

@@ -597,6 +597,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus text attribute reaches a shuffle:\n$exch")
   }
 
+  test("gopher rules: one map-only pass — no exchange, no join in the verdict plan") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.CorpusStats.gopherRules(d, "doc_id", "text"))
+    assert(!p.contains("Exchange") && !p.contains("Join"), s"\n$p")
+  }
+
   test("ndcg eval: rank windows + rollups over the top-k relations only — no cartesian") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val sys = graft.operators.Similarity.ivfTopK(

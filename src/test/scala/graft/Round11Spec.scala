@@ -961,6 +961,66 @@ class Round11Spec extends AnyFunSuite {
     assert(one.map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
   }
 
+  test("kneserNeyScore: hand-replayed interpolated KN on a tiny corpus — continuation counts, discounting, decimal sums") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    // corpus: one doc "a b c a b d" — trigrams abc, bca, cab, abd;
+    // bigram types ab(2) bc ca bd -> bt = 4
+    val docs = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val r = LangModel.kneserNeyScore(docs, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_trigrams") == 4L)
+    // hand-computed interpolated KN (D = 0.75):
+    //   P(c|a,b) = P(d|a,b) = (0.25 + 0.75*2*P2)/2 with
+    //     P2 = (0.25 + 0.75*2*0.25)/2 = 0.3125      -> 0.359375
+    //   P(a|b,c) = P(b|c,a) = (0.25 + 0.75*1*0.4375)/1 = 0.578125
+    //     with P2 = (0.25 + 0.75*1*0.25)/1 = 0.4375
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val slp = q12(math.log(0.359375)) * 2 + q12(math.log(0.578125)) * 2
+    val avg = BigDecimal(slp.toDouble / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ppl = BigDecimal(math.exp(-(slp.toDouble / 4.0)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("avg_logprob") == avg)
+    assert(r.getAs[Double]("perplexity") == ppl)
+  }
+
+  test("gopherRules: each rule trips on its own pathology, integer cuts, conjunctive keep") {
+    import spark.implicits._
+    import graft.operators.CorpusStats
+    val good = ("the quick brown fox jumps over the lazy dog " * 7).trim
+    val bulletLine = "- the and of seven eight"
+    val bullets = List.fill(10)(bulletLine).mkString("\n")
+    val ell = (List.fill(4)("the and of seven eight...") ++
+      List.fill(6)("the and of seven eight")).mkString("\n")
+    val docs = Seq(
+      (1L, good), (2L, "tiny doc"), (3L, bullets), (4L, ell))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: 63 words, mean 35/9, stopword-rich, no symbols -> keep
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(0).getAs[Long]("n_words") == 63L)
+    assert(out(0).getAs[Double]("mean_word_len") ==
+      BigDecimal(35.0 / 9.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: 2 words -> word-count rule fails (and others), keep=false
+    assert(!out(1).getAs[Boolean]("keep"))
+    assert(!out(1).getAs[Boolean]("ok_word_count"))
+    // doc 3: every line a bullet -> ONLY the bullet rule fails
+    assert(!out(2).getAs[Boolean]("keep"))
+    assert(!out(2).getAs[Boolean]("ok_bullet_lines"))
+    assert(out(2).getAs[Boolean]("ok_word_count") &&
+      out(2).getAs[Boolean]("ok_mean_word_len") &&
+      out(2).getAs[Boolean]("ok_symbol_ratio") &&
+      out(2).getAs[Boolean]("ok_alpha_words") &&
+      out(2).getAs[Boolean]("ok_stop_hits"))
+    // doc 4: 4/10 lines end in ellipsis -> ellipsis fails, symbol rule
+    // holds at the 10*4 <= 50 boundary
+    assert(!out(3).getAs[Boolean]("keep"))
+    assert(!out(3).getAs[Boolean]("ok_ellipsis_lines"))
+    assert(out(3).getAs[Boolean]("ok_symbol_ratio"))
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
