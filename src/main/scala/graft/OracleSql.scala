@@ -1452,6 +1452,68 @@ SELECT d.q AS query_id, n_retrieved,
 FROM d JOIN idl ON idl.q = d.q ORDER BY query_id"""
   }
 
+  /** ANN recall-curve twin (E194): IVF + brute-force runs nested
+    * verbatim, row_number rankings over the 6-dp scores, per-(query, k)
+    * integer intersection counts on a query×k grid, 12-dp decimal means
+    * per k. */
+  lazy val recallCurve: String =
+    s"""WITH sys0 AS ($ivfTopK),
+ex0 AS ($annCosineTopK),
+sy AS (SELECT query_id AS q, neighbor_id AS i,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rs FROM sys0),
+ex AS (SELECT query_id AS q, neighbor_id AS i,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS re FROM ex0),
+m AS (SELECT sy.q, sy.rs, ex.re FROM sy JOIN ex ON ex.q = sy.q AND ex.i = sy.i),
+ks AS (SELECT DISTINCT q, unnest(range(1, 11)) AS k FROM ex),
+cnt AS (SELECT ks.q, ks.k, COUNT(m.rs) AS c FROM ks
+  LEFT JOIN m ON m.q = ks.q AND m.rs <= ks.k AND m.re <= ks.k GROUP BY 1, 2),
+r AS (SELECT q, k,
+    CAST(ROUND(CAST(c AS DOUBLE) / CAST(k AS DOUBLE), 12) AS DECIMAL(38,12)) AS r
+  FROM cnt)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_queries,
+  ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_recall,
+  ROUND(CAST(MIN(r) AS DOUBLE), 6) AS min_recall
+FROM r GROUP BY k ORDER BY k"""
+
+  /** MMR diversified re-rank twin (E193): the brute-force pool nested
+    * verbatim, pool-pairwise 6-dp cosines, then the greedy selection
+    * replayed as chained (rem, max-sim, pick, union) CTE blocks — the
+    * E182 chained-replay pattern; λ and (1−λ) interpolate the SAME JVM
+    * doubles the Spark side uses as literals; multi-referenced CTEs
+    * AS MATERIALIZED (single-ref CTEs inline → exponential re-expansion
+    * with chain depth). */
+  lazy val mmrDiversify: String = {
+    val l = 0.7
+    val oml = 1.0 - l
+    val steps = (2 to 5).map { t =>
+      s"""rem$t AS MATERIALIZED (SELECT p.q, p.i, p.rel FROM cand p
+  WHERE NOT EXISTS (SELECT 1 FROM all${t - 1} s WHERE s.q = p.q AND s.i = p.i)),
+ms$t AS (SELECT r.q, r.i, MAX(sim) AS ms FROM rem$t r
+  JOIN sims ON sims.q = r.q AND sims.ia = r.i
+  JOIN all${t - 1} s ON s.q = sims.q AND s.i = sims.ib GROUP BY 1, 2),
+pick$t AS (SELECT q, i FROM (
+    SELECT r.q, r.i, ROUND($l * r.rel - $oml * COALESCE(ms, 0.0), 6) AS m
+    FROM rem$t r LEFT JOIN ms$t USING (q, i)) z
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY m DESC, i) = 1),
+all$t AS MATERIALIZED (SELECT q, i, rank FROM all${t - 1}
+  UNION ALL SELECT q, i, $t FROM pick$t)"""
+    }.mkString(",\n")
+    s"""WITH pool AS ($annCosineTopK),
+cand AS MATERIALIZED (SELECT query_id AS q, neighbor_id AS i, CAST(cos AS DOUBLE) AS rel FROM pool),
+sims AS MATERIALIZED (SELECT a.q, a.i AS ia, b.i AS ib,
+    ROUND(${listDot("ea.embedding", "eb.embedding")} / (${listNorm("ea.embedding")} * ${listNorm("eb.embedding")}), 6) AS sim
+  FROM cand a JOIN cand b ON a.q = b.q AND a.i <> b.i
+  JOIN embeddings ea ON ea.vec_id = a.i
+  JOIN embeddings eb ON eb.vec_id = b.i
+  WHERE ${listNorm("ea.embedding")} * ${listNorm("eb.embedding")} > 0),
+all1 AS MATERIALIZED (SELECT q, i, 1 AS rank FROM cand
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY q ORDER BY rel DESC, i) = 1),
+$steps
+SELECT a.q AS query_id, a.i AS neighbor_id, a.rank, ROUND(c.rel, 6) AS rel
+FROM all5 a JOIN cand c ON c.q = a.q AND c.i = a.i
+ORDER BY query_id, rank"""
+  }
+
   /** Int8 scalar-quantization twin: same symmetric scale (max|x|/127),
     * same explicit half-up code law sign(x)*floor(|x|/scale + 0.5), same
     * left-fold residual MSE (list_reduce ≡ Spark aggregate from 0.0). */

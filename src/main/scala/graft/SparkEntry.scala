@@ -1886,6 +1886,31 @@ object SparkEntry {
         centroidPred = col("vec_id") % 83 === 0,
         queryPred = col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    // MMR diversified re-rank (E193): greedy maximal marginal relevance
+    // over the brute-force pool — selection keys 6-dp, chained stages,
+    // query-parallel (no driver loop over queries)
+    "mmr_diversify" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val pool = Similarity.cosineTopK(
+        emb, "vec_id", "embedding", col("vec_id") % 97 === 0)
+      Similarity.mmrDiversify(
+        pool, emb, "query_id", "neighbor_id", "cos", "vec_id", "embedding")
+        .orderBy("query_id", "rank")
+    }),
+    // ANN recall curve (E194): recall@k for k=1..10 of the IVF run vs
+    // the exact top-k — mean and worst-query recall per k
+    "recall_curve" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val sys = Similarity.ivfTopK(
+        emb, "vec_id", "embedding",
+        centroidPred = col("vec_id") % 83 === 0,
+        queryPred = col("vec_id") % 97 === 0)
+      val ex = Similarity.cosineTopK(
+        emb, "vec_id", "embedding", col("vec_id") % 97 === 0)
+      graft.operators.Search.recallCurve(
+        sys, ex, "query_id", "neighbor_id", "cos")
+        .orderBy("k")
+    }),
     // NDCG@10 eval (E189): the IVF run graded against the brute-force
     // top-10 pool (pooled-judgment semantics, unjudged gain 0); rank
     // discounts are precomputed literals, terms decimal-summed
@@ -3112,6 +3137,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "text_normalize" -> OracleSql.textNormalize,
     "ivf_topk" -> OracleSql.ivfTopK,
     "ndcg_eval" -> OracleSql.ndcgEval,
+    "mmr_diversify" -> OracleSql.mmrDiversify,
+    "recall_curve" -> OracleSql.recallCurve,
     "embedding_quantize" -> OracleSql.embeddingQuantize,
     "budget_select" -> OracleSql.budgetSelect,
     "bigram_topk" -> OracleSql.bigramTopK,

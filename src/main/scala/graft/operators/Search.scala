@@ -242,6 +242,59 @@ object Search {
         round(col("s").cast("double"), 6).as("score"))
   }
 
+  /** ANN recall curve (E194) — recall@k for k = 1..kMax of an
+    * approximate run against the exact top-k, the standard index-tuning
+    * readout (the whole curve, not one operating point: probe counts
+    * and band geometries are chosen where the curve flattens). Per
+    * query, `recall@k = |approx top-k ∩ exact top-k| / k`; the relation
+    * reports, per k, the query count, mean and WORST-query recall (the
+    * tail is what an SLA cares about).
+    *
+    * Determinism: both rankings are row_number over the already-6-dp
+    * scores (id tie-break); per-(query, k) recall is an integer count
+    * over k, `ROUND(·, 12)` decimal-summed for the mean. Inputs are
+    * top-k runs (metadata-sized); everything here is bounded by
+    * |Q|·kMax. */
+  def recallCurve(
+      system: DataFrame,
+      exact: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      scoreCol: String,
+      kMax: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(kMax >= 1 && kMax <= 100, s"recallCurve: kMax=$kMax out of [1,100]")
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val w = Window.partitionBy("q").orderBy(col("s").desc, col("i").asc)
+    def ranked(df: DataFrame, rk: String) = df
+      .select(col(queryCol).as("q"), col(itemCol).as("i"),
+        col(scoreCol).as("s"))
+      .withColumn(rk, row_number().over(w))
+      .where(col(rk) <= kMax)
+      .select("q", "i", rk)
+    val sys = ranked(system, "rs")
+    val ex = ranked(exact, "re")
+    val matched = sys.join(ex, Seq("q", "i"))
+    val ks = ex.select("q").distinct()
+      .select(col("q"), explode(sequence(lit(1), lit(kMax))).as("k"))
+    val cnt = ks.alias("g")
+      .join(matched.alias("m"),
+        col("g.q") === col("m.q") &&
+          col("m.rs") <= col("g.k") && col("m.re") <= col("g.k"), "left")
+      .groupBy(col("g.q").as("q"), col("g.k").as("k"))
+      .agg(count(col("m.rs")).as("c"))
+    cnt
+      .select(col("q"), col("k"),
+        round(col("c").cast("double") / col("k").cast("double"), 12)
+          .cast(dec12).as("r"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(sum(col("r")).cast("double") / count(lit(1)), 6)
+          .as("mean_recall"),
+        round(min(col("r")).cast("double"), 6).as("min_recall"))
+  }
+
   /** NDCG@k retrieval evaluation (E189) — the standard graded-relevance
     * metric (Järvelin & Kekäläinen '02, linear-gain variant) computed
     * IN-ENGINE, so an index change (IVF probe count, LSH band geometry,

@@ -387,6 +387,82 @@ object Similarity {
         round(fnorm(col(vecCol)), 6).as("norm"))
   }
 
+  /** MMR diversified re-ranking (E193) — Carbonell & Goldstein '98
+    * maximal marginal relevance over a per-query candidate pool: pick
+    * greedily, at each step, the candidate maximizing
+    * `λ·rel − (1−λ)·max_{s∈selected} sim(i, s)` — the standard redundancy
+    * cut between retrieval and consumption (a near-dup of an already-
+    * selected result adds nothing; the same argument SemDeDup makes for
+    * training data, applied at serving time). Greedy is the canonical
+    * algorithm — the objective is submodular-like and exact subset
+    * selection is NP-hard.
+    *
+    * Determinism: selection keys are `ROUND(·, 6)` doubles over the 6-dp
+    * pool relevances and 6-dp pairwise cosines, argmax ties to the
+    * smaller id; λ and (1−λ) are the SAME JVM doubles on both engines.
+    * The k-step greedy is k chained dataframe stages (anti join →
+    * max-sim agg → argmax), all query-parallel — no driver loop over
+    * queries, and each stage's relations are pool-sized (≤ |pool| per
+    * query, metadata by construction). Pool and sims are
+    * localCheckpoint'd once — k steps re-read a materialized relation,
+    * not the retrieval lineage.
+    *
+    * Cites reference scope: no retrieval surface in awsdataprofiler
+    * (README.md:1-72) — extension per SURVEY §2.E. */
+  def mmrDiversify(
+      pool: DataFrame,
+      embIn: DataFrame,
+      queryCol: String,
+      itemCol: String,
+      relCol: String,
+      idCol: String,
+      vecCol: String,
+      lambda: Double = 0.7,
+      k: Int = 5): DataFrame = {
+    require(k >= 1 && k <= 20, s"mmrDiversify: k=$k out of [1,20]")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"mmrDiversify: lambda=$lambda out of (0,1]")
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val cand = pool.select(
+      col(queryCol).as("q"), col(itemCol).as("i"),
+      col(relCol).cast("double").as("rel"))
+      .localCheckpoint(true)
+    val base = graft.profiler.ScanMetrics.spread(embIn).select(
+      col(idCol).as("i"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val xa = cand.select(col("q"), col("i").as("ia"))
+      .join(base.select(col("i").as("ia"), col("v").as("va"),
+        col("nv").as("na")), Seq("ia"))
+    val xb = cand.select(col("q"), col("i").as("ib"))
+      .join(base.select(col("i").as("ib"), col("v").as("vb"),
+        col("nv").as("nb")), Seq("ib"))
+    val sims = xa.join(xb, Seq("q"))
+      .where(col("ia") =!= col("ib"))
+      .select(col("q"), col("ia"), col("ib"),
+        safeCos(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+      .where(col("sim").isNotNull)
+      .localCheckpoint(true)
+    def argmax(df: DataFrame, key: Column, rank: Int): DataFrame =
+      df.groupBy("q")
+        .agg(max(struct(key.as("m"), (-col("i")).as("ni"))).as("b"))
+        .select(col("q"), (-col("b.ni")).as("i"), lit(rank).as("rank"))
+    var all = argmax(cand, col("rel"), 1)
+    for (t <- 2 to k) {
+      val rem = cand.join(all.select("q", "i"), Seq("q", "i"), "left_anti")
+      val ms = rem.select("q", "i")
+        .join(sims.withColumnRenamed("ia", "i"), Seq("q", "i"))
+        .join(all.select(col("q"), col("i").as("ib")), Seq("q", "ib"))
+        .groupBy("q", "i").agg(max(col("sim")).as("ms"))
+      val scored = rem.join(ms, Seq("q", "i"), "left")
+        .select(col("q"), col("i"),
+          round(lit(lambda) * col("rel") -
+            lit(1.0 - lambda) * coalesce(col("ms"), lit(0.0)), 6).as("mmr"))
+      all = all.unionByName(argmax(scored, col("mmr"), t))
+    }
+    all.join(cand, Seq("q", "i"))
+      .select(col("q").as(queryCol), col("i").as(itemCol),
+        col("rank"), round(col("rel"), 6).as("rel"))
+  }
+
   /** Embedding-corpus QA summary — the sanity pass before any vector
     * workload: corpus size, dimension consistency (ragged embeddings break
     * every downstream dot product), zero-norm count (no direction — they

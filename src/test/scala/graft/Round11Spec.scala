@@ -1021,6 +1021,45 @@ class Round11Spec extends AnyFunSuite {
     assert(out(3).getAs[Boolean]("ok_symbol_ratio"))
   }
 
+  test("mmrDiversify: a near-dup of the first pick is deferred behind a diverse lower-relevance candidate") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (10L, Array(1.0f, 0.0f)),   // a
+      (11L, Array(0.9f, 0.1f)),   // b — near-dup of a
+      (12L, Array(0.0f, 1.0f)))   // c — orthogonal
+      .toDF("vec_id", "embedding")
+    val pool = Seq((1L, 10L, 0.95), (1L, 11L, 0.94), (1L, 12L, 0.6))
+      .toDF("query_id", "neighbor_id", "cos")
+    val out = Similarity.mmrDiversify(
+      pool, emb, "query_id", "neighbor_id", "cos", "vec_id", "embedding",
+      lambda = 0.7, k = 3)
+      .orderBy("rank").collect()
+    // pure-relevance order would be a, b, c; MMR picks a, then c
+    // (0.7*0.6 - 0.3*0 = 0.42 beats b's 0.7*0.94 - 0.3*~0.99 ~= 0.36)
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(10L, 12L, 11L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(out(0).getAs[Double]("rel") == 0.95)
+  }
+
+  test("recallCurve: per-k intersection over ranked lists, mean and worst-query recall") {
+    import spark.implicits._
+    import graft.operators.Search
+    val exact = Seq((1L, "a", 0.9), (1L, "b", 0.8), (1L, "c", 0.7))
+      .toDF("query_id", "item", "score")
+    val sys = Seq((1L, "a", 0.9), (1L, "x", 0.85), (1L, "b", 0.8))
+      .toDF("query_id", "item", "score")
+    val out = Search.recallCurve(
+      sys, exact, "query_id", "item", "score", kMax = 3)
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[Int]("k")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Long]("n_queries")).toSeq == Seq(1L, 1L, 1L))
+    assert(out.map(_.getAs[Double]("mean_recall")).toSeq ==
+      Seq(1.0, 0.5, 0.666667))
+    assert(out.map(_.getAs[Double]("min_recall")).toSeq ==
+      Seq(1.0, 0.5, 0.666667))
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
