@@ -2577,6 +2577,14 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
 
+  /** E195 cluster audit: canonical min-id labels, LSH components refine
+    * the exact components (verified pairs ⊆ exact pairs ⇒ each LSH
+    * cluster lies inside ONE exact cluster), keep-one yield bounded by
+    * the exact graph's. */
+  val minhashClustersAudit: String =
+    allTrue(Seq("cluster_label_is_min_id", "clusters_refine_exact",
+      "yield_at_most_exact"))
+
   /** E185 executor audit: sound removals, corpus partition, identical
     * docs caught deterministically (J=1 ⇒ identical band hashes). */
   val minhashDedupExecuteAudit: String =

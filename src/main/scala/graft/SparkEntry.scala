@@ -633,6 +633,47 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // MinHash cluster relation (E195): connected components over the
+    // LSH-banded VERIFIED pair graph — the production cluster-then-
+    // keep-one shape at 100 TB (hybrid driver union-find under the
+    // counted threshold). Band hashes are engine-specific -> rows-only;
+    // the audit pins refinement of the exact components
+    "minhash_clusters" -> ((s, dir) =>
+      graft.operators.Clustering.dedupClusters(
+        Dedup.minhashLsh(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5))
+        .orderBy("doc_id")),
+    // E195 audit: min-id labels, each LSH cluster inside ONE exact
+    // cluster (verified pairs are a subset of the exact relation),
+    // keep-one yield bounded by the exact graph's
+    "minhash_clusters_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val lsh = graft.operators.Clustering.dedupClusters(
+        Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.5))
+        .persist()
+      val exact = graft.operators.Clustering.dedupClusters(
+        Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5))
+        .persist()
+      try {
+        val joined = lsh.withColumnRenamed("cluster_id", "cl")
+          .join(exact.withColumnRenamed("cluster_id", "ce"),
+            Seq("doc_id"), "left")
+        val orphan = joined.where(col("ce").isNull).count()
+        val refine = joined.groupBy("cl")
+          .agg(countDistinct(col("ce")).as("k"))
+          .where(col("k") =!= 1L).count()
+        val labelBad = lsh.groupBy("cluster_id")
+          .agg(min(col("doc_id")).as("m"))
+          .where(col("m") =!= col("cluster_id")).count()
+        val yLsh = lsh.count() - lsh.select("cluster_id").distinct().count()
+        val yEx = exact.count() - exact.select("cluster_id").distinct().count()
+        Seq(
+          ("cluster_label_is_min_id", labelBad == 0L),
+          ("clusters_refine_exact", refine == 0L && orphan == 0L),
+          ("yield_at_most_exact", yLsh <= yEx))
+          .toDF("property", "ok").orderBy("property")
+      } finally { lsh.unpersist(); exact.unpersist(); () }
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")),
@@ -3217,6 +3258,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "approx_error_audit" -> OracleSql.approxErrorAudit,
     "minhash_audit" -> OracleSql.minhashAudit,
     "minhash_dedup_execute_audit" -> OracleSql.minhashDedupExecuteAudit,
+    "minhash_clusters_audit" -> OracleSql.minhashClustersAudit,
     "approx_overlap_audit" -> OracleSql.approxOverlapAudit,
     "approx_overlap_states_audit" -> OracleSql.approxOverlapStatesAudit,
     "heavy_hitters_audit" -> OracleSql.heavyHittersAudit,

@@ -1060,6 +1060,28 @@ class Round11Spec extends AnyFunSuite {
       Seq(1.0, 0.5, 0.666667))
   }
 
+  test("minhash clusters: identical docs form one min-id-labeled component — agrees with the exact clusters here") {
+    import graft.operators.{Clustering, Dedup}
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dup2 = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (5L, dup),
+      (3L, dup2), (4L, dup2),
+      (9L, "a lone document sharing nothing with the others"))
+      .toDF("doc_id", "text")
+    val lsh = Clustering.dedupClusters(
+      Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.5))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(lsh.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 1L))
+    val exact = Clustering.dedupClusters(
+      Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5))
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(lsh.toSeq == exact.toSeq)
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
