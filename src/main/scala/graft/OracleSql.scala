@@ -2654,6 +2654,53 @@ FROM s GROUP BY 1 ORDER BY bucket"""
       "0.3 * (stop_hits * 1.0 / ws_tokens), 6) >= 0.5 " +
       "THEN 1.0 ELSE 0.0 END"
 
+  /** Naive-Bayes filter twin (E196): the E157 hashed unigram+bigram
+    * feature stream, the E180 reference-quality label, per-bucket class
+    * counts + Laplace log-ratios (ROUND 12, decimal-summed), the prior
+    * quantized the same way, keep on the EXACT decimal log-odds. */
+  lazy val naiveBayesFilter: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    raw"""WITH words AS (SELECT doc_id, $wsToksLowerSql AS w FROM documents),
+pre AS (SELECT doc_id,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+lab AS (SELECT doc_id, ($qualityLabelYSql) = 1.0 AS is_t FROM pre),
+tok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM words),
+feats AS (
+  SELECT doc_id, t AS f FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.t || ' ' || b.t AS f
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+fb AS (SELECT f.doc_id, l.is_t,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(f.f, ''), c -> CAST(ord(c) AS BIGINT))),
+      (a, b) -> (a * 31 + b) % 2147483647) % 64 AS bucket
+  FROM feats f JOIN lab l USING (doc_id)),
+hist AS (SELECT bucket,
+    SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS c1,
+    SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS c0
+  FROM fb GROUP BY 1),
+tot AS (SELECT SUM(c1) AS t1, SUM(c0) AS t0 FROM hist),
+lr AS (SELECT bucket,
+    CAST(ROUND(LN(CAST(c1 + 1 AS DOUBLE) / CAST(t1 + 64 AS DOUBLE))
+             - LN(CAST(c0 + 1 AS DOUBLE) / CAST(t0 + 64 AS DOUBLE)), 12)
+      AS DECIMAL(38,12)) AS lr
+  FROM hist, tot),
+pri AS (SELECT CAST(ROUND(LN(
+      CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) + 1 AS DOUBLE) /
+      CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) + 1 AS DOUBLE)), 12)
+    AS DECIMAL(38,12)) AS prior FROM lab),
+pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(lr) AS s
+  FROM fb JOIN lr USING (bucket) GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
+  ROUND(CAST(COALESCE(s, 0) + prior AS DOUBLE), 6) AS log_odds,
+  (COALESCE(s, 0) + prior) >= 0 AS keep
+FROM documents d LEFT JOIN pd USING (doc_id), pri ORDER BY d.doc_id"""
+  }
+
   /** The E164 training chain: quantized feature relation `f`, zero
     * weights `w0`, and six chained (gradient, update, readout) CTE
     * triples ending at `w6`/`r6`. `lr` is the interpolated learning

@@ -1518,6 +1518,13 @@ object SparkEntry {
       graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Naive-Bayes quality filter (E196, in-engine training #5 — the
+    // ONE-PASS one): per-bucket class counts + priors learned in a
+    // single corpus scan; keep on the exact decimal log-odds
+    "naive_bayes_filter" -> ((s, dir) =>
+      graft.operators.QualityModel.naiveBayesFilter(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // Gopher quality-rule battery (E192): the seven Rae et al. heuristic
     // checks + conjunctive keep, every cut an integer comparison, one
     // map-only pass
@@ -3126,6 +3133,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "trigram_lm" -> OracleSql.trigramLm,
     "kneser_ney_lm" -> OracleSql.kneserNeyLm,
     "gopher_rules" -> OracleSql.gopherRules,
+    "naive_bayes_filter" -> OracleSql.naiveBayesFilter,
     "calibration_table" -> OracleSql.calibrationTable,
     "embedding_pq" -> OracleSql.embeddingPq,
     "domain_topk" -> OracleSql.domainTopk,

@@ -473,4 +473,88 @@ object QualityModel {
       .where(Sampling.hashBucket(col(idCol), salt) < col("bound"))
       .select(col(idCol), col(domainCol).as("domain"), col("bound"))
   }
+
+  /** Naive-Bayes quality filter (E196) — in-engine training #5, and the
+    * ONE-PASS one: multinomial NB over hashed unigram+bigram features
+    * (the E157 feature space) against the reference-quality label
+    * ([[qualityLabel]], the E180 fastText recipe). NB is the classifier
+    * whose training IS an aggregation — per-bucket class counts plus the
+    * class priors, learned in a single corpus scan with map-side
+    * combine — so where [[logregTrain]] pays `iterations` full-batch
+    * scans, this trains in one; the classic first-stage filter trade
+    * (fastText itself is the engineering descendant of exactly this
+    * bag-of-ngrams linear scorer).
+    *
+    * Per document: `log_odds = ln((n₁+1)/(n₀+1)) + Σ_f ln(P(f|1)/P(f|0))`
+    * with Laplace-smoothed `P(f|y) = (c_fy+1)/(T_y+B)`; keep ⇔ the EXACT
+    * decimal log-odds ≥ 0 (per-feature terms ROUND(·, 12)
+    * DECIMAL(38,12)-summed, the prior quantized the same way — no float
+    * at the boundary). Empty documents score the prior alone.
+    *
+    * Scale shape: one explode → map-side-combined bucket histogram
+    * (≤ `buckets` groups), one broadcast of the per-bucket log-ratios
+    * back onto the SAME checkpointed feature stream, one per-doc keyed
+    * agg. Document payloads never shuffle; everything that moves is
+    * (id, bucket) pairs.
+    *
+    * Cites reference scope: model training is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def naiveBayesFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      buckets: Int = 64): DataFrame = {
+    require(buckets > 0, "need a positive bucket count")
+    graft.functions.RollingHash.register(docs.sparkSession)
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val toks = col("_toks")
+    val bigrams = when(
+      size(toks) >= 2,
+      transform(
+        sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))
+    ).otherwise(array())
+    val base = graft.profiler.ScanMetrics.spread(docs)
+      .select(
+        col(idCol).as("id"),
+        (qualityLabel(textCol) === 1.0).as("is_t"),
+        graft.functions.TextFunctions.wsTokens(lower(col(textCol))).as("_toks"))
+    val feats = base
+      .select(col("id"), col("is_t"), explode(concat(toks, bigrams)).as("f"))
+      .select(
+        col("id"), col("is_t"),
+        pmod(call_function("rolling_hash", col("f")), lit(buckets.toLong))
+          .as("bucket"))
+      .localCheckpoint(true) // two consumers: histogram + per-doc sum
+    val hist = feats.groupBy("bucket").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("c0"))
+    val tot = hist.agg(sum(col("c1")).as("t1"), sum(col("c0")).as("t0"))
+    val lrm = hist.crossJoin(broadcast(tot)).select(
+      col("bucket"),
+      round(
+        log((col("c1") + 1L).cast("double") / (col("t1") + buckets).cast("double"))
+          - log((col("c0") + 1L).cast("double") / (col("t0") + buckets).cast("double")),
+        12).cast(dec12).as("lr"))
+    val priors = base.agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("is_t"), 0L).otherwise(1L)).as("n0"))
+    val perDoc = feats
+      .join(broadcast(lrm), Seq("bucket"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("s"))
+    val prior = round(
+      log((col("n1") + 1L).cast("double") / (col("n0") + 1L).cast("double")),
+      12).cast(dec12)
+    val odds = coalesce(col("s"), lit(0).cast(dec12)) + prior
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .crossJoin(broadcast(priors))
+      .select(
+        col("id").as(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        round(odds.cast("double"), 6).as("log_odds"),
+        (odds >= 0).as("keep"))
+  }
 }

@@ -1082,6 +1082,30 @@ class Round11Spec extends AnyFunSuite {
     assert(lsh.toSeq == exact.toSeq)
   }
 
+  test("naiveBayesFilter: one-pass class counts separate the vocabularies; exact-decimal keep boundary") {
+    import spark.implicits._
+    import graft.operators.QualityModel
+    // positives: stopword-rich prose (quality label 1); negatives:
+    // punct-heavy gibberish (label 0) with a disjoint vocabulary
+    val pos = "the and of to in is that it the and of to in is that it the and of to in"
+    val neg = "zzzq!!! wwwk??? vvvm,,, qqqt;;; zzzq!!! wwwk???"
+    val docs = ((1L to 6L).map(i => (i, pos)) ++
+      (11L to 16L).map(i => (i, neg))).toDF("doc_id", "text")
+    val out = QualityModel.naiveBayesFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 21 unigrams + 20 bigrams per positive doc
+    assert(byId(1L).getAs[Long]("n_feats") == 41L)
+    (1L to 6L).foreach { i =>
+      assert(byId(i).getAs[Boolean]("keep") &&
+        byId(i).getAs[Double]("log_odds") > 0, s"doc $i should keep")
+    }
+    (11L to 16L).foreach { i =>
+      assert(!byId(i).getAs[Boolean]("keep") &&
+        byId(i).getAs[Double]("log_odds") < 0, s"doc $i should drop")
+    }
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
