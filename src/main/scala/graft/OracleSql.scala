@@ -3945,6 +3945,61 @@ SELECT doc_id, n_trigrams,
   ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_trigrams AS DOUBLE))), 6) AS perplexity
 FROM agg ORDER BY doc_id"""
 
+  /** Cross-corpus Kneser-Ney twin (E197): train counts over the
+    * reference slice (doc_id % 101 = 0), the score side's trigram
+    * stream LEFT-joined, backoff CASEs keyed on NULLness of the train
+    * counts exactly as the Spark side, OOV = no continuation mass. */
+  lazy val knCrossPpl: String = {
+    val p1 = "(CAST(n3.n3c AS DOUBLE) / CAST(bt AS DOUBLE))"
+    val p2 = "(CASE WHEN cx2.ctx2 IS NULL THEN " + p1 +
+      " ELSE (GREATEST(CAST(COALESCE(c23.n23c, 0) AS DOUBLE) - 0.75, 0.0) + " +
+      s"0.75 * CAST(t2r.t2 AS DOUBLE) * $p1) / CAST(cx2.ctx2 AS DOUBLE) END)"
+    val p3 = "(CASE WHEN cb12.cb IS NULL OR t12.t12 IS NULL THEN " + p2 +
+      " ELSE (GREATEST(CAST(COALESCE(tc.c123, 0) AS DOUBLE) - 0.75, 0.0) + " +
+      s"0.75 * CAST(t12.t12 AS DOUBLE) * $p2) / CAST(cb12.cb AS DOUBLE) END)"
+    raw"""WITH twords AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents WHERE doc_id % 101 = 0),
+ttok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM twords),
+tbig AS (SELECT a.doc_id, a.t AS b1, b.t AS b2 FROM ttok a JOIN ttok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+ttri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+  FROM ttok a JOIN ttok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN ttok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM ttri GROUP BY 1, 2, 3),
+bc AS (SELECT b1, b2, COUNT(*) AS cb FROM tbig GROUP BY 1, 2),
+t12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS t12 FROM tc GROUP BY 1, 2),
+c23 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n23c FROM tc GROUP BY 1, 2),
+cx2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ctx2 FROM tc GROUP BY 1),
+t2r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS t2 FROM c23 GROUP BY 1),
+n3 AS (SELECT b2 AS w3, CAST(COUNT(*) AS BIGINT) AS n3c FROM bc GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bc),
+swords AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents WHERE doc_id % 101 <> 0),
+stok AS (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS pos FROM swords),
+stri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
+  FROM stok a JOIN stok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN stok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+lp AS (SELECT stri.doc_id,
+    (n3.n3c IS NULL) AS oov,
+    CASE WHEN n3.n3c IS NOT NULL THEN
+      CAST(ROUND(LN($p3), 12) AS DECIMAL(38,12)) END AS lp
+  FROM stri LEFT JOIN tc USING (w1, w2, w3)
+    LEFT JOIN bc cb12 ON cb12.b1 = stri.w1 AND cb12.b2 = stri.w2
+    LEFT JOIN t12 USING (w1, w2)
+    LEFT JOIN c23 USING (w2, w3)
+    LEFT JOIN cx2 USING (w2)
+    LEFT JOIN t2r USING (w2)
+    LEFT JOIN n3 ON n3.w3 = stri.w3, tot),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+    CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+    CAST(COUNT(lp) AS BIGINT) AS n_scored, SUM(lp) AS slp
+  FROM lp GROUP BY 1)
+SELECT doc_id, n_trigrams, n_oov,
+  ROUND(CAST(n_oov AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6) AS oov_rate,
+  CASE WHEN n_scored > 0 THEN
+    ROUND(CAST(slp AS DOUBLE) / CAST(n_scored AS DOUBLE), 6) END AS avg_logprob,
+  CASE WHEN n_scored > 0 THEN
+    ROUND(EXP(-(CAST(slp AS DOUBLE) / CAST(n_scored AS DOUBLE))), 6) END AS perplexity
+FROM agg ORDER BY doc_id"""
+  }
+
   /** Shard-manifest twin (E176): the deterministic sha256 bucket routing
     * (the hashBucket contract) folded to `% 16`, exact counts, and the
     * commutative BIGINT XOR of per-doc `sha256(id:text)[0,15]`

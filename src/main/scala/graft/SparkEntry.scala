@@ -1518,6 +1518,17 @@ object SparkEntry {
       graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // cross-corpus KN perplexity (E197): the CCNet setup — model trained
+    // on the reference slice, scoring the web slice; unseen contexts
+    // back off level by level, unseen last words are counted as OOV
+    "kn_cross_ppl" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.LangModel.kneserNeyCrossScore(
+        d.where(col("doc_id") % 101 === 0),
+        d.where(col("doc_id") % 101 =!= 0), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Naive-Bayes quality filter (E196, in-engine training #5 — the
     // ONE-PASS one): per-bucket class counts + priors learned in a
     // single corpus scan; keep on the exact decimal log-odds
@@ -3132,6 +3143,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dup_pagerank" -> OracleSql.dupPagerank,
     "trigram_lm" -> OracleSql.trigramLm,
     "kneser_ney_lm" -> OracleSql.kneserNeyLm,
+    "kn_cross_ppl" -> OracleSql.knCrossPpl,
     "gopher_rules" -> OracleSql.gopherRules,
     "naive_bayes_filter" -> OracleSql.naiveBayesFilter,
     "calibration_table" -> OracleSql.calibrationTable,

@@ -200,6 +200,24 @@ object LangModel {
     *
     * Returns `(id, n_trigrams, avg_logprob, perplexity)`; documents
     * with fewer than 3 tokens are omitted. */
+  /** Shared n-gram stream builders: `(id, w1, w2, w3)` trigram and
+    * `(b1, b2)` bigram relations over a `(id, w)` token-array relation. */
+  private def triStream(words: DataFrame): DataFrame = words
+    .where(size(col("w")) >= 3)
+    .select(col("id"), explode(expr(
+      "transform(slice(w, 1, size(w) - 2), " +
+        "(x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2, " +
+        "element_at(w, i + 3) AS w3))")).as("tg"))
+    .select(col("id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+      col("tg.w3").as("w3"))
+
+  private def bigStream(words: DataFrame): DataFrame = words
+    .where(size(col("w")) >= 2)
+    .select(explode(expr(
+      "transform(slice(w, 1, size(w) - 1), " +
+        "(x, i) -> struct(x AS b1, element_at(w, i + 2) AS b2))")).as("bg"))
+    .select(col("bg.b1").as("b1"), col("bg.b2").as("b2"))
+
   def kneserNeyScore(
       df: DataFrame,
       idCol: String,
@@ -262,6 +280,91 @@ object LangModel {
         round(col("slp").cast("double") / col("n_trigrams").cast("double"), 6)
           .as("avg_logprob"),
         round(exp(-(col("slp").cast("double") / col("n_trigrams").cast("double"))), 6)
+          .as("perplexity"))
+  }
+
+  /** Cross-corpus Kneser-Ney perplexity (E197) — the setup CCNet
+    * actually runs ([[kneserNeyScore]] self-scores; production filters
+    * don't): the KN model is trained on a REFERENCE slice and scores a
+    * DIFFERENT corpus, so unseen events are first-class. Backoff at
+    * score time: a trigram context never seen in training
+    * (`c(w₁w₂) = 0`, or seen only at document ends so it has no trigram
+    * mass to discount — `N₁₊(w₁w₂·) = 0`) falls through to the bigram
+    * level; an unseen MIDDLE context falls to the unigram; an unseen
+    * LAST WORD (no continuation mass at all) is out-of-vocabulary — it
+    * cannot be scored by any level and is counted, not smudged:
+    * `oov_rate` is reported beside the perplexity OVER SCORED TRIGRAMS,
+    * the honest split production filters use (a low-ppl doc with 40%
+    * OOV is not a low-ppl doc).
+    *
+    * Same determinism contract as [[kneserNeyScore]] (fixed-order
+    * double expr, literal D, ROUND(ln p, 12) decimal sums); the backoff
+    * CASEs key on NULLness of the LEFT-joined train counts — identical
+    * on both engines. Scale shape unchanged: count relations over the
+    * (small) reference slice, the score side joins its trigram stream
+    * on compact token keys. */
+  def kneserNeyCrossScore(
+      train: DataFrame,
+      score: DataFrame,
+      idCol: String,
+      textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0,
+      s"kneserNeyCrossScore: discount=$discount out of (0,1)")
+    def wordsOf(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      TextFunctions.wsTokens(lower(col(textCol))).as("w"))
+    val tw = wordsOf(train)
+    val triCounts = triStream(tw).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123"))
+    val bigCounts = bigStream(tw).groupBy("b1", "b2")
+      .agg(count(lit(1)).as("cb"))
+    val t12 = triCounts.groupBy("w1", "w2").agg(count(lit(1)).as("t12"))
+    val cont23 = triCounts.groupBy("w2", "w3").agg(count(lit(1)).as("n23c"))
+    val ctx2 = triCounts.groupBy("w2").agg(count(lit(1)).as("ctx2"))
+    val t2 = cont23.groupBy("w2").agg(count(lit(1)).as("t2"))
+    val n3c = bigCounts.groupBy("b2").agg(count(lit(1)).as("n3c"))
+      .withColumnRenamed("b2", "w3")
+    val totals = bigCounts.agg(count(lit(1)).as("bt"))
+    val d = lit(discount)
+    val p1 = col("n3c").cast("double") / col("bt").cast("double")
+    val p2 = when(col("ctx2").isNull, p1).otherwise(
+      (greatest(coalesce(col("n23c"), lit(0L)).cast("double") - d, lit(0.0)) +
+        d * col("t2").cast("double") * p1) / col("ctx2").cast("double"))
+    val p3 = when(col("c12").isNull || col("t12").isNull, p2).otherwise(
+      (greatest(coalesce(col("c123"), lit(0L)).cast("double") - d, lit(0.0)) +
+        d * col("t12").cast("double") * p2) / col("c12").cast("double"))
+    val lp = round(log(p3), 12).cast(DecimalType(38, 12))
+    triStream(wordsOf(score))
+      .join(triCounts, Seq("w1", "w2", "w3"), "left")
+      .join(bigCounts.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cb").as("c12")), Seq("w1", "w2"), "left")
+      .join(t12, Seq("w1", "w2"), "left")
+      .join(cont23, Seq("w2", "w3"), "left")
+      .join(ctx2, Seq("w2"), "left")
+      .join(t2, Seq("w2"), "left")
+      .join(n3c, Seq("w3"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        col("n3c").isNull.as("oov"),
+        when(col("n3c").isNotNull, lp).as("lp"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        count(col("lp")).as("n_scored"),
+        sum(col("lp")).as("slp"))
+      .select(
+        col("id"),
+        col("n_trigrams"),
+        col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_trigrams").cast("double"), 6)
+          .as("oov_rate"),
+        when(col("n_scored") > 0,
+          round(col("slp").cast("double") / col("n_scored").cast("double"), 6))
+          .as("avg_logprob"),
+        when(col("n_scored") > 0,
+          round(exp(-(col("slp").cast("double") / col("n_scored").cast("double"))), 6))
           .as("perplexity"))
   }
 }

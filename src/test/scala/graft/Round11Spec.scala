@@ -1106,6 +1106,37 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("kneserNeyCrossScore: level-by-level backoff for unseen contexts, OOV counted not smudged") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    val train = Seq((1L, "a b c a b d")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b c"),  // fully seen trigram -> highest order
+      (11L, "a b z"),  // unseen last word -> OOV
+      (12L, "x y c"),  // unseen bigram AND middle -> unigram level
+      (13L, "b d c"))  // c(bd)>0 but no trigram mass -> t12-null guard
+      .toDF("doc_id", "text")
+    val out = LangModel.kneserNeyCrossScore(train, score, "doc_id", "text")
+      .orderBy("id").collect()
+    def q12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal): Double =
+      x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 10: P(c|a,b) = 0.359375 (the E191 hand computation)
+    assert(out(0).getAs[Long]("n_oov") == 0L)
+    assert(out(0).getAs[Double]("avg_logprob") == r6(q12(math.log(0.359375))))
+    // doc 11: z has no continuation mass -> 1 OOV, nothing scored
+    assert(out(1).getAs[Long]("n_trigrams") == 1L &&
+      out(1).getAs[Long]("n_oov") == 1L)
+    assert(out(1).isNullAt(out(1).fieldIndex("avg_logprob")))
+    assert(out(1).getAs[Double]("oov_rate") == 1.0)
+    // docs 12/13: both fall through to the unigram P(c) = 1/4 — doc 13
+    // via the t12-null guard (c(bd) > 0 but no trigram starts (b,d))
+    assert(out(2).getAs[Double]("avg_logprob") == r6(q12(math.log(0.25))))
+    assert(out(3).getAs[Double]("avg_logprob") == r6(q12(math.log(0.25))))
+    assert(out(3).getAs[Long]("n_oov") == 0L)
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
