@@ -2701,6 +2701,25 @@ SELECT d.doc_id, COALESCE(n_feats, 0) AS n_feats,
 FROM documents d LEFT JOIN pd USING (doc_id), pri ORDER BY d.doc_id"""
   }
 
+  /** Composite quality-gate twin (E198): the three verdict statements
+    * nested verbatim, composed by an id-keyed join with the identical
+    * conjunction. */
+  lazy val qualityGate: String =
+    s"""WITH g AS ($gopherRules),
+b AS ($ccnetBuckets),
+nb AS ($naiveBayesFilter)
+SELECT d.doc_id, g.keep AS rules_ok,
+  COALESCE(b.bucket, 'none') AS bucket,
+  nb.keep AS nb_ok, nb.log_odds,
+  (g.keep AND nb.keep AND COALESCE(b.bucket, 'none') <> 'tail'
+    AND COALESCE(b.bucket, 'none') <> 'none') AS keep,
+  sha256(d.text) AS text_sha, CAST(LENGTH(d.text) AS BIGINT) AS n_chars
+FROM documents d
+JOIN g ON g.doc_id = d.doc_id
+LEFT JOIN b ON b.doc_id = d.doc_id
+JOIN nb ON nb.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   /** The E164 training chain: quantized feature relation `f`, zero
     * weights `w0`, and six chained (gradient, update, readout) CTE
     * triples ending at `w6`/`r6`. `lr` is the interpolated learning

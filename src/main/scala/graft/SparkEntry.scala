@@ -1518,6 +1518,12 @@ object SparkEntry {
       graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // composite quality gate (E198): Gopher rules AND ccnet tertile AND
+    // one-pass NB classifier — three independent verdicts, conjunctive
+    // keep, every stage's verdict kept in the row
+    "quality_gate" -> ((s, dir) =>
+      graft.operators.Curate.qualityGate(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // cross-corpus KN perplexity (E197): the CCNet setup — model trained
     // on the reference slice, scoring the web slice; unseen contexts
     // back off level by level, unseen last words are counted as OOV
@@ -3146,6 +3152,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "kn_cross_ppl" -> OracleSql.knCrossPpl,
     "gopher_rules" -> OracleSql.gopherRules,
     "naive_bayes_filter" -> OracleSql.naiveBayesFilter,
+    "quality_gate" -> OracleSql.qualityGate,
     "calibration_table" -> OracleSql.calibrationTable,
     "embedding_pq" -> OracleSql.embeddingPq,
     "domain_topk" -> OracleSql.domainTopk,

@@ -84,4 +84,55 @@ object Curate {
         max(id).as("max_id"),
         expr("bit_xor(_fp)").as("digest"))
   }
+
+  /** Composite quality gate (E198) — the modern three-stage web-corpus
+    * gate (the FineWeb/RefinedWeb recipe): heuristic RULES
+    * ([[CorpusStats.gopherRules]], integer cuts) ∧ per-language
+    * perplexity-proxy TERTILE ([[Ranking.ccnetBuckets]], drop the tail
+    * and the unscored) ∧ learned CLASSIFIER
+    * ([[QualityModel.naiveBayesFilter]], one-pass NB on the exact
+    * decimal log-odds) — three independent verdicts with different
+    * failure modes (a rule battery can't see fluency; a perplexity
+    * tertile is relative, not absolute; a classifier inherits its
+    * label), composed conjunctively with every stage's verdict kept in
+    * the row so a curator reads WHY a document fell.
+    *
+    * Scale shape: each verdict is its own sub-DAG over the same source
+    * scan — the rules map-only, the tertile windowing its per-language
+    * DISTINCT-score histogram, NB its ≤-buckets histogram — and the
+    * composition is an id-keyed join of METADATA relations ((id, bool,
+    * bucket, odds) + the sha/length projected in the same map pass as
+    * the source read); document payloads never enter an exchange.
+    *
+    * Cites reference scope: curation gates are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def qualityGate(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val rules = CorpusStats.gopherRules(df, idCol, textCol)
+      .select(col(idCol), col("keep").as("rules_ok"))
+    val scored = df.select(
+      col(idCol),
+      TextFunctions.langId(col(textCol)).as("lang"),
+      round(TextFunctions.qualityScore(col(textCol)), 6).as("score"))
+    val buckets = Ranking.ccnetBuckets(scored, idCol, "lang", "score")
+      .select(col(idCol), col("bucket"))
+    val nb = QualityModel.naiveBayesFilter(df, idCol, textCol)
+      .select(col(idCol), col("keep").as("nb_ok"), col("log_odds"))
+    val bkt = coalesce(col("bucket"), lit("none"))
+    df.select(
+        col(idCol),
+        sha2(col(textCol), 256).as("text_sha"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(rules, Seq(idCol))
+      .join(buckets, Seq(idCol), "left")
+      .join(nb, Seq(idCol))
+      .select(
+        col(idCol), col("rules_ok"), bkt.as("bucket"),
+        col("nb_ok"), col("log_odds"),
+        (col("rules_ok") && col("nb_ok") &&
+          bkt =!= "tail" && bkt =!= "none").as("keep"),
+        col("text_sha"), col("n_chars"))
+  }
 }

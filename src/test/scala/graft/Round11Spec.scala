@@ -1137,6 +1137,49 @@ class Round11Spec extends AnyFunSuite {
     assert(out(3).getAs[Long]("n_oov") == 0L)
   }
 
+  test("qualityGate: stage verdicts agree with the standalone operators; conjunctive keep; corpus preserved") {
+    import spark.implicits._
+    import graft.operators.{CorpusStats, Curate, QualityModel, Ranking}
+    import graft.functions.TextFunctions
+    val good = ("the quick brown fox jumps over the lazy dog " * 7).trim
+    val docs = Seq(
+      (1L, good),
+      (2L, "tiny doc"),
+      (3L, List.fill(10)("- the and of seven eight").mkString("\n")),
+      (4L, "zzzq!!! wwwk??? vvvm,,, qqqt;;; zzzq!!! wwwk???"))
+      .toDF("doc_id", "text")
+    val out = Curate.qualityGate(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    // keep is exactly the conjunction of the row's own stage verdicts
+    out.foreach { r =>
+      val expect = r.getAs[Boolean]("rules_ok") && r.getAs[Boolean]("nb_ok") &&
+        r.getAs[String]("bucket") != "tail" && r.getAs[String]("bucket") != "none"
+      assert(r.getAs[Boolean]("keep") == expect, s"row $r")
+    }
+    // each stage agrees with its standalone operator
+    val rules = CorpusStats.gopherRules(docs, "doc_id", "text")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val nb = QualityModel.naiveBayesFilter(docs, "doc_id", "text")
+      .select("doc_id", "keep").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val staged = docs.select(col("doc_id"),
+      TextFunctions.langId(col("text")).as("lang"),
+      round(TextFunctions.qualityScore(col("text")), 6).as("score"))
+    val buckets = Ranking.ccnetBuckets(staged, "doc_id", "lang", "score")
+      .collect().map(r =>
+        r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("rules_ok") == rules(id))
+      assert(r.getAs[Boolean]("nb_ok") == nb(id))
+      assert(r.getAs[String]("bucket") == buckets.getOrElse(id, "none"))
+    }
+    // the tiny doc fails the rules, so it cannot be kept
+    assert(!out(1).getAs[Boolean]("keep"))
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
