@@ -1475,6 +1475,48 @@ SELECT k, CAST(COUNT(*) AS BIGINT) AS n_queries,
   ROUND(CAST(MIN(r) AS DOUBLE), 6) AS min_recall
 FROM r GROUP BY k ORDER BY k"""
 
+  /** kNN-probe twin (E199): leave-one-out brute-force top-10 on the 6-dp
+    * cosine, majority vote with (count DESC, label ASC) tie-break. */
+  lazy val knnLabelEval: String =
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+nn AS (SELECT query_id, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+    ROUND(${listDot("q.embedding", "e.embedding")} / (${listNorm("q.embedding")} * ${listNorm("e.embedding")}), 6) AS cos
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.vec_id
+    AND ${listNorm("q.embedding")} * ${listNorm("e.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10),
+v AS (SELECT nn.query_id, CAST(l.label AS BIGINT) AS lbl, COUNT(*) AS c
+  FROM nn JOIN embeddings l ON l.vec_id = nn.neighbor_id GROUP BY 1, 2),
+p AS (SELECT query_id, lbl AS pred_label, CAST(c AS BIGINT) AS n_votes FROM v
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, lbl) = 1)
+SELECT p.query_id, CAST(t.label AS BIGINT) AS true_label, p.pred_label,
+  p.n_votes, (p.pred_label = CAST(t.label AS BIGINT)) AS correct
+FROM p JOIN embeddings t ON t.vec_id = p.query_id ORDER BY p.query_id"""
+
+  /** Cluster-purity twin (E200): the nearest-centroid assignment CTEs
+    * (the E158 argmax form), per-(cluster, label) counts, majority with
+    * (count DESC, label ASC) tie-break, 6-dp purity ratio. */
+  lazy val clusterPurity: String =
+    s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM e WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id, centroid_id FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.ce")} / (${listNorm("e.embedding")} * ${listNorm("c.ce")}), 6) AS cos,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+      ROUND(${listDot("e.embedding", "c.ce")} / (${listNorm("e.embedding")} * ${listNorm("c.ce")}), 6) DESC,
+      c.centroid_id) AS rn
+  FROM e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.ce")} > 0) t WHERE rn = 1),
+v AS (SELECT a.centroid_id, CAST(l.label AS BIGINT) AS lbl, COUNT(*) AS c
+  FROM a JOIN e l ON l.vec_id = a.vec_id GROUP BY 1, 2),
+s AS (SELECT centroid_id, CAST(SUM(c) AS BIGINT) AS n_members FROM v GROUP BY 1),
+m AS (SELECT centroid_id, lbl AS majority_label, CAST(c AS BIGINT) AS n_majority FROM v
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY c DESC, lbl) = 1)
+SELECT s.centroid_id, s.n_members, m.majority_label, m.n_majority,
+  ROUND(CAST(m.n_majority AS DOUBLE) / CAST(s.n_members AS DOUBLE), 6) AS purity
+FROM s JOIN m USING (centroid_id) ORDER BY s.centroid_id"""
+
   /** MMR diversified re-rank twin (E193): the brute-force pool nested
     * verbatim, pool-pairwise 6-dp cosines, then the greedy selection
     * replayed as chained (rem, max-sim, pick, union) CTE blocks — the

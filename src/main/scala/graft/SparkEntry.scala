@@ -1951,6 +1951,21 @@ object SparkEntry {
         centroidPred = col("vec_id") % 83 === 0,
         queryPred = col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    // kNN label probe (E199): leave-one-out majority vote over the
+    // brute-force top-10 — the no-training embedding-quality eval
+    "knn_label_eval" -> ((s, dir) =>
+      Similarity.knnLabelEval(
+        embeddings(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") % 97 === 0)
+        .orderBy("query_id")),
+    // cluster label purity (E200): per nearest-centroid cluster, the
+    // majority label + purity fraction — do the IVF cells respect
+    // semantics
+    "cluster_purity" -> ((s, dir) =>
+      Similarity.clusterPurity(
+        embeddings(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") % 83 === 0)
+        .orderBy("centroid_id")),
     // MMR diversified re-rank (E193): greedy maximal marginal relevance
     // over the brute-force pool — selection keys 6-dp, chained stages,
     // query-parallel (no driver loop over queries)
@@ -3206,6 +3221,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "ivf_topk" -> OracleSql.ivfTopK,
     "ndcg_eval" -> OracleSql.ndcgEval,
     "mmr_diversify" -> OracleSql.mmrDiversify,
+    "knn_label_eval" -> OracleSql.knnLabelEval,
+    "cluster_purity" -> OracleSql.clusterPurity,
     "recall_curve" -> OracleSql.recallCurve,
     "embedding_quantize" -> OracleSql.embeddingQuantize,
     "budget_select" -> OracleSql.budgetSelect,

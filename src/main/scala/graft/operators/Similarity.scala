@@ -104,7 +104,8 @@ object Similarity {
       idCol: String,
       vecCol: String,
       queryPred: Column,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      excludeSelf: Boolean = false): DataFrame = {
     graft.functions.VectorOps.register(embIn.sparkSession)
     // single-row-group sources run the (heavy) per-vector projection work
     // on one core — see ScanMetrics.spread; results are unchanged
@@ -115,11 +116,16 @@ object Similarity {
       col(idCol).as("neighbor_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
     val queries = emb.where(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
-    val scored = corpus.crossJoin(broadcast(queries))
+    val scored0 = corpus.crossJoin(broadcast(queries))
       .select(
         col("query_id"), col("neighbor_id"),
         safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
       .where(col("cos").isNotNull)
+    // leave-one-out mode (the kNN-probe convention): a query is never
+    // its own neighbor
+    val scored =
+      if (excludeSelf) scored0.where(col("neighbor_id") =!= col("query_id"))
+      else scored0
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -385,6 +391,85 @@ object Similarity {
         col(idCol),
         size(col(vecCol)).cast("long").as("n_dims"),
         round(fnorm(col(vecCol)), 6).as("norm"))
+  }
+
+  /** kNN label probe (E199) — the standard no-training embedding-quality
+    * eval (the "kNN classifier" probe used to grade representation
+    * spaces): each labeled query vector is classified by the MAJORITY
+    * label of its k nearest neighbors under leave-one-out (a query is
+    * never its own neighbor — with self included the probe is trivially
+    * right and measures nothing). High accuracy ⇒ the space clusters by
+    * label ⇒ ANN buckets/centroids built on it will respect semantics.
+    *
+    * Determinism: neighbors rank by the 6-dp cosine (id tie-break);
+    * majority ties break to the SMALLER label. Per query:
+    * `(true_label, pred_label, n_votes, correct)` — the confusion
+    * relation aggregates downstream however the caller wants.
+    *
+    * Scale shape: the probe rides [[cosineTopK]]'s broadcast-queries
+    * scoring (the query slice is small by contract); votes are one
+    * keyed agg over |Q|·k rows; labels join on compact ids. */
+  def knnLabelEval(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queryPred: Column,
+      k: Int = 10): DataFrame = {
+    val nn = cosineTopK(embIn, idCol, vecCol, queryPred, k,
+      excludeSelf = true)
+    val labels = embIn.select(
+      col(idCol).as("vid"), col(labelCol).cast("long").as("lbl"))
+    val votes = nn
+      .join(labels.select(col("vid").as("neighbor_id"), col("lbl")),
+        Seq("neighbor_id"))
+      .groupBy("query_id", "lbl").agg(count(lit(1)).as("c"))
+    val pred = votes.groupBy("query_id")
+      .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("b"))
+      .select(col("query_id"), (-col("b.nl")).as("pred_label"),
+        col("b.c").as("n_votes"))
+    pred
+      .join(labels.select(col("vid").as("query_id"),
+        col("lbl").as("true_label")), Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
+  /** Cluster label purity (E200) — [[knnLabelEval]]'s clustering-side
+    * sibling: per nearest-centroid cluster, the majority label, its
+    * count and the purity fraction — the standard external clustering
+    * quality measure, and the direct read on whether the IVF coarse
+    * quantizer's cells respect semantics (a low-purity cell mixes
+    * classes, so probing it retrieves cross-class neighbors).
+    *
+    * Determinism: assignment is the 6-dp argmax cosine
+    * ([[nearestCentroid]]); majority ties break to the smaller label;
+    * purity is a 6-dp integer ratio. Scale shape: one broadcast-centroid
+    * assignment pass + two strictly-shrinking keyed aggs over the
+    * (cluster, label) count relation. */
+  def clusterPurity(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      centroidPred: Column): DataFrame = {
+    val assign = nearestCentroid(embIn, idCol, vecCol, centroidPred)
+    val labeled = assign.join(
+      embIn.select(col(idCol).as("vec_id"),
+        col(labelCol).cast("long").as("lbl")), Seq("vec_id"))
+    labeled.groupBy("centroid_id", "lbl").agg(count(lit(1)).as("c"))
+      .groupBy("centroid_id")
+      .agg(
+        sum(col("c")).as("n_members"),
+        max(struct(col("c").as("c"), (-col("lbl")).as("nl"))).as("b"))
+      .select(
+        col("centroid_id"),
+        col("n_members"),
+        (-col("b.nl")).as("majority_label"),
+        col("b.c").as("n_majority"),
+        round(col("b.c").cast("double") / col("n_members").cast("double"), 6)
+          .as("purity"))
   }
 
   /** MMR diversified re-ranking (E193) — Carbonell & Goldstein '98

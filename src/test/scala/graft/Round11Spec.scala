@@ -1180,6 +1180,58 @@ class Round11Spec extends AnyFunSuite {
     assert(!out(1).getAs[Boolean]("keep"))
   }
 
+  test("knnLabelEval: leave-one-out majority vote; rank and vote ties break deterministically") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.1f, 0.9f), 1),
+      (7L, Array(0.7f, 0.7f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelEval(
+      emb, "vec_id", "embedding", "label",
+      col("vec_id") === 1L || col("vec_id") === 7L, k = 2)
+      .orderBy("query_id").collect()
+    // query 1: top-2 = {2 (same class), 7} -> 1-1 vote tie -> label 0
+    assert(out(0).getAs[Long]("true_label") == 0L &&
+      out(0).getAs[Long]("pred_label") == 0L &&
+      out(0).getAs[Boolean]("correct"))
+    // query 7 sits symmetric between the classes: cos ties rank by id
+    // (2 then 5), the 1-1 vote ties to the smaller label -> pred 0,
+    // true 1 -> incorrect (pins BOTH tie-breaks)
+    assert(out(1).getAs[Long]("true_label") == 1L &&
+      out(1).getAs[Long]("pred_label") == 0L &&
+      !out(1).getAs[Boolean]("correct"))
+  }
+
+  test("clusterPurity: majority label and 6-dp purity per nearest-centroid cluster") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.1f, 0.9f), 1),
+      (7L, Array(0.7f, 0.7f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(
+      emb, "vec_id", "embedding", "label",
+      col("vec_id") === 1L || col("vec_id") === 4L)
+      .orderBy("centroid_id").collect()
+    // 7 is equidistant from both centroids -> assignment ties to the
+    // smaller centroid id -> cluster 1 = {1, 2, 7}: majority 0, 2/3
+    assert(out(0).getAs[Long]("centroid_id") == 1L &&
+      out(0).getAs[Long]("n_members") == 3L &&
+      out(0).getAs[Long]("majority_label") == 0L &&
+      out(0).getAs[Long]("n_majority") == 2L &&
+      out(0).getAs[Double]("purity") == 0.666667)
+    assert(out(1).getAs[Long]("centroid_id") == 4L &&
+      out(1).getAs[Long]("n_members") == 2L &&
+      out(1).getAs[Double]("purity") == 1.0)
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
