@@ -1517,6 +1517,31 @@ SELECT s.centroid_id, s.n_members, m.majority_label, m.n_majority,
   ROUND(CAST(m.n_majority AS DOUBLE) / CAST(s.n_members AS DOUBLE), 6) AS purity
 FROM s JOIN m USING (centroid_id) ORDER BY s.centroid_id"""
 
+  /** Simplified-silhouette twin (E201): one 6-dp cosine relation, own
+    * argmax (cos DESC, centroid id) and runner-up read off it, the
+    * (b−a)/max(a,b) score with the a=b→0 convention, decimal-summed
+    * cluster means. */
+  lazy val silhouette: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, embedding AS ce FROM e WHERE vec_id % 83 = 0),
+sc AS (SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.ce")} / (${listNorm("e.embedding")} * ${listNorm("c.ce")}), 6) AS cos
+  FROM e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.ce")} > 0),
+own AS (SELECT vec_id, centroid_id AS own, (1.0 - cos) AS a FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+sec AS (SELECT s.vec_id, (1.0 - MAX(s.cos)) AS b
+  FROM sc s JOIN own o ON o.vec_id = s.vec_id AND s.centroid_id <> o.own
+  GROUP BY 1),
+ps AS (SELECT o.own,
+    CASE WHEN GREATEST(a, b) > 0 THEN ROUND((b - a) / GREATEST(a, b), 6)
+         ELSE 0.0 END AS s
+  FROM own o JOIN sec USING (vec_id))
+SELECT own AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+  ROUND(CAST(SUM(CAST(ROUND(s, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette,
+  ROUND(MIN(s), 6) AS min_silhouette
+FROM ps GROUP BY 1 ORDER BY 1"""
+
   /** MMR diversified re-rank twin (E193): the brute-force pool nested
     * verbatim, pool-pairwise 6-dp cosines, then the greedy selection
     * replayed as chained (rem, max-sim, pick, union) CTE blocks — the

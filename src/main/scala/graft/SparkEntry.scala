@@ -1951,6 +1951,14 @@ object SparkEntry {
         centroidPred = col("vec_id") % 83 === 0,
         queryPred = col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    // simplified silhouette (E201): per cluster, mean + worst member
+    // (b-a)/max(a,b) against own vs nearest-other centroid — the
+    // internal clustering-quality measure beside E200's external purity
+    "silhouette" -> ((s, dir) =>
+      Similarity.silhouette(
+        embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") % 83 === 0)
+        .orderBy("centroid_id")),
     // kNN label probe (E199): leave-one-out majority vote over the
     // brute-force top-10 — the no-training embedding-quality eval
     "knn_label_eval" -> ((s, dir) =>
@@ -3223,6 +3231,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "mmr_diversify" -> OracleSql.mmrDiversify,
     "knn_label_eval" -> OracleSql.knnLabelEval,
     "cluster_purity" -> OracleSql.clusterPurity,
+    "silhouette" -> OracleSql.silhouette,
     "recall_curve" -> OracleSql.recallCurve,
     "embedding_quantize" -> OracleSql.embeddingQuantize,
     "budget_select" -> OracleSql.budgetSelect,

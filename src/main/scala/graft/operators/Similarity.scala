@@ -472,6 +472,68 @@ object Similarity {
           .as("purity"))
   }
 
+  /** Simplified silhouette per cluster (E201) — the INTERNAL clustering
+    * quality measure beside [[clusterPurity]]'s external one (purity
+    * needs labels; silhouette needs only geometry): per vector, with
+    * cosine distance `d = 1 − cos`, `a` = distance to the OWN centroid,
+    * `b` = distance to the nearest OTHER centroid, `s = (b−a)/max(a,b)`
+    * — the classic centroid-based simplification (per-point pairwise
+    * silhouette is O(N²); against centroids it is one broadcast pass,
+    * which is why it's the variant anyone computes at scale). Reported
+    * per cluster: member count, mean and worst member silhouette — a
+    * low-mean cluster overlaps a neighbor (merge or re-seed), a
+    * negative-min cluster holds points closer to another cell (the IVF
+    * probe-miss risk, the geometric cousin of a low-purity cell).
+    *
+    * Determinism: assignment and runner-up read off the SAME 6-dp
+    * cosine relation (ties to the smaller centroid id); `s` is 6-dp,
+    * `a = b` degenerate points score 0 by convention; means are
+    * decimal-summed. Scale: one broadcast-centroid scoring pass + one
+    * keyed runner-up agg + a strictly-shrinking cluster rollup.
+    * Undefined with a single centroid (no `b`) — the relation is empty
+    * then, matching the measure's own domain. */
+  def silhouette(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+    val corpus = emb.select(
+      col(idCol).as("vec_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val cents = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c"),
+        fnorm(col(vecCol)).as("nc"))
+    val scored = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        safeCos(col("v"), col("c"), col("nv"), col("nc")).as("cos"))
+      .where(col("cos").isNotNull)
+      .localCheckpoint(true) // two consumers: own-argmax + runner-up
+    val own = scored.groupBy("vec_id")
+      .agg(min(struct(
+        (-col("cos")).as("nc"), col("centroid_id"), col("cos"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("own"),
+        (lit(1.0) - col("best.cos")).as("a"))
+    val second = scored
+      .join(own.select("vec_id", "own"), Seq("vec_id"))
+      .where(col("centroid_id") =!= col("own"))
+      .groupBy("vec_id")
+      .agg((lit(1.0) - max(col("cos"))).as("b"))
+    val s = when(greatest(col("a"), col("b")) > 0,
+      round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+      .otherwise(lit(0.0))
+    own.join(second, Seq("vec_id"))
+      .select(col("own"), s.as("s"))
+      .groupBy("own")
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(round(col("s"), 12).cast(dec12)).cast("double") /
+          count(lit(1)), 6).as("mean_silhouette"),
+        round(min(col("s")), 6).as("min_silhouette"))
+      .withColumnRenamed("own", "centroid_id")
+  }
+
   /** MMR diversified re-ranking (E193) — Carbonell & Goldstein '98
     * maximal marginal relevance over a per-query candidate pool: pick
     * greedily, at each step, the candidate maximizing

@@ -1232,6 +1232,34 @@ class Round11Spec extends AnyFunSuite {
       out(1).getAs[Double]("purity") == 1.0)
   }
 
+  test("silhouette: centroids score 1, midpoints 0, tight members near 1; per-cluster rollup") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),  // centroid A
+      (2L, Array(0.9f, 0.1f)),  // tight member of A
+      (4L, Array(0.0f, 1.0f)),  // centroid B
+      (5L, Array(0.1f, 0.9f)),  // tight member of B
+      (7L, Array(0.7f, 0.7f)))  // equidistant -> a = b -> s = 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.silhouette(
+      emb, "vec_id", "embedding",
+      col("vec_id") === 1L || col("vec_id") === 4L)
+      .orderBy("centroid_id").collect()
+    // cluster A holds {1, 2, 7} (7 ties to the smaller centroid id)
+    assert(out(0).getAs[Long]("centroid_id") == 1L &&
+      out(0).getAs[Long]("n_members") == 3L)
+    // 7's a = b -> 0 is the cluster's worst member
+    assert(out(0).getAs[Double]("min_silhouette") == 0.0)
+    // cluster B = {4, 5}: the centroid scores exactly 1 (a = 0, b = 1),
+    // the tight member is near 1 -> mean and min both high
+    assert(out(1).getAs[Long]("centroid_id") == 4L &&
+      out(1).getAs[Long]("n_members") == 2L)
+    assert(out(1).getAs[Double]("min_silhouette") > 0.98)
+    assert(out(1).getAs[Double]("mean_silhouette") > 0.99 &&
+      out(1).getAs[Double]("mean_silhouette") <= 1.0)
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
