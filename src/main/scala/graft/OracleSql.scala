@@ -526,6 +526,27 @@ jpairs AS (
   val dedupNgramJaccard: String =
     s"WITH $jaccardCtes\nSELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
 
+  /** Dedup-survival twin (E202): the same shingle/intersection chain at
+    * the 0.1 floor, a 9-row threshold grid non-equi-joined against the
+    * pair relation, exact distinct-removal counts per slice. */
+  lazy val dedupSurvival: String =
+    raw"""WITH words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jp AS (SELECT id_a, id_b, jaccard FROM (
+    SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b) q
+  WHERE jaccard >= 0.1),
+grid AS (SELECT CAST(i AS DOUBLE) / CAST(10 AS DOUBLE) AS t FROM UNNEST(range(1, 10)) g(i)),
+agg AS (SELECT t, CAST(COUNT(jp.id_a) AS BIGINT) AS n_pairs,
+    CAST(COUNT(DISTINCT jp.id_b) AS BIGINT) AS n_removed
+  FROM grid LEFT JOIN jp ON jp.jaccard >= grid.t GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT ROUND(t, 1) AS threshold, n_pairs, n_removed,
+  n_docs - n_removed AS n_survivors
+FROM agg, tot ORDER BY threshold"""
+
   /** Connected components over the Jaccard pair graph: transitive closure
     * via a recursive CTE, each node labeled with the smallest reachable
     * doc id — the oracle twin of Clustering.dedupClusters (which computes

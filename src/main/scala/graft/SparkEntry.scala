@@ -633,6 +633,12 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // dedup survival curve (E202): per threshold 0.1..0.9 the exact
+    // pair count, drop-rule removals and survivors — the threshold-
+    // picking artifact, one pair relation instead of nine re-runs
+    "dedup_survival" -> ((s, dir) =>
+      Dedup.dedupSurvival(documents(s, dir), "doc_id", "text")
+        .orderBy("threshold")),
     // MinHash cluster relation (E195): connected components over the
     // LSH-banded VERIFIED pair graph — the production cluster-then-
     // keep-one shape at 100 TB (hybrid driver union-find under the
@@ -3232,6 +3238,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "knn_label_eval" -> OracleSql.knnLabelEval,
     "cluster_purity" -> OracleSql.clusterPurity,
     "silhouette" -> OracleSql.silhouette,
+    "dedup_survival" -> OracleSql.dedupSurvival,
     "recall_curve" -> OracleSql.recallCurve,
     "embedding_quantize" -> OracleSql.embeddingQuantize,
     "budget_select" -> OracleSql.budgetSelect,

@@ -237,6 +237,50 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Dedup survival curve (E202) — the threshold-picking decision
+    * artifact in front of every near-dup pass: for each candidate
+    * threshold t ∈ {0.1 … 0.9}, the pair count at J ≥ t, how many
+    * documents the per-pair larger-id drop rule ([[jaccardDedupExecute]])
+    * would remove, and how many survive — "0.5 keeps 98.1%, 0.3 keeps
+    * 91.4%" read directly off one relation instead of nine re-runs.
+    * Survivor counts are exact, not pair-count heuristics: a doc in
+    * many pairs is still removed once.
+    *
+    * Scale shape: the pair relation is built ONCE at the lowest
+    * threshold (same shared-shingle equi-join and caps as
+    * [[ngramJaccard]]) and checkpointed; the nine threshold slices are
+    * a broadcast 9-row grid non-equi-joined against the PAIR relation
+    * (duplicate-mass-sized, never the corpus) + one distinct-count per
+    * slice. Corpus size enters as one broadcast scalar.
+    *
+    * Cites reference scope: threshold sweeps are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def dedupSurvival(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold = 0.1,
+      maxDocFreq = maxDocFreq)
+      .localCheckpoint(true) // nine threshold slices read it
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    val grid = df.sparkSession.range(1, 10)
+      .select((col("id").cast("double") / lit(10.0).cast("double")).as("t"))
+    broadcast(grid)
+      .join(pairs, col("jaccard") >= col("t"), "left")
+      .groupBy("t")
+      .agg(
+        count(col("id_a")).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_removed"))
+      .crossJoin(broadcast(total))
+      .select(
+        round(col("t"), 1).as("threshold"),
+        col("n_pairs"), col("n_removed"),
+        (col("n_docs") - col("n_removed")).as("n_survivors"))
+  }
+
   /** N-gram-Jaccard dedup EXECUTOR (E181) — the drop action for [[ngramJaccard]]'s
     * verdict relation: every document with a SMALLER-id neighbor at
     * J ≥ `threshold` is removed (the deterministic per-pair larger-id

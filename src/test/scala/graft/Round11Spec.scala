@@ -1260,6 +1260,26 @@ class Round11Spec extends AnyFunSuite {
       out(1).getAs[Double]("mean_silhouette") <= 1.0)
   }
 
+  test("dedupSurvival: exact pair/removal/survivor counts per threshold, boundary inclusive") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "p q r s t u"
+    val docs = Seq(
+      (1L, dup), (2L, dup),            // J = 1.0
+      (3L, "a b c d e"), (4L, "a b c x y")) // one shared shingle of 5 -> J = 0.2
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSurvival(docs, "doc_id", "text")
+      .orderBy("threshold").collect()
+    assert(out.length == 9)
+    val byT = out.map(r => (math.rint(r.getAs[Double]("threshold") * 10).toInt,
+      (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_removed"),
+        r.getAs[Long]("n_survivors")))).toMap
+    // t = 0.1 and 0.2 (inclusive boundary): both pairs fire
+    assert(byT(1) == ((2L, 2L, 2L)) && byT(2) == ((2L, 2L, 2L)))
+    // t = 0.3 .. 0.9: only the identical pair
+    (3 to 9).foreach(t => assert(byT(t) == ((1L, 1L, 3L)), s"t=$t"))
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup
