@@ -597,6 +597,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"corpus text attribute reaches a shuffle:\n$exch")
   }
 
+  test("naive bayes filter: log-ratio map broadcasts back onto the feature stream — no cartesian, no text in any exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.QualityModel.naiveBayesFilter(
+      d, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-bucket log-ratios must broadcast:\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("text#"),
+      s"document text attribute reaches a shuffle:\n$exch")
+  }
+
+  test("quality gate: three verdict sub-DAGs compose by id-keyed joins — no cartesian, no text in any exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Curate.qualityGate(d, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    val exch = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exch.contains("text#"),
+      s"document text attribute reaches a shuffle:\n$exch")
+  }
+
+  test("kn cross ppl: score stream joins train counts on token keys — no cartesian, no nested loop beyond the 1-row totals") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.LangModel.kneserNeyCrossScore(
+      d.where(col("doc_id") % 101 === 0),
+      d.where(col("doc_id") % 101 =!= 0), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+  }
+
   test("gopher rules: one map-only pass — no exchange, no join in the verdict plan") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.CorpusStats.gopherRules(d, "doc_id", "text"))
