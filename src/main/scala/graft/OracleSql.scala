@@ -2665,6 +2665,13 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
 
+  /** E203 recall-curve audit: per-band caught ⊆ exact, the J = 1 band
+    * deterministically fully caught, every LSH pair in exactly one
+    * band. */
+  val lshRecallAudit: String =
+    allTrue(Seq("caught_subset_per_band", "perfect_band_fully_caught",
+      "total_caught_equals_lsh_pairs"))
+
   /** E195 cluster audit: canonical min-id labels, LSH components refine
     * the exact components (verified pairs ⊆ exact pairs ⇒ each LSH
     * cluster lies inside ONE exact cluster), keep-one yield bounded by

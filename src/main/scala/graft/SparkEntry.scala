@@ -633,6 +633,32 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // LSH recall curve (E203): per Jaccard band, how many exact pairs
+    // the banded sketch stage caught — what the (bands, rows) geometry
+    // DELIVERS vs its 1-(1-s^r)^b promise. Band hashes engine-specific
+    // -> rows-only; the audit pins subset, J=1 capture, band partition
+    "lsh_recall_curve" -> ((s, dir) =>
+      Dedup.lshRecallCurve(documents(s, dir), "doc_id", "text")
+        .orderBy("band")),
+    "lsh_recall_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val curve = Dedup.lshRecallCurve(docs, "doc_id", "text").persist()
+      val lsh = Dedup.minhashLsh(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      try {
+        val subsetBad = curve.where(col("n_caught") > col("n_exact")).count()
+        val perfBad = curve.where(col("band") === 10L &&
+          col("n_caught") =!= col("n_exact")).count()
+        val caught = curve.agg(coalesce(sum(col("n_caught")), lit(0L)))
+          .head().getLong(0)
+        val nLsh = lsh.count()
+        Seq(
+          ("caught_subset_per_band", subsetBad == 0L),
+          ("perfect_band_fully_caught", perfBad == 0L),
+          ("total_caught_equals_lsh_pairs", caught == nLsh))
+          .toDF("property", "ok").orderBy("property")
+      } finally { curve.unpersist(); () }
+    }),
     // dedup survival curve (E202): per threshold 0.1..0.9 the exact
     // pair count, drop-rule removals and survivors — the threshold-
     // picking artifact, one pair relation instead of nine re-runs
@@ -3319,6 +3345,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "minhash_audit" -> OracleSql.minhashAudit,
     "minhash_dedup_execute_audit" -> OracleSql.minhashDedupExecuteAudit,
     "minhash_clusters_audit" -> OracleSql.minhashClustersAudit,
+    "lsh_recall_audit" -> OracleSql.lshRecallAudit,
     "approx_overlap_audit" -> OracleSql.approxOverlapAudit,
     "approx_overlap_states_audit" -> OracleSql.approxOverlapStatesAudit,
     "heavy_hitters_audit" -> OracleSql.heavyHittersAudit,

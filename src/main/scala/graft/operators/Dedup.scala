@@ -281,6 +281,48 @@ object Dedup {
         (col("n_docs") - col("n_removed")).as("n_survivors"))
   }
 
+  /** LSH recall curve (E203) — the empirical S-curve every MinHash-LSH
+    * deployment is tuned against: per Jaccard band (floor(10·J) over the
+    * exact pair relation at J ≥ threshold), how many pairs the banded
+    * sketch stage actually caught, and the per-band recall. The
+    * theoretical capture probability 1−(1−s^r)^b is what the (bands,
+    * rows) geometry PROMISES; this relation is what it DELIVERS on the
+    * corpus at hand — the readout that decides whether to add bands
+    * (recall sag near the threshold) or rows (too many sub-threshold
+    * candidates upstream, visible in [[minhashLsh]]'s cap diagnostics).
+    *
+    * Scale shape: one exact pair relation + one LSH pair relation
+    * (both duplicate-mass-sized under their caps), a pair-keyed left
+    * join and a ≤10-group rollup. Path-dependent (band hashes) →
+    * rows-only in the gate; the `lsh_recall_audit` all-true twin pins
+    * caught ⊆ exact per band, deterministic full capture of the J = 1
+    * band, and that every LSH pair lands in exactly one band. */
+  def lshRecallCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
+    val exact = ngramJaccard(df, idCol, textCol, n, threshold)
+    val lsh = minhashLsh(
+      df, idCol, textCol, n, threshold, numHashes, bands, maxBandFreq)
+      .select(col("id_a"), col("id_b"), lit(1L).as("_c"))
+    exact
+      .withColumn("band", floor(col("jaccard") * 10).cast("long"))
+      .join(lsh, Seq("id_a", "id_b"), "left")
+      .groupBy("band")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("_c"), lit(0L))).as("n_caught"))
+      .select(
+        col("band"), col("n_exact"), col("n_caught"),
+        round(col("n_caught").cast("double") / col("n_exact").cast("double"), 6)
+          .as("recall"))
+  }
+
   /** N-gram-Jaccard dedup EXECUTOR (E181) — the drop action for [[ngramJaccard]]'s
     * verdict relation: every document with a SMALLER-id neighbor at
     * J ≥ `threshold` is removed (the deterministic per-pair larger-id

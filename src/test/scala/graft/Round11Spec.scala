@@ -1280,6 +1280,24 @@ class Round11Spec extends AnyFunSuite {
     (3 to 9).foreach(t => assert(byT(t) == ((1L, 1L, 3L)), s"t=$t"))
   }
 
+  test("lshRecallCurve: the J=1 band is deterministically fully caught; bands partition the exact relation") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val out = Dedup.lshRecallCurve(docs, "doc_id", "text").collect()
+    // the only exact pair at J >= 0.5 is the identical one -> band 10,
+    // caught with certainty (J=1 => identical signatures)
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("band") == 10L &&
+      out(0).getAs[Long]("n_exact") == 1L &&
+      out(0).getAs[Long]("n_caught") == 1L &&
+      out(0).getAs[Double]("recall") == 1.0)
+  }
+
   test("minhashDedupExecute: identical docs collapse to the minimum id — agrees with the exact executor here") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -24,7 +24,8 @@ dup_pagerank trigram_lm calibration_table shard_manifest domain_topk \
 char_entropy quality_filter_execute jaccard_dedup_execute groupdro_train corpus_curate doremi_select minhash_dedup_execute semdedup_execute ccnet_select \
 self_repeat_execute ndcg_eval bm25_multi kneser_ney_lm gopher_rules \
 mmr_diversify recall_curve minhash_clusters naive_bayes_filter kn_cross_ppl \
-quality_gate knn_label_eval cluster_purity silhouette dedup_survival"
+quality_gate knn_label_eval cluster_purity silhouette dedup_survival \
+lsh_recall_curve"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
