@@ -1485,11 +1485,12 @@ sy AS (SELECT query_id AS q, neighbor_id AS i,
 ex AS (SELECT query_id AS q, neighbor_id AS i,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS re FROM ex0),
 m AS (SELECT sy.q, sy.rs, ex.re FROM sy JOIN ex ON ex.q = sy.q AND ex.i = sy.i),
-ks AS (SELECT DISTINCT q, unnest(range(1, 11)) AS k FROM ex),
-cnt AS (SELECT ks.q, ks.k, COUNT(m.rs) AS c FROM ks
-  LEFT JOIN m ON m.q = ks.q AND m.rs <= ks.k AND m.re <= ks.k GROUP BY 1, 2),
+ks AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS ne, unnest(range(1, 11)) AS k
+  FROM ex GROUP BY q),
+cnt AS (SELECT ks.q, ks.k, ks.ne, COUNT(m.rs) AS c FROM ks
+  LEFT JOIN m ON m.q = ks.q AND m.rs <= ks.k AND m.re <= ks.k GROUP BY 1, 2, 3),
 r AS (SELECT q, k,
-    CAST(ROUND(CAST(c AS DOUBLE) / CAST(k AS DOUBLE), 12) AS DECIMAL(38,12)) AS r
+    CAST(ROUND(CAST(c AS DOUBLE) / CAST(LEAST(k, ne) AS DOUBLE), 12) AS DECIMAL(38,12)) AS r
   FROM cnt)
 SELECT k, CAST(COUNT(*) AS BIGINT) AS n_queries,
   ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_recall,
@@ -2665,6 +2666,15 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val minhashAudit: String =
     allTrue(Seq("pairs_subset_of_exact", "threshold_and_ordering"))
 
+  /** E205 cross-batch incremental dedup audit: signature-store
+    * mergeability (union of per-sub-batch states ≡ one-pass state),
+    * detection invariance under store composition, exact-stage parity
+    * with E39, and planted byte-identical cross-batch copies caught by
+    * both stages at est_jaccard = 1. */
+  val dedupIncrementalLshAudit: String = allTrue(Seq(
+    "detection_state_invariant", "exact_parity_with_incremental_exact",
+    "planted_cross_dups_caught", "state_merge_equals_whole"))
+
   /** E203 recall-curve audit: per-band caught ⊆ exact, the J = 1 band
     * deterministically fully caught, every LSH pair in exactly one
     * band. */
@@ -3089,6 +3099,43 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, cos FROM (
   WHERE e.label IS NOT NULL AND e.label <> q.label) t
 QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
 ORDER BY query_id, neighbor_id"""
+
+  /** E204 ANN hard-negative twin: the ivf_topk cell structure over the
+    * LABELED corpus (nulls out before assignment), rank-≤2 probe list,
+    * label-inequality cut BEFORE the per-query top-10 heap — the whole
+    * deterministic pipeline replayed, so the ANN form carries a FULL
+    * hash oracle unlike typical path-dependent ANN. */
+  val hardNegativesAnn: String =
+    s"""WITH el AS (SELECT vec_id, embedding, label FROM embeddings WHERE label IS NOT NULL),
+c AS (SELECT vec_id AS centroid_id, embedding FROM el WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id AS neighbor_id, centroid_id FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM el e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+q AS (SELECT vec_id AS query_id, embedding, label AS query_label FROM el WHERE vec_id % 97 = 0),
+p AS (SELECT query_id, centroid_id FROM (
+  SELECT q.query_id, c.centroid_id,
+    ROUND(${listDot("q.embedding", "c.embedding")} / (${listNorm("q.embedding")} * ${listNorm("c.embedding")}), 6) AS qcos
+  FROM q CROSS JOIN c
+  WHERE ${listNorm("q.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, centroid_id) <= 2),
+s AS (SELECT p.query_id, q.query_label, a.neighbor_id, e.label AS neighbor_label,
+    ROUND(${listDot("q.embedding", "e.embedding")} / (${listNorm("q.embedding")} * ${listNorm("e.embedding")}), 6) AS cos
+  FROM p JOIN a USING (centroid_id)
+  JOIN el e ON e.vec_id = a.neighbor_id
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.label <> q.query_label
+    AND ${listNorm("q.embedding")} * ${listNorm("e.embedding")} > 0)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cos FROM s
+QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+ORDER BY query_id, neighbor_id"""
+
+  /** E204 audit: the planted-twin capture guarantee, label disjointness
+    * and exact cosine recompute — engine-side booleans, all-true. */
+  val hardNegativesAnnAudit: String = allTrue(Seq(
+    "cos_exact_recompute", "labels_disjoint", "planted_twin_caught"))
 
   /** E119/E126 approximate event-stat audits (r11): scalars must equal
     * the exact one-pass recount; each KLL quantile's exact rank interval
@@ -4038,16 +4085,16 @@ tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, c.t AS w3
              JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
 tc AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri GROUP BY 1, 2, 3),
 bc AS (SELECT b1, b2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
-t12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS t12 FROM tc GROUP BY 1, 2),
+t12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS t12,
+  CAST(SUM(c123) AS BIGINT) AS m12 FROM tc GROUP BY 1, 2),
 c23 AS (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS n23c FROM tc GROUP BY 1, 2),
 cx2 AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ctx2 FROM tc GROUP BY 1),
 t2r AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS t2 FROM c23 GROUP BY 1),
 n3 AS (SELECT b2 AS w3, CAST(COUNT(*) AS BIGINT) AS n3c FROM bc GROUP BY 1),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS bt FROM bc),
 lp AS (SELECT tri.doc_id, CAST(ROUND(LN(
-    (GREATEST(CAST(tc.c123 AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(t12.t12 AS DOUBLE) * ((GREATEST(CAST(c23.n23c AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(t2r.t2 AS DOUBLE) * (CAST(n3.n3c AS DOUBLE) / CAST(bt AS DOUBLE))) / CAST(cx2.ctx2 AS DOUBLE))) / CAST(cb12.cb AS DOUBLE)), 12) AS DECIMAL(38,12)) AS lp
+    (GREATEST(CAST(tc.c123 AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(t12.t12 AS DOUBLE) * ((GREATEST(CAST(c23.n23c AS DOUBLE) - 0.75, 0.0) + 0.75 * CAST(t2r.t2 AS DOUBLE) * (CAST(n3.n3c AS DOUBLE) / CAST(bt AS DOUBLE))) / CAST(cx2.ctx2 AS DOUBLE))) / CAST(t12.m12 AS DOUBLE)), 12) AS DECIMAL(38,12)) AS lp
   FROM tri JOIN tc USING (w1, w2, w3)
-    JOIN bc cb12 ON cb12.b1 = tri.w1 AND cb12.b2 = tri.w2
     JOIN t12 USING (w1, w2)
     JOIN c23 USING (w2, w3)
     JOIN cx2 USING (w2)

@@ -624,6 +624,75 @@ object SparkEntry {
         "doc_id", Seq("text"))
         .orderBy("doc_id")
     }),
+    // E205: cross-batch NEAR-dup dedup against the PERSISTED signature
+    // store — batch = doc_id >= 400, store = dedupState(doc_id < 400);
+    // exact stage bloom-prefiltered, near stage banded vs stored
+    // signatures, signature-estimated Jaccard (no payload rescan by
+    // construction: the state relation carries no text column).
+    // Band hashes are xxhash64 → rows-only in the gate; the audit twin
+    // pins merge-equals-whole, exact parity and planted capture.
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val cut = 400L
+      val state = Dedup.dedupState(
+        docs.where(col("doc_id") < cut), "doc_id", "text")
+      Dedup.incrementalLsh(
+        docs.where(col("doc_id") >= cut), state, "doc_id", "text")
+        .orderBy("id")
+    }),
+    // E205 audit: (a) state built in two sub-batches then unioned is
+    // row-identical to the one-pass state (the minhash_merge_audit
+    // mergeability, at store granularity); (b) detection against the
+    // merged store equals detection against the one-pass store;
+    // (c) dup_exact agrees with incrementalExact on every batch doc;
+    // (d) planted byte-identical cross-batch copies are caught by BOTH
+    // stages with est_jaccard = 1.0.
+    "dedup_incremental_lsh_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).select("doc_id", "text")
+      val cut = 400L
+      val known = docs.where(col("doc_id") < cut)
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      // plant: 20 store docs re-ingested verbatim under new batch ids
+      // (deterministic pick; ≥5 tokens so each has a minhash signature)
+      val planted = known
+        .where(col("doc_id") % 20 === 0 &&
+          size(split(col("text"), "\\s+")) >= 5)
+        .orderBy("doc_id").limit(20)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val batch = docs.where(col("doc_id") >= cut).unionByName(planted)
+      val oneShot = Dedup.dedupState(known, "doc_id", "text")
+        .localCheckpoint(true)
+      val merged = Dedup
+        .dedupState(known.where(col("doc_id") % 2 === 0), "doc_id", "text")
+        .unionByName(Dedup.dedupState(
+          known.where(col("doc_id") % 2 === 1), "doc_id", "text"))
+        .localCheckpoint(true)
+      val stateMergeEq =
+        merged.exceptAll(oneShot).count() + oneShot.exceptAll(merged).count() == 0L
+      val outMerged = Dedup.incrementalLsh(batch, merged, "doc_id", "text")
+        .localCheckpoint(true)
+      val outOne = Dedup.incrementalLsh(batch, oneShot, "doc_id", "text")
+      val detInvariant =
+        outMerged.exceptAll(outOne).count() + outOne.exceptAll(outMerged).count() == 0L
+      val exactRef = Dedup.incrementalExact(batch, known, "doc_id", Seq("text"))
+        .select(col("doc_id").as("id"), col("dup").as("ref_dup"))
+      val exactParity = outMerged.join(exactRef, Seq("id"), "full_outer")
+        .where(col("dup_exact").isNull || col("ref_dup").isNull ||
+          col("dup_exact") =!= col("ref_dup")).count() == 0L
+      val nPlanted = planted.count()
+      val plantedCaught = outMerged
+        .where(col("id") >= off && col("dup_exact") && col("near_dup") &&
+          col("est_jaccard") === 1.0)
+        .count() == nPlanted
+      Seq(
+        ("detection_state_invariant", detInvariant),
+        ("exact_parity_with_incremental_exact", exactParity),
+        ("planted_cross_dups_caught", plantedCaught),
+        ("state_merge_equals_whole", stateMergeEq))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // cluster assignment: pair relation -> connected components with the
     // smallest doc id as canonical representative (alternating-star CC)
     "dedup_clusters" -> ((s, dir) =>
@@ -1880,6 +1949,52 @@ object SparkEntry {
         embeddings(s, dir), "vec_id", "embedding", "label",
         col("vec_id") % 97 === 0, k = 10)
         .orderBy("query_id", "neighbor_id")),
+    // E204: the ANN-backed scale path of hard-negative mining — IVF
+    // coarse quantizer (the ivf_topk cell structure), 2-probe candidate
+    // generation, label cut BEFORE the per-query heap. Deterministic
+    // approximation → FULL hash oracle.
+    "hard_negatives_ann" -> ((s, dir) =>
+      Similarity.hardNegativesAnn(
+        embeddings(s, dir), "vec_id", "embedding", "label",
+        centroidPred = col("vec_id") % 83 === 0,
+        queryPred = col("vec_id") % 97 === 0, nprobe = 2, k = 10)
+        .orderBy("query_id", "neighbor_id")),
+    // E204 audit: plant an identical-vector twin with a DIFFERENT label
+    // for every query — the twin lands in the query's own rank-1 probe
+    // cell by construction, so the ANN form must catch it at cos = 1.0
+    // (the deterministic guarantee behind "recall < 1 by design");
+    // returned labels must be disjoint and cosines exact on recompute.
+    "hard_negatives_ann_audit" -> ((s, dir) => {
+      import s.implicits._
+      val e = embeddings(s, dir).where(col("label").isNotNull)
+      val off = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val qPred = col("vec_id") % 97 === 0
+      val twins = e.where(qPred)
+        .select((col("vec_id") + lit(off)).as("vec_id"), col("embedding"),
+          (col("label") + lit(1)).as("label"))
+      val planted = e.unionByName(twins)
+      val ann = Similarity.hardNegativesAnn(
+        planted, "vec_id", "embedding", "label",
+        centroidPred = col("vec_id") % 83 === 0, queryPred = qPred)
+        .localCheckpoint(true)
+      val nQueries = e.where(qPred).count()
+      val twinCaught = ann
+        .where(col("neighbor_id") === col("query_id") + lit(off) &&
+          col("cos") === 1.0)
+        .count() == nQueries
+      val labelsDisjoint =
+        ann.where(col("query_label") === col("neighbor_label")).count() == 0L
+      val qv = planted.select(col("vec_id").as("query_id"), col("embedding").as("q"))
+      val nv = planted.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"))
+      val cosExact = ann.join(qv, "query_id").join(nv, "neighbor_id")
+        .where(col("cos") =!= round(Similarity.cosine(col("q"), col("v")), 6))
+        .count() == 0L
+      Seq(
+        ("cos_exact_recompute", cosExact),
+        ("labels_disjoint", labelsDisjoint),
+        ("planted_twin_caught", twinCaught))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // Zipf rank-frequency OLS fit over the top-1000 vocabulary (E76)
     "zipf_fit" -> ((s, dir) =>
       graft.operators.CorpusStats.zipfFit(documents(s, dir), "text", 1000)),
@@ -3143,6 +3258,7 @@ FROM orders) ind"""),
     "blocklist_filter" -> OracleSql.blocklistFilter,
     "dedup_clusters" -> OracleSql.dedupClusters,
     "dedup_incremental" -> OracleSql.dedupIncremental,
+    "dedup_incremental_lsh_audit" -> OracleSql.dedupIncrementalLshAudit,
     "contamination" -> OracleSql.contamination,
     "contamination_ratio" -> OracleSql.contaminationRatio,
     "streaming_dedup_watermark" ->
@@ -3217,6 +3333,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "unimax_mix" -> OracleSql.unimaxMix,
     "path_templates" -> OracleSql.pathTemplates,
     "hard_negatives" -> OracleSql.hardNegatives,
+    "hard_negatives_ann" -> OracleSql.hardNegativesAnn,
+    "hard_negatives_ann_audit" -> OracleSql.hardNegativesAnnAudit,
     "dedup_embedding_cosine" -> OracleSql.dedupEmbeddingCosine,
     "knn_assign" -> OracleSql.knnAssign,
     "events_json" -> OracleSql.eventsJson,

@@ -248,10 +248,18 @@ object Dedup {
     *
     * Scale shape: the pair relation is built ONCE at the lowest
     * threshold (same shared-shingle equi-join and caps as
-    * [[ngramJaccard]]) and checkpointed; the nine threshold slices are
-    * a broadcast 9-row grid non-equi-joined against the PAIR relation
-    * (duplicate-mass-sized, never the corpus) + one distinct-count per
-    * slice. Corpus size enters as one broadcast scalar.
+    * [[ngramJaccard]]) and checkpointed, then rolled up to ≤9-row
+    * per-threshold-band relations (pair counts band the pair's J;
+    * removal counts band each id_b's MAX J — a doc is removed at t iff
+    * its best smaller-id neighbor reaches t, so the per-doc max makes
+    * the distinct-count cumsum-able). The nine slices are cumulative
+    * sums over those ≤9-row relations via a 9-row grid non-equi join —
+    * the duplicate-mass relation itself is never broadcast and never
+    * re-read per slice (ADVICE r11: the old LEFT non-equi join against
+    * a broadcast-hinted preserved side actually broadcast the PAIR
+    * relation). Corpus size enters as one broadcast scalar. Band cuts
+    * reuse the grid's exact doubles (b/10.0 = the decimal literal, both
+    * correctly rounded), so `band(j) ≥ b ⟺ j ≥ t` bit-for-bit.
     *
     * Cites reference scope: threshold sweeps are absent from
     * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
@@ -264,16 +272,33 @@ object Dedup {
       maxDocFreq: Option[Int] = None): DataFrame = {
     val pairs = ngramJaccard(df, idCol, textCol, n, threshold = 0.1,
       maxDocFreq = maxDocFreq)
-      .localCheckpoint(true) // nine threshold slices read it
+      .localCheckpoint(true) // both band rollups read it
     val total = df.agg(count(lit(1)).as("n_docs"))
+    // largest grid threshold b/10.0 a given J satisfies; all pairs have
+    // J >= 0.1 by construction, so the fall-through band is 1
+    def bandOf(j: Column): Column = (2 to 9).foldLeft(lit(1L)) {
+      // fold low→high so the HIGHEST satisfied threshold is outermost
+      (acc, b) => when(j >= lit(b.toDouble / 10.0), lit(b.toLong)).otherwise(acc)
+    }
+    val pairBands = pairs
+      .groupBy(bandOf(col("jaccard")).as("band"))
+      .agg(count(lit(1)).as("np"))
+    val remBands = pairs
+      .groupBy("id_b").agg(max(col("jaccard")).as("mj"))
+      .groupBy(bandOf(col("mj")).as("band"))
+      .agg(count(lit(1)).as("nr"))
     val grid = df.sparkSession.range(1, 10)
-      .select((col("id").cast("double") / lit(10.0).cast("double")).as("t"))
-    broadcast(grid)
-      .join(pairs, col("jaccard") >= col("t"), "left")
-      .groupBy("t")
-      .agg(
-        count(col("id_a")).as("n_pairs"),
-        countDistinct(col("id_b")).as("n_removed"))
+      .select(col("id").as("tb"),
+        (col("id").cast("double") / lit(10.0).cast("double")).as("t"))
+    grid
+      .join(broadcast(pairBands), col("band") >= col("tb"), "left")
+      .groupBy("tb", "t")
+      .agg(sum(coalesce(col("np"), lit(0L))).as("n_pairs"))
+      .join(
+        grid.join(broadcast(remBands), col("band") >= col("tb"), "left")
+          .groupBy("tb")
+          .agg(sum(coalesce(col("nr"), lit(0L))).as("n_removed")),
+        Seq("tb"))
       .crossJoin(broadcast(total))
       .select(
         round(col("t"), 1).as("threshold"),
@@ -291,9 +316,14 @@ object Dedup {
     * (recall sag near the threshold) or rows (too many sub-threshold
     * candidates upstream, visible in [[minhashLsh]]'s cap diagnostics).
     *
-    * Scale shape: one exact pair relation + one LSH pair relation
-    * (both duplicate-mass-sized under their caps), a pair-keyed left
-    * join and a ≤10-group rollup. Path-dependent (band hashes) →
+    * Scale shape: one exact pair relation + one LSH pair relation,
+    * a pair-keyed left join and a ≤10-group rollup. The LSH side is
+    * capped by `maxBandFreq`; the exact side's shared-shingle join is
+    * capped by `maxDocFreq` (default None = uncapped — on
+    * boilerplate-heavy corpora SET IT, and note the asymmetry when
+    * reading the curve: a capped exact relation undercounts `n_exact`
+    * on hot-shingle pairs, so recall reads HIGH there). Path-dependent
+    * (band hashes) →
     * rows-only in the gate; the `lsh_recall_audit` all-true twin pins
     * caught ⊆ exact per band, deterministic full capture of the J = 1
     * band, and that every LSH pair lands in exactly one band. */
@@ -305,8 +335,10 @@ object Dedup {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 8,
-      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
-    val exact = ngramJaccard(df, idCol, textCol, n, threshold)
+      maxBandFreq: Option[Int] = Some(10000),
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val exact = ngramJaccard(df, idCol, textCol, n, threshold,
+      maxDocFreq = maxDocFreq)
     val lsh = minhashLsh(
       df, idCol, textCol, n, threshold, numHashes, bands, maxBandFreq)
       .select(col("id_a"), col("id_b"), lit(1L).as("_c"))
@@ -826,14 +858,8 @@ object Dedup {
     // candidate-sized joins (2.99 s → 0.99 s measured).
     val sh = shingles(df, idCol, textCol, n)
     val sig = minhashSignatures(sh, numHashes)
-    val bandStructs = (0 until bands).map { bi =>
-      val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
-      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
-    }
     val buckets = capHotBuckets(
-      sig.select(col("id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh")),
-      Seq("band", "bh"), maxBandFreq)
+      bandBuckets(sig, numHashes, bands), Seq("band", "bh"), maxBandFreq)
     val candidates = buckets.alias("x")
       .join(buckets.alias("y"), Seq("band", "bh"))
       .where(col("x.id") < col("y.id"))
@@ -842,6 +868,155 @@ object Dedup {
     verifiedJaccard(shingleArrays(df, idCol, textCol, n), candidates)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** LSH band-bucket relation `(id, band, bh)` over a minhash signature
+    * relation — the banding step shared by [[minhashLsh]] (fresh
+    * whole-corpus candidates) and [[incrementalLsh]] (batch vs PERSISTED
+    * state): one struct-array explode, band hash = xxhash64 of the
+    * band's signature components. Rows whose signature is null (a doc
+    * too short to shingle) emit no buckets. */
+  private[operators] def bandBuckets(
+      sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { bi =>
+      val cols = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(bi).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    sig.where(col("h0").isNotNull)
+      .select(col("id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bh").as("bh"))
+  }
+
+  /** Persisted dedup state for one ingest batch (E205): one row per
+    * document — its 32-byte SHA-256 content hash (the [[exact]] key)
+    * plus its `numHashes`-component MinHash signature (null components
+    * for docs too short to shingle). This is the ONLY artifact later
+    * batches need: [[minhashMergeAudit]] pins that signatures are pure
+    * per-document functions (merge = row union, no cross-batch state),
+    * so a production ingest appends this relation to the signature
+    * store and never revisits the batch's payloads again. ~(32 + 8·k)
+    * bytes per document — at 100 TB the whole store is a few hundred GB
+    * of compact fixed-width rows, joinable without touching a payload. */
+  def dedupState(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val ch = df.select(
+      col(idCol).as("id"),
+      sha2(coalesce(col(textCol).cast("string"), lit("null")), 256)
+        .as("content_hash"))
+    val sig = minhashSignatures(shingles(df, idCol, textCol, n), numHashes)
+    ch.join(sig, Seq("id"), "left")
+  }
+
+  /** Cross-batch incremental near-dup dedup EXECUTOR (E205) — the
+    * operator a production ingest actually runs: dedup batch N+1
+    * against the PERSISTED signature store ([[dedupState]] rows of
+    * batches 1..N) without rescanning any earlier batch. Two stages,
+    * both payload-free on the known side:
+    *
+    *   - **exact**: batch content hashes probe an in-plan Bloom filter
+    *     built from the store's hashes ([[graft.profiler.Integrity
+    *     .bloomFilter]], no false negatives) — only bloom-positive rows
+    *     (true dups + fpp·|batch| false positives) reach the hash
+    *     semi-join, so the overwhelmingly-new common case never
+    *     shuffles against the store;
+    *   - **near**: batch signatures are LSH-banded ([[bandBuckets]],
+    *     the [[minhashLsh]] geometry) and equi-joined against the
+    *     store's banded signatures; the hot-bucket cap applies to the
+    *     UNION bucket relation (state ∪ batch — exactly the buckets a
+    *     fresh whole-corpus run would see, which is what makes the
+    *     incremental result provably equal to the from-scratch one, see
+    *     the audit); candidates are scored by SIGNATURE-ESTIMATED
+    *     Jaccard (matching components / numHashes — the store holds no
+    *     payloads, so exact re-verification is impossible BY DESIGN;
+    *     the estimate is unbiased with σ = √(J(1−J)/k)).
+    *
+    * Returns one verdict row per batch document: `(id, dup_exact,
+    * near_dup, match_id, est_jaccard)` — `match_id` the best-estimate
+    * (ties → smallest id) known neighbor at est ≥ `threshold`, null if
+    * none. Batch-internal duplicates are out of scope (run [[exact]] /
+    * [[minhashLsh]] within the batch first); this operator answers
+    * "which of these new documents does the CORPUS already have".
+    *
+    * Scale shape: the store never rescans payloads (it has none); the
+    * only payload pass is the batch's own shingle/tokenize stage; all
+    * joins are equi-joins on compact keys (32-byte hash, 16-byte band
+    * key, 8-byte ids); the bloom bitset broadcasts as one row. At 10×
+    * corpus the state side grows linearly but the candidate volume is
+    * band-bucket-occupancy-bounded like every LSH lane in the repo.
+    *
+    * Cites reference scope: curation actions are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def incrementalLsh(
+      batch: DataFrame,
+      state: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBandFreq: Option[Int] = Some(10000),
+      bloomFpp: Double = 0.01): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val hs = (0 until numHashes).map(i => s"h$i")
+    require(state.columns.contains("content_hash") &&
+      hs.forall(state.columns.contains),
+      "incrementalLsh: state must be a dedupState relation " +
+        s"(content_hash + ${numHashes} signature components)")
+    val bstate = dedupState(batch, idCol, textCol, n, numHashes)
+      .localCheckpoint(true) // read by the exact stage, banding and scoring
+    // ---- exact stage: bloom pre-filter, then hash semi-join on survivors
+    val nState = math.max(1L, state.select("content_hash").distinct().count())
+    val (bf, bloomHit) = graft.profiler.Integrity.bloomFilter(
+      state, "content_hash", nState, bloomFpp)
+    val probed = bstate.select(col("id"), col("content_hash"))
+      .crossJoin(broadcast(bf))
+      .withColumn("maybe", bloomHit(col("content_hash")))
+    val seen = state.select(col("content_hash")).distinct()
+      .withColumn("_dup", lit(true))
+    val exactFlag = probed.where(col("maybe"))
+      .join(seen, Seq("content_hash"), "left")
+      .select(col("id"), coalesce(col("_dup"), lit(false)).as("dup_exact"))
+      .unionByName(probed.where(!col("maybe"))
+        .select(col("id"), lit(false).as("dup_exact")))
+    // ---- near stage: band both sides, cap on the UNION bucket relation
+    val stateSig = state.select((col("id") +: hs.map(col)): _*)
+    val allBuckets = capHotBuckets(
+      bandBuckets(stateSig, numHashes, bands)
+        .withColumn("known", lit(true))
+        .unionByName(bandBuckets(bstate, numHashes, bands)
+          .withColumn("known", lit(false))),
+      Seq("band", "bh"), maxBandFreq)
+    val cands = allBuckets.where(!col("known")).alias("x")
+      .join(allBuckets.where(col("known")).alias("y"), Seq("band", "bh"))
+      .select(col("x.id").as("id"), col("y.id").as("match_id"))
+      .distinct()
+    val estExpr = round(
+      hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(numHashes.toDouble), 6)
+    val scored = cands
+      .join(bstate.select((col("id") +: hs.map(h => col(h).as(s"a_$h"))): _*),
+        Seq("id"))
+      .join(stateSig.select(
+        (col("id").as("match_id") +: hs.map(h => col(h).as(s"b_$h"))): _*),
+        Seq("match_id"))
+      .select(col("id"), col("match_id"), estExpr.as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+    val best = scored.groupBy("id")
+      .agg(min(struct(
+        (-col("est_jaccard")).as("neg"), col("match_id"),
+        col("est_jaccard"))).as("b"))
+      .select(col("id"), col("b.match_id").as("match_id"),
+        col("b.est_jaccard").as("est_jaccard"))
+    exactFlag
+      .join(best, Seq("id"), "left")
+      .select(
+        col("id"), col("dup_exact"),
+        col("match_id").isNotNull.as("near_dup"),
+        col("match_id"), col("est_jaccard"))
   }
 
   /** 64-bit SimHash per document over lowercased whitespace tokens: each

@@ -185,7 +185,12 @@ object LangModel {
     * "san") stops being overweighted by raw frequency — the classic
     * failure [[trigramScore]]'s Jelinek-Mercer mixture inherits.
     * Per trigram occurrence, with fixed discount D:
-    * `P(w₃|w₁w₂) = (max(c₁₂₃−D,0) + D·N₁₊(w₁w₂·)·P(w₃|w₂)) / c₁₂`,
+    * `P(w₃|w₁w₂) = (max(c₁₂₃−D,0) + D·N₁₊(w₁w₂·)·P(w₃|w₂)) / Σ₃c₁₂₃`,
+    * where the top-level denominator is the TRIGRAM-MASS context total
+    * `Σ_w₃ c₁₂₃` (Chen-Goodman's continuation-consistent form) — NOT
+    * the raw bigram count c₁₂, which also counts document-final
+    * (w₁,w₂) occurrences that have no trigram continuation and would
+    * leak probability mass (Σ_w₃ P(w₃|w₁w₂) < 1; ADVICE r11 fix),
     * `P(w₃|w₂) = (max(N₁₊(·w₂w₃)−D,0) + D·N₁₊(w₂·)·P(w₃)) / N₁₊(·w₂·)`,
     * `P(w₃) = N₁₊(·w₃) / N₁₊(··)` — every N₁₊ a TYPE count read off the
     * trigram/bigram count relations (a groupBy away; no extra corpus
@@ -247,7 +252,8 @@ object LangModel {
     val bigCounts = bigs.groupBy("b1", "b2").agg(count(lit(1)).as("cb"))
     // continuation-type rollups — metadata-sized relations over the
     // count relations, never another corpus pass
-    val t12 = triCounts.groupBy("w1", "w2").agg(count(lit(1)).as("t12"))
+    val t12 = triCounts.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("t12"), sum("c123").as("m12"))
     val cont23 = triCounts.groupBy("w2", "w3").agg(count(lit(1)).as("n23c"))
     val ctx2 = triCounts.groupBy("w2").agg(count(lit(1)).as("ctx2"))
     val t2 = cont23.groupBy("w2").agg(count(lit(1)).as("t2"))
@@ -259,12 +265,10 @@ object LangModel {
     val p2 = (greatest(col("n23c").cast("double") - d, lit(0.0)) +
       d * col("t2").cast("double") * p1) / col("ctx2").cast("double")
     val p3 = (greatest(col("c123").cast("double") - d, lit(0.0)) +
-      d * col("t12").cast("double") * p2) / col("c12").cast("double")
+      d * col("t12").cast("double") * p2) / col("m12").cast("double")
     val logp = round(log(p3), 12).cast(DecimalType(38, 12))
     tris
       .join(triCounts, Seq("w1", "w2", "w3"))
-      .join(bigCounts.select(col("b1").as("w1"), col("b2").as("w2"),
-        col("cb").as("c12")), Seq("w1", "w2"))
       .join(t12, Seq("w1", "w2"))
       .join(cont23, Seq("w2", "w3"))
       .join(ctx2, Seq("w2"))

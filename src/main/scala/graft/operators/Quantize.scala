@@ -91,6 +91,16 @@ object Quantize {
       emb: DataFrame, idCol: String, vecCol: String,
       centroidPred: Column, m: Int = 8): DataFrame = {
     require(m >= 1)
+    // Loud pre-flight dim probe (ADVICE r11): slice(_v, s*(d div m)+1, d div m)
+    // silently drops the trailing d mod m dims from codes AND distortion, and
+    // d < m encodes everything to sub-code 0 with zero distortion. Malformed
+    // inputs must fail, not return wrong codes.
+    val dimProbe = emb.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).take(1)
+    require(dimProbe.nonEmpty, "productQuantize: no non-null vectors to probe")
+    val d0 = dimProbe.head.getInt(0)
+    require(d0 >= m && d0 % m == 0,
+      s"productQuantize: dim=$d0 is not divisible into m=$m equal subspaces")
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
     def subs(df: DataFrame, outId: String) = df
       .select(col(idCol).as(outId), col(vecCol).as("_v"),

@@ -246,9 +246,13 @@ object Search {
     * approximate run against the exact top-k, the standard index-tuning
     * readout (the whole curve, not one operating point: probe counts
     * and band geometries are chosen where the curve flattens). Per
-    * query, `recall@k = |approx top-k ∩ exact top-k| / k`; the relation
-    * reports, per k, the query count, mean and WORST-query recall (the
-    * tail is what an SLA cares about).
+    * query, `recall@k = |approx top-k ∩ exact top-k| / min(k, |exact|)`
+    * — the denominator is capped at the query's exact-list size, so a
+    * query whose true result list is shorter than k can still score a
+    * perfect 1.0 (dividing by k unconditionally would drag mean and
+    * especially min recall for short lists; ADVICE r11 fix). The
+    * relation reports, per k, the query count, mean and WORST-query
+    * recall (the tail is what an SLA cares about).
     *
     * Determinism: both rankings are row_number over the already-6-dp
     * scores (id tie-break); per-(query, k) recall is an integer count
@@ -275,17 +279,19 @@ object Search {
     val sys = ranked(system, "rs")
     val ex = ranked(exact, "re")
     val matched = sys.join(ex, Seq("q", "i"))
-    val ks = ex.select("q").distinct()
-      .select(col("q"), explode(sequence(lit(1), lit(kMax))).as("k"))
+    val ks = ex.groupBy("q").agg(count(lit(1)).as("ne"))
+      .select(col("q"), col("ne"),
+        explode(sequence(lit(1), lit(kMax))).as("k"))
     val cnt = ks.alias("g")
       .join(matched.alias("m"),
         col("g.q") === col("m.q") &&
           col("m.rs") <= col("g.k") && col("m.re") <= col("g.k"), "left")
-      .groupBy(col("g.q").as("q"), col("g.k").as("k"))
+      .groupBy(col("g.q").as("q"), col("g.k").as("k"), col("g.ne").as("ne"))
       .agg(count(col("m.rs")).as("c"))
     cnt
       .select(col("q"), col("k"),
-        round(col("c").cast("double") / col("k").cast("double"), 12)
+        round(col("c").cast("double") /
+          least(col("k"), col("ne")).cast("double"), 12)
           .cast(dec12).as("r"))
       .groupBy("k")
       .agg(

@@ -256,15 +256,19 @@ object Integrity {
     * deterministic. Build side aggregates to ONE filter value; the probe
     * side evaluates `might_contain` map-side against the broadcast
     * filter — no shuffle touches the probe table. */
-  def bloomMembershipAudit(
+  /** In-plan Bloom filter over a key column, built from Spark built-ins
+    * only: k seeded xxhash64 positions per key, OR-folded into 64-bit
+    * words (bit_or aggregate), packed into ONE map row — commutative/
+    * associative all the way, so partition and insertion order never
+    * change a single bit. Classic sizing: m = −n·ln p / ln²2 bits
+    * (rounded up to a power of two so position extraction is a mask),
+    * k = m/n·ln 2. Returns the one-row bitset relation (crossJoin its
+    * broadcast into the probe side) and the probe-predicate factory.
+    * Shared by [[bloomMembershipAudit]] and the new-vs-known pre-filter
+    * of [[graft.operators.Dedup.incrementalLsh]]. */
+  private[graft] def bloomFilter(
       build: DataFrame, buildKey: String,
-      probe: DataFrame, probeKey: String,
-      expectedItems: Long, fpp: Double,
-      fprSlack: Double = 3.0): DataFrame = {
-    val spark = build.sparkSession
-    import spark.implicits._
-    // classic sizing: m = -n·ln p / ln²2 bits (rounded up to a power of
-    // two so position extraction is a mask, not a division), k = m/n·ln 2
+      expectedItems: Long, fpp: Double): (DataFrame, Column => Column) = {
     val mBits = {
       val raw = (-expectedItems * math.log(fpp) /
         (math.log(2) * math.log(2))).ceil.toLong
@@ -272,10 +276,6 @@ object Integrity {
     }
     val kHashes = math.min(16,
       math.max(1, (mBits.toDouble / expectedItems * math.log(2)).round.toInt))
-    // the filter is built from Spark built-ins only: k seeded xxhash64
-    // positions per key, OR-folded into 64-bit words (bit_or aggregate),
-    // packed into ONE map row — commutative/associative all the way, so
-    // partition and insertion order never change a single bit
     def positions(c: Column): Seq[Column] =
       (0 until kHashes).map(j => pmod(xxhash64(c, lit(j)), lit(mBits)))
     val bf = build
@@ -294,6 +294,17 @@ object Integrity {
           .bitwiseAND(call_function("shiftleft", lit(1L),
             (pos % 64).cast("int"))) =!= 0L)
       .reduce(_ && _)
+    (bf, hit)
+  }
+
+  def bloomMembershipAudit(
+      build: DataFrame, buildKey: String,
+      probe: DataFrame, probeKey: String,
+      expectedItems: Long, fpp: Double,
+      fprSlack: Double = 3.0): DataFrame = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    val (bf, hit) = bloomFilter(build, buildKey, expectedItems, fpp)
     val truth = build.select(col(buildKey).cast("string").as("k"))
       .where(col("k").isNotNull).distinct()
       .withColumn("member", lit(true))

@@ -1,0 +1,182 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 behavior pins: the ADVICE r11 fixes (PQ dim guard, KN
+  * continuation-consistent denominator, recall@k short-list cap, MMR
+  * pool guard + checkpointed greedy state, dedup_survival rollup
+  * shape) and the round's new operators. */
+class Round12Spec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("productQuantize: non-divisible and sub-m dims fail loudly instead of dropping trailing dims") {
+    import spark.implicits._
+    import graft.operators.Quantize
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(4.0f, 5.0f, 6.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Quantize.productQuantize(bad, "vec_id", "embedding",
+        col("vec_id") === 1L, m = 2)
+    }
+    assert(e1.getMessage.contains("not divisible"))
+    val e2 = intercept[IllegalArgumentException] {
+      Quantize.productQuantize(bad, "vec_id", "embedding",
+        col("vec_id") === 1L, m = 8)
+    }
+    assert(e2.getMessage.contains("not divisible"))
+  }
+
+  test("kneserNeyScore: document-final bigram occurrences no longer leak probability mass (continuation-consistent denominator)") {
+    import spark.implicits._
+    import graft.operators.LangModel
+    // doc 2 is exactly "a b": bigram (a,b) count = 2, but the context
+    // (a,b) has trigram mass 1 (only "a b c" in doc 1). The old raw-c12
+    // denominator divided by 2; the Chen-Goodman form divides by the
+    // trigram mass 1. Hand replay (D = 0.75, bt = 3 bigram types):
+    //   abc: p1 = 1/3, p2 = (0.25 + 0.75/3)/1 = 0.5,
+    //        p3 = (0.25 + 0.75*0.5)/1 = 0.625   (old: /2 = 0.3125)
+    //   xab: symmetric -> 0.625
+    val docs = Seq((1L, "x a b c"), (2L, "a b")).toDF("doc_id", "text")
+    val out = LangModel.kneserNeyScore(docs, "doc_id", "text").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("id") == 1L)
+    assert(out(0).getAs[Long]("n_trigrams") == 2L)
+    val lp = BigDecimal(math.log(0.625))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val avg = BigDecimal((lp * 2).toDouble / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getAs[Double]("avg_logprob") == avg)
+  }
+
+  test("recallCurve: a query whose exact list is shorter than k can reach recall 1.0") {
+    import spark.implicits._
+    import graft.operators.Search
+    // exact has only 2 items; a perfect approximate run must score 1.0
+    // at every k, including k = 3 > |exact| (old code gave 2/3)
+    val exact = Seq((1L, "a", 0.9), (1L, "b", 0.8))
+      .toDF("query_id", "item", "score")
+    val sys = Seq((1L, "a", 0.9), (1L, "b", 0.8), (1L, "z", 0.1))
+      .toDF("query_id", "item", "score")
+    val out = Search.recallCurve(
+      sys, exact, "query_id", "item", "score", kMax = 3)
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[Double]("mean_recall")).toSeq == Seq(1.0, 1.0, 1.0))
+    assert(out.map(_.getAs[Double]("min_recall")).toSeq == Seq(1.0, 1.0, 1.0))
+  }
+
+  test("mmrDiversify: pool larger than maxPoolPerQuery fails loudly") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = (1L to 30L).map(i => (i, Array(i.toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pool = (1L to 30L).map(i => (1L, i, 0.5))
+      .toDF("query_id", "neighbor_id", "cos")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrDiversify(
+        pool, emb, "query_id", "neighbor_id", "cos", "vec_id", "embedding",
+        lambda = 0.7, k = 3, maxPoolPerQuery = 10)
+    }
+    assert(e.getMessage.contains("maxPoolPerQuery"))
+  }
+
+  test("dedupSurvival: band rollup agrees with a brute-force per-threshold replay") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota KAPPA!"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, near),
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),
+      (6L, "totally unrelated content over here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSurvival(docs, "doc_id", "text")
+      .orderBy("threshold").collect()
+    assert(out.length == 9)
+    val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+      threshold = 0.1).collect()
+    for (r <- out) {
+      val t = r.getAs[Double]("threshold")
+      val hit = pairs.filter(_.getAs[Double]("jaccard") >= t)
+      assert(r.getAs[Long]("n_pairs") == hit.length.toLong,
+        s"n_pairs at t=$t")
+      assert(r.getAs[Long]("n_removed") ==
+        hit.map(_.getAs[Long]("id_b")).distinct.length.toLong,
+        s"n_removed at t=$t")
+      assert(r.getAs[Long]("n_survivors") ==
+        6L - hit.map(_.getAs[Long]("id_b")).distinct.length)
+    }
+    // monotone: pair and removal counts never increase with t
+    val np = out.map(_.getAs[Long]("n_pairs"))
+    assert(np.zip(np.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("hardNegativesAnn: label cut before the heap; unprobed cells are invisible; probing all cells recovers the brute result") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two cells: centroid 100 = (1,0), centroid 200 = (0,1)
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f), 0),  // centroid A, SAME label as query
+      (200L, Array(0.0f, 1.0f), 1),  // centroid B, cross-label
+      (97L, Array(1.0f, 0.05f), 0),  // the query (97 % 97 == 0)
+      (1L, Array(0.95f, 0.1f), 1),   // cell A, cross-label -> negative
+      (2L, Array(0.9f, 0.2f), 0),    // cell A, same label -> cut
+      (3L, Array(0.05f, 1.0f), 1))   // cell B, cross-label
+      .toDF("vec_id", "embedding", "label")
+    def run(nprobe: Int) = Similarity.hardNegativesAnn(
+      emb, "vec_id", "embedding", "label",
+      centroidPred = col("vec_id") % 100 === 0 && col("vec_id") > 0,
+      queryPred = col("vec_id") === 97, nprobe = nprobe, k = 10)
+      .orderBy(col("cos").desc, col("neighbor_id"))
+      .collect()
+    val one = run(1)
+    // nprobe=1 probes only cell A: the cross-label vector in cell B is
+    // invisible (that is what makes it ANN), and the same-label cell-A
+    // vectors never reach the heap
+    assert(one.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L))
+    assert(one.forall(_.getAs[Int]("neighbor_label") != 0))
+    // nprobe=2 probes both cells: now equals the brute-force result
+    val two = run(2)
+    val brute = Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label", col("vec_id") === 97, k = 10)
+      .orderBy(col("cos").desc, col("neighbor_id"))
+      .collect()
+    assert(two.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq ==
+      brute.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq)
+  }
+
+  test("incrementalLsh: exact copy flagged by both stages at est 1.0; near variant by the near stage; novel and short docs pass") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val state = Dedup.dedupState(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint(true)
+    val batch = Seq(
+      (10L, a),                                          // exact copy of 1
+      (11L, b + " thirteen"),                            // near variant of 2
+      (12L, "totally novel content nothing shared here at all with anyone"),
+      (13L, "tiny doc"))                                 // < 3 tokens: no signature
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalLsh(batch, state, "doc_id", "text",
+      threshold = 0.5).orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(10L, 11L, 12L, 13L))
+    val byId = out.map(r => r.getAs[Long]("id") -> r).toMap
+    assert(byId(10L).getAs[Boolean]("dup_exact"))
+    assert(byId(10L).getAs[Boolean]("near_dup"))
+    assert(byId(10L).getAs[Long]("match_id") == 1L)
+    assert(byId(10L).getAs[Double]("est_jaccard") == 1.0)
+    assert(!byId(11L).getAs[Boolean]("dup_exact"))
+    assert(byId(11L).getAs[Boolean]("near_dup"))
+    assert(byId(11L).getAs[Long]("match_id") == 2L)
+    assert(byId(11L).getAs[Double]("est_jaccard") >= 0.5)
+    assert(!byId(12L).getAs[Boolean]("dup_exact") &&
+      !byId(12L).getAs[Boolean]("near_dup"))
+    assert(!byId(13L).getAs[Boolean]("dup_exact") &&
+      !byId(13L).getAs[Boolean]("near_dup"))
+    // the state relation is payload-free by construction — the executor
+    // cannot rescan earlier batches even by accident
+    assert(!state.columns.contains("text"))
+  }
+}
