@@ -232,6 +232,30 @@ object Bench {
       else keep = keep.init
     }
     val out = line(keep, keepFailed)
+    // Full per-query sidecar (VERDICT r11 task 4): the stdout line keeps
+    // its slowest-first 1850-char truncation (driver window), so
+    // round-over-round deltas were invisible for fast keys — exactly
+    // where a 2x regression on a 0.3 s query hides. Write EVERY
+    // per-query time to a file artifact; best-effort (a read-only cwd
+    // must not fail the bench).
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full_local.json")
+    try {
+      val allQs = times.toSeq.sortBy(_._1)
+        .map { case (k, v) =>
+          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+            java.lang.Double.valueOf(v)) }
+        .mkString("{", ",", "}")
+      val full =
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,""" +
+          s""""sf":"$sfDir","iterations":$iterations,"agg":"min","n_queries":${times.size},""" +
+          s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
+          s""""n_failed":${failedQueries.size},""" +
+          s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sidecar),
+        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case _: Throwable => () }
     println(out)
   }
 }

@@ -2675,6 +2675,12 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     "detection_state_invariant", "exact_parity_with_incremental_exact",
     "planted_cross_dups_caught", "state_merge_equals_whole"))
 
+  /** E206 image near-dup audit: uncapped banded pairs ≡ brute-force
+    * pairwise scan (pigeonhole completeness is unconditional),
+    * byte-identical images pair at hamming 0, pairs canonical. */
+  val imageNearDupAudit: String = allTrue(Seq(
+    "canonical_pairs", "equals_bruteforce", "identical_twins_hamming_zero"))
+
   /** E203 recall-curve audit: per-band caught ⊆ exact, the J = 1 band
     * deterministically fully caught, every LSH pair in exactly one
     * band. */
@@ -4178,7 +4184,7 @@ GROUP BY shard ORDER BY shard"""
     * argmin with centroid-id tie-break, ordered code join and the
     * DECIMAL(38,6) distortion sum. */
   val embeddingPq: String =
-    """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 83 = 0),
+    """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 83 = 0 AND vec_id < 2000),
 vs AS (SELECT vec_id, s, embedding[s * (len(embedding) // 8) + 1 : (s + 1) * (len(embedding) // 8)] AS v
   FROM embeddings, UNNEST(range(8)) t(s)),
 cs AS (SELECT cid, s, ce[s * (len(ce) // 8) + 1 : (s + 1) * (len(ce) // 8)] AS cv

@@ -185,6 +185,163 @@ object Multimodal {
         substring(sha2(col("frame"), 256), 1, 16).as("frame_hash"))
   }
 
+  // ---- perceptual image hashing (E206) ----
+
+  /** splitmix64 finalizer — the public-domain mixing function; used as
+    * the deterministic pixel source for [[syntheticBmp]] so both a test
+    * and a re-run regenerate identical images with no RNG state. */
+  private[multimodal] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit dHash (difference hash) of a 24bpp BITMAPINFOHEADER BMP —
+    * the standard perceptual image signature: grayscale the pixel
+    * array, reduce to a 9×8 block-mean grid, emit one bit per
+    * horizontally-adjacent cell pair (`left > right`). Near-identical
+    * images (re-encodes, small overlays, brightness-local edits) land
+    * within a few bits; unrelated images are ~32 bits apart — exactly
+    * the SimHash geometry, so [[graft.operators.Dedup
+    * .simhashPairsFromSignatures]]'s pigeonhole banding applies
+    * verbatim downstream. All-integer arithmetic (byte sums, floor
+    * division), so the hash is bit-reproducible everywhere. Handles
+    * bottom-up (height > 0) and top-down (height < 0) pixel order and
+    * 4-byte row padding; `None` for anything that is not a complete
+    * 24bpp BMP (the caller's non-image rows simply drop out). */
+  def bmpDHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 54 ||
+      payload(0) != 'B'.toByte || payload(1) != 'M'.toByte ||
+      le32(payload, 14) != 40) return None
+    val off = le32(payload, 10)
+    val w = le32(payload, 18)
+    val hRaw = le32(payload, 22)
+    val h = math.abs(hRaw)
+    val bpp = le16(payload, 28)
+    if (bpp != 24 || w <= 0 || h == 0 || off < 54) return None
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off.toLong + rowSize.toLong * h > payload.length) return None
+    val topDown = hRaw < 0
+    def gray(x: Int, y: Int): Int = { // y = logical row from the top
+      val row = if (topDown) y else h - 1 - y
+      val p = off + row * rowSize + x * 3
+      ((payload(p) & 0xFF) + (payload(p + 1) & 0xFF) +
+        (payload(p + 2) & 0xFF)) / 3
+    }
+    val g = Array.ofDim[Int](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8
+      val y1 = math.min(h, math.max((gy + 1) * h / 8, y0 + 1))
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.min(w, math.max((gx + 1) * w / 9, x0 + 1))
+        var s = 0L; var cnt = 0; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += gray(x, y); cnt += 1; x += 1 }
+          y += 1
+        }
+        g(gy)(gx) = (s / cnt).toInt
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L
+    gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (g(gy)(gx) > g(gy)(gx + 1)) bits |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(bits)
+  }
+
+  /** Deterministic 24bpp BMP with a REAL pixel array (unlike
+    * [[syntheticMedia]]'s header-only BMPs): pixel gray levels come from
+    * [[mix64]] of `(seed, x, y)`, so two payloads share a seed ⇔ they
+    * are the identical image. `perturb != 0` additionally whites out ONE
+    * seed-chosen pixel — a near-identical variant a perceptual hash
+    * must keep within a few bits while byte-exact dedup misses it. */
+  def syntheticBmp(
+      seed: Long, w: Int = 16, h: Int = 16, perturb: Long = 0L): Array[Byte] = {
+    require(w > 0 && h > 0)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val bytes = new Array[Byte](54 + rowSize * h)
+    def p16(off: Int, v: Int): Unit = {
+      bytes(off) = (v & 0xFF).toByte; bytes(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def p32(off: Int, v: Int): Unit = {
+      p16(off, v & 0xFFFF); p16(off + 2, (v >>> 16) & 0xFFFF)
+    }
+    bytes(0) = 'B'.toByte; bytes(1) = 'M'.toByte
+    p32(2, bytes.length); p32(10, 54); p32(14, 40)
+    p32(18, w); p32(22, h); p16(26, 1); p16(28, 24)
+    val (px, py) =
+      if (perturb == 0L) (-1, -1)
+      else (((mix64(perturb) >>> 8) % w).toInt.abs,
+        ((mix64(perturb) >>> 40) % h).toInt.abs)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gLvl =
+          if (x == px && y == py) 255
+          else (mix64(seed * 8191L + x * 131L + y) & 0xFF).toInt
+        val p = 54 + (h - 1 - y) * rowSize + x * 3 // bottom-up rows
+        bytes(p) = gLvl.toByte; bytes(p + 1) = gLvl.toByte
+        bytes(p + 2) = gLvl.toByte
+        x += 1
+      }
+      y += 1
+    }
+    bytes
+  }
+
+  /** Per-image dHash relation `(id, simhash)` over a `(doc_id, payload)`
+    * binary table — non-BMP payloads drop out (no perceptual content to
+    * hash). Partition-local imperative byte parsing, the
+    * [[decodeFeatures]] execution shape: no shuffle, each task hashes
+    * its own payload chunk. The column is named `simhash` so the
+    * signature relation plugs straight into the SimHash pair machinery. */
+  def imageDHashes(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        bmpDHash(p).map(sig => (id, sig)) })
+      .toDF("id", "simhash")
+  }
+
+  /** Image perceptual near-dup pairs (E206) — the content half the r11
+    * multimodal lane lacked (container parsing only): dHash every BMP
+    * payload, then find pairs within Hamming distance `maxHamming` via
+    * the SimHash pigeonhole banding ([[graft.operators.Dedup
+    * .simhashPairsFromSignatures]] — maxHamming+1 signature blocks, any
+    * within-distance pair must collide on one, exact `bit_count(XOR)`
+    * verification after). Returns `(id_a, id_b, hamming)`.
+    *
+    * Scale shape: one map-only decode+hash pass over payloads, then
+    * 8-byte signatures are all that shuffle — band equi-join with the
+    * hot-bucket cap, never an image × image cross join. At 100 TB of
+    * images the signature relation is ~N·8 bytes, the same compact-key
+    * doctrine as every dedup lane here.
+    *
+    * Cites reference scope: no media surface in awsdataprofiler
+    * (README.md:1-72) — extension per SURVEY §2.E. */
+  def imageNearDup(
+      bin: DataFrame,
+      maxHamming: Int = 5,
+      maxBlockFreq: Option[Int] = Some(10000)): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSignatures(
+      imageDHashes(bin), maxHamming, maxBlockFreq)
+
   /** Partition-local batched decode: `(doc_id, payload)` → typed features
     * via the real container parsers in [[decode]]. `batchSize` chunks the
     * iterator like an Arrow batch; the decoder runs once per element but

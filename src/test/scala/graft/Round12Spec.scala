@@ -179,4 +179,49 @@ class Round12Spec extends AnyFunSuite {
     // cannot rescan earlier batches even by accident
     assert(!state.columns.contains("text"))
   }
+
+  test("bmpDHash: deterministic, orientation-aware, perturbation-local; imageNearDup pairs identical and near-identical images only") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    // determinism + self-consistency
+    val a = Multimodal.syntheticBmp(7L, 16, 16)
+    assert(Multimodal.bmpDHash(a) == Multimodal.bmpDHash(
+      Multimodal.syntheticBmp(7L, 16, 16)))
+    // a one-pixel perturbation stays within a few bits; a different seed
+    // lands ~32 bits away
+    val near = Multimodal.syntheticBmp(7L, 16, 16, perturb = 99L)
+    val far = Multimodal.syntheticBmp(8L, 16, 16)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val (ha, hn, hf) = (Multimodal.bmpDHash(a).get,
+      Multimodal.bmpDHash(near).get, Multimodal.bmpDHash(far).get)
+    assert(ham(ha, hn) <= 4, s"near variant drifted ${ham(ha, hn)} bits")
+    assert(ham(ha, hf) > 5, s"unrelated image too close: ${ham(ha, hf)}")
+    // top-down BMP (negative height) hashes like its bottom-up twin
+    val td = a.clone()
+    // rewrite height field to -16 and reverse pixel rows
+    def p32(buf: Array[Byte], off: Int, v: Int): Unit = (0 to 3).foreach(i =>
+      buf(off + i) = ((v >> (8 * i)) & 0xFF).toByte)
+    p32(td, 22, -16)
+    val rowSize = ((16 * 3 + 3) / 4) * 4
+    (0 until 16).foreach { r =>
+      System.arraycopy(a, 54 + (16 - 1 - r) * rowSize, td, 54 + r * rowSize, rowSize)
+    }
+    assert(Multimodal.bmpDHash(td).contains(ha))
+    // non-images and truncated payloads drop out
+    assert(Multimodal.bmpDHash("BM not an image".getBytes).isEmpty)
+    assert(Multimodal.bmpDHash(a.take(60)).isEmpty)
+    // end-to-end pairing: identical (1,2), near (3), unrelated (4)
+    val bin = Seq(
+      (1L, Multimodal.syntheticBmp(1L, 16, 16)),
+      (2L, Multimodal.syntheticBmp(1L, 16, 16)),
+      (3L, Multimodal.syntheticBmp(1L, 16, 16, perturb = 42L)),
+      (4L, Multimodal.syntheticBmp(999L, 16, 16)),
+      (5L, "just text".getBytes))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDup(bin, maxHamming = 5)
+      .orderBy("id_a", "id_b").collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs.head.getAs[Int]("hamming") == 0)
+  }
 }

@@ -25,7 +25,8 @@ char_entropy quality_filter_execute jaccard_dedup_execute groupdro_train corpus_
 self_repeat_execute ndcg_eval bm25_multi kneser_ney_lm gopher_rules \
 mmr_diversify recall_curve minhash_clusters naive_bayes_filter kn_cross_ppl \
 quality_gate knn_label_eval cluster_purity silhouette dedup_survival \
-lsh_recall_curve"
+lsh_recall_curve embedding_pq hard_negatives_ann dedup_incremental_lsh \
+image_near_dup"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
@@ -85,8 +86,8 @@ doc = {
   "streaming_note": "b40 = 40 micro-batches (constant rows per batch at 10x data) vs the default 4 (constant batch count): slower, pinning the growth to per-micro-batch fixed overhead, not the profile computation",
   "queries_sf1_charsalt": d.get("q1cs", {}),
   "excluded": {"spearman_corr": "exact mode is WindowGuard-enforced at 2M rows (r10) and refuses sf1 by design; spearman_approx is the scale row",
-    "embedding_pq": "the codebook is the vec_id % 83 centroid convention, so it grows WITH the corpus - 10x data means 10x codebook x 10x vectors = ~100x encode work by definition; at fixed codebook size the encode is one broadcast join, linear in N",
-    "hard_negatives": "|Q| x N brute force with |Q| proportional to the corpus (vec_id % 97) - 10x data means ~100x work by definition, like ann_cosine_topk; the LSH/IVF rows are that family's scale path"},
+    "hard_negatives": "|Q| x N brute force with |Q| proportional to the corpus (vec_id % 97) - 10x data means ~100x work by definition, like ann_cosine_topk; hard_negatives_ann is that family's measured scale row (r12)"},
+  "embedding_pq_note": "r12: codebook pinned at the vec_id < 2000 sub-centroids (corpus-size-independent, PQ's actual contract), so the lane now MEASURES the linear broadcast-encode instead of excluding it",
 }
 json.dump(doc, open(out, "w"), indent=0)
 print("wrote", out)
