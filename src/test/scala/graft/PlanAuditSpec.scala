@@ -695,4 +695,53 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!cutJoinSide.contains("[t#"),
       s"cut-side text attribute reaches a shuffle:\n$cutJoinSide")
   }
+
+  test("ann hard negatives: probes/queries/centroids broadcast, assignment and scoring stay equi — no cartesian over the corpus") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.hardNegativesAnn(
+      emb, "vec_id", "embedding", "label",
+      centroidPred = col("vec_id") % 83 === 0,
+      queryPred = col("vec_id") % 97 === 0))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$p")
+    // the only nested-loop joins are the broadcast centroid cross joins
+    // (metadata-sized by construction) — same shape ivf_topk pins
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"probe/scoring joins lost their broadcast:\n$p")
+  }
+
+  test("incremental lsh: the persisted state carries no payload column and batch text never reaches an exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val state = graft.operators.Dedup.dedupState(
+      d.where(col("doc_id") < 200), "doc_id", "text")
+    assert(!state.columns.contains("text"),
+      "state must be payload-free — that is the no-rescan property")
+    val out = graft.operators.Dedup.incrementalLsh(
+      d.where(col("doc_id") >= 200), state, "doc_id", "text")
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // every exchange row must be payload-free: the batch text column may
+    // appear only below the shingle/signature map stages, never in a
+    // shuffle (the corpus_card doctrine)
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("text#"),
+      s"batch payload reaches a shuffle:\n$exchanges")
+  }
+
+  test("image near dup: only 8-byte signatures shuffle — no image-by-image cross join, banded equi join only") {
+    import spark.implicits._
+    val bin = Seq(
+      (1L, graft.multimodal.Multimodal.syntheticBmp(1L, 16, 16)),
+      (2L, graft.multimodal.Multimodal.syntheticBmp(1L, 16, 16)))
+      .toDF("doc_id", "payload")
+    val p = plan(graft.multimodal.Multimodal.imageNearDup(bin))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("payload#"),
+      s"image payload reaches a shuffle:\n$exchanges")
+  }
 }
