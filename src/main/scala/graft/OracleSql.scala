@@ -2681,6 +2681,71 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
   val imageNearDupAudit: String = allTrue(Seq(
     "canonical_pairs", "equals_bruteforce", "identical_twins_hamming_zero"))
 
+  /** E207 audio near-dup audit: the image properties verbatim. */
+  val audioNearDupAudit: String = allTrue(Seq(
+    "canonical_pairs", "equals_bruteforce", "identical_twins_hamming_zero"))
+
+  /** E208 image-dedup executor audit: larger-id drop-rule soundness. */
+  val imageDedupExecuteAudit: String = allTrue(Seq(
+    "every_cluster_keeps_min_id", "idempotent_on_kept_corpus",
+    "removals_are_exactly_pair_targets"))
+
+  /** E209 k-means trajectory twin: the %83 init coordinates, then per
+    * iteration (assemble centroid arrays ordered by dim → 6-dp cosine
+    * argmax assignment with centroid-id tie-break → decimal-quantized
+    * coordinate means), each step a MATERIALIZED CTE — the same
+    * step-replay pattern as the logreg/PCA/Group-DRO training oracles. */
+  lazy val kmeansTrain: String = {
+    def one(t: Int): String = {
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""ca$t AS MATERIALIZED (SELECT centroid_id, list(m ORDER BY dim) AS c FROM $prev GROUP BY centroid_id),
+a$t AS MATERIALIZED (SELECT vec_id, centroid_id, cos FROM (
+  SELECT e.vec_id, ca$t.centroid_id,
+    ROUND(${listDot("e.v", s"ca$t.c")} / (e.nv * ${listNorm(s"ca$t.c")}), 6) AS cos
+  FROM e CROSS JOIN ca$t
+  WHERE e.nv * ${listNorm(s"ca$t.c")} > 0) x
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+s$t AS (SELECT $t AS iter, centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+    ROUND(CAST(SUM(CAST(ROUND(cos, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+  FROM a$t GROUP BY centroid_id),
+c$t AS MATERIALIZED (SELECT a$t.centroid_id, ex.dim,
+    ROUND(CAST(SUM(CAST(ROUND(ex.x, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS m
+  FROM ex JOIN a$t USING (vec_id) GROUP BY a$t.centroid_id, ex.dim)"""
+    }
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding AS v, ${listNorm("embedding")} AS nv
+  FROM embeddings WHERE ${listNorm("embedding")} > 0),
+ex AS MATERIALIZED (SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS INT) AS dim,
+    CAST(unnest(v) AS DOUBLE) AS x FROM e),
+c0 AS (SELECT vec_id AS centroid_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+    CAST(unnest(embedding) AS DOUBLE) AS m FROM embeddings WHERE vec_id % 83 = 0),
+${one(1)},
+${one(2)},
+${one(3)}
+SELECT iter, centroid_id, n_members, mean_cos FROM (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+ORDER BY iter, centroid_id"""
+  }
+
+  /** E210 temperature-mix twin: EXP(α·LN(c)) scores (the LN/EXP parity
+    * contract — no POWER), 6-dp rounded, normalized by their EXACT
+    * DECIMAL(38,6) sum; proportional weight, boost ratio and
+    * FLOOR(target·w) allocations off the rounded columns. */
+  def temperatureMixSql(alpha: Double, targetTotal: Long): String =
+    s"""WITH c AS (SELECT CAST(lang AS VARCHAR) AS domain, COUNT(*) AS cnt FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+s AS (SELECT domain, CAST(cnt AS BIGINT) AS n_docs,
+    ROUND(EXP($alpha * LN(CAST(cnt AS DOUBLE))), 6) AS score FROM c),
+t AS (SELECT SUM(CAST(score AS DECIMAL(38,6))) AS z, SUM(n_docs) AS nt FROM s),
+w AS (SELECT domain, n_docs,
+    ROUND(CAST(score AS DOUBLE) / CAST(z AS DOUBLE), 6) AS weight,
+    ROUND(CAST(n_docs AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS prop_weight
+  FROM s, t)
+SELECT domain, n_docs, weight, prop_weight,
+  ROUND(weight / prop_weight, 6) AS boost,
+  CAST(FLOOR($targetTotal * weight) AS BIGINT) AS target_n
+FROM w ORDER BY domain"""
+
+  lazy val temperatureMix: String = temperatureMixSql(0.3, 10000L)
+
   /** E203 recall-curve audit: per-band caught ⊆ exact, the J = 1 band
     * deterministically fully caught, every LSH pair in exactly one
     * band. */

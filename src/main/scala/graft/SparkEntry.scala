@@ -2098,6 +2098,126 @@ object SparkEntry {
       Multimodal.imageNearDup(bin, maxHamming = 5)
         .orderBy("id_a", "id_b")
     }),
+    // E207: audio perceptual near-dup — energy-delta hash over real
+    // 16-bit PCM WAV bodies, same pigeonhole banding and the same
+    // bounded-class construction as E206 (clips from doc_id div 30,
+    // odd ids get a one-block zero-out).
+    "audio_near_dup" -> ((s, dir) => {
+      import s.implicits._
+      val bin = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticWav(
+            id / 30L, 2080, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.audioNearDup(bin, maxHamming = 5)
+        .orderBy("id_a", "id_b")
+    }),
+    // E207 audit: same properties as the image twin — uncapped banded
+    // pairs equal brute force, byte-identical clips at hamming 0,
+    // canonical pairs.
+    "audio_near_dup_audit" -> ((s, dir) => {
+      import s.implicits._
+      val bin = documents(s, dir)
+        .select(col("doc_id").cast("long")).where(col("doc_id") < 1200)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticWav(
+            id / 30L, 2080, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      val sigs = Multimodal.audioDHashes(bin).localCheckpoint(true)
+      val out = graft.operators.Dedup.simhashPairsFromSignatures(
+        sigs, maxHamming = 5, maxBlockFreq = None).localCheckpoint(true)
+      val brute = sigs.alias("a")
+        .crossJoin(broadcast(sigs.alias("b")))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .as("hamming"))
+        .where(col("hamming") <= 5)
+      val equalsBrute =
+        out.exceptAll(brute).count() + brute.exceptAll(out).count() == 0L
+      val twins = bin.where(col("doc_id") % 2 === 0)
+        .select(expr("doc_id div 30").as("cls"), col("doc_id").as("id"))
+      val twinPairs = twins.alias("a").join(twins.alias("b"), Seq("cls"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val nTwin = twinPairs.count()
+      val twinsCaught = twinPairs
+        .join(out.where(col("hamming") === 0), Seq("id_a", "id_b"))
+        .count() == nTwin
+      val canonical = out.where(col("id_a") >= col("id_b")).count() == 0L
+      Seq(
+        ("canonical_pairs", canonical),
+        ("equals_bruteforce", equalsBrute),
+        ("identical_twins_hamming_zero", twinsCaught))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // E208: the ACTION half of E206 — drop every image with a
+    // smaller-id neighbor within 5 bits, return the kept corpus
+    // sha256-pinned (the E169 executor convention).
+    "image_dedup_execute" -> ((s, dir) => {
+      import s.implicits._
+      val bin = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticBmp(
+            id / 30L, 16, 16, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.imageDedupExecute(bin, maxHamming = 5)
+        .orderBy("doc_id")
+    }),
+    // E208 audit: executor soundness — removals are exactly the pair
+    // targets (distinct larger ids), every duplicate component keeps
+    // its minimum id, and the executor is idempotent (re-running on the
+    // kept corpus finds zero pairs: any surviving pair would have had
+    // its larger member removed).
+    "image_dedup_execute_audit" -> ((s, dir) => {
+      import s.implicits._
+      def mkBin(ids: DataFrame) = ids.select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticBmp(
+            id / 30L, 16, 16, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      val bin = mkBin(documents(s, dir).where(col("doc_id") < 1200))
+        .localCheckpoint(true)
+      val pairs = Multimodal.imageNearDup(bin, maxHamming = 5)
+        .localCheckpoint(true)
+      val kept = Multimodal.imageDedupExecute(bin, maxHamming = 5)
+        .localCheckpoint(true)
+      val targets = pairs.select(col("id_b").as("doc_id")).distinct()
+      val nAll = bin.count()
+      val removalsExact =
+        kept.count() == nAll - targets.count() &&
+          kept.join(targets, Seq("doc_id")).count() == 0L
+      val minKept = graft.operators.Clustering.dedupClusters(pairs)
+        .groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
+        .join(kept, Seq("doc_id"), "left_anti").count() == 0L
+      val rerunPairs = Multimodal.imageNearDup(
+        bin.join(kept.select("doc_id"), Seq("doc_id")), maxHamming = 5)
+      val idempotent = rerunPairs.count() == 0L
+      Seq(
+        ("every_cluster_keeps_min_id", minKept),
+        ("idempotent_on_kept_corpus", idempotent),
+        ("removals_are_exactly_pair_targets", removalsExact))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // E209: in-engine Lloyd's k-means (training loop #6) — 3 assign/
+    // re-estimate alternations from the deterministic %83 init, the
+    // whole trajectory hash-oracled (per-iteration chained CTEs).
+    "kmeans_train" -> ((s, dir) =>
+      Similarity.kmeansTrain(
+        embeddings(s, dir), "vec_id", "embedding",
+        initPred = col("vec_id") % 83 === 0, iters = 3)
+        .orderBy("iter", "centroid_id")),
+    // E210: temperature-scaled sampling mix (the mT5 alpha=0.3 recipe)
+    // over languages — the baseline mixture E166's UniMax replaces.
+    "temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        documents(s, dir), "lang", alpha = 0.3, targetTotal = 10000L)
+        .orderBy("domain")),
     // E206 audit: the banded path must equal the brute-force pairwise
     // scan EXACTLY (pigeonhole completeness: any pair within maxHamming
     // bits shares one of maxHamming+1 signature blocks — run uncapped
@@ -3444,6 +3564,10 @@ FROM events GROUP BY 1 ORDER BY day""",
     "multimodal_decode" -> OracleSql.multimodalDecode,
     "multimodal_frames" -> OracleSql.multimodalFrames,
     "image_near_dup_audit" -> OracleSql.imageNearDupAudit,
+    "audio_near_dup_audit" -> OracleSql.audioNearDupAudit,
+    "image_dedup_execute_audit" -> OracleSql.imageDedupExecuteAudit,
+    "kmeans_train" -> OracleSql.kmeansTrain,
+    "temperature_mix" -> OracleSql.temperatureMix,
     "text_normalize" -> OracleSql.textNormalize,
     "ivf_topk" -> OracleSql.ivfTopK,
     "ndcg_eval" -> OracleSql.ndcgEval,

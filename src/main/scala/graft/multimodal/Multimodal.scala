@@ -342,6 +342,130 @@ object Multimodal {
     graft.operators.Dedup.simhashPairsFromSignatures(
       imageDHashes(bin), maxHamming, maxBlockFreq)
 
+  /** 64-bit audio energy-delta hash of a canonical 16-bit PCM RIFF/WAVE
+    * payload (E207) — the audio sibling of [[bmpDHash]]: the sample
+    * stream is cut into 65 equal windows, each window's mean |amplitude|
+    * is its energy, and bit i says `energy(i) > energy(i+1)` — a coarse
+    * envelope signature that survives re-encodes, level-local edits and
+    * small insertions, while unrelated audio lands ~32 bits away (the
+    * SimHash geometry again, so the same pigeonhole banding pairs it).
+    * All-integer (Long |sample| sums, floor division). `None` for
+    * anything that is not a complete canonical WAV or has no samples. */
+  def wavDHash(payload: Array[Byte]): Option[Long] = {
+    if (payload == null || payload.length < 46 ||
+      new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
+      new String(payload, 8, 8, "US-ASCII") != "WAVEfmt " ||
+      le32(payload, 16) != 16) return None
+    val nSamples = (payload.length - 44) / 2 // every 16-bit sample, any channel
+    if (nSamples < 1) return None
+    def amp(i: Int): Long = {
+      val v = (payload(44 + 2 * i) & 0xFF) |
+        (payload(45 + 2 * i) << 8) // sign-extends the high byte
+      math.abs(v.toLong)
+    }
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val s0 = w * nSamples / 65
+      val s1 = math.min(nSamples, math.max((w + 1) * nSamples / 65, s0 + 1))
+      var s = 0L; var i = s0
+      while (i < s1) { s += amp(i); i += 1 }
+      e(w) = s / (s1 - s0)
+      w += 1
+    }
+    var bits = 0L
+    w = 0
+    while (w < 64) {
+      if (e(w) > e(w + 1)) bits |= 1L << w
+      w += 1
+    }
+    Some(bits)
+  }
+
+  /** Deterministic canonical WAV with a REAL 16-bit PCM sample body
+    * (unlike [[syntheticMedia]]'s header-only WAVs): amplitude levels
+    * are piecewise-constant per 32-sample block from [[mix64]] of
+    * `(seed, block)`; `perturb != 0` zeroes ONE seed-chosen 32-sample
+    * region — the near-identical variant a perceptual hash must keep
+    * close while byte-exact dedup misses it. */
+  def syntheticWav(
+      seed: Long, nSamples: Int = 2080, perturb: Long = 0L): Array[Byte] = {
+    require(nSamples > 0)
+    val bytes = new Array[Byte](44 + 2 * nSamples)
+    def p16(off: Int, v: Int): Unit = {
+      bytes(off) = (v & 0xFF).toByte; bytes(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def p32(off: Int, v: Int): Unit = {
+      p16(off, v & 0xFFFF); p16(off + 2, (v >>> 16) & 0xFFFF)
+    }
+    "RIFF".getBytes("US-ASCII").copyToArray(bytes, 0)
+    p32(4, 36 + 2 * nSamples)
+    "WAVEfmt ".getBytes("US-ASCII").copyToArray(bytes, 8)
+    p32(16, 16); p16(20, 1); p16(22, 1) // PCM, mono
+    p32(24, 8000); p32(28, 16000); p16(32, 2); p16(34, 16)
+    "data".getBytes("US-ASCII").copyToArray(bytes, 36)
+    p32(40, 2 * nSamples)
+    val pb = if (perturb == 0L) -1
+      else ((mix64(perturb) >>> 16) % (nSamples / 32).max(1)).toInt.abs
+    var i = 0
+    while (i < nSamples) {
+      val block = i / 32
+      val lvl =
+        if (block == pb) 0
+        else (mix64(seed * 524287L + block) & 0x3FFF).toInt // 0..16383
+      p16(44 + 2 * i, lvl & 0xFFFF)
+      i += 1
+    }
+    bytes
+  }
+
+  /** Per-clip energy-hash relation `(id, simhash)` — [[imageDHashes]]
+    * for audio; non-WAV payloads drop out. */
+  def audioDHashes(bin: DataFrame): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        wavDHash(p).map(sig => (id, sig)) })
+      .toDF("id", "simhash")
+  }
+
+  /** Audio perceptual near-dup pairs (E207) — [[imageNearDup]] for WAV
+    * payloads: same map-only decode+hash pass, same pigeonhole banding,
+    * only 8-byte signatures ever shuffle. Returns `(id_a, id_b,
+    * hamming)`. */
+  def audioNearDup(
+      bin: DataFrame,
+      maxHamming: Int = 5,
+      maxBlockFreq: Option[Int] = Some(10000)): DataFrame =
+    graft.operators.Dedup.simhashPairsFromSignatures(
+      audioDHashes(bin), maxHamming, maxBlockFreq)
+
+  /** Image near-dup dedup EXECUTOR (E208) — the action half of
+    * [[imageNearDup]], the per-pair larger-id drop rule every dedup
+    * executor here uses (E170/E181/E188): any image with a SMALLER-id
+    * neighbor within `maxHamming` bits is removed, so each duplicate
+    * component provably keeps its minimum id (it has no smaller-id
+    * neighbor) and the result is idempotent — re-running the executor
+    * on the kept corpus finds zero pairs, because any surviving pair
+    * would have had its larger member removed. Returns the kept corpus
+    * as `(doc_id, n_bytes, fingerprint)` — sha256-pinned payloads, the
+    * E169 executor output convention; the removal set is ids only and
+    * anti-joins back, payloads never shuffle. */
+  def imageDedupExecute(
+      bin: DataFrame,
+      maxHamming: Int = 5,
+      maxBlockFreq: Option[Int] = Some(10000)): DataFrame = {
+    val removals = imageNearDup(bin, maxHamming, maxBlockFreq)
+      .select(col("id_b").as("doc_id")).distinct()
+    bin.join(broadcast(removals), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(sha2(col("payload"), 256), 1, 16).as("fingerprint"))
+  }
+
   /** Partition-local batched decode: `(doc_id, payload)` → typed features
     * via the real container parsers in [[decode]]. `batchSize` chunks the
     * iterator like an Arrow batch; the decoder runs once per element but

@@ -508,6 +508,52 @@ object Sampling {
     * [[mixtureResample]]-style pass consumes. Returns
     * `(domain, n_docs, allocated, saturated)` — `saturated` marks
     * domains whose full count was taken. */
+  /** Temperature-scaled sampling mix (E210) — the mT5/multilingual
+    * baseline [[unimaxAllocation]] (E166) was designed to replace, still
+    * the mixture every ablation reports against: domain i is sampled
+    * proportionally to `c_i^α` (α < 1 flattens the head and upweights
+    * the tail; α = 1 is proportional, α → 0 uniform). Emits per domain:
+    * count, the temperature weight, the proportional weight it
+    * replaces, the boost ratio (tail languages read > 1), and the
+    * integer target allocation under `targetTotal`.
+    *
+    * Determinism: `c^α` is `EXP(α·LN(c))` on BOTH engines (the repo's
+    * LN/EXP parity contract — no POWER call, whose rounding differs),
+    * per-domain scores ROUND(·, 6), the normalizer the EXACT
+    * DECIMAL(38,6) sum of those 6-dp scores, one double division per
+    * weight, targets `FLOOR(targetTotal·w)`. Scale shape: one
+    * map-side-combined groupBy + a broadcast 1-row normalizer — never a
+    * driver collect (domains can be URL hosts, not just languages). */
+  def temperatureMix(
+      df: DataFrame,
+      domainCol: String,
+      alpha: Double = 0.3,
+      targetTotal: Long = 10000L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"temperatureMix: alpha=$alpha out of (0,1]")
+    require(targetTotal >= 0, "need a non-negative target")
+    val Dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val scored = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("domain"), col("n_docs"),
+        round(exp(lit(alpha) * log(col("n_docs").cast("double"))), 6)
+          .as("score"))
+    val tot = scored.agg(
+      sum(col("score").cast(Dec6)).as("z"),
+      sum(col("n_docs")).as("nt"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"),
+        round(col("score").cast("double") / col("z").cast("double"), 6)
+          .as("weight"),
+        round(col("n_docs").cast("double") / col("nt").cast("double"), 6)
+          .as("prop_weight"))
+      .select(col("domain"), col("n_docs"), col("weight"), col("prop_weight"),
+        round(col("weight") / col("prop_weight"), 6).as("boost"),
+        floor(lit(targetTotal.toDouble) * col("weight")).cast("long")
+          .as("target_n"))
+  }
+
   def unimaxAllocation(
       df: DataFrame, domainCol: String, budget: Long): DataFrame = {
     require(budget >= 0, "need a non-negative budget")

@@ -892,6 +892,88 @@ object Similarity {
         col("n"))
   }
 
+  /** In-engine Lloyd's k-means (E209, training loop #6) — the full
+    * cluster-TRAINING counterpart of the single half-steps already here
+    * ([[nearestCentroid]] assignment, [[centroidUpdate]] re-estimation):
+    * `iters` alternations of (assign every vector to its best centroid
+    * by 6-dp cosine, re-estimate each centroid as the decimal-quantized
+    * coordinate mean of its members). Deterministic end-to-end — init
+    * centroids are a predicate over ids, assignment ties break to the
+    * smaller centroid id, and every mean is `ROUND(Σ ROUND(x,12)ᴰᴱᶜ /
+    * n, 6)` (the E50 contract) — so the whole TRAINING TRAJECTORY
+    * carries a FULL hash oracle, replayed iteration by iteration in
+    * chained DuckDB CTEs like the logreg/PCA/Group-DRO/NB/PageRank
+    * loops. Zero-norm vectors have no direction and are excluded up
+    * front; a centroid whose cluster empties simply drops out (both
+    * engines agree). Emits the training curve: per `(iter,
+    * centroid_id)` the member count and mean member cosine — rising
+    * mean_cos = tightening clusters, the readout that picks `iters`.
+    *
+    * Scale shape: per iteration, ONE broadcast of the (k × dim)
+    * centroid coordinate relation onto the checkpointed corpus, one
+    * per-vector argmax hash agg (map-side combined to one row per
+    * vector), one posexplode + (centroid, dim) hash agg for the update
+    * — corpus passes = iters, no driver loop over data, only
+    * metadata-sized centroid relations ever collect/checkpoint. */
+  def kmeansTrain(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      initPred: Column,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 8, s"kmeansTrain: iters=$iters out of [1,8]")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val base = graft.profiler.ScanMetrics.spread(embIn)
+    val emb = base
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"))
+      .where(col("nv") > 0)
+      .localCheckpoint(true) // re-read every iteration (assign + update)
+    var cents = base.where(initPred)
+      .select(col(idCol).as("centroid_id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("centroid_id"), col("dim"),
+        col("x").cast("double").as("m"))
+      .localCheckpoint(true)
+    val curves = (1 to iters).map { it =>
+      val cArr = cents.groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .select(col("centroid_id"), col("c"), norm(col("c")).as("nc"))
+      val assign = emb.crossJoin(broadcast(cArr))
+        .select(col("vec_id"), col("centroid_id"),
+          when(col("nv") * col("nc") > 0,
+            round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
+            .as("cos"))
+        .where(col("cos").isNotNull)
+        .groupBy("vec_id")
+        .agg(min(struct(
+          (-col("cos")).as("neg"), col("centroid_id"), col("cos"))).as("b"))
+        .select(col("vec_id"), col("b.centroid_id").as("centroid_id"),
+          col("b.cos").as("cos"))
+        .localCheckpoint(true) // read by the curve row AND the update
+      cents = emb
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .join(assign.select("vec_id", "centroid_id"), Seq("vec_id"))
+        .groupBy("centroid_id", "dim")
+        .agg(
+          sum(round(col("x").cast("double"), 12).cast(Dec)).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("centroid_id"), col("dim"),
+          round(col("s").cast("double") / col("n").cast("double"), 6).as("m"))
+        .localCheckpoint(true)
+      assign.groupBy("centroid_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          round(sum(round(col("cos"), 12).cast(Dec)).cast("double") /
+            count(lit(1)), 6).as("mean_cos"))
+        .select(lit(it).as("iter"), col("centroid_id"),
+          col("n_members"), col("mean_cos"))
+    }
+    curves.reduce(_ unionByName _)
+  }
+
   /** IVF (inverted-file) approximate top-k — the scale path of ANN search:
     * the corpus is bucketed into cells by nearest centroid (the
     * [[nearestCentroid]] coarse quantizer), each query probes only its

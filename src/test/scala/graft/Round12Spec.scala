@@ -224,4 +224,97 @@ class Round12Spec extends AnyFunSuite {
       Seq((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(pairs.head.getAs[Int]("hamming") == 0)
   }
+
+  test("wavDHash + audioNearDup: envelope hash pairs identical and perturbed clips, not unrelated ones; imageDedupExecute keeps the minimum id") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val a = Multimodal.syntheticWav(3L)
+    assert(Multimodal.wavDHash(a) == Multimodal.wavDHash(Multimodal.syntheticWav(3L)))
+    val near = Multimodal.syntheticWav(3L, perturb = 7L)
+    val far = Multimodal.syntheticWav(4L)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    val (ha, hn, hf) = (Multimodal.wavDHash(a).get,
+      Multimodal.wavDHash(near).get, Multimodal.wavDHash(far).get)
+    assert(ham(ha, hn) <= 4, s"perturbed clip drifted ${ham(ha, hn)} bits")
+    assert(ham(ha, hf) > 5, s"unrelated clip too close: ${ham(ha, hf)}")
+    assert(Multimodal.wavDHash("RIFFxxxxWAVEfmt not audio".getBytes).isEmpty)
+    assert(Multimodal.wavDHash(a.take(45)).isEmpty)
+    val bin = Seq(
+      (1L, Multimodal.syntheticWav(1L)),
+      (2L, Multimodal.syntheticWav(1L)),
+      (3L, Multimodal.syntheticWav(1L, perturb = 9L)),
+      (4L, Multimodal.syntheticWav(77L)))
+      .toDF("doc_id", "payload")
+    val pairs = Multimodal.audioNearDup(bin, maxHamming = 5)
+      .orderBy("id_a", "id_b").collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSeq ==
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // executor: the image trio keeps exactly its minimum id
+    val ibin = Seq(
+      (5L, Multimodal.syntheticBmp(1L, 16, 16)),
+      (6L, Multimodal.syntheticBmp(1L, 16, 16)),
+      (7L, Multimodal.syntheticBmp(1L, 16, 16, perturb = 3L)),
+      (8L, Multimodal.syntheticBmp(50L, 16, 16)))
+      .toDF("doc_id", "payload")
+    val kept = Multimodal.imageDedupExecute(ibin, maxHamming = 5)
+      .orderBy("doc_id").collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L, 8L))
+    assert(kept.forall(_.getAs[String]("fingerprint").length == 16))
+  }
+
+  test("kmeansTrain: iteration 1 assigns like nearestCentroid; centroids move to cluster means; the curve tightens") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // two tight direction-clusters in 2D; init centroids are one member
+    // of each (ids 100, 200)
+    val emb = Seq(
+      (100L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.95f, 0.05f)),
+      (200L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)),
+      (4L, Array(0.05f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val initPred = col("vec_id") >= 100L
+    val out = Similarity.kmeansTrain(emb, "vec_id", "embedding", initPred,
+      iters = 3)
+      .orderBy("iter", "centroid_id").collect()
+    // 3 iters x 2 centroids, counts stable at 3 apiece
+    assert(out.length == 6)
+    assert(out.forall(_.getAs[Long]("n_members") == 3L))
+    // iteration-1 members match the fixed-centroid assignment operator
+    val nc = Similarity.nearestCentroid(emb, "vec_id", "embedding", initPred)
+    val byCell = nc.groupBy("centroid_id").count().orderBy("centroid_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(byCell == Seq((100L, 3L), (200L, 3L)))
+    // moving the centroid to the cluster mean cannot loosen the cluster:
+    // mean cosine is non-decreasing for each centroid across iterations
+    Seq(100L, 200L).foreach { c =>
+      val curve = out.filter(_.getAs[Long]("centroid_id") == c)
+        .map(_.getAs[Double]("mean_cos"))
+      assert(curve.zip(curve.tail).forall { case (x, y) => y >= x },
+        s"curve for $c: ${curve.toSeq}")
+    }
+  }
+
+  test("temperatureMix: alpha=0.3 upweights the tail; weights normalize; hand-computed scores") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val docs = ((1 to 90).map(i => (i.toLong, "en")) ++
+      (91 to 100).map(i => (i.toLong, "fr")))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureMix(docs, "lang", alpha = 0.3,
+      targetTotal = 1000L)
+      .orderBy("domain").collect()
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val se = q6(math.exp(0.3 * math.log(90.0)))
+    val sf = q6(math.exp(0.3 * math.log(10.0)))
+    val z = BigDecimal(se) + BigDecimal(sf)
+    assert(out(0).getAs[String]("domain") == "en")
+    assert(out(0).getAs[Double]("weight") == q6(se / z.toDouble))
+    assert(out(1).getAs[Double]("weight") == q6(sf / z.toDouble))
+    // tail boosted above proportional, head below
+    assert(out(1).getAs[Double]("boost") > 1.0 &&
+      out(0).getAs[Double]("boost") < 1.0)
+    assert(out.map(_.getAs[Long]("target_n")).sum <= 1000L)
+  }
 }
