@@ -730,6 +730,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"batch payload reaches a shuffle:\n$exchanges")
   }
 
+  test("kmeans train: per-iteration centroid relations broadcast onto the corpus — no cartesian anywhere in the trajectory") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0, iters = 2))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("HashAggregate"), s"\n$p")
+  }
+
+  test("temperature mix: one hash agg + a broadcast 1-row normalizer — no cartesian, no sort agg") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Sampling.temperatureMix(d, "lang"))
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    assert(p.contains("HashAggregate") && !p.contains("SortAggregate"), s"\n$p")
+  }
+
+  test("audio near dup: only 8-byte signatures shuffle — no clip-by-clip cross join") {
+    import spark.implicits._
+    val bin = Seq(
+      (1L, graft.multimodal.Multimodal.syntheticWav(1L)),
+      (2L, graft.multimodal.Multimodal.syntheticWav(1L)))
+      .toDF("doc_id", "payload")
+    val p = plan(graft.multimodal.Multimodal.audioNearDup(bin))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"\n$p")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("payload#"),
+      s"audio payload reaches a shuffle:\n$exchanges")
+  }
+
   test("image near dup: only 8-byte signatures shuffle — no image-by-image cross join, banded equi join only") {
     import spark.implicits._
     val bin = Seq(
