@@ -2746,6 +2746,41 @@ FROM w ORDER BY domain"""
 
   lazy val temperatureMix: String = temperatureMixSql(0.3, 10000L)
 
+  /** E211 streaming-vs-batch parity audit: streaming exact rows and near
+    * pairs must equal the batch incremental operator bit-for-bit. */
+  val streamingStateDedupAudit: String = allTrue(Seq(
+    "exact_rows_equal_batch", "near_pairs_equal_batch"))
+
+  /** E212 curriculum twin (lazy: wsToksSql initializes later in this
+    * object): the text_quality score expression verbatim, a
+    * per-distinct-score token rollup with an ordered window (score
+    * DESC), a per-score partitioned within-window (id ASC), integer
+    * floor division for the epoch. */
+  lazy val curriculumEpochs: String = {
+    val en = stopList(Stopwords.collectFirst { case ("en", w) => w }.get)
+    s"""WITH q AS (SELECT doc_id AS id,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS score,
+    ws_tokens AS n_tokens
+  FROM (
+    SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '$PunctPattern')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) r),
+f AS (SELECT * FROM q WHERE score IS NOT NULL),
+h AS (SELECT score, CAST(SUM(n_tokens) AS BIGINT) AS cell_toks FROM f GROUP BY 1),
+o AS (SELECT score,
+    CAST(SUM(cell_toks) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - cell_toks AS better_toks
+  FROM h),
+w AS (SELECT id, score, n_tokens,
+    CAST(SUM(n_tokens) OVER (PARTITION BY score ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS within
+  FROM f)
+SELECT w.id, w.score, w.n_tokens,
+  (o.better_toks + w.within) AS cum_before,
+  CAST((o.better_toks + w.within) // 20000 AS BIGINT) AS epoch
+FROM w JOIN o USING (score) ORDER BY id"""
+  }
+
   /** E203 recall-curve audit: per-band caught ⊆ exact, the J = 1 band
     * deterministically fully caught, every LSH pair in exactly one
     * band. */

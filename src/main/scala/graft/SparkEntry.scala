@@ -2066,6 +2066,80 @@ object SparkEntry {
         "complete")
         .select("doc_id", "content_hash", "dup_count")
         .orderBy("doc_id")),
+    // E211: streaming ingest deduped against the PERSISTED E205 store —
+    // stream-static joins only, map-only per-row signatures, bounded
+    // pair-dedup state. Event time synthesized from doc_id (both
+    // engines would agree, but band hashes make this rows-only; the
+    // audit twin pins bit-parity with the batch operator).
+    "streaming_state_dedup" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val cut = 400L
+      val state = Dedup.dedupState(
+        docs.where(col("doc_id") < cut), "doc_id", "text")
+        .localCheckpoint(true)
+      StreamingProfile.replayParquet(
+        s, s"$dir/documents.parquet",
+        df => StreamingProfile.streamingStateDedup(
+          df.where(col("doc_id") >= cut)
+            .withColumn("_evt", timestamp_seconds(col("doc_id"))),
+          state, "doc_id", "text", "_evt"),
+        "append")
+        .orderBy("id", "kind", "match_id")
+    }),
+    // E211 audit: the streaming verdicts must equal the batch operator's
+    // bit-for-bit — exact rows ≡ incrementalExact's dup ids, near pairs
+    // ≡ the batch banded-estimate pair relation (both uncapped; the
+    // map-only per-row signature must reproduce the groupBy signature).
+    "streaming_state_dedup_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).select("doc_id", "text")
+      val cut = 400L
+      val known = docs.where(col("doc_id") < cut)
+      val batchDocs = docs.where(col("doc_id") >= cut)
+      val state = Dedup.dedupState(known, "doc_id", "text")
+        .localCheckpoint(true)
+      val out = StreamingProfile.replayParquet(
+        s, s"$dir/documents.parquet",
+        df => StreamingProfile.streamingStateDedup(
+          df.where(col("doc_id") >= cut)
+            .withColumn("_evt", timestamp_seconds(col("doc_id"))),
+          state, "doc_id", "text", "_evt"),
+        "append").localCheckpoint(true)
+      val exactStream = out.where(col("kind") === "exact").select("id")
+      val exactBatch = Dedup.incrementalExact(
+        batchDocs, known, "doc_id", Seq("text"))
+        .where(col("dup")).select(col("doc_id").as("id"))
+      val exactParity =
+        exactStream.exceptAll(exactBatch).count() +
+          exactBatch.exceptAll(exactStream).count() == 0L
+      val nearStream = out.where(col("kind") === "near")
+        .select("id", "match_id", "est_jaccard")
+      val nearBatch = Dedup.incrementalEstPairs(
+        Dedup.dedupState(batchDocs, "doc_id", "text"), state,
+        threshold = 0.5, numHashes = 32, bands = 8, maxBandFreq = None)
+        .select("id", "match_id", "est_jaccard")
+      val nearParity =
+        nearStream.exceptAll(nearBatch).count() +
+          nearBatch.exceptAll(nearStream).count() == 0L
+      Seq(
+        ("exact_rows_equal_batch", exactParity),
+        ("near_pairs_equal_batch", nearParity))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // E212: curriculum epoch assignment — best-quality-first consumption
+    // order, each doc lands in floor(tokens_before / 20000); the global
+    // running sum is a WindowGuarded per-score rollup + per-score
+    // partitioned windows, never a corpus-sized single task.
+    "curriculum_epochs" -> ((s, dir) => {
+      import graft.functions.TextFunctions
+      val d = documents(s, dir).select(
+        col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("q"),
+        TextFunctions.wsTokenCount(col("text")).as("toks"))
+      graft.operators.Ranking.curriculumEpochs(
+        d, "doc_id", "q", "toks", epochTokens = 20000L)
+        .orderBy("id")
+    }),
     // multimodal binary-column plumbing (documents text as opaque payload)
     "multimodal_features" -> ((s, dir) =>
       Multimodal.byteFeatures(Multimodal.asBinary(documents(s, dir)))
@@ -3568,6 +3642,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "image_dedup_execute_audit" -> OracleSql.imageDedupExecuteAudit,
     "kmeans_train" -> OracleSql.kmeansTrain,
     "temperature_mix" -> OracleSql.temperatureMix,
+    "streaming_state_dedup_audit" -> OracleSql.streamingStateDedupAudit,
+    "curriculum_epochs" -> OracleSql.curriculumEpochs,
     "text_normalize" -> OracleSql.textNormalize,
     "ivf_topk" -> OracleSql.ivfTopK,
     "ndcg_eval" -> OracleSql.ndcgEval,

@@ -876,7 +876,7 @@ object Dedup {
     * state): one struct-array explode, band hash = xxhash64 of the
     * band's signature components. Rows whose signature is null (a doc
     * too short to shingle) emit no buckets. */
-  private[operators] def bandBuckets(
+  private[graft] def bandBuckets(
       sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { bi =>
@@ -983,6 +983,36 @@ object Dedup {
       .unionByName(probed.where(!col("maybe"))
         .select(col("id"), lit(false).as("dup_exact")))
     // ---- near stage: band both sides, cap on the UNION bucket relation
+    val scored = incrementalEstPairs(
+      bstate, state, threshold, numHashes, bands, maxBandFreq)
+    val best = scored.groupBy("id")
+      .agg(min(struct(
+        (-col("est_jaccard")).as("neg"), col("match_id"),
+        col("est_jaccard"))).as("b"))
+      .select(col("id"), col("b.match_id").as("match_id"),
+        col("b.est_jaccard").as("est_jaccard"))
+    exactFlag
+      .join(best, Seq("id"), "left")
+      .select(
+        col("id"), col("dup_exact"),
+        col("match_id").isNotNull.as("near_dup"),
+        col("match_id"), col("est_jaccard"))
+  }
+
+  /** Pair half of [[incrementalLsh]]'s near stage, shared with the
+    * streaming counterpart ([[graft.streaming.StreamingProfile
+    * .streamingStateDedup]]'s parity audit): batch-vs-store banded
+    * candidates with the hot-bucket cap applied to the UNION bucket
+    * relation, scored by signature-estimated Jaccard. Returns
+    * `(id, match_id, est_jaccard)` at est ≥ `threshold`. */
+  private[graft] def incrementalEstPairs(
+      bstate: DataFrame,
+      state: DataFrame,
+      threshold: Double,
+      numHashes: Int,
+      bands: Int,
+      maxBandFreq: Option[Int]): DataFrame = {
+    val hs = (0 until numHashes).map(i => s"h$i")
     val stateSig = state.select((col("id") +: hs.map(col)): _*)
     val allBuckets = capHotBuckets(
       bandBuckets(stateSig, numHashes, bands)
@@ -997,7 +1027,7 @@ object Dedup {
     val estExpr = round(
       hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
         .reduce(_ + _).cast("double") / lit(numHashes.toDouble), 6)
-    val scored = cands
+    cands
       .join(bstate.select((col("id") +: hs.map(h => col(h).as(s"a_$h"))): _*),
         Seq("id"))
       .join(stateSig.select(
@@ -1005,18 +1035,6 @@ object Dedup {
         Seq("match_id"))
       .select(col("id"), col("match_id"), estExpr.as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-    val best = scored.groupBy("id")
-      .agg(min(struct(
-        (-col("est_jaccard")).as("neg"), col("match_id"),
-        col("est_jaccard"))).as("b"))
-      .select(col("id"), col("b.match_id").as("match_id"),
-        col("b.est_jaccard").as("est_jaccard"))
-    exactFlag
-      .join(best, Seq("id"), "left")
-      .select(
-        col("id"), col("dup_exact"),
-        col("match_id").isNotNull.as("near_dup"),
-        col("match_id"), col("est_jaccard"))
   }
 
   /** 64-bit SimHash per document over lowercased whitespace tokens: each

@@ -68,6 +68,60 @@ object Ranking {
           .otherwise(lit(0.0d)).as("percentile"))
   }
 
+  /** Curriculum epoch assignment (E212) — the data-ORDERING operator a
+    * curriculum-training pipeline runs after scoring: documents are
+    * consumed best-quality-first (score desc, id asc within ties), and
+    * each document lands in epoch `floor(tokens_before / epochTokens)`
+    * — "epoch 0 is the cleanest `epochTokens` tokens, epoch 1 the
+    * next", the anti-curriculum variant being a sign flip the caller
+    * applies to the score. Emits `(id, score, n_tokens, cum_before,
+    * epoch)`.
+    *
+    * Scale shape — NO global sort and no corpus-sized single-partition
+    * window (the 100 TB anti-pattern): the global running sum is split
+    * into (a) a per-distinct-score token rollup whose ordered window is
+    * metadata-sized under the repo's 6-dp score contract and ENFORCED
+    * by [[WindowGuard]], and (b) a per-doc window PARTITIONED BY score
+    * (parallel across score cells) ordered by id. `cum_before` =
+    * better-score total + same-score-smaller-id total; both engines
+    * evaluate the identical integer arithmetic, so the operator carries
+    * a FULL hash oracle. */
+  def curriculumEpochs(
+      df: DataFrame, idCol: String, scoreCol: String, tokensCol: String,
+      epochTokens: Long,
+      maxCells: Long = WindowGuard.MaxWindowCells): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(epochTokens > 0, "need a positive per-epoch token budget")
+    val scored = df
+      .select(col(idCol).as("id"), col(scoreCol).as("score"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .where(col("score").isNotNull && !isnan(col("score")))
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("cell_toks"))
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = hist
+      .withColumn("cum", sum(col("cell_toks")).over(wRun))
+      .withColumn("n_cells", count(lit(1)).over(full))
+      .select(
+        col("score"),
+        WindowGuard.guarded(col("cum") - col("cell_toks"), col("n_cells"),
+          maxCells, "Ranking.curriculumEpochs").as("better_toks"))
+    val wIn = Window.partitionBy(col("score")).orderBy(col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("within", sum(col("n_tokens")).over(wIn) - col("n_tokens"))
+      .join(offsets, Seq("score"))
+      .select(
+        col("id"), col("score"), col("n_tokens"),
+        (col("better_toks") + col("within")).as("cum_before"),
+        // integer floor division — exact at any magnitude (a double
+        // division would misround near 2^53)
+        expr(s"(better_toks + within) div ${epochTokens}L").as("epoch"))
+  }
+
   /** Per-domain top-k selection (E178) — "the best k documents from
     * every source" without a per-domain sort of the corpus: a curation
     * budget spread across domains keeps diversity while a global top-k

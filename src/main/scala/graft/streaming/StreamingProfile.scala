@@ -126,6 +126,104 @@ object StreamingProfile {
       .groupBy(sha2(col(textCol), 256).as("content_hash"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("dup_count"))
 
+  /** Streaming cross-batch dedup against a PERSISTED signature store
+    * (E211) — the continuous-ingest counterpart of
+    * [[graft.operators.Dedup.incrementalLsh]]: every arriving document
+    * is checked against the frozen [[graft.operators.Dedup.dedupState]]
+    * relation of all prior batches. Everything stream-side is MAP-ONLY:
+    * the content hash is one sha2, the minhash signature is computed
+    * per row from the per-doc distinct-shingle array (`array_min` over
+    * seeded xxhash64 — the exact values the batch groupBy computes, so
+    * stream and batch verdicts agree bit-for-bit, parity-audited), and
+    * band keys are one struct-array explode. Candidates come from
+    * stream-STATIC equi-joins (hash key for the exact stage, banded
+    * signature keys for the near stage — both natively supported in
+    * append mode with zero aggregation state); the estimate is a
+    * component-equality fold on the joined signatures. The only
+    * streaming state is the (id, match_id) pair-dedup inside the
+    * watermark horizon ([[dedupWithinWatermark]]'s bounded mode),
+    * collapsing multi-band collisions of the same pair.
+    *
+    * Emits append-mode verdict rows `(id, kind, match_id, est_jaccard)`
+    * — `kind` = 'exact' (store already has these bytes; match_id/est
+    * null) or 'near' (one row per caught (doc, known-doc) pair at
+    * est ≥ `threshold`).
+    *
+    * Scale shape: the store side is static and compact (hashes +
+    * signatures, never payloads); hot store buckets should be capped
+    * when the state is PREPARED (capHotBuckets over the store's bucket
+    * relation) — the stream side is one document at a time by nature.
+    * State per pair is bounded by the watermark, not the corpus. */
+  def streamingStateDedup(
+      stream: DataFrame,
+      state: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      delay: String = "10 minutes"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val hs = (0 until numHashes).map(i => s"h$i")
+    // map-only per-row shingle array (the Dedup.shingleArrays expressions,
+    // inlined so id/ts survive the projection)
+    val toks = col("_toks")
+    val grams = when(
+      size(toks) >= n,
+      transform(
+        sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
+    ).otherwise(array())
+    val sigCols = (0 until numHashes).map(i =>
+      when(size(col("sh_arr")) > 0,
+        array_min(transform(col("sh_arr"), s => xxhash64(lit(i), s))))
+        .as(s"h$i"))
+    val sig = stream
+      .select(
+        col(idCol).as("id"), col(tsCol).as("_ts"),
+        sha2(coalesce(col(textCol).cast("string"), lit("null")), 256)
+          .as("content_hash"),
+        graft.functions.TextFunctions.wsTokens(lower(col(textCol)))
+          .as("_toks"))
+      .select(col("id"), col("_ts"), col("content_hash"),
+        array_distinct(grams).as("sh_arr"))
+      .select((Seq(col("id"), col("_ts"), col("content_hash")) ++ sigCols): _*)
+      .withWatermark("_ts", delay)
+    val seen = state.select(col("content_hash")).distinct()
+    val exactRows = sig.join(seen, Seq("content_hash"))
+      .select(col("id"), lit("exact").as("kind"),
+        lit(null).cast("long").as("match_id"),
+        lit(null).cast("double").as("est_jaccard"))
+    val bandStructs = (0 until bands).map { bi =>
+      val cs = (bi * rows until (bi + 1) * rows).map(i => col(s"h$i"))
+      struct(lit(bi).as("band"), xxhash64(cs: _*).as("bh"))
+    }
+    val stBuckets = graft.operators.Dedup.bandBuckets(
+      state.select((col("id") +: hs.map(col)): _*), numHashes, bands)
+      .withColumnRenamed("id", "match_id")
+    val stSigs = state.select(
+      (col("id").as("match_id") +: hs.map(h => col(h).as(s"b_$h"))): _*)
+    val estExpr = round(
+      hs.map(h => when(col(h) === col(s"b_$h"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(numHashes.toDouble), 6)
+    val nearRows = sig.where(col("h0").isNotNull)
+      .select((Seq(col("id"), col("_ts")) ++ hs.map(col) :+
+        explode(array(bandStructs: _*)).as("b")): _*)
+      .select((Seq(col("id"), col("_ts"), col("b.band").as("band"),
+        col("b.bh").as("bh")) ++ hs.map(col)): _*)
+      .join(stBuckets, Seq("band", "bh"))
+      .join(stSigs, Seq("match_id"))
+      .select(col("id"), col("_ts"), col("match_id"), estExpr.as("est_jaccard"))
+      .where(col("est_jaccard") >= lit(threshold))
+      .dropDuplicatesWithinWatermark(Seq("id", "match_id"))
+      .select(col("id"), lit("near").as("kind"), col("match_id"),
+        col("est_jaccard"))
+    exactRows.unionByName(nearRows)
+  }
+
   /** Bounded-state streaming dedup (E94):
     * `dropDuplicatesWithinWatermark` keyed on the id columns — the 100 TB
     * STREAMING dedup mode. [[streamingDedup]]'s stateful aggregation keeps

@@ -317,4 +317,49 @@ class Round12Spec extends AnyFunSuite {
       out(0).getAs[Double]("boost") < 1.0)
     assert(out.map(_.getAs[Long]("target_n")).sum <= 1000L)
   }
+
+  test("curriculumEpochs: best-first cumulative token order, id tie-break within a score, integer epoch cuts") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    val d = Seq(
+      (1L, 0.9, 10L), (2L, 0.9, 20L), // same score: id order
+      (3L, 0.5, 30L),
+      (4L, Double.NaN, 99L))          // unscored: excluded
+      .toDF("doc_id", "q", "toks")
+    val out = Ranking.curriculumEpochs(d, "doc_id", "q", "toks",
+      epochTokens = 25L)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("cum_before")).toSeq == Seq(0L, 10L, 30L))
+    assert(out.map(_.getAs[Long]("epoch")).toSeq == Seq(0L, 0L, 1L))
+  }
+
+  test("streamingStateDedup: a real streaming replay flags exact copies and near variants against the frozen store") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.StreamingProfile
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val state = Dedup.dedupState(
+      Seq((1L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "text")
+      .localCheckpoint(true)
+    val dir = new java.io.File("target/tmp/r12stream")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    Seq((10L, a), (11L, b + " thirteen"), (12L, "nothing shared with anyone here at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir.getPath)
+    val out = StreamingProfile.replayParquet(
+      spark, dir.getPath + "/*.parquet",
+      df => StreamingProfile.streamingStateDedup(
+        df.withColumn("_evt", timestamp_seconds(col("doc_id"))),
+        state, "doc_id", "text", "_evt"),
+      "append")
+      .orderBy("id", "kind").collect()
+    val kinds = out.map(r => (r.getAs[Long]("id"), r.getAs[String]("kind"))).toSeq
+    assert(kinds == Seq((10L, "exact"), (10L, "near"), (11L, "near")))
+    val near10 = out.find(r => r.getAs[Long]("id") == 10L &&
+      r.getAs[String]("kind") == "near").get
+    assert(near10.getAs[Long]("match_id") == 1L &&
+      near10.getAs[Double]("est_jaccard") == 1.0)
+  }
 }
