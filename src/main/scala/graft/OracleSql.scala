@@ -2751,6 +2751,47 @@ FROM w ORDER BY domain"""
   val streamingStateDedupAudit: String = allTrue(Seq(
     "exact_rows_equal_batch", "near_pairs_equal_batch"))
 
+  /** E213 twin: the knn_assign rank-1 assignment, per-cluster exact
+    * decimal mean/second-moment, σ from the positive-variance guard,
+    * z from the same double expression; the outlier flag compares the
+    * ROUNDED z (mirroring the engine column). */
+  lazy val embeddingOutliers: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id, centroid_id, cos FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+st AS (SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CAST(ROUND(cos, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu,
+    CAST(SUM(CAST(ROUND(cos * cos, 12) AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS m2
+  FROM a GROUP BY 1),
+s2 AS (SELECT centroid_id, n, mu,
+    CASE WHEN m2 - mu * mu > 0 THEN SQRT(m2 - mu * mu) END AS sigma FROM st)
+SELECT a.vec_id, a.centroid_id, a.cos, s2.n AS cluster_n,
+  ROUND(mu, 6) AS cluster_mean,
+  ROUND((a.cos - mu) / sigma, 6) AS z,
+  COALESCE(ROUND((a.cos - mu) / sigma, 6) < -3.0, false) AS is_outlier
+FROM a JOIN s2 USING (centroid_id) ORDER BY a.vec_id"""
+
+  /** E214 twin: DISTINCT (content, source) relation self-joined on the
+    * content (DuckDB compares the text directly — equality structure is
+    * what the matrix counts), per-source totals, 6-dp content Jaccard. */
+  val crossDedupMatrix: String =
+    """WITH d AS (SELECT CASE WHEN doc_id % 7 = 0
+      THEN 'shared boilerplate ' || CAST(doc_id % 3 AS VARCHAR)
+      ELSE text END AS text, source FROM documents),
+hg AS (SELECT DISTINCT COALESCE(text, 'null') AS h, CAST(source AS VARCHAR) AS g
+  FROM d WHERE source IS NOT NULL),
+t AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM hg GROUP BY 1),
+m AS (SELECT a.g AS source_a, b.g AS source_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM hg a JOIN hg b ON a.h = b.h AND a.g < b.g GROUP BY 1, 2)
+SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+  ROUND(CAST(n_shared AS DOUBLE) / CAST(ta.n + tb.n - n_shared AS DOUBLE), 6) AS content_jaccard
+FROM m JOIN t ta ON ta.g = source_a JOIN t tb ON tb.g = source_b
+ORDER BY source_a, source_b"""
+
   /** E212 curriculum twin (lazy: wsToksSql initializes later in this
     * object): the text_quality score expression verbatim, a
     * per-distinct-score token rollup with an ordered window (score

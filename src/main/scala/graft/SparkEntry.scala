@@ -2292,6 +2292,28 @@ object SparkEntry {
       Sampling.temperatureMix(
         documents(s, dir), "lang", alpha = 0.3, targetTotal = 10000L)
         .orderBy("domain")),
+    // E213: per-cluster z-scored embedding outliers — the noise screen
+    // relative to local density, exact decimal mean/variance.
+    "embedding_outliers" -> ((s, dir) =>
+      Similarity.embeddingOutliers(
+        embeddings(s, dir), "vec_id", "embedding",
+        centroidPred = col("vec_id") % 83 === 0)
+        .orderBy("vec_id")),
+    // E214: cross-source duplication matrix — distinct shared contents,
+    // per-source totals and content-set Jaccard per source pair. Every
+    // 7th doc is remapped to one of 3 canonical boilerplates (the
+    // pii_scan input-construction precedent: the synthetic corpus has
+    // no natural cross-source byte-dups, so the overlap the matrix
+    // measures is planted identically in both engines).
+    "cross_dedup_matrix" -> ((s, dir) =>
+      Dedup.crossDedupMatrix(
+        documents(s, dir).withColumn("text",
+          when(col("doc_id") % 7 === 0,
+            concat(lit("shared boilerplate "),
+              (col("doc_id") % 3).cast("string")))
+            .otherwise(col("text"))),
+        "text", "source")
+        .orderBy("source_a", "source_b")),
     // E206 audit: the banded path must equal the brute-force pairwise
     // scan EXACTLY (pigeonhole completeness: any pair within maxHamming
     // bits shares one of maxHamming+1 signature blocks — run uncapped
@@ -3644,6 +3666,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "temperature_mix" -> OracleSql.temperatureMix,
     "streaming_state_dedup_audit" -> OracleSql.streamingStateDedupAudit,
     "curriculum_epochs" -> OracleSql.curriculumEpochs,
+    "embedding_outliers" -> OracleSql.embeddingOutliers,
+    "cross_dedup_matrix" -> OracleSql.crossDedupMatrix,
     "text_normalize" -> OracleSql.textNormalize,
     "ivf_topk" -> OracleSql.ivfTopK,
     "ndcg_eval" -> OracleSql.ndcgEval,

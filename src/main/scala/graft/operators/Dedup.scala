@@ -870,6 +870,45 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Cross-source duplication matrix (E214) — the curation readout that
+    * decides which source to dedup FIRST: for every pair of sources,
+    * how many distinct document CONTENTS they share, each side's
+    * distinct-content count, and the Jaccard overlap of the two content
+    * sets. A crawl slice that is 40% contained in an existing source is
+    * a dedup target, not new data. Payloads reduce to 32-byte SHA-256
+    * hashes immediately; the matrix is a self-equi-join on the hash of
+    * the DISTINCT (hash, source) relation — per-content fan-out is
+    * bounded by C(|sources|, 2), never by duplicate mass.
+    *
+    * Cites reference scope: cross-table overlap is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles one table at a
+    * time) — extension per SURVEY §2.E. */
+  def crossDedupMatrix(
+      df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val hg = df
+      .where(col(groupCol).isNotNull)
+      .select(
+        sha2(coalesce(col(textCol).cast("string"), lit("null")), 256).as("h"),
+        col(groupCol).cast("string").as("g"))
+      .distinct()
+      .localCheckpoint(true) // self-join + per-source totals read it
+    val totals = hg.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    hg.alias("a").join(hg.alias("b"), Seq("h"))
+      .where(col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(totals.select(col("g").as("source_a"), col("n").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(totals.select(col("g").as("source_b"), col("n").as("n_b"))),
+        Seq("source_b"))
+      .select(
+        col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 6)
+          .as("content_jaccard"))
+  }
+
   /** LSH band-bucket relation `(id, band, bh)` over a minhash signature
     * relation — the banding step shared by [[minhashLsh]] (fresh
     * whole-corpus candidates) and [[incrementalLsh]] (batch vs PERSISTED

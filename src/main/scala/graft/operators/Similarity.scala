@@ -892,6 +892,54 @@ object Similarity {
         col("n"))
   }
 
+  /** Embedding outlier flags (E213) — the noise/poisoning screen a
+    * vector corpus needs before it trains anything: every vector's
+    * cosine to its own nearest centroid is z-scored against ITS
+    * CLUSTER's cosine distribution, so "far from everything like it"
+    * is relative to the local density, not a global constant. Emits
+    * every assigned vector with its cluster z-score and an
+    * `is_outlier` flag at z < −3 (singleton/degenerate clusters have
+    * no spread — z null, never flagged).
+    *
+    * Determinism: cluster mean and variance come from
+    * DECIMAL(38,12)-quantized sums of the 6-dp cosines (the repo's
+    * exact-mean/stddev contract — order/partition-independent), the
+    * z-score is one double expression `ROUND((cos−μ)/σ, 6)`. Scale
+    * shape: one broadcast-centroid assignment pass + one
+    * map-side-combined cluster rollup (k rows) joined back broadcast —
+    * no second corpus pass, no window. */
+  def embeddingOutliers(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      zCut: Double = 3.0): DataFrame = {
+    require(zCut > 0, s"embeddingOutliers: zCut=$zCut must be positive")
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val assign = nearestCentroid(embIn, idCol, vecCol, centroidPred)
+      .localCheckpoint(true) // read by the rollup AND the score join
+    val stats = assign.groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("cos"), 12).cast(Dec)).as("s1"),
+        sum(round(col("cos") * col("cos"), 12).cast(Dec)).as("s2"))
+      .select(
+        col("centroid_id"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")).as("m2"))
+      .select(col("centroid_id"), col("n"), col("mu"),
+        when(col("m2") - col("mu") * col("mu") > 0,
+          sqrt(col("m2") - col("mu") * col("mu"))).as("sigma"))
+    assign.join(broadcast(stats), Seq("centroid_id"))
+      .select(
+        col("vec_id"), col("centroid_id"), col("cos"),
+        col("n").as("cluster_n"),
+        round(col("mu"), 6).as("cluster_mean"),
+        round((col("cos") - col("mu")) / col("sigma"), 6).as("z"))
+      .withColumn("is_outlier",
+        coalesce(col("z") < lit(-zCut), lit(false)))
+  }
+
   /** In-engine Lloyd's k-means (E209, training loop #6) — the full
     * cluster-TRAINING counterpart of the single half-steps already here
     * ([[nearestCentroid]] assignment, [[centroidUpdate]] re-estimation):

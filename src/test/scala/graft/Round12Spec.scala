@@ -362,4 +362,51 @@ class Round12Spec extends AnyFunSuite {
     assert(near10.getAs[Long]("match_id") == 1L &&
       near10.getAs[Double]("est_jaccard") == 1.0)
   }
+
+  test("embeddingOutliers: the far member of a tight cluster is flagged; singleton clusters never are") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // cluster around (1,0): 15 tight members + one far. The outlier
+    // inflates its own cluster sigma, and with population stddev the
+    // largest reachable |z| among n points is (n-1)/sqrt(n) — so n must
+    // be ~11+ for a z < -3 flag to be possible at all (n=16 here).
+    val tight = (1L to 14L).map(i =>
+      (i, Array(1.0f, (if (i % 2 == 0) 1 else -1) * 0.01f * (i % 3).toFloat)))
+    val emb = ((100L, Array(1.0f, 0.0f)) +: tight :+
+      ((5001L, Array(0.75f, 0.66f))) :+ // cos ~0.75 to (1,0): far
+      ((200L, Array(0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingOutliers(
+      emb, "vec_id", "embedding", col("vec_id") % 100 === 0)
+      .orderBy("vec_id").collect()
+    val flagged = out.filter(_.getAs[Boolean]("is_outlier"))
+      .map(_.getAs[Long]("vec_id")).toSeq
+    assert(flagged == Seq(5001L), s"flagged=$flagged")
+    // the singleton cluster (vector 200 alone): sigma undefined, z null
+    val lone = out.find(_.getAs[Long]("vec_id") == 200L).get
+    assert(lone.isNullAt(lone.fieldIndex("z")))
+    assert(!lone.getAs[Boolean]("is_outlier"))
+  }
+
+  test("crossDedupMatrix: shared distinct contents per source pair with content-set jaccard") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "shared one", "a"), (2L, "shared two", "a"), (3L, "only a", "a"),
+      (4L, "shared one", "b"), (5L, "shared two", "b"),
+      (6L, "shared one", "c"), (7L, "only c", "c"),
+      (8L, "shared one", "a")) // within-source dup: distinct (h, g) collapses it
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.crossDedupMatrix(docs, "text", "source")
+      .orderBy("source_a", "source_b").collect()
+    val m = out.map(r => ((r.getAs[String]("source_a"), r.getAs[String]("source_b")),
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_shared")))).toMap
+    assert(m(("a", "b")) == ((3L, 2L, 2L)))
+    assert(m(("a", "c")) == ((3L, 2L, 1L)))
+    assert(m(("b", "c")) == ((2L, 2L, 1L)))
+    val ab = out.find(r => r.getAs[String]("source_a") == "a" &&
+      r.getAs[String]("source_b") == "b").get
+    assert(ab.getAs[Double]("content_jaccard") ==
+      BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
