@@ -2775,6 +2775,60 @@ SELECT a.vec_id, a.centroid_id, a.cos, s2.n AS cluster_n,
   COALESCE(ROUND((a.cos - mu) / sigma, 6) < -3.0, false) AS is_outlier
 FROM a JOIN s2 USING (centroid_id) ORDER BY a.vec_id"""
 
+  /** E215 calibration audit: pair mass preserved by the decile rollup,
+    * exact values ≡ the n-gram Jaccard relation, estimates in [0,1]. */
+  val minhashCalibrationAudit: String = allTrue(Seq(
+    "est_exact_in_unit_range", "exact_matches_ngram_jaccard",
+    "rollup_preserves_pair_mass"))
+
+  /** E216 twin: per-day volumes, integer day ages against the max day,
+    * EXP decay weights (the LN/EXP parity contract), 6-dp products. */
+  val freshnessWeights: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1),
+m AS (SELECT MAX(day) AS newest FROM d),
+w AS (SELECT CAST(day AS VARCHAR) AS day, n_events,
+    CAST(date_diff('day', day, newest) AS BIGINT) AS age_days FROM d, m),
+x AS (SELECT day, n_events, age_days,
+    ROUND(EXP(-CAST(age_days AS DOUBLE) / 30.0), 6) AS weight FROM w)
+SELECT day, n_events, age_days, weight,
+  ROUND(CAST(n_events AS DOUBLE) * weight, 6) AS effective_n
+FROM x ORDER BY day"""
+
+  /** E217 twin: the shared-shingle Jaccard chain, top-20 by (J desc, id
+    * tie-break), shared shingles per selected pair re-derived from the
+    * shingle relation, sorted, first five '|'-joined. */
+  val dupPairExplain: String =
+    s"""WITH $jaccardCtes,
+top AS (SELECT id_a, id_b, jaccard FROM jpairs
+  ORDER BY jaccard DESC, id_a, id_b LIMIT 20),
+shr AS (SELECT t.id_a, t.id_b, t.jaccard, a.s
+  FROM top t JOIN sh a ON a.doc_id = t.id_a
+  JOIN sh b ON b.doc_id = t.id_b AND b.s = a.s)
+SELECT id_a, id_b, jaccard,
+  CAST(COUNT(*) AS BIGINT) AS n_shared,
+  array_to_string((list_sort(list(s)))[1:5], '|') AS shared_sample
+FROM shr GROUP BY id_a, id_b, jaccard ORDER BY id_a, id_b"""
+
+  /** E218 twin: the planted-boilerplate corpus, first content occurrence
+    * by (batch, id), per-batch dup counts and 6-dp rate. */
+  val dedupRateByBatch: String =
+    """WITH d AS (SELECT doc_id, doc_id // 50 AS batch,
+    CASE WHEN doc_id % 7 = 0
+      THEN 'shared boilerplate ' || CAST(doc_id % 3 AS VARCHAR)
+      ELSE COALESCE(text, 'null') END AS t
+  FROM documents),
+f AS (SELECT t, batch AS fb, doc_id AS fi FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY t ORDER BY batch, doc_id) = 1),
+j AS (SELECT d.batch,
+    CASE WHEN d.batch > f.fb OR (d.batch = f.fb AND d.doc_id > f.fi)
+      THEN 1 ELSE 0 END AS is_dup
+  FROM d JOIN f ON f.t = d.t)
+SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+  ROUND(CAST(SUM(is_dup) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+FROM j GROUP BY batch ORDER BY batch"""
+
   /** E214 twin: DISTINCT (content, source) relation self-joined on the
     * content (DuckDB compares the text directly — equality structure is
     * what the matrix counts), per-source totals, 6-dp content Jaccard. */

@@ -2299,6 +2299,66 @@ object SparkEntry {
         embeddings(s, dir), "vec_id", "embedding",
         centroidPred = col("vec_id") % 83 === 0)
         .orderBy("vec_id")),
+    // E215: minhash-estimate calibration over the banded candidates —
+    // per estimate decile, mean est vs mean EXACT Jaccard and the error
+    // spread; the trust readout behind every store-only dedup verdict.
+    // Band hashes engine-specific → rows-only; audit pins pair mass and
+    // exact-value parity with the n-gram Jaccard relation.
+    "minhash_calibration" -> ((s, dir) =>
+      Dedup.minhashCalibration(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("est_band")),
+    "minhash_calibration_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir)
+      val pairs = Dedup.calibrationPairs(
+        docs, "doc_id", "text", 3, 32, 8, Some(10000))
+        .localCheckpoint(true)
+      val inRange = pairs.where(
+        col("est") < 0.0 || col("est") > 1.0 ||
+          col("exact") < 0.0 || col("exact") > 1.0).count() == 0L
+      // pair-level exact values must equal the shared-shingle Jaccard
+      // relation wherever the pair shares a shingle — and be 0 where it
+      // does not (a band collision without overlap)
+      val jacc = Dedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        threshold = 0.000001)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+      val joined = pairs.join(jacc, Seq("id_a", "id_b"), "left")
+      val exactParity = joined.where(
+        (col("j").isNotNull && col("exact") =!= col("j")) ||
+          (col("j").isNull && col("exact") =!= 0.0)).count() == 0L
+      val rollupMass = Dedup.minhashCalibration(docs, "doc_id", "text")
+        .agg(sum(col("n_pairs"))).head().getLong(0) == pairs.count()
+      Seq(
+        ("est_exact_in_unit_range", inRange),
+        ("exact_matches_ngram_jaccard", exactParity),
+        ("rollup_preserves_pair_mass", rollupMass))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // E216: freshness decay weights per event day (tau = 30 days) — the
+    // recency-weighted sampling plan; EXP parity, integer ages.
+    "freshness_weights" -> ((s, dir) =>
+      graft.operators.Events.freshnessWeights(
+        s.read.parquet(s"$dir/events.parquet"), "ts")
+        .orderBy("day")),
+    // E217: near-dup pair EXPLAIN — top-20 pairs by Jaccard with the 5
+    // lexicographically-smallest shared shingles as evidence.
+    "dup_pair_explain" -> ((s, dir) =>
+      Dedup.dupPairExplain(documents(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+    // E218: duplicate-arrival rate per ingest batch (batch = doc_id div
+    // 50; the E214 planted-boilerplate corpus so the rate is non-zero).
+    "dedup_rate_by_batch" -> ((s, dir) =>
+      Dedup.dedupRateByBatch(
+        documents(s, dir)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0,
+              concat(lit("shared boilerplate "),
+                (col("doc_id") % 3).cast("string")))
+              .otherwise(col("text")))
+          .withColumn("ingest_batch", expr("doc_id div 50")),
+        "doc_id", "text", batchCol = "ingest_batch")
+        .orderBy("batch")),
     // E214: cross-source duplication matrix — distinct shared contents,
     // per-source totals and content-set Jaccard per source pair. Every
     // 7th doc is remapped to one of 3 canonical boilerplates (the
@@ -3668,6 +3728,10 @@ FROM events GROUP BY 1 ORDER BY day""",
     "curriculum_epochs" -> OracleSql.curriculumEpochs,
     "embedding_outliers" -> OracleSql.embeddingOutliers,
     "cross_dedup_matrix" -> OracleSql.crossDedupMatrix,
+    "minhash_calibration_audit" -> OracleSql.minhashCalibrationAudit,
+    "freshness_weights" -> OracleSql.freshnessWeights,
+    "dup_pair_explain" -> OracleSql.dupPairExplain,
+    "dedup_rate_by_batch" -> OracleSql.dedupRateByBatch,
     "text_normalize" -> OracleSql.textNormalize,
     "ivf_topk" -> OracleSql.ivfTopK,
     "ndcg_eval" -> OracleSql.ndcgEval,

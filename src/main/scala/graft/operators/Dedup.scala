@@ -870,6 +870,132 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** MinHash estimate calibration (E215) — the trust readout behind
+    * every signature-estimated verdict ([[incrementalLsh]],
+    * [[graft.streaming.StreamingProfile.streamingStateDedup]]): over
+    * the banded candidate pairs, compare the signature-estimated
+    * Jaccard (matching components / k) against the EXACT Jaccard
+    * (shingle-array intersection — candidate-sized work, not a corpus
+    * pass), rolled up per estimate decile: pair count, mean estimate,
+    * mean exact, mean and max absolute error. A decile whose mean
+    * error approaches the binomial σ = √(J(1−J)/k) says "raise k or
+    * verify exactly above this band"; the readout that prices the
+    * store-only dedup mode. Estimate band 10 = the est-1.0 pairs. */
+  def minhashCalibration(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      maxBandFreq: Option[Int] = Some(10000)): DataFrame = {
+    val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    calibrationPairs(df, idCol, textCol, n, numHashes, bands, maxBandFreq)
+      .select(col("est"), col("exact"),
+        floor(col("est") * 10).cast("long").as("est_band"),
+        abs(col("est") - col("exact")).as("err"))
+      .groupBy("est_band")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(round(col("est"), 12).cast(Dec)).cast("double") /
+          count(lit(1)), 6).as("mean_est"),
+        round(sum(round(col("exact"), 12).cast(Dec)).cast("double") /
+          count(lit(1)), 6).as("mean_exact"),
+        round(sum(round(col("err"), 12).cast(Dec)).cast("double") /
+          count(lit(1)), 6).as("mean_abs_err"),
+        round(max(col("err")), 6).as("max_abs_err"))
+  }
+
+  /** Pair half of [[minhashCalibration]] — `(id_a, id_b, est, exact)`
+    * per banded candidate; exposed so the audit can pin pair-level
+    * properties (exact ≡ the [[ngramJaccard]] value, rollup mass). */
+  private[graft] def calibrationPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int,
+      maxBandFreq: Option[Int]): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val hs = (0 until numHashes).map(i => s"h$i")
+    val sig = minhashSignatures(shingles(df, idCol, textCol, n), numHashes)
+    val buckets = capHotBuckets(
+      bandBuckets(sig, numHashes, bands), Seq("band", "bh"), maxBandFreq)
+    val cands = buckets.alias("x").join(buckets.alias("y"), Seq("band", "bh"))
+      .where(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val estExpr = round(
+      hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lit(numHashes.toDouble), 6)
+    val est = cands
+      .join(sig.select((col("id").as("id_a") +:
+        hs.map(h => col(h).as(s"a_$h"))): _*), Seq("id_a"))
+      .join(sig.select((col("id").as("id_b") +:
+        hs.map(h => col(h).as(s"b_$h"))): _*), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), estExpr.as("est"))
+    val exact = verifiedJaccard(
+      shingleArrays(df, idCol, textCol, n),
+      est.select("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("exact"))
+    est.join(exact, Seq("id_a", "id_b"))
+  }
+
+  /** Near-dup pair EXPLAIN artifact (E217) — what a human reviewer (or
+    * an incident write-up) needs next to a drop verdict: for the
+    * `topPairs` highest-Jaccard pairs, the shared-shingle count and the
+    * `sampleShingles` lexicographically-smallest shared shingles as a
+    * '|'-joined evidence string. The pair list is a TakeOrdered over
+    * the duplicate-mass relation (never a corpus sort); the evidence is
+    * one `array_intersect` per selected pair. */
+  def dupPairExplain(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5,
+      topPairs: Int = 20, sampleShingles: Int = 5): DataFrame = {
+    require(topPairs >= 1 && topPairs <= 1000,
+      s"dupPairExplain: topPairs=$topPairs out of [1,1000]")
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold)
+      .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+      .limit(topPairs)
+    val arrs = shingleArrays(df, idCol, textCol, n)
+    pairs
+      .join(arrs.select(col("id").as("id_a"), col("sh_arr").as("sa")),
+        Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("sh_arr").as("sb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        array_sort(array_intersect(col("sa"), col("sb"))).as("shared"))
+      .select(
+        col("id_a"), col("id_b"), col("jaccard"),
+        size(col("shared")).cast("long").as("n_shared"),
+        concat_ws("|", slice(col("shared"), 1, sampleShingles))
+          .as("shared_sample"))
+  }
+
+  /** Duplicate-arrival rate by ingest batch (E218) — the drift line a
+    * production dedup pipeline alarms on: per batch, how many documents'
+    * CONTENT was already seen in an earlier batch (or earlier in the
+    * same batch — first occurrence wins by (batch, id)), and the dup
+    * rate. A rate that climbs across batches means the crawl is
+    * re-visiting; a step change means a source started mirroring.
+    * Content identity is the 32-byte SHA-256; the first occurrence per
+    * content is one min(struct(batch, id)) hash agg, re-joined on the
+    * hash — payloads never shuffle, exactly the [[exact]] cost shape
+    * plus one metadata-sized batch rollup. */
+  def dedupRateByBatch(
+      df: DataFrame, idCol: String, textCol: String,
+      batchCol: String): DataFrame = {
+    val keyed = df.select(
+      col(idCol).as("id"), col(batchCol).cast("long").as("batch"),
+      sha2(coalesce(col(textCol).cast("string"), lit("null")), 256).as("h"))
+    val first = keyed.groupBy("h")
+      .agg(min(struct(col("batch"), col("id"))).as("f"))
+      .select(col("h"), col("f.batch").as("fb"), col("f.id").as("fi"))
+    keyed.join(first, Seq("h"))
+      .select(col("batch"),
+        (col("batch") > col("fb") ||
+          (col("batch") === col("fb") && col("id") > col("fi")))
+          .cast("long").as("is_dup"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_docs"), sum(col("is_dup")).as("n_dups"))
+      .select(col("batch"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
   /** Cross-source duplication matrix (E214) — the curation readout that
     * decides which source to dedup FIRST: for every pair of sources,
     * how many distinct document CONTENTS they share, each side's

@@ -339,6 +339,40 @@ object Events {
     * per-day jobs. Mean follows the decSum contract (DECIMAL(38,6)
     * addends — partition-order independent); a day with no non-null
     * values yields a null mean, not NaN. */
+  /** Freshness decay weights (E216) — the recency-weighted sampling
+    * plan a continuously-refreshed corpus trains under: per event day,
+    * the volume, its age against the newest day in the relation, the
+    * exponential decay weight `ROUND(e^(−age/τ), 6)` and the effective
+    * (weighted) volume — "yesterday counts fully, last quarter at a
+    * third". τ (`halfLifeDays`, an e-folding time) is a literal in the
+    * plan; EXP parity is the repo's LN/EXP contract, ages are integer
+    * day differences, so the relation carries a FULL hash oracle. One
+    * map-side-combined day rollup + a broadcast 1-row max — no window,
+    * no driver collect. */
+  def freshnessWeights(
+      events: DataFrame, tsCol: String,
+      halfLifeDays: Double = 30.0): DataFrame = {
+    require(halfLifeDays > 0, "need a positive decay constant")
+    val days = events
+      .where(col(tsCol).isNotNull)
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val newest = days.agg(max(col("day")).as("newest"))
+    days.crossJoin(broadcast(newest))
+      .select(
+        // ISO string: a DATE column round-trips differently through
+        // parquet readers (date vs midnight timestamp) — string is the
+        // engine-neutral daily-key convention
+        col("day").cast("string").as("day"), col("n_events"),
+        datediff(col("newest"), col("day")).cast("long").as("age_days"))
+      .select(col("day"), col("n_events"), col("age_days"),
+        round(exp(-col("age_days").cast("double") / lit(halfLifeDays)), 6)
+          .as("weight"))
+      .select(col("day"), col("n_events"), col("age_days"), col("weight"),
+        round(col("n_events").cast("double") * col("weight"), 6)
+          .as("effective_n"))
+  }
+
   def dailyProfile(
       events: DataFrame, tsUsCol: String, userCol: String,
       valueCol: String): DataFrame = {

@@ -409,4 +409,69 @@ class Round12Spec extends AnyFunSuite {
     assert(ab.getAs[Double]("content_jaccard") ==
       BigDecimal(2.0 / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("minhashCalibration: identical docs land in band 10 with zero error; rollup preserves pair mass") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, dup), (2L, dup),
+      (3L, "one two three four five six seven eight nine"),
+      (4L, "one two three four five six seven eight TEN"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .orderBy("est_band").collect()
+    val top = out.find(_.getAs[Long]("est_band") == 10L).get
+    assert(top.getAs[Double]("mean_est") == 1.0)
+    assert(top.getAs[Double]("mean_exact") == 1.0)
+    assert(top.getAs[Double]("max_abs_err") == 0.0)
+    val mass = out.map(_.getAs[Long]("n_pairs")).sum
+    val pairs = Dedup.calibrationPairs(
+      docs, "doc_id", "text", 3, 32, 8, Some(10000)).count()
+    assert(mass == pairs)
+  }
+
+  test("freshnessWeights: newest day weighs 1.0, ages decay on the e-folding curve") {
+    import spark.implicits._
+    import graft.operators.Events
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-10 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-03-10 11:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-03-01 09:00:00")))
+      .toDF("event_id", "ts")
+    val out = Events.freshnessWeights(ev, "ts", halfLifeDays = 30.0)
+      .orderBy("day").collect()
+    def q6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.length == 2)
+    assert(out(1).getAs[Long]("age_days") == 0L)
+    assert(out(1).getAs[Double]("weight") == 1.0)
+    assert(out(1).getAs[Double]("effective_n") == 2.0)
+    assert(out(0).getAs[Long]("age_days") == 9L)
+    assert(out(0).getAs[Double]("weight") == q6(math.exp(-9.0 / 30.0)))
+  }
+
+  test("dupPairExplain: evidence string holds the smallest shared shingles; dedupRateByBatch counts first-occurrence-wins dups") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dup = "alpha beta gamma delta epsilon"
+    val docs = Seq((1L, dup), (2L, dup), (3L, "zz yy xx ww vv"))
+      .toDF("doc_id", "text")
+    val ex = Dedup.dupPairExplain(docs, "doc_id", "text").collect()
+    assert(ex.length == 1)
+    assert(ex(0).getAs[Long]("n_shared") == 3L)
+    assert(ex(0).getAs[String]("shared_sample") ==
+      "alpha beta gamma|beta gamma delta|gamma delta epsilon")
+    // rate by batch: batch 0 holds the original + one dup; batch 1 is
+    // one cross-batch dup + one novel doc
+    val staged = Seq(
+      (1L, dup, 0L), (2L, dup, 0L),
+      (3L, dup, 1L), (4L, "completely new", 1L))
+      .toDF("doc_id", "text", "b")
+    val rate = Dedup.dedupRateByBatch(staged, "doc_id", "text", "b")
+      .orderBy("batch").collect()
+    assert(rate.map(r => (r.getAs[Long]("batch"), r.getAs[Long]("n_dups"))).toSeq ==
+      Seq((0L, 1L), (1L, 1L)))
+    assert(rate(0).getAs[Double]("dup_rate") == 0.5)
+  }
 }
