@@ -2228,6 +2228,19 @@ object SparkEntry {
         ("identical_twins_hamming_zero", twinsCaught))
         .toDF("property", "ok").orderBy("property")
     }),
+    // E219: the ACTION half of E207 — the audio executor, same
+    // larger-id rule and output convention as E208.
+    "audio_dedup_execute" -> ((s, dir) => {
+      import s.implicits._
+      val bin = documents(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticWav(
+            id / 30L, 2080, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      Multimodal.audioDedupExecute(bin, maxHamming = 5)
+        .orderBy("doc_id")
+    }),
     // E208: the ACTION half of E206 — drop every image with a
     // smaller-id neighbor within 5 bits, return the kept corpus
     // sha256-pinned (the E169 executor convention).

@@ -466,6 +466,24 @@ object Multimodal {
         substring(sha2(col("payload"), 256), 1, 16).as("fingerprint"))
   }
 
+  /** Audio near-dup dedup EXECUTOR (E219) — [[imageDedupExecute]] for
+    * WAV payloads: drop every clip with a smaller-id neighbor within
+    * `maxHamming` envelope bits (same larger-id rule, same idempotence
+    * and min-id-survives guarantees), return the kept corpus
+    * sha256-pinned. */
+  def audioDedupExecute(
+      bin: DataFrame,
+      maxHamming: Int = 5,
+      maxBlockFreq: Option[Int] = Some(10000)): DataFrame = {
+    val removals = audioNearDup(bin, maxHamming, maxBlockFreq)
+      .select(col("id_b").as("doc_id")).distinct()
+    bin.join(broadcast(removals), Seq("doc_id"), "left_anti")
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(sha2(col("payload"), 256), 1, 16).as("fingerprint"))
+  }
+
   /** Partition-local batched decode: `(doc_id, payload)` → typed features
     * via the real container parsers in [[decode]]. `batchSize` chunks the
     * iterator like an Arrow batch; the decoder runs once per element but

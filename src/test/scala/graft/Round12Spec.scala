@@ -260,6 +260,10 @@ class Round12Spec extends AnyFunSuite {
       .orderBy("doc_id").collect()
     assert(kept.map(_.getAs[Long]("doc_id")).toSeq == Seq(5L, 8L))
     assert(kept.forall(_.getAs[String]("fingerprint").length == 16))
+    // audio executor: identical/near trio keeps min id, unrelated kept
+    val keptA = Multimodal.audioDedupExecute(bin, maxHamming = 5)
+      .orderBy("doc_id").collect()
+    assert(keptA.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
   }
 
   test("kmeansTrain: iteration 1 assigns like nearestCentroid; centroids move to cluster means; the curve tightens") {

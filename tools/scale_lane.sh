@@ -29,7 +29,8 @@ lsh_recall_curve embedding_pq hard_negatives_ann dedup_incremental_lsh \
 image_near_dup audio_near_dup image_dedup_execute kmeans_train \
 temperature_mix curriculum_epochs streaming_state_dedup \
 embedding_outliers cross_dedup_matrix minhash_calibration \
-freshness_weights dup_pair_explain dedup_rate_by_batch"
+freshness_weights dup_pair_explain dedup_rate_by_batch \
+audio_dedup_execute"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
