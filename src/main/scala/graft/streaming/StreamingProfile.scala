@@ -268,8 +268,14 @@ object StreamingProfile {
     // metacharacters would be misread as a pattern and match nothing —
     // reject that case loudly instead of silently streaming zero files.
     val f = new java.io.File(path)
-    val dir = Option(f.getParent).getOrElse(".")
-    val file = f.getName
+    // a DIRECTORY dataset (part-files under the table path — the layout
+    // every multi-task write produces, e.g. the sf1 scale corpus) must
+    // stream its children: pathGlobFilter matches leaf FILE names, so
+    // pointing the parent at the directory name would silently stream
+    // ZERO files (r12: streaming_state_dedup read nothing at sf1)
+    val (dir, file) =
+      if (f.isDirectory) (path, "*.parquet")
+      else (Option(f.getParent).getOrElse("."), f.getName)
     require(!(f.isFile && file.exists("*?[]{}".contains(_))),
       s"replayParquet: literal file name '$file' contains glob metacharacters")
     val reader = spark.readStream.schema(schema)
