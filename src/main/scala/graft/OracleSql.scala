@@ -2775,6 +2775,26 @@ SELECT a.vec_id, a.centroid_id, a.cos, s2.n AS cluster_n,
   COALESCE(ROUND((a.cos - mu) / sigma, 6) < -3.0, false) AS is_outlier
 FROM a JOIN s2 USING (centroid_id) ORDER BY a.vec_id"""
 
+  /** E220 twin: the two-batch store with re-ingested copies, min-id
+    * representative + copy count per distinct content. */
+  val dedupStateCompact: String =
+    """WITH base AS (SELECT doc_id, COALESCE(text, 'null') AS t FROM documents),
+off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+allr AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT doc_id + (SELECT o FROM off) AS doc_id, t FROM base
+  WHERE doc_id < 400 AND doc_id % 5 = 0)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS id, sha256(t) AS content_hash,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM allr GROUP BY t ORDER BY id"""
+
+  /** E220 compaction audit: detection-flag invariance, one row per
+    * distinct content, absorbed-copy mass preserved. */
+  val dedupStateCompactAudit: String = allTrue(Seq(
+    "copy_mass_preserved", "detection_flags_invariant",
+    "one_row_per_distinct_content"))
+
   /** E215 calibration audit: pair mass preserved by the decile rollup,
     * exact values ≡ the n-gram Jaccard relation, estimates in [0,1]. */
   val minhashCalibrationAudit: String = allTrue(Seq(

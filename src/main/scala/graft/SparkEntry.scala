@@ -2312,6 +2312,56 @@ object SparkEntry {
         embeddings(s, dir), "vec_id", "embedding",
         centroidPred = col("vec_id") % 83 === 0)
         .orderBy("vec_id")),
+    // E220: signature-store compaction — re-ingested identical content
+    // collapses to its minimum-id row (batch 2 re-ingests every 5th
+    // batch-1 doc under a new id, so the store really holds copies).
+    // FULL hash oracle over (id, content_hash, n_copies).
+    "dedup_state_compact" -> ((s, dir) => {
+      val docs = documents(s, dir).select("doc_id", "text")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val b1 = docs.where(col("doc_id") < 400)
+      val b2 = docs.where(col("doc_id") >= 400)
+        .unionByName(b1.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+      val store = Dedup.dedupState(b1, "doc_id", "text")
+        .unionByName(Dedup.dedupState(b2, "doc_id", "text"))
+      Dedup.compactState(store)
+        .select("id", "content_hash", "n_copies")
+        .orderBy("id")
+    }),
+    // E220 audit: compaction is lossless for detection — the batch's
+    // dup_exact/near_dup verdicts against the compacted store equal the
+    // verdicts against the full store (match ids may legitimately move
+    // to the surviving representative); one row per distinct content;
+    // absorbed-copy mass preserved.
+    "dedup_state_compact_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = documents(s, dir).select("doc_id", "text")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val known = docs.where(col("doc_id") < 300)
+        .unionByName(docs.where(col("doc_id") < 300 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + lit(off)).as("doc_id"), col("text")))
+      val batch = docs.where(col("doc_id") >= 300 && col("doc_id") < 500)
+      val store = Dedup.dedupState(known, "doc_id", "text")
+        .localCheckpoint(true)
+      val compacted = Dedup.compactState(store).drop("n_copies")
+        .localCheckpoint(true)
+      def flags(st: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalLsh(batch, st, "doc_id", "text")
+          .select("id", "dup_exact", "near_dup")
+      val a = flags(store); val b = flags(compacted)
+      val detectionInvariant =
+        a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+      val onePerContent = compacted.count() ==
+        store.select("content_hash").distinct().count()
+      val massPreserved = Dedup.compactState(store)
+        .agg(sum(col("n_copies"))).head().getLong(0) == store.count()
+      Seq(
+        ("copy_mass_preserved", massPreserved),
+        ("detection_flags_invariant", detectionInvariant),
+        ("one_row_per_distinct_content", onePerContent))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // E215: minhash-estimate calibration over the banded candidates —
     // per estimate decile, mean est vs mean EXACT Jaccard and the error
     // spread; the trust readout behind every store-only dedup verdict.
@@ -3742,6 +3792,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "embedding_outliers" -> OracleSql.embeddingOutliers,
     "cross_dedup_matrix" -> OracleSql.crossDedupMatrix,
     "minhash_calibration_audit" -> OracleSql.minhashCalibrationAudit,
+    "dedup_state_compact" -> OracleSql.dedupStateCompact,
+    "dedup_state_compact_audit" -> OracleSql.dedupStateCompactAudit,
     "freshness_weights" -> OracleSql.freshnessWeights,
     "dup_pair_explain" -> OracleSql.dupPairExplain,
     "dedup_rate_by_batch" -> OracleSql.dedupRateByBatch,

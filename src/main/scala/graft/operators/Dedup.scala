@@ -1164,6 +1164,32 @@ object Dedup {
         col("match_id"), col("est_jaccard"))
   }
 
+  /** Signature-store compaction (E220) — the maintenance pass a
+    * [[dedupState]] store needs after many appended batches: re-ingested
+    * identical content accumulates one store row per occurrence, growing
+    * the store and the banded join fan-out with ZERO added information
+    * (identical bytes ⇒ identical signature). Keep the MINIMUM-id row
+    * per content hash (the representative every executor's larger-id
+    * rule would keep anyway) and report how many rows it absorbed.
+    * Detection against the compacted store returns the SAME dup_exact /
+    * near_dup verdicts (the audit pins it): the exact stage joins on
+    * the surviving hash, and every dropped row's band buckets and
+    * signature were byte-identical to the survivor's. One
+    * min(struct)-agg over the store — map-side combined, hash keys
+    * only. */
+  def compactState(state: DataFrame, numHashes: Int = 32): DataFrame = {
+    val hs = (0 until numHashes).map(i => s"h$i")
+    require(state.columns.contains("content_hash") &&
+      hs.forall(state.columns.contains),
+      "compactState: input must be a dedupState relation")
+    state.groupBy("content_hash")
+      .agg(
+        min(struct((col("id") +: hs.map(col)): _*)).as("r"),
+        count(lit(1)).as("n_copies"))
+      .select((col("r.id").as("id") +: col("content_hash") +:
+        col("n_copies") +: hs.map(h => col(s"r.$h").as(h))): _*)
+  }
+
   /** Pair half of [[incrementalLsh]]'s near stage, shared with the
     * streaming counterpart ([[graft.streaming.StreamingProfile
     * .streamingStateDedup]]'s parity audit): batch-vs-store banded

@@ -478,4 +478,25 @@ class Round12Spec extends AnyFunSuite {
       Seq((0L, 1L), (1L, 1L)))
     assert(rate(0).getAs[Double]("dup_rate") == 0.5)
   }
+
+  test("compactState: min-id representative per content, copy mass preserved, detection flags invariant") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val store = Dedup.dedupState(
+      Seq((1L, a), (2L, b), (7L, a), (9L, a)).toDF("doc_id", "text"),
+      "doc_id", "text").localCheckpoint(true)
+    val compact = Dedup.compactState(store).orderBy("id").collect()
+    assert(compact.map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((1L, 3L), (2L, 1L)))
+    val batch = Seq((20L, a), (21L, "novel text here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val full = Dedup.incrementalLsh(batch, store, "doc_id", "text")
+      .select("id", "dup_exact", "near_dup")
+    val comp = Dedup.incrementalLsh(
+      batch, Dedup.compactState(store).drop("n_copies"), "doc_id", "text")
+      .select("id", "dup_exact", "near_dup")
+    assert(full.exceptAll(comp).count() + comp.exceptAll(full).count() == 0L)
+  }
 }
