@@ -238,8 +238,15 @@ object Bench {
     // where a 2x regression on a 0.3 s query hides. Write EVERY
     // per-query time to a file artifact; best-effort (a read-only cwd
     // must not fail the bench).
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full_local.json")
-    try {
+    // isolated SPARK_GRAFT_ONLY runs are not the battery: writing their
+    // 1-2 keys would clobber the full artifact (bench_isolation.sh and
+    // the scale lane run dozens of such JVMs); an explicit
+    // SPARK_GRAFT_FULL_OUT still writes wherever it points
+    val sidecar =
+      if (sys.env.contains("SPARK_GRAFT_ONLY") &&
+        !sys.env.contains("SPARK_GRAFT_FULL_OUT")) None
+      else Some(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full_local.json"))
+    try sidecar.foreach { sc =>
       val allQs = times.toSeq.sortBy(_._1)
         .map { case (k, v) =>
           "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
@@ -252,7 +259,7 @@ object Bench {
           s""""n_failed":${failedQueries.size},""" +
           s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sidecar),
+        java.nio.file.Paths.get(sc),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
     } catch { case _: Throwable => () }
