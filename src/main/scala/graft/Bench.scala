@@ -13,11 +13,27 @@ import org.apache.spark.sql.SparkSession
   * class/metaspace accumulation across ~180 unique plans), which session
   * teardown cannot reach. A child process discards ALL of it, so a
   * fork-group's first queries measure on the same cold-ish JVM an
-  * isolated `SPARK_GRAFT_ONLY` run would see. Group size (default 6)
-  * amortizes the ~6 s JVM+session startup, which sits entirely OUTSIDE
-  * the timed region; with ~180 queries that's ~30 forks ≈ 3 min of
-  * untimed overhead in exchange for per-query numbers the round-over-
-  * round diff can trust.
+  * isolated `SPARK_GRAFT_ONLY` run would see.
+  *
+  * Round 13 re-pin (the r9 "in-suite ≤ 1.3× isolated" bound was found
+  * violated on the r12 final artifact — flagship 7.78 in-suite vs 3.81
+  * isolated on the same tree, five unchanged-path keys 2.4-3.8× up):
+  *  - fork-group size drops 6 → 3. At group size 6 a key landing in
+  *    slots 4-6 still measures on a JVM carrying 3-5 prior plans' heap
+  *    and metaspace residue; at 3 the worst case is 2. Startup is
+  *    untimed — the cost is wall-clock minutes, the benefit is that
+  *    every key's number is within one-or-two-plans of a cold JVM.
+  *  - `/proc/loadavg` is sampled at start and end of the run and lands
+  *    in the JSON artifact, so a loaded host (the other suspect for the
+  *    r12 excursions — a 37-minute battery overlapping compile/test
+  *    activity) is visible in the artifact instead of inferred later.
+  *  - per-query iteration SPREAD (max-min across iterations) rides the
+  *    worker protocol and the sidecar: a wide spread marks a noisy
+  *    measurement, a tight spread with a high min marks a real cost.
+  *  - after the battery, the N slowest keys (default 10, plus the
+  *    flagship, plus any `SPARK_GRAFT_ISOLATE_KEYS`) are re-run ONE key
+  *    per fresh child JVM and reported as `"isolated"` — the in-suite ≤
+  *    1.3× isolated bound is now checked by every round's own artifact.
   *
   * Modes (all driven by env, the driver sets none of them):
   *  - parent (default): partitions the query list, forks one child JVM
@@ -26,7 +42,7 @@ import org.apache.spark.sql.SparkSession
   *    child failure falls back to running that group in-process.
   *  - worker (`SPARK_GRAFT_WORKER=1`, set only by the parent): runs its
   *    `SPARK_GRAFT_ONLY` list in-process, one fresh session per query,
-  *    prints `GRAFT_BENCH_Q <name> <sec>` lines.
+  *    prints `GRAFT_BENCH_Q <name> <min-sec> <spread-sec> <ok|fail>` lines.
   *  - `SPARK_GRAFT_NO_FORK=1` or an explicit `SPARK_GRAFT_ONLY` (the
   *    local single-query iteration aid): everything in-process.
   */
@@ -45,7 +61,18 @@ object Bench {
     spark
   }
 
-  private val WorkerLine = """GRAFT_BENCH_Q (\S+) (\S+) (\S+)""".r
+  /** One query's measurement: best iteration, iteration spread
+    * (max − min; 0 with a single iteration), failure flag. */
+  private case class QTime(min: Double, spread: Double, failed: Boolean)
+
+  private val WorkerLine = """GRAFT_BENCH_Q (\S+) (\S+) (\S+) (\S+)""".r
+
+  /** 1-minute load average from /proc/loadavg; -1 when unreadable (the
+    * artifact should show "unknown" rather than fail the bench). */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .trim.split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   /** Run `group` in this JVM: a fresh session per `perSession` queries,
     * and — when several queries share a session — the full hygiene block
@@ -55,7 +82,7 @@ object Bench {
   private def runInProcess(
       group: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
       sfDir: String, cpus: String, iterations: Int,
-      perSession: Int): Seq[(String, (Double, Boolean))] =
+      perSession: Int): Seq[(String, QTime)] =
     group.grouped(perSession).flatMap { sess =>
       val spark = newSession(cpus)
       // per-session warmup OUTSIDE the timed region: scheduler + parquet
@@ -74,17 +101,17 @@ object Bench {
           System.gc()
         }
         var failed = false
-        val t = (1 to iterations).map { _ =>
+        val ts = (1 to iterations).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
           catch { case _: Throwable => failed = true }
           (System.nanoTime() - t0) / 1e9
-        }.min
+        }
         // a failed query's elapsed time is time-to-failure, not engine
         // throughput — keep it for continuity but FLAG it, so a plan
         // that starts raising (e.g. a WindowGuard trip at a bigger sf)
         // cannot masquerade as a fast legitimate result
-        name -> ((t, failed))
+        name -> QTime(ts.min, ts.max - ts.min, failed)
       }
       // discard ALL session state (broadcasts, status store, cached and
       // checkpointed blocks) before the next session
@@ -101,7 +128,7 @@ object Bench {
     * fork uses, so its measurements are the `tools/runmain.sh` isolated
     * numbers by construction. */
   private def runForked(
-      names: Seq[String]): Option[Seq[(String, (Double, Boolean))]] = {
+      names: Seq[String]): Option[Seq[(String, QTime)]] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     // the SAME module opens spark-submit would inject — sourced from
@@ -125,7 +152,8 @@ object Bench {
         .getLines().toList
       val rc = proc.waitFor()
       val parsed = out.collect {
-        case WorkerLine(n, t, ok) => n -> ((t.toDouble, ok == "fail")) }
+        case WorkerLine(n, t, sp, ok) =>
+          n -> QTime(t.toDouble, sp.toDouble, ok == "fail") }
       // a worker that died mid-group may still have timed a prefix —
       // only trust a clean exit that covered every requested query
       if (rc == 0 && parsed.map(_._1).toSet == names.toSet) Some(parsed)
@@ -147,8 +175,17 @@ object Bench {
     // escape hatch: queries per session WITHIN a JVM (1 = full isolation)
     val perSession = sys.env.get("SPARK_GRAFT_SESSION_PER")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(1)
+    // 3 per fork since r13 (was 6): at 6, late-slot keys measured on a
+    // JVM carrying up to 5 prior plans' residue and the ≤1.3×-isolated
+    // bound broke (flagship 2.04× on the r12 artifact). Startup is
+    // untimed; the extra forks cost wall minutes only.
     val forkPer = sys.env.get("SPARK_GRAFT_FORK_PER")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(6)
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(3)
+    // isolated re-run sample size (0 disables); extra keys via
+    // SPARK_GRAFT_ISOLATE_KEYS=a,b,c
+    val isolateN = sys.env.get("SPARK_GRAFT_ISOLATE_N")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 0).getOrElse(10)
+    val loadStart = loadAvg()
     // SPARK_GRAFT_FORCE_FORK: local test aid — exercise the fork path on
     // an ONLY-subset (normally ONLY means single-query iteration, no fork)
     val noFork = isWorker || sys.env.contains("SPARK_GRAFT_NO_FORK") ||
@@ -173,7 +210,7 @@ object Bench {
     // in-process numbers (2-3x late-query inflation) — make that visible
     // in the artifact instead of inferable from timings
     var nForked, nFallback = 0
-    val results: Map[String, (Double, Boolean)] =
+    val results: Map[String, QTime] =
       if (noFork)
         runInProcess(selected, sfDir, cpus, iterations, perSession).toMap
       else
@@ -189,14 +226,35 @@ object Bench {
       // Locale.ROOT: a comma-decimal default locale would print "6,36",
       // the parent's toDouble would throw, and every group would silently
       // fall back in-process
-      results.foreach { case (n, (t, failed)) =>
+      results.foreach { case (n, qt) =>
         println("GRAFT_BENCH_Q " +
-          String.format(java.util.Locale.ROOT, "%s %.4f %s", n,
-            java.lang.Double.valueOf(t), if (failed) "fail" else "ok")) }
+          String.format(java.util.Locale.ROOT, "%s %.4f %.4f %s", n,
+            java.lang.Double.valueOf(qt.min),
+            java.lang.Double.valueOf(qt.spread),
+            if (qt.failed) "fail" else "ok")) }
       return
     }
-    val failedQueries = results.collect { case (n, (_, true)) => n }.toSeq.sorted
-    val times = results.map { case (n, (t, _)) => n -> t }
+    val failedQueries = results.collect {
+      case (n, qt) if qt.failed => n }.toSeq.sorted
+    val times = results.map { case (n, qt) => n -> qt.min }
+    // Isolated re-pin sample (VERDICT r12 task 1c): the N slowest keys,
+    // plus the flagship, each in a FRESH single-key child JVM — the
+    // in-suite ≤ 1.3× isolated bound becomes checkable from this round's
+    // own artifact, no separate bench_isolation.sh run needed.
+    val isolated: Map[String, Double] =
+      if (noFork || isolateN == 0) Map.empty
+      else {
+        val extra = sys.env.get("SPARK_GRAFT_ISOLATE_KEYS")
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+        val sample = (times.toSeq.sortBy(-_._2).take(isolateN).map(_._1) ++
+          Seq("profile_lineitem").filter(times.contains) ++
+          extra.filter(times.contains)).distinct
+        sample.flatMap { name =>
+          runForked(Seq(name)).flatMap(_.headOption)
+            .filter(!_._2.failed).map { case (n, qt) => n -> qt.min }
+        }.toMap
+      }
+    val loadEnd = loadAvg()
     val total = if (times.nonEmpty) times.values.sum else 0.0
     // The driver parses this line out of a 2000-char stdout tail; round 3's
     // full-precision 70-query line overflowed the window and was recorded as
@@ -212,6 +270,14 @@ object Bench {
     // otherwise blow the 1850-char budget on the failed list alone and
     // reproduce the parsed:null overflow exactly when the artifact
     // matters most)
+    val spreadMax =
+      if (results.isEmpty) 0.0 else results.values.map(_.spread).max
+    // loadavg + spread make a noisy-host run self-incriminating in the
+    // artifact; the isolated map is the ≤1.3×-bound evidence (bounded at
+    // ~a dozen entries, so it never participates in truncation)
+    val isoJson = isolated.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     def line(entries: Seq[(String, Double)], failedShown: Seq[String]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -219,6 +285,8 @@ object Bench {
         s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
         s""""n_queries":${times.size},""" +
         s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+        s""""spread_max":${fmt(spreadMax)},"isolated":$isoJson,""" +
         s""""n_failed":${failedQueries.size},""" +
         s""""failed_queries":${failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
@@ -246,23 +314,27 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_ONLY") &&
         !sys.env.contains("SPARK_GRAFT_FULL_OUT")) None
       else Some(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full_local.json"))
+    // NonFatal only (ADVICE r12): an OutOfMemoryError or interrupt must
+    // propagate, not be swallowed as a failed sidecar write
     try sidecar.foreach { sc =>
-      val allQs = times.toSeq.sortBy(_._1)
-        .map { case (k, v) =>
+      def map4(m: Iterable[(String, Double)]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) =>
           "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
-            java.lang.Double.valueOf(v)) }
-        .mkString("{", ",", "}")
+            java.lang.Double.valueOf(v)) }.mkString("{", ",", "}")
       val full =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$allQs,""" +
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map4(times)},""" +
           s""""sf":"$sfDir","iterations":$iterations,"agg":"min","n_queries":${times.size},""" +
           s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
+          s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+          s""""spreads":${map4(results.map { case (n, qt) => n -> qt.spread })},""" +
+          s""""isolated":${map4(isolated)},""" +
           s""""n_failed":${failedQueries.size},""" +
           s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sc),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       ()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     println(out)
   }
 }

@@ -2690,6 +2690,27 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     "every_cluster_keeps_min_id", "idempotent_on_kept_corpus",
     "removals_are_exactly_pair_targets"))
 
+  /** E219 audio-dedup executor audit: the image properties verbatim
+    * (VERDICT r12 task 4 — the one no-oracle key without a twin). */
+  val audioDedupExecuteAudit: String = allTrue(Seq(
+    "every_cluster_keeps_min_id", "idempotent_on_kept_corpus",
+    "removals_are_exactly_pair_targets"))
+
+  /** E221 persisted-IVF-index audit: artifact-served search ≡ in-plan
+    * recompute (ivf_topk and the ANN hard-negative miner), split-build
+    * + batch append ≡ whole build, row-count sidecars correct. */
+  val ivfFromIndexAudit: String = allTrue(Seq(
+    "append_equals_whole", "artifact_equals_inplan",
+    "hard_negatives_from_index_parity", "meta_counts_match"))
+
+  /** E222 incremental image-dedup audit: store-backed detection ≡
+    * whole-corpus detection on the cross-cut pairs, parquet artifact ≡
+    * in-memory state, two appends ≡ one write, planted re-ingests
+    * caught by both stages. */
+  val imageIncrementalDedupAudit: String = allTrue(Seq(
+    "artifact_equals_inmemory", "cross_pairs_equal_whole_corpus",
+    "planted_reingests_caught", "split_append_equals_whole"))
+
   /** E209 k-means trajectory twin: the %83 init coordinates, then per
     * iteration (assemble centroid arrays ordered by dim → 6-dp cosine
     * argmax assignment with centroid-id tie-break → decimal-quantized

@@ -355,8 +355,15 @@ object Multimodal {
     if (payload == null || payload.length < 46 ||
       new String(payload, 0, 4, "US-ASCII") != "RIFF" ||
       new String(payload, 8, 8, "US-ASCII") != "WAVEfmt " ||
-      le32(payload, 16) != 16) return None
-    val nSamples = (payload.length - 44) / 2 // every 16-bit sample, any channel
+      le32(payload, 16) != 16 ||
+      // canonical layout only: the chunk at 36 must be 'data' — a WAV
+      // with a LIST/fact chunk between fmt and data would otherwise be
+      // hashed with metadata bytes treated as PCM samples (ADVICE r12)
+      new String(payload, 36, 4, "US-ASCII") != "data") return None
+    // every 16-bit sample, any channel — bounded by BOTH the payload and
+    // the declared data-chunk size, so trailing non-audio bytes never hash
+    val declared = le32(payload, 40).toLong & 0xFFFFFFFFL
+    val nSamples = math.min((payload.length - 44) / 2, declared / 2).toInt
     if (nSamples < 1) return None
     def amp(i: Int): Long = {
       val v = (payload(44 + 2 * i) & 0xFF) |
@@ -482,6 +489,50 @@ object Multimodal {
         col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         substring(sha2(col("payload"), 256), 1, 16).as("fingerprint"))
+  }
+
+  /** Persisted media dedup state (VERDICT r12 task 6) — one row per
+    * payload: `(id, content_hash, simhash)`, the single-word-signature
+    * face of [[graft.operators.Dedup.dedupState]]: byte-exact identity
+    * via SHA-256 over the raw payload, perceptual identity via the
+    * 64-bit dHash (null when the decoder rejects the container — such a
+    * payload still participates in the EXACT stage). Payload-free by
+    * design: a production image/audio ingest appends this ~40-byte-row
+    * relation to its signature store ([[graft.operators.Dedup
+    * .StateStore]]) and batch N+1 dedups against it via
+    * [[graft.operators.Dedup.incrementalSimhash]] with no earlier
+    * payload ever rescanned. */
+  def imageDedupState(bin: DataFrame): DataFrame =
+    mediaDedupState(bin, bmpDHash)
+
+  /** Audio twin of [[imageDedupState]] — same store schema, envelope
+    * hash instead of dHash, so BOTH media lanes ride one store and one
+    * incremental detector. */
+  def audioDedupState(bin: DataFrame): DataFrame =
+    mediaDedupState(bin, wavDHash)
+
+  /** ONE pass over the payload bytes computes both identities — at
+    * media scale the payload scan IS the cost, so the exact hash and
+    * the perceptual hash must not be separate scans. Hex output matches
+    * `sha2(col, 256)` (lowercase), keeping the store join-compatible
+    * with column-expression-built states. */
+  private def mediaDedupState(
+      bin: DataFrame, hasher: Array[Byte] => Option[Long]): DataFrame = {
+    val spark = bin.sparkSession
+    import spark.implicits._
+    bin.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, p) =>
+          val bytes = if (p == null) Array.emptyByteArray else p
+          md.reset()
+          val hex = md.digest(bytes)
+            .map(b => f"${b & 0xFF}%02x").mkString
+          (id, hex, hasher(bytes))
+        }
+      }
+      .toDF("id", "content_hash", "simhash")
   }
 
   /** Partition-local batched decode: `(doc_id, payload)` → typed features

@@ -1124,7 +1124,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       maxBandFreq: Option[Int] = Some(10000),
-      bloomFpp: Double = 0.01): DataFrame = {
+      bloomFpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val hs = (0 until numHashes).map(i => s"h$i")
     require(state.columns.contains("content_hash") &&
@@ -1134,7 +1135,13 @@ object Dedup {
     val bstate = dedupState(batch, idCol, textCol, n, numHashes)
       .localCheckpoint(true) // read by the exact stage, banding and scoring
     // ---- exact stage: bloom pre-filter, then hash semi-join on survivors
-    val nState = math.max(1L, state.select("content_hash").distinct().count())
+    // Bloom sizing wants only an UPPER bound on store cardinality; a
+    // caller holding a StateStore artifact passes its maintained row
+    // count (`expectedItems`) and this stays a lazy plan-construction —
+    // the counted fallback is an extra O(|store|) job a production
+    // store should answer from metadata (ADVICE r12 / VERDICT r12 #2).
+    val nState = math.max(1L, expectedItems.getOrElse(
+      state.select("content_hash").distinct().count()))
     val (bf, bloomHit) = graft.profiler.Integrity.bloomFilter(
       state, "content_hash", nState, bloomFpp)
     val probed = bstate.select(col("id"), col("content_hash"))
@@ -1188,6 +1195,174 @@ object Dedup {
         count(lit(1)).as("n_copies"))
       .select((col("r.id").as("id") +: col("content_hash") +:
         col("n_copies") +: hs.map(h => col(s"r.$h").as(h))): _*)
+  }
+
+  /** Persisted signature-store I/O (VERDICT r12 tasks 3+6) — the
+    * artifact face of [[dedupState]] (and of the media signature
+    * relations: the store is SCHEMA-AGNOSTIC, any payload-free
+    * `(id, content_hash, …signature)` relation rides it). Parquet rows
+    * plus ONE metadata file `_graft_state_meta` carrying the maintained
+    * row count: bloom sizing at detection time needs only an upper
+    * bound on store cardinality, and re-deriving it costs an
+    * O(|store|) job per query — the count belongs to MAINTENANCE time
+    * (write/append/compact, each already a store pass), after which
+    * every [[incrementalLsh]]/[[incrementalSimhash]] call passes
+    * `expectedItems = rows(…)` and stays a lazy plan construction.
+    * The underscore filename keeps the parquet reader blind to the
+    * sidecar (the `_SUCCESS` convention). Hadoop FS API throughout, so
+    * the same code addresses local disk, HDFS or an object store. */
+  object StateStore {
+    import org.apache.hadoop.fs.Path
+    private def fs(spark: org.apache.spark.sql.SparkSession, path: String) =
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def metaPath(path: String) = new Path(path, "_graft_state_meta")
+
+    /** Re-derive and persist the row count — called by every mutation;
+      * an empty-projection parquet count, i.e. footer-priced. */
+    private def refreshMeta(
+        spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+      val n = spark.read.parquet(path).count()
+      val out = fs(spark, path).create(metaPath(path), true)
+      try out.write(s"n_rows=$n\n".getBytes("UTF-8")) finally out.close()
+      n
+    }
+
+    /** Create/replace the store with `state`; returns the row count now
+      * recorded in the artifact. */
+    def write(state: DataFrame, path: String): Long = {
+      state.write.mode("overwrite").parquet(path)
+      refreshMeta(state.sparkSession, path)
+    }
+
+    /** Append one batch's state rows (the ingest path: batches 1..N are
+      * never rescanned — only the footer count runs over the store). */
+    def append(state: DataFrame, path: String): Long = {
+      state.write.mode("append").parquet(path)
+      refreshMeta(state.sparkSession, path)
+    }
+
+    def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+      spark.read.parquet(path)
+
+    /** The maintained row count — None when the artifact predates the
+      * meta file (fall back to a counted probe, or re-[[write]]). */
+    def rows(spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
+      val p = metaPath(path)
+      val f = fs(spark, path)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        s.linesIterator.collectFirst {
+          case l if l.startsWith("n_rows=") => l.stripPrefix("n_rows=").trim.toLong
+        }
+      }
+    }
+
+    /** In-place [[compactState]] of a TEXT-signature store artifact:
+      * read → min-id-per-hash compact → write beside → atomic-ish swap
+      * (never overwrite a parquet dir while a plan still reads it) →
+      * refresh the count. Returns the compacted row count. */
+    def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+        numHashes: Int = 32): Long = {
+      val hs = (0 until numHashes).map(i => s"h$i")
+      val keep = "id" +: "content_hash" +: hs
+      val tmp = path.stripSuffix("/") + "__compacting"
+      compactState(read(spark, path), numHashes)
+        .select(keep.map(col): _*)
+        .write.mode("overwrite").parquet(tmp)
+      val f = fs(spark, path)
+      f.delete(new Path(path), true)
+      if (!f.rename(new Path(tmp), new Path(path)))
+        throw new java.io.IOException(
+          s"StateStore.compact: rename $tmp -> $path failed")
+      refreshMeta(spark, path)
+    }
+  }
+
+  /** Cross-batch incremental near-dup dedup for a SINGLE-WORD perceptual
+    * signature store (VERDICT r12 task 6) — [[incrementalLsh]]'s shape
+    * for the media lanes: the persisted state is `(id, content_hash,
+    * simhash)` rows (dHash / energy-envelope hash, null for payloads the
+    * decoder rejected), batch N+1 of images or audio dedups against
+    * persisted 8-byte signatures without any earlier payload being
+    * rescanned. Exact stage identical to the text lane (bloom
+    * pre-filter on the store's content hashes, then the verifying hash
+    * semi-join); near stage bands both sides with the SimHash pigeonhole
+    * blocks ([[simhashBlocks]] — any pair within `maxHamming` must
+    * collide on one of `maxHamming+1` blocks), caps the UNION bucket
+    * relation (the incremental ≡ from-scratch property, as E205), and —
+    * unlike the MinHash estimate — verifies candidates EXACTLY:
+    * `bit_count(a XOR b) <= maxHamming` is the definition, not an
+    * estimator, because the signature IS the store's whole knowledge of
+    * the payload. Returns one verdict row per batch document:
+    * `(id, dup_exact, near_dup, match_id, hamming)` — `match_id` the
+    * closest known neighbor (ties → smallest id), null if none. */
+  def incrementalSimhash(
+      batchState: DataFrame,
+      state: DataFrame,
+      maxHamming: Int = 5,
+      maxBlockFreq: Option[Int] = Some(10000),
+      bloomFpp: Double = 0.01,
+      expectedItems: Option[Long] = None): DataFrame = {
+    Seq("id", "content_hash", "simhash").foreach { c =>
+      require(batchState.columns.contains(c) && state.columns.contains(c),
+        s"incrementalSimhash: both sides need ($c) — signature-state relations")
+    }
+    val bstate = batchState.localCheckpoint(true)
+    val nState = math.max(1L, expectedItems.getOrElse(
+      state.select("content_hash").distinct().count()))
+    val (bf, bloomHit) = graft.profiler.Integrity.bloomFilter(
+      state, "content_hash", nState, bloomFpp)
+    val probed = bstate.select(col("id"), col("content_hash"))
+      .crossJoin(broadcast(bf))
+      .withColumn("maybe", bloomHit(col("content_hash")))
+    val seen = state.select(col("content_hash")).distinct()
+      .withColumn("_dup", lit(true))
+    val exactFlag = probed.where(col("maybe"))
+      .join(seen, Seq("content_hash"), "left")
+      .select(col("id"), coalesce(col("_dup"), lit(false)).as("dup_exact"))
+      .unionByName(probed.where(!col("maybe"))
+        .select(col("id"), lit(false).as("dup_exact")))
+    val scored = incrementalSimhashPairs(
+      bstate.where(col("simhash").isNotNull).select("id", "simhash"),
+      state.where(col("simhash").isNotNull).select("id", "simhash"),
+      maxHamming, maxBlockFreq)
+    val best = scored.groupBy("id")
+      .agg(min(struct(col("hamming"), col("match_id"))).as("b"))
+      .select(col("id"), col("b.match_id").as("match_id"),
+        col("b.hamming").as("hamming"))
+    exactFlag
+      .join(best, Seq("id"), "left")
+      .select(
+        col("id"), col("dup_exact"),
+        col("match_id").isNotNull.as("near_dup"),
+        col("match_id"), col("hamming"))
+  }
+
+  /** Batch-vs-store half of [[incrementalSimhash]]'s near stage — the
+    * [[incrementalEstPairs]] shape over single-word signatures: block
+    * both sides, cap the UNION bucket relation, equi-join new × known,
+    * verify exactly. Returns `(id, match_id, hamming)` within
+    * `maxHamming`. */
+  private[graft] def incrementalSimhashPairs(
+      batchSig: DataFrame,
+      stateSig: DataFrame,
+      maxHamming: Int,
+      maxBlockFreq: Option[Int]): DataFrame = {
+    val allBuckets = capHotBuckets(
+      simhashBlocks(stateSig, maxHamming).withColumn("known", lit(true))
+        .unionByName(
+          simhashBlocks(batchSig, maxHamming).withColumn("known", lit(false))),
+      Seq("block", "bv"), maxBlockFreq)
+    allBuckets.where(!col("known")).alias("x")
+      .join(allBuckets.where(col("known")).alias("y"), Seq("block", "bv"))
+      .select(
+        col("x.id").as("id"), col("y.id").as("match_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Pair half of [[incrementalLsh]]'s near stage, shared with the
@@ -1259,6 +1434,28 @@ object Dedup {
       maxBlockFreq: Option[Int] = Some(10000)): DataFrame =
     simhashPairsFromSignatures(simhash(df, idCol, textCol), maxHamming, maxBlockFreq)
 
+  /** Pigeonhole block explode of a 64-bit `(id, simhash)` relation:
+    * `maxHamming+1` equal-width bit blocks per signature (any pair
+    * within `maxHamming` bits must agree on at least one block).
+    * Shared by the one-shot pair scan ([[simhashPairsFromSignatures]])
+    * and the store-backed incremental stage
+    * ([[incrementalSimhashPairs]]). */
+  private[graft] def simhashBlocks(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    sig.select(
+      col("id"), col("simhash"),
+      explode(array((0 until blocks).map { bi =>
+        struct(
+          lit(bi).as("block"),
+          when(lit(bi) === blocks - 1, shiftright(col("simhash"), bi * width))
+            .otherwise(shiftright(col("simhash"), bi * width)
+              .bitwiseAND((1L << width) - 1)).as("bv"))
+      }: _*)).as("b"))
+      .select(col("id"), col("simhash"),
+        col("b.block").as("block"), col("b.bv").as("bv"))
+  }
+
   /** Pair generation half of [[simhashPairs]] over a precomputed
     * `(id, simhash)` relation — lets a caller that already holds the
     * signatures (or needs them for something else, e.g. the
@@ -1271,20 +1468,8 @@ object Dedup {
       sig: DataFrame,
       maxHamming: Int = 3,
       maxBlockFreq: Option[Int] = Some(10000)): DataFrame = {
-    val blocks = maxHamming + 1
-    val width = 64 / blocks
     val banded = capHotBuckets(
-      sig.select(
-        col("id"), col("simhash"),
-        explode(array((0 until blocks).map { bi =>
-          struct(
-            lit(bi).as("block"),
-            when(lit(bi) === blocks - 1, shiftright(col("simhash"), bi * width))
-              .otherwise(shiftright(col("simhash"), bi * width)
-                .bitwiseAND((1L << width) - 1)).as("bv"))
-        }: _*)).as("b"))
-        .select(col("id"), col("simhash"), col("b.block").as("block"), col("b.bv").as("bv")),
-      Seq("block", "bv"), maxBlockFreq)
+      simhashBlocks(sig, maxHamming), Seq("block", "bv"), maxBlockFreq)
     banded.alias("x").join(banded.alias("y"), Seq("block", "bv"))
       .where(col("x.id") < col("y.id"))
       .select(

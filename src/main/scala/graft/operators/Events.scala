@@ -329,16 +329,6 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
-  /** Per-day event profile (E95) — the monitoring table a pipeline owner
-    * watches: for each UTC day, event volume, exact distinct active
-    * users, value completeness and the decimal-exact mean. This is the
-    * batch time-bucketed face of the profiling battery (the streaming
-    * face is E12's windowed profile): ONE map-side-combined
-    * groupBy(day) — the distinct-user slot rewrites to the standard
-    * two-phase Expand aggregation, still a single logical pass, no
-    * per-day jobs. Mean follows the decSum contract (DECIMAL(38,6)
-    * addends — partition-order independent); a day with no non-null
-    * values yields a null mean, not NaN. */
   /** Freshness decay weights (E216) — the recency-weighted sampling
     * plan a continuously-refreshed corpus trains under: per event day,
     * the volume, its age against the newest day in the relation, the
@@ -373,6 +363,16 @@ object Events {
           .as("effective_n"))
   }
 
+  /** Per-day event profile (E95) — the monitoring table a pipeline owner
+    * watches: for each UTC day, event volume, exact distinct active
+    * users, value completeness and the decimal-exact mean. This is the
+    * batch time-bucketed face of the profiling battery (the streaming
+    * face is E12's windowed profile): ONE map-side-combined
+    * groupBy(day) — the distinct-user slot rewrites to the standard
+    * two-phase Expand aggregation, still a single logical pass, no
+    * per-day jobs. Mean follows the decSum contract (DECIMAL(38,6)
+    * addends — partition-order independent); a day with no non-null
+    * values yields a null mean, not NaN. */
   def dailyProfile(
       events: DataFrame, tsUsCol: String, userCol: String,
       valueCol: String): DataFrame = {

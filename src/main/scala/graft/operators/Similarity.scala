@@ -198,11 +198,19 @@ object Similarity {
     * rank-1 cell and is always caught at cos = 1.
     *
     * Scale shape: cost per query is ~`nprobe/C` of the corpus instead
-    * of all of it; probes (|Q|·nprobe rows) broadcast into the cell
-    * equi-join so the assignment relation never shuffles for candidate
-    * generation; the corpus joins on compact vector ids. No
+    * of all of it; the corpus joins on compact vector ids; no
     * CartesianProduct anywhere near the corpus — the only cross joins
-    * broadcast the metadata-sized centroid set.
+    * broadcast the metadata-sized centroid set. The two |Q|-proportional
+    * relations (compact probes, and queries WITH their vectors) are
+    * broadcast by default, which is the fast plan while |Q| stays
+    * broadcast-sized (ad-hoc mining, eval sets). The DPR-style regime
+    * the scaladoc above motivates — |Q| ∝ corpus — would blow that
+    * broadcast on the QUERY VECTORS first (ADVICE r12): set
+    * `hugeQueries = true` and both |Q|-sized sides shuffle instead
+    * (probes hash-join the assignment on `centroid_id`, query vectors
+    * hash-join the scored candidates on `query_id`) — every exchange
+    * then carries ids, labels and one vector per row, nothing
+    * |Q|-bounded sits in driver/executor broadcast memory.
     *
     * Cites reference scope: no retrieval surface in awsdataprofiler
     * (README.md:1-72) — extension per SURVEY §2.E. */
@@ -214,16 +222,24 @@ object Similarity {
       centroidPred: Column,
       queryPred: Column,
       nprobe: Int = 2,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      hugeQueries: Boolean = false,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     require(nprobe >= 1, s"hardNegativesAnn: nprobe=$nprobe must be >= 1")
     graft.functions.VectorOps.register(embIn.sparkSession)
     val emb = graft.profiler.ScanMetrics.spread(embIn)
       .where(col(labelCol).isNotNull)
-    val cents = emb.where(centroidPred)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("c"),
-        fnorm(col(vecCol)).as("nc"))
-    val assign = nearestCentroid(emb, idCol, vecCol, centroidPred)
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    // `index`: a persisted coarse quantizer ([[writeIvfIndex]] /
+    // [[readIvfIndex]]) — query time then pays probe + rescore joins
+    // only, never the |corpus|×|cents| assignment. For verdict parity
+    // the artifact must have been built over the SAME label-filtered
+    // relation (unlabeled vectors never enter this index).
+    val (cents, assign) = index.getOrElse((
+      emb.where(centroidPred)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("c"),
+          fnorm(col(vecCol)).as("nc")),
+      nearestCentroid(emb, idCol, vecCol, centroidPred)
+        .select(col("vec_id").as("neighbor_id"), col("centroid_id"))))
     val queries = emb.where(queryPred)
       .select(col(idCol).as("query_id"), col(labelCol).as("query_label"),
         col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
@@ -240,9 +256,13 @@ object Similarity {
     val corpus = emb.select(
       col(idCol).as("neighbor_id"), col(labelCol).as("neighbor_label"),
       col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
-    val scored = broadcast(probes).join(assign, Seq("centroid_id"))
+    // the |Q|-proportional sides: broadcast while |Q| is mining-sized,
+    // shuffle (hugeQueries) when |Q| ∝ corpus — see scaladoc
+    def qSized(df: DataFrame): DataFrame =
+      if (hugeQueries) df else broadcast(df)
+    val scored = qSized(probes).join(assign, Seq("centroid_id"))
       .join(corpus, Seq("neighbor_id"))
-      .join(broadcast(queries), Seq("query_id"))
+      .join(qSized(queries), Seq("query_id"))
       // the label cut runs BEFORE the heap (the E168 rule): same-class
       // near-dups crowding the probed cells cannot evict true negatives
       .where(col("neighbor_label") =!= col("query_label"))
@@ -1046,16 +1066,25 @@ object Similarity {
       centroidPred: Column,
       queryPred: Column,
       nprobe: Int = 2,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     graft.functions.VectorOps.register(embIn.sparkSession)
     // single-row-group sources run the (heavy) per-vector projection work
     // on one core — see ScanMetrics.spread; results are unchanged
     val emb = graft.profiler.ScanMetrics.spread(embIn)
-    val cents = emb.where(centroidPred)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("c"), fnorm(col(vecCol)).as("nc"))
-    // index build: every corpus vector lives in exactly one cell
-    val assign = nearestCentroid(emb, idCol, vecCol, centroidPred)
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    // `index` = the PERSISTED coarse quantizer (VERDICT r12 task 5):
+    // at 100 TB the |corpus|×|cents| assignment is the dominant cost
+    // and build-once/query-many is the production shape — a caller
+    // holding a [[writeIvfIndex]] artifact pays probe + rescore joins
+    // only. Omitted, the index relations build in-plan as before
+    // (bit-identical results either way; the audit pins it).
+    val (cents, assign) = index.getOrElse((
+      emb.where(centroidPred)
+        .select(col(idCol).as("centroid_id"), col(vecCol).as("c"),
+          fnorm(col(vecCol)).as("nc")),
+      // index build: every corpus vector lives in exactly one cell
+      nearestCentroid(emb, idCol, vecCol, centroidPred)
+        .select(col("vec_id").as("neighbor_id"), col("centroid_id"))))
     val queries = emb.where(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
     val probeW = Window.partitionBy("query_id")
@@ -1085,6 +1114,74 @@ object Similarity {
       .where(col("rn") <= k)
       .select("query_id", "neighbor_id", "cos")
   }
+
+  /** Persist the IVF coarse quantizer as a parquet ARTIFACT (VERDICT
+    * r12 task 5) — the [[graft.operators.Dedup.StateStore]] pattern for
+    * similarity search: `path/centroids` holds `(centroid_id, c, nc)`
+    * (coordinates + norm, metadata-sized), `path/assign` holds one
+    * `(neighbor_id, centroid_id)` row per corpus vector (16 bytes/row —
+    * a few TB of ids at a 100 TB corpus, vs re-scoring every vector
+    * against every centroid per query). Both relations carry the
+    * StateStore row-count sidecar, so `assign`'s cardinality reads from
+    * metadata. Assignment is a pure per-vector function of the data
+    * (deterministic centroid predicate), so appending a new ingest
+    * batch's assignment rows equals rebuilding from the whole corpus —
+    * the same merge property as the dedup signature store, pinned by
+    * the `ivf_from_index_audit`. Returns (centroid rows, assign rows). */
+  def writeIvfIndex(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      path: String): (Long, Long) = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+    val cents = emb.where(centroidPred)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("c"),
+        fnorm(col(vecCol)).as("nc"))
+    val assign = nearestCentroid(emb, idCol, vecCol, centroidPred)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val nc = graft.operators.Dedup.StateStore.write(cents, s"$path/centroids")
+    val na = graft.operators.Dedup.StateStore.write(assign, s"$path/assign")
+    (nc, na)
+  }
+
+  /** Append one ingest batch's assignment rows to an existing index
+    * artifact — batch vectors are assigned against the PERSISTED
+    * centroids (the corpus is never rescanned), the batch's centroids
+    * are NOT extended (a coarse quantizer is rebuilt by policy, not per
+    * batch). Returns the assign relation's new row count. */
+  def appendIvfIndex(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      path: String): Long = {
+    val spark = batch.sparkSession
+    graft.functions.VectorOps.register(spark)
+    val cents = graft.operators.Dedup.StateStore.read(spark, s"$path/centroids")
+    val b = graft.profiler.ScanMetrics.spread(batch)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        fnorm(col(vecCol)).as("nv"))
+    val assign = b.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        col("centroid_id"),
+        safeCos(col("v"), col("c"), col("nv"), col("nc")).as("cos"))
+      .where(col("cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos")).as("neg_cos"), col("centroid_id"))).as("best"))
+      .select(col("vec_id").as("neighbor_id"),
+        col("best.centroid_id").as("centroid_id"))
+    graft.operators.Dedup.StateStore.append(assign, s"$path/assign")
+  }
+
+  /** Read an IVF index artifact back as the `(centroids, assign)` pair
+    * [[ivfTopK]] / [[hardNegativesAnn]] accept via their `index`
+    * parameter. */
+  def readIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) = (
+    graft.operators.Dedup.StateStore.read(spark, s"$path/centroids"),
+    graft.operators.Dedup.StateStore.read(spark, s"$path/assign"))
 
   /** Exact O(n²) pairwise twin of [[cosineNearDupPairs]] — the test-only
     * baseline the bucketed path is verified against (and the literal shape

@@ -710,6 +710,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe/scoring joins lost their broadcast:\n$p")
   }
 
+  test("ann hard negatives, hugeQueries: no |Q|-proportional broadcast — query vectors never enter a BroadcastExchange (ADVICE r12)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // disable AUTO-broadcast: at test scale Catalyst happily broadcasts
+    // everything on size statistics (and may — that's runtime-adaptive,
+    // not a plan defect). The property under audit is that hugeQueries
+    // carries no broadcast HINT, i.e. nothing FORCES a |Q|-sized build
+    // side when statistics say otherwise — which is exactly what
+    // remains visible with the threshold off.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val p = try plan(Similarity.hardNegativesAnn(
+      emb, "vec_id", "embedding", "label",
+      centroidPred = col("vec_id") % 83 === 0,
+      queryPred = col("vec_id") % 97 === 0,
+      hugeQueries = true))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(!p.contains("CartesianProduct"), s"\n$p")
+    // the queries relation carries its vector as `q`; in the DPR regime
+    // (|Q| ∝ corpus) that column may reach hash-shuffle exchanges but
+    // never a broadcast — only the metadata-sized centroid set may
+    val bcast = p.linesIterator.zipWithIndex.toSeq
+    val bcastBlocks = bcast.collect {
+      case (l, i) if l.contains("BroadcastExchange") =>
+        bcast.slice(i, math.min(i + 3, bcast.size)).map(_._1).mkString("\n")
+    }.mkString("\n")
+    assert(!bcastBlocks.contains(" q#") && !bcastBlocks.contains("[q#"),
+      s"query vectors still broadcast under hugeQueries:\n$bcastBlocks")
+  }
+
   test("incremental lsh: the persisted state carries no payload column and batch text never reaches an exchange") {
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
