@@ -2711,6 +2711,10 @@ FROM cl JOIN q ON cl.doc_id = q.doc_id ORDER BY cl.doc_id"""
     "artifact_equals_inmemory", "cross_pairs_equal_whole_corpus",
     "planted_reingests_caught", "split_append_equals_whole"))
 
+  /** E222 audio face: the image properties verbatim over the
+    * envelope-hash store. */
+  val audioIncrementalDedupAudit: String = imageIncrementalDedupAudit
+
   /** E209 k-means trajectory twin: the %83 init coordinates, then per
     * iteration (assemble centroid arrays ordered by dim → 6-dp cosine
     * argmax assignment with centroid-id tie-break → decimal-quantized

@@ -2434,6 +2434,100 @@ object SparkEntry {
         ("split_append_equals_whole", splitEq))
         .toDF("property", "ok").orderBy("property")
     }),
+    // E222 audio face: the SAME store schema and the SAME detector —
+    // wavDHash signatures instead of dHashes; this key exists to pin
+    // that the signature-typed store is modality-generic in the GATE,
+    // not just in a spec.
+    "audio_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      def mkBin(ids: DataFrame) = ids.select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticWav(
+            id / 30L, 2080, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      val docs = documents(s, dir)
+      val cut = 400L
+      val path = s"/tmp/graft_wav_state/p${ProcessHandle.current().pid()}_" +
+        new java.io.File(dir).getName
+      if (graft.operators.Dedup.StateStore.rows(s, path).isEmpty)
+        graft.operators.Dedup.StateStore.write(
+          Multimodal.audioDedupState(mkBin(docs.where(col("doc_id") < cut))),
+          path)
+      graft.operators.Dedup.incrementalSimhash(
+        Multimodal.audioDedupState(mkBin(docs.where(col("doc_id") >= cut))),
+        graft.operators.Dedup.StateStore.read(s, path),
+        maxHamming = 5,
+        expectedItems = graft.operators.Dedup.StateStore.rows(s, path))
+        .orderBy("id")
+    }),
+    // E222 audio audit: the image audit's properties verbatim over the
+    // envelope-hash store.
+    "audio_incremental_dedup_audit" -> ((s, dir) => {
+      import s.implicits._
+      def mkBin(ids: DataFrame) = ids.select(col("doc_id").cast("long")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.syntheticWav(
+            id / 30L, 2080, if (id % 2 == 0) 0L else id))
+        })
+        .toDF("doc_id", "payload")
+      val docs = documents(s, dir).where(col("doc_id") < 1200)
+        .select("doc_id")
+      val cut = 400L
+      val knownBin = mkBin(docs.where(col("doc_id") < cut))
+        .localCheckpoint(true)
+      val off = 1000000L
+      val planted = knownBin
+        .where(col("doc_id") % 20 === 0)
+        .orderBy("doc_id").limit(10)
+        .select((col("doc_id") + lit(off)).as("doc_id"), col("payload"))
+      val batchBin = mkBin(docs.where(col("doc_id") >= cut))
+        .unionByName(planted).localCheckpoint(true)
+      val knownState = Multimodal.audioDedupState(knownBin)
+        .localCheckpoint(true)
+      val batchState = Multimodal.audioDedupState(batchBin)
+        .localCheckpoint(true)
+      def eq(a: DataFrame, b: DataFrame): Boolean =
+        a.exceptAll(b).count() + b.exceptAll(a).count() == 0L
+      val base = s"/tmp/graft_wav_audit/p${ProcessHandle.current().pid()}_" +
+        new java.io.File(dir).getName
+      val n1 = graft.operators.Dedup.StateStore.write(knownState, s"$base/whole")
+      val viaArtifact = graft.operators.Dedup.incrementalSimhash(
+        batchState, graft.operators.Dedup.StateStore.read(s, s"$base/whole"),
+        maxHamming = 5, expectedItems = Some(n1)).localCheckpoint(true)
+      val viaMemory = graft.operators.Dedup.incrementalSimhash(
+        batchState, knownState, maxHamming = 5)
+      val artifactEq = eq(viaArtifact, viaMemory)
+      graft.operators.Dedup.StateStore.write(
+        Multimodal.audioDedupState(knownBin.where(col("doc_id") % 2 === 0)),
+        s"$base/split")
+      val n2 = graft.operators.Dedup.StateStore.append(
+        Multimodal.audioDedupState(knownBin.where(col("doc_id") % 2 =!= 0)),
+        s"$base/split")
+      val viaSplit = graft.operators.Dedup.incrementalSimhash(
+        batchState, graft.operators.Dedup.StateStore.read(s, s"$base/split"),
+        maxHamming = 5, expectedItems = Some(n2))
+      val splitEq = eq(viaSplit, viaArtifact) && n2 == knownState.count()
+      val incPairs = graft.operators.Dedup.incrementalSimhashPairs(
+        batchState.where(col("simhash").isNotNull).select("id", "simhash"),
+        knownState.where(col("simhash").isNotNull).select("id", "simhash"),
+        maxHamming = 5, maxBlockFreq = None)
+        .select(col("match_id").as("id_a"), col("id").as("id_b"),
+          col("hamming"))
+      val wholePairs = Multimodal.audioNearDup(
+        knownBin.unionByName(batchBin), maxHamming = 5, maxBlockFreq = None)
+        .where(col("id_a") < cut && col("id_b") >= cut)
+      val pairsEq = eq(incPairs, wholePairs)
+      val plantedCaught = viaArtifact.where(col("id") >= off)
+        .where(col("dup_exact") && col("near_dup") && col("hamming") === 0)
+        .count() == planted.count()
+      Seq(
+        ("artifact_equals_inmemory", artifactEq),
+        ("cross_pairs_equal_whole_corpus", pairsEq),
+        ("planted_reingests_caught", plantedCaught),
+        ("split_append_equals_whole", splitEq))
+        .toDF("property", "ok").orderBy("property")
+    }),
     // re-estimate alternations from the deterministic %83 init, the
     // whole trajectory hash-oracled (per-iteration chained CTEs).
     "kmeans_train" -> ((s, dir) =>
@@ -3822,6 +3916,7 @@ object SparkEntry {
     "dedup_simhash" -> "simhash_audit",
     "grouped_quantiles_approx" -> "grouped_quantiles_audit",
     "image_dedup_execute" -> "image_dedup_execute_audit",
+    "audio_incremental_dedup" -> "audio_incremental_dedup_audit",
     "image_incremental_dedup" -> "image_incremental_dedup_audit",
     "image_near_dup" -> "image_near_dup_audit",
     "incremental_quantiles" -> "kll_rank_audit",
@@ -4061,6 +4156,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "ivf_from_index" -> OracleSql.ivfTopK,
     "ivf_from_index_audit" -> OracleSql.ivfFromIndexAudit,
     "image_incremental_dedup_audit" -> OracleSql.imageIncrementalDedupAudit,
+    "audio_incremental_dedup_audit" -> OracleSql.audioIncrementalDedupAudit,
     "kmeans_train" -> OracleSql.kmeansTrain,
     "temperature_mix" -> OracleSql.temperatureMix,
     "streaming_state_dedup_audit" -> OracleSql.streamingStateDedupAudit,

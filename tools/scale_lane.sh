@@ -30,7 +30,7 @@ image_near_dup audio_near_dup image_dedup_execute kmeans_train \
 temperature_mix curriculum_epochs streaming_state_dedup \
 embedding_outliers cross_dedup_matrix minhash_calibration \
 freshness_weights dup_pair_explain dedup_rate_by_batch \
-audio_dedup_execute dedup_state_compact"
+audio_dedup_execute dedup_state_compact ivf_from_index image_incremental_dedup audio_incremental_dedup"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
