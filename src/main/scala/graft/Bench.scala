@@ -62,8 +62,13 @@ object Bench {
   }
 
   /** One query's measurement: best iteration, iteration spread
-    * (max − min; 0 with a single iteration), failure flag. */
-  private case class QTime(min: Double, spread: Double, failed: Boolean)
+    * (max − min; 0 with a single iteration), status ok|fail|oom.
+    * `oom` is kept distinct from `fail` (VERDICT r13 #6): an
+    * OutOfMemoryError is a memory REGRESSION signal, not a per-query
+    * failure, and must not be understated in the artifact. */
+  private case class QTime(min: Double, spread: Double, status: String) {
+    def failed: Boolean = status != "ok"
+  }
 
   private val WorkerLine = """GRAFT_BENCH_Q (\S+) (\S+) (\S+) (\S+)""".r
 
@@ -73,6 +78,46 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .trim.split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
+
+  /** Load-gate (VERDICT r13 #1): before an isolated row, wait (bounded)
+    * for the 1-minute loadavg to decay below `maxLoad` — immediately
+    * after the battery the host is hot from our OWN forked children, and
+    * a row taken then measures the host, not the engine (r13 driver
+    * artifact: flagship isolated 16.83 s at loadavg 8.87 vs 3.97 s
+    * same-tree quiet). Returns the loadavg actually observed at row
+    * start and the seconds spent waiting. */
+  private def awaitQuietHost(maxLoad: Double, perRowWaitSec: Int,
+      budget: java.util.concurrent.atomic.AtomicLong): (Double, Long) = {
+    val t0 = System.nanoTime()
+    var load = loadAvg()
+    while (load > maxLoad && load >= 0 &&
+        (System.nanoTime() - t0) / 1e9 < perRowWaitSec &&
+        budget.get() > 0) {
+      Thread.sleep(5000)
+      budget.addAndGet(-5)
+      load = loadAvg()
+    }
+    (load, ((System.nanoTime() - t0) / 1e9).toLong)
+  }
+
+  /** Previous-round per-query times for excursion auto-isolation
+    * (VERDICT r13 #2): parsed from the committed prior battery sidecar
+    * (flat {"key":sec,...} inside "queries"). Read BEFORE the run so the
+    * sidecar overwrite cannot clobber it. A tiny regex parse keeps the
+    * bench free of JSON-library coupling; a malformed file degrades to
+    * "no prior data" (empty map), never a bench failure. */
+  private def prevTimes(path: String): Map[String, Double] =
+    try {
+      val txt = scala.io.Source.fromFile(path).mkString
+      val qIdx = txt.indexOf("\"queries\":")
+      if (qIdx < 0) Map.empty
+      else {
+        val body = txt.substring(txt.indexOf('{', qIdx) + 1,
+          txt.indexOf('}', qIdx))
+        """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
   /** Run `group` in this JVM: a fresh session per `perSession` queries,
     * and — when several queries share a session — the full hygiene block
@@ -88,11 +133,14 @@ object Bench {
       // per-session warmup OUTSIDE the timed region: scheduler + parquet
       // footer reader + first codegen round, ~0.3 s of fixed cost that
       // would otherwise land on iteration 1 of the first query
+      // NonFatal only (VERDICT r13 #6): a warmup OOM or interrupt must
+      // propagate — in a worker JVM the parent sees a nonzero exit and
+      // records the group honestly instead of timing on a wounded heap
       try {
         val warm = spark.read.parquet(s"$sfDir/lineitem.parquet")
         warm.agg(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1))).head()
-      } catch { case _: Throwable => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
       val times = sess.zipWithIndex.map { case ((name, fn), idx) =>
         if (idx > 0) {
           spark.catalog.clearCache()
@@ -100,18 +148,27 @@ object Bench {
             _.unpersist(blocking = true))
           System.gc()
         }
-        var failed = false
+        var status = "ok"
         val ts = (1 to iterations).map { _ =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() }
-          catch { case _: Throwable => failed = true }
+          catch {
+            case scala.util.control.NonFatal(_) => status = "fail"
+            // an OOM'd query must not masquerade as an ordinary failure
+            // (VERDICT r13 #6): the JVM survives often enough to report,
+            // and the artifact records `oom` so a memory regression at a
+            // bigger sf is visible as such. Errors other than OOM
+            // (LinkageError, InternalError) still propagate and kill the
+            // worker — the parent's clean-exit check catches that.
+            case _: OutOfMemoryError => status = "oom"
+          }
           (System.nanoTime() - t0) / 1e9
         }
         // a failed query's elapsed time is time-to-failure, not engine
         // throughput — keep it for continuity but FLAG it, so a plan
         // that starts raising (e.g. a WindowGuard trip at a bigger sf)
         // cannot masquerade as a fast legitimate result
-        name -> QTime(ts.min, ts.max - ts.min, failed)
+        name -> QTime(ts.min, ts.max - ts.min, status)
       }
       // discard ALL session state (broadcasts, status store, cached and
       // checkpointed blocks) before the next session
@@ -152,13 +209,17 @@ object Bench {
         .getLines().toList
       val rc = proc.waitFor()
       val parsed = out.collect {
-        case WorkerLine(n, t, sp, ok) =>
-          n -> QTime(t.toDouble, sp.toDouble, ok == "fail") }
+        case WorkerLine(n, t, sp, st) =>
+          n -> QTime(t.toDouble, sp.toDouble, st) }
       // a worker that died mid-group may still have timed a prefix —
       // only trust a clean exit that covered every requested query
       if (rc == 0 && parsed.map(_._1).toSet == names.toSet) Some(parsed)
       else None
-    } catch { case _: Throwable => None }
+    } catch {
+      // NonFatal only (VERDICT r13 #6): fork-spawn/parse problems fall
+      // back in-process; an OOM in the PARENT must propagate
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -231,29 +292,81 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%s %.4f %.4f %s", n,
             java.lang.Double.valueOf(qt.min),
             java.lang.Double.valueOf(qt.spread),
-            if (qt.failed) "fail" else "ok")) }
+            qt.status)) }
       return
     }
     val failedQueries = results.collect {
       case (n, qt) if qt.failed => n }.toSeq.sorted
+    val oomQueries = results.collect {
+      case (n, qt) if qt.status == "oom" => n }.toSeq.sorted
     val times = results.map { case (n, qt) => n -> qt.min }
-    // Isolated re-pin sample (VERDICT r12 task 1c): the N slowest keys,
-    // plus the flagship, each in a FRESH single-key child JVM — the
-    // in-suite ≤ 1.3× isolated bound becomes checkable from this round's
-    // own artifact, no separate bench_isolation.sh run needed.
-    val isolated: Map[String, Double] =
+    // Isolated re-pin sample (VERDICT r12 task 1c, hardened r14):
+    //  - the N slowest keys + flagship + SPARK_GRAFT_ISOLATE_KEYS, PLUS
+    //    any key whose in-suite time exceeds 1.3× its previous-round
+    //    value (VERDICT r13 #2 — the r13 artifact left dedup_clusters
+    //    1.44× / dedup_cluster_best 1.55× unadjudicated because they sat
+    //    just below the 10-slowest cut). Prior values come from the
+    //    committed battery sidecar (SPARK_GRAFT_PREV_BENCH, default
+    //    BENCH_full_local.json), read before the run overwrites it.
+    //  - each row is LOAD-GATED (VERDICT r13 #1): wait (bounded) for
+    //    1-min loadavg ≤ SPARK_GRAFT_LOAD_MAX before forking, record the
+    //    loadavg actually observed, and re-run once when the row is
+    //    load-dirty or its iteration spread exceeds its min. Rows that
+    //    never ran quiet are listed in `isolated_unclean` — the artifact
+    //    states which rows are evidence-grade instead of leaving the
+    //    judge to infer it from loadavg_end.
+    val loadMax = sys.env.get("SPARK_GRAFT_LOAD_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(4.0)
+    val excursionFloor = 0.5 // sec; micro-keys are all jitter at ratio 1.3
+    val prev = prevTimes(sys.env.getOrElse(
+      "SPARK_GRAFT_PREV_BENCH", "BENCH_full_local.json"))
+    val excursions: Seq[String] = times.toSeq.collect {
+      case (n, t) if t >= excursionFloor &&
+        prev.get(n).exists(p => p > 0 && t / p > 1.3) => n
+    }.sortBy(n => -(times(n) / prev(n))).take(12) // bound wall-clock
+    case class IsoRow(time: Double, load: Double, clean: Boolean)
+    var isolatedAttempted = 0
+    val isolatedRows: Map[String, IsoRow] =
       if (noFork || isolateN == 0) Map.empty
       else {
         val extra = sys.env.get("SPARK_GRAFT_ISOLATE_KEYS")
           .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
         val sample = (times.toSeq.sortBy(-_._2).take(isolateN).map(_._1) ++
           Seq("profile_lineitem").filter(times.contains) ++
-          extra.filter(times.contains)).distinct
-        sample.flatMap { name =>
+          extra.filter(times.contains) ++ excursions).distinct
+        isolatedAttempted = sample.size
+        // total wait budget across all rows: the gate must bound itself
+        // (a pathological neighbour process must not hang the bench)
+        val waitBudget = new java.util.concurrent.atomic.AtomicLong(
+          sys.env.get("SPARK_GRAFT_LOAD_WAIT_BUDGET")
+            .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(600L))
+        def one(name: String): Option[(Double, Double)] =
           runForked(Seq(name)).flatMap(_.headOption)
-            .filter(!_._2.failed).map { case (n, qt) => n -> qt.min }
+            .filter(!_._2.failed).map { case (_, qt) => (qt.min, qt.spread) }
+        sample.flatMap { name =>
+          val (load1, _) = awaitQuietHost(loadMax, 120, waitBudget)
+          one(name).map { case (t1, sp1) =>
+            val dirty = load1 > loadMax || sp1 > t1
+            if (!dirty) name -> IsoRow(t1, load1, clean = true)
+            else {
+              // one retry after a fresh (shorter) quiet wait; keep the
+              // better row and report the load it actually ran under
+              val (load2, _) = awaitQuietHost(loadMax, 60, waitBudget)
+              one(name) match {
+                case Some((t2, sp2)) if t2 < t1 =>
+                  name -> IsoRow(t2, load2,
+                    clean = load2 <= loadMax && sp2 <= t2)
+                case _ =>
+                  name -> IsoRow(t1, load1, clean = false)
+              }
+            }
+          }
         }.toMap
       }
+    val isolated: Map[String, Double] =
+      isolatedRows.map { case (k, r) => k -> r.time }
+    val isolatedUnclean = isolatedRows.collect {
+      case (k, r) if !r.clean => k }.toSeq.sorted
     val loadEnd = loadAvg()
     val total = if (times.nonEmpty) times.values.sum else 0.0
     // The driver parses this line out of a 2000-char stdout tail; round 3's
@@ -273,33 +386,46 @@ object Bench {
     val spreadMax =
       if (results.isEmpty) 0.0 else results.values.map(_.spread).max
     // loadavg + spread make a noisy-host run self-incriminating in the
-    // artifact; the isolated map is the ≤1.3×-bound evidence (bounded at
-    // ~a dozen entries, so it never participates in truncation)
-    val isoJson = isolated.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    def line(entries: Seq[(String, Double)], failedShown: Seq[String]): String = {
+    // artifact; the isolated map is the ≤1.3×-bound evidence.
+    // isolated_attempted vs the map's size makes a dropped row VISIBLE
+    // (ADVICE r13: a failed single-key fork used to vanish silently, and
+    // "isolated":{} was indistinguishable from a checked-and-empty set);
+    // isolated_unclean counts rows that never ran load-clean.
+    def line(entries: Seq[(String, Double)], failedShown: Seq[String],
+        isoShown: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val isoJson = isoShown.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
         s""""n_queries":${times.size},""" +
         s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
         s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+        s""""load_max":${fmt(loadMax)},""" +
         s""""spread_max":${fmt(spreadMax)},"isolated":$isoJson,""" +
-        s""""n_failed":${failedQueries.size},""" +
+        s""""isolated_attempted":$isolatedAttempted,""" +
+        s""""isolated_unclean":${isolatedUnclean.size},""" +
+        s""""n_failed":${failedQueries.size},"n_oom":${oomQueries.size},""" +
         s""""failed_queries":${failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
     var keep = slowestFirst
     var keepFailed = failedQueries
-    while (line(keep, keepFailed).length > 1850 &&
-      (keep.nonEmpty || keepFailed.nonEmpty)) {
+    // the isolated map participates in truncation (ADVICE r13: with an
+    // unbounded ISOLATE_KEYS list + excursions it could alone blow the
+    // 1850-char budget); slowest-first so the evidence rows survive —
+    // the full map is always in the sidecar
+    var keepIso = isolated.toSeq.sortBy(-_._2)
+    while (line(keep, keepFailed, keepIso).length > 1850 &&
+      (keep.nonEmpty || keepFailed.nonEmpty || keepIso.nonEmpty)) {
       // shrink the failed-name list first (n_failed still records the
-      // count); only then start dropping per-query timings
+      // count), then per-query timings, then the isolated map
       if (keepFailed.nonEmpty) keepFailed = keepFailed.init
-      else keep = keep.init
+      else if (keep.nonEmpty) keep = keep.init
+      else keepIso = keepIso.init
     }
-    val out = line(keep, keepFailed)
+    val out = line(keep, keepFailed, keepIso)
     // Full per-query sidecar (VERDICT r11 task 4): the stdout line keeps
     // its slowest-first 1850-char truncation (driver window), so
     // round-over-round deltas were invisible for fast keys — exactly
@@ -321,15 +447,22 @@ object Bench {
         m.toSeq.sortBy(_._1).map { case (k, v) =>
           "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
             java.lang.Double.valueOf(v)) }.mkString("{", ",", "}")
+      def names(ns: Seq[String]): String =
+        ns.map("\"" + _ + "\"").mkString("[", ",", "]")
       val full =
         s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map4(times)},""" +
           s""""sf":"$sfDir","iterations":$iterations,"agg":"min","n_queries":${times.size},""" +
           s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
           s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
+          s""""load_max":${fmt(loadMax)},""" +
           s""""spreads":${map4(results.map { case (n, qt) => n -> qt.spread })},""" +
           s""""isolated":${map4(isolated)},""" +
-          s""""n_failed":${failedQueries.size},""" +
-          s""""failed_queries":${failedQueries.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+          s""""isolated_load":${map4(isolatedRows.map { case (n, r) => n -> r.load })},""" +
+          s""""isolated_attempted":$isolatedAttempted,""" +
+          s""""isolated_unclean":${names(isolatedUnclean)},""" +
+          s""""excursions":${names(excursions.sorted)},""" +
+          s""""n_failed":${failedQueries.size},"oom_queries":${names(oomQueries)},""" +
+          s""""failed_queries":${names(failedQueries)}}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sc),
         (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.functions.{RollingHash, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Sampling, Similarity}
+import graft.profiler.{IncrementalProfiler, Profiler, ProfilerConfig}
+import graft.streaming.{SessionEvent, StreamingProfile}
+
+/** SparkEntry — Events lane of the driver-contract `queries` map (split
+  * from the former 4.3k-line monolith, VERDICT r13 task 5). Self-typed
+  * to the aggregator so entries use the shared helpers (lineitem,
+  * documents, metricQuery, cfg, ...) unqualified. */
+private[graft] trait SparkEntryEvents { this: SparkEntry.type =>
+
+  protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-UTC-day monitoring profile (E95)
+    "daily_profile" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.dailyProfile(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", "user_id", "value")
+        .orderBy("day")
+    }),
+    // gap-based batch sessionization (E108): 30-minute inactivity gap
+    "sessionize" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.sessionize(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapUs = 30L * 60 * 1000 * 1000)
+        .orderBy("user_id", "session_idx")
+    }),
+    // daily-volume autocorrelation at lags 1 and 7 (E116)
+    "volume_autocorr" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.volumeAutocorr(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", lags = Seq(1, 7))
+        .orderBy("col_a", "col_b")
+    }),
+    // trailing-7-day rolling volume monitor (E115): RANGE frame over day
+    // numbers so outage gaps shrink the window instead of stretching it
+    "rolling_daily_volume" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.rollingDailyVolume(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", windowDays = 7)
+        .orderBy("day")
+    }),
+    // per-state event transition entropy (E111)
+    "transition_entropy" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.transitionEntropy(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id", "event_type")
+        .orderBy("prev_type")
+    }),
+    // timestamp-column profile (E118): the battery face for the column
+    // class the reference Skips, robust to parquet writer drift
+    "ts_profile" -> ((s, dir) =>
+      graft.operators.Events.tsProfile(
+        s.read.parquet(s"$dir/events.parquet"), "ts")),
+    // per-user inter-arrival gap distribution (E119)
+    "interarrival_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.interarrivalStats(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id")
+    }),
+    // hour-of-week traffic heatmap (E120)
+    "hourly_activity" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.hourlyActivity(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", "user_id")
+        .orderBy("dow", "hour")
+    }),
+    // retrospective CUSUM change-point screen over daily volume (E121)
+    "volume_cusum" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.volumeCusum(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us")
+        .orderBy("day")
+    }),
+    // one-row session rollup over the E108 sessionization (E126)
+    "session_stats" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.sessionStats(
+        graft.operators.Events.sessionize(
+          ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+          "user_id", "ts_us", "event_id", "event_type",
+          gapUs = 30L * 60 * 1000 * 1000),
+        "user_id")
+    }),
+    // E119/E126 scale lanes: KLL sketch quantiles + exact scalars in the
+    // same single wide agg; randomized compaction → rows-only, every
+    // number pinned by the 3ε rank-interval audits below
+    "interarrival_stats_approx" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.interarrivalStatsApprox(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id")
+    }),
+    "session_stats_approx" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.sessionStatsApprox(
+        graft.operators.Events.sessionize(
+          ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+          "user_id", "ts_us", "event_id", "event_type",
+          gapUs = 30L * 60 * 1000 * 1000),
+        "user_id")
+    }),
+    // 3ε rank-bound audits (the mad_outliers_audit pattern): ONE exact
+    // pass over the same gap/session relation with every approx estimate
+    // inlined — scalars must match exactly, each sketch quantile's exact
+    // rank interval [P(<v), P(<=v)] must overlap [p−3ε, p+3ε]. Display
+    // values are 6-dp-rounded (≤5e-7 shift), so thresholds back off by
+    // 6e-7 s / 0.5 µs — strictly conservative, never a false fail.
+    "interarrival_stats_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.withColumn(
+        "ts_us", graft.operators.Events.tsMicros(ev, "ts"))
+      val a = graft.operators.Events
+        .interarrivalStatsApprox(e, "user_id", "ts_us", "event_id").head()
+      val gaps = graft.operators.Events
+        .gapRelation(e, "user_id", "ts_us", "event_id")
+      val slack = 3.0 * a.getAs[Double]("rank_eps")
+      val qs = Seq((0.25, "p25_s"), (0.5, "p50_s"), (0.75, "p75_s"),
+        (0.95, "p95_s"))
+      val tolUs = 0.5
+      val aggs = qs.zipWithIndex.flatMap { case ((_, cname), i) =>
+        val vUs = a.getAs[Double](cname) * 1e6
+        Seq(count(when(col("gap_us") < vUs - tolUs, 1)).as(s"lt_$i"),
+          count(when(col("gap_us") <= vUs + tolUs, 1)).as(s"le_$i"))
+      } ++ Seq(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nu"),
+        min(col("gap_us")).as("mn"), max(col("gap_us")).as("mx"),
+        sum(col("gap_us")).as("sm"))
+      val ex = gaps.agg(aggs.head, aggs.tail: _*).head()
+      val n = ex.getAs[Long]("n").toDouble
+      val rows = qs.zipWithIndex.map { case ((p, cname), i) =>
+        (cname.stripSuffix("_s"),
+          ex.getAs[Long](s"lt_$i") / n <= p + slack &&
+            ex.getAs[Long](s"le_$i") / n >= p - slack)
+      } :+ ("scalars",
+        a.getAs[Long]("n_gaps") == ex.getAs[Long]("n") &&
+          a.getAs[Long]("n_users") == ex.getAs[Long]("nu") &&
+          a.getAs[Long]("min_gap_us") == ex.getAs[Long]("mn") &&
+          a.getAs[Long]("max_gap_us") == ex.getAs[Long]("mx") &&
+          math.abs(a.getAs[Double]("mean_gap_s") -
+            math.rint(ex.getAs[Long]("sm").toDouble /
+              ex.getAs[Long]("n") / 1e6 * 1e6) / 1e6) < 1e-9)
+      rows.toDF("property", "ok").orderBy("property")
+    }),
+    "session_stats_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val sess = graft.operators.Events.sessionize(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id", "event_type",
+        gapUs = 30L * 60 * 1000 * 1000)
+      val a = graft.operators.Events
+        .sessionStatsApprox(sess, "user_id").head()
+      val slack = 3.0 * a.getAs[Double]("rank_eps")
+      val qs = Seq((0.5, "p50_duration_s"), (0.9, "p90_duration_s"))
+      val tolUs = 0.5
+      val aggs = qs.zipWithIndex.flatMap { case ((_, cname), i) =>
+        val vUs = a.getAs[Double](cname) * 1e6
+        Seq(count(when(col("duration_us") < vUs - tolUs, 1)).as(s"lt_$i"),
+          count(when(col("duration_us") <= vUs + tolUs, 1)).as(s"le_$i"))
+      } ++ Seq(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("nu"),
+        sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("ns"),
+        sum(col("n_events")).as("te"), sum(col("duration_us")).as("td"))
+      val ex = sess.agg(aggs.head, aggs.tail: _*).head()
+      val n = ex.getAs[Long]("n").toDouble
+      val rows = qs.zipWithIndex.map { case ((p, cname), i) =>
+        (cname.stripSuffix("_duration_s"),
+          ex.getAs[Long](s"lt_$i") / n <= p + slack &&
+            ex.getAs[Long](s"le_$i") / n >= p - slack)
+      } :+ ("scalars",
+        a.getAs[Long]("n_sessions") == ex.getAs[Long]("n") &&
+          a.getAs[Long]("n_users") == ex.getAs[Long]("nu") &&
+          a.getAs[Long]("n_single_event") == ex.getAs[Long]("ns") &&
+          math.abs(a.getAs[Double]("mean_events") -
+            math.rint(ex.getAs[Long]("te").toDouble /
+              ex.getAs[Long]("n") * 1e6) / 1e6) < 1e-9 &&
+          math.abs(a.getAs[Double]("mean_duration_s") -
+            math.rint(ex.getAs[Long]("td").toDouble /
+              ex.getAs[Long]("n") / 1e6 * 1e6) / 1e6) < 1e-9)
+      rows.toDF("property", "ok").orderBy("property")
+    }),
+    // market-basket association rules over event types (E122)
+    "assoc_rules" -> ((s, dir) =>
+      graft.operators.Events.assocRules(
+        s.read.parquet(s"$dir/events.parquet"), "user_id", "event_type")
+        .orderBy("antecedent", "consequent")),
+    // per-type daily volume burst screen (E127)
+    "type_burst" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.typeBurst(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "ts_us", "event_type")
+        .orderBy("event_type", "day")
+    }),
+    // power-user/long-tail activity histogram (E132)
+    "user_activity_histogram" -> ((s, dir) =>
+      graft.operators.Events.userActivityHistogram(
+        s.read.parquet(s"$dir/events.parquet"), "user_id")
+        .orderBy("bucket")),
+    "events_json" -> ((s, dir) => {
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+              .cast("double"), 6).as("sum_value"))
+        .orderBy("k")
+    }),
+    // as-of enrichment: each purchase annotated with the latest
+    // strictly-prior view of the same user (value, time, gap)
+    "asof_enrich" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("event_id"), col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"),
+        col("event_type"), col("value"))
+      graft.operators.AsOf.lastPrior(
+        e, "user_id", "ts_us",
+        col("event_type") === "view",
+        Seq("value" -> "last_view_value", "ts_us" -> "last_view_ts_us"),
+        tieBreak = Seq("event_id"))
+        .where(col("event_type") === "purchase")
+        .select(
+          col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("last_view_value"), col("last_view_ts_us"),
+          (col("ts_us") - col("last_view_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+    // CDC-style snapshot reconciliation (E87): deterministic before/after
+    // variants of orders — keys ending 3 appear, 7 vanish, 5 change price
+    "snapshot_diff" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val before = o.where(col("o_orderkey") % 10 =!= 3)
+      val after = o.where(col("o_orderkey") % 10 =!= 7)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 5, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.profiler.SnapshotDiff.diff(before, after,
+        Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    }),
+    // strict-order conversion funnel over the event stream table
+    "event_funnel" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"), col("event_type"))
+      graft.operators.Events.funnel(
+        e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+        .orderBy("stage")
+    }),
+    // funnel time-to-convert latency distribution (E102)
+    "time_to_convert" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"), col("event_type"))
+      graft.operators.Events.timeToConvert(
+        e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+        .orderBy("transition")
+    }),
+    // E102 scale lane: grouped KLL sketches replace the per-transition
+    // collect_list delta buffer; rows-only (randomized compaction),
+    // pinned by time_to_convert_audit's 3ε rank intervals
+    "time_to_convert_approx" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"),
+        col("event_type"))
+      graft.operators.Events.timeToConvertApprox(
+        e, "user_id", "ts_us", "event_type", Seq("signup", "view", "purchase"))
+        .orderBy("transition")
+    }),
+    "time_to_convert_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"),
+        graft.operators.Events.tsMicros(ev, "ts").as("ts_us"),
+        col("event_type"))
+      val stages = Seq("signup", "view", "purchase")
+      val approx = graft.operators.Events.timeToConvertApprox(
+        e, "user_id", "ts_us", "event_type", stages).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val deltas = graft.operators.Events.convertDeltas(
+        e, "user_id", "ts_us", "event_type", stages)
+      val names = stages.sliding(2).zipWithIndex
+        .map { case (Seq(x, y), i) => (i, s"$x->$y") }.toSeq
+      // display values are 6-dp-rounded (≤5e-7 s shift); atoms are ≥1 µs
+      // apart, so a 6e-7 back-off keeps both counts conservative
+      val tol = 6e-7
+      val aggs = names.flatMap { case (i, nm) =>
+        val r = approx(nm)
+        if (r.isNullAt(2)) Seq(count(when(col("i") === i, 1)).as(s"n_$i"))
+        else {
+          val (v50, v90) = (r.getDouble(2), r.getDouble(3))
+          Seq(
+            count(when(col("i") === i, 1)).as(s"n_$i"),
+            count(when(col("i") === i && col("delta_s") < v50 - tol, 1))
+              .as(s"lt50_$i"),
+            count(when(col("i") === i && col("delta_s") <= v50 + tol, 1))
+              .as(s"le50_$i"),
+            count(when(col("i") === i && col("delta_s") < v90 - tol, 1))
+              .as(s"lt90_$i"),
+            count(when(col("i") === i && col("delta_s") <= v90 + tol, 1))
+              .as(s"le90_$i"))
+        }
+      }
+      val ex = deltas.agg(aggs.head, aggs.tail: _*).head()
+      val rows = names.map { case (i, nm) =>
+        val r = approx(nm)
+        val nOk = r.getLong(1) == ex.getAs[Long](s"n_$i")
+        if (r.isNullAt(2)) (nm, nOk, ex.getAs[Long](s"n_$i") == 0L,
+          ex.getAs[Long](s"n_$i") == 0L)
+        else {
+          val n = ex.getAs[Long](s"n_$i").toDouble
+          val slack = 3.0 * r.getDouble(4)
+          def ok(p: Double, lt: String, le: String): Boolean =
+            ex.getAs[Long](lt) / n <= p + slack &&
+              ex.getAs[Long](le) / n >= p - slack
+          (nm, nOk, ok(0.5, s"lt50_$i", s"le50_$i"),
+            ok(0.9, s"lt90_$i", s"le90_$i"))
+        }
+      }
+      rows.toDF("transition", "n_ok", "p50_ok", "p90_ok")
+        .orderBy("transition")
+    }),
+    // daily cohort retention matrix (first-active-day cohorts, 7-day window)
+    "cohort_retention" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val e = ev.select(
+        col("user_id"), graft.operators.Events.tsMicros(ev, "ts").as("ts_us"))
+      graft.operators.Events.cohortRetention(e, "user_id", "ts_us", maxOffset = 7)
+        .orderBy("cohort_day", "day_offset")
+    })
+  )
+}

@@ -1,0 +1,484 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.functions.{RollingHash, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Sampling, Similarity}
+import graft.profiler.{IncrementalProfiler, Profiler, ProfilerConfig}
+import graft.streaming.{SessionEvent, StreamingProfile}
+
+/** SparkEntry — Stats lane of the driver-contract `queries` map (split
+  * from the former 4.3k-line monolith, VERDICT r13 task 5). Self-typed
+  * to the aggregator so entries use the shared helpers (lineitem,
+  * documents, metricQuery, cfg, ...) unqualified. */
+private[graft] trait SparkEntryStats { this: SparkEntry.type =>
+
+  protected def statsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // winsorized robust moments: exact [p01, p99] clip envelope per
+    // numeric column, decimal-quantized clipped mean/stddev + clip count
+    "winsorized_stats" -> ((s, dir) =>
+      graft.profiler.RobustStats.winsorizedStats(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance", "name")),
+    // E70's 100 TB path (r9): KLL bounds pass (fixed-size mergeable
+    // state, never a value-map percentile aggregate) + the UNCHANGED
+    // exact decSum clipped-moment pass — the only approximation is where
+    // the clip bounds land; rows-only, pinned by winsorized_stats_audit
+    "winsorized_stats_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.winsorizedStatsApprox(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance", "name")),
+    "winsorized_stats_audit" -> ((s, dir) => {
+      import s.implicits._
+      val cols = OracleSql.Lineitem.numeric
+      val li = lineitem(s, dir).select(cols.map(col): _*)
+      val approx = graft.profiler.RobustStats
+        .winsorizedStatsApprox(li, cols).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      // interval-based boundary logic (see mad_outliers_audit): each
+      // sketch bound must be a true value whose exact tie-interval
+      // [P(x<v), P(x<=v)] overlaps its target rank +/- 3eps
+      val tol = 1e-5
+      val aggs = cols.flatMap { c =>
+        val lo = approx((c, "WinsorizedLow-0.01"))
+        val hi = approx((c, "WinsorizedHigh-0.99"))
+        val x = col(c).cast("double")
+        Seq(
+          count(x).as(s"n_$c"),
+          count(when(x < lo - tol, 1)).as(s"lolt_$c"),
+          count(when(x <= lo + tol, 1)).as(s"lole_$c"),
+          count(when(x < hi - tol, 1)).as(s"hilt_$c"),
+          count(when(x <= hi + tol, 1)).as(s"hile_$c"))
+      }
+      val e = li.agg(aggs.head, aggs.tail: _*).head()
+      def g(n: String) = e.getAs[Long](n)
+      cols.map { c =>
+        val n = g(s"n_$c").toDouble
+        val slack = 3.0 * approx((c, "WinsorizedRankEps"))
+        def rankOk(p: Double, ltKey: String, leKey: String): Boolean =
+          g(ltKey) / n <= p + slack && g(leKey) / n >= p - slack
+        (c,
+          rankOk(0.01, s"lolt_$c", s"lole_$c"),
+          rankOk(0.99, s"hilt_$c", s"hile_$c"))
+      }.toDF("instance", "lo_rank_ok", "hi_rank_ok")
+        .orderBy("instance")
+    }),
+    // exact two-sample KS drift between the even/odd-order halves (E98)
+    "ks_drift" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.ksDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
+    // approximate KS via mergeable KLL sketches (E109) — E98's 100 TB
+    // path: one union scan, two k-bounded sketches on the wire, no
+    // global-order window; randomized compaction → rows-only here, the
+    // bound vs the exact twin is pinned by ks_drift_audit
+    "ks_drift_approx" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.ksDriftApprox(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
+    "ks_drift_audit" -> ((s, dir) => {
+      import s.implicits._
+      val li = lineitem(s, dir)
+      val even = li.where(col("l_orderkey") % 2 === 0)
+      val odd = li.where(col("l_orderkey") % 2 === 1)
+      def one(before: org.apache.spark.sql.DataFrame,
+          after: org.apache.spark.sql.DataFrame, c: String) = {
+        val a = graft.profiler.Checks.ksDriftApprox(before, after, c).head()
+        val e = graft.profiler.Checks.ksDrift(before, after, c).head()
+        (a.getDouble(3), a.getDouble(4), e.getDouble(3),
+          a.getLong(0) == e.getLong(0) && a.getLong(1) == e.getLong(1))
+      }
+      // same-distribution halves: D̂ within 3ε of the exact twin
+      val (dSame, epsSame, dExactSame, countsSame) =
+        one(even, odd, "l_extendedprice")
+      // disjoint-support pair: price vs discount — exact D = 1; the
+      // sketch must still see (near-)total separation
+      val (dShift, _, dExactShift, _) =
+        one(li.select(col("l_extendedprice").as("v")),
+          li.select(col("l_discount").as("v")), "v")
+      Seq(
+        ("same_within_3eps", math.abs(dSame - dExactSame) <= 3 * epsSame),
+        ("shift_within_3eps", math.abs(dShift - dExactShift) <= 3 * epsSame),
+        ("d_in_unit", dSame >= 0.0 && dSame <= 1.0 &&
+          dShift >= 0.0 && dShift <= 1.0),
+        ("counts_exact", countsSame),
+        ("shift_detected", dShift >= 0.9))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // co-missingness correlation (E104): which columns go missing together
+    "null_corr" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val dirty = o.select(
+        when(col("o_orderkey") % 7 < 2, lit(null))
+          .otherwise(col("o_totalprice")).as("price"),
+        when(col("o_orderkey") % 7 < 2, lit(null))
+          .otherwise(col("o_custkey")).as("cust"),
+        when(col("o_orderkey") % 5 === 0, lit(null))
+          .otherwise(col("o_orderdate")).as("odate"))
+      graft.profiler.Correlation.nullCorrelation(
+        dirty, Seq("price", "cust", "odate"))
+        .orderBy("col_a", "col_b")
+    }),
+    // Spearman rank correlation over two numeric pairs (E103)
+    "spearman_corr" -> ((s, dir) =>
+      graft.profiler.Correlation.spearman(
+        lineitem(s, dir),
+        Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")))
+        .orderBy("col_a", "col_b")),
+    // E103's 100 TB mode (r8): ranks from each column's KLL sketch CDF —
+    // two shuffle-free scans, no global-order window. Approximate by
+    // design → no hash oracle; spearman_audit pins |ρ̂ − ρ| vs the exact
+    // twin on a correlated AND a near-independent pair.
+    "spearman_approx" -> ((s, dir) =>
+      graft.profiler.Correlation.spearmanApprox(
+        lineitem(s, dir),
+        Seq(("l_quantity", "l_extendedprice"), ("l_discount", "l_tax")))
+        .orderBy("col_a", "col_b")),
+    "spearman_audit" -> ((s, dir) => {
+      import s.implicits._
+      // three regimes, because the testdata's own column pairs are all
+      // near-independent (|ρ| < 0.01 — they'd pass any rank mapping):
+      // a perfectly monotone pair (exact ρ = 1, the sensitivity check),
+      // a near-independent pair, and a heavy-ties pair (few distinct
+      // values — the regime the mid-rank tie convention exists for)
+      val base = lineitem(s, dir).select(
+        col("l_extendedprice").cast("double").as("v"),
+        log(col("l_extendedprice")).as("lv"),
+        col("l_discount").as("d"), col("l_tax").as("t"),
+        col("l_quantity").as("q"), col("l_linenumber").as("ln"))
+      val pairs = Seq(("v", "lv"), ("d", "t"), ("q", "ln"))
+      def keyed(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+      val ap = keyed(graft.profiler.Correlation
+        .spearmanApprox(base, pairs).collect())
+      val ex = keyed(graft.profiler.Correlation
+        .spearman(base, pairs).collect())
+      def diffOk(p: (String, String)) = (ap(p)._2, ex(p)._2) match {
+        case (Some(a), Some(e)) => math.abs(a - e) <= 0.02
+        case (a, e) => a.isEmpty == e.isEmpty
+      }
+      Seq(
+        ("counts_match", pairs.forall(p => ap(p)._1 == ex(p)._1)),
+        ("independent_within_bound", diffOk(pairs(1))),
+        ("monotone_near_one", ap(pairs(0))._2.exists(_ >= 0.98)),
+        ("monotone_within_bound", diffOk(pairs(0))),
+        ("rho_in_unit", ap.values.flatMap(_._2).forall(r => math.abs(r) <= 1.0)),
+        ("ties_within_bound", diffOk(pairs(2))))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // Benford first-digit screen on the price column (E97)
+    "benford_digits" -> ((s, dir) =>
+      graft.profiler.RobustStats.benfordTest(
+        lineitem(s, dir), "l_extendedprice")
+        .orderBy("digit")),
+    // Tukey-fence outlier tail sizes per numeric column (E96)
+    "iqr_outliers" -> ((s, dir) =>
+      graft.profiler.RobustStats.iqrOutliers(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
+    // E96's 100 TB path (r9): ONE KLL sketch scan — quartiles from the
+    // sketch, tail counts as CDF rank lookups on the same sketch (no
+    // second pass at all); rows-only, pinned by iqr_outliers_audit
+    "iqr_outliers_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.iqrOutliersApprox(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
+    "iqr_outliers_audit" -> ((s, dir) => {
+      import s.implicits._
+      val cols = OracleSql.Lineitem.numeric
+      val li = lineitem(s, dir).select(cols.map(col): _*)
+      val approx = graft.profiler.RobustStats
+        .iqrOutliersApprox(li, cols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // interval-based boundary logic — see mad_outliers_audit's note on
+      // tie atoms sitting exactly on a rounded fence
+      val tol = 1e-5
+      val aggs = cols.flatMap { c =>
+        val r = approx(c)
+        val (q1, q3, lo, hi) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))
+        val x = col(c).cast("double")
+        Seq(
+          count(x).as(s"n_$c"),
+          count(when(x < q1 - tol, 1)).as(s"q1lt_$c"),
+          count(when(x <= q1 + tol, 1)).as(s"q1le_$c"),
+          count(when(x < q3 - tol, 1)).as(s"q3lt_$c"),
+          count(when(x <= q3 + tol, 1)).as(s"q3le_$c"),
+          count(when(x < lo - tol, 1)).as(s"blomin_$c"),
+          count(when(x <= lo + tol, 1)).as(s"blomax_$c"),
+          count(when(x > hi + tol, 1)).as(s"ahimin_$c"),
+          count(when(x >= hi - tol, 1)).as(s"ahimax_$c"))
+      }
+      val e = li.agg(aggs.head, aggs.tail: _*).head()
+      def g(n: String) = e.getAs[Long](n)
+      cols.map { c =>
+        val r = approx(c)
+        val n = g(s"n_$c").toDouble
+        val slack = 3.0 * r.getDouble(7)
+        // each sketch quartile must be a true value whose tie-interval
+        // [P(x<v), P(x<=v)] overlaps p +/- 3eps
+        def rankOk(p: Double, ltKey: String, leKey: String): Boolean =
+          g(ltKey) / n <= p + slack && g(leKey) / n >= p - slack
+        val cntSlack = slack * n + 1
+        def cntOk(est: Long, minKey: String, maxKey: String): Boolean =
+          est >= g(minKey) - cntSlack && est <= g(maxKey) + cntSlack
+        (c,
+          rankOk(0.25, s"q1lt_$c", s"q1le_$c"),
+          rankOk(0.75, s"q3lt_$c", s"q3le_$c"),
+          cntOk(r.getLong(5), s"blomin_$c", s"blomax_$c"),
+          cntOk(r.getLong(6), s"ahimin_$c", s"ahimax_$c"))
+      }.toDF("instance", "q1_rank_ok", "q3_rank_ok",
+        "below_ok", "above_ok")
+        .orderBy("instance")
+    }),
+    // MAD robust outlier screen (E114): median +/- 3*MAD fences
+    "mad_outliers" -> ((s, dir) =>
+      graft.profiler.RobustStats.madOutliers(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
+    // E114's 100 TB path (r9): two KLL sketch scans, tail counts as
+    // CDF lookups on the pass-1 sketch — no third pass; randomized
+    // compaction → rows-only, bounds pinned by mad_outliers_audit
+    "mad_outliers_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.madOutliersApprox(
+        lineitem(s, dir).select(OracleSql.Lineitem.numeric.map(col): _*),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")),
+    "mad_outliers_audit" -> ((s, dir) => {
+      import s.implicits._
+      val cols = OracleSql.Lineitem.numeric
+      val li = lineitem(s, dir).select(cols.map(col): _*)
+      val approx = graft.profiler.RobustStats
+        .madOutliersApprox(li, cols).collect()
+        .map(r => r.getString(0) -> r).toMap
+      // one wide exact pass with every approx estimate inlined. The
+      // audit sees only the 6-dp-rounded display values, and lineitem
+      // columns are tie-heavy 2-dp grids — an atom can sit EXACTLY on a
+      // recomputed median/fence, where float noise (|0.04-0.05| =
+      // 0.010000000000000002 vs the rounded 0.01) flips the atom's whole
+      // tie mass across the boundary. So every check is interval-based:
+      // strict count below (v - tol) vs inclusive count at (v + tol) —
+      // the estimate must agree with SOME tie-breaking of the boundary
+      // atom within sketch error.
+      val tol = 1e-5
+      val aggs = cols.flatMap { c =>
+        val r = approx(c)
+        val (m, mad, lo, hi) = (r.getDouble(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))
+        val x = col(c).cast("double")
+        val d = abs(x - lit(m))
+        Seq(
+          count(x).as(s"n_$c"),
+          count(when(x < m - tol, 1)).as(s"mlt_$c"),
+          count(when(x <= m + tol, 1)).as(s"mle_$c"),
+          count(when(d < mad - tol, 1)).as(s"dlt_$c"),
+          count(when(d <= mad + tol, 1)).as(s"dle_$c"),
+          count(when(x < lo - tol, 1)).as(s"blomin_$c"),
+          count(when(x <= lo + tol, 1)).as(s"blomax_$c"),
+          count(when(x > hi + tol, 1)).as(s"ahimin_$c"),
+          count(when(x >= hi - tol, 1)).as(s"ahimax_$c"))
+      }
+      val e = li.agg(aggs.head, aggs.tail: _*).head()
+      def g(n: String) = e.getAs[Long](n)
+      cols.map { c =>
+        val r = approx(c)
+        val n = g(s"n_$c").toDouble
+        val slack = 3.0 * r.getDouble(7)
+        // the sketch median/MAD must be a true value at rank 0.5±3eps:
+        // with ties the exact rank is the [P(x<v), P(x<=v)] interval,
+        // which must overlap [0.5-slack, 0.5+slack]
+        def rankOk(ltKey: String, leKey: String): Boolean =
+          g(ltKey) / n <= 0.5 + slack && g(leKey) / n >= 0.5 - slack
+        val cntSlack = slack * n + 1
+        def cntOk(est: Long, minKey: String, maxKey: String): Boolean =
+          est >= g(minKey) - cntSlack && est <= g(maxKey) + cntSlack
+        (c,
+          rankOk(s"mlt_$c", s"mle_$c"),
+          rankOk(s"dlt_$c", s"dle_$c"),
+          cntOk(r.getLong(5), s"blomin_$c", s"blomax_$c"),
+          cntOk(r.getLong(6), s"ahimin_$c", s"ahimax_$c"))
+      }.toDF("instance", "med_rank_ok", "mad_rank_ok",
+        "below_ok", "above_ok")
+        .orderBy("instance")
+    }),
+    // equi-width numeric histogram (10 bins over l_extendedprice)
+    "numeric_histogram" -> ((s, dir) =>
+      graft.profiler.NumericHistogram.equiWidth(lineitem(s, dir), "l_extendedprice", 10)
+        .orderBy("bucket")),
+    // pairwise Pearson correlation across all numeric columns: one wide
+    // single-pass aggregation of decimal-quantized moments
+    "column_corr" -> ((s, dir) =>
+      graft.profiler.Correlation.matrix(
+        lineitem(s, dir), OracleSql.Lineitem.numeric)
+        .orderBy("col_a", "col_b")),
+    // corpus-calibrated quality percentile (E131): PERCENT_RANK without
+    // the single-partition global window
+    "score_percentile" -> ((s, dir) =>
+      graft.operators.Ranking.scorePercentile(
+        documents(s, dir).select(
+          col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 6).as("score")),
+        "doc_id", "score")
+        .orderBy("doc_id")),
+    // per-domain doc-length percentile table (E82)
+    "grouped_quantiles" -> ((s, dir) =>
+      graft.profiler.RobustStats.groupedQuantiles(
+        documents(s, dir), "source", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("source")),
+    // E82's 100 TB mode (r8): per-group KLL sketch battery — fixed-size
+    // state per group, estimates extracted distributed. Approximate →
+    // no hash oracle; grouped_quantiles_audit pins the rank bound.
+    "grouped_quantiles_approx" -> ((s, dir) =>
+      graft.profiler.RobustStats.groupedQuantilesApprox(
+        documents(s, dir), "source", "n_chars",
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy("source")),
+    "grouped_quantiles_audit" -> ((s, dir) => {
+      import s.implicits._
+      val ps = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+      val docs = documents(s, dir)
+      val est = graft.profiler.RobustStats.groupedQuantilesApprox(
+        docs, "source", "n_chars", ps)
+      val exact = graft.profiler.RobustStats.groupedQuantiles(
+        docs, "source", "n_chars", ps)
+      // group-relation parity with the exact twin (same groups, same n)
+      val pcols = ps.map(p => s"p${(p * 100).round}")
+      val keyMismatch = est.select("source", "n")
+        .join(exact.select("source", "n"), Seq("source", "n"), "full_outer")
+        .where(col("n").isNull).count()
+      // per-(group, p) rank bound, checked against the DATA (E109/KLL
+      // convention): rank window of the estimate within its group must
+      // cover p ± 3ε. One broadcast join of the metadata-sized estimate
+      // relation + one grouped conditional-count pass.
+      val eps = 3 * 0.0165
+      val joined = docs.select(col("source"), col("n_chars"))
+        .join(broadcast(est.select(
+          col("source") +: pcols.map(c => col(c).as(s"e_$c")): _*)),
+          Seq("source"))
+      val aggs = pcols.flatMap(c => Seq(
+        count(when(col("n_chars") < col(s"e_$c"), 1)).as(s"lt_$c"),
+        count(when(col("n_chars") <= col(s"e_$c"), 1)).as(s"le_$c"))) :+
+        count(col("n_chars")).as("nn")
+      val ranks = joined.groupBy("source").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val allInBound = ranks.forall { r =>
+        val nn = r.getAs[Long]("nn").toDouble
+        ps.zip(pcols).forall { case (p, c) =>
+          r.getAs[Long](s"le_$c") >= (p - eps) * nn &&
+            r.getAs[Long](s"lt_$c") + 1 <= (p + eps) * nn
+        }
+      }
+      // quantile estimates are monotone in p within every group
+      val mono = est.collect().forall { r =>
+        val vs = pcols.map(c => r.getAs[Double](c))
+        vs.zip(vs.tail).forall { case (a, b) => a <= b }
+      }
+      Seq(
+        ("all_quantiles_within_rank_bound", allInBound),
+        ("groups_and_counts_match_exact", keyMismatch == 0L),
+        ("monotone_within_group", mono))
+        .toDF("property", "ok").orderBy("property")
+    }),
+    // chi-square independence test over the same pairs (E99)
+    "chi_square" -> ((s, dir) =>
+      graft.profiler.MutualInfo.chiSquare(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderstatus", "o_custkey")))
+        .orderBy("col_a", "col_b")),
+    // directional uncertainty coefficients over the same pairs (E105)
+    "theils_u" -> ((s, dir) =>
+      graft.profiler.MutualInfo.theilsU(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderstatus", "o_custkey")))
+        .orderBy("col_a", "col_b")),
+    // pairwise mutual information over the categorical columns (E80)
+    "mutual_info" -> ((s, dir) =>
+      graft.profiler.MutualInfo.pairs(
+        s.read.parquet(s"$dir/orders.parquet"),
+        Seq(("o_orderstatus", "o_orderpriority"),
+          ("o_orderpriority", "o_custkey"), ("o_orderstatus", "o_custkey")))
+        .orderBy("col_a", "col_b")),
+    // exact-decile curriculum bucketing (E88)
+    "quantile_buckets" -> ((s, dir) =>
+      graft.operators.Sampling.quantileBuckets(
+        documents(s, dir), "doc_id", "n_chars", nBuckets = 10)
+        .orderBy("doc_id")),
+    // histogram drift (PSI) between the even/odd-orderkey snapshots of
+    // every numeric column — the binned complement of metric_anomaly
+    "histogram_drift" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.histogramDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        OracleSql.Lineitem.numeric)
+        .orderBy("instance")
+    }),
+    // context-length planning: equi-width histogram over per-doc token counts
+    "seq_length_histogram" -> ((s, dir) =>
+      graft.profiler.NumericHistogram.equiWidth(
+        documents(s, dir).select(TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
+        "n_tokens", 10)
+        .orderBy("bucket")),
+    // ===== driver-visible invariant audits =====
+    // Each audit emits deterministic booleans pinning a GUARANTEED
+    // invariant of an operator whose raw output the SQL oracle cannot
+    // reproduce (LSH banding, randomized sketch compaction, physical plan
+    // shapes, sink side effects); the oracle pins them as an all-true
+    // VALUES list (the approx_error_audit precedent), so a regression
+    // flips a row to false and hash-fails the round. Audits re-run other
+    // operators plus brute-force twins, so Bench excludes `*_audit` keys
+    // from the throughput line (they'd double-count engine work).
+    //
+    // E3: LSH candidates are exact-rescored, so every emitted pair must
+    // appear in the exact n-gram Jaccard relation with the identical
+    // 6-dp jaccard, above threshold, id_a < id_b.
+    // E91: MG estimates are partitioning-dependent near the threshold, but
+    // the three Misra-Gries guarantees are exact — pinned here vs the
+    // exact frequency table, with integer algebra (c·(k+1) vs n) so the
+    // bound check itself has no FP edge.
+    "heavy_hitters_audit" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.HeavyHitters.register(s)
+      val k = 100
+      val tok = documents(s, dir).select(
+        explode(graft.functions.TextFunctions.wsTokens(lower(col("text")))).as("t"))
+      val est = graft.functions.HeavyHitters.topK(tok, col("t"), k)
+        .withColumnRenamed("token", "t").localCheckpoint()
+      val exact = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val n = tok.count()
+      val j = est.join(exact, Seq("t"))
+      val subset = est.join(exact, Seq("t"), "left_anti").count() == 0L
+      val never_over = j.where(col("est") > col("c")).count() == 0L
+      val bounded = j.where((col("c") - col("est")) * (k + 1) > n).count() == 0L
+      val noMissed = exact.where(col("c") * (k + 1) > n)
+        .join(est, Seq("t"), "left_anti").count() == 0L
+      val mass = est.agg(coalesce(sum("est"), lit(0L)).as("s"))
+        .head().getLong(0) <= n
+      Seq(
+        ("est_subset_of_vocab", subset),
+        ("est_never_over", never_over),
+        ("no_missed_heavy_hitter", noMissed),
+        ("undercount_bounded", bounded),
+        ("total_mass_bounded", mass))
+        .toDF("property", "ok").orderBy("property")
+    })
+  )
+}

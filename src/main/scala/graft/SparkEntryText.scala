@@ -1,0 +1,300 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+import graft.functions.{RollingHash, TextFunctions}
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Sampling, Similarity}
+import graft.profiler.{IncrementalProfiler, Profiler, ProfilerConfig}
+import graft.streaming.{SessionEvent, StreamingProfile}
+
+/** SparkEntry — Text lane of the driver-contract `queries` map (split
+  * from the former 4.3k-line monolith, VERDICT r13 task 5). Self-typed
+  * to the aggregator so entries use the shared helpers (lineitem,
+  * documents, metricQuery, cfg, ...) unqualified. */
+private[graft] trait SparkEntryText { this: SparkEntry.type =>
+
+  protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // asymmetric n-gram containment pairs (E128): the quoted-inside
+    // relation Jaccard under-reports
+    "ngram_containment" -> ((s, dir) =>
+      Dedup.ngramContainment(
+        documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("id_sub", "id_super")),
+    // per-document n-gram novelty score (E129)
+    "ngram_novelty" -> ((s, dir) =>
+      Dedup.ngramNovelty(documents(s, dir), "doc_id", "text", n = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // declared-vs-detected language confusion matrix (E134)
+    "lang_agreement" -> ((s, dir) =>
+      graft.operators.CorpusStats.langAgreement(
+        documents(s, dir), "lang", "text")
+        .orderBy("declared", "detected")),
+    // HTML tag stripping over a deterministic render (E144): the piiScan
+    // constructed-input precedent — cleaning is exact-checked end to end
+    "html_strip" -> ((s, dir) => {
+      val raw = concat(
+        lit("<html><body class=\"doc\"><p>"), col("text"),
+        lit("</p><br/><div>footer "), col("doc_id").cast("string"),
+        lit("</div></body></html>"))
+      val clean = TextFunctions.htmlStrip(raw)
+      documents(s, dir).select(
+        col("doc_id"),
+        length(raw).cast("long").as("n_raw"),
+        length(clean).cast("long").as("n_clean"),
+        substring(sha2(clean, 256), 1, 16).as("clean_sha"))
+        .orderBy("doc_id")
+    }),
+    // regex-layer sentence segmentation stats (E145)
+    "sentence_stats" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.sentenceCount(col("text")).as("n_sentences"),
+        TextFunctions.meanSentenceChars(col("text")).as("mean_sentence_chars"))
+        .orderBy("doc_id")),
+    // per-language character-class profile (E146): encoding QA
+    "char_class_stats" -> ((s, dir) =>
+      graft.operators.CorpusStats.charClassStats(
+        documents(s, dir), "lang", "text")
+        .orderBy("lang")),
+    // document-frequency stopword discovery (E123)
+    "doc_freq" -> ((s, dir) =>
+      graft.operators.CorpusStats.docFrequency(
+        documents(s, dir), "text", k = 50)),
+    // chars/bytes-per-token fertility report by language (E125)
+    "tokenizer_fertility" -> ((s, dir) =>
+      graft.operators.CorpusStats.tokenizerFertility(
+        documents(s, dir), "lang", "text")
+        .orderBy("lang")),
+    // BPE vocabulary induction (E159): the merge-table learner — eight
+    // deterministic most-frequent-pair merges over the word-frequency
+    // vocabulary, each step one aggregation + a codegen'd merge pass
+    "bpe_merges" -> ((s, dir) =>
+      graft.operators.BpeInduction.bpeMerges(documents(s, dir), "text", 8)
+        .orderBy("merge_rank")),
+    // BPE encode (E160): the inference half — per-doc token stats under
+    // the learned 8-merge table (rank-order application, vocab-level)
+    "bpe_encode" -> ((s, dir) =>
+      graft.operators.BpeInduction.bpeEncode(documents(s, dir), "doc_id", "text", 8)
+        .orderBy("doc_id")),
+    // context-window chunking: 64-token windows, 16-token overlap
+    "doc_chunks" -> ((s, dir) =>
+      TextFunctions.chunkDocuments(documents(s, dir), "doc_id", "text", 64, 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "chunk_idx")),
+    // text analysis (documents table)
+    "token_count" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        round(
+          when(
+            length(col("text")) > 0,
+            TextFunctions.punctCount(col("text")).cast("double") /
+              length(col("text")).cast("double")), 6).as("punct_ratio"),
+        round(
+          when(
+            TextFunctions.wsTokenCount(col("text")) > 0,
+            TextFunctions.stopwordCount(
+              TextFunctions.wsTokens(lower(col("text"))),
+              TextFunctions.Stopwords.collectFirst { case ("en", w) => w }.get)
+              .cast("double") /
+              TextFunctions.wsTokenCount(col("text")).cast("double")), 6)
+          .as("stopword_ratio"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        .orderBy("doc_id")),
+    // CCNet-style LM quality filter: corpus-trained unigram model, per-doc
+    // mean token log-probability + perplexity
+    "lm_quality" -> ((s, dir) =>
+      graft.operators.LangModel.unigramScore(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // tokenizer-coverage gate: OOV rate vs the corpus top-100 vocabulary
+    "vocab_coverage" -> ((s, dir) =>
+      graft.operators.CorpusStats.vocabCoverage(
+        documents(s, dir), "doc_id", "text", k = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // add-1 bigram LM: word-salad scores badly even when unigrams look fine
+    "bigram_lm" -> ((s, dir) =>
+      graft.operators.LangModel.bigramScore(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // interpolated trigram perplexity (E174): Jelinek-Mercer fixed-lambda
+    // backoff over corpus-trained tri/bi/unigram counts - the next step
+    // toward the CCNet KenLM filter; full hash oracle
+    "trigram_lm" -> ((s, dir) =>
+      graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // cross-corpus KN perplexity (E197): the CCNet setup — model trained
+    // on the reference slice, scoring the web slice; unseen contexts
+    // back off level by level, unseen last words are counted as OOV
+    "kn_cross_ppl" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.LangModel.kneserNeyCrossScore(
+        d.where(col("doc_id") % 101 === 0),
+        d.where(col("doc_id") % 101 =!= 0), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+    // Gopher quality-rule battery (E192): the seven Rae et al. heuristic
+    // checks + conjunctive keep, every cut an integer comparison, one
+    // map-only pass
+    "gopher_rules" -> ((s, dir) =>
+      graft.operators.CorpusStats.gopherRules(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // interpolated Kneser-Ney trigram perplexity (E191): absolute
+    // discounting with continuation-type counts (the KenLM/CCNet
+    // smoothing), three-level interpolation, decimal-summed logprobs
+    "kneser_ney_lm" -> ((s, dir) =>
+      graft.operators.LangModel.kneserNeyScore(
+        documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // Gopher-style repetition filters: duplicate-token fraction and
+    // most-common-bigram share per document
+    "repetition_metrics" -> ((s, dir) =>
+      TextFunctions.repetitionMetrics(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    // PII scrubbing: detection counts + masked-text digest over a
+    // deterministically rendered text column (the corpus text enriched with
+    // synthetic contact strings derived from doc_id — identical expression
+    // in the DuckDB oracle, so detection AND redaction are exact-checked)
+    "pii_scan" -> ((s, dir) => {
+      import graft.functions.PiiFunctions
+      val d = col("doc_id")
+      val rendered = concat(
+        col("text"),
+        lit(" contact user"), d.cast("string"), lit("@example.com"),
+        when(d % 3 === 0,
+          concat(lit(" ip 10."), (d % 256).cast("string"), lit("."),
+            ((d * 7) % 256).cast("string"), lit(".8"))).otherwise(lit("")),
+        when(d % 5 === 0,
+          concat(lit(" tel 25-989-741-"), lpad((d % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")))
+      documents(s, dir).select(
+        col("doc_id"),
+        PiiFunctions.emailCount(rendered).cast("long").as("n_emails"),
+        PiiFunctions.ipv4Count(rendered).cast("long").as("n_ipv4"),
+        PiiFunctions.phoneCount(rendered).cast("long").as("n_phones"),
+        sha2(PiiFunctions.redact(rendered), 256).as("redacted_sha"))
+        .orderBy("doc_id")
+    }),
+    // topical tagging: top-3 TF-IDF terms per document
+    "tfidf_keywords" -> ((s, dir) =>
+      graft.operators.Search.tfidfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "rank")),
+    // BM25 keyword retrieval: rank the corpus for a fixed 3-term query
+    "bm25_topk" -> ((s, dir) =>
+      graft.operators.Search.bm25TopK(
+        documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
+    // multi-query BM25 (E190): every eval-slice doc retrieves its top-10
+    // corpus docs through a term-filtered inverted index — postings
+    // pruned map-side to the query-term set, df stopping + per-query
+    // rarest-16 terms bound candidates absolutely, exact-decimal ranking
+    "bm25_multi" -> ((s, dir) => {
+      val d = documents(s, dir)
+      graft.operators.Search.bm25MultiTopK(
+        d.where(col("doc_id") % 101 =!= 0),
+        d.where(col("doc_id") % 101 === 0), "doc_id", "text")
+        .orderBy("query_id", "doc_id")
+    }),
+    "vocab_topk" -> ((s, dir) =>
+      TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
+    // per-doc character entropy (E179): the repetitive-garbage gate;
+    // 12-dp decimal term sums, one (doc, char) keyed shuffle
+    "char_entropy" -> ((s, dir) =>
+      graft.operators.CorpusStats.charEntropy(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // URL path templating census (E167) over a synthetic per-doc URL
+    // (the url_normalize convention): literal above support 20, else '*'
+    "path_templates" -> ((s, dir) => {
+      val d = documents(s, dir).withColumn("u", concat(
+        lit("/"), col("source"), lit("/"), col("lang"), lit("/b"),
+        (col("doc_id") % 50).cast("string"),
+        lit("/page-"), col("doc_id").cast("string")))
+      graft.operators.CorpusStats.pathTemplates(d, "doc_id", "u",
+        minSupport = 20L)
+        .orderBy(col("n_urls").desc, col("template"))
+    }),
+    // Zipf rank-frequency OLS fit over the top-1000 vocabulary (E76)
+    "zipf_fit" -> ((s, dir) =>
+      graft.operators.CorpusStats.zipfFit(documents(s, dir), "text", 1000)),
+    // Heaps-law curve: cumulative docs/tokens/distinct-vocab per id-decile
+    "vocab_growth" -> ((s, dir) =>
+      graft.operators.CorpusStats.vocabGrowth(
+        documents(s, dir), "doc_id", "text", buckets = 10)
+        .orderBy("bucket")),
+    "lang_id" -> ((s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+        .orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) => {
+      RollingHash.register(s)
+      documents(s, dir)
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // unicode canonicalization (custom codegen Expression): a combining-
+    // sequence prefix is prepended so NFC composition is actually exercised
+    // on the (ASCII) corpus; both engines build the identical input
+    "text_normalize" -> ((s, dir) => {
+      graft.functions.NfcNormalize.register(s)
+      val input = concat(lit(NormPrefix), col("text"))
+      val norm = graft.functions.NfcNormalize.normalizeText(input)
+      documents(s, dir).select(
+        col("doc_id"),
+        length(input).cast("long").as("n_chars_raw"),
+        length(norm).cast("long").as("n_chars_norm"),
+        substring(sha2(norm, 256), 1, 16).as("norm_fingerprint"))
+        .orderBy("doc_id")
+    }),
+    // corpus bigram frequencies (one BPE merge round's pair table)
+    "bigram_topk" -> ((s, dir) =>
+      TextFunctions.bigramTopK(documents(s, dir), "text", k = 50)),
+    // PMI-ranked collocations (E112): association, not raw frequency
+    "collocations_pmi" -> ((s, dir) =>
+      TextFunctions.collocationsPmi(documents(s, dir), "text",
+        minFreq = 5, k = 50)),
+    // URL canonicalization + per-domain cap over rendered messy URLs (the
+    // pii_scan precedent: input constructed identically in both engines)
+    "url_normalize" -> ((s, dir) => {
+      val u = concat(
+        lit("HTTPS://WWW."), upper(col("source")), lit(".CoM"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/Docs/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#Frag")).otherwise(lit("")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain").orderBy("doc_id")
+      documents(s, dir).select(
+        col("doc_id"),
+        graft.functions.UrlFunctions.normalizeUrl(u).as("url_norm"),
+        graft.functions.UrlFunctions.domain(u).as("domain"))
+        .withColumn("domain_rank", row_number().over(w).cast("long"))
+        .withColumn("kept", col("domain_rank") <= 20)
+        .orderBy("doc_id")
+    }),
+    // tokenizer application: dense vocab-rank ids (0 = OOV) per token,
+    // sequence re-assembled in position order and fingerprinted
+    "tokenize_ids" -> ((s, dir) =>
+      TextFunctions.tokenizeIds(documents(s, dir), "doc_id", "text", vocabSize = 1000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"))
+  )
+}

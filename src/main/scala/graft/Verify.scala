@@ -26,6 +26,9 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // deliberately Throwable, not NonFatal: an OOM/LinkageError on one
+        // key must still leave its red _ERROR row AND let the remaining
+        // keys dump — correctness reporting beats fail-fast here
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // loud failure: leave an _ERROR sentinel (and no parquet part
         // files) so the driver reports a red `err` row for this key
@@ -38,7 +41,12 @@ object Verify {
             .foreach(_.delete())
           Files.writeString(d.resolve("_ERROR"),
             s"${e.getClass.getName}: ${e.getMessage}\n")
-        } catch { case _: Throwable => () }
+        } catch {
+          // best-effort sentinel write only — the per-key failure is
+          // already on stderr; a second failure here (read-only outDir)
+          // must not abort the remaining keys' dumps
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

