@@ -448,6 +448,23 @@ SELECT s.doc_id, ROUND(s.z, 6) AS score, sha256(d.text) AS text_sha
 FROM scored s JOIN documents d USING (doc_id)
 WHERE s.z >= 0 ORDER BY s.doc_id"""
 
+  /** E223 EL2N selection twin: replay the full E180 training chain
+    * (reference-quality label, lr 8), score every feature-valid document
+    * with `ROUND(|σ(z) − y|, 6)` under the FINAL weights (the identical
+    * fixed-order logit; the rounding shares the gradient-term ulp
+    * contract), rank over the total (el2n DESC, doc_id ASC) order,
+    * top 100 hardest. */
+  lazy val el2nSelect: String =
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql)},
+scored AS (
+  SELECT doc_id,
+    ROUND(ABS(1.0/(1.0+EXP(-(w0 + w1*x1 + w2*x2 + w3*x3))) - y), 6) AS el2n,
+    y, ROUND(w0 + w1*x1 + w2*x2 + w3*x3, 6) AS z
+  FROM f, w6)
+SELECT doc_id, el2n, y, z,
+  CAST(ROW_NUMBER() OVER (ORDER BY el2n DESC, doc_id) AS BIGINT) AS rank
+FROM scored ORDER BY el2n DESC, doc_id LIMIT 100"""
+
   /** E182 Group-DRO training twin — the E164 replay pattern with a
     * per-domain axis: each of six steps is (a$k) the per-domain decimal
     * gradient/loss/accuracy sums under the previous weights, (m$k) 6-dp

@@ -565,4 +565,36 @@ SELECT CAST(i AS BIGINT) AS dim_idx, val AS loading,
   ROUND(nrm, 6) AS eigenvalue
 FROM v$iterations, n$iterations ORDER BY dim_idx"""
   }
+
+  /** E225 greedy k-center coreset twin: the Gonzalez incremental form
+    * replayed in chained CTEs — seed = smallest id, each step keeps the
+    * running `GREATEST(prev, ROUND(cos-to-newest, 6))` relation,
+    * excludes the pick, and selects the argmin by the total
+    * (mcos ASC, vec_id ASC) order — the same 6-dp cosine and tie-break
+    * the Spark loop applies step by step. */
+  lazy val kcenterCoreset: String = {
+    val k = 8
+    val steps = (1 until k).map { t =>
+      val prev = s"m${t - 1}"
+      s"""p$t AS (SELECT vec_id, mcos FROM $prev ORDER BY mcos ASC, vec_id LIMIT 1),
+c$t AS MATERIALIZED (SELECT e.vec_id, e.v, e.nv, p$t.mcos
+  FROM e JOIN p$t USING (vec_id)),
+m$t AS MATERIALIZED (SELECT m.vec_id, m.v, m.nv,
+    GREATEST(m.mcos, ROUND(${listDot("m.v", "c.v")} / (m.nv * c.nv), 6)) AS mcos
+  FROM $prev m, c$t c WHERE m.vec_id <> c.vec_id)"""
+    }.mkString(",\n")
+    val rows = (1 until k)
+      .map(t => s"UNION ALL SELECT CAST($t AS BIGINT), vec_id, mcos FROM c$t")
+      .mkString("\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding AS v, ${listNorm("embedding")} AS nv
+  FROM embeddings WHERE ${listNorm("embedding")} > 0),
+c0 AS MATERIALIZED (SELECT vec_id, v, nv FROM e ORDER BY vec_id LIMIT 1),
+m0 AS MATERIALIZED (SELECT e.vec_id, e.v, e.nv,
+    ROUND(${listDot("e.v", "c.v")} / (e.nv * c.nv), 6) AS mcos
+  FROM e, c0 c WHERE e.vec_id <> c.vec_id),
+$steps
+SELECT CAST(0 AS BIGINT) AS step, vec_id, CAST(NULL AS DOUBLE) AS max_cos_prev FROM c0
+$rows
+ORDER BY step"""
+  }
 }

@@ -627,6 +627,69 @@ SELECT doc_id, n_words,
 FROM m ORDER BY doc_id"""
   }
 
+  /** Shared C4 line-keep predicate (E224) over a DuckDB line lambda
+    * variable — terminal punctuation, ≥ 5 whitespace words, no
+    * "javascript": the Spark-side c4LineKeep twin. */
+  private def c4KeepSql(l: String): String =
+    raw"""(ends_with($l, '.') OR ends_with($l, '!') OR ends_with($l, '?') OR ends_with($l, '"'))
+      AND len(list_filter(string_split_regex($l, '\s+'), x -> x <> '')) >= 5
+      AND NOT contains(lower($l), 'javascript')"""
+
+  /** The paged-corpus view twin (CorpusStats.c4SynthPage): 12-token
+    * lines, the `(doc_id + line) % 3` terminal-mark schedule, the three
+    * modular page tells — identical string algebra; inner
+    * `array_to_string` COALESCEd because DuckDB yields NULL on an empty
+    * list where Spark's array_join yields ''. */
+  private def c4PagesSql: String =
+    raw"""(SELECT doc_id,
+  array_to_string(list_transform(range(0, GREATEST((len(toks) + 11) // 12, 1)), i ->
+    COALESCE(array_to_string(list_slice(toks, i*12 + 1, i*12 + 12), ' '), '') ||
+    CASE WHEN (doc_id + i) % 3 = 0 THEN '.' WHEN (doc_id + i) % 3 = 2 THEN '?' ELSE '' END), chr(10))
+  || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
+  || CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END
+  || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END AS text
+FROM (SELECT doc_id, $wsToksSql AS toks FROM documents) tt) pages"""
+
+  /** C4 rule-battery twin (E224): the same page view / line split / keep
+    * predicate / sentence count, every cut the same integer or boolean
+    * comparison, the retained-line fraction 6-dp readout only. */
+  lazy val c4Rules: String =
+    raw"""WITH base AS (SELECT doc_id, text,
+    string_split(text, chr(10)) AS ls,
+    list_filter(string_split(text, chr(10)), l -> ${c4KeepSql("l")}) AS kept
+  FROM $c4PagesSql),
+m AS (SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS kept_lines,
+    CAST(LENGTH(COALESCE(array_to_string(kept, chr(10)), '')) AS BIGINT) AS kept_chars,
+    CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+    NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+    NOT contains(text, '{') AS no_brace
+  FROM base)
+SELECT doc_id, n_lines, kept_lines, kept_chars, n_sentences,
+  CASE WHEN n_lines > 0 THEN ROUND(CAST(kept_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) END AS retained_line_frac,
+  (n_sentences >= 3) AS ok_sentences, no_lorem, no_brace,
+  (n_sentences >= 3 AND no_lorem AND no_brace) AS keep
+FROM m ORDER BY doc_id"""
+
+  /** C4 executor twin (E224's action): kept pages with failing lines
+    * removed, the cleaned text (kept lines re-joined on `\n`)
+    * sha256-pinned. */
+  lazy val c4FilterExecute: String =
+    raw"""WITH base AS (SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l -> ${c4KeepSql("l")}) AS kept
+  FROM $c4PagesSql),
+m AS (SELECT doc_id,
+    CAST(len(kept) AS BIGINT) AS kept_lines,
+    CAST(len(regexp_extract_all(COALESCE(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace,
+    sha256(COALESCE(array_to_string(kept, chr(10)), '')) AS text_sha
+  FROM base)
+SELECT doc_id, kept_lines, text_sha
+FROM m WHERE n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+ORDER BY doc_id"""
+
   /** Interpolated Kneser-Ney trigram twin (E191): the E174 token/bigram/
     * trigram streams verbatim, four continuation-TYPE rollups of the
     * count relations, the three-level discounted interpolation as one

@@ -276,6 +276,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "ann_cosine_topk" -> OracleSql.annCosineTopK,
     "quality_logreg" -> OracleSql.qualityLogreg,
     "quality_filter_execute" -> OracleSql.qualityFilterExecute,
+    "el2n_select" -> OracleSql.el2nSelect,
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,
@@ -288,6 +289,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "kneser_ney_lm" -> OracleSql.kneserNeyLm,
     "kn_cross_ppl" -> OracleSql.knCrossPpl,
     "gopher_rules" -> OracleSql.gopherRules,
+    "c4_rules" -> OracleSql.c4Rules,
+    "c4_filter_execute" -> OracleSql.c4FilterExecute,
     "naive_bayes_filter" -> OracleSql.naiveBayesFilter,
     "quality_gate" -> OracleSql.qualityGate,
     "calibration_table" -> OracleSql.calibrationTable,
@@ -350,6 +353,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "image_incremental_dedup_audit" -> OracleSql.imageIncrementalDedupAudit,
     "audio_incremental_dedup_audit" -> OracleSql.audioIncrementalDedupAudit,
     "kmeans_train" -> OracleSql.kmeansTrain,
+    "kcenter_coreset" -> OracleSql.kcenterCoreset,
     "temperature_mix" -> OracleSql.temperatureMix,
     "streaming_state_dedup_audit" -> OracleSql.streamingStateDedupAudit,
     "curriculum_epochs" -> OracleSql.curriculumEpochs,

@@ -129,6 +129,13 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
       graft.operators.QualityModel.qualityFilterExecute(
         documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // EL2N data-diet selection (E223): |sigma(z) - y| under the E180-
+    // trained filter, top-100 hardest examples by physical top-k —
+    // training = 6 metadata collects, scoring map-only, no join
+    "el2n_select" -> ((s, dir) =>
+      graft.operators.QualityModel.el2nSelect(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("rank")),
     // Group-DRO robust training (E182, in-engine training #4): per-source
     // mean losses, multiplicative mixture-weight updates q <- q*e^(0.5*l)
     // (normalized), q-weighted gradient steps — the DoReMi domain-weight

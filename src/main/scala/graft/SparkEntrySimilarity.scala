@@ -139,6 +139,13 @@ private[graft] trait SparkEntrySimilarity { this: SparkEntry.type =>
         initPred = col("vec_id") % mod === 0, iters = 3)
         .orderBy("iter", "centroid_id")
     }),
+    // greedy k-center coreset (E225): Gonzalez farthest-point traversal
+    // in the incremental O(kN) form — diversity selection over the
+    // embedding space; trajectory fully hash-oracled step by step
+    "kcenter_coreset" -> ((s, dir) =>
+      Similarity.kcenterCoreset(
+        embeddings(s, dir), "vec_id", "embedding", k = 8)
+        .orderBy("step")),
     // E213: per-cluster z-scored embedding outliers — the noise screen
     // relative to local density, exact decimal mean/variance.
     "embedding_outliers" -> ((s, dir) =>

@@ -16,6 +16,13 @@ import graft.streaming.{SessionEvent, StreamingProfile}
   * documents, metricQuery, cfg, ...) unqualified. */
 private[graft] trait SparkEntryText { this: SparkEntry.type =>
 
+  /** The C4 battery's paged-corpus view (see CorpusStats.c4SynthPage). */
+  private def c4Pages(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      graft.operators.CorpusStats.c4SynthPage(col("doc_id"), col("text"))
+        .as("text"))
+
   protected def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // asymmetric n-gram containment pairs (E128): the quoted-inside
     // relation Jaccard under-reports
@@ -154,6 +161,20 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     "gopher_rules" -> ((s, dir) =>
       graft.operators.CorpusStats.gopherRules(
         documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // C4 cleaning-rule battery (E224): the Raffel et al. line-level
+    // keep predicate + the three page tells, integer/boolean cuts only,
+    // one map-only pass; runs over the deterministic paged view
+    // (c4SynthPage — the raw corpus is single-line word soup)
+    "c4_rules" -> ((s, dir) =>
+      graft.operators.CorpusStats.c4Rules(
+        c4Pages(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // C4 cleaning EXECUTOR (E224's action): the rewrite — kept pages
+    // with failing lines removed, cleaned text sha256-pinned, map-only
+    "c4_filter_execute" -> ((s, dir) =>
+      graft.operators.CorpusStats.c4FilterExecute(
+        c4Pages(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // interpolated Kneser-Ney trigram perplexity (E191): absolute
     // discounting with continuation-type counts (the KenLM/CCNet

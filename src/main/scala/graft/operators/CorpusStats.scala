@@ -687,4 +687,123 @@ object CorpusStats {
         ruleExprs.map { case (nm, c) => c.as(nm) } :+
         ruleExprs.map(_._2).reduce(_ && _).as("keep")): _*)
   }
+
+  /** Deterministic paged-corpus view for the C4 battery's GATE keys —
+    * the synthetic corpus is single-line punctuation-free word soup, on
+    * which every line-level rule is vacuously false; this view re-shapes
+    * each document into a page the rules have non-trivial support on
+    * (production callers pass real pages straight to [[c4Rules]]):
+    * 12-token lines, a terminal mark on a `(doc_id + line) % 3` schedule
+    * (≈ 2/3 of lines end in `.`/`?`, the rest unterminated), and three
+    * rare deterministic page tells — a brace line (`doc_id % 23`), a
+    * "lorem ipsum" line (`% 29`) and a "javascript" line (`% 31`) — so
+    * each page-level rule fires on a known slice. Pure string algebra
+    * over the whitespace tokens, identical in DuckDB (the oracle's
+    * `pages` view). */
+  def c4SynthPage(id: Column, text: Column): Column = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.wsTokens(text)
+    val nLines = greatest(
+      floor((size(toks) + lit(11)) / lit(12)).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nLines - lit(1)), i =>
+      concat(
+        array_join(slice(toks, i * lit(12) + lit(1), lit(12)), " "),
+        when((id + i) % 3 === 0, lit("."))
+          .when((id + i) % 3 === 2, lit("?"))
+          .otherwise(lit(""))))
+    concat(
+      array_join(lines, "\n"),
+      when(id % 23 === 0, lit("\nint main() { return 0; }"))
+        .otherwise(lit("")),
+      when(id % 29 === 0,
+        lit("\nlorem ipsum dolor sit amet consectetur adipiscing elit."))
+        .otherwise(lit("")),
+      when(id % 31 === 0,
+        lit("\nplease enable javascript to view this page."))
+        .otherwise(lit("")))
+  }
+
+  /** The C4 line-keep predicate (Raffel et al. '20 §2.2) over a single
+    * line: ends in terminal punctuation (`.` `!` `?` `"`), carries ≥ 5
+    * whitespace words, and does not mention "javascript" (the boiler-
+    * plate tell) — shared by [[c4Rules]] (the per-document readout) and
+    * [[c4FilterExecute]] (the rewrite executor) so the verdict and the
+    * action can never disagree. */
+  private def c4LineKeep(l: Column): Column = {
+    import graft.functions.TextFunctions
+    (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+      l.endsWith("\"")) &&
+      size(TextFunctions.wsTokens(l)) >= 5 &&
+      !lower(l).contains("javascript")
+  }
+
+  /** C4 cleaning-rule battery (E224) — the Raffel et al. '20 heuristic
+    * set (the other canonical web-curation rulebook next to E192's
+    * Gopher battery, and a LINE-level one where Gopher is document-
+    * level): per document, the kept-line count under [[c4LineKeep]],
+    * the sentence count of the kept text (terminal-punctuation marks —
+    * C4's "at least 3 sentences" page cut), and the three page-level
+    * tells (no "lorem ipsum", no `{`, which C4 uses to drop code pages)
+    * with the conjunctive `keep` verdict.
+    *
+    * Every cut is an integer/boolean comparison (`n_sentences ≥ 3`,
+    * substring containment) — no float at any boundary; the 6-dp
+    * retained-line fraction is readout only. Case folds via `lower`
+    * (ASCII — the corpus contract).
+    *
+    * Scale shape: ONE map-only pass — lines, per-line predicates and
+    * sentence counts are array/regex expressions inside the scan
+    * projection; no shuffle until the caller aggregates. The verdict
+    * relation feeds the same ids-only joins as E192.
+    *
+    * Cites reference scope: heuristic document filters are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, c4LineKeep(_))
+    val keptText = array_join(kept, "\n")
+    val staged = df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("kept_lines"),
+      length(keptText).cast("long").as("kept_chars"),
+      regexp_count(keptText, lit("[.!?]")).cast("long").as("n_sentences"),
+      (!lower(col(textCol)).contains("lorem ipsum")).as("no_lorem"),
+      (!col(textCol).contains("{")).as("no_brace"))
+    staged.select(
+      col(idCol), col("n_lines"), col("kept_lines"), col("kept_chars"),
+      col("n_sentences"),
+      when(col("n_lines") > 0,
+        round(col("kept_lines").cast("double") /
+          col("n_lines").cast("double"), 6)).as("retained_line_frac"),
+      (col("n_sentences") >= 3L).as("ok_sentences"),
+      col("no_lorem"), col("no_brace"),
+      (col("n_sentences") >= 3L && col("no_lorem") && col("no_brace"))
+        .as("keep"))
+  }
+
+  /** C4 cleaning EXECUTOR (E224's action) — C4 is a REWRITE, not just a
+    * filter: the kept corpus is each surviving page with its failing
+    * lines REMOVED. Emits, for every document [[c4Rules]] keeps, the
+    * kept-line count and the sha256 of the cleaned text (kept lines
+    * re-joined with `\n`) — the content pin downstream shard manifests
+    * digest. ONE map-only pass; the sha256 rides the same scan
+    * projection, so nothing but (id, count, hash) ever leaves the scan. */
+  def c4FilterExecute(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, c4LineKeep(_))
+    val keptText = array_join(kept, "\n")
+    df.select(
+      col(idCol),
+      size(kept).cast("long").as("kept_lines"),
+      regexp_count(keptText, lit("[.!?]")).cast("long").as("n_sentences"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+      col(textCol).contains("{").as("has_brace"),
+      sha2(keptText, 256).as("text_sha"))
+      .where(col("n_sentences") >= 3L && !col("has_lorem") &&
+        !col("has_brace"))
+      .select(col(idCol), col("kept_lines"), col("text_sha"))
+  }
 }

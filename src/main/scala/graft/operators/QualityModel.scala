@@ -312,6 +312,66 @@ object QualityModel {
       .select(col(idCol), round(z, 6).as("score"), col("text_sha"))
   }
 
+  /** EL2N data-selection scoring (E223) — Paul et al. '21 ("Deep
+    * Learning on a Data Diet"): rank every example by the L2 norm of the
+    * model's error vector and keep the HARDEST ones (easy, well-fit
+    * examples carry the least training signal and are the first to
+    * prune). For the in-engine linear filter the error vector is the
+    * scalar `σ(z) − y`, so the score is `|σ(z) − y|` under the E164
+    * logreg trained exactly as the E180 executor trains it (reference-
+    * quality label, lr 8, 6 replayable full-batch steps) — the
+    * data-diet step of a curation pipeline as one operator instead of a
+    * train-export-score-rank toolchain.
+    *
+    * Spark-first shape: training is [[logregTrain]]'s 6 metadata-sized
+    * collects; scoring inlines the final 6-dp weights as LITERALS into
+    * one map-only pass; selection is a top-k over (score DESC, id ASC)
+    * — `TakeOrderedAndProject`, the per-partition-heap + driver-merge
+    * physical top-k, never a full sort. At 100 TB the scan streams and
+    * only k rows cross the network per partition.
+    *
+    * Determinism: z is the fixed-order 6-dp-literal logit both engines
+    * evaluate identically; `el2n = ROUND(|σ(z) − y|, 6)` shares the
+    * gradient-term contract (a last-ulp exp disagreement sits six
+    * orders below the rounding grain); the (el2n DESC, id ASC) order is
+    * total, so the top-k set and ranks hash-match the DuckDB replay of
+    * the full training chain + scoring. Full hash oracle.
+    *
+    * Cites reference scope: example-level selection is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def el2nSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0,
+      topK: Int = 100): DataFrame = {
+    require(topK > 0, s"el2nSelect: topK=$topK")
+    val fid = docFeaturesLabeled(
+      docs, textCol, qualityLabel(textCol), Seq(idCol))
+      .localCheckpoint(true) // two consumers: training chain + scoring
+    val last = logregTrain(
+      fid.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+      iterations, lr)
+      .orderBy(col("iter").desc).head()
+    val w = (0 to 3).map(j => last.getAs[Double](s"w$j"))
+    val z = lit(w(0)) + lit(w(1)) * col("x1") +
+      lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val scored = fid.select(
+      col(idCol),
+      round(abs(p - col("y")), 6).as("el2n"),
+      col("y"),
+      round(z, 6).as("z"))
+    scored
+      .orderBy(col("el2n").desc, col(idCol).asc)
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("el2n").desc, col(idCol).asc)).cast("long"))
+  }
+
   /** Group-DRO robust training (E182, in-engine training #4) — the
     * Sagawa et al. '20 distributionally-robust update that DoReMi
     * (Xie et al. '23) runs to learn domain mixture weights: instead of

@@ -1280,4 +1280,93 @@ object Similarity {
       .where(col("rn") <= k)
       .select("query_id", "neighbor_id", "cos")
   }
+
+  /** Greedy k-center coreset (E225) — Gonzalez '85 farthest-point
+    * traversal, the classic 2-approximation for the k-center objective
+    * and the selection rule behind embedding-space coreset / active-
+    * learning pickers (Sener & Savarese '18): seed with the smallest id,
+    * then k−1 times add the point FARTHEST from the selected set (here:
+    * smallest maximum cosine to any selected center — the angular
+    * metric the corpus's other similarity operators use). The selected
+    * ids are the "cover the embedding space with k exemplars" sample a
+    * training-data pipeline draws when it wants diversity rather than
+    * the E158 SemDeDup-style redundancy drop.
+    *
+    * Spark-first iteration shape (the Gonzalez incremental form): keep a
+    * running `(vec_id, max_cos)` relation; each of the k−1 steps joins
+    * it with the ONE newest center (a broadcast 1-row relation), takes
+    * `greatest(prev, cos_to_newest)` — O(N) work per step, O(kN) total,
+    * NOT O(k²N) — then picks the argmin by a 1-row
+    * `TakeOrderedAndProject` collect. Driver traffic is one row per
+    * step; the state relation localCheckpoints between steps exactly
+    * like the k-means loop above.
+    *
+    * Determinism: 6-dp cosine (the engine-wide contract), argmin ties
+    * break to the smaller vec_id, zero-norm vectors are excluded up
+    * front (no direction) — the full selection TRAJECTORY replays in
+    * chained DuckDB CTEs (OracleSql.kcenterCoreset). Full hash oracle.
+    *
+    * Returns one row per selected center: `(step, vec_id,
+    * max_cos_prev)` — the selection order plus each center's cosine to
+    * the set it was farthest from (null for the seed); a monotone
+    * readout (rising max_cos_prev = diminishing coverage gain, the
+    * curve that picks k).
+    *
+    * Cites reference scope: coreset selection is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def kcenterCoreset(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"kcenterCoreset: k=$k out of [1,64]")
+    val spark = embIn.sparkSession
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nv"))
+      .where(col("nv") > 0)
+      .localCheckpoint(true) // re-joined against every step's new center
+    val seed = emb.orderBy("vec_id").limit(1)
+      .select("vec_id").head().getLong(0)
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Option[Double])](
+      seed -> None)
+    // running max-cos-to-selected state, excluding selected ids
+    var state = emb
+      .where(col("vec_id") =!= seed)
+      .crossJoin(broadcast(emb.where(col("vec_id") === seed)
+        .select(col("v").as("c"), col("nv").as("nc"))))
+      .select(col("vec_id"), col("v"), col("nv"),
+        round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6)
+          .as("max_cos"))
+      .localCheckpoint(true)
+    for (_ <- 1 until k) {
+      val pick = state
+        .orderBy(col("max_cos").asc, col("vec_id").asc).limit(1)
+        .select("vec_id", "max_cos").head()
+      val (pid, pcos) = (pick.getLong(0), pick.getDouble(1))
+      picked += pid -> Some(pcos)
+      state = state
+        .where(col("vec_id") =!= pid)
+        .crossJoin(broadcast(
+          emb.where(col("vec_id") === pid)
+            .select(col("v").as("c"), col("nv").as("nc"))))
+        .select(col("vec_id"), col("v"), col("nv"),
+          greatest(col("max_cos"),
+            round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
+            .as("max_cos"))
+        .localCheckpoint(true)
+    }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val rows = picked.zipWithIndex.map { case ((id, mc), i) =>
+      org.apache.spark.sql.Row(i.toLong, id, mc.map(Double.box).orNull)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toSeq: _*),
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("max_cos_prev", DoubleType, nullable = true))))
+      .orderBy("step")
+  }
 }

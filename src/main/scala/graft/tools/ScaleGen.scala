@@ -69,6 +69,13 @@ object ScaleGen {
       saltMode: String = "token"): DataFrame = {
     require(saltMode == "token" || saltMode == "char",
       s"saltMode must be token|char, got $saltMode")
+    // vector dimension, read ONCE (a generator-time metadata scan) —
+    // the wrap-permutation arithmetic above needs it as a constant
+    lazy val rotDim: Int = rotateVec.map { vc =>
+      val d = df.agg(max(size(col(vc)))).head().getInt(0)
+      require(d > 0, s"replicateK: empty vector column $vc")
+      d
+    }.getOrElse(0)
     val copies = (0 until k).map { i =>
         val shifted = shifts.foldLeft(df) { case (d, (c, s)) =>
           d.withColumn(c, col(c) + lit(i.toLong * s)) }
@@ -122,14 +129,44 @@ object ScaleGen {
             .withColumn("n_chars", length(col(tc)))
         }
         rotateVec.fold(salted) { vc =>
-          // rotate copy i's vector left by i positions (dim 64 >> K, so
-          // no modular wrap needed): norm-preserving, decorrelates the
-          // copy from its original so LSH buckets and near-dup pairs
-          // don't collapse all K copies onto one key
+          // rotate copy i's vector left by (i mod dim) positions —
+          // norm-preserving, decorrelates the copy from its original so
+          // LSH buckets and near-dup pairs don't collapse all K copies
+          // onto one key. The rotation group has only `dim` elements, so
+          // at K > dim (the r14 sf10 lane: K=100 over dim=64) copies i
+          // and i+dim would get the SAME rotation and land cos=1.0
+          // duplicates in every near-dup/ANN workload; each wrap
+          // generation w = i/dim therefore composes a stride-s_w index
+          // permutation (s_w = the w-th odd residue coprime to dim, so
+          // strides are pairwise-distinct and each map j -> j*s_w mod dim
+          // is bijective) before rotating. The composed map is the affine
+          // permutation j -> s_w*(j+r) mod dim, and distinct (r, w) give
+          // distinct affine maps (s invertible) — so every copy i < K
+          // carries a DISTINCT norm-preserving coordinate permutation.
+          // Capacity: dim * |coprime odd residues| copies (dim=64 -> 2048).
           if (i == 0) salted
-          else salted.withColumn(vc, concat(
-            slice(col(vc), lit(i + 1), size(col(vc)) - lit(i)),
-            slice(col(vc), lit(1), lit(i))))
+          else {
+            val dim = rotDim
+            val r = i % dim
+            val w = i / dim
+            val strides = (1 until 2 * dim by 2)
+              .filter(o => BigInt(o).gcd(BigInt(dim)) == 1)
+              .map(_ % dim).distinct
+            require(w < strides.size,
+              s"replicateK: k=$k exceeds ${strides.size * dim} distinct " +
+                s"vector permutations at dim=$dim")
+            val strideP = strides(w)
+            val permuted =
+              if (strideP == 1) col(vc)
+              else expr(s"transform(sequence(0, ${dim - 1}), " +
+                s"j -> element_at($vc, CAST((j * $strideP) % $dim AS INT) + 1))")
+            val rotated =
+              if (r == 0) permuted
+              else concat(
+                slice(permuted, lit(r + 1), lit(dim - r)),
+                slice(permuted, lit(1), lit(r)))
+            salted.withColumn(vc, rotated)
+          }
         }
       }
     copies.reduce(_ unionAll _)

@@ -89,4 +89,98 @@ class Round14Spec extends AnyFunSuite {
     // cannot collide with this run's artifacts
     assert(a.contains("_t"), a)
   }
+
+  /** VERDICT r13 task 4 prerequisite: the sf10 lane replicates at K=100
+    * over dim-64 vectors, past the rotation group's 64 elements — copies
+    * i and i+64 must NOT collapse onto identical vectors (they would
+    * land cos=1.0 duplicates in every ANN/near-dup workload), and every
+    * copy must stay a norm-preserving permutation of the original. */
+  test("ScaleGen.replicateK: K > dim wraps with a distinct permutation per copy") {
+    val s = spark
+    import s.implicits._
+    // dim 8, K = 20 → wrap generations w = 0, 1, 2 (strides 1, 3, 5);
+    // distinctness comes from the (r, stride) affine pair, asserted
+    // pairwise below
+    val base = Array.tabulate(8)(j => (j * j + 1).toFloat)
+    val vecs = Seq((0L, base)).toDF("vec_id", "embedding")
+    val rep = graft.tools.ScaleGen
+      .replicateK(vecs, 20, Map("vec_id" -> 1L), rotateVec = Some("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toVector).toMap
+    assert(rep.size == 20)
+    // copy 0 is the original
+    assert(rep(0L) == base.toVector)
+    // every copy is a permutation (same value multiset, norm preserved)
+    rep.values.foreach(v => assert(v.sorted == base.toVector.sorted))
+    // all 20 copies pairwise distinct — the K > dim guarantee
+    assert(rep.values.toSet.size == 20,
+      s"copies collapsed: ${rep.toSeq.sortBy(_._1).mkString("; ")}")
+  }
+
+  test("c4Rules / c4FilterExecute: line-level keep predicate and page verdict") {
+    val s = spark
+    import s.implicits._
+    val good = "this is a perfectly fine sentence with many words." // kept
+    val short = "too short."                                         // < 5 words
+    val noPunct = "this line has plenty of words but no terminal mark" // dropped
+    val js = "please enable JavaScript to view this page."           // tell
+    val docs = Seq(
+      (1L, s"$good\n$short\n$noPunct\n$js\n$good\n$good"), // 3 kept, 3 sentences
+      (2L, s"$good\n$good\nsome text with lorem ipsum inside.\n$good"),
+      (3L, s"$good\nval x = { 1 }\n$good\n$good"),
+      (4L, s"$good\n$good")                                 // only 2 sentences
+    ).toDF("doc_id", "text")
+    val r = graft.operators.CorpusStats.c4Rules(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(2) == 3L)                    // kept_lines
+    assert(r(1L).getBoolean(9), "doc 1 must pass")    // keep
+    assert(!r(2L).getBoolean(7), "lorem ipsum tell")  // no_lorem = false
+    assert(!r(3L).getBoolean(8), "curly-brace tell")  // no_brace = false
+    assert(!r(4L).getBoolean(6), "2 sentences < 3")   // ok_sentences
+    val ex = graft.operators.CorpusStats
+      .c4FilterExecute(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(ex.keySet == Set(1L), s"executor kept ${ex.keySet}")
+    // the cleaned text is exactly the kept lines re-joined
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Seq(good, good, good).mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(ex(1L).getString(2) == expected)
+  }
+
+  test("el2nSelect: hardest-first total order, scores in [0,1], rank contiguous") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 60).map { i =>
+      val filler =
+        if (i % 3 == 0) "the and is of to in it you that was " * 12
+        else "zxqj vwpk mntr abcd efgh " * (4 + i % 7)
+      (i.toLong, filler.trim + (if (i % 2 == 0) "." else ""))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.QualityModel
+      .el2nSelect(docs, "doc_id", "text", topK = 10).orderBy("rank").collect()
+    assert(out.length == 10)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(v => v >= 0.0 && v <= 1.0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"not hardest-first: ${scores.mkString(",")}")
+    assert(out.map(_.getLong(4)).toSeq == (1L to 10L))
+  }
+
+  test("kcenterCoreset: Gonzalez trajectory on a hand-computable configuration") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.999f, 0.045f, 0f, 0f)), // near-duplicate of 1 — never picked
+      (3L, Array(0f, 1f, 0f, 0f)),         // orthogonal to the seed
+      (4L, Array(0.7f, 0.7f, 0f, 0f))      // between 1 and 3
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .kcenterCoreset(vecs, "vec_id", "embedding", k = 3)
+      .orderBy("step").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 4L))
+    assert(out(0).isNullAt(2), "seed has no prior set")
+    assert(out(1).getDouble(2) == 0.0,  "3 is orthogonal to the seed")
+    assert(math.abs(out(2).getDouble(2) - 0.707107) < 1e-6)
+  }
 }
