@@ -465,6 +465,27 @@ SELECT doc_id, el2n, y, z,
   CAST(ROW_NUMBER() OVER (ORDER BY el2n DESC, doc_id) AS BIGINT) AS rank
 FROM scored ORDER BY el2n DESC, doc_id LIMIT 100"""
 
+  /** E227 example-forgetting twin: the full training chain once, the six
+    * 1-row weight relations cross-joined, every per-step verdict the
+    * identical fixed-order logit compared on `z ≥ 0` — flip counts and
+    * correctness are pure integer algebra. */
+  lazy val forgettingEvents: String = {
+    def correct(t: Int): String =
+      s"(((a$t.w0 + a$t.w1*x1 + a$t.w2*x2 + a$t.w3*x3) >= 0) = (y = 1.0))"
+    val flips = (2 to 6)
+      .map(t => s"CASE WHEN ${correct(t - 1)} AND NOT ${correct(t)} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val nCorrect = (1 to 6)
+      .map(t => s"CASE WHEN ${correct(t)} THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql)}
+SELECT doc_id,
+  CAST($flips AS BIGINT) AS forgetting_events,
+  CAST($nCorrect AS BIGINT) AS n_correct,
+  ${correct(6)} AS final_correct, y
+FROM f, w1 a1, w2 a2, w3 a3, w4 a4, w5 a5, w6 a6
+ORDER BY doc_id"""
+  }
+
   /** E182 Group-DRO training twin — the E164 replay pattern with a
     * per-domain axis: each of six steps is (a$k) the per-domain decimal
     * gradient/loss/accuracy sums under the previous weights, (m$k) 6-dp

@@ -643,8 +643,11 @@ FROM m ORDER BY doc_id"""
   private def c4PagesSql: String =
     raw"""(SELECT doc_id,
   array_to_string(list_transform(range(0, GREATEST((len(toks) + 11) // 12, 1)), i ->
-    COALESCE(array_to_string(list_slice(toks, i*12 + 1, i*12 + 12), ' '), '') ||
-    CASE WHEN (doc_id + i) % 3 = 0 THEN '.' WHEN (doc_id + i) % 3 = 2 THEN '?' ELSE '' END), chr(10))
+    CASE WHEN (doc_id % 13 = 0 AND (doc_id + i) % 2 = 1)
+           OR (doc_id % 13 <> 0 AND (doc_id + i) % 7 = 1)
+    THEN 'copyright footer all rights reserved worldwide.'
+    ELSE COALESCE(array_to_string(list_slice(toks, i*12 + 1, i*12 + 12), ' '), '') ||
+    CASE WHEN (doc_id + i) % 3 = 0 THEN '.' WHEN (doc_id + i) % 3 = 2 THEN '?' ELSE '' END END), chr(10))
   || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
   || CASE WHEN doc_id % 29 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.' ELSE '' END
   || CASE WHEN doc_id % 31 = 0 THEN chr(10) || 'please enable javascript to view this page.' ELSE '' END AS text
@@ -689,6 +692,27 @@ m AS (SELECT doc_id,
 SELECT doc_id, kept_lines, text_sha
 FROM m WHERE n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
 ORDER BY doc_id"""
+
+  /** E226 duplicate-line twin: the same page view; per-document dedup
+    * via `list_distinct` (order-free — only counts and length sums are
+    * read), char sums COALESCEd because DuckDB's `list_sum` of an empty
+    * list is NULL where Spark's 0-seeded fold is 0; the two MassiveText
+    * cuts as the same integer comparisons. */
+  lazy val dupLineStats: String =
+    raw"""WITH m AS (SELECT doc_id,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS dup_lines,
+    CAST(COALESCE(list_sum(list_transform(ls, l -> LENGTH(l))), 0) AS BIGINT) AS line_chars,
+    CAST(COALESCE(list_sum(list_transform(ls, l -> LENGTH(l))), 0)
+       - COALESCE(list_sum(list_transform(list_distinct(ls), l -> LENGTH(l))), 0) AS BIGINT) AS dup_line_chars
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $c4PagesSql) b)
+SELECT doc_id, n_lines, dup_lines, line_chars, dup_line_chars,
+  CASE WHEN n_lines > 0 THEN ROUND(CAST(dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE), 6) END AS dup_line_frac,
+  CASE WHEN line_chars > 0 THEN ROUND(CAST(dup_line_chars AS DOUBLE) / CAST(line_chars AS DOUBLE), 6) END AS dup_char_frac,
+  (10 * dup_lines <= 3 * n_lines) AS ok_dup_lines,
+  (5 * dup_line_chars <= line_chars) AS ok_dup_chars,
+  (10 * dup_lines <= 3 * n_lines AND 5 * dup_line_chars <= line_chars) AS keep
+FROM m ORDER BY doc_id"""
 
   /** Interpolated Kneser-Ney trigram twin (E191): the E174 token/bigram/
     * trigram streams verbatim, four continuation-TYPE rollups of the

@@ -277,6 +277,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "quality_logreg" -> OracleSql.qualityLogreg,
     "quality_filter_execute" -> OracleSql.qualityFilterExecute,
     "el2n_select" -> OracleSql.el2nSelect,
+    "forgetting_events" -> OracleSql.forgettingEvents,
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,
@@ -291,6 +292,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "gopher_rules" -> OracleSql.gopherRules,
     "c4_rules" -> OracleSql.c4Rules,
     "c4_filter_execute" -> OracleSql.c4FilterExecute,
+    "dup_line_stats" -> OracleSql.dupLineStats,
     "naive_bayes_filter" -> OracleSql.naiveBayesFilter,
     "quality_gate" -> OracleSql.qualityGate,
     "calibration_table" -> OracleSql.calibrationTable,
@@ -314,6 +316,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "dsir_select" -> OracleSql.dsirSelect,
     "semdedup" -> OracleSql.semDedup,
     "semdedup_execute" -> OracleSql.semDedupExecute,
+    "semdedup_from_index" -> OracleSql.semDedupExecute,
     "bpe_merges" -> OracleSql.bpeMerges,
     "bpe_encode" -> OracleSql.bpeEncode,
     "leakage_safe_split" -> OracleSql.leakageSafeSplit,

@@ -292,11 +292,22 @@ private[graft] trait SparkEntryDedup { this: SparkEntry.type =>
     // dropped via ids-only broadcast anti join, kept corpus returns
     // with n_dims + 6-dp norm; fully hash-oracled (the verdict is
     // deterministic, unlike the sketch-based E185)
-    "semdedup_execute" -> ((s, dir) =>
+    // Scale note (r14 sf10 lane): THIS KEY's centroid predicate derives
+    // the quantizer size from a fixed modulus, so #cents ∝ corpus and
+    // the assignment stage is O(N·cents·D) = quadratic BY KEY
+    // CONSTRUCTION (the kmeans_train/ivf_topk pattern, VERDICT r13 #3).
+    // SPARK_GRAFT_SEMDEDUP_MOD lets the scale lane hold the quantizer
+    // fixed (~24 cells at any sf) and measure the linear operator
+    // regime. Verify never sets it — the hash oracle runs default %83.
+    "semdedup_execute" -> ((s, dir) => {
+      val mod = sys.env.get("SPARK_GRAFT_SEMDEDUP_MOD")
+        .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+        .getOrElse(83)
       Similarity.semDedupExecute(
         embeddings(s, dir), "vec_id", "embedding",
-        col("vec_id") % 83 === 0, threshold = 0.35)
-        .orderBy("vec_id")),
+        col("vec_id") % mod === 0, threshold = 0.35)
+        .orderBy("vec_id")
+    }),
     // DEFLATE density quality proxy (codegen expression; ordinal contract,
     // invariant-tested — no cross-engine oracle, SURVEY §2.E E72)
     "compression_ratio" -> ((s, dir) => {

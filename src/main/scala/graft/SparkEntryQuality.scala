@@ -136,6 +136,13 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
       graft.operators.QualityModel.el2nSelect(
         documents(s, dir), "doc_id", "text")
         .orderBy("rank")),
+    // example-forgetting statistics (E227): per-doc prediction-flip
+    // counts across the 6-step hash-oracled training trajectory — all
+    // weight snapshots inlined as literals, ONE map-only pass
+    "forgetting_events" -> ((s, dir) =>
+      graft.operators.QualityModel.forgettingEvents(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // Group-DRO robust training (E182, in-engine training #4): per-source
     // mean losses, multiplicative mixture-weight updates q <- q*e^(0.5*l)
     // (normalized), q-weighted gradient steps — the DoReMi domain-weight

@@ -182,6 +182,25 @@ private[graft] trait SparkEntrySimilarity { this: SparkEntry.type =>
         index = Some(Similarity.readIvfIndex(s, path)))
         .orderBy("query_id", "neighbor_id")
     }),
+    // E228: SemDeDup served from the SAME persisted quantizer — the r14
+    // sf10 lane measured the in-plan assignment as semdedup_execute's
+    // superlinear stage (67.7 s at 100× data); artifact-served, the
+    // assignment is a read + one broadcast cos recompute and the
+    // within-cluster pairwise work stays linear (cluster size constant
+    // under the rate-based predicate). Bit-identical verdicts — same
+    // FULL hash oracle as semdedup_execute.
+    "semdedup_from_index" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = Scratch.dir("graft_ivf", dir)
+      if (graft.operators.Dedup.StateStore.rows(s, s"$path/assign").isEmpty)
+        Similarity.writeIvfIndex(
+          emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+      Similarity.semDedupExecute(
+        emb, "vec_id", "embedding",
+        col("vec_id") % 83 === 0, threshold = 0.35,
+        index = Some(Similarity.readIvfIndex(s, path)))
+        .orderBy("vec_id")
+    }),
     // E221 audit: (a) artifact-served ≡ in-plan recompute (ivf_topk
     // and hard_negatives_ann both); (b) split-build + batch append ≡
     // whole build (assignment is a pure per-vector function — the E205

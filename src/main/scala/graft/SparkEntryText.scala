@@ -176,6 +176,14 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
       graft.operators.CorpusStats.c4FilterExecute(
         c4Pages(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // MassiveText duplicate-line rows (E226): per-doc duplicate-line and
+    // duplicate-char fractions with the published 0.30/0.20 cuts as
+    // integer comparisons; array_distinct inside the scan projection —
+    // map-only, no explode, no shuffle
+    "dup_line_stats" -> ((s, dir) =>
+      graft.operators.CorpusStats.dupLineStats(
+        c4Pages(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // interpolated Kneser-Ney trigram perplexity (E191): absolute
     // discounting with continuation-type counts (the KenLM/CCNet
     // smoothing), three-level interpolation, decimal-summed logprobs

@@ -694,23 +694,31 @@ object CorpusStats {
     * each document into a page the rules have non-trivial support on
     * (production callers pass real pages straight to [[c4Rules]]):
     * 12-token lines, a terminal mark on a `(doc_id + line) % 3` schedule
-    * (≈ 2/3 of lines end in `.`/`?`, the rest unterminated), and three
-    * rare deterministic page tells — a brace line (`doc_id % 23`), a
-    * "lorem ipsum" line (`% 29`) and a "javascript" line (`% 31`) — so
-    * each page-level rule fires on a known slice. Pure string algebra
-    * over the whitespace tokens, identical in DuckDB (the oracle's
-    * `pages` view). */
+    * (≈ 2/3 of lines end in `.`/`?`, the rest unterminated), a repeated
+    * boilerplate footer line on a `(doc_id + line) % 7` schedule — or on
+    * every SECOND line for the `doc_id % 13` slice, the boilerplate-farm
+    * pages whose duplicate mass crosses E226's published cuts (real
+    * pages repeat boilerplate; most are under the cut, some are not),
+    * and three rare deterministic page tells — a brace line
+    * (`doc_id % 23`), a "lorem ipsum" line (`% 29`) and a "javascript"
+    * line (`% 31`) — so each page- and line-level rule fires on a known
+    * slice. Pure string algebra over the whitespace tokens, identical
+    * in DuckDB (the oracle's `pages` view). */
   def c4SynthPage(id: Column, text: Column): Column = {
     import graft.functions.TextFunctions
     val toks = TextFunctions.wsTokens(text)
     val nLines = greatest(
       floor((size(toks) + lit(11)) / lit(12)).cast("int"), lit(1))
     val lines = transform(sequence(lit(0), nLines - lit(1)), i =>
-      concat(
-        array_join(slice(toks, i * lit(12) + lit(1), lit(12)), " "),
-        when((id + i) % 3 === 0, lit("."))
-          .when((id + i) % 3 === 2, lit("?"))
-          .otherwise(lit(""))))
+      when(
+        (id % 13 === 0 && (id + i) % 2 === 1) ||
+          (id % 13 =!= 0 && (id + i) % 7 === 1),
+        lit("copyright footer all rights reserved worldwide."))
+        .otherwise(concat(
+          array_join(slice(toks, i * lit(12) + lit(1), lit(12)), " "),
+          when((id + i) % 3 === 0, lit("."))
+            .when((id + i) % 3 === 2, lit("?"))
+            .otherwise(lit("")))))
     concat(
       array_join(lines, "\n"),
       when(id % 23 === 0, lit("\nint main() { return 0; }"))
@@ -781,6 +789,55 @@ object CorpusStats {
       col("no_lorem"), col("no_brace"),
       (col("n_sentences") >= 3L && col("no_lorem") && col("no_brace"))
         .as("keep"))
+  }
+
+  /** Duplicate-line statistics (E226) — the two MassiveText repetition
+    * rows (Rae et al. '21 Table A1) the E192 battery and E138
+    * repetition_metrics (token-level) do NOT cover, because the raw
+    * corpus has no line structure: per document, the fraction of LINES
+    * that are duplicates of an earlier line and the fraction of
+    * CHARACTERS sitting in those duplicate lines (repeated navigation/
+    * boilerplate is the classic web-page failure both catch), with the
+    * published cuts — duplicate-line fraction ≤ 0.30, duplicate-line
+    * character fraction ≤ 0.20 — as INTEGER comparisons
+    * (`10·dup ≤ 3·n`, `5·dup_chars ≤ chars`); the 6-dp fractions are
+    * readout only.
+    *
+    * Scale shape: ONE map-only pass — `array_distinct` inside the scan
+    * projection does the per-document dedup (no explode, no shuffle);
+    * the duplicate mass is `Σlen(lines) − Σlen(distinct lines)`, both
+    * array folds in the same projection.
+    *
+    * Cites reference scope: heuristic document filters are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def dupLineStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    def charSum(a: Column): Column =
+      aggregate(transform(a, l => length(l).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val staged = df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long")
+        .as("dup_lines"),
+      charSum(lines).as("line_chars"),
+      (charSum(lines) - charSum(array_distinct(lines))).as("dup_line_chars"))
+    staged.select(
+      col(idCol), col("n_lines"), col("dup_lines"),
+      col("line_chars"), col("dup_line_chars"),
+      when(col("n_lines") > 0,
+        round(col("dup_lines").cast("double") /
+          col("n_lines").cast("double"), 6)).as("dup_line_frac"),
+      when(col("line_chars") > 0,
+        round(col("dup_line_chars").cast("double") /
+          col("line_chars").cast("double"), 6)).as("dup_char_frac"),
+      (lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines"))
+        .as("ok_dup_lines"),
+      (lit(5L) * col("dup_line_chars") <= col("line_chars"))
+        .as("ok_dup_chars"),
+      (lit(10L) * col("dup_lines") <= lit(3L) * col("n_lines") &&
+        lit(5L) * col("dup_line_chars") <= col("line_chars")).as("keep"))
   }
 
   /** C4 cleaning EXECUTOR (E224's action) — C4 is a REWRITE, not just a

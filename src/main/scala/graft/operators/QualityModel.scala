@@ -372,6 +372,65 @@ object QualityModel {
           .orderBy(col("el2n").desc, col(idCol).asc)).cast("long"))
   }
 
+  /** Example-forgetting statistics (E227) — Toneva et al. '19 ("An
+    * Empirical Study of Example Forgetting during Deep Neural Network
+    * Learning"): count, per example, the training steps at which the
+    * model's prediction flips from correct to incorrect. Examples with
+    * zero forgetting events ("unforgettable") are the safest to prune;
+    * frequently-forgotten examples mark the decision boundary (or label
+    * noise) — the trajectory-based complement of E223's final-state
+    * EL2N score, computable here because the E164 training loop already
+    * yields a deterministic, hash-oracled weight trajectory.
+    *
+    * Spark-first shape: train once ([[logregTrain]], 6 metadata-sized
+    * collects), then inline ALL `iterations` weight snapshots as
+    * literals into ONE map-only projection — per document the 6 logits,
+    * the correct/incorrect flags (decided on `z ≥ 0`, never on σ(z) —
+    * no transcendental at any boundary) and their flip count are a
+    * single codegen'd expression tree; no join, no shuffle, one corpus
+    * pass regardless of trajectory length.
+    *
+    * Determinism: 6-dp weights and features make every logit the same
+    * fixed-order double expression in both engines; every output is an
+    * integer or boolean. DuckDB replays the training CTE chain and
+    * cross-joins the six 1-row weight relations. Full hash oracle.
+    *
+    * Cites reference scope: example-level training dynamics are absent
+    * from awsdataprofiler (Profiler.scala:166-253 profiles only) —
+    * extension per SURVEY §2.E. */
+  def forgettingEvents(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0): DataFrame = {
+    val fid = docFeaturesLabeled(
+      docs, textCol, qualityLabel(textCol), Seq(idCol))
+      .localCheckpoint(true) // two consumers: training chain + scoring
+    val hist = logregTrain(
+      fid.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+      iterations, lr)
+      .orderBy("iter").collect()
+    val corrects: Seq[Column] = hist.toSeq.map { r =>
+      val z = lit(r.getAs[Double]("w0")) +
+        lit(r.getAs[Double]("w1")) * col("x1") +
+        lit(r.getAs[Double]("w2")) * col("x2") +
+        lit(r.getAs[Double]("w3")) * col("x3")
+      (z >= 0) === (col("y") === 1.0)
+    }
+    val forget = corrects.sliding(2).map {
+      case Seq(prev, cur) => when(prev && !cur, lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val nCorrect = corrects
+      .map(c => when(c, lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    fid.select(
+      col(idCol),
+      forget.as("forgetting_events"),
+      nCorrect.as("n_correct"),
+      corrects.last.as("final_correct"),
+      col("y"))
+  }
+
   /** Group-DRO robust training (E182, in-engine training #4) — the
     * Sagawa et al. '20 distributionally-robust update that DoReMi
     * (Xie et al. '23) runs to learn domain mixture weights: instead of

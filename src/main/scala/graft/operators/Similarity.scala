@@ -414,9 +414,31 @@ object Similarity {
       vecCol: String,
       centroidPred: Column,
       threshold: Double,
-      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+      maxCandidatePairs: Option[Long] = Some(2000000000L),
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     graft.functions.VectorOps.register(embIn.sparkSession)
-    val assign = nearestCentroid(embIn, idCol, vecCol, centroidPred)
+    // `index` = the persisted E221 coarse quantizer (r14 sf10 lane: the
+    // in-plan |corpus|×|cents| assignment is this key's superlinear
+    // stage, measured 67.7 s at 100× data vs 2-3 s artifact-served).
+    // The artifact stores (neighbor_id, centroid_id) only; the priority
+    // rule needs the member→centroid cosine, recomputed here against
+    // the ASSIGNED centroid alone — one broadcast of the metadata-sized
+    // centroid relation, O(N·D) map-only, bit-identical to the in-plan
+    // nearestCentroid value (Round14Spec pins equality).
+    val assign = index.fold(
+      nearestCentroid(embIn, idCol, vecCol, centroidPred)) {
+      case (cents, assignIdx) =>
+        val base = graft.profiler.ScanMetrics.spread(embIn).select(
+          col(idCol).as("vec_id"), col(vecCol).as("v"),
+          fnorm(col(vecCol)).as("nv"))
+        assignIdx
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id"))
+          .join(base, Seq("vec_id"))
+          .join(broadcast(cents), Seq("centroid_id"))
+          .select(col("vec_id"), col("centroid_id"),
+            safeCos(col("v"), col("c"), col("nv"), col("nc")).as("cos"))
+          .where(col("cos").isNotNull)
+    }
       .localCheckpoint(true) // three consumers: guard, both pair sides, verdict
     maxCandidatePairs.foreach { bound =>
       val est = assign.groupBy("centroid_id").agg(count(lit(1)).as("c"))
@@ -483,10 +505,12 @@ object Similarity {
       vecCol: String,
       centroidPred: Column,
       threshold: Double,
-      maxCandidatePairs: Option[Long] = Some(2000000000L)): DataFrame = {
+      maxCandidatePairs: Option[Long] = Some(2000000000L),
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
     graft.functions.VectorOps.register(embIn.sparkSession)
     val removed = semDedup(
-      embIn, idCol, vecCol, centroidPred, threshold, maxCandidatePairs)
+      embIn, idCol, vecCol, centroidPred, threshold, maxCandidatePairs,
+      index)
       .where(col("removed")).select(col("vec_id").as(idCol))
     graft.profiler.ScanMetrics.spread(embIn)
       .join(broadcast(removed), Seq(idCol), "left_anti")

@@ -147,6 +147,81 @@ class Round14Spec extends AnyFunSuite {
     assert(ex(1L).getString(2) == expected)
   }
 
+  test("c4SynthPage: 12-token lines, %3 terminal schedule, %7 boilerplate row") {
+    val s = spark
+    import s.implicits._
+    // doc_id 1: line 0 hits the %7 boilerplate slot, lines 1/2 get the
+    // %3 schedule ('?' then '.'); 1 trips none of the %23/%29/%31 tells
+    val toks = (1 to 30).map(i => s"w$i").mkString(" ")
+    val page = Seq((1L, toks)).toDF("doc_id", "text")
+      .select(graft.operators.CorpusStats
+        .c4SynthPage(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")).as("p"))
+      .head().getString(0)
+    val lines = page.split("\n")
+    assert(lines.length == 3, lines.mkString("|"))
+    assert(lines(0) == "copyright footer all rights reserved worldwide.")
+    assert(lines(1) == (13 to 24).map(i => s"w$i").mkString(" ") + "?")
+    assert(lines(2) == (25 to 30).map(i => s"w$i").mkString(" ") + ".")
+  }
+
+  test("dupLineStats: MassiveText duplicate-line and duplicate-char fractions") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c\na b c\nx\na b c"), // 4 lines, 2 dups, 16 chars, 10 dup
+      (2L, "one\ntwo\nthree")          // clean
+    ).toDF("doc_id", "text")
+    val r = graft.operators.CorpusStats.dupLineStats(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 4L && r(1L).getLong(2) == 2L)
+    assert(r(1L).getLong(3) == 16L && r(1L).getLong(4) == 10L)
+    assert(r(1L).getDouble(5) == 0.5 && r(1L).getDouble(6) == 0.625)
+    assert(!r(1L).getBoolean(7) && !r(1L).getBoolean(8) && !r(1L).getBoolean(9))
+    assert(r(2L).getLong(2) == 0L && r(2L).getBoolean(9))
+  }
+
+  test("forgettingEvents: flip counts bounded by the trajectory's correctness mass") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 60).map { i =>
+      val filler =
+        if (i % 3 == 0) "the and is of to in it you that was " * 12
+        else "zxqj vwpk mntr abcd efgh " * (4 + i % 7)
+      (i.toLong, filler.trim + (if (i % 2 == 0) "." else ""))
+    }.toDF("doc_id", "text")
+    val out = graft.operators.QualityModel
+      .forgettingEvents(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (f, n, fin) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(f >= 0L && f <= 5L && n >= 0L && n <= 6L)
+      assert(f <= n, "every forgetting event needs a correct step before it")
+      if (fin) assert(n >= 1L)
+    }
+  }
+
+  test("semDedup from persisted index ≡ in-plan (verdicts and executor output)") {
+    val s = spark
+    import org.apache.spark.sql.functions.col
+    val emb = s.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .localCheckpoint(true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_idx").toString
+    graft.operators.Similarity.writeIvfIndex(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+    val idx = graft.operators.Similarity.readIvfIndex(s, path)
+    def run(i: Option[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]) =
+      graft.operators.Similarity.semDedupExecute(
+        emb, "vec_id", "embedding", col("vec_id") % 83 === 0,
+        threshold = 0.35, index = i)
+    val a = run(None)
+    val b = run(Some(idx))
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() == 0L,
+      "artifact-served semdedup must be bit-identical to in-plan")
+  }
+
   test("el2nSelect: hardest-first total order, scores in [0,1], rank contiguous") {
     val s = spark
     import s.implicits._
