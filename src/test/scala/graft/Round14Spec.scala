@@ -241,6 +241,30 @@ class Round14Spec extends AnyFunSuite {
     assert(out.map(_.getLong(4)).toSeq == (1L to 10L))
   }
 
+  test("round-14 plan audit: C4/dup-line are shuffle-free map-only; EL2N selects via physical top-k") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 40)
+      .map(i => (i.toLong, ("alpha beta gamma delta epsilon " * (3 + i % 5)).trim))
+      .toDF("doc_id", "text")
+    // the whole C4/dup-line battery must stay inside the scan projection:
+    // no exchange, no join, no explode-shuffle — the 100 TB contract
+    for (df <- Seq(
+        graft.operators.CorpusStats.c4Rules(docs, "doc_id", "text"),
+        graft.operators.CorpusStats.c4FilterExecute(docs, "doc_id", "text"),
+        graft.operators.CorpusStats.dupLineStats(docs, "doc_id", "text"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"expected a shuffle-free plan:\n$p")
+      assert(!p.contains("Join"), s"expected a join-free plan:\n$p")
+    }
+    // EL2N selection must be TakeOrderedAndProject (per-partition heaps,
+    // k rows per partition cross the network), never a global Sort+Limit
+    val el2n = graft.operators.QualityModel
+      .el2nSelect(docs, "doc_id", "text", topK = 5)
+    val ep = el2n.queryExecution.executedPlan.toString
+    assert(ep.contains("TakeOrderedAndProject"), s"\n$ep")
+  }
+
   test("kcenterCoreset: Gonzalez trajectory on a hand-computable configuration") {
     val s = spark
     import s.implicits._
