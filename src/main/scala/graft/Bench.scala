@@ -71,6 +71,7 @@ object Bench {
   }
 
   private val WorkerLine = """GRAFT_BENCH_Q (\S+) (\S+) (\S+) (\S+)""".r
+  private val WorkerCpuLine = """GRAFT_BENCH_CPU (\S+)""".r
 
   /** 1-minute load average from /proc/loadavg; -1 when unreadable (the
     * artifact should show "unknown" rather than fail the bench). */
@@ -88,19 +89,33 @@ object Bench {
     * elevated through the whole isolated phase and rows starve the wait
     * budget on a host that is actually idle between rows (13/20 rows
     * "unclean" at loadavg ≈ 3-4 while nothing else ran). */
-  private def cpuBusyFrac(sampleMs: Int = 1500): Double = {
-    def read(): Option[(Long, Long)] =
-      try {
-        val f = scala.io.Source.fromFile("/proc/stat").getLines()
-          .next().trim.split("\\s+").drop(1).map(_.toLong)
-        Some((f.sum, f(3) + (if (f.length > 4) f(4) else 0L))) // idle+iowait
-      } catch { case scala.util.control.NonFatal(_) => None }
-    (read(), { Thread.sleep(sampleMs); read() }) match {
+  /** Aggregate (total, idle+iowait) jiffies from /proc/stat's first
+    * line, summed across all cores; None when unreadable. */
+  private def procStat(): Option[(Long, Long)] =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      Some((f.sum, f(3) + (if (f.length > 4) f(4) else 0L))) // idle+iowait
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def cpuBusyFrac(sampleMs: Int = 1500): Double =
+    (procStat(), { Thread.sleep(sampleMs); procStat() }) match {
       case (Some((t1, i1)), Some((t2, i2))) if t2 > t1 =>
         1.0 - (i2 - i1).toDouble / (t2 - t1).toDouble
       case _ => -1.0
     }
-  }
+
+  /** This process's accumulated CPU seconds (utime + stime) from
+    * /proc/self/stat; -1 when unreadable. USER_HZ is 100 on every Linux
+    * this runs on (the kernel ABI constant /proc/stat itself uses). */
+  private def selfCpuSec(): Double =
+    try {
+      val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+      // fields 14 (utime) and 15 (stime), counted past the parenthesized
+      // comm field (which may itself contain spaces)
+      val rest = s.substring(s.lastIndexOf(')') + 2).trim.split("\\s+")
+      (rest(11).toLong + rest(12).toLong) / 100.0
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   /** Load-gate (VERDICT r13 #1, re-instrumented r14): before an
     * isolated row, wait (bounded) for the host's instantaneous busy-CPU
@@ -203,13 +218,33 @@ object Bench {
       times
     }.toSeq
 
+  /** One forked run's measurements plus its IN-RUN contention evidence
+    * (VERDICT r14 #1): the pre-fork busy sample cannot see load that
+    * arrives DURING a row, so every fork also records the whole-row
+    * host /proc/stat delta and the child JVM's own CPU seconds — their
+    * difference is CPU burned by OTHER processes while the row ran. */
+  private case class ForkRun(
+      times: Seq[(String, QTime)],
+      childCpuSec: Double,   // child's utime+stime; -1 unknown
+      wallSec: Double,       // whole child-process lifetime
+      hostBusyCoreSec: Double // host-wide busy core-seconds over the row; -1 unknown
+  ) {
+    /** Average cores consumed by processes other than the child while
+      * the row ran; -1 when either side was unmeasurable. ~0 on a quiet
+      * host; the r14 poisoned rows (2.7-4.1× inflation at pre-fork busy
+      * ≤ 0.005) would have shown multiple cores here. */
+    def outsideCores: Double =
+      if (childCpuSec < 0 || hostBusyCoreSec < 0 || wallSec <= 0) -1.0
+      else math.max(0.0, (hostBusyCoreSec - childCpuSec) / wallSec)
+  }
+
   /** Fork one child JVM over `names` and collect its per-query times;
     * None on any failure (caller falls back in-process). The child gets
     * this JVM's exact classpath and the same module opens/heap the sbt
     * fork uses, so its measurements are the `tools/runmain.sh` isolated
     * numbers by construction. */
   private def runForked(
-      names: Seq[String]): Option[Seq[(String, QTime)]] = {
+      names: Seq[String]): Option[ForkRun] = {
     val javaBin = new java.io.File(
       new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
     // the SAME module opens spark-submit would inject — sourced from
@@ -228,16 +263,27 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val stat0 = procStat()
+      val t0 = System.nanoTime()
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream)
         .getLines().toList
       val rc = proc.waitFor()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val hostBusy = (stat0, procStat()) match {
+        case (Some((t1, i1)), Some((t2, i2))) if t2 > t1 =>
+          ((t2 - t1) - (i2 - i1)) / 100.0 // jiffies at USER_HZ=100
+        case _ => -1.0
+      }
       val parsed = out.collect {
         case WorkerLine(n, t, sp, st) =>
           n -> QTime(t.toDouble, sp.toDouble, st) }
+      val childCpu = out.collectFirst {
+        case WorkerCpuLine(c) => c.toDouble }.getOrElse(-1.0)
       // a worker that died mid-group may still have timed a prefix —
       // only trust a clean exit that covered every requested query
-      if (rc == 0 && parsed.map(_._1).toSet == names.toSet) Some(parsed)
+      if (rc == 0 && parsed.map(_._1).toSet == names.toSet)
+        Some(ForkRun(parsed, childCpu, wall, hostBusy))
       else None
     } catch {
       // NonFatal only (VERDICT r13 #6): fork-spawn/parse problems fall
@@ -301,7 +347,7 @@ object Bench {
       else
         selected.grouped(forkPer).flatMap { group =>
           runForked(group.map(_._1)) match {
-            case Some(ts) => nForked += 1; ts
+            case Some(fr) => nForked += 1; fr.times
             case None =>
               nFallback += 1
               runInProcess(group, sfDir, cpus, iterations, perSession)
@@ -317,6 +363,10 @@ object Bench {
             java.lang.Double.valueOf(qt.min),
             java.lang.Double.valueOf(qt.spread),
             qt.status)) }
+      // own CPU seconds, for the parent's in-run contention check: host
+      // busy CPU over the row minus this number = other processes' CPU
+      println("GRAFT_BENCH_CPU " + String.format(java.util.Locale.ROOT,
+        "%.2f", java.lang.Double.valueOf(selfCpuSec())))
       return
     }
     val failedQueries = results.collect {
@@ -350,7 +400,15 @@ object Bench {
       case (n, t) if t >= excursionFloor &&
         prev.get(n).exists(p => p > 0 && t / p > 1.3) => n
     }.sortBy(n => -(times(n) / prev(n))).take(12) // bound wall-clock
-    case class IsoRow(time: Double, load: Double, clean: Boolean)
+    // outside-cores ceiling for the IN-RUN contention check (VERDICT r14
+    // #1): average CPU cores consumed by processes OTHER than the forked
+    // child while the row ran. OS background sits well under 0.5 cores;
+    // the r14 poisoned rows ran alongside multi-core compile/test
+    // activity that a 1.0-core ceiling catches with margin.
+    val outsideMax = sys.env.get("SPARK_GRAFT_OUTSIDE_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.0)
+    case class IsoRow(time: Double, load: Double, outside: Double,
+        clean: Boolean)
     var isolatedAttempted = 0
     val isolatedRows: Map[String, IsoRow] =
       if (noFork || isolateN == 0) Map.empty
@@ -366,9 +424,10 @@ object Bench {
         val waitBudget = new java.util.concurrent.atomic.AtomicLong(
           sys.env.get("SPARK_GRAFT_LOAD_WAIT_BUDGET")
             .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(600L))
-        def one(name: String): Option[(Double, Double)] =
-          runForked(Seq(name)).flatMap(_.headOption)
-            .filter(!_._2.failed).map { case (_, qt) => (qt.min, qt.spread) }
+        def one(name: String): Option[(Double, Double, Double)] =
+          runForked(Seq(name)).flatMap { fr =>
+            fr.times.headOption.filter(!_._2.failed)
+              .map { case (_, qt) => (qt.min, qt.spread, fr.outsideCores) } }
         // spread-dirty must tolerate the fresh-JVM warmup: with
         // iterations=2 on a single-key child, iteration 1 carries ~3-5 s
         // of codegen + classloader + Hadoop init, so spread (max − min)
@@ -379,21 +438,41 @@ object Bench {
         // exceeds min + max(min, 5 s warmup allowance).
         def spreadDirty(t: Double, sp: Double): Boolean =
           sp > math.max(t, 5.0)
+        // an unreadable busy fraction (-1) is UNKNOWN, not quiet
+        // (ADVICE r14): a row whose host could not be observed is never
+        // evidence-grade
+        def busyDirty(b: Double): Boolean = b < 0 || b > busyMax
+        // in-run contention: unknown (-1) is likewise not clean
+        def contended(oc: Double): Boolean = oc < 0 || oc > outsideMax
+        // cross-check vs the committed prior battery (VERDICT r14 #1):
+        // the r14 poisoned rows read 2.7-4.1x their same-tree local
+        // values — divergence triggers a retry; a row that STAYS
+        // divergent without contention is a genuine regression and is
+        // reported (isolated_divergent), not laundered as unclean
+        def divergent(t: Double, name: String): Boolean =
+          prev.get(name).exists(p => p > 0 && t / p > 1.3)
         sample.flatMap { name =>
           val (load1, _) = awaitQuietHost(busyMax, 120, waitBudget)
-          one(name).map { case (t1, sp1) =>
-            val dirty = load1 > busyMax || spreadDirty(t1, sp1)
-            if (!dirty) name -> IsoRow(t1, load1, clean = true)
+          one(name).map { case (t1, sp1, oc1) =>
+            val dirty = busyDirty(load1) || spreadDirty(t1, sp1) ||
+              contended(oc1) || divergent(t1, name)
+            if (!dirty) name -> IsoRow(t1, load1, oc1, clean = true)
             else {
               // one retry after a fresh (shorter) quiet wait; keep the
-              // better row and report the load it actually ran under
+              // better row and report the conditions it actually ran
+              // under — cleanliness is decided by the kept attempt's
+              // own instrument signals (busy, spread, in-run outside
+              // CPU), never by the divergence flag alone
               val (load2, _) = awaitQuietHost(busyMax, 60, waitBudget)
               one(name) match {
-                case Some((t2, sp2)) if t2 < t1 =>
-                  name -> IsoRow(t2, load2,
-                    clean = load2 <= busyMax && !spreadDirty(t2, sp2))
+                case Some((t2, sp2, oc2)) if t2 < t1 =>
+                  name -> IsoRow(t2, load2, oc2,
+                    clean = !busyDirty(load2) && !spreadDirty(t2, sp2) &&
+                      !contended(oc2))
                 case _ =>
-                  name -> IsoRow(t1, load1, clean = false)
+                  name -> IsoRow(t1, load1, oc1,
+                    clean = !busyDirty(load1) && !spreadDirty(t1, sp1) &&
+                      !contended(oc1))
               }
             }
           }
@@ -403,6 +482,9 @@ object Bench {
       isolatedRows.map { case (k, r) => k -> r.time }
     val isolatedUnclean = isolatedRows.collect {
       case (k, r) if !r.clean => k }.toSeq.sorted
+    val isolatedDivergent = isolatedRows.collect {
+      case (k, r) if prev.get(k).exists(p => p > 0 && r.time / p > 1.3) => k
+    }.toSeq.sorted
     val loadEnd = loadAvg()
     val total = if (times.nonEmpty) times.values.sum else 0.0
     // The driver parses this line out of a 2000-char stdout tail; round 3's
@@ -442,7 +524,13 @@ object Bench {
         s""""busy_max":${fmt(busyMax)},""" +
         s""""spread_max":${fmt(spreadMax)},"isolated":$isoJson,""" +
         s""""isolated_attempted":$isolatedAttempted,""" +
-        s""""isolated_unclean":${isolatedUnclean.size},""" +
+        // NAMES, not a bare count (VERDICT r14 #7): a poisoned artifact
+        // must incriminate its own rows even when the sidecar is never
+        // committed. Capped at 8 so a mass-unclean run cannot blow the
+        // 1850-char driver window; the count always carries the total.
+        s""""isolated_unclean_n":${isolatedUnclean.size},""" +
+        s""""isolated_unclean":${isolatedUnclean.take(8)
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_failed":${failedQueries.size},"n_oom":${oomQueries.size},""" +
         s""""failed_queries":${failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     }
@@ -494,8 +582,11 @@ object Bench {
           s""""spreads":${map4(results.map { case (n, qt) => n -> qt.spread })},""" +
           s""""isolated":${map4(isolated)},""" +
           s""""isolated_busy":${map4(isolatedRows.map { case (n, r) => n -> r.load })},""" +
+          s""""isolated_outside_cores":${map4(isolatedRows.map { case (n, r) => n -> r.outside })},""" +
+          s""""outside_max":${fmt(outsideMax)},""" +
           s""""isolated_attempted":$isolatedAttempted,""" +
           s""""isolated_unclean":${names(isolatedUnclean)},""" +
+          s""""isolated_divergent":${names(isolatedDivergent)},""" +
           s""""excursions":${names(excursions.sorted)},""" +
           s""""n_failed":${failedQueries.size},"oom_queries":${names(oomQueries)},""" +
           s""""failed_queries":${names(failedQueries)}}"""

@@ -364,12 +364,18 @@ object QualityModel {
       round(abs(p - col("y")), 6).as("el2n"),
       col("y"),
       round(z, 6).as("z"))
+    // rank derives from the already-total (el2n DESC, id ASC) order the
+    // top-k was taken under (VERDICT r14 #6): coalesce(1) over the ≤k
+    // selected rows + a re-sort + the partition-monotonic id replaces
+    // the post-limit global window — same single-partition cost on k
+    // rows, but no Exchange/Window operators, and raising topK can
+    // never widen a window over the full corpus by accident.
     scored
       .orderBy(col("el2n").desc, col(idCol).asc)
       .limit(topK)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("el2n").desc, col(idCol).asc)).cast("long"))
+      .coalesce(1)
+      .sortWithinPartitions(col("el2n").desc, col(idCol).asc)
+      .withColumn("rank", monotonically_increasing_id() + lit(1L))
   }
 
   /** Example-forgetting statistics (E227) — Toneva et al. '19 ("An

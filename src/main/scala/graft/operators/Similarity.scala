@@ -440,6 +440,23 @@ object Similarity {
           .where(col("cos").isNotNull)
     }
       .localCheckpoint(true) // three consumers: guard, both pair sides, verdict
+    // Staleness guard on the served artifact (ADVICE r14, the E221 audit
+    // contract): a corpus vector absent from the persisted assign
+    // relation (index built before the corpus grew, or partially
+    // written) would otherwise be silently excluded from the verdict
+    // and "survive by construction" in semDedupExecute — a missed
+    // duplicate with no error. Compare the joined assignment count to
+    // the corpus's assignable-vector count and fail loudly on mismatch.
+    index.foreach { _ =>
+      val assignable = graft.profiler.ScanMetrics.spread(embIn)
+        .where(fnorm(col(vecCol)) > 0).count()
+      val served = assign.count()
+      require(served == assignable,
+        s"semDedup: stale or partial IVF index — the assign relation " +
+          s"covers $served of $assignable assignable corpus vectors; " +
+          "rebuild (writeIvfIndex) or extend (appendIvfIndex) the " +
+          "artifact before serving verdicts from it")
+    }
     maxCandidatePairs.foreach { bound =>
       val est = assign.groupBy("centroid_id").agg(count(lit(1)).as("c"))
         .agg(coalesce(
@@ -1351,8 +1368,23 @@ object Similarity {
         norm(col(vecCol)).as("nv"))
       .where(col("nv") > 0)
       .localCheckpoint(true) // re-joined against every step's new center
-    val seed = emb.orderBy("vec_id").limit(1)
-      .select("vec_id").head().getLong(0)
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val trajectorySchema = StructType(Seq(
+      StructField("step", LongType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("max_cos_prev", DoubleType, nullable = true)))
+    // degenerate inputs degrade to a SHORTER trajectory, never a crash
+    // (ADVICE r14): an empty corpus (or all-zero-norm vectors) yields an
+    // empty trajectory, and a corpus with fewer than k usable vectors
+    // stops when the state relation is exhausted — exactly the oracle's
+    // chained-CTE behavior, which simply runs out of candidates.
+    val seedOpt = emb.orderBy("vec_id").limit(1)
+      .select("vec_id").collect().headOption.map(_.getLong(0))
+    if (seedOpt.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        trajectorySchema)
+    val seed = seedOpt.get
     val picked = scala.collection.mutable.ArrayBuffer[(Long, Option[Double])](
       seed -> None)
     // running max-cos-to-selected state, excluding selected ids
@@ -1364,33 +1396,32 @@ object Similarity {
         round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6)
           .as("max_cos"))
       .localCheckpoint(true)
-    for (_ <- 1 until k) {
-      val pick = state
+    var exhausted = false
+    for (_ <- 1 until k if !exhausted) {
+      state
         .orderBy(col("max_cos").asc, col("vec_id").asc).limit(1)
-        .select("vec_id", "max_cos").head()
-      val (pid, pcos) = (pick.getLong(0), pick.getDouble(1))
-      picked += pid -> Some(pcos)
-      state = state
-        .where(col("vec_id") =!= pid)
-        .crossJoin(broadcast(
-          emb.where(col("vec_id") === pid)
-            .select(col("v").as("c"), col("nv").as("nc"))))
-        .select(col("vec_id"), col("v"), col("nv"),
-          greatest(col("max_cos"),
-            round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
-            .as("max_cos"))
-        .localCheckpoint(true)
+        .select("vec_id", "max_cos").collect().headOption match {
+        case None => exhausted = true
+        case Some(pick) =>
+          val (pid, pcos) = (pick.getLong(0), pick.getDouble(1))
+          picked += pid -> Some(pcos)
+          state = state
+            .where(col("vec_id") =!= pid)
+            .crossJoin(broadcast(
+              emb.where(col("vec_id") === pid)
+                .select(col("v").as("c"), col("nv").as("nc"))))
+            .select(col("vec_id"), col("v"), col("nv"),
+              greatest(col("max_cos"),
+                round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
+                .as("max_cos"))
+            .localCheckpoint(true)
+      }
     }
-    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val rows = picked.zipWithIndex.map { case ((id, mc), i) =>
       org.apache.spark.sql.Row(i.toLong, id, mc.map(Double.box).orNull)
     }
     spark.createDataFrame(
-      java.util.Arrays.asList(rows.toSeq: _*),
-      StructType(Seq(
-        StructField("step", LongType, nullable = false),
-        StructField("vec_id", LongType, nullable = false),
-        StructField("max_cos_prev", DoubleType, nullable = true))))
+      java.util.Arrays.asList(rows.toSeq: _*), trajectorySchema)
       .orderBy("step")
   }
 }

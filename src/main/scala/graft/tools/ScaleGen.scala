@@ -72,7 +72,10 @@ object ScaleGen {
     // vector dimension, read ONCE (a generator-time metadata scan) —
     // the wrap-permutation arithmetic above needs it as a constant
     lazy val rotDim: Int = rotateVec.map { vc =>
-      val d = df.agg(max(size(col(vc)))).head().getInt(0)
+      // on an empty input the max aggregate yields a NULL cell — fold
+      // that into the require instead of an NPE from getInt (ADVICE r14)
+      val cell = df.agg(max(size(col(vc)))).head()
+      val d = if (cell.isNullAt(0)) 0 else cell.getInt(0)
       require(d > 0, s"replicateK: empty vector column $vc")
       d
     }.getOrElse(0)
