@@ -38,6 +38,20 @@ private[graft] trait OracleSqlEvents { this: OracleSql.type =>
 s AS (SELECT user_id, ts_us, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM d)
 SELECT user_id, MIN(ts_us) AS session_start_us, COUNT(*) AS n_events FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us"""
 
+  /** E233 stream-stream interval join twin: the plain batch interval
+    * join — with one source file the streaming replay's append-mode
+    * inner join emits exactly this relation (timestamps as integral
+    * epoch micros; 120 min = 7 200 000 000 µs). */
+  lazy val streamingIntervalJoin: String =
+    """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+  epoch_us(l.ts) AS l_us, epoch_us(r.ts) AS r_us
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+  AND l.event_type = 'view' AND r.event_type = 'click'
+  AND epoch_us(r.ts) >= epoch_us(l.ts)
+  AND epoch_us(r.ts) <= epoch_us(l.ts) + 7200000000
+ORDER BY l_event_id, r_event_id"""
+
   /** Batch sessionize twin (E108): same lag/flag/running-sum split as the
     * Spark plan, with the identical total order (ts, event_id) so
     * timestamp collisions cannot flap a boundary. SUM(...) casts back to

@@ -361,9 +361,14 @@ ORDER BY d.doc_id"""
   private[graft] def logregCtes(
       lr: String = "1.0",
       ySql: String = "CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END",
-      fromSql: String = "documents"): String = {
+      fromSql: String = "documents",
+      prefix: String = ""): String = {
     val en = stopList(graft.functions.TextFunctions.Stopwords
       .collectFirst { case ("en", w) => w }.get)
+    // `prefix` namespaces every CTE (E230 composes TWO chains — main +
+    // irreducible — in one statement); the default "" keeps the
+    // generated SQL byte-identical to the pre-prefix form.
+    val P = prefix
     def zed = "(w0 + w1*x1 + w2*x2 + w3*x3)"
     def p = s"(1.0/(1.0+EXP(-$zed)))"
     def gTerm(x: String) =
@@ -376,21 +381,21 @@ ORDER BY d.doc_id"""
       s"ROUND(CAST(COUNT(CASE WHEN ($zed >= 0) = (y = 1.0) THEN 1 END) " +
         s"AS DOUBLE)/COUNT(*), 6)"
     val steps = (1 to 6).map { k =>
-      s"""g$k AS (
+      s"""${P}g$k AS (
   SELECT ${gTerm("1.0")} AS g0, ${gTerm("x1")} AS g1,
     ${gTerm("x2")} AS g2, ${gTerm("x3")} AS g3,
     $llTerm AS ll, $accTerm AS acc
-  FROM f, w${k - 1}),
-w$k AS (
+  FROM ${P}f, ${P}w${k - 1}),
+${P}w$k AS (
   SELECT ROUND(w0 - $lr*g0, 6) AS w0, ROUND(w1 - $lr*g1, 6) AS w1,
     ROUND(w2 - $lr*g2, 6) AS w2, ROUND(w3 - $lr*g3, 6) AS w3
-  FROM w${k - 1}, g$k),
-r$k AS (
+  FROM ${P}w${k - 1}, ${P}g$k),
+${P}r$k AS (
   SELECT CAST($k AS BIGINT) AS iter, w.w0, w.w1, w.w2, w.w3,
     g.ll AS mean_logloss, g.acc AS accuracy
-  FROM w$k w, g$k g)"""
+  FROM ${P}w$k w, ${P}g$k g)"""
     }.mkString(",\n")
-    raw"""f AS (
+    raw"""${P}f AS (
   SELECT doc_id,
     ROUND(LEAST(CAST(ws_tokens AS DOUBLE)/100.0, 1.0), 6) AS x1,
     ROUND(CAST(punct AS DOUBLE)/n_chars, 6) AS x2,
@@ -403,7 +408,7 @@ r$k AS (
       CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
     FROM $fromSql) i
   WHERE n_chars > 0 AND ws_tokens > 0),
-w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
+${P}w0 AS (SELECT CAST(0.0 AS DOUBLE) AS w0, CAST(0.0 AS DOUBLE) AS w1,
   CAST(0.0 AS DOUBLE) AS w2, CAST(0.0 AS DOUBLE) AS w3),
 $steps"""
   }
@@ -484,6 +489,113 @@ SELECT doc_id,
   ${correct(6)} AS final_correct, y
 FROM f, w1 a1, w2 a2, w3 a3, w4 a4, w5 a5, w6 a6
 ORDER BY doc_id"""
+  }
+
+  /** E230 RHO-loss selection twin: TWO full training chains in one
+    * statement — the main model over the sha256-coin train split
+    * (unprefixed CTEs) and the irreducible-loss model over the holdout
+    * (prefix `h`) — then both 6-dp losses under the respective FINAL
+    * weights, rho as the rounded difference of the rounded losses,
+    * top-100 on (rho DESC, doc_id). */
+  lazy val rhoLossSelect: String = {
+    val coin = "('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || " +
+      "'rho'), 1, 8))::BIGINT % 10000"
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql,
+        fromSql = s"(SELECT * FROM documents WHERE $coin >= 2000)")},
+${logregCtes(lr = "8.0", ySql = qualityLabelYSql,
+        fromSql = s"(SELECT * FROM documents WHERE $coin < 2000)",
+        prefix = "h")},
+scored AS (
+  SELECT doc_id,
+    ROUND(LN(1.0 + EXP(-(2.0*y - 1.0) * (m.w0 + m.w1*x1 + m.w2*x2 + m.w3*x3))), 6) AS loss_train,
+    ROUND(LN(1.0 + EXP(-(2.0*y - 1.0) * (h.w0 + h.w1*x1 + h.w2*x2 + h.w3*x3))), 6) AS loss_irr,
+    y
+  FROM f, w6 m, hw6 h),
+sc2 AS (
+  SELECT doc_id, ROUND(loss_train - loss_irr, 6) AS rho,
+    loss_train, loss_irr, y
+  FROM scored)
+SELECT doc_id, rho, loss_train, loss_irr, y,
+  CAST(ROW_NUMBER() OVER (ORDER BY rho DESC, doc_id) AS BIGINT) AS rank
+FROM sc2 ORDER BY rho DESC, doc_id LIMIT 100"""
+  }
+
+  /** E231 TracIn twin: the training chain once, the six 1-row weight
+    * relations cross-joined, the probe-set mean gradients (id % 97 = 0,
+    * decimal-summed 6-dp terms — the E164 gradient contract) as ONE
+    * 24-column aggregate, and the per-document influence as the
+    * fixed-written-order sum of six 6-dp checkpoint terms. */
+  lazy val tracinScores: String = {
+    def z(t: Int) = s"(a$t.w0 + a$t.w1*x1 + a$t.w2*x2 + a$t.w3*x3)"
+    def pt(t: Int) = s"(1.0/(1.0+EXP(-${z(t)})))"
+    val xsSql = Seq("1.0", "x1", "x2", "x3")
+    val pgCols = (1 to 6).flatMap { t =>
+      xsSql.zipWithIndex.map { case (x, j) =>
+        s"ROUND(CAST(SUM(CAST(ROUND((${pt(t)} - y) * $x, 6) AS " +
+          s"DECIMAL(38,6))) AS DOUBLE)/COUNT(*), 6) AS g${t}_$j"
+      }
+    }.mkString(",\n    ")
+    val terms = (1 to 6).map { t =>
+      s"ROUND((${pt(t)} - y) * (pg.g${t}_0 + pg.g${t}_1*x1 + " +
+        s"pg.g${t}_2*x2 + pg.g${t}_3*x3), 6)"
+    }.mkString(" + ")
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql)},
+pg AS (
+  SELECT $pgCols
+  FROM f, w1 a1, w2 a2, w3 a3, w4 a4, w5 a5, w6 a6
+  WHERE doc_id % 97 = 0)
+SELECT doc_id,
+  ROUND(8.0 * ($terms), 6) AS tracin,
+  y, (doc_id % 97 = 0) AS is_probe
+FROM f, w1 a1, w2 a2, w3 a3, w4 a4, w5 a5, w6 a6, pg
+ORDER BY doc_id"""
+  }
+
+  /** E232 dataset-cartography twin: six 6-dp true-class probabilities
+    * per document (σ or 1−σ, single round), fixed-order mean, deviation
+    * square-sum against the ROUNDED mean, z≥0 correctness counts — the
+    * same literal expression nest, layered through CTEs only so the
+    * rounded mean is referenceable. */
+  lazy val dataMap: String = {
+    def z(t: Int) = s"(a$t.w0 + a$t.w1*x1 + a$t.w2*x2 + a$t.w3*x3)"
+    // true-class probability in exact integer MICROS (the mean of six
+    // 6-dp doubles lands on the 7th-digit half boundary for ~1/6 of
+    // rows, where the engines' double rounding disagrees — the mean is
+    // integer algebra instead: floor((2Σµ + k)/2k) = half-up of Σµ/k)
+    def pc(t: Int) =
+      s"CAST(ROUND((CASE WHEN y = 1.0 THEN (1.0/(1.0+EXP(-${z(t)}))) " +
+        s"ELSE 1.0 - (1.0/(1.0+EXP(-${z(t)}))) END) * 1000000.0) AS BIGINT)"
+    val pcsum = (1 to 6).map(t => s"p$t").mkString(" + ")
+    val dev2 = (1 to 6)
+      .map(t => s"((CAST(p$t AS DOUBLE)/1000000.0)-confidence)*" +
+        s"((CAST(p$t AS DOUBLE)/1000000.0)-confidence)")
+      .mkString(" + ")
+    val ncorr = (1 to 6)
+      .map(t => s"CASE WHEN (${z(t)} >= 0) = (y = 1.0) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql)},
+pcs AS (
+  SELECT doc_id, y,
+    ${(1 to 6).map(t => s"${pc(t)} AS p$t").mkString(",\n    ")},
+    CAST($ncorr AS BIGINT) AS n_corr
+  FROM f, w1 a1, w2 a2, w3 a3, w4 a4, w5 a5, w6 a6),
+cm AS (
+  SELECT doc_id, y, p1, p2, p3, p4, p5, p6, n_corr,
+    CAST(FLOOR(CAST(2*($pcsum) + 6 AS DOUBLE) / 12.0) AS BIGINT) AS conf_mu
+  FROM pcs),
+cm2 AS (
+  SELECT *, CAST(conf_mu AS DOUBLE)/1000000.0 AS confidence FROM cm),
+vm AS (
+  SELECT doc_id, y, n_corr, confidence,
+    ROUND(SQRT(($dev2) / 6.0), 6) AS variability
+  FROM cm2)
+SELECT doc_id, confidence, variability,
+  ROUND(CAST(n_corr AS DOUBLE) / 6.0, 6) AS correctness,
+  CASE WHEN confidence >= 0.5 AND variability < 0.2 THEN 'easy_to_learn'
+    WHEN confidence < 0.5 AND variability < 0.2 THEN 'hard_to_learn'
+    ELSE 'ambiguous' END AS region,
+  y
+FROM vm ORDER BY doc_id"""
   }
 
   /** E182 Group-DRO training twin — the E164 replay pattern with a

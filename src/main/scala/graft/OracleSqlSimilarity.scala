@@ -48,6 +48,27 @@ SELECT vec_id, centroid_id, cos FROM s
 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1
 ORDER BY vec_id"""
 
+  /** E229 SSL-prototypes pruning twin: the knn_assign cell structure
+    * (rank-1 centroid per vector on the 6-dp cosine), hardest-first
+    * per-cluster rank (cos ASC, vec_id), and the integer keep quota
+    * `rnk ≤ ceil(0.7 · n_cluster)`. The index-served key shares this
+    * SQL — the artifact path is bit-identical by the E221 contract. */
+  lazy val prototypePrune: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+a AS (SELECT vec_id, centroid_id, cos FROM (
+  SELECT e.vec_id, c.centroid_id,
+    ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS cos
+  FROM embeddings e CROSS JOIN c
+  WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) = 1),
+r AS (SELECT vec_id, centroid_id, cos,
+    CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id ORDER BY cos ASC, vec_id) AS BIGINT) AS rnk,
+    CAST(COUNT(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS n_cluster
+  FROM a)
+SELECT vec_id, centroid_id, cos, rnk, n_cluster,
+  (rnk <= CAST(CEIL(0.7 * n_cluster) AS BIGINT)) AS keep
+FROM r ORDER BY vec_id"""
+
   /** IVF twin: the knn_assign cell structure (rank-1 centroid per vector),
     * rank-≤2 probe list per query, exact cosine only inside probed cells,
     * top-10 on (6-dp cosine DESC, id ASC) — deterministic approximation,

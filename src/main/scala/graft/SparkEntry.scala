@@ -278,6 +278,12 @@ FROM events GROUP BY 1 ORDER BY day""",
     "quality_filter_execute" -> OracleSql.qualityFilterExecute,
     "el2n_select" -> OracleSql.el2nSelect,
     "forgetting_events" -> OracleSql.forgettingEvents,
+    "rholoss_select" -> OracleSql.rhoLossSelect,
+    "tracin_scores" -> OracleSql.tracinScores,
+    "data_map" -> OracleSql.dataMap,
+    "prototype_prune" -> OracleSql.prototypePrune,
+    "prototype_prune_from_index" -> OracleSql.prototypePrune,
+    "streaming_interval_join" -> OracleSql.streamingIntervalJoin,
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,

@@ -92,6 +92,19 @@ private[graft] trait SparkEntryMedia { this: SparkEntry.type =>
         "complete")
         .select("doc_id", "content_hash", "dup_count")
         .orderBy("doc_id")),
+    // E233: stream-STREAM interval join (view→click attribution within
+    // 2 h) — both legs watermarked, the time bound in the join condition
+    // retires state; inner matches emit in append mode, so the replay
+    // equals the batch interval join (FULL hash oracle)
+    "streaming_interval_join" -> ((s, dir) =>
+      StreamingProfile.replayParquet(
+        s, s"$dir/events.parquet",
+        df => StreamingProfile.intervalJoin(
+          df.withColumn("ts",
+            timestamp_micros(graft.operators.Events.tsMicros(df, "ts"))),
+          leftType = "view", rightType = "click", windowMinutes = 120),
+        "append")
+        .orderBy("l_event_id", "r_event_id")),
     // E211: streaming ingest deduped against the PERSISTED E205 store —
     // stream-static joins only, map-only per-row signatures, bounded
     // pair-dedup state. Event time synthesized from doc_id (both

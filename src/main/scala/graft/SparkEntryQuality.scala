@@ -143,6 +143,29 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
       graft.operators.QualityModel.forgettingEvents(
         documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // RHO-loss selection (E230): reducible holdout loss — main-model
+    // loss minus the irreducible loss under a model trained on the
+    // deterministic 20% sha256 holdout; two training chains (6 metadata
+    // collects each), scoring map-only with both weight vectors inlined,
+    // physical top-k + coalesce(1) rank (the E223 pattern)
+    "rholoss_select" -> ((s, dir) =>
+      graft.operators.QualityModel.rhoLossSelect(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("rank")),
+    // TracIn attribution (E231): per-example influence on the id%97
+    // probe set, summed over the 6 training checkpoints — closed-form
+    // logistic gradients, one probe agg + one map-only scoring pass
+    "tracin_scores" -> ((s, dir) =>
+      graft.operators.QualityModel.tracinScores(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+    // dataset cartography (E232): confidence / variability / correctness
+    // across the training trajectory + the Data Maps region verdict —
+    // all 6 checkpoints literal-inlined, ONE map-only pass (E227 shape)
+    "data_map" -> ((s, dir) =>
+      graft.operators.QualityModel.dataMap(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // Group-DRO robust training (E182, in-engine training #4): per-source
     // mean losses, multiplicative mixture-weight updates q <- q*e^(0.5*l)
     // (normalized), q-weighted gradient steps — the DoReMi domain-weight

@@ -201,6 +201,31 @@ private[graft] trait SparkEntrySimilarity { this: SparkEntry.type =>
         index = Some(Similarity.readIvfIndex(s, path)))
         .orderBy("vec_id")
     }),
+    // E229: SSL-prototypes density pruning — per-cluster difficulty
+    // rank on the 6-dp centroid cosine (hard = far from prototype),
+    // keep the hardest 70% of every cluster; broadcast argmax
+    // assignment + one bounded per-cluster window, no global sort
+    "prototype_prune" -> ((s, dir) =>
+      Similarity.prototypePrune(
+        embeddings(s, dir), "vec_id", "embedding",
+        centroidPred = col("vec_id") % 83 === 0, keepFrac = 0.7)
+        .orderBy("vec_id")),
+    // E229 served from the PERSISTED quantizer (the E228 pattern): the
+    // in-plan |corpus|×|cents| assignment is the rate-based predicate's
+    // superlinear stage; artifact-served it is a read + one broadcast
+    // cos recompute. Bit-identical output — same FULL hash oracle.
+    "prototype_prune_from_index" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = Scratch.dir("graft_ivf", dir)
+      if (graft.operators.Dedup.StateStore.rows(s, s"$path/assign").isEmpty)
+        Similarity.writeIvfIndex(
+          emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+      Similarity.prototypePrune(
+        emb, "vec_id", "embedding",
+        col("vec_id") % 83 === 0, keepFrac = 0.7,
+        index = Some(Similarity.readIvfIndex(s, path)))
+        .orderBy("vec_id")
+    }),
     // E221 audit: (a) artifact-served ≡ in-plan recompute (ivf_topk
     // and hard_negatives_ann both); (b) split-build + batch append ≡
     // whole build (assignment is a pure per-vector function — the E205

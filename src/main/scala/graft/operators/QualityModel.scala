@@ -437,6 +437,246 @@ object QualityModel {
       col("y"))
   }
 
+  /** RHO-loss selection (E230) — Mindermann et al. '22 ("Prioritized
+    * Training on Points that are Learnable, Worth Learning, and Not Yet
+    * Learnt"): score each training example by its REDUCIBLE holdout
+    * loss — the loss under the main model minus the loss under an
+    * "irreducible-loss" model trained on a held-out split. High-RHO
+    * examples are learnable (the holdout model finds them easy → low
+    * irreducible loss) but not yet learnt (the main model still gets
+    * them wrong); noisy/mislabeled points score LOW because even the
+    * holdout model cannot fit them — the failure mode that makes plain
+    * high-loss selection (E223 EL2N) over-sample label noise.
+    *
+    * Spark-first shape: the corpus reduces once to the quantized
+    * feature relation, splits by the deterministic E21 sha256 coin
+    * (salt "rho" — holdout = bucket < `holdoutBuckets`), each split
+    * trains via [[logregTrain]] (6 metadata-sized collects each), and
+    * scoring is ONE map-only pass over the TRAIN split with both final
+    * weight vectors inlined as literals — no join; the top-k rides the
+    * E223 physical-top-k + coalesce(1) rank pattern.
+    *
+    * Determinism: both logits are fixed-order expressions over 6-dp
+    * features and weights; per-example losses round to 6 dp before the
+    * subtraction, and rho rounds the 6-dp difference — DuckDB replays
+    * BOTH training chains (prefixed CTEs) and the identical loss
+    * algebra. Full hash oracle.
+    *
+    * Cites reference scope: example-level selection is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def rhoLossSelect(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0,
+      topK: Int = 100,
+      holdoutBuckets: Int = 2000): DataFrame = {
+    require(topK > 0, s"rhoLossSelect: topK=$topK")
+    require(holdoutBuckets > 0 && holdoutBuckets < Sampling.Buckets,
+      s"rhoLossSelect: holdoutBuckets=$holdoutBuckets out of (0, ${Sampling.Buckets})")
+    val fid = docFeaturesLabeled(
+      docs, textCol, qualityLabel(textCol), Seq(idCol))
+      .withColumn("_rho_coin", Sampling.hashBucket(col(idCol), "rho"))
+      .localCheckpoint(true) // consumers: two training chains + scoring
+    val trainSplit = fid.where(col("_rho_coin") >= holdoutBuckets)
+    val holdout = fid.where(col("_rho_coin") < holdoutBuckets)
+    def finalWeights(split: DataFrame): Seq[Double] = {
+      val last = logregTrain(
+        split.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+        iterations, lr)
+        .orderBy(col("iter").desc).head()
+      (0 to 3).map(j => last.getAs[Double](s"w$j"))
+    }
+    val wMain = finalWeights(trainSplit)
+    val wIrr = finalWeights(holdout)
+    def logit(w: Seq[Double]): Column =
+      lit(w(0)) + lit(w(1)) * col("x1") +
+        lit(w(2)) * col("x2") + lit(w(3)) * col("x3")
+    def loss(w: Seq[Double]): Column =
+      round(log(lit(1.0) +
+        exp(-(lit(2.0) * col("y") - lit(1.0)) * logit(w))), 6)
+    val scored = trainSplit.select(
+      col(idCol),
+      round(loss(wMain) - loss(wIrr), 6).as("rho"),
+      loss(wMain).as("loss_train"),
+      loss(wIrr).as("loss_irr"),
+      col("y"))
+    scored
+      .orderBy(col("rho").desc, col(idCol).asc)
+      .limit(topK)
+      .coalesce(1)
+      .sortWithinPartitions(col("rho").desc, col(idCol).asc)
+      .withColumn("rank", monotonically_increasing_id() + lit(1L))
+  }
+
+  /** TracIn data attribution (E231) — Pruthi et al. '20 ("Estimating
+    * Training Data Influence by Tracing Gradient Descent", the TracInCP
+    * checkpoint form): a training example's influence on a target set V
+    * is `Σ_t η · ∇ℓ(w_t, x) · ḡ_V(w_t)` summed over checkpoints —
+    * positive = the example's gradient pushes the model the way V wants
+    * (a proponent), negative = it pushes against V (an opponent, the
+    * mislabeled-data signal the paper mines). For the in-engine logistic
+    * model the per-example gradient is CLOSED FORM,
+    * `(σ(z_t) − y) · [1, x1, x2, x3]`, so the whole attribution is
+    * expression algebra over the E164 weight trajectory.
+    *
+    * Target set: the deterministic probe rows `id % 97 = 0` (the E6/E44
+    * query-set convention) — in production V is a curated validation
+    * slice; any membership predicate slots in unchanged.
+    *
+    * Spark-first shape: train once (6 metadata collects), then ONE
+    * map-side-combined aggregation over the probe rows computes all
+    * `checkpoints × 4` mean-gradient components (the E164 decSum
+    * contract: 6-dp terms, DECIMAL(38,6) sums, 6-dp means) in a single
+    * pass, and scoring inlines the 24 means + 24 weights as literals
+    * into ONE map-only projection — per document the 6 per-checkpoint
+    * influence terms round to 6 dp and sum in fixed written order. No
+    * join, no shuffle, two corpus passes total (probe agg + scoring).
+    *
+    * Determinism: every factor is a 6-dp double or a fixed-order
+    * expression over them; DuckDB replays the training chain, the probe
+    * aggregation and the same literal algebra. Full hash oracle.
+    *
+    * Cites reference scope: training-data attribution is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def tracinScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    val fid = docFeaturesLabeled(
+      docs, textCol, qualityLabel(textCol), Seq(idCol))
+      .localCheckpoint(true) // consumers: training chain + probe agg + scoring
+    val hist = logregTrain(
+      fid.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+      iterations, lr)
+      .orderBy("iter").collect()
+    def sigma(r: Row): Column = {
+      val z = lit(r.getAs[Double]("w0")) +
+        lit(r.getAs[Double]("w1")) * col("x1") +
+        lit(r.getAs[Double]("w2")) * col("x2") +
+        lit(r.getAs[Double]("w3")) * col("x3")
+      lit(1.0) / (lit(1.0) + exp(-z))
+    }
+    val xs: Seq[Column] = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
+    // one pass over the probe rows: mean gradient per (checkpoint, dim)
+    val probeAggs = hist.toSeq.zipWithIndex.flatMap { case (r, t) =>
+      xs.zipWithIndex.map { case (x, j) =>
+        sum(round((sigma(r) - col("y")) * x, 6).cast(dec6)).as(s"s_${t}_$j")
+      }
+    } :+ count(lit(1)).as("n")
+    val probeRow = fid.where(col(idCol) % 97 === 0)
+      .agg(probeAggs.head, probeAggs.tail: _*).head()
+    val nProbe = probeRow.getAs[Long]("n")
+    require(nProbe > 0,
+      "tracinScores: empty probe set — no feature-valid row has id % 97 = 0")
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gbar: Seq[Seq[Double]] = hist.indices.map { t =>
+      (0 to 3).map(j => r6(
+        probeRow.getAs[java.math.BigDecimal](s"s_${t}_$j")
+          .doubleValue() / nProbe))
+    }
+    // per-checkpoint influence terms, summed in fixed written order
+    val terms: Seq[Column] = hist.toSeq.zipWithIndex.map { case (r, t) =>
+      val dotg = lit(gbar(t)(0)) + lit(gbar(t)(1)) * col("x1") +
+        lit(gbar(t)(2)) * col("x2") + lit(gbar(t)(3)) * col("x3")
+      round((sigma(r) - col("y")) * dotg, 6)
+    }
+    fid.select(
+      col(idCol),
+      round(lit(lr) * terms.reduce(_ + _), 6).as("tracin"),
+      col("y"),
+      (col(idCol) % 97 === 0).as("is_probe"))
+  }
+
+  /** Dataset cartography (E232) — Swayamdipta et al. '20 ("Dataset
+    * Cartography: Mapping and Diagnosing Datasets with Training
+    * Dynamics", the Data Maps method): chart every training example by
+    * its CONFIDENCE (mean probability of the true class across training
+    * checkpoints), VARIABILITY (the std-dev of that probability) and
+    * CORRECTNESS (fraction of checkpoints predicting it right). The
+    * map's regions drive curation: high-confidence/low-variability =
+    * easy-to-learn (safe to prune for efficiency), low-confidence/
+    * low-variability = hard-to-learn (the label-error screen), high
+    * variability = ambiguous (the paper's best slice for training).
+    *
+    * Spark-first shape: train once, then ALL `iterations` checkpoint
+    * probabilities are literal-inlined into ONE map-only projection —
+    * per document the 6 true-class probabilities (each 6-dp rounded),
+    * their fixed-order mean, the deviation square-sum against that
+    * rounded mean, and the z≥0 correctness counts form a single
+    * codegen'd expression tree; no join, no shuffle, one corpus pass
+    * regardless of trajectory length (the E227 shape).
+    *
+    * Determinism: each p_t rounds σ(z_t) (or 1−σ) to 6 dp, mean and
+    * std are fixed-written-order arithmetic over those six doubles
+    * rounded to 6 dp, correctness thresholds on `z ≥ 0` — DuckDB
+    * replays the identical expression nest. Full hash oracle.
+    *
+    * Cites reference scope: training-dynamics diagnostics are absent
+    * from awsdataprofiler (Profiler.scala:166-253 profiles only) —
+    * extension per SURVEY §2.E. */
+  def dataMap(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0): DataFrame = {
+    val fid = docFeaturesLabeled(
+      docs, textCol, qualityLabel(textCol), Seq(idCol))
+      .localCheckpoint(true) // two consumers: training chain + scoring
+    val hist = logregTrain(
+      fid.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+      iterations, lr)
+      .orderBy("iter").collect()
+    val zs: Seq[Column] = hist.toSeq.map { r =>
+      lit(r.getAs[Double]("w0")) +
+        lit(r.getAs[Double]("w1")) * col("x1") +
+        lit(r.getAs[Double]("w2")) * col("x2") +
+        lit(r.getAs[Double]("w3")) * col("x3")
+    }
+    // true-class probability per checkpoint in exact integer MICROS:
+    // the mean of six 6-dp values lands exactly on the 7th-digit half
+    // boundary for ~1/6 of rows (Σµ ≡ 3 mod 6), where Spark's
+    // BigDecimal-HALF_UP and DuckDB's double rounding disagree — so the
+    // mean is integer algebra (floor((Σµ+3)/6) = half-up of Σµ/6) and
+    // only measure-zero transcendental boundaries remain.
+    val pmus: Seq[Column] = zs.map { z =>
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      round(when(col("y") === 1.0, p).otherwise(lit(1.0) - p)
+        * lit(1000000.0)).cast("long")
+    }
+    val k = lit(hist.length.toDouble)
+    val sumMu = pmus.reduce(_ + _)
+    // half-up of Σµ/k as pure integer algebra: floor((2Σµ + k) / 2k)
+    val kN = hist.length
+    val confMu = floor((sumMu * lit(2L) + lit(kN.toLong)).cast("double")
+      / lit(2.0 * kN)).cast("long")
+    val conf = confMu.cast("double") / lit(1000000.0)
+    val pds: Seq[Column] = pmus.map(_.cast("double") / lit(1000000.0))
+    val dev2 = pds.map(p => (p - conf) * (p - conf)).reduce(_ + _)
+    val variability = round(sqrt(dev2 / k), 6)
+    val corrects: Seq[Column] = zs.map(z =>
+      when((z >= 0) === (col("y") === 1.0), lit(1L)).otherwise(lit(0L)))
+    val correctness =
+      round(corrects.reduce(_ + _).cast("double") / k, 6)
+    fid.select(
+      col(idCol),
+      conf.as("confidence"),
+      variability.as("variability"),
+      correctness.as("correctness"),
+      when(conf >= 0.5 && variability < 0.2, lit("easy_to_learn"))
+        .when(conf < 0.5 && variability < 0.2, lit("hard_to_learn"))
+        .otherwise(lit("ambiguous")).as("region"),
+      col("y"))
+  }
+
   /** Group-DRO robust training (E182, in-engine training #4) — the
     * Sagawa et al. '20 distributionally-robust update that DoReMi
     * (Xie et al. '23) runs to learn domain mixture weights: instead of

@@ -385,6 +385,95 @@ object Similarity {
       nearDupBuckets(embIn, idCol, vecCol, bands, bitsPerBand),
       Seq("bucket"), maxBucketFreq)
 
+  /** Shared assignment relation `(vec_id, centroid_id, cos)` for the
+    * cluster-scoped curation operators (E158 SemDeDup, E229 prototype
+    * pruning): either the in-plan [[nearestCentroid]] argmax, or —
+    * `index` = the persisted E221 coarse quantizer — the artifact-served
+    * form (r14 sf10 lane: the in-plan |corpus|×|cents| assignment is the
+    * superlinear stage, 67.7 s at 100× data vs 2-3 s artifact-served).
+    * The artifact stores (neighbor_id, centroid_id) only; the priority
+    * rules need the member→centroid cosine, recomputed here against the
+    * ASSIGNED centroid alone — one broadcast of the metadata-sized
+    * centroid relation, O(N·D) map-only, bit-identical to the in-plan
+    * nearestCentroid value (Round14Spec pins equality). */
+  private def assignedWithCos(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      index: Option[(DataFrame, DataFrame)]): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    index.fold(
+      nearestCentroid(embIn, idCol, vecCol, centroidPred)) {
+      case (cents, assignIdx) =>
+        val base = graft.profiler.ScanMetrics.spread(embIn).select(
+          col(idCol).as("vec_id"), col(vecCol).as("v"),
+          fnorm(col(vecCol)).as("nv"))
+        assignIdx
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id"))
+          .join(base, Seq("vec_id"))
+          .join(broadcast(cents), Seq("centroid_id"))
+          .select(col("vec_id"), col("centroid_id"),
+            safeCos(col("v"), col("c"), col("nv"), col("nc")).as("cos"))
+          .where(col("cos").isNotNull)
+    }
+  }
+
+  /** Self-supervised prototype pruning (E229) — Sorscher et al. '22
+    * ("Beyond neural scaling laws: beating power law scaling via data
+    * pruning", the SSL-prototypes metric): bucket every embedding to its
+    * nearest centroid, score difficulty as DISTANCE from the prototype
+    * (low cosine = hard/informative, high cosine = prototypical/
+    * redundant), and keep the hardest `keepFrac` of every cluster — the
+    * paper's finding is that pruning EASY examples beats random pruning
+    * at scale, and per-cluster quotas preserve coverage where a global
+    * cut would empty whole regions of embedding space.
+    *
+    * Spark-first shape: assignment via [[assignedWithCos]] (broadcast
+    * argmax in-plan, or the persisted E221 quantizer — the scale path,
+    * same contract as E228); ranking is one window partitioned by
+    * centroid (mean cluster size is a constant under the cents ∝ N
+    * predicate, and BOUNDED by the largest cluster under a fixed
+    * artifact — never a global sort). The keep quota
+    * `rnk ≤ ceil(keepFrac · n_cluster)` is integer algebra over the
+    * 6-dp cosine rank — hash-oracle-verifiable end to end.
+    *
+    * Cites reference scope: density-based pruning is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def prototypePrune(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      keepFrac: Double = 0.7,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"prototypePrune: keepFrac=$keepFrac out of (0, 1]")
+    val assign = assignedWithCos(embIn, idCol, vecCol, centroidPred, index)
+      .localCheckpoint(true) // two consumers: staleness guard + ranking
+    // same staleness contract as semDedup: a served artifact must cover
+    // every assignable corpus vector or the prune verdict is partial
+    index.foreach { _ =>
+      val assignable = graft.profiler.ScanMetrics.spread(embIn)
+        .where(fnorm(col(vecCol)) > 0).count()
+      val served = assign.count()
+      require(served == assignable,
+        s"prototypePrune: stale or partial IVF index — the assign " +
+          s"relation covers $served of $assignable assignable corpus " +
+          "vectors; rebuild (writeIvfIndex) or extend (appendIvfIndex) " +
+          "the artifact before pruning against it")
+    }
+    val w = Window.partitionBy("centroid_id")
+      .orderBy(col("cos").asc, col("vec_id").asc)
+    assign
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n_cluster",
+        count(lit(1)).over(Window.partitionBy("centroid_id")))
+      .withColumn("keep",
+        col("rnk") <= ceil(lit(keepFrac) * col("n_cluster")).cast("long"))
+  }
+
   /** SemDeDup (E158) — semantic deduplication by cluster-scoped cosine
     * (Abbas et al. '23, "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"): embeddings are bucketed to their
@@ -416,29 +505,7 @@ object Similarity {
       threshold: Double,
       maxCandidatePairs: Option[Long] = Some(2000000000L),
       index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
-    graft.functions.VectorOps.register(embIn.sparkSession)
-    // `index` = the persisted E221 coarse quantizer (r14 sf10 lane: the
-    // in-plan |corpus|×|cents| assignment is this key's superlinear
-    // stage, measured 67.7 s at 100× data vs 2-3 s artifact-served).
-    // The artifact stores (neighbor_id, centroid_id) only; the priority
-    // rule needs the member→centroid cosine, recomputed here against
-    // the ASSIGNED centroid alone — one broadcast of the metadata-sized
-    // centroid relation, O(N·D) map-only, bit-identical to the in-plan
-    // nearestCentroid value (Round14Spec pins equality).
-    val assign = index.fold(
-      nearestCentroid(embIn, idCol, vecCol, centroidPred)) {
-      case (cents, assignIdx) =>
-        val base = graft.profiler.ScanMetrics.spread(embIn).select(
-          col(idCol).as("vec_id"), col(vecCol).as("v"),
-          fnorm(col(vecCol)).as("nv"))
-        assignIdx
-          .select(col("neighbor_id").as("vec_id"), col("centroid_id"))
-          .join(base, Seq("vec_id"))
-          .join(broadcast(cents), Seq("centroid_id"))
-          .select(col("vec_id"), col("centroid_id"),
-            safeCos(col("v"), col("c"), col("nv"), col("nc")).as("cos"))
-          .where(col("cos").isNotNull)
-    }
+    val assign = assignedWithCos(embIn, idCol, vecCol, centroidPred, index)
       .localCheckpoint(true) // three consumers: guard, both pair sides, verdict
     // Staleness guard on the served artifact (ADVICE r14, the E221 audit
     // contract): a corpus vector absent from the persisted assign

@@ -45,6 +45,51 @@ object StreamingProfile {
       col("n_events"),
       round(col("sum_value"), 6).as("sum_value"))
 
+  /** Stream-stream interval join (E233) — the attribution primitive
+    * ("which click followed this view within the window?") as a REAL
+    * two-stream join, not a batch window: both sides carry an event-time
+    * watermark and the join condition carries the time bound, so Spark
+    * can retire join state once the watermark passes `windowMinutes` —
+    * the state-bounding contract stream-stream joins require (without
+    * the bound, both sides buffer forever). Inner joins emit matches as
+    * they form (append mode), so a single-source replay produces exactly
+    * the batch interval join — the DuckDB twin — while the same
+    * transform runs unbounded on live streams.
+    *
+    * Takes ONE source relation and splits it by event type (the
+    * self-join shape — view→click attribution over one firehose); two
+    * genuinely distinct sources compose the same way.
+    *
+    * Scale shape: the join keys on (user_id, time-band) — a shuffle on
+    * user_id with watermark-bounded per-key state, linear in stream
+    * volume; timestamps surface as epoch micros (integral — the
+    * engine-parity contract). */
+  def intervalJoin(
+      events: DataFrame,
+      leftType: String,
+      rightType: String,
+      windowMinutes: Int = 120): DataFrame = {
+    require(windowMinutes > 0, s"intervalJoin: windowMinutes=$windowMinutes")
+    val l = events.where(col("event_type") === leftType)
+      .select(col("event_id").as("l_event_id"), col("user_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", "1 hour")
+    val r = events.where(col("event_type") === rightType)
+      .select(col("event_id").as("r_event_id"),
+        col("user_id").as("r_user_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", "1 hour")
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") +
+          expr(s"INTERVAL $windowMinutes MINUTES"),
+      "inner")
+      .select(
+        col("user_id"), col("l_event_id"), col("r_event_id"),
+        unix_micros(col("l_ts")).as("l_us"),
+        unix_micros(col("r_ts")).as("r_us"))
+  }
+
   /** Gap-based sessionization: a user's events belong to one session while
     * consecutive gaps stay within `gapMinutes`. Stateful operator shape
     * (`groupByKey.flatMapGroupsWithState`), and the state genuinely

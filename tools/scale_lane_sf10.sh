@@ -1,28 +1,45 @@
 #!/bin/bash
-# Two-point growth-curve lane (VERDICT r13 #4): times ~16 scale-critical
-# keys at sf0.1, at the ScaleGen K=10 replication (target/sf1) AND at the
-# K=100 replication (target/sf10), one fresh JVM per (query, dir), and
-# assembles BENCH_r{N}_sf10.json with per-key first-hop / second-hop
-# growth factors, a log-log linear-fit exponent over the three points,
-# and a flag on any key whose second-hop growth exceeds its first-hop
-# growth by >1.5x (the "one 10x point cannot distinguish linear from
-# quadratic-with-small-constant" fix). Usage:
-#   tools/scale_lane_sf10.sh <round> [outfile]
-# Expects target/sf1 and target/sf10 to exist (tools/runmain.sh
+# Two-point growth-curve lane (VERDICT r13 #4, widened r15 per VERDICT
+# r14 #3): times ~34 scale-critical keys at sf0.1, at the ScaleGen K=10
+# replication (target/sf1) AND at the K=100 replication (target/sf10),
+# one fresh JVM per (query, dir). Assembly is DELEGATED to
+# tools/sf10_assemble.py (ADVICE r14: this script used to duplicate the
+# flag logic inline with the raw r13 rule, so the two writers could
+# disagree on flags for the same timings) — the stderr lane log is teed
+# to a file and the assembler is the only flag-taxonomy implementation.
+# The same log also feeds tools/sf1_from_sf10.py, which emits the
+# sf1-lane-format artifact (VERDICT r14 #4) from the identical runs.
+#
+# Declared scale rows (VERDICT r14 #2): the artifact-served twins
+# ivf_from_index / semdedup_from_index ARE the scale rows; the in-plan
+# forms ivf_topk / semdedup_execute are quadratic BY KEY CONSTRUCTION
+# (rate-based %83 predicate => cents ∝ N => O(N²·D/83)); they are named
+# excluded controls in the assembler's `excluded` map and are NOT run
+# here (measured once at r14: 57.08 s / 67.66 s at sf10 vs 2.47 / 3.72
+# for the bit-identical twins).
+#
+# Usage: tools/scale_lane_sf10.sh <round> [outfile]
+# Expects target/sf1 and target/sf10 (tools/runmain.sh
 # graft.tools.ScaleGen with SPARK_GRAFT_SCALE_K=10 / 100).
 set -u
 ROUND=${1:?round}
 OUT=${2:-BENCH_r${ROUND}_sf10.json}
+LOG=${3:-target/sf10_lane_r${ROUND}.log}
 cd /root/repo
 
-# the dedup-executor family, the incremental-store lanes, the persisted
-# IVF artifact and the flagship — the keys whose 100 TB story the sf1
-# lane pinned with a single hop (VERDICT r13 #4's named set)
+# r14 set (minus the two demoted in-plan controls) + the text/training
+# lanes that had only one-hop evidence (VERDICT r14 #3) + the seven r14
+# keys (VERDICT r14 #4) + the round-15 keys (E229-E233).
 QUERIES="profile_lineitem profile_lineitem_full dedup_minhash_lsh \
 dedup_clusters minhash_dedup_execute jaccard_dedup_execute \
-semdedup_execute quality_filter_execute substring_dup_execute \
-decontam_execute dedup_incremental_lsh dedup_state_compact \
-image_incremental_dedup audio_incremental_dedup ivf_from_index ivf_topk"
+quality_filter_execute substring_dup_execute decontam_execute \
+dedup_incremental_lsh dedup_state_compact image_incremental_dedup \
+audio_incremental_dedup ivf_from_index semdedup_from_index \
+trigram_lm kneser_ney_lm bpe_merges bpe_encode dsir_weights \
+corpus_curate pca_power streaming_state_dedup kcenter_coreset \
+el2n_select forgetting_events c4_rules c4_filter_execute dup_line_stats \
+rholoss_select tracin_scores data_map prototype_prune_from_index \
+streaming_interval_join"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
@@ -33,21 +50,12 @@ run_one() { # dir query [extra env as VAR=VAL ...]
     || echo null
 }
 
-TMP=$(mktemp)
-echo "{}" > "$TMP"
+: > "$LOG"
 for q in $QUERIES; do
   a=$(run_one /root/testdata/sf0.1 "$q")
   b=$(run_one target/sf1 "$q")
   c=$(run_one target/sf10 "$q")
-  echo "lane $q sf0.1=$a sf1=$b sf10=$c" >&2
-  python3 - "$TMP" "$q" "$a" "$b" "$c" <<'EOF'
-import json, sys
-p, q, a, b, c = sys.argv[1:]
-d = json.load(open(p))
-for key, v in (("q01", a), ("q1", b), ("q10", c)):
-    d.setdefault(key, {})[q] = None if v == "null" else float(v)
-json.dump(d, open(p, "w"))
-EOF
+  echo "lane $q sf0.1=$a sf1=$b sf10=$c" | tee -a "$LOG" >&2
 done
 
 # special: kmeans at FIXED k across all three scales (mod tracks the
@@ -57,58 +65,7 @@ done
 km01=$(run_one /root/testdata/sf0.1 kmeans_train)
 km1=$(run_one target/sf1 kmeans_train SPARK_GRAFT_KMEANS_MOD=830)
 km10=$(run_one target/sf10 kmeans_train SPARK_GRAFT_KMEANS_MOD=8300)
-echo "lane kmeans fixed-k sf0.1=$km01 sf1=$km1 sf10=$km10" >&2
+echo "lane kmeans fixed-k sf0.1=$km01 sf1=$km1 sf10=$km10" | tee -a "$LOG" >&2
 
-python3 - "$TMP" "$OUT" "$ROUND" "$km01" "$km1" "$km10" <<'EOF'
-import json, math, sys
-tmp, out, rnd, km01, km1, km10 = sys.argv[1:]
-d = json.load(open(tmp))
-
-def fit_exp(ts):
-    # log-log least squares over n = 1, 10, 100 -> exponent b in t ~ n^b
-    xs = [0.0, 1.0, 2.0]
-    ys = [math.log10(t) for t in ts]
-    xbar, ybar = sum(xs) / 3, sum(ys) / 3
-    return round(sum((x - xbar) * (y - ybar) for x, y in zip(xs, ys)) /
-                 sum((x - xbar) ** 2 for x in xs), 2)
-
-growth, flags = {}, {}
-for q in d["q01"]:
-    a, b, c = d["q01"][q], d["q1"][q], d["q10"][q]
-    if None in (a, b, c) or a <= 0 or b <= 0 or c <= 0:
-        growth[q] = None
-        flags[q] = "missing_point"
-        continue
-    g1, g2 = b / a, c / b
-    growth[q] = {"sf0_1": a, "sf1": b, "sf10": c,
-                 "hop1": round(g1, 2), "hop2": round(g2, 2),
-                 "fit_exponent": fit_exp([a, b, c])}
-    if g2 > 1.5 * g1:
-        flags[q] = "superlinear_second_hop"
-doc = {
-    "metric": "sf10_scale_lane", "unit": "sec",
-    "sf": "sf0.1 -> target/sf1 (K=10) -> target/sf10 (K=100)",
-    "data_ratio_per_hop": 10, "iterations": 2, "agg": "min",
-    "isolation": "one JVM per (query, dir), 900s timeout",
-    "growth": growth,
-    "flags": flags,
-    "flag_rule": "hop2 > 1.5 * hop1 (VERDICT r13 #4)",
-    "fit_note": ("fit_exponent = least-squares slope of log10(t) vs "
-                 "log10(n) over the three points; ~0 = fixed-overhead "
-                 "dominated, ~1 = linear, ~2 = quadratic"),
-    "kmeans_train_fixed_k": {
-        "sf0_1": None if km01 == "null" else float(km01),
-        "sf1": None if km1 == "null" else float(km1),
-        "sf10": None if km10 == "null" else float(km10)},
-    "kmeans_note": ("fixed k via SPARK_GRAFT_KMEANS_MOD=830/8300 (~24 "
-                    "centroids at every scale) - the operator regime; "
-                    "the declared %83 key is k ∝ N, quadratic by key "
-                    "construction (BENCH_ISOLATION.md), excluded here"),
-    "excluded": {
-        "kmeans_train_declared": "k ∝ N by the key's init predicate - measured at sf1; sf10 would be ~100x the sf1 row by construction",
-        "winnow/substring charsalt family": "char-salt replication caps at 27 copies (single-byte salt alphabet); the sf1 charsalt rows remain the content-varying evidence"},
-}
-json.dump(doc, open(out, "w"), indent=0)
-print("wrote", out)
-EOF
-rm -f "$TMP"
+python3 tools/sf10_assemble.py "$LOG" "$ROUND" "$OUT"
+python3 tools/sf1_from_sf10.py "$LOG" "$ROUND" "BENCH_r${ROUND}_sf1.json"

@@ -82,7 +82,26 @@ doc = {
                     "centroids at every scale) - the operator regime; "
                     "the declared %83 key is k ∝ N, quadratic by key "
                     "construction (BENCH_ISOLATION.md), excluded here"),
+    "declared_scale_rows_note": (
+        "VERDICT r14 #2: ivf_from_index and semdedup_from_index ARE the "
+        "declared scale rows for their lanes; the in-plan forms below are "
+        "named excluded controls, not scale evidence"),
     "excluded": {
+        "ivf_topk": ("quadratic BY KEY CONSTRUCTION (rate-based %83 "
+                     "centroid predicate => cents ∝ N => O(N²·D/83) "
+                     "assignment); measured once at r14: 57.08 s at sf10 "
+                     "vs 2.47 s for the bit-identical ivf_from_index twin "
+                     "(same FULL hash oracle) - the controlled experiment "
+                     "isolating the in-plan build stage"),
+        "semdedup_execute": ("same in-plan assignment stage: 67.66 s at "
+                             "sf10 (and the fixed-k control is WORSE, "
+                             "118.31 s - within-cluster pairs Θ(N²/k)); "
+                             "semdedup_from_index is the bit-identical "
+                             "declared scale row (3.72 s at sf10)"),
+        "prototype_prune": ("E229's in-plan form shares ivf_topk's "
+                            "%83-predicate assignment stage by "
+                            "construction; prototype_prune_from_index is "
+                            "the bit-identical declared scale row"),
         "kmeans_train_declared": ("k ∝ N by the key's init predicate - "
                                   "measured at sf1; sf10 would be ~100x the "
                                   "sf1 row by construction"),
