@@ -507,6 +507,23 @@ FROM e
 WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.vec_id = e.vec_id)
 ORDER BY e.vec_id"""
 
+  /** D4 selection twin (E234): the SemDeDup verdict CTEs verbatim, then
+    * the E229 per-cluster hardest-first rank and integer keep quota over
+    * the SURVIVORS only (removed vectors carry null rank and keep =
+    * false via the COALESCE). */
+  lazy val d4Select: String =
+    s"""WITH $semDedupCtes,
+sv AS (SELECT a.vec_id, a.centroid_id, a.cos, (r.vec_id IS NOT NULL) AS removed
+  FROM a LEFT JOIN r USING (vec_id)),
+rk AS (SELECT vec_id, centroid_id, cos, removed,
+    CASE WHEN NOT removed THEN CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id, removed ORDER BY cos ASC, vec_id) AS BIGINT) END AS rnk,
+    CASE WHEN NOT removed THEN CAST(COUNT(*) OVER (PARTITION BY centroid_id, removed) AS BIGINT) END AS n_cluster
+  FROM sv)
+SELECT vec_id, centroid_id, cos AS centroid_cos, removed AS dedup_removed,
+  rnk, n_cluster,
+  COALESCE((NOT removed) AND rnk <= CAST(CEIL(0.7 * n_cluster) AS BIGINT), FALSE) AS keep
+FROM rk ORDER BY vec_id"""
+
   /** Cluster-representative twin: the recursive-CTE transitive closure of
     * the Jaccard pair graph + the text_quality composite, rank 1 per
     * cluster on (quality DESC, doc_id). */

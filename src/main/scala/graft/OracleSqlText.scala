@@ -693,6 +693,32 @@ SELECT doc_id, kept_lines, text_sha
 FROM m WHERE n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
 ORDER BY doc_id"""
 
+  /** E235 Flesch readability twin: the same page view; whitespace
+    * tokens, `GREATEST(sentence marks, 1)`, the vowel-run syllable
+    * counter per word (min 1, exact integer fold — `list_sum`
+    * COALESCEd for the empty list), and the two linear forms as the
+    * identical fixed-order double expressions. */
+  lazy val fleschReadability: String = {
+    val wps = "(CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE))"
+    val spw = "(CAST(n_syllables AS DOUBLE)/CAST(n_words AS DOUBLE))"
+    raw"""WITH w AS (SELECT doc_id,
+    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+    CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT) AS n_sentences
+  FROM $c4PagesSql),
+m AS (SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words, n_sentences,
+    CAST(COALESCE(list_sum(list_transform(toks, t ->
+      GREATEST(len(regexp_extract_all(t, '[aeiouyAEIOUY]+')), 1))), 0) AS BIGINT) AS n_syllables
+  FROM w)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  ROUND($wps, 6) AS words_per_sentence,
+  CASE WHEN n_words > 0 THEN ROUND($spw, 6) END AS syllables_per_word,
+  CASE WHEN n_words > 0 THEN ROUND(206.835 - 1.015 * $wps - 84.6 * $spw, 6) END AS flesch,
+  CASE WHEN n_words > 0 THEN ROUND(0.39 * $wps + 11.8 * $spw - 15.59, 6) END AS fk_grade,
+  CASE WHEN n_words > 0 THEN ROUND(206.835 - 1.015 * $wps - 84.6 * $spw, 6) >= 30.0 END AS readable
+FROM m ORDER BY doc_id"""
+  }
+
   /** E226 duplicate-line twin: the same page view; per-document dedup
     * via `list_distinct` (order-free — only counts and length sums are
     * read), char sums COALESCEd because DuckDB's `list_sum` of an empty

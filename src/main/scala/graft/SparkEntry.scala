@@ -284,6 +284,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "prototype_prune" -> OracleSql.prototypePrune,
     "prototype_prune_from_index" -> OracleSql.prototypePrune,
     "streaming_interval_join" -> OracleSql.streamingIntervalJoin,
+    "d4_select" -> OracleSql.d4Select,
+    "flesch_readability" -> OracleSql.fleschReadability,
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,

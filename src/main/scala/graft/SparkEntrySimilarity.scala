@@ -226,6 +226,22 @@ private[graft] trait SparkEntrySimilarity { this: SparkEntry.type =>
         index = Some(Similarity.readIvfIndex(s, path)))
         .orderBy("vec_id")
     }),
+    // E234: D4 selection — SemDeDup then SSL-prototypes pruning over
+    // the survivors, both stages on ONE shared quantizer (served from
+    // the persisted artifact, the scale path); the composition adds a
+    // window over the verdict relation, not a second corpus pass
+    "d4_select" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = Scratch.dir("graft_ivf", dir)
+      if (graft.operators.Dedup.StateStore.rows(s, s"$path/assign").isEmpty)
+        Similarity.writeIvfIndex(
+          emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+      Similarity.d4Select(
+        emb, "vec_id", "embedding",
+        col("vec_id") % 83 === 0, threshold = 0.35, keepFrac = 0.7,
+        index = Some(Similarity.readIvfIndex(s, path)))
+        .orderBy("vec_id")
+    }),
     // E221 audit: (a) artifact-served ≡ in-plan recompute (ivf_topk
     // and hard_negatives_ann both); (b) split-build + batch append ≡
     // whole build (assignment is a pure per-vector function — the E205

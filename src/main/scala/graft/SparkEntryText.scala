@@ -176,6 +176,13 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
       graft.operators.CorpusStats.c4FilterExecute(
         c4Pages(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // Flesch reading ease + FK grade (E235): integer word/sentence/
+    // vowel-run-syllable counts and two fixed-order linear forms —
+    // map-only over the paged view, no shuffle
+    "flesch_readability" -> ((s, dir) =>
+      graft.operators.CorpusStats.fleschReadability(
+        c4Pages(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // MassiveText duplicate-line rows (E226): per-doc duplicate-line and
     // duplicate-char fractions with the published 0.30/0.20 cuts as
     // integer comparisons; array_distinct inside the scan projection —

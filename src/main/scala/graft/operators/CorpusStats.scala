@@ -840,6 +840,61 @@ object CorpusStats {
         lit(5L) * col("dup_line_chars") <= col("line_chars")).as("keep"))
   }
 
+  /** Flesch readability (E235) — the classic readability pair (Flesch
+    * '48 reading ease; Kincaid et al. '75 grade level) as corpus-scale
+    * quality signals: reading ease
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)` and
+    * FK grade `0.39·(words/sentences) + 11.8·(syllables/word) − 15.59`,
+    * with the standard heuristic syllable counter (vowel-group runs
+    * `[aeiouyAEIOUY]+` per word, min 1 — the deterministic approximation
+    * every large-scale readability filter actually ships). Extremely
+    * low ease (dense jargon) and absurdly high ease (word soup) both
+    * mark curation candidates; `readable` applies the conventional
+    * ease ≥ 30 floor.
+    *
+    * Scale shape: ONE map-only pass — token split, per-word syllable
+    * counts (array transform + 0-seeded fold, exact integer algebra)
+    * and sentence counts all inside the scan projection; no shuffle.
+    *
+    * Determinism: the three counts are integers; both ratios and the
+    * two linear forms are the same fixed-order double expressions in
+    * both engines; readouts round to 6 dp, and `readable` compares the
+    * ROUNDED ease — no transcendental anywhere. Runs over the E224
+    * paged view (the word-soup corpus has no sentence structure).
+    *
+    * Cites reference scope: readability scoring is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def fleschReadability(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = TextFunctions.wsTokens(col(textCol))
+    val staged = df.select(
+      col(idCol),
+      size(toks).cast("long").as("n_words"),
+      greatest(regexp_count(col(textCol), lit("[.!?]")), lit(1L))
+        .cast("long").as("n_sentences"),
+      aggregate(
+        transform(toks, w =>
+          greatest(regexp_count(w, lit("[aeiouyAEIOUY]+")), lit(1L))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_syllables"))
+    val wps = col("n_words").cast("double") /
+      col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    val flesch =
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+    val fk = round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+    staged.select(
+      col(idCol), col("n_words"), col("n_sentences"), col("n_syllables"),
+      round(wps, 6).as("words_per_sentence"),
+      when(col("n_words") > 0, round(spw, 6)).as("syllables_per_word"),
+      when(col("n_words") > 0, flesch).as("flesch"),
+      when(col("n_words") > 0, fk).as("fk_grade"),
+      when(col("n_words") > 0, flesch >= 30.0).as("readable"))
+  }
+
   /** C4 cleaning EXECUTOR (E224's action) — C4 is a REWRITE, not just a
     * filter: the kept corpus is each surviving page with its failing
     * lines REMOVED. Emits, for every document [[c4Rules]] keeps, the

@@ -583,6 +583,55 @@ object Similarity {
     * Cites reference scope: curation actions are absent from
     * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
     * per SURVEY §2.E. */
+  /** D4 selection (E234) — Tirumala et al. '23 ("D4: Improving LLM
+    * Pretraining via Document De-Duplication and Diversification"): the
+    * two-stage embedding-space curation pipeline — SemDeDup first
+    * (remove near-duplicate cliques' prototypical members, [[semDedup]])
+    * then SSL-prototypes pruning over the SURVIVORS (keep the hardest
+    * `keepFrac` of every cluster, the E229 quota) — composed over ONE
+    * shared centroid assignment: the paper re-clusters between stages;
+    * here both stages read the same quantizer (in-plan or the persisted
+    * E221 artifact — the scale path), so the composition adds one
+    * window over the verdict relation, not a second corpus pass.
+    *
+    * Returns one row per assigned vector: the SemDeDup verdict
+    * (`dedup_removed`), the survivor's per-cluster difficulty rank and
+    * quota inputs (null for removed vectors), and the final `keep`.
+    *
+    * Cites reference scope: curation pipelines are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def d4Select(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroidPred: Column,
+      threshold: Double = 0.35,
+      keepFrac: Double = 0.7,
+      maxCandidatePairs: Option[Long] = Some(2000000000L),
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"d4Select: keepFrac=$keepFrac out of (0, 1]")
+    val sd = semDedup(
+      embIn, idCol, vecCol, centroidPred, threshold, maxCandidatePairs,
+      index)
+    // rank ONLY the survivors: one window keyed by (centroid, removed)
+    // — removed rows carry null rank/quota and can never be kept, so no
+    // join back against the verdict relation is needed
+    val wp = Window.partitionBy("centroid_id", "removed")
+      .orderBy(col("centroid_cos").asc, col("vec_id").asc)
+    val cp = Window.partitionBy("centroid_id", "removed")
+    sd.select(
+      col("vec_id"), col("centroid_id"), col("centroid_cos"),
+      col("removed").as("dedup_removed"),
+      when(!col("removed"), row_number().over(wp).cast("long")).as("rnk"),
+      when(!col("removed"), count(lit(1)).over(cp)).as("n_cluster"))
+      .withColumn("keep", coalesce(
+        !col("dedup_removed") &&
+          col("rnk") <= ceil(lit(keepFrac) * col("n_cluster")).cast("long"),
+        lit(false)))
+  }
+
   def semDedupExecute(
       embIn: DataFrame,
       idCol: String,

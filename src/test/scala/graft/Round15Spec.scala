@@ -172,6 +172,79 @@ class Round15Spec extends AnyFunSuite {
     assert(batch.count() > 0, "trivial: batch join empty at sf0.001")
   }
 
+  test("d4Select: from-index ≡ in-plan; survivors-only quota; removed rows never kept") {
+    val emb = sfEmb
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_d4_idx").toString
+    graft.operators.Similarity.writeIvfIndex(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+    val idx = graft.operators.Similarity.readIvfIndex(spark, path)
+    def run(i: Option[(org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)]) =
+      graft.operators.Similarity.d4Select(
+        emb, "vec_id", "embedding", col("vec_id") % 83 === 0,
+        threshold = 0.35, keepFrac = 0.7, index = i)
+    val a = run(None).localCheckpoint(true)
+    val b = run(Some(idx))
+    assert(a.exceptAll(b).count() + b.exceptAll(a).count() == 0L,
+      "artifact-served D4 must be bit-identical to in-plan")
+    val rows = a.collect()
+    assert(rows.exists(_.getBoolean(3)), "no semdedup removals at sf0.001")
+    rows.filter(_.getBoolean(3)).foreach { r =>
+      assert(r.isNullAt(4) && r.isNullAt(5) && !r.getBoolean(6),
+        s"removed row ranked or kept: $r")
+    }
+    rows.filterNot(_.getBoolean(3)).groupBy(_.getLong(1))
+      .foreach { case (cid, rs) =>
+        val n = rs.length.toLong
+        assert(rs.forall(_.getLong(5) == n))
+        assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to n))
+        assert(rs.count(_.getBoolean(6)).toLong ==
+          math.ceil(0.7 * n).toLong, s"cluster $cid quota")
+      }
+  }
+
+  test("fleschReadability vs an independent model (incl. empty/no-sentence edges)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "The cat sat. It ran away fast. Dogs bark loud.",
+      2L -> "word",                       // no sentence marks -> floor 1
+      3L -> "",                           // zero words
+      4L -> "rhythm myth gym!",           // y-only syllables
+      5L -> (("incomprehensibilities " * 30).trim + "."),
+      6L -> "a e i o u? b c d f g."
+    ).toDF("doc_id", "text")
+    val out = graft.operators.CorpusStats
+      .fleschReadability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def syll(w: String): Long =
+      math.max("[aeiouyAEIOUY]+".r.findAllIn(w).length, 1).toLong
+    Seq(
+      1L -> "The cat sat. It ran away fast. Dogs bark loud.",
+      2L -> "word", 3L -> "", 4L -> "rhythm myth gym!",
+      5L -> (("incomprehensibilities " * 30).trim + "."),
+      6L -> "a e i o u? b c d f g."
+    ).foreach { case (id, text) =>
+      val words = text.split("\\s+").filter(_.nonEmpty)
+      val nW = words.length.toLong
+      val nS = math.max(text.count(c => "?!.".contains(c)), 1).toLong
+      val nSy = words.map(syll).sum
+      val r = out(id)
+      assert(r.getLong(1) == nW && r.getLong(2) == nS && r.getLong(3) == nSy,
+        s"doc $id counts: $r vs ($nW,$nS,$nSy)")
+      if (nW == 0) assert(r.isNullAt(6) && r.isNullAt(8), r.toString)
+      else {
+        val wps = nW.toDouble / nS
+        val spw = nSy.toDouble / nW
+        val flesch = BigDecimal(206.835 - 1.015 * wps - 84.6 * spw)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(6) == flesch, s"doc $id flesch")
+        assert(r.getBoolean(8) == (flesch >= 30.0), s"doc $id readable")
+      }
+    }
+  }
+
   test("kcenterCoreset degrades to a shorter trajectory on degenerate input (ADVICE r14)") {
     val s = spark
     import s.implicits._
