@@ -39,7 +39,7 @@ trigram_lm kneser_ney_lm bpe_merges bpe_encode dsir_weights \
 corpus_curate pca_power streaming_state_dedup kcenter_coreset \
 el2n_select forgetting_events c4_rules c4_filter_execute dup_line_stats \
 rholoss_select tracin_scores data_map prototype_prune_from_index \
-streaming_interval_join"
+streaming_interval_join d4_select flesch_readability"
 
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
