@@ -598,6 +598,40 @@ SELECT doc_id, confidence, variability,
 FROM vm ORDER BY doc_id"""
   }
 
+  /** E236 quality-ensemble twin: the training chain once, the E179
+    * entropy CTEs, signals over the shared quantized feature relation,
+    * EXACT min/max spreads in a 1-row stats CTE, min-max normalization
+    * and the null-propagating 3-way mean — the identical fixed-order
+    * double algebra. */
+  lazy val qualityEnsemble: String =
+    s"""WITH ${logregCtes(lr = "8.0", ySql = qualityLabelYSql)},
+ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE LENGTH(text) > 0),
+cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+nn AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+tt AS (SELECT cnt.doc_id, n,
+    CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12)) AS t
+  FROM cnt JOIN nn USING (doc_id)),
+ent AS (SELECT doc_id, ROUND(-CAST(SUM(t) AS DOUBLE), 6) AS s_entropy
+  FROM tt GROUP BY doc_id),
+sc AS (SELECT f.doc_id,
+    ROUND(0.4*x1 + 0.3*(1.0 - x2) + 0.3*x3, 6) AS s_heur,
+    ROUND(w0 + w1*x1 + w2*x2 + w3*x3, 6) AS s_model,
+    ent.s_entropy
+  FROM f, w6, ent WHERE ent.doc_id = f.doc_id),
+mm AS (SELECT MIN(s_heur) AS h0, MAX(s_heur) AS h1,
+    MIN(s_model) AS m0, MAX(s_model) AS m1,
+    MIN(s_entropy) AS e0, MAX(s_entropy) AS e1 FROM sc),
+nr AS (SELECT doc_id, s_heur, s_model, s_entropy,
+    CASE WHEN h1 > h0 THEN ROUND((s_heur - h0) / (h1 - h0), 6) END AS n_heur,
+    CASE WHEN m1 > m0 THEN ROUND((s_model - m0) / (m1 - m0), 6) END AS n_model,
+    CASE WHEN e1 > e0 THEN ROUND((s_entropy - e0) / (e1 - e0), 6) END AS n_entropy
+  FROM sc, mm)
+SELECT doc_id, s_heur, s_model, s_entropy, n_heur, n_model, n_entropy,
+  ROUND((n_heur + n_model + n_entropy) / 3.0, 6) AS ensemble,
+  (ROUND((n_heur + n_model + n_entropy) / 3.0, 6) >= 0.5) AS keep
+FROM nr ORDER BY doc_id"""
+
   /** E182 Group-DRO training twin — the E164 replay pattern with a
     * per-domain axis: each of six steps is (a$k) the per-domain decimal
     * gradient/loss/accuracy sums under the previous weights, (m$k) 6-dp

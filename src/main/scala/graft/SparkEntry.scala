@@ -286,6 +286,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "streaming_interval_join" -> OracleSql.streamingIntervalJoin,
     "d4_select" -> OracleSql.d4Select,
     "flesch_readability" -> OracleSql.fleschReadability,
+    "quality_ensemble" -> OracleSql.qualityEnsemble,
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,

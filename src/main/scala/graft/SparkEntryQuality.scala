@@ -159,6 +159,13 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
       graft.operators.QualityModel.tracinScores(
         documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // quality-signal ensemble (E236): heuristic + trained logit + char
+    // entropy, min-max standardized and averaged — six exact min/max
+    // scalars inlined as literals, map-only fusion, no window/rank
+    "quality_ensemble" -> ((s, dir) =>
+      graft.operators.QualityModel.qualityEnsemble(
+        documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // dataset cartography (E232): confidence / variability / correctness
     // across the training trajectory + the Data Maps region verdict —
     // all 6 checkpoints literal-inlined, ONE map-only pass (E227 shape)

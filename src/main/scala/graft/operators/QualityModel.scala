@@ -677,6 +677,81 @@ object QualityModel {
       col("y"))
   }
 
+  /** Quality-signal ensemble (E236) — continuous score FUSION next to
+    * E198's boolean rule conjunction: three independent quality signals
+    * — the E9 heuristic composite over the quantized features
+    * (`0.4·x1 + 0.3·(1−x2) + 0.3·x3`), the E164-trained model logit,
+    * and E179's character entropy (word-soup/boilerplate detector the
+    * other two can't see) — are min-max standardized to [0,1] and
+    * averaged. Standardize-then-average is the textbook score ensemble;
+    * min-max (not z-score) because MIN/MAX are EXACT single-pass
+    * aggregates with no accumulation-order hazard, so the whole fusion
+    * stays hash-oracle-verifiable.
+    *
+    * Spark-first shape: signals ride the shared quantized feature
+    * relation (one corpus pass) + the E179 entropy relation (its
+    * per-char aggregation); the six min/max scalars are ONE
+    * metadata-sized collect inlined as literals into a final map-only
+    * projection — no window, no global sort, no rank: the fusion is
+    * scale-linear where an RRF-style rank fusion would demand a global
+    * row_number (a single-partition window).
+    *
+    * Determinism: signals are 6-dp; normalized scores round the ratio
+    * of exact 6-dp differences; the 3-way mean cannot land on a decimal
+    * half boundary (a/3 in micros terminates only when it is an integer
+    * there). Degenerate spread (max = min) yields null for that
+    * signal's normalized score and propagates — loud in the readout,
+    * never a silent divide-by-zero.
+    *
+    * Cites reference scope: score fusion is absent from awsdataprofiler
+    * (Profiler.scala:166-253 profiles only) — extension per SURVEY
+    * §2.E. */
+  def qualityEnsemble(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      iterations: Int = 6,
+      lr: Double = 8.0,
+      keepThreshold: Double = 0.5): DataFrame = {
+    val fid = docFeaturesLabeled(
+      docs, textCol, qualityLabel(textCol), Seq(idCol))
+      .localCheckpoint(true) // consumers: training chain + signal pass
+    val last = logregTrain(
+      fid.select("x1", "x2", "x3", "y"), Seq("x1", "x2", "x3"), "y",
+      iterations, lr)
+      .orderBy(col("iter").desc).head()
+    val w = (0 to 3).map(j => last.getAs[Double](s"w$j"))
+    val ent = graft.operators.CorpusStats
+      .charEntropy(docs, idCol, textCol)
+      .select(col(idCol), col("entropy"))
+    val scored = fid
+      .join(ent, Seq(idCol))
+      .select(
+        col(idCol),
+        round(lit(0.4) * col("x1") + lit(0.3) * (lit(1.0) - col("x2")) +
+          lit(0.3) * col("x3"), 6).as("s_heur"),
+        round(lit(w(0)) + lit(w(1)) * col("x1") +
+          lit(w(2)) * col("x2") + lit(w(3)) * col("x3"), 6).as("s_model"),
+        col("entropy").as("s_entropy"))
+      .localCheckpoint(true) // two consumers: min/max agg + projection
+    val mm = scored.agg(
+      min("s_heur").as("h0"), max("s_heur").as("h1"),
+      min("s_model").as("m0"), max("s_model").as("m1"),
+      min("s_entropy").as("e0"), max("s_entropy").as("e1")).head()
+    def norm(c: Column, lo: Double, hi: Double): Column =
+      when(lit(hi) > lit(lo),
+        round((c - lit(lo)) / (lit(hi) - lit(lo)), 6))
+    val n1 = norm(col("s_heur"), mm.getDouble(0), mm.getDouble(1))
+    val n2 = norm(col("s_model"), mm.getDouble(2), mm.getDouble(3))
+    val n3 = norm(col("s_entropy"), mm.getDouble(4), mm.getDouble(5))
+    val ens = round((n1 + n2 + n3) / lit(3.0), 6)
+    scored.select(
+      col(idCol), col("s_heur"), col("s_model"), col("s_entropy"),
+      n1.as("n_heur"), n2.as("n_model"), n3.as("n_entropy"),
+      ens.as("ensemble"),
+      (ens >= keepThreshold).as("keep"))
+  }
+
   /** Group-DRO robust training (E182, in-engine training #4) — the
     * Sagawa et al. '20 distributionally-robust update that DoReMi
     * (Xie et al. '23) runs to learn domain mixture weights: instead of

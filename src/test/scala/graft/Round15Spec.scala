@@ -245,6 +245,31 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("round-15 plan audit: flesch/dup-line are shuffle-free map-only; prune/D4 windows are keyed, never single-partition") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 40)
+      .map(i => (i.toLong, ("alpha beta gamma delta epsilon. " * (3 + i % 5)).trim))
+      .toDF("doc_id", "text")
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // E235: pure scan projection — no Exchange, no Join
+    val fp = plan(graft.operators.CorpusStats
+      .fleschReadability(docs, "doc_id", "text"))
+    assert(!fp.contains("Exchange") && !fp.contains("Join"), s"\n$fp")
+    // E229/E234: per-cluster windows keyed by centroid — a global
+    // (single-partition) window must never appear
+    val emb = sfEmb
+    val pp = plan(graft.operators.Similarity.prototypePrune(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0))
+    assert(pp.contains("Window") && !pp.contains("Exchange SinglePartition"),
+      s"\n$pp")
+    val d4 = plan(graft.operators.Similarity.d4Select(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0))
+    assert(d4.contains("Window") && !d4.contains("Exchange SinglePartition"),
+      s"\n$d4")
+  }
+
   test("kcenterCoreset degrades to a shorter trajectory on degenerate input (ADVICE r14)") {
     val s = spark
     import s.implicits._
