@@ -270,6 +270,22 @@ class Round15Spec extends AnyFunSuite {
       s"\n$d4")
   }
 
+  test("qualityEnsemble: normalized signals span [0,1] and hit both ends; keep ≡ ensemble ≥ 0.5") {
+    val docs = fuzzDocs(80)
+    val out = graft.operators.QualityModel
+      .qualityEnsemble(docs, "doc_id", "text").collect()
+    assert(out.nonEmpty)
+    Seq(4, 5, 6).foreach { c =>
+      val vals = out.filterNot(_.isNullAt(c)).map(_.getDouble(c))
+      assert(vals.forall(v => v >= 0.0 && v <= 1.0), s"col $c out of [0,1]")
+      assert(vals.min == 0.0 && vals.max == 1.0,
+        s"col $c min-max scaling must hit both ends: ${vals.min}..${vals.max}")
+    }
+    out.filterNot(_.isNullAt(7)).foreach { r =>
+      assert(r.getBoolean(8) == (r.getDouble(7) >= 0.5), r.toString)
+    }
+  }
+
   test("kcenterCoreset degrades to a shorter trajectory on degenerate input (ADVICE r14)") {
     val s = spark
     import s.implicits._
