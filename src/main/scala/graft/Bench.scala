@@ -24,9 +24,8 @@ import org.apache.spark.sql.SparkSession
   *    untimed — the cost is wall-clock minutes, the benefit is that
   *    every key's number is within one-or-two-plans of a cold JVM.
   *  - `/proc/loadavg` is sampled at start and end of the run and lands
-  *    in the JSON artifact, so a loaded host (the other suspect for the
-  *    r12 excursions — a 37-minute battery overlapping compile/test
-  *    activity) is visible in the artifact instead of inferred later.
+  *    in the JSON artifact, so a loaded host is visible in the artifact
+  *    instead of inferred later.
   *  - per-query iteration SPREAD (max-min across iterations) rides the
   *    worker protocol and the sidecar: a wide spread marks a noisy
   *    measurement, a tight spread with a high min marks a real cost.
@@ -34,6 +33,34 @@ import org.apache.spark.sql.SparkSession
   *    flagship, plus any `SPARK_GRAFT_ISOLATE_KEYS`) are re-run ONE key
   *    per fresh child JVM and reported as `"isolated"` — the in-suite ≤
   *    1.3× isolated bound is now checked by every round's own artifact.
+  *
+  * Round 16 — timeout survivability + wall-time budget (VERDICT r15 #1:
+  * the driver's r15 run hit its ~3,000 s budget mid-battery and the
+  * round's ONLY independent performance artifact was rc 124 / parsed
+  * null):
+  *  - the full per-query sidecar is rewritten ATOMICALLY (temp file +
+  *    rename) after EVERY completed fork group, carrying
+  *    `"partial":true` and `n_completed`/`n_total`, so any truncation
+  *    of the run still leaves a parseable battery on disk;
+  *  - the battery self-bounds: once elapsed wall exceeds
+  *    `SPARK_GRAFT_WALL_BUDGET` (default 2250 s — under the observed
+  *    driver budget with sbt-startup margin) remaining groups and
+  *    isolated rows are SKIPPED (named in the artifact, `n_skipped` in
+  *    the driver line) and the final line always prints;
+  *  - micro keys (committed-sidecar time ≤ 1.0 s) merge into fork
+  *    groups of 8: the r15 battery paid a 3-5 s JVM floor for every 3
+  *    sub-second keys (126 micro keys / 42 groups ≈ 190 s of floors).
+  *    Small plans leave negligible heap/metaspace residue, so the r13
+  *    group-size-3 rationale (heavy-plan residue) does not apply to
+  *    them; the isolated re-pin + divergence retry still audit the
+  *    merged rows every round.
+  *  - "iterations=1 for flat keys" was CONSIDERED AND REJECTED with
+  *    data: across the r15 battery spread/min has median 1.19 —
+  *    iteration 1 pays per-plan codegen for essentially every key, so
+  *    a 1-iteration number is ~2× the steady-state min and would break
+  *    sidecar comparability (every such key would false-trip the 1.3×
+  *    divergence retry). Only 14/276 keys are genuinely flat; dropping
+  *    their second iteration saves ~7 s. Not worth the protocol fork.
   *
   * Modes (all driven by env, the driver sets none of them):
   *  - parent (default): partitions the query list, forks one child JVM
@@ -80,15 +107,6 @@ object Bench {
       .trim.split("\\s+")(0).toDouble
     catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-  /** Instantaneous host busy-CPU fraction over a short sampling window
-    * (two /proc/stat reads): 0.0 = idle, 1.0 = all cores busy; -1 when
-    * unreadable. Unlike the 1-minute loadavg this is a LEADING
-    * indicator that our own just-finished row does not poison — the r14
-    * local battery found the loadavg gate structurally self-defeating:
-    * every isolated row is itself a 32-thread JVM, so loadavg stays
-    * elevated through the whole isolated phase and rows starve the wait
-    * budget on a host that is actually idle between rows (13/20 rows
-    * "unclean" at loadavg ≈ 3-4 while nothing else ran). */
   /** Aggregate (total, idle+iowait) jiffies from /proc/stat's first
     * line, summed across all cores; None when unreadable. */
   private def procStat(): Option[(Long, Long)] =
@@ -98,6 +116,14 @@ object Bench {
       Some((f.sum, f(3) + (if (f.length > 4) f(4) else 0L))) // idle+iowait
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Instantaneous host busy-CPU fraction over a short sampling window
+    * (two /proc/stat reads): 0.0 = idle, 1.0 = all cores busy; -1 when
+    * unreadable. Unlike the 1-minute loadavg this is a LEADING
+    * indicator that our own just-finished row does not poison — the r14
+    * local battery found the loadavg gate structurally self-defeating:
+    * every isolated row is itself a 32-thread JVM, so loadavg stays
+    * elevated through the whole isolated phase and rows starve the wait
+    * budget on a host that is actually idle between rows. */
   private def cpuBusyFrac(sampleMs: Int = 1500): Double =
     (procStat(), { Thread.sleep(sampleMs); procStat() }) match {
       case (Some((t1, i1)), Some((t2, i2))) if t2 > t1 =>
@@ -140,11 +166,12 @@ object Bench {
   }
 
   /** Previous-round per-query times for excursion auto-isolation
-    * (VERDICT r13 #2): parsed from the committed prior battery sidecar
-    * (flat {"key":sec,...} inside "queries"). Read BEFORE the run so the
-    * sidecar overwrite cannot clobber it. A tiny regex parse keeps the
-    * bench free of JSON-library coupling; a malformed file degrades to
-    * "no prior data" (empty map), never a bench failure. */
+    * (VERDICT r13 #2) and micro-key fork grouping (r16): parsed from the
+    * committed prior battery sidecar (flat {"key":sec,...} inside
+    * "queries"). Read BEFORE the run so the sidecar overwrite cannot
+    * clobber it. A tiny regex parse keeps the bench free of JSON-library
+    * coupling; a malformed file degrades to "no prior data" (empty map),
+    * never a bench failure. */
   private def prevTimes(path: String): Map[String, Double] =
     try {
       val txt = scala.io.Source.fromFile(path).mkString
@@ -232,7 +259,11 @@ object Bench {
     /** Average cores consumed by processes other than the child while
       * the row ran; -1 when either side was unmeasurable. ~0 on a quiet
       * host; the r14 poisoned rows (2.7-4.1× inflation at pre-fork busy
-      * ≤ 0.005) would have shown multiple cores here. */
+      * ≤ 0.005) would have shown multiple cores here. KNOWN LIMIT
+      * (ADVICE r15): kernel threads doing the child's OWN writeback
+      * (state-store kernels on streaming keys, ~5 cores observed) are
+      * host-busy but not child utime+stime, so they read as "outside" —
+      * see the per-key streaming ceiling in the isolated phase. */
     def outsideCores: Double =
       if (childCpuSec < 0 || hostBusyCoreSec < 0 || wallSec <= 0) -1.0
       else math.max(0.0, (hostBusyCoreSec - childCpuSec) / wallSec)
@@ -292,6 +323,28 @@ object Bench {
     }
   }
 
+  /** Atomic file write: temp file in the same directory + rename, so a
+    * reader (or a kill) never sees a half-written artifact (VERDICT r15
+    * #1 — the incremental-sidecar contract). Best-effort by contract of
+    * the single caller (sidecar writes must never fail the bench). */
+  private def atomicWrite(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    val tmp = dir.resolve(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      (content + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { // non-atomic filesystems still get the rename semantics
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -312,6 +365,22 @@ object Bench {
     // untimed; the extra forks cost wall minutes only.
     val forkPer = sys.env.get("SPARK_GRAFT_FORK_PER")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(3)
+    // micro keys (committed-sidecar time ≤ microMax) merge into larger
+    // fork groups (r16, VERDICT r15 #1b): their plans leave negligible
+    // JVM residue and their JVM floors dominated the battery wall
+    val microMax = sys.env.get("SPARK_GRAFT_MICRO_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.0)
+    val forkPerMicro = sys.env.get("SPARK_GRAFT_FORK_PER_MICRO")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(8)
+    // self-bounding wall budget (r16, VERDICT r15 #1a): groups and
+    // isolated rows past this elapsed wall are SKIPPED (named in the
+    // artifact) so the final driver line always prints before an
+    // external timeout would kill the run unreported
+    val wallBudget = sys.env.get("SPARK_GRAFT_WALL_BUDGET")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).filter(_ > 0)
+      .getOrElse(2250.0)
+    val tWall0 = System.nanoTime()
+    def wallSec(): Double = (System.nanoTime() - tWall0) / 1e9
     // isolated re-run sample size (0 disables); extra keys via
     // SPARK_GRAFT_ISOLATE_KEYS=a,b,c
     val isolateN = sys.env.get("SPARK_GRAFT_ISOLATE_N")
@@ -336,23 +405,120 @@ object Bench {
         only.map(_.contains(name)).getOrElse(
           !name.endsWith("_audit") && name != "dedup_family_rollup") }
       .sortBy(_._1)
+    // committed prior battery (read BEFORE this run overwrites the
+    // sidecar): feeds the micro/normal fork split, the excursion
+    // auto-isolation list, and the isolated divergence retry
+    val prev = prevTimes(sys.env.getOrElse(
+      "SPARK_GRAFT_PREV_BENCH", "BENCH_full_local.json"))
     // measurement-mode accounting, reported in the JSON line: a driver
     // environment where forking fails would silently revert to the r8
     // in-process numbers (2-3x late-query inflation) — make that visible
     // in the artifact instead of inferable from timings
     var nForked, nFallback = 0
+    // Full per-query sidecar (VERDICT r11 task 4, incremental r16): the
+    // stdout line keeps its slowest-first 1850-char truncation (driver
+    // window), so the sidecar carries EVERY per-query time — and since
+    // r16 it is rewritten atomically after every fork group, so a
+    // timeout mid-battery still leaves a parseable partial battery.
+    // isolated SPARK_GRAFT_ONLY runs are not the battery: writing their
+    // 1-2 keys would clobber the full artifact (bench_isolation.sh and
+    // the scale lane run dozens of such JVMs); an explicit
+    // SPARK_GRAFT_FULL_OUT still writes wherever it points
+    val sidecar =
+      if (sys.env.contains("SPARK_GRAFT_ONLY") &&
+        !sys.env.contains("SPARK_GRAFT_FULL_OUT")) None
+      else Some(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full_local.json"))
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(v))
+    def map4(m: Iterable[(String, Double)]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
+          java.lang.Double.valueOf(v)) }.mkString("{", ",", "}")
+    def names(ns: Seq[String]): String =
+      ns.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val nTotal = selected.size
+    val outsideMaxDefault = sys.env.get("SPARK_GRAFT_OUTSIDE_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.0)
+    val busyMax = sys.env.get("SPARK_GRAFT_BUSY_MAX")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.20)
+    case class IsoRow(time: Double, load: Double, outside: Double,
+        clean: Boolean)
+    /** The one sidecar serializer (partial and final writes both use it,
+      * so a truncated run's artifact has the same schema as a complete
+      * one — `partial` + `n_completed`/`n_total` are the only tells). */
+    def sidecarJson(results: Map[String, QTime],
+        isolatedRows: Map[String, IsoRow], isolatedAttempted: Int,
+        skipped: Seq[String], excursions: Seq[String],
+        partial: Boolean): String = {
+      val times = results.map { case (n, qt) => n -> qt.min }
+      val failedQs = results.collect { case (n, qt) if qt.failed => n }.toSeq.sorted
+      val oomQs = results.collect { case (n, qt) if qt.status == "oom" => n }.toSeq.sorted
+      val total = if (times.nonEmpty) times.values.sum else 0.0
+      val isolated = isolatedRows.map { case (k, r) => k -> r.time }
+      val unclean = isolatedRows.collect { case (k, r) if !r.clean => k }.toSeq.sorted
+      val divergent = isolatedRows.collect {
+        case (k, r) if prev.get(k).exists(p => p > 0 && r.time / p > 1.3) => k
+      }.toSeq.sorted
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map4(times)},""" +
+        s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
+        s""""partial":$partial,"n_completed":${times.size},"n_total":$nTotal,""" +
+        s""""n_queries":${times.size},""" +
+        s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
+        s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())},""" +
+        s""""busy_max":${fmt(busyMax)},"wall_budget":${fmt(wallBudget)},""" +
+        s""""wall_sec":${fmt(wallSec())},""" +
+        s""""spreads":${map4(results.map { case (n, qt) => n -> qt.spread })},""" +
+        s""""isolated":${map4(isolated)},""" +
+        s""""isolated_busy":${map4(isolatedRows.map { case (n, r) => n -> r.load })},""" +
+        s""""isolated_outside_cores":${map4(isolatedRows.map { case (n, r) => n -> r.outside })},""" +
+        s""""outside_max":${fmt(outsideMaxDefault)},""" +
+        s""""isolated_attempted":$isolatedAttempted,""" +
+        s""""isolated_unclean":${names(unclean)},""" +
+        s""""isolated_divergent":${names(divergent)},""" +
+        s""""excursions":${names(excursions.sorted)},""" +
+        s""""skipped":${names(skipped.sorted)},"n_skipped":${skipped.size},""" +
+        s""""n_failed":${failedQs.size},"oom_queries":${names(oomQs)},""" +
+        s""""failed_queries":${names(failedQs)}}"""
+    }
+    // micro/normal fork split: a key's class comes from the COMMITTED
+    // sidecar (deterministic within a round); keys without prior data
+    // default to the conservative 3-per-fork class. Normal groups run
+    // FIRST so the heavyweight evidence lands before any wall-budget cut.
+    val (micro, normal) = selected.partition { case (n, _) =>
+      prev.get(n).exists(p => p > 0 && p <= microMax) }
+    val groups: Seq[Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]] =
+      normal.grouped(forkPer).toSeq ++ micro.grouped(forkPerMicro).toSeq
+    val acc = scala.collection.mutable.LinkedHashMap[String, QTime]()
+    val skippedKeys = scala.collection.mutable.ArrayBuffer[String]()
     val results: Map[String, QTime] =
       if (noFork)
         runInProcess(selected, sfDir, cpus, iterations, perSession).toMap
-      else
-        selected.grouped(forkPer).flatMap { group =>
-          runForked(group.map(_._1)) match {
-            case Some(fr) => nForked += 1; fr.times
-            case None =>
-              nFallback += 1
-              runInProcess(group, sfDir, cpus, iterations, perSession)
+      else {
+        var gi = 0
+        groups.foreach { group =>
+          if (wallSec() > wallBudget) skippedKeys ++= group.map(_._1)
+          else {
+            runForked(group.map(_._1)) match {
+              case Some(fr) => nForked += 1; acc ++= fr.times
+              case None =>
+                nFallback += 1
+                acc ++= runInProcess(group, sfDir, cpus, iterations, perSession)
+            }
+            gi += 1
+            // incremental artifact (VERDICT r15 #1a): a kill at ANY point
+            // from here on leaves a parseable partial battery on disk
+            try sidecar.foreach(sc => atomicWrite(sc, sidecarJson(
+              acc.toMap, Map.empty, 0, selected.map(_._1).filterNot(acc.contains),
+              Nil, partial = true)))
+            catch { case scala.util.control.NonFatal(_) => () }
+            // progress marker (plain text, NOT JSON — scale-lane and
+            // isolation scripts `grep '^{'` and json-parse a single line)
+            println(s"GRAFT_BENCH_PROGRESS group $gi/${groups.size} " +
+              s"keys ${acc.size}/$nTotal wall ${fmt(wallSec())}s")
           }
-        }.toMap
+        }
+        acc.toMap
+      }
     if (isWorker) {
       // Locale.ROOT: a comma-decimal default locale would print "6,36",
       // the parent's toDouble would throw, and every group would silently
@@ -377,39 +543,38 @@ object Bench {
     // Isolated re-pin sample (VERDICT r12 task 1c, hardened r14):
     //  - the N slowest keys + flagship + SPARK_GRAFT_ISOLATE_KEYS, PLUS
     //    any key whose in-suite time exceeds 1.3× its previous-round
-    //    value (VERDICT r13 #2 — the r13 artifact left dedup_clusters
-    //    1.44× / dedup_cluster_best 1.55× unadjudicated because they sat
-    //    just below the 10-slowest cut). Prior values come from the
-    //    committed battery sidecar (SPARK_GRAFT_PREV_BENCH, default
+    //    value (VERDICT r13 #2). Prior values come from the committed
+    //    battery sidecar (SPARK_GRAFT_PREV_BENCH, default
     //    BENCH_full_local.json), read before the run overwrites it.
     //  - each row is LOAD-GATED (VERDICT r13 #1, re-instrumented r14):
     //    wait (bounded) for the instantaneous busy-CPU fraction ≤
-    //    SPARK_GRAFT_BUSY_MAX before forking (loadavg is a TRAILING
-    //    indicator our own just-finished row keeps elevated — see
-    //    cpuBusyFrac), record the busy fraction actually observed, and
-    //    re-run once when the row is busy-dirty or its iteration spread
-    //    exceeds its min. Rows that never ran quiet are listed in
-    //    `isolated_unclean` — the artifact states which rows are
-    //    evidence-grade instead of leaving the judge to infer it.
-    val busyMax = sys.env.get("SPARK_GRAFT_BUSY_MAX")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(0.20)
+    //    SPARK_GRAFT_BUSY_MAX before forking, record the busy fraction
+    //    actually observed, and re-run once when the row is busy-dirty
+    //    or its iteration spread exceeds its min. Rows that never ran
+    //    quiet are named in `isolated_unclean`.
     val excursionFloor = 0.5 // sec; micro-keys are all jitter at ratio 1.3
-    val prev = prevTimes(sys.env.getOrElse(
-      "SPARK_GRAFT_PREV_BENCH", "BENCH_full_local.json"))
     val excursions: Seq[String] = times.toSeq.collect {
       case (n, t) if t >= excursionFloor &&
         prev.get(n).exists(p => p > 0 && t / p > 1.3) => n
     }.sortBy(n => -(times(n) / prev(n))).take(12) // bound wall-clock
     // outside-cores ceiling for the IN-RUN contention check (VERDICT r14
     // #1): average CPU cores consumed by processes OTHER than the forked
-    // child while the row ran. OS background sits well under 0.5 cores;
-    // the r14 poisoned rows ran alongside multi-core compile/test
-    // activity that a 1.0-core ceiling catches with margin.
-    val outsideMax = sys.env.get("SPARK_GRAFT_OUTSIDE_MAX")
-      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(1.0)
-    case class IsoRow(time: Double, load: Double, outside: Double,
-        clean: Boolean)
+    // child while the row ran. OS background sits well under 0.5 cores.
+    // Streaming keys are exempted up to a HIGHER ceiling (ADVICE r15 /
+    // VERDICT r15 #3): their state-store commits run through kernel
+    // writeback threads (~5 cores observed on an IDLE host) which /proc
+    // attribution cannot assign to the child, so at the 1.0 default they
+    // could never produce an evidence-grade row. The exemption is
+    // exactly the declared-streaming key list (name prefix) and still
+    // bounded — a genuinely contended streaming row (> ~6 outside cores)
+    // stays unclean, and busy-gate + spread + divergence still apply.
+    val outsideMaxStreaming = sys.env.get("SPARK_GRAFT_OUTSIDE_MAX_STREAMING")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(6.0)
+    def outsideMaxFor(name: String): Double =
+      if (name.startsWith("streaming_")) math.max(outsideMaxDefault, outsideMaxStreaming)
+      else outsideMaxDefault
     var isolatedAttempted = 0
+    var isolatedSkipped = 0
     val isolatedRows: Map[String, IsoRow] =
       if (noFork || isolateN == 0) Map.empty
       else {
@@ -418,7 +583,6 @@ object Bench {
         val sample = (times.toSeq.sortBy(-_._2).take(isolateN).map(_._1) ++
           Seq("profile_lineitem").filter(times.contains) ++
           extra.filter(times.contains) ++ excursions).distinct
-        isolatedAttempted = sample.size
         // total wait budget across all rows: the gate must bound itself
         // (a pathological neighbour process must not hang the bench)
         val waitBudget = new java.util.concurrent.atomic.AtomicLong(
@@ -431,48 +595,52 @@ object Bench {
         // spread-dirty must tolerate the fresh-JVM warmup: with
         // iterations=2 on a single-key child, iteration 1 carries ~3-5 s
         // of codegen + classloader + Hadoop init, so spread (max − min)
-        // is STRUCTURALLY ≈ warmup for every key and "sp > min" marks
-        // even a 4 s flagship unclean on an idle host (r14 batteries:
-        // 16/23 then 8/17 "unclean" rows, all at busy ≈ 0.000, all
-        // spread-mislabels). A row is noisy only when iteration 1
-        // exceeds min + max(min, 5 s warmup allowance).
+        // is STRUCTURALLY ≈ warmup for every key. A row is noisy only
+        // when iteration 1 exceeds min + max(min, 5 s warmup allowance).
         def spreadDirty(t: Double, sp: Double): Boolean =
           sp > math.max(t, 5.0)
         // an unreadable busy fraction (-1) is UNKNOWN, not quiet
         // (ADVICE r14): a row whose host could not be observed is never
         // evidence-grade
         def busyDirty(b: Double): Boolean = b < 0 || b > busyMax
-        // in-run contention: unknown (-1) is likewise not clean
-        def contended(oc: Double): Boolean = oc < 0 || oc > outsideMax
+        // in-run contention: unknown (-1) is likewise not clean; the
+        // ceiling is per-key (streaming kernel-writeback exemption above)
+        def contended(name: String, oc: Double): Boolean =
+          oc < 0 || oc > outsideMaxFor(name)
         // cross-check vs the committed prior battery (VERDICT r14 #1):
-        // the r14 poisoned rows read 2.7-4.1x their same-tree local
-        // values — divergence triggers a retry; a row that STAYS
-        // divergent without contention is a genuine regression and is
-        // reported (isolated_divergent), not laundered as unclean
+        // divergence triggers a retry; a row that STAYS divergent
+        // without contention is a genuine regression and is reported
+        // (isolated_divergent), not laundered as unclean
         def divergent(t: Double, name: String): Boolean =
           prev.get(name).exists(p => p > 0 && t / p > 1.3)
         sample.flatMap { name =>
-          val (load1, _) = awaitQuietHost(busyMax, 120, waitBudget)
-          one(name).map { case (t1, sp1, oc1) =>
-            val dirty = busyDirty(load1) || spreadDirty(t1, sp1) ||
-              contended(oc1) || divergent(t1, name)
-            if (!dirty) name -> IsoRow(t1, load1, oc1, clean = true)
-            else {
-              // one retry after a fresh (shorter) quiet wait; keep the
-              // better row and report the conditions it actually ran
-              // under — cleanliness is decided by the kept attempt's
-              // own instrument signals (busy, spread, in-run outside
-              // CPU), never by the divergence flag alone
-              val (load2, _) = awaitQuietHost(busyMax, 60, waitBudget)
-              one(name) match {
-                case Some((t2, sp2, oc2)) if t2 < t1 =>
-                  name -> IsoRow(t2, load2, oc2,
-                    clean = !busyDirty(load2) && !spreadDirty(t2, sp2) &&
-                      !contended(oc2))
-                case _ =>
-                  name -> IsoRow(t1, load1, oc1,
-                    clean = !busyDirty(load1) && !spreadDirty(t1, sp1) &&
-                      !contended(oc1))
+          // the wall budget bounds the isolated phase too (r16): rows
+          // past it are counted, not silently dropped
+          if (wallSec() > wallBudget) { isolatedSkipped += 1; None }
+          else {
+            isolatedAttempted += 1
+            val (load1, _) = awaitQuietHost(busyMax, 120, waitBudget)
+            one(name).map { case (t1, sp1, oc1) =>
+              val dirty = busyDirty(load1) || spreadDirty(t1, sp1) ||
+                contended(name, oc1) || divergent(t1, name)
+              if (!dirty) name -> IsoRow(t1, load1, oc1, clean = true)
+              else {
+                // one retry after a fresh (shorter) quiet wait; keep the
+                // better row and report the conditions it actually ran
+                // under — cleanliness is decided by the kept attempt's
+                // own instrument signals (busy, spread, in-run outside
+                // CPU), never by the divergence flag alone
+                val (load2, _) = awaitQuietHost(busyMax, 60, waitBudget)
+                one(name) match {
+                  case Some((t2, sp2, oc2)) if t2 < t1 =>
+                    name -> IsoRow(t2, load2, oc2,
+                      clean = !busyDirty(load2) && !spreadDirty(t2, sp2) &&
+                        !contended(name, oc2))
+                  case _ =>
+                    name -> IsoRow(t1, load1, oc1,
+                      clean = !busyDirty(load1) && !spreadDirty(t1, sp1) &&
+                        !contended(name, oc1))
+                }
               }
             }
           }
@@ -482,9 +650,6 @@ object Bench {
       isolatedRows.map { case (k, r) => k -> r.time }
     val isolatedUnclean = isolatedRows.collect {
       case (k, r) if !r.clean => k }.toSeq.sorted
-    val isolatedDivergent = isolatedRows.collect {
-      case (k, r) if prev.get(k).exists(p => p > 0 && r.time / p > 1.3) => k
-    }.toSeq.sorted
     val loadEnd = loadAvg()
     val total = if (times.nonEmpty) times.values.sum else 0.0
     // The driver parses this line out of a 2000-char stdout tail; round 3's
@@ -493,8 +658,6 @@ object Bench {
     // line inside the window (the slow queries are the ones perf grading
     // needs); n_queries records how many ran vs how many are listed.
     // Locale.ROOT: the JSON line must be machine-parseable on any host
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", java.lang.Double.valueOf(v))
     val slowestFirst = times.toSeq.sortBy(-_._2)
     // n_failed always carries the full count; the NAME list participates
     // in the truncation loop (ADVICE r9: a mass-failure round would
@@ -506,9 +669,10 @@ object Bench {
     // loadavg + spread make a noisy-host run self-incriminating in the
     // artifact; the isolated map is the ≤1.3×-bound evidence.
     // isolated_attempted vs the map's size makes a dropped row VISIBLE
-    // (ADVICE r13: a failed single-key fork used to vanish silently, and
-    // "isolated":{} was indistinguishable from a checked-and-empty set);
-    // isolated_unclean counts rows that never ran load-clean.
+    // (ADVICE r13); `isolated_unclean` is NUMERIC (the count — ADVICE
+    // r15: r15 changed this key's type to an array and existing driver
+    // tooling would break; the capped NAME list now lives under
+    // `isolated_unclean_names`).
     def line(entries: Seq[(String, Double)], failedShown: Seq[String],
         isoShown: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -518,18 +682,19 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","iterations":$iterations,"agg":"min",""" +
-        s""""n_queries":${times.size},""" +
+        s""""n_queries":${times.size},"n_total":$nTotal,""" +
+        s""""partial":${skippedKeys.nonEmpty},"n_skipped":${skippedKeys.size},""" +
         s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
         s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
         s""""busy_max":${fmt(busyMax)},""" +
         s""""spread_max":${fmt(spreadMax)},"isolated":$isoJson,""" +
         s""""isolated_attempted":$isolatedAttempted,""" +
-        // NAMES, not a bare count (VERDICT r14 #7): a poisoned artifact
-        // must incriminate its own rows even when the sidecar is never
+        s""""isolated_unclean":${isolatedUnclean.size},""" +
+        // NAMES too (VERDICT r14 #7): a poisoned artifact must
+        // incriminate its own rows even when the sidecar is never
         // committed. Capped at 8 so a mass-unclean run cannot blow the
-        // 1850-char driver window; the count always carries the total.
-        s""""isolated_unclean_n":${isolatedUnclean.size},""" +
-        s""""isolated_unclean":${isolatedUnclean.take(8)
+        // 1850-char driver window; the count above carries the total.
+        s""""isolated_unclean_names":${isolatedUnclean.take(8)
           .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""n_failed":${failedQueries.size},"n_oom":${oomQueries.size},""" +
         s""""failed_queries":${failedShown.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
@@ -550,50 +715,17 @@ object Bench {
       else keepIso = keepIso.init
     }
     val out = line(keep, keepFailed, keepIso)
-    // Full per-query sidecar (VERDICT r11 task 4): the stdout line keeps
-    // its slowest-first 1850-char truncation (driver window), so
-    // round-over-round deltas were invisible for fast keys — exactly
-    // where a 2x regression on a 0.3 s query hides. Write EVERY
-    // per-query time to a file artifact; best-effort (a read-only cwd
-    // must not fail the bench).
-    // isolated SPARK_GRAFT_ONLY runs are not the battery: writing their
-    // 1-2 keys would clobber the full artifact (bench_isolation.sh and
-    // the scale lane run dozens of such JVMs); an explicit
-    // SPARK_GRAFT_FULL_OUT still writes wherever it points
-    val sidecar =
-      if (sys.env.contains("SPARK_GRAFT_ONLY") &&
-        !sys.env.contains("SPARK_GRAFT_FULL_OUT")) None
-      else Some(sys.env.getOrElse("SPARK_GRAFT_FULL_OUT", "BENCH_full_local.json"))
+    // final sidecar write: same serializer as the incremental writes,
+    // now with the isolated evidence and partial=false (unless the wall
+    // budget skipped keys — then the artifact says so)
     // NonFatal only (ADVICE r12): an OutOfMemoryError or interrupt must
     // propagate, not be swallowed as a failed sidecar write
     try sidecar.foreach { sc =>
-      def map4(m: Iterable[(String, Double)]): String =
-        m.toSeq.sortBy(_._1).map { case (k, v) =>
-          "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f",
-            java.lang.Double.valueOf(v)) }.mkString("{", ",", "}")
-      def names(ns: Seq[String]): String =
-        ns.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val full =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${map4(times)},""" +
-          s""""sf":"$sfDir","iterations":$iterations,"agg":"min","n_queries":${times.size},""" +
-          s""""forked_groups":$nForked,"fallback_groups":$nFallback,""" +
-          s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},""" +
-          s""""busy_max":${fmt(busyMax)},""" +
-          s""""spreads":${map4(results.map { case (n, qt) => n -> qt.spread })},""" +
-          s""""isolated":${map4(isolated)},""" +
-          s""""isolated_busy":${map4(isolatedRows.map { case (n, r) => n -> r.load })},""" +
-          s""""isolated_outside_cores":${map4(isolatedRows.map { case (n, r) => n -> r.outside })},""" +
-          s""""outside_max":${fmt(outsideMax)},""" +
-          s""""isolated_attempted":$isolatedAttempted,""" +
-          s""""isolated_unclean":${names(isolatedUnclean)},""" +
-          s""""isolated_divergent":${names(isolatedDivergent)},""" +
-          s""""excursions":${names(excursions.sorted)},""" +
-          s""""n_failed":${failedQueries.size},"oom_queries":${names(oomQueries)},""" +
-          s""""failed_queries":${names(failedQueries)}}"""
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(sc),
-        (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      ()
+      val extraIso =
+        if (isolatedSkipped == 0) "" else s""","isolated_skipped":$isolatedSkipped"""
+      val json = sidecarJson(results, isolatedRows, isolatedAttempted,
+        skippedKeys.toSeq, excursions, partial = skippedKeys.nonEmpty)
+      atomicWrite(sc, json.stripSuffix("}") + extraIso + "}")
     } catch { case scala.util.control.NonFatal(_) => () }
     println(out)
   }

@@ -632,6 +632,74 @@ SELECT doc_id, s_heur, s_model, s_entropy, n_heur, n_model, n_entropy,
   (ROUND((n_heur + n_model + n_entropy) / 3.0, 6) >= 0.5) AS keep
 FROM nr ORDER BY doc_id"""
 
+  /** E237 data-recipe twin — the WHOLE four-stage recipe replayed in one
+    * statement: E138's normalized-dedup survivors (min id per
+    * canonicalized-text group) → the E236 ensemble over the survivors
+    * (training chain prefixed `e`, entropy CTEs prefixed `e`, exact
+    * min/max fusion, keep ≥ 0.5) → the E230 RHO selection over the kept
+    * corpus (TWO training chains, prefixes `m`/`h`, on the sha256 'rho'
+    * coin split; top-150 on (rho DESC, doc_id)) → the E46 budget pack
+    * (inclusive running token sum in (ensemble DESC, doc_id) order,
+    * capped at 8000). Three full training chains in one statement —
+    * each references only its own prefix, so DuckDB's single-reference
+    * CTE inlining stays linear (the rhoLossSelect precedent). */
+  lazy val dataRecipe: String = {
+    val coin = "('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || " +
+      "'rho'), 1, 8))::BIGINT % 10000"
+    raw"""WITH nrm AS (SELECT doc_id,
+    COALESCE(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 'null') AS nt
+  FROM documents),
+keep0 AS (SELECT MIN(doc_id) AS doc_id FROM nrm GROUP BY nt),
+dd AS MATERIALIZED (SELECT d.* FROM documents d JOIN keep0 USING (doc_id)),
+${logregCtes(lr = "8.0", ySql = qualityLabelYSql, fromSql = "dd", prefix = "e")},
+ech AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+  FROM dd WHERE LENGTH(text) > 0),
+ecnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ech GROUP BY 1, 2),
+enn AS (SELECT doc_id, SUM(c) AS n FROM ecnt GROUP BY 1),
+ett AS (SELECT ecnt.doc_id, n,
+    CAST(ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12)) AS t
+  FROM ecnt JOIN enn USING (doc_id)),
+eent AS (SELECT doc_id, ROUND(-CAST(SUM(t) AS DOUBLE), 6) AS s_entropy
+  FROM ett GROUP BY doc_id),
+esc AS (SELECT ef.doc_id,
+    ROUND(0.4*x1 + 0.3*(1.0 - x2) + 0.3*x3, 6) AS s_heur,
+    ROUND(w0 + w1*x1 + w2*x2 + w3*x3, 6) AS s_model,
+    eent.s_entropy
+  FROM ef, ew6, eent WHERE eent.doc_id = ef.doc_id),
+emm AS (SELECT MIN(s_heur) AS h0, MAX(s_heur) AS h1,
+    MIN(s_model) AS m0, MAX(s_model) AS m1,
+    MIN(s_entropy) AS e0, MAX(s_entropy) AS e1 FROM esc),
+ens2 AS (SELECT doc_id,
+    ROUND(((CASE WHEN h1 > h0 THEN ROUND((s_heur - h0) / (h1 - h0), 6) END)
+      + (CASE WHEN m1 > m0 THEN ROUND((s_model - m0) / (m1 - m0), 6) END)
+      + (CASE WHEN e1 > e0 THEN ROUND((s_entropy - e0) / (e1 - e0), 6) END)) / 3.0, 6) AS ensemble
+  FROM esc, emm),
+kept AS MATERIALIZED (
+  SELECT d.*, e.ensemble FROM dd d JOIN ens2 e USING (doc_id)
+  WHERE e.ensemble >= 0.5),
+${logregCtes(lr = "8.0", ySql = qualityLabelYSql,
+        fromSql = s"(SELECT * FROM kept WHERE $coin >= 2000)", prefix = "m")},
+${logregCtes(lr = "8.0", ySql = qualityLabelYSql,
+        fromSql = s"(SELECT * FROM kept WHERE $coin < 2000)", prefix = "h")},
+rsc AS (SELECT doc_id,
+    ROUND(LN(1.0 + EXP(-(2.0*y - 1.0) * (m.w0 + m.w1*x1 + m.w2*x2 + m.w3*x3))), 6) AS loss_train,
+    ROUND(LN(1.0 + EXP(-(2.0*y - 1.0) * (h.w0 + h.w1*x1 + h.w2*x2 + h.w3*x3))), 6) AS loss_irr
+  FROM mf, mw6 m, hw6 h),
+rsc2 AS (SELECT doc_id, ROUND(loss_train - loss_irr, 6) AS rho FROM rsc),
+sel AS (SELECT doc_id, rho,
+    CAST(ROW_NUMBER() OVER (ORDER BY rho DESC, doc_id) AS BIGINT) AS sel_rank
+  FROM rsc2 ORDER BY rho DESC, doc_id LIMIT 150),
+packin AS (SELECT k.doc_id, k.ensemble, s.rho, s.sel_rank,
+    CAST(len($wsToksSql) AS BIGINT) AS n_tokens
+  FROM kept k JOIN sel s USING (doc_id)),
+pack AS (SELECT *,
+    CAST(SUM(n_tokens) OVER (ORDER BY ensemble DESC, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM packin)
+SELECT doc_id, ensemble, rho, sel_rank, n_tokens, cum_tokens
+FROM pack WHERE cum_tokens <= 8000 ORDER BY doc_id"""
+  }
+
   /** E182 Group-DRO training twin — the E164 replay pattern with a
     * per-domain axis: each of six steps is (a$k) the per-domain decimal
     * gradient/loss/accuracy sums under the previous weights, (m$k) 6-dp

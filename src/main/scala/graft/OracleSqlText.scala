@@ -845,4 +845,122 @@ SELECT doc_id, CAST(MIN(n) AS BIGINT) AS n_chars,
   CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
   ROUND(-CAST(SUM(t) AS DOUBLE), 6) AS entropy
 FROM t GROUP BY doc_id ORDER BY doc_id"""
+
+  /** E238 domain-caps twin: the identical synthetic messy-URL rendering
+    * (CASE chains on doc_id — the url_normalize precedent), the identical
+    * host extraction (fragment → authority → userinfo → port → trailing
+    * dot → lower; every regexp_replace carries the 'g' flag, DuckDB's
+    * replace-first default being the pinned divergence trap), and the
+    * PSL algebra with IN-lists GENERATED from the same
+    * DomainFunctions rule Seqs the engine compiles in. */
+  lazy val domainCaps: String = {
+    import graft.functions.DomainFunctions._
+    val twoIn = TwoLabelSuffixes.map("'" + _ + "'").mkString(", ")
+    val wildIn = WildcardTlds.map("'" + _ + "'").mkString(", ")
+    val excWhens = ExceptionRules.map { e =>
+      s"WHEN host = '$e' OR host LIKE '%.$e' THEN '$e'"
+    }.mkString("\n    ")
+    raw"""WITH hc AS (SELECT doc_id, source,
+    CASE WHEN doc_id % 10 = 0 THEN source || '.example.co.uk'
+      WHEN doc_id % 10 = 1 THEN 'www.' || source || '.com'
+      WHEN doc_id % 10 = 2 THEN 'sub.xn--bcher-kva.de'
+      WHEN doc_id % 10 = 3 THEN 'b' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+      WHEN doc_id % 10 = 4 THEN 'x.b' || CAST(doc_id % 7 AS VARCHAR) || '.ck'
+      WHEN doc_id % 10 = 5 THEN 'www.ck'
+      WHEN doc_id % 10 = 6 THEN 'deep.sub.www.ck'
+      WHEN doc_id % 10 = 7 THEN '192.168.' || CAST(doc_id % 250 AS VARCHAR) || '.1'
+      WHEN doc_id % 10 = 8 THEN source || '.com.au'
+      ELSE 'co.uk' END AS hcore
+  FROM documents),
+hcc AS (SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0 THEN upper(hcore) ELSE hcore END AS ch
+  FROM hc),
+u AS (SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTP://' END) ||
+    (CASE WHEN doc_id % 4 = 0 THEN 'user:p%40ss@' ELSE '' END) ||
+    (CASE WHEN doc_id % 6 = 0 THEN ch || '.' ELSE ch END) ||
+    (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END) ||
+    '/p/' || CAST(doc_id AS VARCHAR) ||
+    (CASE WHEN doc_id % 9 = 0 THEN '#Frag' ELSE '' END) AS u
+  FROM hcc),
+hx0 AS (SELECT doc_id,
+    lower(regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(regexp_replace(u, '#.*$$', '', 'g'),
+        '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+      '^[^@]*@', '', 'g'), ':[0-9]+$$', '', 'g'), '\.$$', '', 'g')) AS h
+  FROM u),
+hx AS (SELECT doc_id,
+    CASE WHEN LENGTH(h) > 0 THEN h END AS host,
+    regexp_extract(h, '([^.]+)$$', 1) AS last1,
+    regexp_extract(h, '([^.]+\.[^.]+)$$', 1) AS last2,
+    regexp_extract(h, '([^.]+\.[^.]+\.[^.]+)$$', 1) AS last3,
+    LENGTH(h) - LENGTH(regexp_replace(h, '\.', '', 'g')) + 1 AS nlab
+  FROM hx0),
+rd AS (SELECT doc_id, host,
+    CASE WHEN host IS NULL THEN NULL
+    WHEN regexp_matches(host, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$$') THEN host
+    $excWhens
+    WHEN last2 IN ($twoIn) THEN CASE WHEN nlab >= 3 THEN last3 END
+    WHEN last1 IN ($wildIn) THEN CASE WHEN nlab >= 3 THEN last3 END
+    ELSE CASE WHEN nlab >= 2 THEN last2 END END AS registered_domain
+  FROM hx),
+rk AS (SELECT doc_id, host, registered_domain,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY COALESCE(registered_domain, host, '')
+      ORDER BY doc_id) AS BIGINT) AS domain_rank
+  FROM rd)
+SELECT doc_id, host, registered_domain, domain_rank,
+  (domain_rank <= 15) AS kept
+FROM rk ORDER BY doc_id"""
+  }
+
+  /** E239 script-profile twin: the identical deterministic multiscript
+    * augmentation, per-class codepoint counts via
+    * `len(regexp_extract_all(...))` over the SAME `\x{...}` range
+    * classes (generated from CorpusStats.ScriptClasses — the one regex
+    * dialect feature Java regex and RE2 read identically), GREATEST for
+    * the max, the fixed-order CASE argmax, and the integer mixed-script
+    * rule `10·second ≥ max`. */
+  lazy val scriptProfile: String = {
+    import graft.operators.CorpusStats.{AuxClasses, ScriptClasses}
+    val cntCols = (ScriptClasses ++ AuxClasses).map { case (n, re) =>
+      s"CAST(len(regexp_extract_all(t2, '$re')) AS BIGINT) AS n_$n"
+    }.mkString(",\n    ")
+    val gMax = ScriptClasses.map { case (n, _) => s"n_$n" }.mkString(", ")
+    val domCases = ScriptClasses.map { case (n, _) =>
+      s"WHEN n_$n = m THEN '$n'"
+    }.mkString("\n    ")
+    val secTerms = ScriptClasses.map { case (n, _) =>
+      s"CASE WHEN dominant_script = '$n' THEN 0 ELSE n_$n END"
+    }.mkString(",\n      ")
+    val outCols = (ScriptClasses ++ AuxClasses)
+      .map { case (n, _) => s"n_$n" }.mkString(", ")
+    s"""WITH s AS (SELECT doc_id, text,
+    CASE WHEN doc_id % 6 = 1 THEN ' Привет мир'
+      WHEN doc_id % 6 = 2 THEN ' 你好世界'
+      WHEN doc_id % 6 = 3 THEN ' こんにちはカナ'
+      WHEN doc_id % 6 = 4 THEN ' مرحبا שלום'
+      WHEN doc_id % 6 = 5 THEN ' 😀🚀 한글 नमस्ते'
+      ELSE '' END AS soup
+  FROM documents),
+base AS (SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0 THEN '№' || soup ELSE text || soup END AS t2
+  FROM s),
+cnts AS (SELECT doc_id,
+    $cntCols
+  FROM base),
+mx AS (SELECT *, GREATEST($gMax) AS m FROM cnts),
+dm AS (SELECT *,
+    CASE WHEN m = 0 THEN 'none'
+    $domCases
+    ELSE 'none' END AS dominant_script
+  FROM mx),
+sec AS (SELECT *,
+    GREATEST(
+      $secTerms) AS second
+  FROM dm)
+SELECT doc_id, $outCols, dominant_script,
+  (second * 10 >= m AND second > 0) AS mixed_script
+FROM sec ORDER BY doc_id"""
+  }
 }

@@ -290,6 +290,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "jaccard_dedup_execute" -> OracleSql.jaccardDedupExecute,
     "groupdro_train" -> OracleSql.groupDroTrain,
     "corpus_curate" -> OracleSql.corpusCurate,
+    "data_recipe" -> OracleSql.dataRecipe,
     "doremi_select" -> OracleSql.doremiSelect,
     "ccnet_buckets" -> OracleSql.ccnetBuckets,
     "ccnet_select" -> OracleSql.ccnetSelect,
@@ -447,6 +448,8 @@ FROM events GROUP BY 1 ORDER BY day""",
     "split_divergence" -> OracleSql.splitDivergence,
     "key_skew" -> OracleSql.keySkew,
     "url_normalize" -> OracleSql.urlNormalize,
+    "domain_caps" -> OracleSql.domainCaps,
+    "script_profile" -> OracleSql.scriptProfile,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,
     "metric_anomaly" -> OracleSql.metricAnomaly,
     "tokenize_ids" -> OracleSql.tokenizeIds,

@@ -198,6 +198,14 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     "corpus_curate" -> ((s, dir) =>
       graft.operators.Curate.corpusCurate(documents(s, dir), "doc_id", "text")
         .orderBy("split", "shard")),
+    // end-to-end DATA RECIPE (E237, VERDICT r15 #5): normalized dedup ->
+    // quality ensemble (E236) -> RHO-loss selection (E230) -> token-
+    // budget pack (E46) as ONE declarative plan — the DataComp/DCLM
+    // curation shape with a FULL chained hash oracle (three training
+    // chains + entropy + prefix-sum pack in one DuckDB statement)
+    "data_recipe" -> ((s, dir) =>
+      graft.operators.Curate.dataRecipe(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // CCNet-style per-language quality tertiles (E171): head/middle/tail
     // by strictly-better mass over the per-lang DISTINCT-score histogram
     // (WindowGuard-enforced), integer comparison at the cut

@@ -331,6 +331,60 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     "tokenize_ids" -> ((s, dir) =>
       TextFunctions.tokenizeIds(documents(s, dir), "doc_id", "text", vocabSize = 1000)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    // registered-domain extraction + per-domain caps (E238): synthetic
+    // messy URLs rendered identically in both engines (the url_normalize
+    // precedent) exercising EVERY PSL rule class in the gate itself —
+    // ccTLD second-level suffixes, the *.ck wildcard, the !www.ck
+    // exception, punycode, userinfo, ports, trailing root dots, IPs and
+    // bare public suffixes
+    "domain_caps" -> ((s, dir) => {
+      val id = col("doc_id")
+      val hostCore =
+        when(id % 10 === 0, concat(col("source"), lit(".example.co.uk")))
+          .when(id % 10 === 1, concat(lit("www."), col("source"), lit(".com")))
+          .when(id % 10 === 2, lit("sub.xn--bcher-kva.de"))
+          .when(id % 10 === 3,
+            concat(lit("b"), (id % 7).cast("string"), lit(".ck")))
+          .when(id % 10 === 4,
+            concat(lit("x.b"), (id % 7).cast("string"), lit(".ck")))
+          .when(id % 10 === 5, lit("www.ck"))
+          .when(id % 10 === 6, lit("deep.sub.www.ck"))
+          .when(id % 10 === 7,
+            concat(lit("192.168."), (id % 250).cast("string"), lit(".1")))
+          .when(id % 10 === 8, concat(col("source"), lit(".com.au")))
+          .otherwise(lit("co.uk"))
+      val cased = when(id % 3 === 0, upper(hostCore)).otherwise(hostCore)
+      val dotted = when(id % 6 === 0, concat(cased, lit("."))).otherwise(cased)
+      val u = concat(
+        when(id % 2 === 0, lit("https://")).otherwise(lit("HTTP://")),
+        when(id % 4 === 0, lit("user:p%40ss@")).otherwise(lit("")),
+        dotted,
+        when(id % 5 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), id.cast("string"),
+        when(id % 9 === 0, lit("#Frag")).otherwise(lit("")))
+      graft.operators.Curate.domainCaps(
+        documents(s, dir).withColumn("u", u), "doc_id", "u", cap = 15L)
+        .orderBy("doc_id")
+    }),
+    // script/writing-system profile (E239): codepoint-block histogram →
+    // dominant script + mixed-script flag; the ASCII corpus is augmented
+    // with a deterministic multiscript suffix (the text_normalize
+    // NormPrefix precedent) so every class is actually exercised —
+    // doc_id % 11 = 0 rows REPLACE the text so dominance varies too
+    "script_profile" -> ((s, dir) => {
+      val id = col("doc_id")
+      val soup = when(id % 6 === 1, lit(" Привет мир"))
+        .when(id % 6 === 2, lit(" 你好世界"))
+        .when(id % 6 === 3, lit(" こんにちはカナ"))
+        .when(id % 6 === 4, lit(" مرحبا שלום"))
+        .when(id % 6 === 5, lit(" 😀🚀 한글 नमस्ते"))
+        .otherwise(lit(""))
+      val t2 = when(id % 11 === 0, concat(lit("№"), soup))
+        .otherwise(concat(col("text"), soup))
+      graft.operators.CorpusStats.scriptProfile(
+        documents(s, dir).withColumn("t2", t2), "doc_id", "t2")
+        .orderBy("doc_id")
+    })
   )
 }

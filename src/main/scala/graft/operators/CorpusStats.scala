@@ -918,4 +918,77 @@ object CorpusStats {
         !col("has_brace"))
       .select(col(idCol), col("kept_lines"), col("text_sha"))
   }
+
+  /** Script classes for [[scriptProfile]] (E239): name → codepoint-range
+    * character class. The ranges are Unicode block ranges written as
+    * explicit `\x{...}` spans — the ONE regex dialect feature that means
+    * the same thing in Java regex (Spark) and RE2 (DuckDB), unlike the
+    * named script properties (`\p{IsCyrillic}` vs `\p{Cyrillic}`).
+    * Shared constant: the oracle SQL is generated from this Seq, so the
+    * two engines can never drift on a range boundary. Order IS the
+    * dominance tie-break. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+    "devanagari" -> "[\\x{0900}-\\x{097F}]",
+    "cjk" -> "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
+    "kana" -> "[\\x{3040}-\\x{30FF}]",
+    "hangul" -> "[\\x{1100}-\\x{11FF}\\x{AC00}-\\x{D7AF}]")
+
+  /** Non-script auxiliary classes [[scriptProfile]] also counts (they
+    * never participate in dominance). The emoji range is astral
+    * (non-BMP): both engines match `\x{1F300}` as one CODE POINT — Java
+    * regex handles the surrogate pair, RE2 the 4-byte UTF-8 sequence —
+    * so the counts agree by construction. */
+  val AuxClasses: Seq[(String, String)] = Seq(
+    "digit" -> "[0-9]",
+    "emoji" -> "[\\x{2600}-\\x{27BF}\\x{1F300}-\\x{1FAFF}]")
+
+  /** Script / writing-system profile (E239) — the text-analysis signal
+    * next to E10's language id: per document, a codepoint-block
+    * histogram over [[ScriptClasses]], the DOMINANT script (argmax with
+    * the fixed class order as tie-break; 'none' when no script letter
+    * occurs) and the MIXED-SCRIPT flag — the spam/homoglyph-obfuscation
+    * signal (Cyrillic 'а' spliced into Latin words, CJK keyword
+    * stuffing): true when the runner-up script carries ≥ 10% of the
+    * dominant script's count (integer algebra: `10·second ≥ max`,
+    * `second > 0`).
+    *
+    * Spark-first shape: ONE map-only scan projection — `regexp_count`
+    * per class (codegen'd, no UDF, no explode of the text into
+    * characters), `greatest(...)` for the max, a fixed-order CASE chain
+    * for the argmax, and a second `greatest` over the non-dominant
+    * counts. No shuffle, no window; scales as the scan.
+    *
+    * Cites reference scope: script analysis is absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = (ScriptClasses ++ AuxClasses).map { case (n, re) =>
+      regexp_count(t, lit(re)).cast("long").as(s"n_$n")
+    }
+    val base = df.select(col(idCol) +: counts: _*)
+    val scriptCols = ScriptClasses.map { case (n, _) => col(s"n_$n") }
+    val m = greatest(scriptCols: _*)
+    val dominant = ScriptClasses
+      .foldLeft(when(m === 0L, lit("none"))) { case (acc, (n, _)) =>
+        acc.when(col(s"n_$n") === m, lit(n))
+      }
+      .otherwise(lit("none"))
+    val withDom = base
+      .withColumn("_m", m)
+      .withColumn("dominant_script", dominant)
+    val second = greatest(ScriptClasses.map { case (n, _) =>
+      when(col("dominant_script") === n, lit(0L)).otherwise(col(s"n_$n"))
+    }: _*)
+    withDom
+      .withColumn("_second", second)
+      .withColumn("mixed_script",
+        col("_second") * 10L >= col("_m") && col("_second") > 0L)
+      .drop("_m", "_second")
+  }
 }

@@ -135,4 +135,122 @@ object Curate {
           bkt =!= "tail" && bkt =!= "none").as("keep"),
         col("text_sha"), col("n_chars"))
   }
+
+  /** Per-domain dedup caps on the REGISTERED domain (E238) — the
+    * CCNet/RefinedWeb step the E53 raw-host grouping approximates: every
+    * URL keys to its PSL-semantics registrable domain
+    * ([[graft.functions.DomainFunctions]] — second-level ccTLDs,
+    * wildcards, exceptions, punycode, userinfo/ports stripped), and each
+    * domain keeps at most `cap` documents in deterministic id order.
+    * Hosts with NO registrable domain (bare public suffixes, single
+    * labels) and IP literals cap per host.
+    *
+    * Scale shape: host/domain extraction is one codegen'd map pass (no
+    * UDF); the cap is one window keyed by the domain (the E107
+    * `topKByScore` pattern, same caveat: a pathologically hot domain
+    * sorts within one task — pre-trim with the E52 key-skew profile
+    * when a domain outgrows task memory). Returns every input row with
+    * its verdict so the curator reads what fell and why. */
+  def domainCaps(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      cap: Long): DataFrame = {
+    require(cap > 0, s"domainCaps: cap=$cap")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.DomainFunctions.hostOf(col(urlCol))
+    val base = df.select(
+      col(idCol), h.as("host"),
+      graft.functions.DomainFunctions.registeredDomain(h)
+        .as("registered_domain"))
+    val key = coalesce(col("registered_domain"), col("host"), lit(""))
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    base
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("domain_rank") <= cap)
+  }
+
+  /** End-to-end data recipe (E237) — the DataComp/DCLM curation shape
+    * (VERDICT r15 #5), composing the selection shelf WITHOUT a
+    * driver-side seam: normalized near-exact dedup (E138's rule) →
+    * quality-signal ensemble over the survivors (E236 — heuristic +
+    * trained logit + char entropy, min-max fused, keep ≥ 0.5) →
+    * RHO-loss selection over the ensemble-kept corpus (E230 — reducible
+    * holdout loss, top-`topK`) → token-budget pack of the selection
+    * (E46's distributed prefix sum, ranked by the ensemble score).
+    * Returns the final manifest: one row per packed document with every
+    * stage's signal (`ensemble`, `rho`, `sel_rank`, `n_tokens`,
+    * `cum_tokens`).
+    *
+    * Scale shape, stage by stage: the dedup removal set is
+    * duplicate-count-sized ((hash, id) metadata shuffle, then a
+    * BROADCAST anti-join — the E183 pattern; payloads never move for
+    * dedup); the ensemble verdict is corpus-sized, so filtering to the
+    * kept corpus is the pipeline's ONE id-keyed payload exchange
+    * (unavoidable: the verdict needs two corpus statistics passes);
+    * both RHO training chains are 6 metadata-sized collects each over
+    * the checkpointed kept relation; the selection is a physical top-k
+    * (`TakeOrderedAndProject`, never a full sort); the pack runs over
+    * ≤ `topK` rows via [[Packing.selectUnderBudget]]'s two-phase prefix
+    * sum. Three training chains total (ensemble model + RHO main + RHO
+    * irreducible), 18 metadata collects, two corpus scans per stage
+    * relation — all stage relations localCheckpointed so no stage
+    * rescans another's plan.
+    *
+    * Determinism: every stage is its standalone operator's proven
+    * algebra (E138 sha-grouped min-id, E236 fixed-order fusion over
+    * exact min/max, E230 6-dp loss difference, E46 (score DESC, id)
+    * prefix sum), so DuckDB replays the ENTIRE pipeline in one
+    * statement — a FULL hash oracle for a four-stage curation run.
+    *
+    * Cites reference scope: curation recipes are absent from
+    * awsdataprofiler (Profiler.scala:166-253 profiles only) — extension
+    * per SURVEY §2.E. */
+  def dataRecipe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 150,
+      budget: Long = 8000L,
+      iterations: Int = 6,
+      lr: Double = 8.0): DataFrame = {
+    require(topK > 0, s"dataRecipe: topK=$topK")
+    require(budget > 0, s"dataRecipe: budget=$budget")
+    // stage 1 — normalized near-exact dedup (E138's canonicalization:
+    // lower → \s+ collapse → trim; survivors keep the min id per key)
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val keyed = docs.select(
+      col(idCol).as("_id"),
+      sha2(coalesce(norm, lit("null")), 256).as("_h"))
+    val mins = keyed.groupBy("_h").agg(min(col("_id")).as("_keep"))
+    val removed = keyed.join(mins, Seq("_h"))
+      .where(col("_id") =!= col("_keep"))
+      .select(col("_id").as(idCol))
+    val survivors = docs.join(broadcast(removed), Seq(idCol), "left_anti")
+      .localCheckpoint(true) // consumers: ensemble (training + signals)
+    // stage 2 — quality ensemble over the survivors; keep fused ≥ 0.5
+    val ens = QualityModel.qualityEnsemble(
+      survivors, idCol, textCol, iterations, lr)
+    val kept = survivors
+      .join(ens.where(col("keep")).select(col(idCol), col("ensemble")),
+        Seq(idCol))
+      .localCheckpoint(true) // consumers: two RHO chains + token projection
+    // stage 3 — RHO-loss selection over the ensemble-kept corpus
+    val sel = QualityModel.rhoLossSelect(
+      kept, idCol, textCol, iterations, lr, topK)
+      .select(col(idCol), col("rho"), col("rank").as("sel_rank"))
+    // stage 4 — token-budget pack of the ≤ topK selected docs, ranked
+    // by the ensemble score (quality-per-token curation)
+    val packIn = kept
+      .select(col(idCol), col("ensemble"),
+        graft.functions.TextFunctions.wsTokenCount(col(textCol))
+          .as("n_tokens"))
+      .join(broadcast(sel), Seq(idCol))
+    Packing.selectUnderBudget(packIn
+        .select(col(idCol), col("n_tokens"), col("ensemble")),
+        idCol, "n_tokens", "ensemble", budget)
+      .join(broadcast(sel), Seq(idCol))
+      .select(col(idCol), col("ensemble"), col("rho"), col("sel_rank"),
+        col("n_tokens"), col("cum_tokens"))
+  }
 }

@@ -419,6 +419,38 @@ object Similarity {
     }
   }
 
+  /** Completeness guard for a SERVED assignment artifact (ADVICE r14,
+    * membership-hardened per ADVICE r15): the verdict relation must
+    * cover EXACTLY the corpus's assignable vectors. The r15 row-COUNT
+    * check (served == assignable) could be satisfied by duplicate
+    * neighbor_id rows offsetting missing vectors (appendIvfIndex has no
+    * dedup against existing rows), silently omitting uncovered vectors
+    * from the verdict. The check is now membership: no assignable
+    * corpus vector absent from the assign relation (anti-join empty),
+    * no foreign/stale ids (countDistinct == assignable), and no
+    * duplicate rows (rows == countDistinct). All three run over
+    * metadata-sized (id, centroid, cos) relations — one small agg + one
+    * anti-join count against the already-checkpointed assignment. */
+  private def requireServedComplete(
+      op: String, assign: DataFrame, embIn: DataFrame,
+      idCol: String, vecCol: String): Unit = {
+    val assignableIds = graft.profiler.ScanMetrics.spread(embIn)
+      .where(fnorm(col(vecCol)) > 0).select(col(idCol).as("vec_id"))
+    val assignable = assignableIds.count()
+    val a = assign.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col("vec_id")).as("ids")).head()
+    val (served, distinctIds) = (a.getLong(0), a.getLong(1))
+    val missing = assignableIds
+      .join(assign.select("vec_id"), Seq("vec_id"), "left_anti").count()
+    require(missing == 0 && distinctIds == assignable && served == distinctIds,
+      s"$op: stale, partial or duplicated IVF index — the assign " +
+        s"relation has $served rows / $distinctIds distinct ids for " +
+        s"$assignable assignable corpus vectors ($missing missing); " +
+        "rebuild (writeIvfIndex) or extend (appendIvfIndex) the " +
+        "artifact before serving verdicts from it")
+  }
+
   /** Self-supervised prototype pruning (E229) — Sorscher et al. '22
     * ("Beyond neural scaling laws: beating power law scaling via data
     * pruning", the SSL-prototypes metric): bucket every embedding to its
@@ -453,16 +485,10 @@ object Similarity {
     val assign = assignedWithCos(embIn, idCol, vecCol, centroidPred, index)
       .localCheckpoint(true) // two consumers: staleness guard + ranking
     // same staleness contract as semDedup: a served artifact must cover
-    // every assignable corpus vector or the prune verdict is partial
+    // every assignable corpus vector (MEMBERSHIP, not row count — see
+    // requireServedComplete) or the prune verdict is partial
     index.foreach { _ =>
-      val assignable = graft.profiler.ScanMetrics.spread(embIn)
-        .where(fnorm(col(vecCol)) > 0).count()
-      val served = assign.count()
-      require(served == assignable,
-        s"prototypePrune: stale or partial IVF index — the assign " +
-          s"relation covers $served of $assignable assignable corpus " +
-          "vectors; rebuild (writeIvfIndex) or extend (appendIvfIndex) " +
-          "the artifact before pruning against it")
+      requireServedComplete("prototypePrune", assign, embIn, idCol, vecCol)
     }
     val w = Window.partitionBy("centroid_id")
       .orderBy(col("cos").asc, col("vec_id").asc)
@@ -508,21 +534,13 @@ object Similarity {
     val assign = assignedWithCos(embIn, idCol, vecCol, centroidPred, index)
       .localCheckpoint(true) // three consumers: guard, both pair sides, verdict
     // Staleness guard on the served artifact (ADVICE r14, the E221 audit
-    // contract): a corpus vector absent from the persisted assign
-    // relation (index built before the corpus grew, or partially
-    // written) would otherwise be silently excluded from the verdict
-    // and "survive by construction" in semDedupExecute — a missed
-    // duplicate with no error. Compare the joined assignment count to
-    // the corpus's assignable-vector count and fail loudly on mismatch.
+    // contract; membership-hardened per ADVICE r15): a corpus vector
+    // absent from the persisted assign relation (index built before the
+    // corpus grew, or partially written) would otherwise be silently
+    // excluded from the verdict and "survive by construction" in
+    // semDedupExecute — a missed duplicate with no error.
     index.foreach { _ =>
-      val assignable = graft.profiler.ScanMetrics.spread(embIn)
-        .where(fnorm(col(vecCol)) > 0).count()
-      val served = assign.count()
-      require(served == assignable,
-        s"semDedup: stale or partial IVF index — the assign relation " +
-          s"covers $served of $assignable assignable corpus vectors; " +
-          "rebuild (writeIvfIndex) or extend (appendIvfIndex) the " +
-          "artifact before serving verdicts from it")
+      requireServedComplete("semDedup", assign, embIn, idCol, vecCol)
     }
     maxCandidatePairs.foreach { bound =>
       val est = assign.groupBy("centroid_id").agg(count(lit(1)).as("c"))

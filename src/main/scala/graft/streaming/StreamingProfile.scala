@@ -68,16 +68,27 @@ object StreamingProfile {
       events: DataFrame,
       leftType: String,
       rightType: String,
-      windowMinutes: Int = 120): DataFrame = {
+      windowMinutes: Int = 120,
+      watermarkMinutes: Int = 0): DataFrame = {
     require(windowMinutes > 0, s"intervalJoin: windowMinutes=$windowMinutes")
+    // Lateness tolerance scales WITH the join window (ADVICE r15: a
+    // fixed 1-hour watermark was invisible in single-batch replay but
+    // would drop >1h-late events in genuine streaming even when the
+    // caller widened the window): default = windowMinutes, floored at
+    // 60 so a narrow window still tolerates ordinary lateness; an
+    // explicit watermarkMinutes > 0 overrides.
+    val wmMin =
+      if (watermarkMinutes > 0) watermarkMinutes
+      else math.max(windowMinutes, 60)
+    val wm = s"$wmMin minutes"
     val l = events.where(col("event_type") === leftType)
       .select(col("event_id").as("l_event_id"), col("user_id"),
         col("ts").as("l_ts"))
-      .withWatermark("l_ts", "1 hour")
+      .withWatermark("l_ts", wm)
     val r = events.where(col("event_type") === rightType)
       .select(col("event_id").as("r_event_id"),
         col("user_id").as("r_user_id"), col("ts").as("r_ts"))
-      .withWatermark("r_ts", "1 hour")
+      .withWatermark("r_ts", wm)
     l.join(r,
       col("user_id") === col("r_user_id") &&
         col("r_ts") >= col("l_ts") &&
