@@ -348,4 +348,22 @@ FROM h, t ORDER BY bucket"""
   FROM (SELECT DISTINCT event_type FROM events) q)
 SELECT event_id, e.event_type, type_rank
 FROM events e JOIN d USING (event_type) ORDER BY event_id"""
+
+  /** E243 SCD Type-2 twin: change rows via LAG over (ts_us, event_id)
+    * order, versions numbered over the change subset, intervals closed
+    * by LEAD — identical two-window algebra on epoch micros. */
+  lazy val scd2History: String =
+    """WITH log AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+c AS (SELECT *,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_value
+  FROM log),
+ch AS (SELECT user_id, ts_us, event_id, event_type FROM c
+  WHERE prev_value IS NULL OR prev_value <> event_type)
+SELECT user_id,
+  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version,
+  event_type,
+  ts_us AS valid_from,
+  LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to,
+  (LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL) AS is_current
+FROM ch ORDER BY user_id, version"""
 }

@@ -406,4 +406,31 @@ FROM ks, t GROUP BY key, n_rows ORDER BY key"""
   lazy val schemaEvolutionAudit: String = allTrue(Seq(
     "new_values_intact", "old_rows_null_new_col", "rows_preserved",
     "schema_is_superset"))
+
+  /** E241 k-anonymity twin: one aggregate over the quasi-identifier
+    * pair, sensitive attribute = acctbal floored to thousands. */
+  lazy val kAnonymity: String =
+    """WITH cls AS (SELECT c_nationkey, c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS class_size,
+    CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_distinct
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
+  (class_size >= 5) AS is_k_anonymous,
+  (l_distinct >= 2) AS is_l_diverse,
+  ROUND(1.0 / class_size, 6) AS reident_risk
+FROM cls ORDER BY c_nationkey, c_mktsegment"""
+
+  /** E241 suppression-executor twin: sub-k classes get every
+    * quasi-identifier replaced by '*', passing rows stringified. */
+  lazy val kAnonymizeExecute: String =
+    """WITH sz AS (SELECT c_nationkey, c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY c_nationkey, c_mktsegment)
+SELECT
+  CASE WHEN class_size < 5 THEN '*' ELSE CAST(c.c_nationkey AS VARCHAR) END AS c_nationkey,
+  CASE WHEN class_size < 5 THEN '*' ELSE c.c_mktsegment END AS c_mktsegment,
+  c.c_custkey, c.c_name, c.c_acctbal, class_size,
+  (class_size < 5) AS suppressed
+FROM customer c JOIN sz USING (c_nationkey, c_mktsegment)
+ORDER BY c_custkey"""
 }

@@ -730,6 +730,44 @@ SELECT doc_id, domain, bound FROM sel
 WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'doremi'), 1, 8))::BIGINT % 10000 < bound
 ORDER BY doc_id"""
 
+  /** E245 Hedge online-mixing twin: ONE (batch, domain) reward
+    * aggregate (6-dp mean of the shared x3 stopword-fraction feature,
+    * DECIMAL(38,6) sum discipline), zero-filled over rounds × domains,
+    * then the multiplicative chain `w_k = ROUND(w_{k-1}·e^{0.5·r_k},6)`
+    * with probabilities over the exact decimal weight sum. */
+  lazy val hedgeMix: String = {
+    val en = stopList(graft.functions.TextFunctions.Stopwords
+      .collectFirst { case ("en", w) => w }.get)
+    val steps = (1 to 6).map { k =>
+      s"""hw$k AS (SELECT c.domain, c.n, c.reward,
+    ROUND(p.w * EXP(0.5 * c.reward), 6) AS w
+  FROM cells c JOIN hw${k - 1} p USING (domain) WHERE c.t = $k),
+hr$k AS (SELECT CAST($k AS BIGINT) AS round, domain, n, reward, w AS weight,
+    ROUND(w / (SELECT CAST(SUM(CAST(w AS DECIMAL(38,6))) AS DOUBLE) FROM hw$k), 6) AS prob
+  FROM hw$k)"""
+    }.mkString(",\n")
+    val rows = (1 to 6).map(k => s"SELECT * FROM hr$k").mkString(" UNION ALL ")
+    raw"""WITH i AS (SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+    CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+  FROM documents),
+f AS (SELECT (doc_id % 6) + 1 AS t, source AS domain,
+    ROUND(CAST(stop_hits AS DOUBLE)/ws_tokens, 6) AS x3
+  FROM i WHERE n_chars > 0 AND ws_tokens > 0),
+doms AS (SELECT DISTINCT domain FROM f),
+rounds(t) AS (VALUES (1), (2), (3), (4), (5), (6)),
+robs AS (SELECT t, domain, CAST(COUNT(*) AS BIGINT) AS n,
+    ROUND(CAST(SUM(CAST(x3 AS DECIMAL(38,6))) AS DOUBLE)/COUNT(*), 6) AS reward
+  FROM f GROUP BY t, domain),
+cells AS (SELECT r.t, d.domain, COALESCE(o.n, 0) AS n,
+    COALESCE(o.reward, 0.0) AS reward
+  FROM rounds r CROSS JOIN doms d
+  LEFT JOIN robs o ON o.t = r.t AND o.domain = d.domain),
+hw0 AS (SELECT domain, CAST(1.0 AS DOUBLE) AS w FROM doms),
+$steps
+$rows ORDER BY round, domain"""
+  }
+
   private[graft] def groupDroCtes(grpSql: String = "source"): String = {
     val en = stopList(graft.functions.TextFunctions.Stopwords
       .collectFirst { case ("en", w) => w }.get)

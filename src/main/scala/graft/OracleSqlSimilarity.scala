@@ -618,4 +618,89 @@ SELECT CAST(0 AS BIGINT) AS step, vec_id, CAST(NULL AS DOUBLE) AS max_cos_prev F
 $rows
 ORDER BY step"""
   }
+
+  /** E240 bitext-mining twin: the cross-set 6-dp cosine relation, k=4
+    * forward/backward k-NN means as exact DECIMAL(38,6) sums of the
+    * rounded cosines (the GroupDRO sum discipline), the ratio margin on
+    * the 6-dp means, best candidate per source and the 1.02 threshold
+    * verdict. */
+  /** Margin chain shared by the brute and index-served bitext twins:
+    * QUALIFY top-k both directions over `sc`, decimal k-NN means, the
+    * ratio-margin division, per-source argmax, threshold verdict. */
+  private def bitextMarginChain(threshold: String): String =
+    s"""cand AS (SELECT * FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos DESC, tgt_id) <= 4),
+favg AS (SELECT src_id,
+    ROUND(CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_fwd
+  FROM cand GROUP BY src_id),
+btop AS (SELECT * FROM sc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos DESC, src_id) <= 4),
+bavg AS (SELECT tgt_id,
+    ROUND(CAST(SUM(CAST(cos AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS avg_bwd
+  FROM btop GROUP BY tgt_id),
+m AS (SELECT c.src_id, c.tgt_id, c.cos, f.avg_fwd, b.avg_bwd,
+    ROUND(c.cos / ((f.avg_fwd + b.avg_bwd) / 2.0), 6) AS margin
+  FROM cand c JOIN favg f USING (src_id) JOIN bavg b USING (tgt_id)
+  WHERE f.avg_fwd + b.avg_bwd <> 0.0)
+SELECT src_id, tgt_id, cos, avg_fwd, avg_bwd, margin,
+  (margin >= $threshold) AS accepted
+FROM m
+QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, tgt_id) = 1
+ORDER BY src_id"""
+
+  lazy val bitextMine: String =
+    s"""WITH src AS (SELECT vec_id AS src_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+tgt AS (SELECT vec_id AS tgt_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+sc AS (
+  SELECT s.src_id, t.tgt_id,
+    ROUND(${listDot("s.embedding", "t.embedding")} / (${listNorm("s.embedding")} * ${listNorm("t.embedding")}), 6) AS cos
+  FROM src s CROSS JOIN tgt t
+  WHERE ${listNorm("s.embedding")} * ${listNorm("t.embedding")} > 0),
+${bitextMarginChain("1.22")}"""
+
+  /** E246 index-served bitext twin: candidates restricted to the src's
+    * top-2 probed cells (the ivfTopK cell CTEs over the %83 quantizer),
+    * then the SAME margin chain — the approximation's verdict replayed
+    * as its own fixed point. */
+  lazy val bitextFromIndex: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding FROM embeddings WHERE vec_id % 83 = 0),
+src AS (SELECT vec_id AS src_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+probes AS (SELECT src_id, centroid_id FROM (
+    SELECT s.src_id, c.centroid_id,
+      ROUND(${listDot("s.embedding", "c.embedding")} / (${listNorm("s.embedding")} * ${listNorm("c.embedding")}), 6) AS qcos
+    FROM src s CROSS JOIN c
+    WHERE ${listNorm("s.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY qcos DESC, centroid_id) <= 2),
+a AS (SELECT vec_id AS tgt_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+      ROUND(${listDot("e.embedding", "c.embedding")} / (${listNorm("e.embedding")} * ${listNorm("c.embedding")}), 6) AS acos_
+    FROM embeddings e CROSS JOIN c
+    WHERE ${listNorm("e.embedding")} * ${listNorm("c.embedding")} > 0) t
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY acos_ DESC, centroid_id) = 1),
+tgt AS (SELECT vec_id AS tgt_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+sc AS (
+  SELECT p.src_id, t.tgt_id,
+    ROUND(${listDot("s.embedding", "t.embedding")} / (${listNorm("s.embedding")} * ${listNorm("t.embedding")}), 6) AS cos
+  FROM probes p JOIN a USING (centroid_id) JOIN tgt t USING (tgt_id)
+  JOIN src s USING (src_id)
+  WHERE ${listNorm("s.embedding")} * ${listNorm("t.embedding")} > 0),
+${bitextMarginChain("1.22")}"""
+
+  /** E244 semantic-decontamination twin: the knn_assign cell structure
+    * (rank-1 eval vector per corpus vector on the 6-dp cosine, ties to
+    * the smaller eval id) with the eval set excluded from the corpus
+    * side, plus the 0.9 contamination verdict. */
+  lazy val semanticContamination: String =
+    s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 <> 0),
+sc AS (
+  SELECT c.vec_id, ev.eval_id,
+    ROUND(${listDot("c.embedding", "ev.embedding")} / (${listNorm("c.embedding")} * ${listNorm("ev.embedding")}), 6) AS cos
+  FROM c CROSS JOIN ev
+  WHERE ${listNorm("c.embedding")} * ${listNorm("ev.embedding")} > 0)
+SELECT vec_id, eval_id, cos,
+  (cos >= 0.9) AS contaminated, NOT (cos >= 0.9) AS keep
+FROM sc
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, eval_id) = 1
+ORDER BY vec_id"""
 }

@@ -921,6 +921,35 @@ FROM rk ORDER BY doc_id"""
     * dialect feature Java regex and RE2 read identically), GREATEST for
     * the max, the fixed-order CASE argmax, and the integer mixed-script
     * rule `10·second ≥ max`. */
+  /** E242 count-min twin: exact per-token counts feed both the d×w cell
+    * relation and the audit; every cell index is the SAME affine map
+    * over the SAME rolling-hash fold both engines compute in integer
+    * algebra (`((a·h + b) mod 2^31−1) mod 64`). SUM casts back to
+    * BIGINT (DuckDB widens BIGINT sums to HUGEINT). */
+  lazy val cmsFreq: String = {
+    val coeffs = graft.operators.CountMin.RowCoeffs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val rhFold = "list_reduce(list_transform(string_split(token, ''), " +
+      "c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)"
+    s"""WITH toks AS (SELECT unnest($wsToksSql) AS token FROM documents),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY token),
+rh AS (SELECT token, exact_n, $rhFold AS rh FROM exact),
+coef(row_i, a, b) AS (VALUES $coeffs),
+cells AS (SELECT row_i, ((a * rh + b) % 2147483647) % 64 AS bucket,
+    CAST(SUM(exact_n) AS BIGINT) AS cell_n
+  FROM rh CROSS JOIN coef GROUP BY row_i, bucket),
+top AS (SELECT token, exact_n, rh FROM rh ORDER BY exact_n DESC, token LIMIT 30),
+est AS (SELECT t.token, t.exact_n, MIN(c.cell_n) AS cms_est
+  FROM top t CROSS JOIN coef k
+  JOIN cells c ON c.row_i = k.row_i
+    AND c.bucket = ((k.a * t.rh + k.b) % 2147483647) % 64
+  GROUP BY t.token, t.exact_n)
+SELECT token, exact_n, cms_est,
+  CAST(cms_est - exact_n AS BIGINT) AS overest,
+  (cms_est - exact_n = 0) AS tight
+FROM est ORDER BY token"""
+  }
+
   lazy val scriptProfile: String = {
     import graft.operators.CorpusStats.{AuxClasses, ScriptClasses}
     val cntCols = (ScriptClasses ++ AuxClasses).map { case (n, re) =>

@@ -368,6 +368,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "kmeans_train" -> OracleSql.kmeansTrain,
     "kcenter_coreset" -> OracleSql.kcenterCoreset,
     "temperature_mix" -> OracleSql.temperatureMix,
+    "hedge_mix" -> OracleSql.hedgeMix,
     "streaming_state_dedup_audit" -> OracleSql.streamingStateDedupAudit,
     "curriculum_epochs" -> OracleSql.curriculumEpochs,
     "embedding_outliers" -> OracleSql.embeddingOutliers,
@@ -450,6 +451,13 @@ FROM events GROUP BY 1 ORDER BY day""",
     "url_normalize" -> OracleSql.urlNormalize,
     "domain_caps" -> OracleSql.domainCaps,
     "script_profile" -> OracleSql.scriptProfile,
+    "bitext_mine" -> OracleSql.bitextMine,
+    "bitext_from_index" -> OracleSql.bitextFromIndex,
+    "semantic_contamination" -> OracleSql.semanticContamination,
+    "cms_freq" -> OracleSql.cmsFreq,
+    "scd2_history" -> OracleSql.scd2History,
+    "k_anonymity" -> OracleSql.kAnonymity,
+    "k_anonymize_execute" -> OracleSql.kAnonymizeExecute,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,
     "metric_anomaly" -> OracleSql.metricAnomaly,
     "tokenize_ids" -> OracleSql.tokenizeIds,

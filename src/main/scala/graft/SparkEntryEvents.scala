@@ -17,6 +17,16 @@ import graft.streaming.{SessionEvent, StreamingProfile}
 private[graft] trait SparkEntryEvents { this: SparkEntry.type =>
 
   protected def eventsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SCD Type-2 dimension history (E243): per-user event_type versions
+    // with [valid_from, valid_to) epoch-micro intervals, ties on equal
+    // timestamps broken by event_id
+    "scd2_history" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Events.scd2History(
+        ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+        "user_id", "ts_us", "event_id", "event_type")
+        .orderBy("user_id", "version")
+    }),
     // per-UTC-day monitoring profile (E95)
     "daily_profile" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")

@@ -312,6 +312,21 @@ private[graft] trait SparkEntryProfiler { this: SparkEntry.type =>
       graft.profiler.Checks.patternMatch(
         s.read.parquet(s"$dir/customer.parquet"), patternSpecs)
         .orderBy("check_name", "instance")),
+    // k-anonymity / l-diversity audit (E241): equivalence classes over
+    // (nation, segment), sensitive = acctbal rounded down to thousands
+    "k_anonymity" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymity(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"))
+        .orderBy("c_nationkey", "c_mktsegment")),
+    // suppression executor (E241): QI columns of sub-k classes replaced
+    // by the '*' generalization token, verdict column retained
+    "k_anonymize_execute" -> ((s, dir) =>
+      graft.operators.Privacy.kAnonymizeExecute(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_nationkey", "c_mktsegment"))
+        .orderBy("c_custkey")),
     // per-segment completeness: the null profile whole-table averages hide
     "segmented_completeness" -> ((s, dir) => {
       graft.profiler.Checks.segmentedCompleteness(

@@ -112,6 +112,14 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
       Sampling.temperatureMix(
         documents(s, dir), "lang", alpha = 0.3, targetTotal = 10000L)
         .orderBy("domain")),
+    // E245: Hedge/multiplicative-weights ONLINE mixing replay over time
+    // batches (deterministic full-information bandit) — where E182/E184
+    // learn weights from a proxy model's loss, this tunes the mixture
+    // from a model-free per-batch reward stream
+    "hedge_mix" -> ((s, dir) =>
+      graft.operators.QualityModel.hedgeMix(
+        documents(s, dir), "doc_id", "text", "lang", "source")
+        .orderBy("round", "domain")),
     // greedy token-budget curation: best-quality prefix within 20k tokens
     "budget_select" -> ((s, dir) =>
       graft.operators.Packing.selectUnderBudget(

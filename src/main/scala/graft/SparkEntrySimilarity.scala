@@ -37,6 +37,40 @@ private[graft] trait SparkEntrySimilarity { this: SparkEntry.type =>
       Similarity.lshTopK(
         embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 97 === 0)
         .orderBy("query_id", "neighbor_id")),
+    // bitext/parallel-pair mining with the ratio-margin criterion (E240):
+    // mine from the %10 query set into the odd-id corpus, k-NN means
+    // normalize the cosine, best candidate per source + threshold verdict
+    "bitext_mine" -> ((s, dir) =>
+      Similarity.bitextMine(
+        embeddings(s, dir), "vec_id", "embedding",
+        srcPred = col("vec_id") % 10 === 0,
+        tgtPred = col("vec_id") % 2 === 1,
+        threshold = 1.22)
+        .orderBy("src_id")),
+    // E246: bitext mining served from the PERSISTED E221 quantizer — the
+    // E240 scale path: candidates from the src's 2 probed cells instead
+    // of |Q|·|corpus| brute scoring; margins normalize over the candidate
+    // k-NN means (the approximation's own fixed point, oracle-replayed)
+    "bitext_from_index" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val path = Scratch.dir("graft_ivf", dir)
+      if (graft.operators.Dedup.StateStore.rows(s, s"$path/assign").isEmpty)
+        Similarity.writeIvfIndex(
+          emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+      Similarity.bitextMine(
+        emb, "vec_id", "embedding",
+        srcPred = col("vec_id") % 10 === 0,
+        tgtPred = col("vec_id") % 2 === 1,
+        threshold = 1.22,
+        index = Some(Similarity.readIvfIndex(s, path)))
+        .orderBy("src_id")
+    }),
+    // semantic train/eval decontamination (E244): nearest eval vector per
+    // corpus vector (eval set = the %97 query ids), cosine >= 0.9 flags
+    "semantic_contamination" -> ((s, dir) =>
+      Similarity.semanticContamination(
+        embeddings(s, dir), "vec_id", "embedding", col("vec_id") % 97 === 0)
+        .orderBy("vec_id")),
     // embedding-space bucketing: nearest-centroid assignment (centroid set
     // = vec_id % 83 == 0), max 6-dp cosine with smaller-id tie-break
     "knn_assign" -> ((s, dir) =>

@@ -367,6 +367,13 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         documents(s, dir).withColumn("u", u), "doc_id", "u", cap = 15L)
         .orderBy("doc_id")
     }),
+    // count-min sketch frequency audit (E242): d=3 affine row hashes over
+    // the codegen rolling hash, w=64 buckets, estimates joined to EXACT
+    // counts for the top-30 tokens — overestimate is one-sided by the
+    // sketch guarantee and hash-verified, not trusted
+    "cms_freq" -> ((s, dir) =>
+      graft.operators.CountMin.cmsFrequencyAudit(documents(s, dir), "text")
+        .orderBy("token")),
     // script/writing-system profile (E239): codepoint-block histogram →
     // dominant script + mixed-script flag; the ASCII corpus is augmented
     // with a deterministic multiscript suffix (the text_normalize

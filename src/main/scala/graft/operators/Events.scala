@@ -1052,4 +1052,49 @@ object Events {
           (col("n_ante").cast(DoubleType) * col("n_cons").cast(DoubleType)),
           6).as("lift"))
   }
+
+  /** SCD Type-2 dimension history build (E243) — Kimball's
+    * slowly-changing-dimension pattern: collapse a per-key change log
+    * into versioned validity intervals. Consecutive observations of the
+    * SAME tracked value merge into one interval; each value CHANGE
+    * opens a new version with `valid_from` = its first observation,
+    * `valid_to` = the next version's `valid_from` (NULL on the open
+    * current version, `is_current` = true). The missing data-eng
+    * sibling of E87 snapshot-diff: diff reconciles two snapshots,
+    * SCD2 materializes the full history a warehouse dimension serves
+    * as-of joins (E36) from.
+    *
+    * Spark-first shape: two windows over the SAME (key, ts, id)
+    * partitioning — a lag to mark change rows, a lead over the
+    * change-row subset to close intervals — so the whole build is ONE
+    * shuffle on the dimension key (Catalyst reuses the exchange across
+    * the windows); linear in log rows, no self-join against the
+    * history. Ordering ties on equal timestamps break by `ordCol`
+    * (unique event id), keeping the version chain deterministic.
+    *
+    * Cites reference scope: the reference profiles static tables only
+    * (Profiler.scala:166-253) — no temporal versioning; extension per
+    * SURVEY §2.E. */
+  def scd2History(
+      log: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      ordCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val obs = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    val changed = log
+      .select(col(keyCol), col(tsCol), col(ordCol), col(valueCol))
+      .withColumn("prev_value", lag(col(valueCol), 1).over(obs))
+      .where(col("prev_value").isNull ||
+        !(col("prev_value") <=> col(valueCol)))
+    val ver = Window.partitionBy(keyCol).orderBy(col(tsCol), col(ordCol))
+    changed
+      .withColumn("version", row_number().over(ver).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(ver))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col(valueCol),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
 }

@@ -865,6 +865,86 @@ object QualityModel {
       java.util.Arrays.asList(out.result(): _*), schema)
   }
 
+  /** Online data-mixing replay via Hedge / multiplicative weights
+    * (E245) — the Albalak et al. '23 "Efficient online data mixing"
+    * shape: treat each corpus domain as an arm, observe a per-BATCH
+    * reward for every domain (full information — the deterministic
+    * Hedge regime, not sampled EXP3), and update the mixture
+    * multiplicatively: `w_t(d) = ROUND(w_{t-1}(d) · e^{η·r_t(d)}, 6)`,
+    * mixture probability = weight over the EXACT decimal sum of the
+    * 6-dp weights. Where [[groupDroTrain]] learns weights from a proxy
+    * model's per-domain LOSS inside a training loop, this op replays
+    * the bandit update over TIME batches of the corpus itself with a
+    * model-free reward (the 6-dp mean stopword-fraction signal x3 from
+    * the shared [[docFeaturesLabeled]] algebra) — the "tune the
+    * sampling mixture as data streams in" operator, no model in the
+    * loop.
+    *
+    * Batching is deterministic (`batch t = id mod rounds + 1`), rewards
+    * are DECIMAL(38,6) sums of 6-dp values divided back in double (the
+    * established order-free discipline), and a domain absent from a
+    * batch earns reward 0 (e^0 = 1: its weight coasts) — so the whole
+    * trajectory is a pure function of the corpus, hash-replayable.
+    *
+    * Scale shape: ONE aggregate over (batch, domain) computes every
+    * round's rewards in a single corpus pass (full-information Hedge
+    * needs no adaptive resampling); the collected matrix is
+    * rounds × domains cells — metadata — and the recursion runs on the
+    * driver exactly as the oracle's CTE chain. Output one row per
+    * (round, domain): `(round, domain, n, reward, weight, prob)`. */
+  def hedgeMix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      domainCol: String,
+      rounds: Int = 6,
+      eta: Double = 0.5): DataFrame = {
+    require(rounds > 0, s"hedgeMix: rounds=$rounds")
+    val spark = docs.sparkSession
+    val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val feats = docFeaturesWith(docs, textCol, langCol, Seq(idCol, domainCol))
+    val obs = feats
+      .withColumn("t", (col(idCol) % rounds) + 1)
+      .groupBy(col("t"), col(domainCol).as("domain"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("x3").cast(dec6)).cast("double") / count(lit(1)), 6)
+          .as("reward"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("domain")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("reward"))).toMap
+    require(obs.nonEmpty, "hedgeMix: empty feature relation")
+    val domains = obs.keys.map(_._2).toSeq.distinct.sorted
+    var w: Map[String, Double] = domains.map(_ -> 1.0).toMap
+    val out = Seq.newBuilder[Row]
+    for (t <- 1 to rounds) {
+      val cells = domains.map { d =>
+        val (n, reward) = obs.getOrElse((t.toLong, d), (0L, 0.0))
+        d -> (n, reward)
+      }
+      w = cells.map { case (d, (_, reward)) =>
+        d -> r6(w(d) * math.exp(eta * reward))
+      }.toMap
+      // 6-dp weights sum exactly as decimals — same denominator both engines
+      val denom = domains
+        .foldLeft(BigDecimal(0))((a, d) => a + BigDecimal(w(d))).toDouble
+      cells.foreach { case (d, (n, reward)) =>
+        out += Row(t.toLong, d, n, reward, w(d), r6(w(d) / denom))
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("domain", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("reward", DoubleType, nullable = false),
+      StructField("weight", DoubleType, nullable = false),
+      StructField("prob", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out.result(): _*), schema)
+  }
+
   /** DoReMi selection (E184) — the ACTION [[groupDroTrain]]'s mixture
     * weights exist for (Xie et al. '23 §3: train the proxy under Group-
     * DRO, then SAMPLE the corpus by the learned domain weights): each

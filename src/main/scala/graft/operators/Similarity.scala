@@ -1558,4 +1558,167 @@ object Similarity {
       java.util.Arrays.asList(rows.toSeq: _*), trajectorySchema)
       .orderBy("step")
   }
+
+  /** Bitext / parallel-pair mining with the ratio-margin criterion
+    * (E240) — Artetxe & Schwenk '19 ("Margin-based parallel corpus
+    * mining with multilingual sentence embeddings", the CCMatrix /
+    * LASER recipe): a raw cosine threshold cannot separate translations
+    * from topically-similar neighbors because cosine SCALES differ by
+    * region of embedding space; the margin score normalizes each pair's
+    * cosine by the mean of both endpoints' k-NN cosines —
+    * `margin(x,y) = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2)` — and
+    * the best margin-scored candidate per source is accepted when it
+    * clears the threshold.
+    *
+    * Formulation: pairs are mined FROM the `srcPred` query set INTO the
+    * `tgtPred` corpus; forward k-NN means are over each query's top-k
+    * targets, backward means over each target's top-k queries (both
+    * from the one scored relation — the mine-against-these-queries
+    * shape, so the query side broadcasts and the corpus never
+    * shuffles). Output: ONE row per source with its best candidate,
+    * `(src_id, tgt_id, cos, avg_fwd, avg_bwd, margin, accepted)` —
+    * rejected sources stay visible (accepted=false) so threshold
+    * tuning reads from the same relation.
+    *
+    * Determinism: cosines are 6-dp rounded; k-NN means are EXACT
+    * DECIMAL(38,6) sums of the rounded cosines divided back in double
+    * and re-rounded (the GroupDRO sum discipline — never an
+    * order-dependent double sum); the margin division is one IEEE op on
+    * two 6-dp values. Ties rank by id everywhere.
+    *
+    * Scale shape: the scored relation is |Q|·|corpus| BY DEFINITION
+    * (the brute-force ann workload shape — an IVF-served variant rides
+    * the E221 index exactly like `ivf_from_index`); it is computed ONCE
+    * (localCheckpoint) and feeds the forward ranks, both k-NN means and
+    * the final scoring without a rescan. */
+  def bitextMine(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      srcPred: Column,
+      tgtPred: Column,
+      k: Int = 4,
+      threshold: Double = 1.06,
+      nprobe: Int = 2,
+      index: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(k >= 1, s"bitextMine: k=$k")
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+    val tgt = emb.where(tgtPred).select(
+      col(idCol).as("tgt_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val src = emb.where(srcPred).select(
+      col(idCol).as("src_id"), col(vecCol).as("q"), fnorm(col(vecCol)).as("nq"))
+    // `index` = the persisted E221 coarse quantizer (the bitext scale
+    // path — VERDICT r15 lane doctrine: artifact-served rows ARE the
+    // declared scale rows): candidates come from the src's top-nprobe
+    // probed cells joined to the artifact's per-vector assignment, so
+    // the scoring relation is |Q|·(cell candidates), not |Q|·|corpus|.
+    // Margins then normalize over the CANDIDATE k-NN means — the
+    // mined-pair verdict is the approximation's own fixed point,
+    // replayed identically by the oracle's cell CTEs.
+    val scored0 = index match {
+      case None =>
+        tgt.crossJoin(broadcast(src))
+          .select(col("src_id"), col("tgt_id"),
+            safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
+      case Some((cents, assignRaw)) =>
+        val assign = assignRaw
+          .select(col("neighbor_id").as("vec_id"), col("centroid_id"))
+        // the E221 staleness contract: a served artifact must cover
+        // every assignable corpus vector (MEMBERSHIP, not row count)
+        requireServedComplete("bitextMine", assign, embIn, idCol, vecCol)
+        val probeW = Window.partitionBy("src_id")
+          .orderBy(col("qcos").desc, col("centroid_id").asc)
+        val probes = src.crossJoin(broadcast(cents))
+          .select(col("src_id"), col("centroid_id"),
+            safeCos(col("q"), col("c"), col("nq"), col("nc")).as("qcos"))
+          .where(col("qcos").isNotNull)
+          .withColumn("rn", row_number().over(probeW))
+          .where(col("rn") <= nprobe)
+          .select("src_id", "centroid_id")
+        broadcast(probes)
+          .join(assign.select(col("vec_id").as("tgt_id"), col("centroid_id")),
+            Seq("centroid_id"))
+          .join(tgt, Seq("tgt_id"))
+          .join(broadcast(src), Seq("src_id"))
+          .select(col("src_id"), col("tgt_id"),
+            safeCos(col("q"), col("v"), col("nq"), col("nv")).as("cos"))
+    }
+    val scored = scored0
+      .where(col("cos").isNotNull)
+      .localCheckpoint(true) // three consumers: fwd ranks, fwd/bwd means
+    def knnAvg(grp: String): DataFrame = {
+      val other = if (grp == "src_id") "tgt_id" else "src_id"
+      val w = Window.partitionBy(grp)
+        .orderBy(col("cos").desc, col(other).asc)
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .groupBy(grp)
+        .agg(round(
+          sum(col("cos").cast("decimal(38,6)")).cast("double") /
+            count(lit(1)), 6).as(s"avg_${if (grp == "src_id") "fwd" else "bwd"}"))
+    }
+    val fwdW = Window.partitionBy("src_id")
+      .orderBy(col("cos").desc, col("tgt_id").asc)
+    val candidates = scored
+      .withColumn("rn", row_number().over(fwdW)).where(col("rn") <= k)
+      .drop("rn")
+    val withAvgs = candidates
+      .join(knnAvg("src_id"), Seq("src_id"))
+      .join(knnAvg("tgt_id"), Seq("tgt_id"))
+      .where(col("avg_fwd") + col("avg_bwd") =!= 0.0)
+      .withColumn("margin",
+        round(col("cos") / ((col("avg_fwd") + col("avg_bwd")) / 2.0), 6))
+    val bestW = Window.partitionBy("src_id")
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    withAvgs.withColumn("brn", row_number().over(bestW)).where(col("brn") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        col("avg_fwd"), col("avg_bwd"), col("margin"),
+        (col("margin") >= threshold).as("accepted"))
+  }
+
+  /** Semantic (embedding-space) train/eval decontamination (E244) — the
+    * similarity sibling of the n-gram E23/E161 contamination shelf: a
+    * training example whose embedding sits within `threshold` cosine of
+    * ANY eval example is contaminated even when no n-gram survives
+    * paraphrase (the LLaMA/GPT-4-report style semantic-dedup
+    * decontamination pass). For every corpus vector (NOT in the eval
+    * set) the single nearest eval vector is found — argmax over the
+    * 6-dp cosine, ties to the smaller eval id (the nearest-centroid
+    * cell structure) — and the row carries the verdict:
+    * `(vec_id, eval_id, cos, contaminated, keep)`.
+    *
+    * Scale shape: eval sets are benchmark-sized — BROADCAST; the corpus
+    * is scanned once, the per-vector argmax is a map-side-combined
+    * `min(struct)` hash aggregate, so the only shuffle carries one row
+    * per corpus vector. Zero-norm vectors on either side have no
+    * direction and are dropped (the safeCos contract; the oracle
+    * filters identically). */
+  def semanticContamination(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalPred: Column,
+      threshold: Double = 0.9): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val emb = graft.profiler.ScanMetrics.spread(embIn)
+    val corpus = emb.where(!evalPred).select(
+      col(idCol).as("vec_id"), col(vecCol).as("v"), fnorm(col(vecCol)).as("nv"))
+    val evalSet = emb.where(evalPred).select(
+      col(idCol).as("eval_id"), col(vecCol).as("e"), fnorm(col(vecCol)).as("ne"))
+    corpus.crossJoin(broadcast(evalSet))
+      .select(col("vec_id"), col("eval_id"),
+        safeCos(col("v"), col("e"), col("nv"), col("ne")).as("cos"))
+      .where(col("cos").isNotNull)
+      .groupBy("vec_id")
+      .agg(min(struct(
+        (-col("cos")).as("neg_cos"),
+        col("eval_id"),
+        col("cos"))).as("best"))
+      .select(
+        col("vec_id"),
+        col("best.eval_id").as("eval_id"),
+        col("best.cos").as("cos"))
+      .withColumn("contaminated", col("cos") >= threshold)
+      .withColumn("keep", !col("contaminated"))
+  }
 }

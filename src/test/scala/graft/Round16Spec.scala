@@ -255,4 +255,246 @@ class Round16Spec extends AnyFunSuite {
       val id = r.getAs[Long]("doc_id"); id <= 300 || id > 360
     }, "normalized-duplicate losers must be deduped before selection")
   }
+
+  test("scd2History: interval chain well-formed; consecutive duplicates collapse; ties break on ordCol") {
+    val s = spark
+    import s.implicits._
+    // user 1: a,a,b,a (collapse the repeat, reopen a); user 2: equal-ts
+    // tie broken by event_id (b at ord 1 precedes a at ord 2)
+    val log = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "a"), (1L, 30L, 3L, "b"),
+      (1L, 40L, 4L, "a"),
+      (2L, 10L, 2L, "a"), (2L, 10L, 1L, "b")
+    ).toDF("user_id", "ts_us", "event_id", "event_type")
+    val h = graft.operators.Events
+      .scd2History(log, "user_id", "ts_us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+        r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(h.filter(_._1 == 1L).map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+      Seq((1L, "a", 10L, Some(30L)), (2L, "b", 30L, Some(40L)),
+        (3L, "a", 40L, None)))
+    assert(h.filter(_._1 == 2L).map(t => (t._2, t._3)).toSeq ==
+      Seq((1L, "b"), (2L, "a")),
+      "equal timestamps must order by the unique event id")
+    // chain invariants on the real table: versions contiguous from 1,
+    // valid_to = next valid_from, exactly one open row per user
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val big = graft.operators.Events.scd2History(
+      ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+      "user_id", "ts_us", "event_id", "event_type")
+      .collect().groupBy(_.getLong(0))
+    big.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq,
+        s"user $u versions not contiguous")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) == b.getLong(3),
+            s"user $u: valid_to must close at the next valid_from")
+          assert(!a.getBoolean(5))
+        case _ =>
+      }
+      assert(sorted.last.isNullAt(4) && sorted.last.getBoolean(5),
+        s"user $u: exactly the last version is open/current")
+    }
+    // one shuffle: both windows share the user_id partitioning
+    val plan = graft.operators.Events.scd2History(
+      ev.withColumn("ts_us", graft.operators.Events.tsMicros(ev, "ts")),
+      "user_id", "ts_us", "event_id", "event_type")
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"SCD2 must shuffle exactly once on the dimension key:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("cmsFrequencyAudit: one-sided error always; collision-free when w is wide; state is d*w-bounded") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 200L)
+      .map(i => (i, s"tok${i % 17} tok${i % 5} shared tok${i % 17}"))
+      .toDF("doc_id", "text")
+    val tight = graft.operators.CountMin
+      .cmsFrequencyAudit(docs, "text", w = 4096, topN = 40).collect()
+    assert(tight.nonEmpty)
+    assert(tight.forall(_.getAs[Long]("overest") >= 0L),
+      "CMS error is one-sided by construction")
+    assert(tight.forall(_.getAs[Boolean]("tight")),
+      "a 4096-bucket sketch over a 23-token vocabulary cannot collide")
+    val narrow = graft.operators.CountMin
+      .cmsFrequencyAudit(docs, "text", w = 2, topN = 40).collect()
+    assert(narrow.forall(_.getAs[Long]("overest") >= 0L))
+    assert(narrow.exists(!_.getAs[Boolean]("tight")),
+      "a 2-bucket sketch over 23 tokens must collide somewhere")
+    // estimates never under-count: exact_n of 'shared' is 200
+    val sh = tight.find(_.getAs[String]("token") == "shared").get
+    assert(sh.getAs[Long]("exact_n") == 200L &&
+      sh.getAs[Long]("cms_est") == 200L)
+  }
+
+  test("kAnonymity: classes partition the table; suppression executor is verdict-consistent") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val n = cust.count()
+    val audit = graft.operators.Privacy.kAnonymity(
+      cust, Seq("c_nationkey", "c_mktsegment"),
+      floor(col("c_acctbal") / 1000).cast("long")).collect()
+    assert(audit.map(_.getAs[Long]("class_size")).sum == n,
+      "equivalence classes must partition the table")
+    assert(audit.forall(r =>
+      r.getAs[Long]("l_distinct") <= r.getAs[Long]("class_size")))
+    assert(audit.forall(r =>
+      r.getAs[Boolean]("is_k_anonymous") == (r.getAs[Long]("class_size") >= 5L)))
+    val execd = graft.operators.Privacy.kAnonymizeExecute(
+      cust, Seq("c_nationkey", "c_mktsegment")).collect()
+    assert(execd.length == n)
+    assert(execd.forall { r =>
+      val sup = r.getAs[Boolean]("suppressed")
+      val star = r.getAs[String]("c_nationkey") == "*" &&
+        r.getAs[String]("c_mktsegment") == "*"
+      sup == star && sup == (r.getAs[Long]("class_size") < 5L)
+    }, "QI columns must be starred exactly on sub-k classes")
+  }
+
+  test("bitextMine: hand-computed margins; one best row per source; threshold verdict") {
+    val s = spark
+    import s.implicits._
+    // src id 0 = [1,0]; tgts: id 1 = [1,0] (cos 1), id 3 = [0,1] (cos 0)
+    // avg_fwd(0) = (1+0)/2 = 0.5; avg_bwd(1) = 1, avg_bwd(3) = 0
+    // margin(0,1) = 1/((0.5+1)/2) = 1.333333 -> best + accepted
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (3L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val rows = graft.operators.Similarity.bitextMine(
+      emb, "vec_id", "embedding",
+      srcPred = col("vec_id") % 2 === 0, tgtPred = col("vec_id") % 2 === 1,
+      k = 2, threshold = 1.02).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("src_id") == 0L && r.getAs[Long]("tgt_id") == 1L)
+    assert(r.getAs[Double]("cos") == 1.0 &&
+      r.getAs[Double]("avg_fwd") == 0.5 && r.getAs[Double]("avg_bwd") == 1.0)
+    assert(r.getAs[Double]("margin") == 1.333333 && r.getAs[Boolean]("accepted"))
+    // real table: exactly one row per source; with the threshold set to
+    // the observed median margin, BOTH verdict branches must appear
+    // (margins skew above 1 by construction — the numerator is the
+    // argmax candidate, the denominator a k-NN mean — so a both-branch
+    // gate threshold is a distribution property, pinned here)
+    val margins = graft.operators.Similarity.bitextMine(
+      sfEmb, "vec_id", "embedding",
+      srcPred = col("vec_id") % 10 === 0, tgtPred = col("vec_id") % 2 === 1)
+      .collect().map(_.getAs[Double]("margin")).sorted
+    assert(margins.distinct.length > 1, "degenerate margin distribution")
+    val med = margins(margins.length / 2)
+    val real = graft.operators.Similarity.bitextMine(
+      sfEmb, "vec_id", "embedding",
+      srcPred = col("vec_id") % 10 === 0, tgtPred = col("vec_id") % 2 === 1,
+      threshold = med)
+      .collect()
+    assert(real.map(_.getAs[Long]("src_id")).distinct.length == real.length)
+    assert(real.forall(r0 =>
+      r0.getAs[Boolean]("accepted") == (r0.getAs[Double]("margin") >= med)))
+    assert(real.exists(_.getAs[Boolean]("accepted")) &&
+      real.exists(!_.getAs[Boolean]("accepted")),
+      "median threshold must exercise both verdict branches")
+  }
+
+  test("hedgeMix: multiplicative recurrence; absent domains coast; probs normalize per round") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = graft.operators.QualityModel
+      .hedgeMix(docs, "doc_id", "text", "lang", "source")
+      .collect()
+    val byRound = out.groupBy(_.getLong(0))
+    assert(byRound.keySet == (1L to 6L).toSet)
+    val domains = out.map(_.getString(1)).distinct.sorted
+    byRound.foreach { case (t, rows) =>
+      assert(rows.map(_.getString(1)).sorted.toSeq == domains.toSeq,
+        s"round $t must emit every domain (zero-filled cells included)")
+      val psum = rows.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"round $t probs sum $psum")
+    }
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // recurrence: w_t = ROUND(w_{t-1} * e^{0.5 r_t}, 6), w_0 = 1
+    domains.foreach { d =>
+      var w = 1.0
+      (1L to 6L).foreach { t =>
+        val r = byRound(t).find(_.getString(1) == d).get
+        w = r6(w * math.exp(0.5 * r.getAs[Double]("reward")))
+        assert(r.getAs[Double]("weight") == w,
+          s"domain $d round $t weight mismatch")
+        if (r.getAs[Long]("n") == 0L)
+          assert(r.getAs[Double]("reward") == 0.0,
+            "an absent domain must coast on reward 0")
+      }
+    }
+  }
+
+  test("bitextMine from the persisted index: cell-restricted candidates; forged index fails the membership guard") {
+    val emb = sfEmb
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_bitext_idx").toString
+    graft.operators.Similarity.writeIvfIndex(
+      emb, "vec_id", "embedding", col("vec_id") % 83 === 0, path)
+    val idx = graft.operators.Similarity.readIvfIndex(spark, path)
+    val served = graft.operators.Similarity.bitextMine(
+      emb, "vec_id", "embedding",
+      srcPred = col("vec_id") % 10 === 0, tgtPred = col("vec_id") % 2 === 1,
+      index = Some(idx)).collect()
+    assert(served.nonEmpty)
+    assert(served.map(_.getAs[Long]("src_id")).distinct.length == served.length,
+      "one best pair per source")
+    // every served pair must be a brute candidate pair with the same cos
+    // (cells only restrict candidates; they never change a cosine)
+    val brute = graft.operators.Similarity.bitextMine(
+      emb, "vec_id", "embedding",
+      srcPred = col("vec_id") % 10 === 0, tgtPred = col("vec_id") % 2 === 1)
+      .collect().map(r =>
+        (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id")) -> r.getAs[Double]("cos"))
+      .toMap
+    served.foreach { r =>
+      val key = (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cos"),
+        s"cell restriction changed a cosine at $key"))
+    }
+    // forged artifact (duplicate offsetting a missing vector) fails loudly
+    val (cents, assign) = idx
+    val ids = assign.agg(min("neighbor_id"), max("neighbor_id")).head()
+    val forged = assign.where(col("neighbor_id") =!= ids.getLong(1))
+      .unionByName(assign.where(col("neighbor_id") === ids.getLong(0)))
+      .localCheckpoint(true)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.bitextMine(
+        emb, "vec_id", "embedding",
+        srcPred = col("vec_id") % 10 === 0, tgtPred = col("vec_id") % 2 === 1,
+        index = Some((cents, forged))).collect()
+    }
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
+
+  test("semanticContamination: eval side excluded; planted duplicate flags; broadcast argmax plan") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)),   // eval (97 divides 0)
+      (1L, Seq(1f, 0f, 0f)),   // exact duplicate of eval 0 -> contaminated
+      (2L, Seq(0f, 1f, 0f))    // orthogonal -> clean
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.semanticContamination(
+      emb, "vec_id", "embedding", col("vec_id") % 97 === 0, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("eval_id"), r.getAs[Double]("cos"),
+          r.getAs[Boolean]("contaminated"))).toMap
+    assert(!out.contains(0L), "eval vectors are not corpus rows")
+    assert(out(1L) == ((0L, 1.0, true)) && out(2L)._3 == false)
+    assert(out(2L)._2 == 0.0)
+    val plan = graft.operators.Similarity.semanticContamination(
+      sfEmb, "vec_id", "embedding", col("vec_id") % 97 === 0)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"eval set must broadcast — the corpus never shuffles for scoring:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("SortMergeJoin"), plan)
+  }
 }

@@ -57,7 +57,22 @@ corpus_curate pca_power streaming_state_dedup kcenter_coreset \
 el2n_select forgetting_events c4_rules c4_filter_execute dup_line_stats \
 rholoss_select tracin_scores data_map prototype_prune_from_index \
 streaming_interval_join d4_select flesch_readability \
-data_recipe domain_caps script_profile"
+data_recipe domain_caps script_profile \
+scd2_history cms_freq semantic_contamination k_anonymize_execute \
+bitext_from_index hedge_mix"
+
+# r16 adjudication of the sf10 flagship noise: within ONE quiet-host JVM
+# the per-iteration spread on the biggest keys reads up to ±70% (GC/JIT —
+# min-of-5 landed 50.53 s vs singles of 65-120 on the SAME idle host, CPU
+# control stable ±10%), so min-of-2 under-samples exactly the rows the
+# round is judged on. Big keys get extra iterations; the JVM floor is
+# per-run, so this only re-times the measured section.
+iters_for() {
+  case "$1" in
+    profile_lineitem|profile_lineitem_full|pca_power) echo 5 ;;
+    *) echo 2 ;;
+  esac
+}
 
 # Instantaneous host busy-CPU fraction over a 1 s window (two /proc/stat
 # reads) — the same leading indicator graft.Bench uses for its load gate.
@@ -99,6 +114,7 @@ fi
 run_one() { # dir query [extra env as VAR=VAL ...]
   local dir=$1 q=$2; shift 2
   env "$@" SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_ITER="$(iters_for "$q")" \
     SPARK_GRAFT_ONLY="$q" timeout 900 tools/runmain.sh graft.Bench 2>/dev/null \
     | grep -E '^\{' \
     | python3 -c "import json,sys; print(json.load(sys.stdin)['queries'].get('$q','null'))" \
