@@ -87,6 +87,52 @@ jpairs AS (
   lazy val dedupNgramJaccard: String =
     s"WITH $jaccardCtes\nSELECT id_a, id_b, jaccard FROM jpairs ORDER BY id_a, id_b"
 
+  /** E253 detector-eval twin: the same planted union corpus (easy
+    * tail-append / hard truncation), the E2 shingle-Jaccard chain over
+    * it, probe-restricted predictions, canonicalized full-outer pair
+    * join, double-cast P/R and F1 from the ROUNDED ratios. */
+  lazy val dedupEval: String =
+    raw"""WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, text || ' planted near duplicate tail'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 600000, substring(text, 1, 40)
+  FROM documents WHERE doc_id % 7 = 3),
+words AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w FROM corpus),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM words, UNNEST(range(1, len(w) - 1)) t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+jp AS (SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, ROUND(c * 1.0 / (na.n + nb.n - c), 6) AS jaccard
+    FROM inter JOIN sizes na ON na.doc_id = id_a JOIN sizes nb ON nb.doc_id = id_b) q
+  WHERE jaccard >= 0.5),
+pred AS (SELECT DISTINCT LEAST(id_a, id_b) AS lo, GREATEST(id_a, id_b) AS hi
+  FROM jp WHERE id_b >= 500000),
+truth AS (SELECT DISTINCT LEAST(id_a, id_b) AS lo, GREATEST(id_a, id_b) AS hi
+  FROM (
+    SELECT doc_id AS id_a, doc_id + 500000 AS id_b FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id, doc_id + 600000 FROM documents WHERE doc_id % 7 = 3)),
+m AS (SELECT p.lo IS NOT NULL AS in_p, t.lo IS NOT NULL AS in_t
+  FROM pred p FULL OUTER JOIN truth t ON p.lo = t.lo AND p.hi = t.hi),
+c AS (SELECT
+    CAST(SUM(CASE WHEN in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN in_p AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN NOT in_p AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM m),
+f AS (SELECT tp + fn AS n_truth, tp + fp AS n_pred, tp, fp, fn,
+    CASE WHEN tp + fp > 0
+      THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS p6,
+    CASE WHEN tp + fn > 0
+      THEN ROUND(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) END AS r6
+  FROM c)
+SELECT n_truth, n_pred, tp, fp, fn, p6 AS "precision", r6 AS recall,
+  CASE WHEN p6 IS NOT NULL AND r6 IS NOT NULL AND p6 + r6 > 0
+    THEN ROUND(CAST(2.0 AS DOUBLE) * p6 * r6 / (p6 + r6), 6) END AS f1
+FROM f"""
+
   /** Dedup-survival twin (E202): the same shingle/intersection chain at
     * the 0.1 floor, a 9-row threshold grid non-equi-joined against the
     * pair relation, exact distinct-removal counts per slice. */

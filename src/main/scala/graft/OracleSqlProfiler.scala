@@ -163,6 +163,51 @@ FROM dirty d JOIN clean c
 WHERE levenshtein(d.lk, c.rk) <= 1
 ORDER BY left_id, right_id"""
 
+  /** E249 sorted-neighborhood twin: same clean ∪ shifted-id typo'd
+    * union, per-block (rank, count) window on (lowered key, id), the
+    * rank-band self-join `0 < Δrank ≤ window`, Levenshtein verdict. */
+  lazy val sortedNeighborhood: String =
+    raw"""WITH allr AS (
+  SELECT c_custkey AS rid, c_name AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, substring(c_name, 1, length(c_name) - 1)
+  FROM customer WHERE c_custkey % 20 = 0),
+rk AS (SELECT rid AS id, lower(name) AS k,
+    substring(lower(name), 1, 12) AS block
+  FROM allr WHERE name IS NOT NULL),
+rr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY block ORDER BY k, id) AS BIGINT) AS rnk
+  FROM rk)
+SELECT a.id AS id_a, b.id AS id_b,
+  CAST(levenshtein(a.k, b.k) AS INT) AS dist,
+  (levenshtein(a.k, b.k) <= 1) AS matched
+FROM rr a JOIN rr b ON a.block = b.block
+  AND b.rnk - a.rnk > 0 AND b.rnk - a.rnk <= 3
+ORDER BY id_a, id_b"""
+
+  /** E251 Jaro-Winkler best-match twin: same dirty planting, 16-char
+    * block equi-join, DuckDB's own `jaro_winkler_similarity` (the
+    * independent implementation the codegen expression is pinned to),
+    * window argmax (score desc, id asc), threshold verdict. */
+  lazy val jwBestMatch: String =
+    raw"""WITH dirty AS (
+  SELECT c_custkey + 1000000 AS left_id,
+    lower(substring(c_name, 1, length(c_name) - 1)) AS lk
+  FROM customer WHERE c_custkey % 20 = 0),
+clean AS (SELECT c_custkey AS right_id, lower(c_name) AS rk FROM customer),
+cand AS (
+  SELECT d.left_id, c.right_id,
+    ROUND(jaro_winkler_similarity(d.lk, c.rk), 6) AS score
+  FROM dirty d JOIN clean c
+    ON substring(d.lk, 1, 16) = substring(c.rk, 1, 16)
+  WHERE d.lk IS NOT NULL AND c.rk IS NOT NULL),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY left_id
+      ORDER BY score DESC, right_id ASC) AS rn
+  FROM cand)
+SELECT left_id, right_id AS best_right_id, score,
+  (score >= 0.9) AS accepted
+FROM best WHERE rn = 1 ORDER BY left_id"""
+
   /** Snapshot-diff twin (E87): same deterministic before/after variants,
     * FULL OUTER JOIN on the key, IS DISTINCT FROM value comparison (the
     * Spark side compares SHA-256 digests of the same cast-to-string
@@ -419,6 +464,50 @@ SELECT c_nationkey, c_mktsegment, class_size, l_distinct,
   (l_distinct >= 2) AS is_l_diverse,
   ROUND(1.0 / class_size, 6) AS reident_risk
 FROM cls ORDER BY c_nationkey, c_mktsegment"""
+
+  /** E254 t-closeness twin: same banded sensitive value, zero-filled
+    * class × global-value grid, double-cast cell ratios, fixed-order
+    * prefix sum per class, 6-dp |cum| quantized to DECIMAL(38,6)
+    * before the per-class sum, `/(m−1)` (0 when m = 1). */
+  lazy val tCloseness: String =
+    """WITH base AS (SELECT c_nationkey, c_mktsegment,
+    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS sv
+  FROM customer WHERE c_acctbal IS NOT NULL),
+g AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS gc FROM base GROUP BY sv),
+tot AS (SELECT CAST(SUM(gc) AS BIGINT) AS n_total,
+    CAST(COUNT(*) AS BIGINT) AS m FROM g),
+cls AS (SELECT c_nationkey, c_mktsegment,
+    CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM base GROUP BY 1, 2),
+cells AS (SELECT c_nationkey, c_mktsegment, sv,
+    CAST(COUNT(*) AS BIGINT) AS cc
+  FROM base GROUP BY 1, 2, 3),
+grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size,
+    g.sv, g.gc, COALESCE(cells.cc, 0) AS cc, tot.n_total, tot.m
+  FROM cls CROSS JOIN g
+  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+    AND cells.c_mktsegment = cls.c_mktsegment AND cells.sv = g.sv
+  CROSS JOIN tot),
+pre AS (SELECT *,
+    SUM(CAST(cc AS DOUBLE) / CAST(class_size AS DOUBLE)
+      - CAST(gc AS DOUBLE) / CAST(n_total AS DOUBLE))
+      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY sv
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey, c_mktsegment
+      ORDER BY sv) AS vrnk
+  FROM grid),
+agg AS (SELECT c_nationkey, c_mktsegment, class_size, m,
+    SUM(CAST(ROUND(ABS(cum), 6) AS DECIMAL(38,6))) AS emdsum
+  FROM pre WHERE vrnk < m OR m = 1
+  GROUP BY 1, 2, 3, 4),
+f AS (SELECT c_nationkey, c_mktsegment, class_size,
+    CASE WHEN m > 1
+      THEN ROUND(CAST(emdsum AS DOUBLE) / CAST(m - 1 AS DOUBLE), 6)
+      ELSE 0.0 END AS emd
+  FROM agg)
+SELECT c_nationkey, c_mktsegment, class_size, emd,
+  (emd <= 0.2) AS is_t_close
+FROM f ORDER BY c_nationkey, c_mktsegment"""
 
   /** E241 suppression-executor twin: sub-k classes get every
     * quasi-identifier replaced by '*', passing rows stringified. */

@@ -730,6 +730,31 @@ SELECT doc_id, domain, bound FROM sel
 WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'doremi'), 1, 8))::BIGINT % 10000 < bound
 ORDER BY doc_id"""
 
+  /** E247 per-domain quantile-normalization twin: the E9 quality inner
+    * relation, explicit percentile `(rn−1)/(n−1)` (0 for singletons)
+    * over (quality, id) order within each domain, keep-top-half
+    * verdict. */
+  lazy val domainQuantileNorm: String = {
+    val en = stopList(graft.functions.TextFunctions.Stopwords
+      .collectFirst { case ("en", w) => w }.get)
+    val pr = "ROUND(CASE WHEN n > 1 THEN (rn-1)*1.0/(n-1) ELSE 0.0 END, 6)"
+    s"""WITH q AS (SELECT doc_id, source AS domain,
+    ROUND(CASE WHEN n_chars > 0 AND ws_tokens > 0 THEN 0.4 * LEAST(ws_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct * 1.0 / n_chars) + 0.3 * (stop_hits * 1.0 / ws_tokens) END, 6) AS quality
+  FROM (
+    SELECT doc_id, source, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+      CAST(len($wsToksSql) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '${graft.functions.TextFunctions.PunctPattern}')) AS BIGINT) AS punct,
+      CAST(len(list_filter($wsToksLowerSql, t -> list_contains($en, t))) AS BIGINT) AS stop_hits
+    FROM documents) i),
+r AS (SELECT doc_id, domain, quality,
+    CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY quality, doc_id) AS BIGINT) AS rn,
+    CAST(COUNT(*) OVER (PARTITION BY domain) AS BIGINT) AS n
+  FROM q WHERE quality IS NOT NULL)
+SELECT doc_id, domain, quality, $pr AS pct_rank,
+  ($pr >= 0.5) AS selected
+FROM r ORDER BY doc_id"""
+  }
+
   /** E245 Hedge online-mixing twin: ONE (batch, domain) reward
     * aggregate (6-dp mean of the shared x3 stopword-fraction feature,
     * DECIMAL(38,6) sum discipline), zero-filled over rounds × domains,

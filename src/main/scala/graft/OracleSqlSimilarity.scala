@@ -174,6 +174,41 @@ SELECT p.query_id, CAST(t.label AS BIGINT) AS true_label, p.pred_label,
   p.n_votes, (p.pred_label = CAST(t.label AS BIGINT)) AS correct
 FROM p JOIN embeddings t ON t.vec_id = p.query_id ORDER BY p.query_id"""
 
+  /** E252 KNN-Shapley twin: the %97 test slice vs the train remainder,
+    * 6-dp cosine rank per test point, the closed-form suffix sum
+    * (`Δ = (ind_i − ind_{i+1}) / max(K, rnk)`, base `ind_N / N`) with
+    * 12-dp DECIMAL(38,12) terms (exact order-free window sum — raw
+    * doubles diverge: Spark sums sequentially, DuckDB by segment
+    * tree), 6-dp per-test values, and the cross-test mean as exact
+    * integer micros (`floor((2Σµ + n) / 2n)` — the E232 discipline;
+    * a 6-dp sum over small |Q| hits the 7th-digit half boundary
+    * densely). */
+  lazy val knnShapley: String =
+    s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS lbl FROM embeddings),
+q AS (SELECT vec_id AS tid, embedding AS tv, lbl AS tl FROM e WHERE vec_id % 97 = 0),
+tr AS (SELECT * FROM e WHERE vec_id % 97 <> 0),
+p AS (SELECT q.tid, t.vec_id AS vid,
+    ROUND(${listDot("t.embedding", "q.tv")} / (${listNorm("t.embedding")} * ${listNorm("q.tv")}), 6) AS cos,
+    CASE WHEN t.lbl = q.tl THEN 1 ELSE 0 END AS ind
+  FROM tr t CROSS JOIN q
+  WHERE ${listNorm("t.embedding")} * ${listNorm("q.tv")} > 0),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cos DESC, vid) AS BIGINT) AS rnk,
+    CAST(COUNT(*) OVER (PARTITION BY tid) AS BIGINT) AS n
+  FROM p),
+l AS (SELECT *, LEAD(ind) OVER (PARTITION BY tid ORDER BY rnk) AS nind FROM r),
+t2 AS (SELECT tid, vid, rnk,
+    CAST(ROUND(CASE WHEN rnk = n THEN CAST(ind AS DOUBLE) / CAST(n AS DOUBLE)
+         ELSE CAST(ind - nind AS DOUBLE) / GREATEST(10.0, CAST(rnk AS DOUBLE)) END, 12) AS DECIMAL(38,12)) AS term
+  FROM l),
+s AS (SELECT tid, vid,
+    ROUND(CAST(SUM(term) OVER (PARTITION BY tid ORDER BY rnk DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6) AS sv
+  FROM t2),
+sm AS (SELECT vid, CAST(ROUND(sv * 1000000.0) AS BIGINT) AS svu FROM s)
+SELECT vid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_tests,
+  CAST(FLOOR(CAST(2 * SUM(svu) + COUNT(*) AS DOUBLE)
+    / CAST(2 * COUNT(*) AS DOUBLE)) AS DOUBLE) / 1000000.0 AS shapley
+FROM sm GROUP BY vid ORDER BY vec_id"""
+
   /** Cluster-purity twin (E200): the nearest-centroid assignment CTEs
     * (the E158 argmax form), per-(cluster, label) counts, majority with
     * (count DESC, label ASC) tie-break, 6-dp purity ratio. */

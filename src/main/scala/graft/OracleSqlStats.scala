@@ -115,6 +115,35 @@ SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
   ROUND(MAX(ABS(CAST(cca AS DOUBLE) / CAST(na AS DOUBLE) - CAST(ccb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks_d
 FROM c"""
 
+  /** E250 Mann-Whitney twin: twice the tie-averaged rank sum as exact
+    * DECIMAL(38,0) integer algebra over the distinct-value relation
+    * (`2·R_a = Σ ca·(2·cum − t + 1)`), tie-corrected σ², one
+    * fixed-order double projection for U and z. */
+  lazy val mannWhitneyDrift: String =
+    raw"""WITH u AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v, l_orderkey % 2 AS side
+  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+m AS (SELECT v,
+        CAST(COUNT(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS ca,
+        CAST(COUNT(CASE WHEN side = 1 THEN 1 END) AS BIGINT) AS cb
+      FROM u GROUP BY v),
+c AS (SELECT v, ca, cb, ca + cb AS t,
+        SUM(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM m),
+s AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+        SUM(CAST(ca * (2 * cum - t + 1) AS DECIMAL(38,0))) AS r1x2,
+        SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS ties
+      FROM c),
+f AS (SELECT n_a, n_b,
+        (CAST(r1x2 AS DOUBLE) - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0)) / 2.0 AS uu,
+        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+        CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * (((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) + 1.0) - CAST(ties AS DOUBLE) / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) - 1.0))) / 12.0 AS sigma2
+      FROM s),
+g AS (SELECT n_a, n_b, ROUND(uu, 6) AS u,
+        ROUND((uu - mu) / SQRT(sigma2), 6) AS z
+      FROM f)
+SELECT n_a, n_b, u, z, (ABS(z) > 1.96) AS drift FROM g"""
+
   /** Spearman twin (E103): average-tie ranks via RANK + tie-count
     * windows, then the columnCorr moment algebra over the rank CTE
     * (DECIMAL(38,6)-quantized rank sums are exact — ranks are integers

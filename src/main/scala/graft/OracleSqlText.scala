@@ -950,6 +950,30 @@ SELECT token, exact_n, cms_est,
 FROM est ORDER BY token"""
   }
 
+  /** E248 signed-feature-hash twin: the SAME rolling-hash fold per
+    * token, bucket `h mod 16`, sign from the bit above the bucket field
+    * (`(h // 16) % 2`), exact integer per-bucket sums, fixed-order sum
+    * of squares, one rounded division per coordinate. */
+  lazy val textFeatureHash: String = {
+    val rhFold = "list_reduce(list_transform(string_split(token, ''), " +
+      "c -> CAST(ord(c) AS BIGINT)), (a, b) -> (a * 31 + b) % 2147483647)"
+    val fCols = (0 until 16).map(b =>
+      s"SUM(CASE WHEN bucket = $b THEN sign ELSE 0 END) AS f$b")
+      .mkString(",\n    ")
+    val sq = (0 until 16).map(b => s"f$b*f$b").mkString(" + ")
+    val vCols = (0 until 16).map(b => s"ROUND(f$b / nrm, 6) AS v$b")
+      .mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest($wsToksSql) AS token FROM documents),
+h AS (SELECT doc_id, $rhFold AS rh FROM toks),
+s AS (SELECT doc_id, rh % 16 AS bucket,
+    CASE WHEN (rh // 16) % 2 = 0 THEN 1 ELSE -1 END AS sign FROM h),
+f AS (SELECT doc_id,
+    $fCols
+  FROM s GROUP BY doc_id),
+n AS (SELECT *, SQRT(CAST($sq AS DOUBLE)) AS nrm FROM f)
+SELECT doc_id, $vCols FROM n WHERE nrm > 0 ORDER BY doc_id"""
+  }
+
   lazy val scriptProfile: String = {
     import graft.operators.CorpusStats.{AuxClasses, ScriptClasses}
     val cntCols = (ScriptClasses ++ AuxClasses).map { case (n, re) =>

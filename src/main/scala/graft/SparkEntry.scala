@@ -167,6 +167,7 @@ FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY 1 ORDER BY band_id""",
     "benford_digits" -> OracleSql.benfordDigits,
     "ks_drift" -> OracleSql.ksDrift,
+    "mannwhitney_drift" -> OracleSql.mannWhitneyDrift,
     "ks_drift_audit" -> OracleSql.ksDriftAudit,
     "transition_entropy" -> OracleSql.transitionEntropy,
     "rolling_daily_volume" -> OracleSql.rollingDailyVolume,
@@ -216,6 +217,7 @@ FROM orders) ind"""),
     "incremental_profile" -> OracleSql.incrementalProfile,
     "dedup_exact" -> OracleSql.dedupExact,
     "dedup_ngram_jaccard" -> OracleSql.dedupNgramJaccard,
+    "dedup_eval" -> OracleSql.dedupEval,
     "dedup_family_rollup" -> OracleSql.dedupFamilyRollup(
       OracleSql.ngramContainment, OracleSql.dupGraphDegrees,
       OracleSql.jaccardHistogram, OracleSql.dedupNgramJaccard,
@@ -384,6 +386,7 @@ FROM events GROUP BY 1 ORDER BY day""",
     "ndcg_eval" -> OracleSql.ndcgEval,
     "mmr_diversify" -> OracleSql.mmrDiversify,
     "knn_label_eval" -> OracleSql.knnLabelEval,
+    "knn_shapley" -> OracleSql.knnShapley,
     "cluster_purity" -> OracleSql.clusterPurity,
     "silhouette" -> OracleSql.silhouette,
     "dedup_survival" -> OracleSql.dedupSurvival,
@@ -455,8 +458,13 @@ FROM events GROUP BY 1 ORDER BY day""",
     "bitext_from_index" -> OracleSql.bitextFromIndex,
     "semantic_contamination" -> OracleSql.semanticContamination,
     "cms_freq" -> OracleSql.cmsFreq,
+    "domain_quantile_norm" -> OracleSql.domainQuantileNorm,
+    "text_feature_hash" -> OracleSql.textFeatureHash,
     "scd2_history" -> OracleSql.scd2History,
     "k_anonymity" -> OracleSql.kAnonymity,
+    "t_closeness" -> OracleSql.tCloseness,
+    "sorted_neighborhood" -> OracleSql.sortedNeighborhood,
+    "jw_best_match" -> OracleSql.jwBestMatch,
     "k_anonymize_execute" -> OracleSql.kAnonymizeExecute,
     "dedup_cluster_best" -> OracleSql.dedupClusterBest,
     "metric_anomaly" -> OracleSql.metricAnomaly,

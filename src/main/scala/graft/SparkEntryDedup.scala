@@ -30,6 +30,31 @@ private[graft] trait SparkEntryDedup { this: SparkEntry.type =>
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")),
+    // near-dup detector evaluation harness (E253): plant an easy
+    // (tail-append) and a hard (40-char truncation) variant set with
+    // known truth pairs, run the E2 detector over the union corpus,
+    // score P/R/F1 under the planted-probe protocol (predictions
+    // restricted to pairs touching the probe ids)
+    "dedup_eval" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val easy = docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" planted near duplicate tail")).as("text"))
+      val hard = docs.where(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 600000L).as("doc_id"),
+          substring(col("text"), 1, 40).as("text"))
+      val corpus = docs.unionByName(easy).unionByName(hard)
+      val pred = Dedup.ngramJaccard(corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .where(col("id_b") >= 500000L)
+        .select("id_a", "id_b")
+      val truth = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 500000L).as("id_b"))
+        .unionByName(docs.where(col("doc_id") % 7 === 3)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 600000L).as("id_b")))
+      graft.operators.PairEval.pairConfusion(pred, truth)
+    }),
     // r8: the five shingle-family reports (E2/E128/E129/E135/E147) off
     // ONE staged shingle relation — tokenize once, not five times; each
     // family reduced to (n_rows, quantized score sum), hash-checked

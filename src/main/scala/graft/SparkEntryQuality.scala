@@ -17,6 +17,14 @@ import graft.streaming.{SessionEvent, StreamingProfile}
 private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
 
   protected def qualityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-domain quantile normalization (E247): rank-normalize the E9
+    // quality score WITHIN each source so "keep the top half of every
+    // domain" means the same thing everywhere (the FineWeb per-dump-
+    // threshold discipline); explicit (rn-1)/(n-1) percentile algebra
+    "domain_quantile_norm" -> ((s, dir) =>
+      graft.operators.Curate.domainQuantileNorm(
+        documents(s, dir), "doc_id", "text", "source")
+        .orderBy("doc_id")),
     // token-weighted quality-decile report (E139)
     "quality_deciles" -> ((s, dir) =>
       graft.operators.Ranking.scoreDeciles(

@@ -351,6 +351,15 @@ private[graft] trait SparkEntrySimilarity { this: SparkEntry.type =>
         embeddings(s, dir), "vec_id", "embedding", "label",
         col("vec_id") % 97 === 0)
         .orderBy("query_id")),
+    // KNN-Shapley data valuation (E252): exact closed-form Shapley of
+    // every training vector for the K-NN classifier over the %97 test
+    // slice — rank-suffix-sum per test point, decimal-exact cross-test
+    // mean; the model-free valuation face of the attribution shelf
+    "knn_shapley" -> ((s, dir) =>
+      Similarity.knnShapley(
+        embeddings(s, dir), "vec_id", "embedding", "label",
+        col("vec_id") % 97 === 0)
+        .orderBy("vec_id")),
     // cluster label purity (E200): per nearest-centroid cluster, the
     // majority label + purity fraction — do the IVF cells respect
     // semantics

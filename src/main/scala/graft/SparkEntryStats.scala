@@ -76,6 +76,16 @@ private[graft] trait SparkEntryStats { this: SparkEntry.type =>
         li.where(col("l_orderkey") % 2 === 1),
         "l_extendedprice")
     }),
+    // Mann-Whitney U rank-sum drift (E250): the shift-sensitive
+    // complement of exact KS over the SAME split; integer rank-sum
+    // algebra, tie-corrected normal z
+    "mannwhitney_drift" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      graft.profiler.Checks.mannWhitneyDrift(
+        li.where(col("l_orderkey") % 2 === 0),
+        li.where(col("l_orderkey") % 2 === 1),
+        "l_extendedprice")
+    }),
     // approximate KS via mergeable KLL sketches (E109) — E98's 100 TB
     // path: one union scan, two k-bounded sketches on the wire, no
     // global-order window; randomized compaction → rows-only here, the

@@ -367,6 +367,12 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         documents(s, dir).withColumn("u", u), "doc_id", "u", cap = 15L)
         .orderBy("doc_id")
     }),
+    // signed feature hashing (E248): HashingTF with the Weinberger sign
+    // trick — per-doc l2-normalized 16-dim vectors from raw text, no
+    // vocabulary state; the text->embedding-shelf bridge
+    "text_feature_hash" -> ((s, dir) =>
+      graft.operators.FeatureHash.textFeatureHash(documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // count-min sketch frequency audit (E242): d=3 affine row hashes over
     // the codegen rolling hash, w=64 buckets, estimates joined to EXACT
     // counts for the top-30 tokens — overestimate is one-sided by the

@@ -253,4 +253,50 @@ object Curate {
       .select(col(idCol), col("ensemble"), col("rho"), col("sel_rank"),
         col("n_tokens"), col("cum_tokens"))
   }
+
+  /** Per-domain quantile normalization of a quality score (E247) — the
+    * FineWeb/CCNet per-dump-threshold discipline: a GLOBAL quality cut
+    * lets verbose domains crowd out terse ones because raw scores are
+    * not comparable across domains; rank-normalizing WITHIN each domain
+    * (explicit percentile `pr = (rn−1)/(n−1)`, 0 for a singleton) makes
+    * "keep the top half of every domain" mean the same thing
+    * everywhere. Scores are the 6-dp E9 quality signal; rank ties break
+    * by id, so the percentile — and the `selected = pr ≥ 1 − keepFrac`
+    * verdict — is a pure function of the corpus, hash-replayable (the
+    * percentile algebra is written out rather than delegated to
+    * engine-defined PERCENT_RANK edge semantics).
+    *
+    * Scale shape: one window keyed by domain (rank + count share the
+    * partitioning — ONE shuffle of (id, domain, score) triples, the
+    * payload never moves); domains are web-dump-sized, not row-sized,
+    * and the per-domain sort is the windowed sort a 1000-executor
+    * cluster already does for any ranked selection. */
+  def domainQuantileNorm(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      keepFrac: Double = 0.5): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"domainQuantileNorm: keepFrac=$keepFrac out of (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol), col(domainCol).as("domain"),
+        round(graft.functions.TextFunctions.qualityScore(col(textCol)), 6)
+          .as("quality"))
+      .where(col("quality").isNotNull)
+    val w = Window.partitionBy("domain")
+      .orderBy(col("quality").asc, col(idCol).asc)
+    base
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("domain")))
+      .withColumn("pct_rank",
+        round(when(col("n") > 1,
+          (col("rn") - 1).cast("double") / (col("n") - 1).cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("selected", col("pct_rank") >= 1.0 - keepFrac)
+      .select(col(idCol), col("domain"), col("quality"),
+        col("pct_rank"), col("selected"))
+  }
 }

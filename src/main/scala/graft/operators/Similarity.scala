@@ -714,6 +714,94 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** KNN-Shapley data valuation (E252) — Jia et al. '19 ("Efficient
+    * task-specific data valuation for nearest neighbor algorithms"):
+    * the EXACT Shapley value of every training point for a K-NN
+    * classifier has a closed form — rank train points by distance per
+    * test point, then walk ranks farthest→nearest with
+    * `s_N = 1[y_N = y]/N`, `s_i = s_{i+1} + (1[y_i=y] − 1[y_{i+1}=y])
+    * / max(K, i)` (the paper's `(…)/K · min(K,i)/i` collapsed) — no
+    * Monte-Carlo over 2^N coalitions. This is the VALUATION face of
+    * the attribution shelf: TracIn (E231) scores by gradient alignment
+    * on a trained proxy, RHO (E230) by holdout loss; KNN-Shapley is
+    * model-free given the embedding space, with the game-theoretic
+    * fairness axioms.
+    *
+    * Determinism: ranks by the 6-dp cosine (id tie-break, the house
+    * argmax convention). The per-test suffix sum CANNOT ride raw
+    * doubles even in a fixed-order frame: Spark's running window sum
+    * adds sequentially while DuckDB's adds via a segment tree, so the
+    * float dust differs and 6-dp rounding flips at the boundary
+    * (observed: 4 cells/5k at sf0.01). Each term is therefore 12-dp
+    * quantized to DECIMAL(38,12) — far below the 6-dp report but
+    * exact, so the window sum is order-free decimal addition (error ≤
+    * N·5e-13, immaterial at any plausible N); per-test values round
+    * 6-dp and the cross-test mean runs in exact integer MICROS
+    * (`floor((2Σµ + n) / 2n)`, the E232 algebra — a 6-dp sum over a
+    * small test count lands on the 7th-digit half boundary densely,
+    * where the two engines' double rounding disagrees).
+    *
+    * Scale shape: the test slice is benchmark-sized by contract (the
+    * E244 eval-side doctrine) and BROADCAST; scoring is |Q|·N inside
+    * whole-stage codegen, the rank/suffix-sum windows key by test id
+    * (never single-partition), and the output aggregate carries one
+    * row per (test, train) pair into a train-keyed exact decimal sum —
+    * linear in N at fixed |Q|. */
+  def knnShapley(
+      embIn: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      queryPred: Column,
+      k: Int = 10): DataFrame = {
+    graft.functions.VectorOps.register(embIn.sparkSession)
+    val w = Window.partitionBy("tid")
+    def slice(df: DataFrame) = df.select(
+      col(idCol).as("vid"), col(vecCol).as("v"),
+      col(labelCol).cast("long").as("lbl"))
+    val test = slice(embIn.where(queryPred))
+      .select(col("vid").as("tid"), col("v").as("tv"), col("lbl").as("tl"))
+    val train = slice(embIn.where(!queryPred))
+    val cos = round(
+      fdot(col("v"), col("tv")) / (fnorm(col("v")) * fnorm(col("tv"))), 6)
+    val pairs = train.join(broadcast(test),
+        fnorm(col("v")) * fnorm(col("tv")) > 0)
+      .select(col("tid"), col("tl"), col("vid"), cos.as("cos"),
+        when(col("lbl") === col("tl"), 1).otherwise(0).as("ind"))
+    val ranked = pairs
+      .withColumn("rnk",
+        row_number().over(w.orderBy(col("cos").desc, col("vid").asc))
+          .cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("nind",
+        lead(col("ind"), 1).over(w.orderBy(col("rnk").asc)))
+    val term = when(col("rnk") === col("n"),
+        col("ind").cast("double") / col("n").cast("double"))
+      .otherwise((col("ind") - col("nind")).cast("double") /
+        greatest(lit(k.toDouble), col("rnk").cast("double")))
+    val sv = ranked
+      .withColumn("term", round(term, 12).cast("decimal(38,12)"))
+      .withColumn("sv", round(
+        sum("term").over(w.orderBy(col("rnk").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"), 6))
+    // cross-test mean in exact integer MICROS (the E232 discipline): a
+    // 6-dp sum divided by a small |Q| lands on the 7th-digit half
+    // boundary for a dense set of sums (|Q| = 10 puts every odd-5 sum
+    // there), where Spark's BigDecimal-HALF_UP and DuckDB's
+    // multiply-then-round disagree — so the mean is
+    // floor((2Σµ + n) / 2n), half-toward-+inf at the exact boundary,
+    // replayed identically by both engines.
+    val withMicros = sv
+      .withColumn("svu", round(col("sv") * lit(1000000.0)).cast("long"))
+    withMicros.groupBy(col("vid").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tests"),
+        (floor((sum("svu") * lit(2L) + count(lit(1))).cast("double") /
+          (count(lit(1)) * lit(2L)).cast("double")).cast("double") /
+          lit(1000000.0)).as("shapley"))
+  }
+
   /** Cluster label purity (E200) — [[knnLabelEval]]'s clustering-side
     * sibling: per nearest-centroid cluster, the majority label, its
     * count and the purity fraction — the standard external clustering

@@ -371,6 +371,74 @@ object Checks {
           .as("ks_d"))
   }
 
+  /** Mann-Whitney U two-sample drift test (E250) — Mann & Whitney '47:
+    * the rank-sum complement of [[ksDrift]] on the drift-test shelf
+    * (exact KS E98 / KLL KS E109 / PSI E60 / chi-square E99): KS reads
+    * the largest CDF gap, U reads a stochastic-dominance SHIFT — more
+    * sensitive to a median drift, insensitive to shape-only change, no
+    * binning to tune. Ties get average ranks (the E103 Spearman
+    * convention); the normal approximation carries the standard tie
+    * correction `σ² = n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1)))`.
+    *
+    * Determinism: the rank sum runs as INTEGER algebra — twice the
+    * average rank of a tie group starting at position r with t members
+    * is `2r + t − 1`, so `2·R_a = Σ_v ca·(2·cum − t + 1)` over the
+    * distinct-value relation, summed as DECIMAL(38,0) (exact at any
+    * scale); only the final U/z projection touches doubles, in one
+    * fixed-order expression both engines evaluate identically.
+    *
+    * Scale shape: same as the exact KS — map-side (value, count)
+    * collapse, one value-keyed shuffle, a cumulative window over the
+    * DISTINCT-VALUE relation (WindowGuard-enforced domain bound; a
+    * continuous column at 100 TB takes the two-phase prefix-sum path
+    * or the sketched E109 form). */
+  def mannWhitneyDrift(
+      before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame,
+      valueCol: String,
+      maxValues: Long = graft.operators.WindowGuard.MaxWindowCells)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    def side(df: org.apache.spark.sql.DataFrame, tag: Int) = df
+      .select(col(valueCol).cast(DoubleType).as("v"))
+      .where(col("v").isNotNull)
+      .select(col("v"), lit(tag).as("side"))
+    val m = side(before, 0).unionAll(side(after, 1))
+      .groupBy("v")
+      .agg(
+        count(when(col("side") === 0, 1)).as("ca"),
+        count(when(col("side") === 1, 1)).as("cb"))
+    val wcum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nv = count(lit(1)).over(Window.partitionBy())
+    val s = m
+      .withColumn("t", col("ca") + col("cb"))
+      .withColumn("cum",
+        graft.operators.WindowGuard.guarded(sum("t").over(wcum), nv,
+          maxValues, "Checks.mannWhitneyDrift"))
+      .agg(
+        sum("ca").cast("long").as("n_a"),
+        sum("cb").cast("long").as("n_b"),
+        sum((col("ca") * (lit(2) * col("cum") - col("t") + 1))
+          .cast("decimal(38,0)")).as("r1x2"),
+        sum((col("t") * col("t") * col("t") - col("t"))
+          .cast("decimal(38,0)")).as("ties"))
+    val na = col("n_a").cast(DoubleType)
+    val nb = col("n_b").cast(DoubleType)
+    val n = na + nb
+    val uu = (col("r1x2").cast(DoubleType) - na * (na + lit(1.0))) / lit(2.0)
+    val mu = na * nb / lit(2.0)
+    val tieterm = col("ties").cast(DoubleType) / (n * (n - lit(1.0)))
+    val sigma2 = na * nb * ((n + lit(1.0)) - tieterm) / lit(12.0)
+    val z = round((uu - mu) / sqrt(sigma2), 6)
+    s.select(
+      col("n_a"), col("n_b"),
+      round(uu, 6).as("u"), z.as("z"),
+      (abs(z) > 1.96).as("drift"))
+  }
+
   /** Approximate two-sample KS drift via mergeable KLL sketches (E109) —
     * the 100 TB execution of [[ksDrift]]'s documented scale path made
     * concrete: E98's exact form pays a value-keyed shuffle of the pooled

@@ -472,6 +472,125 @@ class Round16Spec extends AnyFunSuite {
     assert(e.getMessage.contains("stale"), e.getMessage)
   }
 
+  test("domainQuantileNorm: percentiles span [0,1] per domain; selection is quality-monotone; singleton domains rank 0") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // plant a singleton domain (one valid doc)
+      .unionByName(Seq((90001L, "lone doc with the and is of tokens", "en",
+        "solo_domain", 35L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = graft.operators.Curate
+      .domainQuantileNorm(docs, "doc_id", "text", "source").collect()
+    val byDom = out.groupBy(_.getAs[String]("domain"))
+    byDom.foreach { case (d, rows) =>
+      val sorted = rows.sortBy(r =>
+        (r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      if (rows.length > 1) {
+        assert(sorted.head.getAs[Double]("pct_rank") == 0.0, d)
+        assert(sorted.last.getAs[Double]("pct_rank") == 1.0, d)
+        // selection is monotone in rank order: once selected, all
+        // higher-ranked rows are selected too
+        val sel = sorted.map(_.getAs[Boolean]("selected"))
+        assert(!sel.zip(sel.tail).exists { case (a, b) => a && !b },
+          s"selection must be a suffix of the quality order in $d")
+        assert(rows.forall(r =>
+          r.getAs[Boolean]("selected") == (r.getAs[Double]("pct_rank") >= 0.5)))
+      }
+    }
+    val solo = byDom("solo_domain")
+    assert(solo.length == 1 && solo.head.getAs[Double]("pct_rank") == 0.0 &&
+      !solo.head.getAs[Boolean]("selected"),
+      "a singleton domain ranks 0 and misses a keep-top-half cut")
+  }
+
+  test("textFeatureHash: unit norm; engineered sign-cancellation drops the zero vector; one aggregate exchange") {
+    val s = spark
+    import s.implicits._
+    // find two single-char tokens in the same bucket with opposite signs
+    // via the SAME hash the expression uses
+    def hb(t: String): (Long, Long) = {
+      val h = graft.functions.RollingHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      (h % 16, (h / 16) % 2)
+    }
+    val pool = ('a' to 'z').map(_.toString)
+    val pair = (for {
+      x <- pool; y <- pool if x < y
+      (bx, sx) = hb(x); (by, sy) = hb(y)
+      if bx == by && sx != sy
+    } yield (x, y)).headOption
+    assert(pair.isDefined, "26 letters must yield a colliding opposite-sign pair")
+    val (x, y) = pair.get
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, s"$x $y")).toDF("doc_id", "text")
+    val out = graft.operators.FeatureHash
+      .textFeatureHash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (0 until 16).map(b => r.getAs[Double](s"v$b")))
+      .toMap
+    assert(!out.contains(3L), "perfect sign cancellation has no direction")
+    assert(out(1L) == out(2L), "identical text -> identical vector")
+    val n2 = out(1L).map(v => v * v).sum
+    assert(math.abs(n2 - 1.0) < 1e-4, s"unit norm, got $n2")
+    val plan = graft.operators.FeatureHash
+      .textFeatureHash(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one map-side-combined aggregate on the doc id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("mannWhitneyDrift: hand-computed tie-corrected U and z; identical samples read exactly zero") {
+    val s = spark
+    import s.implicits._
+    // A={1,1}, B={1,2}: tie group t(1)=3 (avg rank 2), rank(2)=4
+    // R_a=4, U=1, mu=2, ties=24, sigma2=(4/12)*(5-24/12)=1 -> z=-1
+    val r = graft.profiler.Checks.mannWhitneyDrift(
+      Seq(1.0, 1.0).toDF("x"), Seq(1.0, 2.0).toDF("x"), "x")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("u") == 1.0, r.toString)
+    assert(r.getAs[Double]("z") == -1.0, r.toString)
+    assert(!r.getAs[Boolean]("drift"))
+    // a sample against itself: every value ties evenly, U = mu -> z = 0
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val same = graft.profiler.Checks.mannWhitneyDrift(
+      li, li, "l_extendedprice").collect().head
+    assert(same.getAs[Double]("z") == 0.0 && !same.getAs[Boolean]("drift"))
+  }
+
+  test("sortedNeighborhood: planted typos pair within the window; per-record comparisons bounded; one block exchange") {
+    val s = spark
+    import s.implicits._
+    val recs = Seq(
+      (1L, "Customer#000000001"), (2L, "Customer#000000002"),
+      (3L, "Customer#00000000"),  // typo'd sibling of 1/2's prefix run
+      (4L, "Zebra#0001"), (5L, "zebra#0001")
+    ).toDF("rid", "name")
+    val out = graft.operators.FuzzyJoin
+      .sortedNeighborhood(recs, "rid", "name",
+        blockLen = 4, window = 2, maxDist = 2)
+      .collect()
+    // case-folded duplicates 4/5 land adjacent and match at distance 0
+    val z = out.find(r => r.getLong(0) == 4L && r.getLong(1) == 5L)
+    assert(z.isDefined && z.get.getInt(2) == 0 && z.get.getBoolean(3))
+    // the truncated name 3 pairs with a full-length neighbor at dist <= 2
+    assert(out.exists(r => (r.getLong(0) == 3L || r.getLong(1) == 3L) &&
+      r.getBoolean(3)))
+    // per-record comparison bound: each id appears as id_a at most window times
+    out.groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      assert(rows.length <= 2, s"id $id exceeded the window bound")
+    }
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(col("c_custkey").as("rid"), col("c_name").as("name"))
+    val plan = graft.operators.FuzzyJoin
+      .sortedNeighborhood(cust, "rid", "name")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange SinglePartition") &&
+      !plan.contains("CartesianProduct"),
+      s"sorted neighborhood must never sort globally:\n$plan")
+  }
+
   test("semanticContamination: eval side excluded; planted duplicate flags; broadcast argmax plan") {
     val s = spark
     import s.implicits._
@@ -496,5 +615,139 @@ class Round16Spec extends AnyFunSuite {
       s"eval set must broadcast — the corpus never shuffles for scoring:\n$plan")
     assert(!plan.contains("Exchange SinglePartition") &&
       !plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("JaroWinkler expression: textbook values, byte semantics, empty/zero edges, 0.7 boost gate, symmetry") {
+    val s = spark
+    import s.implicits._
+    graft.functions.JaroWinkler.register(spark)
+    val cases = Seq(
+      ("martha", "marhta"), ("dwayne", "duane"), ("DIXON", "DICKSONX"),
+      ("", ""), ("", "abc"), ("ab", "ba"), ("aXXXX", "aYYYY"),
+      ("café", "cafe"), ("abc", "abc"), ("CRATE", "TRACE"))
+    val got = cases.toDF("a", "b")
+      .select(round(expr("jaro_winkler(a, b)"), 6).as("jw"),
+        round(expr("jaro_winkler(b, a)"), 6).as("wj"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val want = Seq(
+      0.961111,       // Winkler '90's own example
+      0.84, 0.813333,
+      0.0,            // both-empty is 0, not the 1.0 some libs return
+      0.0, 0.0,       // empty side; zero matches at window 0
+      0.466667,       // prefix 1 but jaro <= 0.7 -> NO boost
+      0.848333,       // UTF-8 BYTE units: 5-vs-4, not 4-vs-4
+      1.0, 0.733333)  // identity; transposed halves, prefix 0
+    got.map(_._1).zip(want).zip(cases).foreach { case ((g, w), c) =>
+      assert(g == w, s"$c: got $g want $w")
+    }
+    got.foreach { case (ab, ba) => assert(ab == ba, "J-W is symmetric") }
+  }
+
+  test("jaroWinklerBest: argmax over decoys; score ties break to the smaller clean id; threshold verdict; no cartesian") {
+    val s = spark
+    import s.implicits._
+    val dirty = Seq((101L, "Jonathon Smith"), (102L, "zzz unrelated"))
+      .toDF("did", "name")
+    val clean = Seq(
+      (1L, "Jonathan Smith"),   // the true sibling (1 substitution)
+      (2L, "Jonathon Smyth"),   // decoy, also close
+      (7L, "Jonathon Smith"),   // exact -> score 1.0, must win
+      (8L, "Jonathon SMITH"),   // case-folds to exact -> ties id 7
+      (3L, "zzz judgment day")
+    ).toDF("cid", "name")
+    val out = graft.operators.FuzzyJoin.jaroWinklerBest(
+      dirty, clean, "did", "cid", "name", "name",
+      blockLen = 3, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("left_id") ->
+        (r.getAs[Long]("best_right_id"), r.getAs[Double]("score"),
+          r.getAs[Boolean]("accepted"))).toMap
+    assert(out(101L)._1 == 7L && out(101L)._2 == 1.0 && out(101L)._3,
+      s"exact pair wins, tie to the smaller id: ${out(101L)}")
+    assert(!out(102L)._3 && out(102L)._2 < 0.9,
+      s"weak best match rejected: ${out(102L)}")
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val plan = graft.operators.FuzzyJoin.jaroWinklerBest(
+      cust.select(col("c_custkey").as("d"), col("c_name").as("n")),
+      cust.select(col("c_custkey").as("c"), col("c_name").as("n")),
+      "d", "c", "n", "n", blockLen = 16)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("knnShapley: hand-computed closed form; per-point values and test counts") {
+    val s = spark
+    import s.implicits._
+    // query (id 0, label 1); train t1 nearest (label 1), t2 (label 0),
+    // t3 farthest (label 1); K=10 > N=3:
+    //   s3 = 1/3, s2 = s3 + (0-1)/10, s1 = s2 + (1-0)/10
+    val emb = Seq(
+      (0L, Seq(1f, 0f), 1L),
+      (1L, Seq(10f, 1f), 1L),
+      (2L, Seq(1f, 1f), 0L),
+      (3L, Seq(1f, 10f), 1L)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.knnShapley(
+      emb, "vec_id", "embedding", "label", col("vec_id") === 0)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_tests"), r.getAs[Double]("shapley"))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out.values.forall(_._1 == 1L))
+    assert(out(3L)._2 == 0.333333, out(3L).toString)
+    assert(out(2L)._2 == 0.233333, out(2L).toString)
+    assert(out(1L)._2 == 0.333333, out(1L).toString)
+    // real slice: every train point is valued against every test point
+    val real = graft.operators.Similarity.knnShapley(
+      sfEmb, "vec_id", "embedding", "label", col("vec_id") % 97 === 0)
+    val nq = sfEmb.where(col("vec_id") % 97 === 0).count()
+    val rows = real.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_tests") == nq))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("shapley")) <= 1.0))
+  }
+
+  test("pairConfusion: orientation + duplicates collapse; hand-computed P/R/F1; empty-side NULLs") {
+    val s = spark
+    import s.implicits._
+    val pred = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val truth = Seq((2L, 1L), (3L, 4L), (7L, 8L)).toDF("id_a", "id_b")
+    val r = graft.operators.PairEval.pairConfusion(pred, truth)
+      .collect().head
+    assert(r.getAs[Long]("tp") == 2 && r.getAs[Long]("fp") == 1 &&
+      r.getAs[Long]("fn") == 1)
+    assert(r.getAs[Long]("n_truth") == 3 && r.getAs[Long]("n_pred") == 3)
+    assert(r.getAs[Double]("precision") == 0.666667 &&
+      r.getAs[Double]("recall") == 0.666667 &&
+      r.getAs[Double]("f1") == 0.666667)
+    val empty = graft.operators.PairEval.pairConfusion(
+      pred.where(lit(false)), truth).collect().head
+    assert(empty.getAs[Long]("fn") == 3 && empty.isNullAt(
+      empty.fieldIndex("precision")) && empty.getAs[Double]("recall") == 0.0)
+  }
+
+  test("tCloseness: hand-computed ordered EMD; exact-prior class reads 0; m=1 degenerates to 0") {
+    val s = spark
+    import s.implicits._
+    // global over sv: {1: 6, 2: 2} of 8 -> p = (0.75, 0.25), m = 2
+    // class A {1:2}: cum r = 1 - 0.75 = 0.25 -> EMD 0.25 (not t-close)
+    // class B {1:1, 2:1}: cum r = 0.5 - 0.75   -> EMD 0.25
+    // class C {1:3, 2:1}: matches the prior     -> EMD 0.0
+    val df = Seq(
+      ("A", 1), ("A", 1),
+      ("B", 1), ("B", 2),
+      ("C", 1), ("C", 1), ("C", 1), ("C", 2)
+    ).toDF("q", "sv")
+    val out = graft.operators.Privacy.tCloseness(
+      df, Seq("q"), col("sv"), t = 0.2)
+      .collect().map(r => r.getAs[String]("q") ->
+        (r.getAs[Double]("emd"), r.getAs[Boolean]("is_t_close"))).toMap
+    assert(out("A") == ((0.25, false)), out("A").toString)
+    assert(out("B") == ((0.25, false)), out("B").toString)
+    assert(out("C") == ((0.0, true)), out("C").toString)
+    val one = graft.operators.Privacy.tCloseness(
+      Seq(("A", 5), ("B", 5)).toDF("q", "sv"), Seq("q"), col("sv"))
+      .collect()
+    assert(one.forall(r => r.getAs[Double]("emd") == 0.0 &&
+      r.getAs[Boolean]("is_t_close")), "single-value domain is trivially close")
   }
 }

@@ -59,7 +59,8 @@ rholoss_select tracin_scores data_map prototype_prune_from_index \
 streaming_interval_join d4_select flesch_readability \
 data_recipe domain_caps script_profile \
 scd2_history cms_freq semantic_contamination k_anonymize_execute \
-bitext_from_index hedge_mix"
+bitext_from_index hedge_mix \
+domain_quantile_norm text_feature_hash sorted_neighborhood mannwhitney_drift"
 
 # r16 adjudication of the sf10 flagship noise: within ONE quiet-host JVM
 # the per-iteration spread on the biggest keys reads up to ±70% (GC/JIT —
@@ -134,22 +135,34 @@ lane_row() { # query [extra-env triples applied per dir via globals]
     | tee -a "$LOG" >&2
 }
 
-: > "$LOG"
-echo "lane_start busy=$b0 max=$MAXBUSY" | tee -a "$LOG" >&2
+# RESUME (r16): a lane is ~90 min of wall and dies with its parent —
+# SPARK_GRAFT_LANE_RESUME=1 keeps an existing LOG and skips keys that
+# already have a row (clean or self-incriminated-unclean; both carry
+# their own evidence), so a killed lane restarts from where it stopped
+# instead of re-paying every completed (query, dir) JVM.
+if [ "${SPARK_GRAFT_LANE_RESUME:-0}" = "1" ] && [ -s "$LOG" ]; then
+  echo "lane_resume busy=$b0 max=$MAXBUSY" | tee -a "$LOG" >&2
+else
+  : > "$LOG"
+  echo "lane_start busy=$b0 max=$MAXBUSY" | tee -a "$LOG" >&2
+fi
+has_row() { grep -q "^lane $1 " "$LOG"; }
 for q in $QUERIES; do
-  lane_row "$q"
+  has_row "$q" || lane_row "$q"
 done
 
 # special: kmeans at FIXED k across all three scales (mod tracks the
 # corpus so ~24 centroids everywhere — the linear operator regime; the
 # declared %83 key is k ∝ N and thus quadratic BY KEY CONSTRUCTION,
 # pinned at sf1 already, excluded here to bound lane wall-clock)
+if ! grep -q "^lane kmeans " "$LOG"; then
 bkm=$(wait_quiet 120)
 km01=$(run_one /root/testdata/sf0.1 kmeans_train)
 km1=$(run_one target/sf1 kmeans_train SPARK_GRAFT_KMEANS_MOD=830)
 km10=$(run_one target/sf10 kmeans_train SPARK_GRAFT_KMEANS_MOD=8300)
 echo "lane kmeans fixed-k sf0.1=$km01 sf1=$km1 sf10=$km10 busy=$bkm" \
   | tee -a "$LOG" >&2
+fi
 
 python3 tools/sf10_assemble.py "$LOG" "$ROUND" "$OUT"
 python3 tools/sf1_from_sf10.py "$LOG" "$ROUND" "BENCH_r${ROUND}_sf1.json"
