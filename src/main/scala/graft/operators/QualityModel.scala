@@ -155,8 +155,14 @@ object QualityModel {
     require(iterations >= 1)
     val spark = emb.sparkSession
     val dec6 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 6)
-    val upper = emb
-      .select(col(vecCol).as("v")).where(col("v").isNotNull)
+    // spread BEFORE the dim² explode (r16, guide §2: the embeddings
+    // table scans as one row-group task, so the N·dim(dim+1)/2-row
+    // partial-aggregation phase — where all of this operator's work is —
+    // ran single-threaded: probe showed one 6.4 s task at sf0.1). The
+    // Gram sums are 6-dp-quantized decimals, order-free, so spreading
+    // changes nothing downstream.
+    val upper = graft.profiler.ScanMetrics.spread(
+      emb.select(col(vecCol).as("v")).where(col("v").isNotNull))
       .select(posexplode(col("v")).as(Seq("i", "xi")), col("v"))
       .select(col("i"), col("xi").cast("double").as("xi"),
         posexplode(col("v")).as(Seq("j", "xj")))
@@ -489,8 +495,18 @@ object QualityModel {
         .orderBy(col("iter").desc).head()
       (0 to 3).map(j => last.getAs[Double](s"w$j"))
     }
-    val wMain = finalWeights(trainSplit)
-    val wIrr = finalWeights(holdout)
+    // the two chains are independent (disjoint splits of the checkpointed
+    // feature relation) — overlap their per-iteration jobs (opt guide
+    // §2.6: submit independent jobs from driver threads so one chain's
+    // collect latency back-fills the other's); results are unchanged
+    val (wMain, wIrr) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fm = Future(scala.concurrent.blocking(finalWeights(trainSplit)))
+      val fi = Future(scala.concurrent.blocking(finalWeights(holdout)))
+      (Await.result(fm, Duration.Inf), Await.result(fi, Duration.Inf))
+    }
     def logit(w: Seq[Double]): Column =
       lit(w(0)) + lit(w(1)) * col("x1") +
         lit(w(2)) * col("x2") + lit(w(3)) * col("x3")

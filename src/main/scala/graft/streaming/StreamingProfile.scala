@@ -224,19 +224,17 @@ object StreamingProfile {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val hs = (0 until numHashes).map(i => s"h$i")
-    // map-only per-row shingle array (the Dedup.shingleArrays expressions,
-    // inlined so id/ts survive the projection)
-    val toks = col("_toks")
-    val grams = when(
-      size(toks) >= n,
-      transform(
-        sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + lit(1), lit(n)), " "))
-    ).otherwise(array())
+    // tokens → shingles → all numHashes signature minima in ONE codegen'd
+    // kernel (r16, guide §4: the r15 shape — an interpreted
+    // transform/array_join shingle lambda feeding 32 interpreted
+    // array_min(transform(xxhash64)) lambdas — was 7.3 s of this key's
+    // 10.3 s at sf0.1). MinhashSigsTokens is bit-identical by
+    // construction (same shingle bytes, same seeded XXH64, min over
+    // duplicates ≡ min over distinct) and audited end-to-end against the
+    // batch groupBy signatures by streaming_state_dedup_audit.
+    graft.functions.MinhashSigs.register(stream.sparkSession)
     val sigCols = (0 until numHashes).map(i =>
-      when(size(col("sh_arr")) > 0,
-        array_min(transform(col("sh_arr"), s => xxhash64(lit(i), s))))
-        .as(s"h$i"))
+      element_at(col("_sigs"), i + 1).as(s"h$i"))
     val sig = stream
       .select(
         col(idCol).as("id"), col(tsCol).as("_ts"),
@@ -245,7 +243,8 @@ object StreamingProfile {
         graft.functions.TextFunctions.wsTokens(lower(col(textCol)))
           .as("_toks"))
       .select(col("id"), col("_ts"), col("content_hash"),
-        array_distinct(grams).as("sh_arr"))
+        call_function("minhash_sigs_tokens",
+          col("_toks"), lit(n), lit(numHashes)).as("_sigs"))
       .select((Seq(col("id"), col("_ts"), col("content_hash")) ++ sigCols): _*)
       .withWatermark("_ts", delay)
     val seen = state.select(col("content_hash")).distinct()
@@ -306,10 +305,33 @@ object StreamingProfile {
       .dropDuplicatesWithinWatermark(idCols)
   }
 
+  /** Scale-adaptive shuffle/state partition count for a streaming query
+    * (optimization guide §2: derive partitioning from input size instead
+    * of a constant tuned for either local mode or the cluster): stateful
+    * streaming operators create one state store PER shuffle partition PER
+    * stateful operator, and every micro-batch pays a per-store fixed cost
+    * (provider init, delta file write + commit) that is independent of
+    * the rows in it. One partition per `bytesPerPartition` of input keeps
+    * the store count proportional to the data: a toy replay gets 1-2
+    * stores instead of `spark.sql.shuffle.partitions` (= cores in the
+    * bench session — r16 measured 32 stores/operator costing 3-9 s of
+    * pure commit overhead per streaming key at sf0.1), while a 100 TB
+    * stream derives millions of partitions and then naturally saturates
+    * any cluster's cores — the production path is unchanged by
+    * construction, no local-only constant anywhere. */
+  private[graft] def adaptiveStatePartitions(
+      bytes: Long, bytesPerPartition: Long = 32L << 20): Int =
+    math.max(1L, (bytes + bytesPerPartition - 1) / bytesPerPartition)
+      .min(Int.MaxValue).toInt
+
   /** Drive a transformation over a parquet file through a REAL streaming
     * query (file source → memory sink), synchronously. `outputMode` must
     * match the transformation (complete for windowed aggs, append for
-    * flatMapGroupsWithState). */
+    * flatMapGroupsWithState).
+    *
+    * The streaming query runs under [[adaptiveStatePartitions]] (derived
+    * from the replayed files' byte size); the session's
+    * `spark.sql.shuffle.partitions` is restored afterwards. */
   def replayParquet(
       spark: SparkSession,
       path: String,
@@ -340,20 +362,31 @@ object StreamingProfile {
       reader.option("maxFilesPerTrigger", m.toString))
     val stream = reader.parquet(dir)
     val name = "graft_replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = transform(stream).writeStream
-      .outputMode(outputMode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    // input bytes of exactly the files the stream will read (glob-aware —
+    // the batch reader resolves the same leaf files)
+    val inputBytes = spark.read.schema(schema)
+      .option("pathGlobFilter", file).parquet(dir)
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = adaptiveStatePartitions(
+      inputBytes.min(BigInt(Long.MaxValue)).toLong)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try {
-      q.processAllAvailable()
-      // memory sink table is session-scoped; copy out before dropping
-      spark.table(name).localCheckpoint(eager = true)
-    } finally {
-      q.stop()
-      spark.catalog.dropTempView(name)
-      ()
-    }
+      val q = transform(stream).writeStream
+        .outputMode(outputMode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        // memory sink table is session-scoped; copy out before dropping
+        spark.table(name).localCheckpoint(eager = true)
+      } finally {
+        q.stop()
+        spark.catalog.dropTempView(name)
+        ()
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Continuous profiling — the streaming face of the incremental
@@ -385,18 +418,20 @@ object StreamingProfile {
     // FileSystem for the path's own scheme — java.io.File would stat
     // nothing on s3a://-style paths and silently pin the stale entry.
     // Also drop an entry whose dir vanished (OS tmp cleanup) before reuse.
-    val fp = {
+    val (fp, srcBytes) = {
       val hPath = new org.apache.hadoop.fs.Path(sourcePath)
       val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(hPath, true)
       var acc = 0L
       var nFiles = 0L
+      var bytes = 0L
       while (it.hasNext) {
         val st = it.next()
         acc ^= st.getLen ^ st.getModificationTime
+        bytes += st.getLen
         nFiles += 1
       }
-      acc ^ nFiles
+      (acc ^ nFiles, bytes)
     }
     val key = (s"$sourcePath#$fp", splitKey, nBatches)
     Option(stagedReplays.get(key)).foreach { d =>
@@ -415,17 +450,24 @@ object StreamingProfile {
       .option("maxFilesPerTrigger", 1).parquet(tmp)
     val states = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.DataFrame]
     var batches = 0
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batches += 1
-        states += graft.profiler.IncrementalProfiler.snapshot(batch.toDF())
-          .localCheckpoint(true)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally { q.stop(); () }
+    // per-batch input is one staged file: size the per-batch snapshot
+    // aggregation (and the checkpointed state partitions) to it
+    val parts = adaptiveStatePartitions(srcBytes / math.max(1, nBatches))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches += 1
+          states += graft.profiler.IncrementalProfiler.snapshot(batch.toDF())
+            .localCheckpoint(true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally { q.stop(); () }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     require(batches > 1, s"expected multiple micro-batches, got $batches")
     // staging dir stays for reuse within the JVM (it's /tmp; the OS owns
     // cleanup) — states are checkpointed and metrics() is eager
