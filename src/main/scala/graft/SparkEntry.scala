@@ -78,6 +78,17 @@ object SparkEntry
   private[graft] def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** [[documents]] with the scan spread across cores (r16): the corpus
+    * parquet arrives as ONE row group, so a text key's regex/tokenize
+    * battery otherwise runs inside a single-task scan stage (probed
+    * 0.4-0.8 s serial per key). Used by the expression-heavy keys whose
+    * plans are not asserted Exchange-free; results are row-order
+    * independent by engine contract (every declared key is CPU-count
+    * independent — the driver re-benches at lower core counts). At real
+    * scale inputs have many row groups and spread() is a no-op. */
+  private[graft] def documentsSpread(s: SparkSession, dir: String): DataFrame =
+    graft.profiler.ScanMetrics.spread(documents(s, dir))
+
   private[graft] def embeddings(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 

@@ -23,12 +23,12 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // threshold discipline); explicit (rn-1)/(n-1) percentile algebra
     "domain_quantile_norm" -> ((s, dir) =>
       graft.operators.Curate.domainQuantileNorm(
-        documents(s, dir), "doc_id", "text", "source")
+        documentsSpread(s, dir), "doc_id", "text", "source")
         .orderBy("doc_id")),
     // token-weighted quality-decile report (E139)
     "quality_deciles" -> ((s, dir) =>
       graft.operators.Ranking.scoreDeciles(
-        documents(s, dir).select(
+        documentsSpread(s, dir).select(
           col("doc_id"),
           round(TextFunctions.qualityScore(col("text")), 6).as("score"),
           TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
@@ -40,26 +40,26 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // replacement (sample ∝ w); fully hash-oracled
     "dsir_weights" -> ((s, dir) =>
       Sampling.dsirWeights(
-        documents(s, dir), "doc_id", "text", col("lang") === "en")
+        documentsSpread(s, dir), "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
     // DSIR's action half: Gumbel top-k over the log weights draws the
     // without-replacement sample ∝ w — deterministic noise from the
     // engine's sha256 bucket, so the selection is fully hash-oracled
     "dsir_select" -> ((s, dir) =>
       Sampling.dsirSelect(
-        documents(s, dir), "doc_id", "text", col("lang") === "en", k = 100)),
+        documentsSpread(s, dir), "doc_id", "text", col("lang") === "en", k = 100)),
     // composite quality gate (E198): Gopher rules AND ccnet tertile AND
     // one-pass NB classifier — three independent verdicts, conjunctive
     // keep, every stage's verdict kept in the row
     "quality_gate" -> ((s, dir) =>
-      graft.operators.Curate.qualityGate(documents(s, dir), "doc_id", "text")
+      graft.operators.Curate.qualityGate(documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // Naive-Bayes quality filter (E196, in-engine training #5 — the
     // ONE-PASS one): per-bucket class counts + priors learned in a
     // single corpus scan; keep on the exact decimal log-odds
     "naive_bayes_filter" -> ((s, dir) =>
       graft.operators.QualityModel.naiveBayesFilter(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // classifier calibration table (E175): reliability diagram for a
     // 6-dp probability column vs the is-English label - here a fixed
@@ -70,7 +70,7 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
       val q = round(TextFunctions.qualityScore(col("text")), 6)
       val p = round(
         lit(1.0) / (lit(1.0) + exp(-(lit(8.0) * (q - lit(0.5))))), 6)
-      val scored = documents(s, dir).select(p.as("p"),
+      val scored = documentsSpread(s, dir).select(p.as("p"),
         when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
       graft.operators.QualityModel.calibrationTable(scored, "p", "y")
         .orderBy("bucket")
@@ -93,6 +93,8 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
       // crossed the wire for one scalar (VERDICT r10 "What's wrong" #2).
       // Same answer (collision-free at any real corpus size), metadata-
       // sized shuffle; the oracle distinct-counts sha256(text) likewise.
+      // NOT documentsSpread: this key's plan is asserted (PlanAuditSpec)
+      // to carry only 32-byte hashes through exchanges, never text
       val base = documents(s, dir).select(
         col("lang"), sha2(col("text"), 256).as("text_h"),
         TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
@@ -124,7 +126,7 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // model TRAINING with a full hash oracle (6 chained CTE replay)
     "quality_logreg" -> ((s, dir) => {
       val f = graft.operators.QualityModel.docFeatures(
-        documents(s, dir), "text", "lang")
+        documentsSpread(s, dir), "text", "lang")
       graft.operators.QualityModel.logregTrain(
         f, Seq("x1", "x2", "x3"), "y", iterations = 6)
         .orderBy("iter")
@@ -135,21 +137,21 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // threshold), sha256-pin the kept corpus; map-only scoring, no join
     "quality_filter_execute" -> ((s, dir) =>
       graft.operators.QualityModel.qualityFilterExecute(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // EL2N data-diet selection (E223): |sigma(z) - y| under the E180-
     // trained filter, top-100 hardest examples by physical top-k —
     // training = 6 metadata collects, scoring map-only, no join
     "el2n_select" -> ((s, dir) =>
       graft.operators.QualityModel.el2nSelect(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("rank")),
     // example-forgetting statistics (E227): per-doc prediction-flip
     // counts across the 6-step hash-oracled training trajectory — all
     // weight snapshots inlined as literals, ONE map-only pass
     "forgetting_events" -> ((s, dir) =>
       graft.operators.QualityModel.forgettingEvents(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // RHO-loss selection (E230): reducible holdout loss — main-model
     // loss minus the irreducible loss under a model trained on the
@@ -158,28 +160,28 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // physical top-k + coalesce(1) rank (the E223 pattern)
     "rholoss_select" -> ((s, dir) =>
       graft.operators.QualityModel.rhoLossSelect(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("rank")),
     // TracIn attribution (E231): per-example influence on the id%97
     // probe set, summed over the 6 training checkpoints — closed-form
     // logistic gradients, one probe agg + one map-only scoring pass
     "tracin_scores" -> ((s, dir) =>
       graft.operators.QualityModel.tracinScores(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // quality-signal ensemble (E236): heuristic + trained logit + char
     // entropy, min-max standardized and averaged — six exact min/max
     // scalars inlined as literals, map-only fusion, no window/rank
     "quality_ensemble" -> ((s, dir) =>
       graft.operators.QualityModel.qualityEnsemble(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // dataset cartography (E232): confidence / variability / correctness
     // across the training trajectory + the Data Maps region verdict —
     // all 6 checkpoints literal-inlined, ONE map-only pass (E227 shape)
     "data_map" -> ((s, dir) =>
       graft.operators.QualityModel.dataMap(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // Group-DRO robust training (E182, in-engine training #4): per-source
     // mean losses, multiplicative mixture-weight updates q <- q*e^(0.5*l)
@@ -188,7 +190,7 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     "groupdro_train" -> ((s, dir) =>
       graft.operators.QualityModel.groupDroTrain(
         graft.operators.QualityModel.docFeaturesWith(
-          documents(s, dir), "text", "lang", Seq("source")),
+          documentsSpread(s, dir), "text", "lang", Seq("source")),
         Seq("x1", "x2", "x3"), "y", "source")
         .orderBy("iter", "domain")),
     // DoReMi selection (E184): the E182 action — Group-DRO over language
@@ -197,14 +199,14 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // training is metadata collects, selection one map-only pass
     "doremi_select" -> ((s, dir) =>
       graft.operators.QualityModel.doremiSelect(
-        documents(s, dir), "doc_id", "text", "lang", "lang")
+        documentsSpread(s, dir), "doc_id", "text", "lang", "lang")
         .orderBy("doc_id")),
     // end-to-end curation pipeline (E183): near-dup drop -> in-engine
     // trained quality filter (on the deduped corpus) -> deterministic
     // 90/5/5 split -> per-(split, shard) content-addressed manifest,
     // ONE declarative plan with one chained hash oracle
     "corpus_curate" -> ((s, dir) =>
-      graft.operators.Curate.corpusCurate(documents(s, dir), "doc_id", "text")
+      graft.operators.Curate.corpusCurate(documentsSpread(s, dir), "doc_id", "text")
         .orderBy("split", "shard")),
     // end-to-end DATA RECIPE (E237, VERDICT r15 #5): normalized dedup ->
     // quality ensemble (E236) -> RHO-loss selection (E230) -> token-
@@ -212,14 +214,14 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // curation shape with a FULL chained hash oracle (three training
     // chains + entropy + prefix-sum pack in one DuckDB statement)
     "data_recipe" -> ((s, dir) =>
-      graft.operators.Curate.dataRecipe(documents(s, dir), "doc_id", "text")
+      graft.operators.Curate.dataRecipe(documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // CCNet-style per-language quality tertiles (E171): head/middle/tail
     // by strictly-better mass over the per-lang DISTINCT-score histogram
     // (WindowGuard-enforced), integer comparison at the cut
     "ccnet_buckets" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      val scored = documents(s, dir).select(col("doc_id"),
+      val scored = documentsSpread(s, dir).select(col("doc_id"),
         TextFunctions.langId(col("text")).as("lang"),
         round(TextFunctions.qualityScore(col("text")), 6).as("score"))
       graft.operators.Ranking.ccnetBuckets(scored, "doc_id", "lang", "score")
@@ -230,7 +232,7 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // the verdict join so document payloads never enter an exchange
     "ccnet_select" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      val scored = documents(s, dir).select(col("doc_id"), col("text"),
+      val scored = documentsSpread(s, dir).select(col("doc_id"), col("text"),
         TextFunctions.langId(col("text")).as("lang"),
         round(TextFunctions.qualityScore(col("text")), 6).as("score"))
       graft.operators.Ranking.ccnetSelect(
@@ -241,7 +243,7 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // over the per-domain distinct-score histogram - no corpus sort
     "domain_topk" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      val scored = documents(s, dir).select(col("doc_id"), col("source"),
+      val scored = documentsSpread(s, dir).select(col("doc_id"), col("source"),
         round(TextFunctions.qualityScore(col("text")), 6).as("score"))
       graft.operators.Ranking.domainTopk(
         scored, "doc_id", "source", "score", 20L)
@@ -251,25 +253,25 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // quality, exact-dup exposure (E74)
     "domain_stats" -> ((s, dir) =>
       graft.operators.CorpusStats.domainReport(
-        documents(s, dir), "source", "lang", "text")
+        documentsSpread(s, dir), "source", "lang", "text")
         .orderBy("domain")),
     // token-distribution JSD between the E21 hash splits (E75)
     "split_divergence" -> ((s, dir) =>
       graft.operators.CorpusStats.splitDivergence(
-        documents(s, dir), "doc_id", "text",
+        documentsSpread(s, dir), "doc_id", "text",
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .orderBy("split_a", "split_b")),
     // curation funnel: survivors per cumulative filter stage, one scan
     "filter_funnel" -> ((s, dir) =>
       graft.operators.Funnel.filterFunnel(
-        documents(s, dir), Seq(
+        documentsSpread(s, dir), Seq(
           "has_text" -> (length(col("text")) > 0),
           "min_tokens_10" -> (TextFunctions.wsTokenCount(col("text")) >= 10),
           "lang_known" -> (TextFunctions.langId(col("text")) =!= "und"),
           "quality_045" -> (round(TextFunctions.qualityScore(col("text")), 6) >= 0.45)))),
     // quality-ranked top-10 documents per language (E107)
     "topk_by_quality" -> ((s, dir) => {
-      val scored = documents(s, dir).select(
+      val scored = documentsSpread(s, dir).select(
         col("doc_id"), col("lang"),
         round(TextFunctions.qualityScore(col("text")), 6).as("score"))
       graft.operators.Sampling.topKByScore(
@@ -279,11 +281,11 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // source-concentration Gini over per-domain token volume (E106)
     "gini_concentration" -> ((s, dir) =>
       graft.operators.CorpusStats.giniConcentration(
-        documents(s, dir), "source", "text")),
+        documentsSpread(s, dir), "source", "text")),
     // one-pass CUBE rollup with grouping flags (E90)
     "corpus_cube" -> ((s, dir) =>
       graft.operators.CorpusStats.corpusCube(
-        documents(s, dir), "lang", "source", "text")
+        documentsSpread(s, dir), "lang", "source", "text")
         .orderBy("g_lang", "g_source", "lang", "source"))
   )
 }

@@ -20,7 +20,7 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // quality-proportional deterministic sampling (E142)
     "quality_weighted_sample" -> ((s, dir) =>
       Sampling.qualityWeightedSample(
-        documents(s, dir).select(
+        documentsSpread(s, dir).select(
           col("doc_id"),
           round(TextFunctions.qualityScore(col("text")), 6).as("score")),
         "doc_id", "score")
@@ -28,19 +28,19 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // deterministic corpus curation (documents table): engine-portable
     // hash-bucket sampling + stable train/valid/test splits
     "sample_deterministic" -> ((s, dir) =>
-      Sampling.deterministicSample(documents(s, dir), "doc_id", rate = 0.1)
+      Sampling.deterministicSample(documentsSpread(s, dir), "doc_id", rate = 0.1)
         .select("doc_id").orderBy("doc_id")),
     // mixture balancing: up to 10 docs per char-length stratum, picked in
     // deterministic hash order
     "stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(
-        documents(s, dir), "doc_id",
+        documentsSpread(s, dir), "doc_id",
         expr("length(text) div 100").cast("long"), perStratum = 10)
         .select(col("doc_id"), col("stratum").cast("long").as("stratum"))
         .orderBy("doc_id")),
     "dataset_split" -> ((s, dir) =>
       Sampling.hashSplit(
-        documents(s, dir), "doc_id",
+        documentsSpread(s, dir), "doc_id",
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .select("doc_id", "split").orderBy("doc_id")),
     // temperature-weighted mixture rebalance: languages resampled at
@@ -48,12 +48,12 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // dominant en downsampled, low-resource langs kept (rates cap at 1)
     "mixture_resample" -> ((s, dir) =>
       Sampling.mixtureResample(
-        documents(s, dir), "doc_id", col("lang"), alpha = 0.5)
+        documentsSpread(s, dir), "doc_id", col("lang"), alpha = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")),
     // leakage-safe split: near-dup cluster members share one split label
     // (split key = canonical cluster id, singletons split by own id)
     "leakage_safe_split" -> ((s, dir) => {
-      val docs = documents(s, dir)
+      val docs = documentsSpread(s, dir)
       val clusters = graft.operators.Clustering.dedupClusters(
         Dedup.ngramJaccard(docs, "doc_id", "text", n = 3, threshold = 0.5))
       Sampling.leakageSafeSplit(
@@ -65,14 +65,14 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // doc_id order; pack = floor(tokens-before / 1000)
     "sequence_packing" -> ((s, dir) =>
       graft.operators.Packing.packSequences(
-        documents(s, dir).select(
+        documentsSpread(s, dir).select(
           col("doc_id"), TextFunctions.wsTokenCount(col("text")).as("n_tokens")),
         "doc_id", "n_tokens", budget = 1000)
         .orderBy("doc_id")),
     // training-mixture composition report: docs + tokens per split x language
     "mixture_stats" -> ((s, dir) => {
       val d = Sampling.hashSplit(
-        documents(s, dir), "doc_id",
+        documentsSpread(s, dir), "doc_id",
         Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
         .select(
           col("split"),
@@ -85,12 +85,12 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // reproducible-export shard manifest (E176): sha256-bucket routing,
     // order-free XOR content digest - map-side-combined, no sort
     "shard_manifest" -> ((s, dir) =>
-      graft.operators.Sampling.shardManifest(documents(s, dir), "doc_id", "text")
+      graft.operators.Sampling.shardManifest(documentsSpread(s, dir), "doc_id", "text")
         .orderBy("shard")),
     // UniMax budget waterfilling across languages (E166): metadata-sized
     // domain rollup, driver recursion, integer-exact
     "unimax_mix" -> ((s, dir) =>
-      Sampling.unimaxAllocation(documents(s, dir), "lang", budget = 400L)
+      Sampling.unimaxAllocation(documentsSpread(s, dir), "lang", budget = 400L)
         .orderBy("domain")),
     // E212: curriculum epoch assignment — best-quality-first consumption
     // order, each doc lands in floor(tokens_before / 20000); the global
@@ -98,7 +98,7 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // partitioned windows, never a corpus-sized single task.
     "curriculum_epochs" -> ((s, dir) => {
       import graft.functions.TextFunctions
-      val d = documents(s, dir).select(
+      val d = documentsSpread(s, dir).select(
         col("doc_id"),
         round(TextFunctions.qualityScore(col("text")), 6).as("q"),
         TextFunctions.wsTokenCount(col("text")).as("toks"))
@@ -110,7 +110,7 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // over languages — the baseline mixture E166's UniMax replaces.
     "temperature_mix" -> ((s, dir) =>
       Sampling.temperatureMix(
-        documents(s, dir), "lang", alpha = 0.3, targetTotal = 10000L)
+        documentsSpread(s, dir), "lang", alpha = 0.3, targetTotal = 10000L)
         .orderBy("domain")),
     // E245: Hedge/multiplicative-weights ONLINE mixing replay over time
     // batches (deterministic full-information bandit) — where E182/E184
@@ -118,12 +118,12 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
     // from a model-free per-batch reward stream
     "hedge_mix" -> ((s, dir) =>
       graft.operators.QualityModel.hedgeMix(
-        documents(s, dir), "doc_id", "text", "lang", "source")
+        documentsSpread(s, dir), "doc_id", "text", "lang", "source")
         .orderBy("round", "domain")),
     // greedy token-budget curation: best-quality prefix within 20k tokens
     "budget_select" -> ((s, dir) =>
       graft.operators.Packing.selectUnderBudget(
-        documents(s, dir).select(
+        documentsSpread(s, dir).select(
           col("doc_id"),
           TextFunctions.wsTokenCount(col("text")).as("n_tokens"),
           round(TextFunctions.qualityScore(col("text")), 6).as("score")),
@@ -131,12 +131,12 @@ private[graft] trait SparkEntrySampling { this: SparkEntry.type =>
         .orderBy("doc_id")),
     // deterministic training-order shuffle into 16 hash shards
     "corpus_shuffle" -> ((s, dir) =>
-      Sampling.shuffleShards(documents(s, dir), "doc_id", nShards = 16)
+      Sampling.shuffleShards(documentsSpread(s, dir), "doc_id", nShards = 16)
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")),
     // dedup-weighted effective corpus size (E89)
     "effective_tokens" -> ((s, dir) =>
       graft.operators.CorpusStats.effectiveTokens(
-        documents(s, dir), "doc_id", "text"))
+        documentsSpread(s, dir), "doc_id", "text"))
   )
 }

@@ -18,7 +18,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
 
   /** The C4 battery's paged-corpus view (see CorpusStats.c4SynthPage). */
   private def c4Pages(s: SparkSession, dir: String): DataFrame =
-    documents(s, dir).select(
+    documentsSpread(s, dir).select(
       col("doc_id"),
       graft.operators.CorpusStats.c4SynthPage(col("doc_id"), col("text"))
         .as("text"))
@@ -28,17 +28,17 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // relation Jaccard under-reports
     "ngram_containment" -> ((s, dir) =>
       Dedup.ngramContainment(
-        documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        documentsSpread(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_sub", "id_super")),
     // per-document n-gram novelty score (E129)
     "ngram_novelty" -> ((s, dir) =>
-      Dedup.ngramNovelty(documents(s, dir), "doc_id", "text", n = 3)
+      Dedup.ngramNovelty(documentsSpread(s, dir), "doc_id", "text", n = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // declared-vs-detected language confusion matrix (E134)
     "lang_agreement" -> ((s, dir) =>
       graft.operators.CorpusStats.langAgreement(
-        documents(s, dir), "lang", "text")
+        documentsSpread(s, dir), "lang", "text")
         .orderBy("declared", "detected")),
     // HTML tag stripping over a deterministic render (E144): the piiScan
     // constructed-input precedent — cleaning is exact-checked end to end
@@ -48,7 +48,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         lit("</p><br/><div>footer "), col("doc_id").cast("string"),
         lit("</div></body></html>"))
       val clean = TextFunctions.htmlStrip(raw)
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         length(raw).cast("long").as("n_raw"),
         length(clean).cast("long").as("n_clean"),
@@ -57,7 +57,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     }),
     // regex-layer sentence segmentation stats (E145)
     "sentence_stats" -> ((s, dir) =>
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         TextFunctions.sentenceCount(col("text")).as("n_sentences"),
         TextFunctions.meanSentenceChars(col("text")).as("mean_sentence_chars"))
@@ -65,42 +65,42 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // per-language character-class profile (E146): encoding QA
     "char_class_stats" -> ((s, dir) =>
       graft.operators.CorpusStats.charClassStats(
-        documents(s, dir), "lang", "text")
+        documentsSpread(s, dir), "lang", "text")
         .orderBy("lang")),
     // document-frequency stopword discovery (E123)
     "doc_freq" -> ((s, dir) =>
       graft.operators.CorpusStats.docFrequency(
-        documents(s, dir), "text", k = 50)),
+        documentsSpread(s, dir), "text", k = 50)),
     // chars/bytes-per-token fertility report by language (E125)
     "tokenizer_fertility" -> ((s, dir) =>
       graft.operators.CorpusStats.tokenizerFertility(
-        documents(s, dir), "lang", "text")
+        documentsSpread(s, dir), "lang", "text")
         .orderBy("lang")),
     // BPE vocabulary induction (E159): the merge-table learner — eight
     // deterministic most-frequent-pair merges over the word-frequency
     // vocabulary, each step one aggregation + a codegen'd merge pass
     "bpe_merges" -> ((s, dir) =>
-      graft.operators.BpeInduction.bpeMerges(documents(s, dir), "text", 8)
+      graft.operators.BpeInduction.bpeMerges(documentsSpread(s, dir), "text", 8)
         .orderBy("merge_rank")),
     // BPE encode (E160): the inference half — per-doc token stats under
     // the learned 8-merge table (rank-order application, vocab-level)
     "bpe_encode" -> ((s, dir) =>
-      graft.operators.BpeInduction.bpeEncode(documents(s, dir), "doc_id", "text", 8)
+      graft.operators.BpeInduction.bpeEncode(documentsSpread(s, dir), "doc_id", "text", 8)
         .orderBy("doc_id")),
     // context-window chunking: 64-token windows, 16-token overlap
     "doc_chunks" -> ((s, dir) =>
-      TextFunctions.chunkDocuments(documents(s, dir), "doc_id", "text", 64, 16)
+      TextFunctions.chunkDocuments(documentsSpread(s, dir), "doc_id", "text", 64, 16)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "chunk_idx")),
     // text analysis (documents table)
     "token_count" -> ((s, dir) =>
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
         TextFunctions.bpeishTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
@@ -123,32 +123,32 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // CCNet-style LM quality filter: corpus-trained unigram model, per-doc
     // mean token log-probability + perplexity
     "lm_quality" -> ((s, dir) =>
-      graft.operators.LangModel.unigramScore(documents(s, dir), "doc_id", "text")
+      graft.operators.LangModel.unigramScore(documentsSpread(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // tokenizer-coverage gate: OOV rate vs the corpus top-100 vocabulary
     "vocab_coverage" -> ((s, dir) =>
       graft.operators.CorpusStats.vocabCoverage(
-        documents(s, dir), "doc_id", "text", k = 100)
+        documentsSpread(s, dir), "doc_id", "text", k = 100)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // add-1 bigram LM: word-salad scores badly even when unigrams look fine
     "bigram_lm" -> ((s, dir) =>
-      graft.operators.LangModel.bigramScore(documents(s, dir), "doc_id", "text")
+      graft.operators.LangModel.bigramScore(documentsSpread(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // interpolated trigram perplexity (E174): Jelinek-Mercer fixed-lambda
     // backoff over corpus-trained tri/bi/unigram counts - the next step
     // toward the CCNet KenLM filter; full hash oracle
     "trigram_lm" -> ((s, dir) =>
-      graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
+      graft.operators.LangModel.trigramScore(documentsSpread(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // cross-corpus KN perplexity (E197): the CCNet setup — model trained
     // on the reference slice, scoring the web slice; unseen contexts
     // back off level by level, unseen last words are counted as OOV
     "kn_cross_ppl" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = documentsSpread(s, dir)
       graft.operators.LangModel.kneserNeyCrossScore(
         d.where(col("doc_id") % 101 === 0),
         d.where(col("doc_id") % 101 =!= 0), "doc_id", "text")
@@ -160,7 +160,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // map-only pass
     "gopher_rules" -> ((s, dir) =>
       graft.operators.CorpusStats.gopherRules(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // C4 cleaning-rule battery (E224): the Raffel et al. line-level
     // keep predicate + the three page tells, integer/boolean cuts only,
@@ -196,13 +196,13 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // smoothing), three-level interpolation, decimal-summed logprobs
     "kneser_ney_lm" -> ((s, dir) =>
       graft.operators.LangModel.kneserNeyScore(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // Gopher-style repetition filters: duplicate-token fraction and
     // most-common-bigram share per document
     "repetition_metrics" -> ((s, dir) =>
-      TextFunctions.repetitionMetrics(documents(s, dir), "doc_id", "text")
+      TextFunctions.repetitionMetrics(documentsSpread(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // PII scrubbing: detection counts + masked-text digest over a
@@ -221,7 +221,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         when(d % 5 === 0,
           concat(lit(" tel 25-989-741-"), lpad((d % 10000).cast("string"), 4, "0")))
           .otherwise(lit("")))
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         PiiFunctions.emailCount(rendered).cast("long").as("n_emails"),
         PiiFunctions.ipv4Count(rendered).cast("long").as("n_ipv4"),
@@ -231,36 +231,36 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     }),
     // topical tagging: top-3 TF-IDF terms per document
     "tfidf_keywords" -> ((s, dir) =>
-      graft.operators.Search.tfidfTopTerms(documents(s, dir), "doc_id", "text", k = 3)
+      graft.operators.Search.tfidfTopTerms(documentsSpread(s, dir), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id", "rank")),
     // BM25 keyword retrieval: rank the corpus for a fixed 3-term query
     "bm25_topk" -> ((s, dir) =>
       graft.operators.Search.bm25TopK(
-        documents(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
+        documentsSpread(s, dir), "doc_id", "text", Seq("spark", "merge", "vector"))),
     // multi-query BM25 (E190): every eval-slice doc retrieves its top-10
     // corpus docs through a term-filtered inverted index — postings
     // pruned map-side to the query-term set, df stopping + per-query
     // rarest-16 terms bound candidates absolutely, exact-decimal ranking
     "bm25_multi" -> ((s, dir) => {
-      val d = documents(s, dir)
+      val d = documentsSpread(s, dir)
       graft.operators.Search.bm25MultiTopK(
         d.where(col("doc_id") % 101 =!= 0),
         d.where(col("doc_id") % 101 === 0), "doc_id", "text")
         .orderBy("query_id", "doc_id")
     }),
     "vocab_topk" -> ((s, dir) =>
-      TextFunctions.vocabTopK(documents(s, dir), "text", k = 100)),
+      TextFunctions.vocabTopK(documentsSpread(s, dir), "text", k = 100)),
     // per-doc character entropy (E179): the repetitive-garbage gate;
     // 12-dp decimal term sums, one (doc, char) keyed shuffle
     "char_entropy" -> ((s, dir) =>
       graft.operators.CorpusStats.charEntropy(
-        documents(s, dir), "doc_id", "text")
+        documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // URL path templating census (E167) over a synthetic per-doc URL
     // (the url_normalize convention): literal above support 20, else '*'
     "path_templates" -> ((s, dir) => {
-      val d = documents(s, dir).withColumn("u", concat(
+      val d = documentsSpread(s, dir).withColumn("u", concat(
         lit("/"), col("source"), lit("/"), col("lang"), lit("/b"),
         (col("doc_id") % 50).cast("string"),
         lit("/page-"), col("doc_id").cast("string")))
@@ -270,19 +270,19 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     }),
     // Zipf rank-frequency OLS fit over the top-1000 vocabulary (E76)
     "zipf_fit" -> ((s, dir) =>
-      graft.operators.CorpusStats.zipfFit(documents(s, dir), "text", 1000)),
+      graft.operators.CorpusStats.zipfFit(documentsSpread(s, dir), "text", 1000)),
     // Heaps-law curve: cumulative docs/tokens/distinct-vocab per id-decile
     "vocab_growth" -> ((s, dir) =>
       graft.operators.CorpusStats.vocabGrowth(
-        documents(s, dir), "doc_id", "text", buckets = 10)
+        documentsSpread(s, dir), "doc_id", "text", buckets = 10)
         .orderBy("bucket")),
     "lang_id" -> ((s, dir) =>
-      documents(s, dir)
+      documentsSpread(s, dir)
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
         .orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) => {
       RollingHash.register(s)
-      documents(s, dir)
+      documentsSpread(s, dir)
         .select(col("doc_id"), expr("rolling_hash(text)").as("fingerprint"))
         .orderBy("doc_id")
     }),
@@ -293,7 +293,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
       graft.functions.NfcNormalize.register(s)
       val input = concat(lit(NormPrefix), col("text"))
       val norm = graft.functions.NfcNormalize.normalizeText(input)
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         length(input).cast("long").as("n_chars_raw"),
         length(norm).cast("long").as("n_chars_norm"),
@@ -302,10 +302,10 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     }),
     // corpus bigram frequencies (one BPE merge round's pair table)
     "bigram_topk" -> ((s, dir) =>
-      TextFunctions.bigramTopK(documents(s, dir), "text", k = 50)),
+      TextFunctions.bigramTopK(documentsSpread(s, dir), "text", k = 50)),
     // PMI-ranked collocations (E112): association, not raw frequency
     "collocations_pmi" -> ((s, dir) =>
-      TextFunctions.collocationsPmi(documents(s, dir), "text",
+      TextFunctions.collocationsPmi(documentsSpread(s, dir), "text",
         minFreq = 5, k = 50)),
     // URL canonicalization + per-domain cap over rendered messy URLs (the
     // pii_scan precedent: input constructed identically in both engines)
@@ -318,7 +318,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         when(col("doc_id") % 5 === 0, lit("#Frag")).otherwise(lit("")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("domain").orderBy("doc_id")
-      documents(s, dir).select(
+      documentsSpread(s, dir).select(
         col("doc_id"),
         graft.functions.UrlFunctions.normalizeUrl(u).as("url_norm"),
         graft.functions.UrlFunctions.domain(u).as("domain"))
@@ -329,7 +329,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // tokenizer application: dense vocab-rank ids (0 = OOV) per token,
     // sequence re-assembled in position order and fingerprinted
     "tokenize_ids" -> ((s, dir) =>
-      TextFunctions.tokenizeIds(documents(s, dir), "doc_id", "text", vocabSize = 1000)
+      TextFunctions.tokenizeIds(documentsSpread(s, dir), "doc_id", "text", vocabSize = 1000)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // registered-domain extraction + per-domain caps (E238): synthetic
@@ -364,21 +364,21 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         lit("/p/"), id.cast("string"),
         when(id % 9 === 0, lit("#Frag")).otherwise(lit("")))
       graft.operators.Curate.domainCaps(
-        documents(s, dir).withColumn("u", u), "doc_id", "u", cap = 15L)
+        documentsSpread(s, dir).withColumn("u", u), "doc_id", "u", cap = 15L)
         .orderBy("doc_id")
     }),
     // signed feature hashing (E248): HashingTF with the Weinberger sign
     // trick — per-doc l2-normalized 16-dim vectors from raw text, no
     // vocabulary state; the text->embedding-shelf bridge
     "text_feature_hash" -> ((s, dir) =>
-      graft.operators.FeatureHash.textFeatureHash(documents(s, dir), "doc_id", "text")
+      graft.operators.FeatureHash.textFeatureHash(documentsSpread(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // count-min sketch frequency audit (E242): d=3 affine row hashes over
     // the codegen rolling hash, w=64 buckets, estimates joined to EXACT
     // counts for the top-30 tokens — overestimate is one-sided by the
     // sketch guarantee and hash-verified, not trusted
     "cms_freq" -> ((s, dir) =>
-      graft.operators.CountMin.cmsFrequencyAudit(documents(s, dir), "text")
+      graft.operators.CountMin.cmsFrequencyAudit(documentsSpread(s, dir), "text")
         .orderBy("token")),
     // script/writing-system profile (E239): codepoint-block histogram →
     // dominant script + mixed-script flag; the ASCII corpus is augmented
@@ -396,7 +396,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
       val t2 = when(id % 11 === 0, concat(lit("№"), soup))
         .otherwise(concat(col("text"), soup))
       graft.operators.CorpusStats.scriptProfile(
-        documents(s, dir).withColumn("t2", t2), "doc_id", "t2")
+        documentsSpread(s, dir).withColumn("t2", t2), "doc_id", "t2")
         .orderBy("doc_id")
     })
   )

@@ -237,8 +237,13 @@ object Clustering {
       damping: Double = 0.85): DataFrame = {
     require(iterations >= 1 && damping > 0 && damping < 1)
     val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
+    // localCheckpoint BEFORE the symmetrizing union (r16): its two
+    // branches are independent consumers, so an uncheckpointed `pairs`
+    // ran the whole shared-shingle pipeline twice (probed ~2 s of the
+    // key) before the edges checkpoint caught the union's OUTPUT
     val pairs = Dedup.ngramJaccard(df, idCol, textCol, n, threshold)
       .select("id_a", "id_b")
+      .localCheckpoint(true)
     val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
       .localCheckpoint(true)

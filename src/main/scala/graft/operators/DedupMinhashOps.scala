@@ -84,11 +84,18 @@ private[graft] trait DedupMinhashOps { this: Dedup.type =>
       buckets: DataFrame, keys: Seq[String], cap: Option[Int]): DataFrame =
     cap match {
       case Some(c) =>
-        val ok = buckets.groupBy(keys.map(col): _*)
+        // localCheckpoint (r16): the bucket relation (band/block keys +
+        // id — compact by construction) is consumed by the frequency
+        // rollup here AND by both branches of every caller's candidate
+        // self-join; uncheckpointed, each consumer re-ran the whole
+        // signature pipeline above it (probed: three ~0.5-0.9 s 32-task
+        // jobs per minhash key)
+        val b = buckets.localCheckpoint(true)
+        val ok = b.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("bf"))
           .where(col("bf") <= c)
           .select(keys.map(col): _*)
-        buckets.join(ok, keys)
+        b.join(ok, keys)
       case None => buckets
     }
 
@@ -196,7 +203,13 @@ private[graft] trait DedupMinhashOps { this: Dedup.type =>
       maxBandFreq: Option[Int]): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val hs = (0 until numHashes).map(i => s"h$i")
+    // localCheckpoint (r16): the signature relation (one row of k longs
+    // per doc — compact by construction) has THREE independent consumers
+    // (band buckets, the id_a estimate join, the id_b estimate join);
+    // uncheckpointed, each re-ran the shingle+groupBy signature pipeline
+    // (probed as 3 sequential full passes, the key's dominant cost)
     val sig = minhashSignatures(shingles(df, idCol, textCol, n), numHashes)
+      .localCheckpoint(true)
     val buckets = capHotBuckets(
       bandBuckets(sig, numHashes, bands), Seq("band", "bh"), maxBandFreq)
     val cands = buckets.alias("x").join(buckets.alias("y"), Seq("band", "bh"))
@@ -206,12 +219,15 @@ private[graft] trait DedupMinhashOps { this: Dedup.type =>
     val estExpr = round(
       hs.map(h => when(col(s"a_$h") === col(s"b_$h"), 1).otherwise(0))
         .reduce(_ + _).cast("double") / lit(numHashes.toDouble), 6)
+    // est feeds both the exact-verify candidate list and the final join —
+    // candidate-pair-sized, checkpoint instead of recompute
     val est = cands
       .join(sig.select((col("id").as("id_a") +:
         hs.map(h => col(h).as(s"a_$h"))): _*), Seq("id_a"))
       .join(sig.select((col("id").as("id_b") +:
         hs.map(h => col(h).as(s"b_$h"))): _*), Seq("id_b"))
       .select(col("id_a"), col("id_b"), estExpr.as("est"))
+      .localCheckpoint(true)
     val exact = verifiedJaccard(
       shingleArrays(df, idCol, textCol, n),
       est.select("id_a", "id_b"))

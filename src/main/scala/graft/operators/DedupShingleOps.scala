@@ -132,7 +132,16 @@ private[graft] trait DedupShingleOps { this: Dedup.type =>
       n: Int = 3,
       threshold: Double = 0.5,
       maxDocFreq: Option[Int] = None): DataFrame =
-    ngramJaccardFrom(shingles(df, idCol, textCol, n), threshold, maxDocFreq)
+    // localCheckpoint (r16): the shingle relation has TWO independent
+    // consumers downstream (the size rollup and the shared-shingle
+    // self-join — the join's own two branches already share one exchange
+    // via ReuseExchange) — materializing it runs tokenize+shingle once
+    // per call instead of once per consumer. Same relation, same values;
+    // the staged-relation entry (shingleFamilyRollup) keeps feeding
+    // ngramJaccardFrom its own checkpoint directly.
+    ngramJaccardFrom(
+      shingles(df, idCol, textCol, n).localCheckpoint(true),
+      threshold, maxDocFreq)
 
   /** [[ngramJaccard]] over a prebuilt `(id, shingle)` relation — the
     * entry [[shingleFamilyRollup]] feeds ONE staged shingle relation

@@ -67,11 +67,13 @@ object FuzzyJoin {
     * cluster is a single-partition window — the anti-pattern. This
     * implementation keys the sort by a block prefix (the fuzzyMatch
     * blocking convention) and ranks WITHIN blocks, so the plan is ONE
-    * exchange on the block key and the neighborhood pairing is a
-    * rank-band self-join inside each block (`0 < rank_b − rank_a ≤
-    * window`) — per-record work stays ≤ window, and a cross-block typo
-    * escapes exactly as it does in blocked fuzzyMatch (run a second
-    * pass on a different key for recall, the standard multi-pass SNM).
+    * exchange on the block key and the neighborhood pairing reads each
+    * record's next `window` neighbors straight off the sort window via
+    * lead() — per-record work stays ≤ window even in a degenerate
+    * single-prefix block (where a rank-band self-join would regrow the
+    * quadratic), and a cross-block typo escapes exactly as it does in
+    * blocked fuzzyMatch (run a second pass on a different key for
+    * recall, the standard multi-pass SNM).
     *
     * Output: `(id_a, id_b, dist, matched)` for every in-window pair,
     * `matched = dist ≤ maxDist` — rejected neighbors stay visible, the
@@ -87,20 +89,30 @@ object FuzzyJoin {
       s"sortedNeighborhood: blockLen=$blockLen window=$window maxDist=$maxDist")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("block").orderBy(col("k").asc, col("id").asc)
+    // rank-band pairing DIRECTLY from the sort window (r16): each record
+    // pairs with the next `window` records of its block via lead(), the
+    // literal sorted-neighborhood definition — O(rows·window) work where
+    // the former block-self-join + rank-band filter materialized O(block²)
+    // candidate pairs through one task per hot block (probed 5.9 s on a
+    // single-block key prefix). Identical pairs by construction: ranks
+    // are consecutive, so 0 < rb − ra <= window ⟺ b is one of a's next
+    // `window` rows.
     val ranked = df
       .select(col(idCol).as("id"), lower(col(keyCol)).as("k"))
       .where(col("k").isNotNull)
       .withColumn("block", substring(col("k"), 1, blockLen))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .localCheckpoint(true) // self-joined once per side
-    val a = ranked.select(col("block"), col("id").as("id_a"),
-      col("k").as("ka"), col("rnk").as("ra"))
-    val b = ranked.select(col("block"), col("id").as("id_b"),
-      col("k").as("kb"), col("rnk").as("rb"))
-    a.join(b, Seq("block"))
-      .where(col("rb") - col("ra") > 0 && col("rb") - col("ra") <= window)
-      .select(col("id_a"), col("id_b"),
-        levenshtein(col("ka"), col("kb")).as("dist"))
+    val nexts = (1 to window).map(j => struct(
+      lead(col("id"), j).over(w).as("id_b"),
+      lead(col("k"), j).over(w).as("kb")).as(s"p$j"))
+    ranked
+      // window expressions first (a generator may not host them), ...
+      .select(col("id").as("id_a") +: col("k").as("ka") +: nexts: _*)
+      // ... then one explode over the materialized neighbor structs
+      .select(col("id_a"), col("ka"),
+        explode(array((1 to window).map(j => col(s"p$j")): _*)).as("p"))
+      .where(col("p.kb").isNotNull) // past the block end
+      .select(col("id_a"), col("p.id_b").as("id_b"),
+        levenshtein(col("ka"), col("p.kb")).as("dist"))
       .withColumn("matched", col("dist") <= maxDist)
   }
 
@@ -139,6 +151,12 @@ object FuzzyJoin {
       col(cleanId).as("right_id"), lower(col(cleanKey)).as("rk"))
       .where(col("rk").isNotNull)
       .withColumn("block", substring(col("rk"), 1, blockLen))
+    // broadcast hint on the dirty side (guide §3.1) was measured in r16
+    // and REVERTED: at bench scale the shuffled join's single hot-block
+    // task is ~0.4 s — the broadcast build + spread exchange cost more
+    // than they saved (0.56 → 1.33 s in-battery). At a scale where the
+    // hot block matters, AQE's skew handling and a caller-side broadcast
+    // hint remain available.
     l.join(r, Seq("block"))
       .withColumn("score", round(expr("jaro_winkler(lk, rk)"), 6))
       .groupBy("left_id")

@@ -1261,11 +1261,15 @@ object Similarity {
       initPred: Column,
       iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 8, s"kmeansTrain: iters=$iters out of [1,8]")
+    // codegen dot/norm (r16): the assign stage's N·k cosines ran through
+    // the interpreted aggregate(zip_with) lambdas — fdot/fnorm are the
+    // bit-identical codegen forms the scoring operators already use
+    graft.functions.VectorOps.register(embIn.sparkSession)
     val Dec = org.apache.spark.sql.types.DecimalType(38, 12)
     val base = graft.profiler.ScanMetrics.spread(embIn)
     val emb = base
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nv"))
+        fnorm(col(vecCol)).as("nv"))
       .where(col("nv") > 0)
       .localCheckpoint(true) // re-read every iteration (assign + update)
     var cents = base.where(initPred)
@@ -1279,11 +1283,11 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("dim"), col("m")))),
           s => s.getField("m")).as("c"))
-        .select(col("centroid_id"), col("c"), norm(col("c")).as("nc"))
+        .select(col("centroid_id"), col("c"), fnorm(col("c")).as("nc"))
       val assign = emb.crossJoin(broadcast(cArr))
         .select(col("vec_id"), col("centroid_id"),
           when(col("nv") * col("nc") > 0,
-            round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
+            round(fdot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
             .as("cos"))
         .where(col("cos").isNotNull)
         .groupBy("vec_id")
@@ -1585,9 +1589,11 @@ object Similarity {
       k: Int = 8): DataFrame = {
     require(k >= 1 && k <= 64, s"kcenterCoreset: k=$k out of [1,64]")
     val spark = embIn.sparkSession
+    // codegen dot/norm (r16) — see kmeansTrain's note
+    graft.functions.VectorOps.register(spark)
     val emb = graft.profiler.ScanMetrics.spread(embIn)
       .select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nv"))
+        fnorm(col(vecCol)).as("nv"))
       .where(col("nv") > 0)
       .localCheckpoint(true) // re-joined against every step's new center
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
@@ -1615,7 +1621,7 @@ object Similarity {
       .crossJoin(broadcast(emb.where(col("vec_id") === seed)
         .select(col("v").as("c"), col("nv").as("nc"))))
       .select(col("vec_id"), col("v"), col("nv"),
-        round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6)
+        round(fdot(col("v"), col("c")) / (col("nv") * col("nc")), 6)
           .as("max_cos"))
       .localCheckpoint(true)
     var exhausted = false
@@ -1634,7 +1640,7 @@ object Similarity {
                 .select(col("v").as("c"), col("nv").as("nc"))))
             .select(col("vec_id"), col("v"), col("nv"),
               greatest(col("max_cos"),
-                round(dot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
+                round(fdot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
                 .as("max_cos"))
             .localCheckpoint(true)
       }

@@ -135,7 +135,12 @@ object Checks {
         .where(NumericHistogram.finite(col("v"))) // NaN would poison max/width
         .withColumn("snap", lit(tag))
     }
+    // localCheckpoint (r16): the stacked relation has two inherently
+    // sequential consumers (the min/max pass must finish before the
+    // bucketing pass can run) — materialize the scan+stack once instead
+    // of once per pass
     val st = side(baseline, "a").unionByName(side(current, "b"))
+      .localCheckpoint(true)
     val mm = st.groupBy("instance").agg(min("v").as("mn"), max("v").as("mx"))
     val bucketed = st.join(broadcast(mm), Seq("instance"))
       .select(
@@ -144,9 +149,14 @@ object Checks {
         NumericHistogram.bucketExpr(col("v"), col("mn"), col("mx"), bins).as("bucket"))
     val counts = bucketed.groupBy("instance", "snap", "bucket")
       .agg(count(lit(1)).as("cnt"))
-    val tots = bucketed.groupBy("instance").agg(
-      count(when(col("snap") === "a", lit(1))).as("tot_a"),
-      count(when(col("snap") === "b", lit(1))).as("tot_b"))
+      .localCheckpoint(true) // bins-sized; feeds the grid AND the totals
+    // per-side totals fold out of the bucket counts (every finite row
+    // lands in exactly one bucket — bucketExpr is null-free), so the
+    // former third full pass over the stacked relation is pure algebra
+    // over the bins-sized counts relation
+    val tots = counts.groupBy("instance").agg(
+      coalesce(sum(when(col("snap") === "a", col("cnt"))), lit(0L)).as("tot_a"),
+      coalesce(sum(when(col("snap") === "b", col("cnt"))), lit(0L)).as("tot_b"))
     val spark = baseline.sparkSession
     val grid = mm.select("instance")
       .crossJoin(broadcast(spark.range(bins).toDF("bucket")))

@@ -176,26 +176,37 @@ object Correlation {
       maxRows: Long = graft.operators.WindowGuard.MaxWindowCells): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pairs.nonEmpty, "need at least one column pair")
-    pairs.map { case (a, b) =>
-      val complete = dfIn
-        .where(col(a).isNotNull && col(b).isNotNull)
-        .select(col(a).cast(DoubleType).as("va"), col(b).cast(DoubleType).as("vb"))
-      // the guard's cell count comes from an unordered global frame —
-      // same single-partition exchange the rank window already forces,
-      // so enforcement adds no pass and no shuffle
-      val nRows = count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
-      def avgRank(vc: String) =
-        graft.operators.WindowGuard.guarded(
-          rank().over(Window.orderBy(col(vc))).cast("long"),
-          nRows, maxRows, "Correlation.spearman").cast(DoubleType) +
-          (count(lit(1)).over(Window.partitionBy(col(vc))) - lit(1))
-            .cast(DoubleType) / lit(2.0)
-      val ranked = complete.select(avgRank("va").as("ra"), avgRank("vb").as("rb"))
-      matrix(ranked, Seq("ra", "rb"))
-        .select(lit(a).as("col_a"), lit(b).as("col_b"),
-          col("n"), col("corr").as("spearman"))
-    }.reduce(_ unionByName _)
+    // per-pair computations are independent ([[matrix]] collects eagerly),
+    // so they are submitted from driver threads (guide §2.6): pair 2's
+    // rank-window job back-fills cores while pair 1's single-task sort
+    // runs, instead of serializing one eager collect per pair. Results
+    // are assembled in the caller's pair order — output unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val futures = pairs.map { case (a, b) =>
+      Future(scala.concurrent.blocking {
+        val complete = dfIn
+          .where(col(a).isNotNull && col(b).isNotNull)
+          .select(col(a).cast(DoubleType).as("va"), col(b).cast(DoubleType).as("vb"))
+        // the guard's cell count comes from an unordered global frame —
+        // same single-partition exchange the rank window already forces,
+        // so enforcement adds no pass and no shuffle
+        val nRows = count(lit(1)).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        def avgRank(vc: String) =
+          graft.operators.WindowGuard.guarded(
+            rank().over(Window.orderBy(col(vc))).cast("long"),
+            nRows, maxRows, "Correlation.spearman").cast(DoubleType) +
+            (count(lit(1)).over(Window.partitionBy(col(vc))) - lit(1))
+              .cast(DoubleType) / lit(2.0)
+        val ranked = complete.select(avgRank("va").as("ra"), avgRank("vb").as("rb"))
+        matrix(ranked, Seq("ra", "rb"))
+          .select(lit(a).as("col_a"), lit(b).as("col_b"),
+            col("n"), col("corr").as("spearman"))
+      })
+    }
+    futures.map(f => Await.result(f, Duration.Inf)).reduce(_ unionByName _)
   }
 
   /** KLL-approximate Spearman (E103's 100 TB mode, r8) — the scale path

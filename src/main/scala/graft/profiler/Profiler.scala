@@ -60,7 +60,31 @@ object Profiler {
     * unless the family is explicitly approximate (N7/N8). */
   def metrics(df0: DataFrame, cfg: ProfilerConfig, fams: Set[String]): Seq[MetricRow] = {
     val df = if (cfg.profileUnsupportedTypes) castUnsupported(df0) else df0
-    val scanRows = ScanMetrics.compute(df, ScanMetrics.slots(df.schema, cfg, fams))
+    // quantiles_exact runs as the frequency-CDF battery (ExactQuantiles,
+    // r16): same numbers as the percentile-aggregate slot it replaces
+    // (bit-parity property-pinned), minus the single-threaded value-map
+    // final merge that dominated the key's wall time.
+    val quantRows: Seq[MetricRow] =
+      if (!fams("quantiles_exact")) Nil
+      else {
+        val numCols = df.schema.fields.iterator
+          .filter(f => ColumnClass.of(f.dataType) == ColumnClass.Numeric)
+          .map(_.name).toSeq
+        if (numCols.isEmpty) Nil
+        else {
+          val ps = ScanMetrics.quantilePs(cfg.quantiles)
+          val res = ExactQuantiles.quantiles(
+            ScanMetrics.spread(df),
+            numCols.map(c => c -> org.apache.spark.sql.functions.col(c)), ps)
+          numCols.flatMap(c => res(c).toSeq.flatMap(vs =>
+            ps.zip(vs).map { case (p, v) =>
+              MetricRow("Column", c, MetricNames.exactQuantile(p), v)
+            }))
+        }
+      }
+    val scanRows = ScanMetrics.compute(
+      df, ScanMetrics.slots(df.schema, cfg, fams - "quantiles_exact")) ++
+      quantRows
     val wantedFreq = fams.intersect(freqFamilies)
     val textCols = df.schema.fields.iterator
       .filter(f => ColumnClass.of(f.dataType) == ColumnClass.Text).map(_.name).toSeq

@@ -1,6 +1,6 @@
 package graft.profiler
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataTypes, DoubleType, StringType}
 
@@ -46,35 +46,18 @@ object RobustStats {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // The exact-percentile aggregates are TypedImperativeAggregate value
-    // maps: spread() buys the partial phase row-group parallelism (the
-    // ScanMetrics Sketch-pass lesson), and chunking the columns into a few
-    // concurrent jobs overlaps their single-threaded final merges — the
-    // spread exchange is computed once and reused as a skipped stage by
-    // the later jobs (including the moment pass below).
-    val src = ScanMetrics.spread(df)
-    val bRows: Seq[(String, Row)] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val jobs = cols.grouped(2).toSeq.map { group =>
-        val aggs = group.map(c =>
-          percentile(col(c).cast(DoubleType), array(lit(pLo), lit(pHi))).as(c))
-        group -> Future(scala.concurrent.blocking {
-          src.agg(aggs.head, aggs.tail: _*).head()
-        })
-      }
-      jobs.flatMap { case (group, fut) =>
-        val row = Await.result(fut, Duration.Inf)
-        group.map(c => c -> row)
-      }
-    }
-    val bounds: Seq[(String, (Double, Double))] = bRows.flatMap {
-      case (c, row) =>
-        val i = row.fieldIndex(c)
-        if (row.isNullAt(i)) None
-        else { val a = row.getSeq[Double](i); Some(c -> (a(0), a(1))) }
-    }
+    // Exact bounds via the frequency-CDF battery (ExactQuantiles, r16):
+    // bit-identical to the percentile aggregate it replaces, without the
+    // per-chunk single-threaded value-map merges. localCheckpoint: the
+    // battery makes two passes (bounds, moments) — the spread projection
+    // is materialized once and both read the cached blocks (guide §5:
+    // reuse × recompute cost; this exact lane's inputs are value-domain
+    // bounded by contract, the KLL twin is the uncached 100 TB path).
+    val src = ScanMetrics.spread(df).localCheckpoint(true)
+    val q = ExactQuantiles.quantiles(
+      src, cols.map(c => c -> col(c)), Seq(pLo, pHi))
+    val bounds: Seq[(String, (Double, Double))] =
+      cols.flatMap(c => q(c).map(vs => c -> (vs(0), vs(1))))
 
     val momentAggs: Seq[Column] = bounds.flatMap { case (c, (lo, hi)) =>
       val x = col(c).cast(DoubleType)
@@ -211,35 +194,19 @@ object RobustStats {
     require(cols.nonEmpty, "iqrOutliers needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
-    val src = ScanMetrics.spread(df)
-    val bRows: Seq[(String, Row)] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val jobs = cols.grouped(2).toSeq.map { group =>
-        val aggs = group.map(c =>
-          percentile(col(c).cast(DoubleType), array(lit(0.25), lit(0.75)))
-            .as(c))
-        group -> Future(scala.concurrent.blocking {
-          src.agg(aggs.head, aggs.tail: _*).head()
-        })
-      }
-      jobs.flatMap { case (group, fut) =>
-        val row = Await.result(fut, Duration.Inf)
-        group.map(c => c -> row)
-      }
-    }
-    // raw (unrounded) quartiles: Spark percentile and DuckDB QUANTILE_CONT
-    // produce bit-identical doubles (the proven E70 contract), so the
-    // fence comparisons run on exact twins; rounding is display-only
+    // localCheckpoint: two passes (quartiles, fence counts) share the
+    // materialized spread projection (see winsorizedStats note)
+    val src = ScanMetrics.spread(df).localCheckpoint(true)
+    // frequency-CDF exact quartiles (ExactQuantiles, r16) — bit-identical
+    // to the percentile aggregate (and so to DuckDB QUANTILE_CONT, the
+    // proven E70 contract); rounding is display-only
+    val q = ExactQuantiles.quantiles(
+      src, cols.map(c => c -> col(c)), Seq(0.25, 0.75))
     val fences: Seq[(String, Option[(Double, Double, Double, Double)])] =
-      bRows.map { case (c, row) =>
-        val i = row.fieldIndex(c)
-        if (row.isNullAt(i)) c -> None
-        else {
-          val a = row.getSeq[Double](i)
+      cols.map { c =>
+        c -> q(c).map { a =>
           val (q1, q3) = (a(0), a(1))
-          c -> Some((q1, q3, q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)))
+          (q1, q3, q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
         }
       }
     val countAggs = fences.flatMap {
@@ -336,26 +303,16 @@ object RobustStats {
     require(cols.nonEmpty, "madOutliers needs at least one column")
     val spark = df.sparkSession
     import spark.implicits._
-    val src = ScanMetrics.spread(df)
-    def chunkedQuantiles(exprs: Seq[(String, Column)]): Map[String, Option[Double]] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val jobs = exprs.grouped(2).toSeq.map { group =>
-        val aggs = group.map { case (name, e) =>
-          percentile(e, lit(0.5)).as(name)
-        }
-        group.map(_._1) -> Future(scala.concurrent.blocking {
-          src.agg(aggs.head, aggs.tail: _*).head()
-        })
-      }
-      jobs.flatMap { case (names, fut) =>
-        val row = Await.result(fut, Duration.Inf)
-        names.map(c => c ->
-          (if (row.isNullAt(row.fieldIndex(c))) None
-           else Some(row.getDouble(row.fieldIndex(c)))))
-      }.toMap
-    }
+    // localCheckpoint: THREE passes (medians, deviation medians, fence
+    // counts) share the materialized spread projection (winsorizedStats
+    // note) — the probed before-shape paid the scan+exchange thrice
+    val src = ScanMetrics.spread(df).localCheckpoint(true)
+    // frequency-CDF exact medians (ExactQuantiles, r16): one battery per
+    // round instead of per-chunk percentile value-map merges; MAD's
+    // second quantile still depends on the first, so two rounds remain
+    def chunkedQuantiles(exprs: Seq[(String, Column)]): Map[String, Option[Double]] =
+      ExactQuantiles.quantiles(src, exprs, Seq(0.5))
+        .map { case (k, v) => k -> v.map(_.head) }
     val med = chunkedQuantiles(cols.map(c => c -> col(c).cast(DoubleType)))
     val madCols = cols.flatMap(c => med(c).map(m =>
       c -> abs(col(c).cast(DoubleType) - lit(m))))

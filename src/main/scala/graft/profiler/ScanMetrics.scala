@@ -193,13 +193,10 @@ object ScanMetrics {
               quantExtract(i, ps, approxQuantile),
               AggKind.Sketch)
           }
-          if (fams("quantiles_exact")) {
-            val ps = quantilePs(cfg.quantiles)
-            b += AggSlot(
-              percentile(c, array(ps.map(lit): _*)),
-              quantExtract(i, ps, exactQuantile),
-              AggKind.Sketch)
-          }
+          // quantiles_exact is computed by Profiler.metrics via the
+          // frequency-CDF battery (ExactQuantiles, r16) — the percentile
+          // value-map slot it replaced paid a single-threaded final merge
+          // per column chunk.
         case ColumnClass.Text =>
           shared(i, c)
           if (fams("max_length")) b += colSlot(i, MaxLength, max(length(c)).cast(DoubleType))
@@ -244,7 +241,17 @@ object ScanMetrics {
     // sums). A cheap codegen'd Plain-only battery (count/min/max) finishes
     // the serial partial phase faster than the shuffle it would buy.
     val needSpread = slots.exists(s => s.kind != AggKind.Plain || s.heavy)
-    val src = if (needSpread) spread(df) else df
+    // localCheckpoint (r16): with several concurrent passes over the same
+    // spread exchange, each pass's job re-ran the scan+exchange (probed:
+    // two 22 MB exchange-write jobs in profile_lineitem_full) — a shared
+    // materialization runs it once and every pass reads the cached blocks
+    val multiPass = ((if (slots.exists(_.kind == AggKind.Plain)) 1 else 0) +
+      (slots.count(_.kind == AggKind.Sketch) + 1) / 2 +
+      (if (slots.exists(_.kind == AggKind.Distinct)) 1 else 0)) > 1
+    val src =
+      if (needSpread && multiPass) spread(df).localCheckpoint(true)
+      else if (needSpread) spread(df)
+      else df
     // Sketch slots (TypedImperativeAggregate buffers — exact percentile
     // value maps, KLL) pay a single-threaded final-merge per pass;
     // chunking them into a few concurrent jobs overlaps those merges

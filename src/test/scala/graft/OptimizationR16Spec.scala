@@ -98,4 +98,37 @@ class OptimizationR16Spec extends AnyFunSuite {
     // the production path is bounded by the cluster, never by this knob
     assert(f(100L * (1L << 40), 32L << 20) > 3000000)
   }
+
+  test("ExactQuantiles ≡ the percentile aggregate, bit-for-bit, over seeded random frames") {
+    val rng = new scala.util.Random(1016)
+    // percentage grids covering the callers: the profiler's deciles,
+    // winsorize bounds, quartiles, the single median, plus edges 0/1
+    val grids = Seq(
+      (1 to 10).map(_ / 10.0),
+      Seq(0.01, 0.99), Seq(0.25, 0.75), Seq(0.5), Seq(0.0, 1.0, 0.37))
+    for (trial <- 1 to 8) {
+      val n = 1 + rng.nextInt(40)
+      // heavy-tie 2-dp grid values + nulls + an all-null column — the
+      // regimes where interpolation and tie handling can diverge
+      val data = Seq.fill(n)((
+        if (rng.nextDouble() < 0.25) null
+        else Double.box(math.rint(rng.nextDouble() * 400 - 200) / 100.0),
+        if (rng.nextDouble() < 0.3) null
+        else Double.box(rng.nextInt(4).toDouble),
+        null: java.lang.Double))
+      val df = data.toDF("x", "y", "z").localCheckpoint(true)
+      val ps = grids(trial % grids.size)
+      val res = graft.profiler.ExactQuantiles.quantiles(
+        df, Seq("x" -> col("x"), "y" -> col("y"), "z" -> col("z")), ps)
+      val exp = df.agg(
+        percentile(col("x"), array(ps.map(lit): _*)).as("x"),
+        percentile(col("y"), array(ps.map(lit): _*)).as("y"),
+        percentile(col("z"), array(ps.map(lit): _*)).as("z")).head()
+      for (c <- Seq("x", "y", "z")) {
+        val e = if (exp.isNullAt(exp.fieldIndex(c))) None
+          else Some(exp.getSeq[Double](exp.fieldIndex(c)).toSeq)
+        assert(res(c) == e, s"trial $trial col $c ps $ps: ${res(c)} vs $e")
+      }
+    }
+  }
 }
