@@ -40,14 +40,14 @@ private[graft] trait SparkEntryQuality { this: SparkEntry.type =>
     // replacement (sample ∝ w); fully hash-oracled
     "dsir_weights" -> ((s, dir) =>
       Sampling.dsirWeights(
-        documentsSpread(s, dir), "doc_id", "text", col("lang") === "en")
+        documents(s, dir), "doc_id", "text", col("lang") === "en")
         .orderBy("doc_id")),
     // DSIR's action half: Gumbel top-k over the log weights draws the
     // without-replacement sample ∝ w — deterministic noise from the
     // engine's sha256 bucket, so the selection is fully hash-oracled
     "dsir_select" -> ((s, dir) =>
       Sampling.dsirSelect(
-        documentsSpread(s, dir), "doc_id", "text", col("lang") === "en", k = 100)),
+        documents(s, dir), "doc_id", "text", col("lang") === "en", k = 100)),
     // composite quality gate (E198): Gopher rules AND ccnet tertile AND
     // one-pass NB classifier — three independent verdicts, conjunctive
     // keep, every stage's verdict kept in the row

@@ -80,12 +80,12 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // deterministic most-frequent-pair merges over the word-frequency
     // vocabulary, each step one aggregation + a codegen'd merge pass
     "bpe_merges" -> ((s, dir) =>
-      graft.operators.BpeInduction.bpeMerges(documentsSpread(s, dir), "text", 8)
+      graft.operators.BpeInduction.bpeMerges(documents(s, dir), "text", 8)
         .orderBy("merge_rank")),
     // BPE encode (E160): the inference half — per-doc token stats under
     // the learned 8-merge table (rank-order application, vocab-level)
     "bpe_encode" -> ((s, dir) =>
-      graft.operators.BpeInduction.bpeEncode(documentsSpread(s, dir), "doc_id", "text", 8)
+      graft.operators.BpeInduction.bpeEncode(documents(s, dir), "doc_id", "text", 8)
         .orderBy("doc_id")),
     // context-window chunking: 64-token windows, 16-token overlap
     "doc_chunks" -> ((s, dir) =>
@@ -329,7 +329,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // tokenizer application: dense vocab-rank ids (0 = OOV) per token,
     // sequence re-assembled in position order and fingerprinted
     "tokenize_ids" -> ((s, dir) =>
-      TextFunctions.tokenizeIds(documentsSpread(s, dir), "doc_id", "text", vocabSize = 1000)
+      TextFunctions.tokenizeIds(documents(s, dir), "doc_id", "text", vocabSize = 1000)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // registered-domain extraction + per-domain caps (E238): synthetic

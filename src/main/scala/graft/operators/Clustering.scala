@@ -258,6 +258,12 @@ object Clustering {
     val edgesD = edges.join(deg, Seq("u")).localCheckpoint(true)
     var r = deg.select(col("u").as("id"),
       lit(r12(1.0 / nNodes.toDouble)).as("rank"))
+    // LAZY iterations (r16): with the edge relation checkpointed, the
+    // 8-iteration lineage is 8 chained join+agg pairs over one cached
+    // input — small enough to plan as ONE job, where an eager
+    // localCheckpoint per iteration paid 8 sequential job-submission
+    // floors (probed: ~50 sub-100 ms jobs dominating the key's wall).
+    // Same relation, same values — only materialization timing changes.
     for (_ <- 1 to iterations) {
       r = edgesD
         .join(r.select(col("id").as("u"), col("rank")), Seq("u"))
@@ -268,7 +274,6 @@ object Clustering {
         .select(col("v").as("id"),
           round((lit(1.0) - lit(damping)) / lit(nNodes.toDouble) +
             lit(damping) * col("s").cast("double"), 12).as("rank"))
-        .localCheckpoint(true)
     }
     r.join(deg.select(col("u").as("id"), col("deg")), Seq("id"))
       .select(col("id").as("doc_id"), col("rank"),
