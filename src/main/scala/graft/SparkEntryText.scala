@@ -28,11 +28,11 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // relation Jaccard under-reports
     "ngram_containment" -> ((s, dir) =>
       Dedup.ngramContainment(
-        documentsSpread(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+        documents(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
         .orderBy("id_sub", "id_super")),
     // per-document n-gram novelty score (E129)
     "ngram_novelty" -> ((s, dir) =>
-      Dedup.ngramNovelty(documentsSpread(s, dir), "doc_id", "text", n = 3)
+      Dedup.ngramNovelty(documents(s, dir), "doc_id", "text", n = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // declared-vs-detected language confusion matrix (E134)
@@ -134,21 +134,21 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
         .orderBy("doc_id")),
     // add-1 bigram LM: word-salad scores badly even when unigrams look fine
     "bigram_lm" -> ((s, dir) =>
-      graft.operators.LangModel.bigramScore(documentsSpread(s, dir), "doc_id", "text")
+      graft.operators.LangModel.bigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // interpolated trigram perplexity (E174): Jelinek-Mercer fixed-lambda
     // backoff over corpus-trained tri/bi/unigram counts - the next step
     // toward the CCNet KenLM filter; full hash oracle
     "trigram_lm" -> ((s, dir) =>
-      graft.operators.LangModel.trigramScore(documentsSpread(s, dir), "doc_id", "text")
+      graft.operators.LangModel.trigramScore(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // cross-corpus KN perplexity (E197): the CCNet setup — model trained
     // on the reference slice, scoring the web slice; unseen contexts
     // back off level by level, unseen last words are counted as OOV
     "kn_cross_ppl" -> ((s, dir) => {
-      val d = documentsSpread(s, dir)
+      val d = documents(s, dir)
       graft.operators.LangModel.kneserNeyCrossScore(
         d.where(col("doc_id") % 101 === 0),
         d.where(col("doc_id") % 101 =!= 0), "doc_id", "text")
@@ -196,7 +196,7 @@ private[graft] trait SparkEntryText { this: SparkEntry.type =>
     // smoothing), three-level interpolation, decimal-summed logprobs
     "kneser_ney_lm" -> ((s, dir) =>
       graft.operators.LangModel.kneserNeyScore(
-        documentsSpread(s, dir), "doc_id", "text")
+        documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
     // Gopher-style repetition filters: duplicate-token fraction and
