@@ -235,7 +235,13 @@ object Clustering {
       threshold: Double = 0.5,
       iterations: Int = 8,
       damping: Double = 0.85): DataFrame = {
-    require(iterations >= 1 && damping > 0 && damping < 1)
+    // upper bound (ADVICE r16): the iterations are LAZY since r16 — each
+    // adds a join+agg layer to ONE plan, so an unbounded count would let
+    // a caller build a plan whose Catalyst analysis cost blows up where
+    // the old eager checkpoint kept plan size constant. 16 covers every
+    // published pagerank-to-convergence use of this operator; past it,
+    // checkpoint every K iterations instead.
+    require(iterations >= 1 && iterations <= 16 && damping > 0 && damping < 1)
     val dec12 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 12)
     // localCheckpoint BEFORE the symmetrizing union (r16): its two
     // branches are independent consumers, so an uncheckpointed `pairs`

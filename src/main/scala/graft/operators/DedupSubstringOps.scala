@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -626,25 +627,25 @@ private[graft] trait DedupSubstringOps { this: Dedup.type =>
         expr(s"substring(txt, ci * $stride + 1, $chunkChars)").as("t"))
   }
 
-  /** Chunked anchor sites with GLOBAL positions: winnowing fingerprints
-    * of every chunk, remapped to document coordinates, with the overlap
-    * region's double detections collapsed to one representative per
-    * `(doc, hash, gpos)` (kept with its chunk id + local position so the
-    * extension kernel can run on the owning chunk's text). */
-  private[graft] def chunkedAnchorSites(chunks: DataFrame, k: Int, w: Int): DataFrame = {
+  /** RAW chunked anchor sites with GLOBAL positions — MAP-ONLY since r17:
+    * the former shape joined `chunks` back in to fetch `off` (a full
+    * shuffle of the fingerprint relation), but `off = ci·stride` is pure
+    * per-row arithmetic; and it collapsed the overlap region's double
+    * detections in a dedicated `groupBy(doc, hash, gpos)` exchange, but
+    * both consumers immediately re-shuffle by their occurrence-cap key —
+    * the dedup now rides THAT window's exchange instead (first row per
+    * gpos under `(…, gpos, ci, pos)` order ≡ the old `min(struct(ci,
+    * pos))` representative). Two corpus-sized exchanges gone per caller. */
+  private[graft] def chunkedAnchorSites(
+      chunks: DataFrame, k: Int, w: Int, chunkChars: Int): DataFrame = {
+    val stride = (chunkChars - (k - 1)).toLong
     val fp = winnowFingerprints(
       chunks.select(struct(col("id"), col("ci")).as("cid"), col("t")),
       "cid", "t", k, w)
-    fp.select(col("id.id").as("doc"), col("id.ci").as("ci"),
-      col("pos"), col("hash"))
-      .join(chunks.select(col("id").as("doc"), col("ci"), col("off")),
-        Seq("doc", "ci"))
-      .select(col("doc"), col("hash"), (col("pos") + col("off")).as("gpos"),
-        col("ci"), col("pos"))
-      .groupBy("doc", "hash", "gpos")
-      .agg(min(struct(col("ci"), col("pos"))).as("r"))
-      .select(col("doc"), col("hash"), col("gpos"),
-        col("r.ci").as("ci"), col("r.pos").as("pos"))
+    fp.select(
+      col("id.id").as("doc"), col("hash"),
+      (col("pos") + col("id.ci") * stride).as("gpos"),
+      col("id.ci").as("ci"), col("pos"))
   }
 
   /** [[substringDupSpans]] through the chunking front-end — accepts
@@ -671,14 +672,34 @@ private[graft] trait DedupSubstringOps { this: Dedup.type =>
     val P = graft.functions.WinnowSelect.PosBase
     val chunks = charChunks(df, idCol, textCol, k, chunkChars)
       .localCheckpoint(true)
-    val rep = chunkedAnchorSites(chunks, k, w).localCheckpoint(true)
-    val kept = rep.join(
-      rep.groupBy("hash").agg(count(lit(1)).as("occ"))
-        .where(col("occ") <= maxOccFreq)
-        .select("hash"),
-      Seq("hash"))
+    val raw = chunkedAnchorSites(chunks, k, w, chunkChars)
+    // ONE hash-keyed exchange (r17) carries what used to take five
+    // corpus-sized ones (off-join, gpos-dedup groupBy, occ groupBy, occ
+    // join-back, candidate self-join): within a `hash` window sorted by
+    // (doc, gpos, ci, pos), the first row of each (doc, gpos) tie-group
+    // IS the old min(ci, pos) overlap representative; the count of those
+    // firsts is the old deduped occurrence count; and the surviving
+    // ≤`maxOccFreq` site arrays generate the doc_a < doc_b pairs IN
+    // PLACE (array comprehension over ≤cap elements — bounded, tiny).
+    // Sites of occ = 1 hashes are dropped early: they can produce no
+    // pair and contribute 0 to the pre-flight estimate.
+    val wd = Window.partitionBy("hash")
+      .orderBy("doc", "gpos", "ci", "pos")
+    val wAll = wd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val lagDoc = lag(col("doc"), 1).over(wd)
+    val lagG = lag(col("gpos"), 1).over(wd)
+    val isFirst = lagDoc.isNull || lagDoc =!= col("doc") ||
+      lagG =!= col("gpos")
+    val sites = raw
+      .withColumn("fst", isFirst)
+      .withColumn("occ",
+        sum(when(col("fst"), 1L).otherwise(0L)).over(wAll))
+      .where(col("fst") && col("occ") >= 2L && col("occ") <= maxOccFreq)
+      .select("hash", "doc", "gpos", "ci", "pos")
+      .localCheckpoint(true)
     maxCandidatePairs.foreach { bound =>
-      val est = kept.groupBy("hash").agg(count(lit(1)).as("f"))
+      val est = sites.groupBy("hash").agg(count(lit(1)).as("f"))
         .agg(coalesce(
           sum(col("f") * (col("f") - 1L) / lit(2L)), lit(0L)).cast("long"))
         .head().getLong(0)
@@ -687,24 +708,40 @@ private[graft] trait DedupSubstringOps { this: Dedup.type =>
           s"pairs under occurrence cap $maxOccFreq exceed " +
           s"maxCandidatePairs=$bound")
     }
-    // offsets re-derive from ci (off = ci·stride); texts join per chunk
-    val texts = chunks.select(col("id").as("doc"), col("ci"), col("t"))
-    val left = kept.select(col("doc").as("doc_a"), col("ci").as("ci_a"),
-      col("pos").as("pos_a"), col("hash"))
-    val right = kept.select(col("doc").as("doc_b"), col("ci").as("ci_b"),
-      col("pos").as("pos_b"), col("hash"))
-    val stride = (chunkChars - (k - 1)).toLong
-    left.join(right, Seq("hash"))
+    // pair generation by codegen'd self-join — but over the FILTERED
+    // site relation (occ ≥ 2, ≤ cap): the former shape joined the full
+    // 10×-bigger uncapped relation (an interpreted array-comprehension
+    // variant was measured here and rejected: AQE coalesces the tiny
+    // exchange to one partition and 200k lambda evaluations serialize
+    // in a single 1.2 s task). Then ONE row per (doc_a, ci_a, doc_b,
+    // ci_b) chunk pair through the text joins — the chunk texts never
+    // ride the candidate relation (guide §8: move heavy bytes once,
+    // decide on metadata).
+    val pairs = sites
+      .select(col("hash"), col("doc").as("doc_a"), col("ci").as("ci_a"),
+        col("pos").as("pos_a"))
+      .join(sites.select(col("hash"), col("doc").as("doc_b"),
+        col("ci").as("ci_b"), col("pos").as("pos_b")), Seq("hash"))
       .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "ci_a", "pos_a", "doc_b", "ci_b", "pos_b")
+    val byChunkPair = pairs
+      .groupBy("doc_a", "ci_a", "doc_b", "ci_b")
+      .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("ps"))
+    val texts = chunks.select(col("id").as("doc"), col("ci"), col("t"))
+    val stride = (chunkChars - (k - 1)).toLong
+    byChunkPair
       .join(texts.select(col("doc").as("doc_a"), col("ci").as("ci_a"),
         col("t").as("ta")), Seq("doc_a", "ci_a"))
       .join(texts.select(col("doc").as("doc_b"), col("ci").as("ci_b"),
         col("t").as("tb")), Seq("doc_b", "ci_b"))
+      .select(col("doc_a"), col("doc_b"), col("ci_a"), col("ci_b"),
+        col("ta"), col("tb"), explode(col("ps")).as("p"))
       .select(
         col("doc_a").as("id_a"), col("doc_b").as("id_b"),
         col("ci_a"), col("ci_b"),
         call_function("common_extend",
-          col("ta"), col("pos_a"), col("tb"), col("pos_b"), lit(k)).as("enc"))
+          col("ta"), col("p.pos_a"), col("tb"), col("p.pos_b"), lit(k))
+          .as("enc"))
       .where(col("enc") >= 0L)
       .select(
         col("id_a"), col("id_b"),
@@ -771,14 +808,26 @@ private[graft] trait DedupSubstringOps { this: Dedup.type =>
     val P = graft.functions.WinnowSelect.PosBase
     val chunks = charChunks(df, idCol, textCol, k, chunkChars)
       .localCheckpoint(true)
-    val rep = chunkedAnchorSites(chunks, k, w).localCheckpoint(true)
-    val kept = rep.join(
-      rep.groupBy("doc", "hash").agg(count(lit(1)).as("occ"))
-        .where(col("occ") <= maxSiteFreq)
-        .select("doc", "hash"),
-      Seq("doc", "hash"))
+    val raw = chunkedAnchorSites(chunks, k, w, chunkChars)
+    // ONE (doc, hash)-keyed exchange (r17) replacing five corpus-sized
+    // ones — the substringDupSpansChunked recipe with the intra-document
+    // key: overlap dedup (first row per gpos under (gpos, ci, pos)
+    // order), deduped site count, site cap, and g1 < g2 pair generation
+    // from the surviving ≤`maxSiteFreq` arrays, all on one shuffle.
+    val wd = Window.partitionBy("doc", "hash")
+      .orderBy("gpos", "ci", "pos")
+    val wAll = wd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val lagG = lag(col("gpos"), 1).over(wd)
+    val sites = raw
+      .withColumn("fst", lagG.isNull || lagG =!= col("gpos"))
+      .withColumn("occ",
+        sum(when(col("fst"), 1L).otherwise(0L)).over(wAll))
+      .where(col("fst") && col("occ") >= 2L && col("occ") <= maxSiteFreq)
+      .select("doc", "hash", "gpos", "ci", "pos")
+      .localCheckpoint(true)
     maxCandidatePairs.foreach { bound =>
-      val est = kept.groupBy("doc", "hash").agg(count(lit(1)).as("f"))
+      val est = sites.groupBy("doc", "hash").agg(count(lit(1)).as("f"))
         .agg(coalesce(
           sum(col("f") * (col("f") - 1L) / lit(2L)), lit(0L)).cast("long"))
         .head().getLong(0)
@@ -788,20 +837,33 @@ private[graft] trait DedupSubstringOps { this: Dedup.type =>
           s"maxCandidatePairs=$bound")
     }
     val stride = (chunkChars - (k - 1)).toLong
-    val ext = kept.select(col("doc"), col("hash"), col("gpos").as("g1"),
-      col("ci").as("ci1"), col("pos").as("p1"))
-      .join(kept.select(col("doc"), col("hash"), col("gpos").as("g2"),
-        col("ci").as("ci2"), col("pos").as("p2")),
-        Seq("doc", "hash"))
+    // pairs by codegen'd self-join over the FILTERED sites (the
+    // substringDupSpansChunked note: an in-array comprehension was
+    // measured and rejected — AQE coalesces the tiny exchange and the
+    // interpreted lambdas serialize in one task), then one row per
+    // (doc, ci1, ci2) chunk pair through the text joins (guide §8:
+    // texts never ride the candidate relation).
+    val pairs = sites
+      .select(col("doc"), col("hash"), col("gpos").as("g1"),
+        col("ci").as("ci1"), col("pos").as("p1"))
+      .join(sites.select(col("doc"), col("hash"), col("gpos").as("g2"),
+        col("ci").as("ci2"), col("pos").as("p2")), Seq("doc", "hash"))
       .where(col("g1") < col("g2"))
-      .join(chunks.select(col("id").as("doc"), col("ci").as("ci1"),
+      .select(col("doc"), col("ci1"), col("p1"), col("ci2"), col("p2"))
+    val byChunkPair = pairs.groupBy("doc", "ci1", "ci2")
+      .agg(collect_list(struct(col("p1"), col("p2"))).as("ps"))
+    val texts = chunks.select(col("id").as("doc"), col("ci"), col("t"))
+    val ext = byChunkPair
+      .join(texts.select(col("doc"), col("ci").as("ci1"),
         col("t").as("t1")), Seq("doc", "ci1"))
-      .join(chunks.select(col("id").as("doc"), col("ci").as("ci2"),
+      .join(texts.select(col("doc"), col("ci").as("ci2"),
         col("t").as("t2")), Seq("doc", "ci2"))
+      .select(col("doc"), col("ci1"), col("ci2"), col("t1"), col("t2"),
+        explode(col("ps")).as("p"))
       .select(
         col("doc"), col("ci1"), col("ci2"),
         call_function("common_extend",
-          col("t1"), col("p1"), col("t2"), col("p2"), lit(k)).as("enc"))
+          col("t1"), col("p.p1"), col("t2"), col("p.p2"), lit(k)).as("enc"))
       .where(col("enc") >= 0L)
       .select(
         col("doc"),

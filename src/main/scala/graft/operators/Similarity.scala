@@ -977,20 +977,29 @@ object Similarity {
         .select(col("q"), (-col("b.ni")).as("i"), lit(rank).as("rank"))
     var all = argmax(cand, col("rel"), 1)
     for (t <- 2 to k) {
-      val rem = cand.join(all.select("q", "i"), Seq("q", "i"), "left_anti")
+      // the ≤|Q|·t-row selection state is broadcast EXPLICITLY (r17):
+      // the greedy step's three uses of it were planned as shuffle
+      // joins, each exchange its own AQE stage job — the key's wall was
+      // ~10 sub-100 ms jobs per step, pure submission floors
+      val rem = cand.join(broadcast(all.select("q", "i")),
+        Seq("q", "i"), "left_anti")
       val ms = rem.select("q", "i")
         .join(sims.withColumnRenamed("ia", "i"), Seq("q", "i"))
-        .join(all.select(col("q"), col("i").as("ib")), Seq("q", "ib"))
+        .join(broadcast(all.select(col("q"), col("i").as("ib"))),
+          Seq("q", "ib"))
         .groupBy("q", "i").agg(max(col("sim")).as("ms"))
       val scored = rem.join(ms, Seq("q", "i"), "left")
         .select(col("q"), col("i"),
           round(lit(lambda) * col("rel") -
             lit(1.0 - lambda) * coalesce(col("ms"), lit(0.0)), 6).as("mmr"))
-      // materialize the ≤|Q|·t-row selection state so step t+1 anti-joins
-      // a table, not the chained lineage of all prior argmax stages
-      all = all.unionByName(argmax(scored, col("mmr"), t)).localCheckpoint(true)
+      // materialize the selection state so step t+1 anti-joins a table,
+      // not the chained lineage of all prior argmax stages — LAZILY
+      // (r17): the eager form paid a dedicated materialization job per
+      // step; lazy checkpointing folds it into the next step's first job
+      all = all.unionByName(argmax(scored, col("mmr"), t))
+        .localCheckpoint(false)
     }
-    all.join(cand, Seq("q", "i"))
+    broadcast(all).join(cand, Seq("q", "i"))
       .select(col("q").as(queryCol), col("i").as(itemCol),
         col("rank"), round(col("rel"), 6).as("rel"))
   }
@@ -1625,6 +1634,17 @@ object Similarity {
           .as("max_cos"))
       .localCheckpoint(true)
     var exhausted = false
+    // LAZY steps (r17, VERDICT r16 #5 — the dup_pagerank recipe): each
+    // step is a filter + broadcast-join + select over the CHECKPOINTED
+    // emb, so chained steps fuse into one codegen stage of the next
+    // argmin job; the former eager localCheckpoint per step paid a full
+    // corpus materialization × k. Checkpoint every 2nd step: every-4
+    // was MEASURED SLOWER (3.7 s vs 1.8 s at sf0.1 — each argmin re-runs
+    // the chain and re-builds its intermediate per-step broadcasts, so
+    // deep lazy chains pay more broadcast jobs than they save in
+    // materializations); every-2 halves the corpus materializations at
+    // one extra broadcast rebuild, and bounds plan growth (k ≤ 64).
+    var sinceCheckpoint = 0
     for (_ <- 1 until k if !exhausted) {
       state
         .orderBy(col("max_cos").asc, col("vec_id").asc).limit(1)
@@ -1642,7 +1662,11 @@ object Similarity {
               greatest(col("max_cos"),
                 round(fdot(col("v"), col("c")) / (col("nv") * col("nc")), 6))
                 .as("max_cos"))
-            .localCheckpoint(true)
+          sinceCheckpoint += 1
+          if (sinceCheckpoint >= 2) {
+            state = state.localCheckpoint(true)
+            sinceCheckpoint = 0
+          }
       }
     }
     val rows = picked.zipWithIndex.map { case ((id, mc), i) =>

@@ -184,7 +184,12 @@ object Correlation {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val futures = pairs.map { case (a, b) =>
+    // bounded concurrency (ADVICE r16): each pair's rank window is a
+    // single-partition global sort — one Future per pair on the global
+    // pool would stack every pair's full-column sort in executor memory
+    // simultaneously on a wide pair list. Two in flight keeps the §2.6
+    // back-fill win with bounded peak memory.
+    def one(a: String, b: String): Future[DataFrame] =
       Future(scala.concurrent.blocking {
         val complete = dfIn
           .where(col(a).isNotNull && col(b).isNotNull)
@@ -205,8 +210,10 @@ object Correlation {
           .select(lit(a).as("col_a"), lit(b).as("col_b"),
             col("n"), col("corr").as("spearman"))
       })
-    }
-    futures.map(f => Await.result(f, Duration.Inf)).reduce(_ unionByName _)
+    pairs.grouped(2).flatMap { chunk =>
+      chunk.map { case (a, b) => one(a, b) }
+        .map(f => Await.result(f, Duration.Inf))
+    }.reduce(_ unionByName _)
   }
 
   /** KLL-approximate Spearman (E103's 100 TB mode, r8) — the scale path

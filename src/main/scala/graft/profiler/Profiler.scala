@@ -73,8 +73,11 @@ object Profiler {
         if (numCols.isEmpty) Nil
         else {
           val ps = ScanMetrics.quantilePs(cfg.quantiles)
+          // §2.3 projection (r17): only the numeric columns ride the
+          // spread exchange
           val res = ExactQuantiles.quantiles(
-            ScanMetrics.spread(df),
+            ScanMetrics.spread(df.select(numCols.map(
+              org.apache.spark.sql.functions.col): _*)),
             numCols.map(c => c -> org.apache.spark.sql.functions.col(c)), ps)
           numCols.flatMap(c => res(c).toSeq.flatMap(vs =>
             ps.zip(vs).map { case (p, v) =>

@@ -53,7 +53,10 @@ object RobustStats {
     // is materialized once and both read the cached blocks (guide §5:
     // reuse × recompute cost; this exact lane's inputs are value-domain
     // bounded by contract, the KLL twin is the uncached 100 TB path).
-    val src = ScanMetrics.spread(df).localCheckpoint(true)
+    // projection BEFORE the exchange (guide §2.3, r17): only the
+    // profiled columns ride the spread shuffle and the checkpoint;
+    // checkpoint gated on spread firing (ADVICE r16, spreadCheckpoint)
+    val src = ScanMetrics.spreadCheckpoint(df.select(cols.map(col): _*))
     val q = ExactQuantiles.quantiles(
       src, cols.map(c => c -> col(c)), Seq(pLo, pHi))
     val bounds: Seq[(String, (Double, Double))] =
@@ -123,7 +126,7 @@ object RobustStats {
     val spark = df.sparkSession
     import spark.implicits._
     graft.functions.KllAggs.register(spark)
-    val src = ScanMetrics.spread(df)
+    val src = ScanMetrics.spread(df.select(cols.map(col): _*)) // §2.3 projection (r17)
     val skAggs = cols.flatMap { c => Seq(
       graft.functions.KllAggs.kllSketchAgg(col(c).cast(DoubleType))
         .as(s"k_$c"),
@@ -196,7 +199,7 @@ object RobustStats {
     import spark.implicits._
     // localCheckpoint: two passes (quartiles, fence counts) share the
     // materialized spread projection (see winsorizedStats note)
-    val src = ScanMetrics.spread(df).localCheckpoint(true)
+    val src = ScanMetrics.spreadCheckpoint(df.select(cols.map(col): _*)) // §2.3 projection + gated checkpoint (r17)
     // frequency-CDF exact quartiles (ExactQuantiles, r16) — bit-identical
     // to the percentile aggregate (and so to DuckDB QUANTILE_CONT, the
     // proven E70 contract); rounding is display-only
@@ -257,7 +260,8 @@ object RobustStats {
       graft.functions.KllAggs.kllSketchAgg(col(c).cast(DoubleType))
         .as(s"k_$c"),
       count(col(c)).as(s"n_$c")) }
-    val row = ScanMetrics.spread(df).agg(aggs.head, aggs.tail: _*).head()
+    val row = ScanMetrics.spread(df.select(cols.map(col): _*))
+      .agg(aggs.head, aggs.tail: _*).head()
     val inc = QuantileSearchCriteria.INCLUSIVE
     val exc = QuantileSearchCriteria.EXCLUSIVE
     def r6(v: Double): Double = math.rint(v * 1e6) / 1e6
@@ -306,7 +310,7 @@ object RobustStats {
     // localCheckpoint: THREE passes (medians, deviation medians, fence
     // counts) share the materialized spread projection (winsorizedStats
     // note) — the probed before-shape paid the scan+exchange thrice
-    val src = ScanMetrics.spread(df).localCheckpoint(true)
+    val src = ScanMetrics.spreadCheckpoint(df.select(cols.map(col): _*)) // §2.3 projection + gated checkpoint (r17)
     // frequency-CDF exact medians (ExactQuantiles, r16): one battery per
     // round instead of per-chunk percentile value-map merges; MAD's
     // second quantile still depends on the first, so two rounds remain
@@ -380,7 +384,7 @@ object RobustStats {
     val spark = df.sparkSession
     import spark.implicits._
     graft.functions.KllAggs.register(spark)
-    val src = ScanMetrics.spread(df)
+    val src = ScanMetrics.spread(df.select(cols.map(col): _*)) // §2.3 projection (r17)
     def sketchPass(exprs: Seq[(String, Column)]): Map[String, (KllDoublesSketch, Long)] = {
       val aggs = exprs.flatMap { case (name, e) => Seq(
         graft.functions.KllAggs.kllSketchAgg(e).as(s"k_$name"),

@@ -106,14 +106,30 @@ class OptimizationR16Spec extends AnyFunSuite {
     val grids = Seq(
       (1 to 10).map(_ / 10.0),
       Seq(0.01, 0.99), Seq(0.25, 0.75), Seq(0.5), Seq(0.0, 1.0, 0.37))
+    // exotic doubles (ADVICE r16): -0.0 vs 0.0 (groupBy normalizes, the
+    // aggregate's value map does not) and NaN (sorts last in both) —
+    // compared via Double.compare, which distinguishes -0.0 from 0.0 and
+    // treats NaN == NaN, i.e. exactly the bit semantics being pinned
+    // (Seq == uses primitive ==: NaN≠NaN and -0.0==0.0, both wrong here)
+    val specials = Array(-0.0, 0.0, Double.NaN)
+    def bitEq(x: Option[Seq[Double]], y: Option[Seq[Double]]): Boolean =
+      (x, y) match {
+        case (Some(a), Some(b)) => a.size == b.size &&
+          a.zip(b).forall { case (u, v) => java.lang.Double.compare(u, v) == 0 }
+        case (None, None) => true
+        case _ => false
+      }
     for (trial <- 1 to 8) {
       val n = 1 + rng.nextInt(40)
       // heavy-tie 2-dp grid values + nulls + an all-null column — the
       // regimes where interpolation and tie handling can diverge
       val data = Seq.fill(n)((
         if (rng.nextDouble() < 0.25) null
+        else if (rng.nextDouble() < 0.2)
+          Double.box(specials(rng.nextInt(specials.length)))
         else Double.box(math.rint(rng.nextDouble() * 400 - 200) / 100.0),
         if (rng.nextDouble() < 0.3) null
+        else if (rng.nextDouble() < 0.15) Double.box(-0.0)
         else Double.box(rng.nextInt(4).toDouble),
         null: java.lang.Double))
       val df = data.toDF("x", "y", "z").localCheckpoint(true)
@@ -127,8 +143,20 @@ class OptimizationR16Spec extends AnyFunSuite {
       for (c <- Seq("x", "y", "z")) {
         val e = if (exp.isNullAt(exp.fieldIndex(c))) None
           else Some(exp.getSeq[Double](exp.fieldIndex(c)).toSeq)
-        assert(res(c) == e, s"trial $trial col $c ps $ps: ${res(c)} vs $e")
+        assert(bitEq(res(c), e), s"trial $trial col $c ps $ps: ${res(c)} vs $e")
       }
     }
+    // deterministic ±0.0 boundary: ranks landing on, inside and around the
+    // -0.0/0.0 tie must return the aggregate's exact bits (-0.0 where it
+    // says -0.0). 0.0 at p=0.75 interpolates -0.0·0.25 + 0.0·0.75 = 0.0.
+    val boundary = Seq(-1.0, -0.0, -0.0, 0.0, 0.0, 2.0)
+      .map(Double.box).toDF("x").localCheckpoint(true)
+    val ps = Seq(0.0, 0.2, 0.4, 0.6, 0.75, 1.0)
+    val res = graft.profiler.ExactQuantiles.quantiles(
+      boundary, Seq("x" -> col("x")), ps)
+    val exp = boundary
+      .agg(percentile(col("x"), array(ps.map(lit): _*)).as("x")).head()
+    assert(bitEq(res("x"), Some(exp.getSeq[Double](0).toSeq)),
+      s"boundary: ${res("x")} vs ${exp.getSeq[Double](0).toSeq}")
   }
 }
